@@ -1,0 +1,94 @@
+"""Path algebra — Column-expression ports of the reference's plpgsql helpers.
+
+Reference sites (all under /root/reference/migrations/tenant/):
+- foldername/filename/extension  0002-storage-schema.sql:85-123
+- get_level                      0026-objects-prefixes.sql:6
+- get_prefixes (ancestor paths)  0026-objects-prefixes.sql:37-57
+- get_common_prefix              0050-search-v2-optimised.sql:31-42
+- prefix → bounded range rewrite 0050-search-v2-optimised.sql:138-146
+
+Everything is a built-in Column expression (JVM-side, codegen'd); no Python
+UDFs anywhere on this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def path_tokens(name: Column) -> Column:
+    """split(name, '/') — the objects.path_tokens generated column
+    (0003-pathtoken-column.sql:1)."""
+    return F.split(name, "/")
+
+
+def get_level(name: Column) -> Column:
+    """Number of path segments (0026-objects-prefixes.sql:6)."""
+    return F.size(path_tokens(name))
+
+
+def foldername(name: Column) -> Column:
+    """All segments but the last, joined — '' for root-level names
+    (0002-storage-schema.sql:94-105)."""
+    parts = path_tokens(name)
+    return F.array_join(F.slice(parts, 1, F.size(parts) - 1), "/")
+
+
+def filename(name: Column) -> Column:
+    """Last path segment (0002-storage-schema.sql:107-114)."""
+    return F.element_at(path_tokens(name), -1)
+
+
+def extension(name: Column) -> Column:
+    """Substring after the last '.' of the filename; '' if none
+    (0002-storage-schema.sql:85-92)."""
+    fn = filename(name)
+    return F.when(fn.contains("."), F.substring_index(fn, ".", -1)).otherwise(F.lit(""))
+
+
+def get_prefixes(name: Column) -> Column:
+    """Array of all ancestor prefixes of a path, shallowest first
+    ('a/b/c.txt' -> ['a', 'a/b']) — 0026-objects-prefixes.sql:37-57, here as
+    one transform over the token array instead of a plpgsql loop."""
+    parts = path_tokens(name)
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard root-level
+    # names (no ancestors) explicitly.
+    return F.when(F.size(parts) <= 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(parts) - 1),
+            lambda i: F.array_join(F.slice(parts, F.lit(1), i), "/"),
+        )
+    )
+
+
+def common_prefix(name: Column, prefix: str, delimiter: str = "/") -> Column:
+    """First delimiter-bounded segment of ``name`` after ``prefix``, with the
+    trailing delimiter — NULL when the remainder has no delimiter (i.e. the
+    row is a leaf, not a folder). Port of get_common_prefix
+    (0050-search-v2-optimised.sql:31-42)."""
+    rest = F.substring(name, len(prefix) + 1, 1 << 30)
+    seg = F.split_part(rest, F.lit(delimiter), F.lit(1))
+    return F.when(
+        F.instr(rest, delimiter) > 0,
+        F.concat(F.lit(prefix), seg, F.lit(delimiter)),
+    ).otherwise(F.lit(None))
+
+
+def prefix_upper_bound(prefix: str) -> str:
+    """Smallest string > every string with this prefix, by incrementing the
+    last byte — the reference's bounded-range rewrite
+    (0050-search-v2-optimised.sql:138-146). Lets the engine turn
+    ``startswith`` into a sargable ``name >= p AND name < bound`` pair that
+    prunes range-partitioned / min-max-indexed files."""
+    if not prefix:
+        raise ValueError("empty prefix has no upper bound")
+    return prefix[:-1] + chr(ord(prefix[-1]) + 1)
+
+
+def prefix_range_filter(name: Column, prefix: str) -> Column:
+    """name has ``prefix`` — expressed as a closed/open range so columnar
+    file skipping (min/max stats on a name-sorted layout) applies."""
+    if not prefix:
+        return F.lit(True)
+    return (name >= F.lit(prefix)) & (name < F.lit(prefix_upper_bound(prefix)))

@@ -1,0 +1,42 @@
+"""Usage aggregations — A1/A2/A6/A7 and the analytics extensions (A8).
+
+Reference:
+- size per bucket: migrations/tenant/0005-add-size-functions.sql:2-16
+- object counts (full + capped existence count): pg.ts:498-535
+- capped resource counts: src/storage/protocols/iceberg/pg.ts:576-595
+
+Sums are carried in DECIMAL so distributed partial aggregation is exact and
+order-insensitive (float sums would differ run-to-run across partitionings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_usage(objects: DataFrame) -> DataFrame:
+    """Total size + object count per bucket (A1+A2). Partial aggregation
+    (map-side combine) makes this one small shuffle of one row per
+    (partition, bucket)."""
+    return objects.groupBy("bucket_id").agg(
+        F.sum("size").alias("total_size"),
+        F.count(F.lit(1)).alias("n_objects"),
+    )
+
+
+def capped_count(df: DataFrame, cap: int) -> DataFrame:
+    """COUNT capped at ``cap`` without scanning past it — the reference's
+    existence-count trick `SELECT count(*) FROM (SELECT 1 … LIMIT cap)`
+    (pg.ts:498-535). Spark's LocalLimit short-circuits the scan the same
+    way."""
+    return df.limit(cap).select(F.count(F.lit(1)).alias("n"))
+
+
+def owner_usage(objects: DataFrame) -> DataFrame:
+    """Per-owner rollup — extension of A1 (marked non-reference in SURVEY
+    §2.4/A8): grouping-sets usage analytics."""
+    return objects.rollup("bucket_id", "owner_id").agg(
+        F.sum("size").alias("total_size"),
+        F.count(F.lit(1)).alias("n_objects"),
+    )

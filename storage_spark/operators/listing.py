@@ -1,0 +1,171 @@
+"""Hierarchical listing — the engine's flagship operator family.
+
+The reference answers "list a folder" three different ways (legacy DISTINCT
+ON 0020-list-objects-with-delimiter.sql:3-40; skip-scan loop
+0050-search-v2-optimised.sql:90-320; batch common-prefix aggregation
+search_by_timestamp 0050:676-780). The skip-scan exists only because
+Postgres must serve one 1000-key page in ~28 ms from a B-tree; its *result*
+is identical to the common-prefix aggregation, which is the shape that
+parallelizes: filter → derive common prefix → split folders/leaves →
+partial-aggregated groupBy → union → sort → limit. That is THE plan here.
+
+Scale: the prefix filter is a sargable range (paths.prefix_range_filter), so
+on a bucket_id-partitioned, name-sorted layout a listing touches only the
+files overlapping the prefix range; the groupBy's map-side combine collapses
+each folder to one row per partition before the (tiny) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from storage_spark.functions.paths import common_prefix, prefix_range_filter
+
+#: Columns every listing emits. Folders carry NULL id/size/mimetype like the
+#: reference's folder rows (search_v2 returns NULL metadata for prefixes —
+#: 0050-search-v2-optimised.sql:700-720).
+LISTING_COLUMNS = ["name", "id", "size", "created_at_ms", "updated_at_ms", "mimetype"]
+
+
+def _apply_common_filters(
+    objects: DataFrame,
+    bucket_id: str | None,
+    prefix: str,
+    before_ms: int | None = None,
+) -> DataFrame:
+    df = objects
+    if bucket_id is not None:
+        df = df.filter(F.col("bucket_id") == bucket_id)
+    if prefix:
+        df = df.filter(prefix_range_filter(F.col("name"), prefix))
+    if before_ms is not None:
+        # temporal cutoff, pg.ts:550-553
+        df = df.filter(F.col("created_at_ms") < F.lit(before_ms))
+    return df
+
+
+def list_objects_flat(
+    objects: DataFrame,
+    bucket_id: str | None = None,
+    prefix: str = "",
+    start_after: str | None = None,
+    limit: int | None = None,
+    descending: bool = False,
+    before_ms: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Flat (no-delimiter) listing with keyset cursor — S1 + F1-F3 + O1.
+
+    Reference: listObjects / listObjectsV2 without delimiter
+    (src/storage/database/pg.ts:537-579 and :612-671): binary name order,
+    ``name > start_after`` seek, LIMIT n.
+    """
+    df = _apply_common_filters(objects, bucket_id, prefix, before_ms)
+    if start_after:
+        df = df.filter(F.col("name") > start_after if not descending else F.col("name") < start_after)
+    df = df.orderBy(F.col("name").desc() if descending else F.col("name").asc())
+    if columns:
+        df = df.select(*columns)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def list_objects_with_delimiter(
+    objects: DataFrame,
+    bucket_id: str | None = None,
+    prefix: str = "",
+    delimiter: str = "/",
+    start_after: str | None = None,
+    limit: int | None = None,
+    before_ms: int | None = None,
+) -> DataFrame:
+    """S3 ListObjectsV2-style delimiter listing — the A4 common-prefix plan.
+
+    Folders are ``prefix + first-segment + delimiter`` groups with
+    MIN(created_at) as both created/updated (search_by_timestamp's choice,
+    0050-search-v2-optimised.sql:729-741); leaves pass through; UNION ALL;
+    byte-order sort; limit. Folder rows carry NULL id/size/mimetype.
+    """
+    df = _apply_common_filters(objects, bucket_id, prefix, before_ms)
+    cp = common_prefix(F.col("name"), prefix, delimiter)
+    df = df.withColumn("_cp", cp)
+
+    folders = (
+        df.filter(F.col("_cp").isNotNull())
+        .groupBy(F.col("_cp").alias("name"))
+        .agg(F.min("created_at_ms").alias("created_at_ms"))
+        .select(
+            "name",
+            F.lit(None).cast("string").alias("id"),
+            F.lit(None).cast("decimal(12,2)").alias("size"),
+            "created_at_ms",
+            F.col("created_at_ms").alias("updated_at_ms"),
+            F.lit(None).cast("string").alias("mimetype"),
+        )
+    )
+    leaves = df.filter(F.col("_cp").isNull()).select(*LISTING_COLUMNS)
+    out = folders.unionByName(leaves)
+    if start_after:
+        # Folder-vs-leaf cursor semantics: a cursor naming a folder resumes
+        # past the folder's whole subtree because the folder name ends with
+        # the delimiter and every child sorts >= it (object.ts:928-952).
+        out = out.filter(F.col("name") > start_after)
+    out = out.orderBy("name")
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def search_prefixes(
+    objects: DataFrame,
+    bucket_id: str | None = None,
+    prefix: str = "",
+    delimiter: str = "/",
+) -> DataFrame:
+    """Distinct folder names under a prefix — the skip-scan's result set
+    (W2, 0050-search-v2-optimised.sql:90-320) as a one-line aggregation."""
+    df = _apply_common_filters(objects, bucket_id, prefix)
+    cp = common_prefix(F.col("name"), prefix, delimiter)
+    return (
+        df.select(cp.alias("name"))
+        .filter(F.col("name").isNotNull())
+        .distinct()
+        .orderBy("name")
+    )
+
+
+def search_objects_sorted(
+    objects: DataFrame,
+    bucket_id: str | None,
+    prefix: str,
+    sort_column: Column,
+    sort_desc: bool = False,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> DataFrame:
+    """POST /object/list with a non-name sort column — O2 multi-key sort:
+    ORDER BY <col> <ord>, name <ord> with NULLs treated as epoch
+    (pg.ts:661-663; 0039-add-search-v2-sort-support.sql:49-52)."""
+    df = _apply_common_filters(objects, bucket_id, prefix)
+    key = F.coalesce(sort_column, F.lit(0))
+    order = [key.desc() if sort_desc else key.asc(),
+             F.col("name").desc() if sort_desc else F.col("name").asc()]
+    df = df.orderBy(*order)
+    if offset:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def top_k_merge(branches: list[DataFrame], order: list[Column], k: int) -> DataFrame:
+    """O3 sorted-merge top-k: per-branch LIMIT k, UNION ALL, global top-k —
+    search_v2's two-branch plan (0027-search-v2.sql:20-57). Catalyst lowers
+    the final sort+limit to TakeOrderedAndProject (no full sort)."""
+    limited = [b.orderBy(*order).limit(k) for b in branches]
+    out = limited[0]
+    for b in limited[1:]:
+        out = out.unionByName(b)
+    return out.orderBy(*order).limit(k)

@@ -1,0 +1,64 @@
+"""Reconciliation (orphan scanning) — distributed anti-joins.
+
+The reference's scanner (src/storage/scanner/scanner.ts:30-73, 323-403)
+stages S3 keys into an UNLOGGED scratch table (pg.ts:1615-1760), then walks
+both sides in 1000-key pages probing the other side per batch. In Spark the
+whole pipeline is two ``left_anti`` joins — the batching machinery exists
+only to bound single-node memory, which shuffle+spill already does.
+
+Key shape: ``tenant/bucket/name[/version]``; ``.info`` sidecar keys are
+metadata companions, never objects, and are excluded on both scans
+(scanner.ts key filtering).
+
+Scale: both sides hash-shuffle on the join key; at 100 TB the objects side
+is partitioned by bucket_id so a per-bucket reconciliation prunes to one
+partition, and AQE handles skewed buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def object_keys(objects: DataFrame) -> DataFrame:
+    """DB-side canonical key set: bucket/name/version."""
+    return objects.select(
+        F.concat_ws("/", "bucket_id", "name", "version").alias("key"),
+        "bucket_id",
+        "name",
+        "version",
+    )
+
+
+def clean_s3_keys(s3_keys: DataFrame, before_ms: int | None = None) -> DataFrame:
+    """Drop .info sidecars (and optionally keys newer than the cutoff —
+    T10's in-flight-write exclusion, scanner.ts:32,148)."""
+    df = s3_keys.filter(~F.col("key").endswith(".info"))
+    if before_ms is not None and "created_at_ms" in df.columns:
+        df = df.filter(F.col("created_at_ms") < before_ms)
+    return df
+
+
+def s3_orphans(objects: DataFrame, s3_keys: DataFrame) -> DataFrame:
+    """Keys present in the backend but absent from the metadata DB — J2
+    (scanner.ts:323-363) as one anti-join."""
+    return clean_s3_keys(s3_keys).join(object_keys(objects), "key", "left_anti")
+
+
+def db_orphans(objects: DataFrame, s3_keys: DataFrame) -> DataFrame:
+    """Metadata rows whose backend blob is missing — J3 (scanner.ts:365-403)."""
+    return object_keys(objects).join(clean_s3_keys(s3_keys), "key", "left_anti")
+
+
+def consistency_report(objects: DataFrame, s3_keys: DataFrame) -> DataFrame:
+    """Both directions in one pass (T5's merged generator,
+    src/internal/concurrency mergeAsyncGenerators) — a UNION of the two
+    anti-joins tagged by direction."""
+    s3_side = s3_orphans(objects, s3_keys).select(
+        "key", F.lit("S3_ORPHAN").alias("kind")
+    )
+    db_side = db_orphans(objects, s3_keys).select(
+        "key", F.lit("DB_ORPHAN").alias("kind")
+    )
+    return s3_side.unionByName(db_side)

@@ -1,0 +1,148 @@
+"""Test-data loading and the storage-shaped derived views.
+
+The driver's synthetic tables are TPC-H-ish (region nation customer supplier
+part orders lineitem events documents embeddings). The storage engine's
+domain tables (objects, buckets, s3_keys) are derived from them with
+engine-portable ANSI SQL so the exact same derivation runs in Spark and in
+the DuckDB oracle — the *operators* under test are then two independent
+implementations (DataFrame API here, hand-written SQL in the oracle).
+
+Derivation (mirrors the reference's data model, SURVEY.md §1):
+
+- ``objects``   — one row per ``part`` row. ``name`` is a '/'-separated
+  hierarchical path (p_type/p_name-word1/p_name-word2-<key>.txt) with ~1/11
+  of keys placed at the root, so listings see both folders and leaves.
+  Mirrors storage.objects (migrations/tenant/0002-storage-schema.sql:68).
+- ``buckets``   — one row per distinct p_brand (25 buckets).
+  Mirrors storage.buckets (0002-storage-schema.sql:58).
+- ``s3_keys``   — the "remote backend listing" for reconciliation: most
+  object keys (1/7 missing → DB orphans), plus per-supplier extra keys
+  (S3 orphans) and ``.info`` sidecars that scanners must ignore
+  (src/storage/scanner/scanner.ts:323-403).
+
+created_at is modelled as epoch-milliseconds BIGINT (`created_at_ms`) —
+millisecond precision is exactly the reference's cursor-comparison precision
+(0039-add-search-v2-sort-support.sql:44-52) and avoids engine-specific
+timestamp literal syntax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+BASE_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+OBJECTS_SQL = """
+SELECT
+  CAST(p_partkey AS STRING) AS id,
+  p_brand AS bucket_id,
+  CASE WHEN p_partkey % 11 = 0
+       THEN 'top-' || CAST(p_partkey AS STRING) || '.txt'
+       ELSE p_type || '/' || split_part(p_name, ' ', 1) || '/' ||
+            split_part(p_name, ' ', 2) || '-' || CAST(p_partkey AS STRING) || '.txt'
+  END AS name,
+  CAST(p_retailprice AS DECIMAL(12,2)) AS size,
+  1704067200000 + p_partkey * 60000 AS created_at_ms,
+  1704067200000 + p_partkey * 60000 + (p_partkey % 13) * 3600000 AS updated_at_ms,
+  'user-' || CAST(p_partkey % 10 AS STRING) AS owner_id,
+  CASE WHEN p_partkey % 3 = 0 THEN 'v2' ELSE 'v1' END AS version,
+  CASE WHEN p_partkey % 4 = 0 THEN 'image/png'
+       WHEN p_partkey % 4 = 1 THEN 'image/jpeg'
+       WHEN p_partkey % 4 = 2 THEN 'text/plain'
+       ELSE 'application/octet-stream' END AS mimetype
+FROM part
+"""
+
+BUCKETS_SQL = """
+SELECT DISTINCT
+  p_brand AS id,
+  p_brand AS name,
+  (CAST(substr(p_brand, 7) AS INT) % 2 = 0) AS public,
+  CAST(substr(p_brand, 7) AS INT) % 5 * 1000000 AS file_size_limit,
+  'user-' || CAST(CAST(substr(p_brand, 7) AS INT) % 10 AS STRING) AS owner_id
+FROM part
+"""
+
+S3_KEYS_SQL = """
+SELECT bucket_id || '/' || name || '/' || version AS key, size
+FROM objects
+WHERE CAST(id AS BIGINT) % 7 <> 0
+UNION ALL
+SELECT 'Brand#99/extra/orphan-' || CAST(s_suppkey AS STRING) || '.txt/v1' AS key,
+       CAST(0 AS DECIMAL(12,2)) AS size
+FROM supplier
+UNION ALL
+SELECT 'Brand#99/extra/orphan-' || CAST(s_suppkey AS STRING) || '.txt/v1.info' AS key,
+       CAST(0 AS DECIMAL(12,2)) AS size
+FROM supplier
+"""
+
+DERIVED_VIEWS = [
+    ("objects", OBJECTS_SQL),
+    ("buckets", BUCKETS_SQL),
+    ("s3_keys", S3_KEYS_SQL),
+]
+
+
+def load_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read the driver parquet tables and register them as temp views.
+
+    ``events.ts`` is written as INT64 TIMESTAMP(NANOS), which Spark 4 refuses
+    by default; read it as nano-longs and floor-convert to TimestampType
+    (microseconds) — consistent with the reference's millisecond-truncation
+    comparison contract, which is coarser than either.
+    """
+    out: dict[str, DataFrame] = {}
+    for t in BASE_TABLES:
+        if t == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out
+
+
+def register_derived_views(spark: SparkSession) -> dict[str, DataFrame]:
+    """Create the storage-shaped views on top of the base tables.
+
+    At 100 TB, ``objects`` would be a table partitioned by ``bucket_id`` and
+    sorted by ``name``; expressing it as a view over a columnar scan keeps the
+    same pushdown behavior (the CASE projection does not block partition
+    pruning on the base table's columns).
+    """
+    out: dict[str, DataFrame] = {}
+    for name, sql in DERIVED_VIEWS:
+        spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+        out[name] = spark.table(name)
+    return out
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    tables = load_base_tables(spark, sf_dir)
+    tables.update(register_derived_views(spark))
+    return tables
+
+
+def oracle_views_prefix() -> str:
+    """CTE prefix so a DuckDB oracle query sees the same derived views."""
+    return (
+        "WITH objects AS ({obj}), buckets AS ({bkt}), s3_keys AS ({s3})".format(
+            obj=OBJECTS_SQL.strip(), bkt=BUCKETS_SQL.strip(), s3=S3_KEYS_SQL.strip()
+        )
+    )
