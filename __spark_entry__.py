@@ -225,6 +225,34 @@ def q_keyset_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# jsonb metadata filter DSL (F9) — compiled to Column over events.props
+# --------------------------------------------------------------------------
+
+
+def q_meta_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions.jsonmeta import compile_filter
+
+    t = _t(spark, sf_dir)
+    ast = {"$and": [{"k": {"$gte": 30}}, {"k": {"$lt": 60}}]}
+    return (
+        t["events"]
+        .filter(compile_filter(ast, "props"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_meta_filter_in_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions.jsonmeta import compile_filter
+
+    t = _t(spark, sf_dir)
+    ast = {"$or": [{"k": {"$in": [1, 2, 3, 4, 5]}}, {"k": {"$exists": False}}]}
+    return (
+        t["events"].filter(compile_filter(ast, "props")).select("event_id").orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Path algebra (§2.8)
 # --------------------------------------------------------------------------
 
@@ -288,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistency_report": q_consistency_report,
         "fk_join_usage": q_fk_join_usage,
         "keyset_events": q_keyset_events,
+        "meta_filter_range": q_meta_filter_range,
+        "meta_filter_in_or": q_meta_filter_in_or,
         "path_functions": q_path_functions,
         "prefix_derivation": q_prefix_derivation,
     }
@@ -386,6 +416,20 @@ FROM events
 WHERE epoch_ms(date_trunc('milliseconds', ts)) > 1704070800000
    OR (epoch_ms(date_trunc('milliseconds', ts)) = 1704070800000 AND event_id > 0)
 ORDER BY ts_ms, event_id LIMIT 100
+"""),
+        "meta_filter_range": _o("""
+SELECT event_type, count(*) AS n
+FROM events
+WHERE json_type(CAST(props AS JSON), '$.k') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 30
+  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) < 60
+GROUP BY event_type
+"""),
+        "meta_filter_in_or": _o("""
+SELECT event_id FROM events
+WHERE json_extract_string(props, '$.k') IN ('1', '2', '3', '4', '5')
+   OR json_extract_string(props, '$.k') IS NULL
+ORDER BY event_id
 """),
         "path_functions": _o("""
 SELECT name,
