@@ -11,7 +11,8 @@ independent implementations: DataFrame API in storage_spark.* vs hand-written
 ANSI SQL below.
 
 Output conventions (so value-hash comparison is exact across engines):
-- money/size sums are DECIMAL (exact, order-insensitive) — never float sums;
+- every numeric output is integral (BIGINT sizes/cents/scaled distances) —
+  exact and render-identical across engines; never float or decimal outputs;
 - timestamps are surfaced as epoch-milliseconds BIGINT, matching the
   reference's millisecond cursor precision (0039-add-search-v2-sort-support
   .sql:44-52);
@@ -65,7 +66,7 @@ tagged AS (
 ),
 folders AS (
   SELECT cp AS name, CAST(NULL AS STRING) AS id,
-         CAST(NULL AS DECIMAL(12,2)) AS size,
+         CAST(NULL AS BIGINT) AS size,
          min(created_at_ms) AS created_at_ms,
          min(created_at_ms) AS updated_at_ms,
          CAST(NULL AS STRING) AS mimetype
@@ -196,7 +197,7 @@ def q_fk_join_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("total_acctbal"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("acctbal_cents"),
         )
     )
 
@@ -291,6 +292,112 @@ def q_prefix_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Vector store (§2 vector ops; SURVEY §3.3)
+# --------------------------------------------------------------------------
+
+_ONES = [1.0] * 64
+
+# DuckDB fragments for exact-parity distance math: double-promoted,
+# left-folded like the Spark side (F.aggregate) so doubles match bitwise.
+_DUCK_DOT = "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))"
+_DUCK_NORM = (
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_DUCK_DOT2 = (
+    "list_sum(list_transform(list_zip(c.embedding, q.q_vec),"
+    " t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+)
+_DUCK_NORM_C = (
+    "sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_DUCK_NORM_Q = (
+    "sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return t["embeddings"].select(
+        F.col("vec_id").cast("string").alias("key"), "embedding", "label"
+    )
+
+
+def q_vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions.vectors import query_vectors
+
+    v = _vectors(spark, sf_dir)
+    out = query_vectors(v, _ONES, top_k=10, metric="cosine")
+    return out.select(
+        "key", F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4")
+    )
+
+
+def q_vector_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions.vectors import query_vectors
+
+    v = _vectors(spark, sf_dir)
+    out = query_vectors(v, _ONES, top_k=10, metric="euclidean")
+    return out.select(
+        "key", F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4")
+    )
+
+
+def q_vector_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions.vectors import query_vectors
+
+    v = _vectors(spark, sf_dir).filter(F.col("label") == 2)
+    out = query_vectors(v, _ONES, top_k=5, metric="cosine")
+    return out.select(
+        "key", F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4")
+    )
+
+
+def q_vector_segment_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions.vectors import list_vectors
+
+    t = _t(spark, sf_dir)
+    v = t["embeddings"].select(
+        F.col("vec_id").cast("string").alias("key"), F.col("vec_id"), "label"
+    )
+    return list_vectors(
+        v,
+        segment_count=8,
+        segment_index=3,
+        next_key="25",
+        max_results=100,
+        segment_expr=F.col("vec_id"),
+    ).select("key", "label")
+
+
+def q_vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions.vectors import knn_join
+
+    v = _vectors(spark, sf_dir)
+    queries = v.filter(F.col("key").cast("bigint") < 20).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    out = knn_join(queries, v, k=3, metric="cosine")
+    return out.select(
+        "q_key",
+        "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        "rank",
+    )
+
+
+def q_vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path) — approximate, so rows-only driver
+    check; recall vs brute force is asserted in tests/test_vectors.py."""
+    from storage_spark.functions.vectors import lsh_ann_join
+
+    v = _vectors(spark, sf_dir)
+    queries = v.filter(F.col("key").cast("bigint") < 20).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_ann_join(queries, v, k=3, dim=64, n_planes=6)
+
+
+# --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
 
@@ -320,6 +427,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_filter_in_or": q_meta_filter_in_or,
         "path_functions": q_path_functions,
         "prefix_derivation": q_prefix_derivation,
+        "vector_cosine_topk": q_vector_cosine_topk,
+        "vector_l2_topk": q_vector_l2_topk,
+        "vector_filtered_topk": q_vector_filtered_topk,
+        "vector_segment_scan": q_vector_segment_scan,
+        "vector_knn_join": q_vector_knn_join,
+        "vector_lsh_ann": q_vector_lsh_ann,
     }
 
 
@@ -355,7 +468,7 @@ SELECT name FROM (
 ) ORDER BY name LIMIT 20
 """),
         "bucket_usage": _o("""
-SELECT bucket_id, sum(size) AS total_size, count(*) AS n_objects
+SELECT bucket_id, CAST(sum(size) AS BIGINT) AS total_size, count(*) AS n_objects
 FROM objects GROUP BY bucket_id
 """),
         "capped_count": _o("""
@@ -364,7 +477,7 @@ SELECT count(*) AS n FROM (
 )
 """),
         "owner_rollup": _o("""
-SELECT bucket_id, owner_id, sum(size) AS total_size, count(*) AS n_objects
+SELECT bucket_id, owner_id, CAST(sum(size) AS BIGINT) AS total_size, count(*) AS n_objects
 FROM objects WHERE bucket_id IN ('Brand#13', 'Brand#22')
 GROUP BY ROLLUP (bucket_id, owner_id)
 """),
@@ -404,7 +517,7 @@ WHERE NOT EXISTS (
 """),
         "fk_join_usage": _o("""
 SELECT r_name, count(*) AS n_customers,
-       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -446,5 +559,49 @@ SELECT DISTINCT array_to_string(list_slice(str_split(name, '/'), 1, lvl), '/') A
 FROM objects, generate_series(1, 3) AS t(lvl)
 WHERE bucket_id = 'Brand#13' AND len(str_split(name, '/')) > lvl
 ORDER BY prefix
+"""),
+        "vector_cosine_topk": _o(f"""
+SELECT key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4
+FROM (
+  SELECT CAST(vec_id AS STRING) AS key,
+         1.0 - {_DUCK_DOT} / ({_DUCK_NORM} * 8.0) AS distance
+  FROM embeddings
+) ORDER BY distance, key LIMIT 10
+"""),
+        "vector_l2_topk": _o(f"""
+SELECT key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4
+FROM (
+  SELECT CAST(vec_id AS STRING) AS key,
+         sqrt(list_sum(list_transform(embedding,
+              x -> (CAST(x AS DOUBLE) - 1.0) * (CAST(x AS DOUBLE) - 1.0)))) AS distance
+  FROM embeddings
+) ORDER BY distance, key LIMIT 10
+"""),
+        "vector_filtered_topk": _o(f"""
+SELECT key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4
+FROM (
+  SELECT CAST(vec_id AS STRING) AS key,
+         1.0 - {_DUCK_DOT} / ({_DUCK_NORM} * 8.0) AS distance
+  FROM embeddings WHERE label = 2
+) ORDER BY distance, key LIMIT 5
+"""),
+        "vector_segment_scan": _o("""
+SELECT CAST(vec_id AS STRING) AS key, label
+FROM embeddings
+WHERE abs(vec_id) % 8 = 3 AND CAST(vec_id AS STRING) > '25'
+ORDER BY key LIMIT 100
+"""),
+        "vector_knn_join": _o(f"""
+SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank
+FROM (
+  SELECT q.q_key, c.key,
+         1.0 - {_DUCK_DOT2} / ({_DUCK_NORM_C} * {_DUCK_NORM_Q}) AS distance,
+         CAST(row_number() OVER (PARTITION BY q.q_key ORDER BY
+           1.0 - {_DUCK_DOT2} / ({_DUCK_NORM_C} * {_DUCK_NORM_Q}) ASC, c.key ASC) AS INT) AS rank
+  FROM (SELECT CAST(vec_id AS STRING) AS key, embedding FROM embeddings) c,
+       (SELECT CAST(vec_id AS STRING) AS q_key, embedding AS q_vec
+        FROM embeddings WHERE vec_id < 20) q
+  WHERE q.q_key <> c.key
+) WHERE rank <= 3
 """),
     }

@@ -1,0 +1,228 @@
+"""Vector store operators — distance expressions, top-k query, segment scan,
+k-NN join, and an LSH-bucketed ANN path for scale.
+
+Reference: the pgvector adapter (src/storage/protocols/vector/adapter/
+pgvector/index.ts): cosine ``<=>`` / L2 ``<->`` distance selection
+(:325-334, :760-785), metadata filter integration (:740-804), hash-segmented
+parallel listing ``mod(abs(hashtext(key)), n) = i`` (:860-865), HNSW +
+ef_search tuning (:458-475, :666-672).
+
+Spark stance: exact distributed top-k is the default (better recall than
+HNSW, embarrassingly parallel — Catalyst lowers orderBy+limit to
+TakeOrderedAndProject, so each partition keeps only k candidates). The LSH
+bucket join is the 100-TB path: candidates meet only within matching
+hyperplane-sign buckets, turning the O(N·Q) scan into a bucketed equi-join.
+
+Numeric determinism: distances fold the array strictly left-to-right in
+double precision (``F.aggregate``), so the same input yields bit-identical
+doubles regardless of partitioning — aggregation order never varies.
+No Python UDFs; everything is codegen'd higher-order functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in double precision (order-deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    """pgvector ``<=>`` (pgvector/index.ts:325-334)."""
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    """pgvector ``<->``: sqrt of left-folded squared-difference sum."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _metric_distance(metric: str, a: Column, b: Column) -> Column:
+    if metric == "cosine":
+        return cosine_distance(a, b)
+    if metric in ("euclidean", "l2"):
+        return l2_distance(a, b)
+    raise ValueError(f"unknown distance metric: {metric}")
+
+
+def query_vectors(
+    vectors: DataFrame,
+    query_vec: list[float],
+    top_k: int,
+    metric: str = "cosine",
+    vector_col: str = "embedding",
+    key_col: str = "key",
+    filter_ast: dict | None = None,
+    metadata_col: str | None = None,
+    non_filterable: set[str] | None = None,
+    return_distance: bool = True,
+) -> DataFrame:
+    """QueryVectors (pgvector/index.ts:740-804): optional metadata filter →
+    distance → ORDER BY distance LIMIT top_k (ties broken by key for a total
+    order). Exact scan — the Spark analogue of the adapter's exact-scan
+    fallback (:678-682), parallelized per partition."""
+    df = vectors
+    if filter_ast is not None:
+        from storage_spark.functions.jsonmeta import compile_filter
+
+        df = df.filter(
+            compile_filter(filter_ast, metadata_col or "metadata", non_filterable)
+        )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = df.withColumn("distance", _metric_distance(metric, F.col(vector_col), q))
+    df = df.orderBy(F.col("distance").asc(), F.col(key_col).asc()).limit(top_k)
+    if not return_distance:
+        df = df.drop("distance")
+    return df
+
+
+def list_vectors(
+    vectors: DataFrame,
+    segment_count: int = 1,
+    segment_index: int = 0,
+    key_col: str = "key",
+    next_key: str | None = None,
+    max_results: int | None = None,
+    segment_expr: Column | None = None,
+) -> DataFrame:
+    """ListVectors with hash-segmented parallel scan + keyset pagination
+    (pgvector/index.ts:860-865: ``mod(abs(hashtext(key)), n) = i``).
+
+    ``segment_expr`` defaults to xxhash64 of the key — any deterministic
+    int expression works; segments are disjoint and covering. In Spark the
+    deeper point is that *partitions already are the segments*; this
+    operator exists for protocol parity.
+    """
+    df = vectors
+    if segment_count > 1:
+        seg = segment_expr if segment_expr is not None else F.xxhash64(F.col(key_col))
+        df = df.filter(F.pmod(F.abs(seg), F.lit(segment_count)) == segment_index)
+    if next_key is not None:
+        df = df.filter(F.col(key_col) > next_key)
+    df = df.orderBy(key_col)
+    if max_results is not None:
+        df = df.limit(max_results)
+    return df
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    query_key: str = "q_key",
+    query_vec: str = "q_vec",
+    corpus_key: str = "key",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k neighbors for every query row — broadcast the (small) query
+    side, window-rank per query. This is the brute-force baseline for
+    similarity search / embedding near-dup; the LSH path below replaces the
+    crossJoin with a bucketed equi-join at scale."""
+    joined = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        joined = joined.filter(F.col(query_key) != F.col(corpus_key))
+    joined = joined.withColumn(
+        "distance", _metric_distance(metric, F.col(corpus_vec), F.col(query_vec))
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("distance").asc(), F.col(corpus_key).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, corpus_key, "distance", "rank")
+    )
+
+
+# ----------------------------------------------------------------------
+# LSH (random-hyperplane signatures) — the scale path for ANN
+# ----------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 pseudo-random hyperplanes (no RNG state needed —
+    reproducible across engines and runs)."""
+    return [
+        [
+            1.0 if ((seed + 73856093 * j + 19349663 * i) % 97) % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-sign signature: one bit per hyperplane (dot-product sign),
+    packed into a string bucket id."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_ann_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    metric: str = "cosine",
+    query_key: str = "q_key",
+    query_vec: str = "q_vec",
+    corpus_key: str = "key",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """ANN via hyperplane-bucket equi-join: candidates share the full
+    signature, then exact distance + window rank within candidates.
+
+    At 100 TB this is the plan that survives: the corpus is scanned once,
+    bucketed (shuffle on signature), and each bucket joins only its own
+    queries — no all-pairs crossJoin. Recall is tuned by n_planes (fewer
+    planes → bigger buckets → higher recall, more compute); multi-probe or
+    banded repetition raises recall further (see operators/dedup.py for the
+    banded MinHash analogue).
+    """
+    planes = hyperplanes(dim, n_planes)
+    c = corpus.withColumn("_sig", lsh_signature(F.col(corpus_vec), planes))
+    q = queries.withColumn("_sig", lsh_signature(F.col(query_vec), planes))
+    joined = c.join(q, "_sig")
+    joined = joined.filter(F.col(query_key) != F.col(corpus_key)).withColumn(
+        "distance", _metric_distance(metric, F.col(corpus_vec), F.col(query_vec))
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("distance").asc(), F.col(corpus_key).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, corpus_key, "distance", "rank")
+    )

@@ -5,8 +5,9 @@ Reference:
 - object counts (full + capped existence count): pg.ts:498-535
 - capped resource counts: src/storage/protocols/iceberg/pg.ts:576-595
 
-Sums are carried in DECIMAL so distributed partial aggregation is exact and
-order-insensitive (float sums would differ run-to-run across partitionings).
+Sums are carried in integral types (sizes are bytes) so distributed partial
+aggregation is exact and order-insensitive (float sums would differ
+run-to-run across partitionings).
 """
 
 from __future__ import annotations

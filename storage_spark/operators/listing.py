@@ -99,7 +99,7 @@ def list_objects_with_delimiter(
         .select(
             "name",
             F.lit(None).cast("string").alias("id"),
-            F.lit(None).cast("decimal(12,2)").alias("size"),
+            F.lit(None).cast("bigint").alias("size"),
             "created_at_ms",
             F.col("created_at_ms").alias("updated_at_ms"),
             F.lit(None).cast("string").alias("mimetype"),

@@ -52,7 +52,7 @@ SELECT
        ELSE p_type || '/' || split_part(p_name, ' ', 1) || '/' ||
             split_part(p_name, ' ', 2) || '-' || CAST(p_partkey AS STRING) || '.txt'
   END AS name,
-  CAST(p_retailprice AS DECIMAL(12,2)) AS size,
+  CAST(round(p_retailprice * 100) AS BIGINT) AS size,
   1704067200000 + p_partkey * 60000 AS created_at_ms,
   1704067200000 + p_partkey * 60000 + (p_partkey % 13) * 3600000 AS updated_at_ms,
   'user-' || CAST(p_partkey % 10 AS STRING) AS owner_id,
@@ -80,11 +80,11 @@ FROM objects
 WHERE CAST(id AS BIGINT) % 7 <> 0
 UNION ALL
 SELECT 'Brand#99/extra/orphan-' || CAST(s_suppkey AS STRING) || '.txt/v1' AS key,
-       CAST(0 AS DECIMAL(12,2)) AS size
+       CAST(0 AS BIGINT) AS size
 FROM supplier
 UNION ALL
 SELECT 'Brand#99/extra/orphan-' || CAST(s_suppkey AS STRING) || '.txt/v1.info' AS key,
-       CAST(0 AS DECIMAL(12,2)) AS size
+       CAST(0 AS BIGINT) AS size
 FROM supplier
 """
 
