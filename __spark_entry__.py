@@ -398,6 +398,174 @@ def q_vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Text analysis + dedup (training-data pipeline extension surface)
+# --------------------------------------------------------------------------
+
+#: Oracle-side normalized text + token list (mirrors functions.text).
+_DUCK_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_DUCK_TOKENS = f"regexp_split_to_array({_DUCK_NORM_TEXT}, ' ')"
+_DUCK_RAW_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_EN_STOP = "('a', 'the', 'of', 'and', 'to')"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions import text as X
+
+    t = _t(spark, sf_dir)
+    c = F.col("text")
+    return t["documents"].select(
+        "doc_id",
+        X.token_count(c).cast("bigint").alias("n_tokens"),
+        X.distinct_token_count(c).cast("bigint").alias("n_distinct"),
+        X.regex_token_count(c).cast("bigint").alias("n_regex_tokens"),
+        F.round(X.stopword_ratio(c) * 10000).cast("bigint").alias("stop_1e4"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions.text import quality_score
+
+    t = _t(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.round(quality_score(F.col("text")) * 1000).cast("bigint").alias("score_1e3"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions.text import lang_id
+
+    t = _t(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(lang_id(F.col("text")).alias("guess"))
+        .groupBy("guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions.text import fingerprint
+
+    t = _t(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    )
+
+
+def q_dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.dedup import exact_duplicates
+
+    t = _t(spark, sf_dir)
+    keyed = t["events"].select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("value_cents")
+    )
+    return exact_duplicates(keyed, ["event_type", "value_cents"])
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 60)
+    out = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.005)
+    return out.select(
+        "doc_a", "doc_b", F.round(F.col("jaccard") * 10000).cast("bigint").alias("j_1e4")
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.dedup import minhash_lsh_pairs
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 60)
+    return minhash_lsh_pairs(docs, n=3, n_hashes=4, band_size=1)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.dedup import simhash16
+
+    t = _t(spark, sf_dir)
+    return simhash16(t["documents"].filter(F.col("doc_id") < 40))
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.dedup import simhash16, simhash_near_pairs
+
+    t = _t(spark, sf_dir)
+    sim = simhash16(t["documents"].filter(F.col("doc_id") < 40))
+    return simhash_near_pairs(sim, max_hamming=6)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.dedup import embedding_near_dup_pairs
+
+    t = _t(spark, sf_dir)
+    v = t["embeddings"].filter(F.col("vec_id") < 150).select(
+        F.col("vec_id").cast("string").alias("key"), "embedding"
+    )
+    out = embedding_near_dup_pairs(v, max_distance=0.6)
+    return out.select(
+        "key_a",
+        "key_b",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+    )
+
+
+def _oracle_simhash_sums() -> str:
+    """Generate the 16 per-bit sign sums + packed value (doc_id < 40)."""
+    digits = ",\n       ".join(
+        f"(instr('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1) AS d{i}"
+        for i in range(4)
+    )
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (d{k // 4} // {2 ** (k % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(16)
+    )
+    packed = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2 ** k} ELSE 0 END)" for k in range(16))
+    return f"""
+, toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok
+  FROM documents WHERE doc_id < 40
+),
+h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+d AS (SELECT doc_id,
+       {digits}
+      FROM h),
+s AS (SELECT doc_id,
+       {sums}
+      FROM d GROUP BY doc_id)
+"""
+
+
+def _oracle_simhash_value() -> str:
+    packed = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2 ** k} ELSE 0 END)" for k in range(16))
+    return _o(
+        _oracle_simhash_sums()
+        + f"SELECT doc_id AS doc, CAST({packed} AS BIGINT) AS simhash FROM s"
+    )
+
+
+def _oracle_simhash_pairs(max_hamming: int) -> str:
+    packed = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2 ** k} ELSE 0 END)" for k in range(16))
+    hamming = " + ".join(
+        f"(CASE WHEN (a.simhash // {2 ** k}) % 2 <> (b.simhash // {2 ** k}) % 2 THEN 1 ELSE 0 END)"
+        for k in range(16)
+    )
+    return _o(
+        _oracle_simhash_sums()
+        + f""",
+sv AS (SELECT doc_id AS doc, CAST({packed} AS BIGINT) AS simhash FROM s)
+SELECT a.doc AS doc_a, b.doc AS doc_b, CAST({hamming} AS INT) AS hamming
+FROM sv a JOIN sv b ON a.doc < b.doc
+WHERE {hamming} <= {max_hamming}
+"""
+    )
+
+
+# --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
 
@@ -427,6 +595,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_filter_in_or": q_meta_filter_in_or,
         "path_functions": q_path_functions,
         "prefix_derivation": q_prefix_derivation,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact_events": q_dedup_exact_events,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "dedup_embedding": q_dedup_embedding,
         "vector_cosine_topk": q_vector_cosine_topk,
         "vector_l2_topk": q_vector_l2_topk,
         "vector_filtered_topk": q_vector_filtered_topk,
@@ -559,6 +737,127 @@ SELECT DISTINCT array_to_string(list_slice(str_split(name, '/'), 1, lvl), '/') A
 FROM objects, generate_series(1, 3) AS t(lvl)
 WHERE bucket_id = 'Brand#13' AND len(str_split(name, '/')) > lvl
 ORDER BY prefix
+"""),
+        "text_stats": _o(f"""
+SELECT doc_id,
+  CAST(len({_DUCK_RAW_TOKENS}) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct({_DUCK_RAW_TOKENS})) AS BIGINT) AS n_distinct,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_regex_tokens,
+  CAST(round(
+    list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+      t -> CASE WHEN t IN {_EN_STOP} THEN 1 ELSE 0 END)) * 1.0
+    / len(regexp_split_to_array(lower(trim(text)), '\\s+')) * 10000
+  ) AS BIGINT) AS stop_1e4
+FROM documents
+"""),
+        "text_quality": _o(f"""
+SELECT doc_id, CAST(round(score * 1000) AS BIGINT) AS score_1e3 FROM (
+  SELECT doc_id,
+    least(CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE n / 20.0 END, 1.0) * 0.4
+    + (nd / n) * 0.4
+    + least((ns / n) * 4.0, 1.0) * 0.2 AS score
+  FROM (
+    SELECT doc_id,
+      CAST(len({_DUCK_RAW_TOKENS}) AS DOUBLE) AS n,
+      CAST(len(list_distinct({_DUCK_RAW_TOKENS})) AS DOUBLE) AS nd,
+      CAST(list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> CASE WHEN t IN {_EN_STOP} THEN 1 ELSE 0 END)) AS DOUBLE) AS ns
+    FROM documents
+  )
+)
+"""),
+        "text_langid": _o(f"""
+SELECT guess, count(*) AS n FROM (
+  SELECT CASE
+    WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+    WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+    WHEN fr > 0 AND fr >= es THEN 'fr'
+    WHEN es > 0 THEN 'es'
+    ELSE 'und' END AS guess
+  FROM (
+    SELECT
+      list_sum(list_transform(tk, t -> CASE WHEN t IN ('a','the','of','and','to') THEN 1 ELSE 0 END)) * 1.0 / len(tk) AS en,
+      list_sum(list_transform(tk, t -> CASE WHEN t IN ('der','die','das','und','zu') THEN 1 ELSE 0 END)) * 1.0 / len(tk) AS de,
+      list_sum(list_transform(tk, t -> CASE WHEN t IN ('le','la','les','et','de') THEN 1 ELSE 0 END)) * 1.0 / len(tk) AS fr,
+      list_sum(list_transform(tk, t -> CASE WHEN t IN ('el','la','los','y','de') THEN 1 ELSE 0 END)) * 1.0 / len(tk) AS es
+    FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)
+  )
+) GROUP BY guess
+"""),
+        "text_fingerprint": _o(f"""
+SELECT doc_id, substr(md5({_DUCK_NORM_TEXT}), 1, 16) AS fp
+FROM documents WHERE doc_id < 50
+"""),
+        "dedup_exact_events": _o("""
+SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_cents,
+       count(*) AS n_rows
+FROM events
+GROUP BY event_type, CAST(round(value * 100) AS BIGINT)
+HAVING count(*) > 1
+"""),
+        "dedup_ngram_jaccard": _o(f"""
+, toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE doc_id < 60
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM toks WHERE len(tk) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(round(i * 1.0 / (sa.n + sb.n - i) * 10000) AS BIGINT) AS j_1e4
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.005
+"""),
+        "dedup_minhash_lsh": _o(f"""
+, toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE doc_id < 60
+),
+shl AS (
+  SELECT doc_id,
+    list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) AS sh
+  FROM toks WHERE len(tk) >= 3
+),
+sig AS (
+  SELECT doc_id,
+    list_min(list_transform(sh, s -> md5('0:' || s))) AS m0,
+    list_min(list_transform(sh, s -> md5('1:' || s))) AS m1,
+    list_min(list_transform(sh, s -> md5('2:' || s))) AS m2,
+    list_min(list_transform(sh, s -> md5('3:' || s))) AS m3
+  FROM shl WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id, 0 AS band, m0 AS sig FROM sig
+  UNION ALL SELECT doc_id, 1, m1 FROM sig
+  UNION ALL SELECT doc_id, 2, m2 FROM sig
+  UNION ALL SELECT doc_id, 3, m3 FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""),
+        "dedup_simhash": _oracle_simhash_value(),
+        "simhash_near_pairs": _oracle_simhash_pairs(6),
+        "dedup_embedding": _o("""
+SELECT key_a, key_b, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4
+FROM (
+  SELECT CAST(a.vec_id AS STRING) AS key_a, CAST(b.vec_id AS STRING) AS key_b,
+    1.0 - list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS distance
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < 150 AND b.vec_id < 150
+   AND CAST(a.vec_id AS STRING) < CAST(b.vec_id AS STRING)
+)
+WHERE distance < 0.6
 """),
         "vector_cosine_topk": _o(f"""
 SELECT key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4

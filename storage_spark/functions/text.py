@@ -1,0 +1,123 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Not part of the reference's surface (flagged extension per SURVEY §7.10) —
+these are the document-level operators a 100 TB corpus pipeline needs:
+tokenization, quality scoring, language-ID heuristics, fingerprinting,
+shingling. Everything is built-in Column expressions (codegen'd); no Python
+touches row data, so these run at full scan speed and parallelize freely.
+
+Determinism note: ratios are exact small-integer divisions in double
+precision and every surfaced number is scaled to an integer, so results are
+engine-reproducible (see __spark_entry__ output conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny embedded stopword lists for the language-ID heuristic. Real
+#: deployments plug in real lists; the operator shape is what matters.
+STOPWORDS = {
+    "en": ["a", "the", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "les", "et", "de"],
+    "es": ["el", "la", "los", "y", "de"],
+}
+
+#: Deterministic language priority for tie-breaks.
+LANG_PRIORITY = ["en", "de", "fr", "es"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def regex_token_count(text: Column, pattern: str = "[a-z]+|[0-9]+|[^a-z0-9 ]") -> Column:
+    """BPE-ish tokenizer proxy: count of regex token matches."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(0)))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(F.lower(text))
+    sw = stopwords or STOPWORDS["en"]
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    lexical diversity. Deterministic double math over small-int ratios."""
+    n = token_count(text).cast("double")
+    length_band = F.when((n >= 20) & (n <= 1000), F.lit(1.0)).otherwise(
+        n / F.lit(20.0)
+    )
+    length_band = F.least(length_band, F.lit(1.0))
+    diversity = distinct_token_count(text).cast("double") / n
+    stop = stopword_ratio(text)
+    stop_band = F.least(stop * 4.0, F.lit(1.0))
+    return length_band * 0.4 + diversity * 0.4 + stop_band * 0.2
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(F.lower(text))
+    n = F.size(toks).cast("double")
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words))).cast("double") / n
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column, default: str = "und") -> Column:
+    """Argmax stopword-hit ratio across language lists; strictly-greater
+    comparison in priority order makes ties deterministic; 'und' when no
+    list matches at all."""
+    scores = lang_scores(text)
+    best_lang = F.lit(default)
+    best_score = F.lit(0.0)
+    # Process lowest→highest priority with >=, so ties resolve to the
+    # higher-priority language; zero scores never assign (default 'und').
+    for lang in reversed(LANG_PRIORITY):
+        s = scores[lang]
+        take = (s > 0) & (s >= best_score)
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column, length: int = 16) -> Column:
+    """Content fingerprint: md5 of the normalized text, truncated."""
+    return F.substring(F.md5(normalized_text(text)), 1, length)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles (space-joined); empty array when the
+    document has fewer than n tokens."""
+    toks = tokens(normalized_text(text))
+    count = F.size(toks) - (n - 1)
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )

@@ -1,0 +1,235 @@
+"""Deduplication operators for training-data pipelines (extension surface).
+
+Five escalating strategies, each a pure DataFrame pipeline:
+
+1. exact duplicates — hash groupBy (one shuffle, map-side combined);
+2. fingerprint duplicates — exact over normalized-text md5;
+3. n-gram Jaccard — inverted-index candidate join (explode shingles →
+   equi-join → per-pair intersection counts), never an all-pairs product;
+4. MinHash + banded LSH — per-doc signature mins, band-bucket equi-join;
+   the at-scale near-dup plan (candidates only meet inside a band bucket);
+5. SimHash — bitwise majority signature + Hamming-ball pairing.
+
+Scale notes: every strategy's join key is content-derived (shingle, band
+signature, simhash), so the shuffle distributes by content and skewed hot
+shingles are the main hazard — the standard mitigation (drop
+ultra-frequent shingles as stopword-shingles) is a filter on the inverted
+index, see ``max_shingle_df``. All hashes are md5-based so results are
+engine-portable and seed-stable; no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from storage_spark.functions.text import fingerprint, word_shingles
+
+
+def exact_duplicates(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Groups of rows identical on ``key_cols`` (count > 1)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def fingerprint_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-content duplicate groups via normalized-text fingerprint."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_shingle_df: int | None
+) -> DataFrame:
+    """Inverted index: one row per (doc, distinct shingle). Optionally drop
+    shingles appearing in more than ``max_shingle_df`` docs (skew guard)."""
+    idx = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            idx.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        idx = idx.join(hot, "sh", "left_anti")
+    return idx
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Plan: inverted index self-join on shingle → count per pair (|A∩B|) →
+    join per-doc sizes (|A|, |B|) → J = i / (|A|+|B|-i). Output columns:
+    doc_a < doc_b, jaccard (double).
+    """
+    idx = _doc_shingles(df, text_col, id_col, n, max_shingle_df)
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = idx.select(F.col("doc").alias("doc_a"), "sh")
+    b = idx.select(F.col("doc").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signature_cols(shingles: Column, n_hashes: int) -> list[Column]:
+    """Per-seed MinHash values: min over shingles of md5(seed || ':' || sh).
+    md5-based → portable, seedable, no RNG."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+        ).alias(f"mh{seed}")
+        for seed in range(n_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signature of ``n_hashes`` md5-mins, split into bands of ``band_size``;
+    docs sharing ANY band's full signature become a candidate pair.
+    Output: doc_a < doc_b (distinct candidates — verify with
+    ngram_jaccard_pairs on the candidates at scale).
+    """
+    assert n_hashes % band_size == 0
+    sigs = df.select(
+        F.col(id_col).alias("doc"),
+        *minhash_signature_cols(word_shingles(F.col(text_col), n), n_hashes),
+    )
+    n_bands = n_hashes // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        one = sigs.select(
+            "doc", F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("sig")
+        ).filter(F.col("sig") != "")
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.select(F.col("doc").alias("doc_a"), "band", "sig")
+    b = bands.select(F.col("doc").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+
+def _hex_digit_val(c: Column) -> Column:
+    """Hex digit → 0..15 (base conversion; the oracle side uses
+    position-in-'0123456789abcdef' — independent formulations)."""
+    return F.conv(c, 16, 10).cast("int")
+
+
+def simhash16(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash over whitespace tokens: per bit, majority vote of
+    md5(token) bits (+1/-1), packed little-endian into an int.
+
+    Plan: explode tokens → 4 hex digits → 16 per-bit sign sums per doc →
+    pack. One shuffle (groupBy doc), all expression-level.
+    """
+    from storage_spark.functions.text import normalized_text, tokens
+
+    toked = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    digit_vals = [_hex_digit_val(F.substring(h, i + 1, 1)) for i in range(4)]
+    bit_sums = []
+    for i in range(4):
+        d = digit_vals[i]
+        for b in range(4):
+            bit = F.floor(d / (2**b)) % 2
+            bit_sums.append(
+                F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{i * 4 + b}")
+            )
+    sums = toked.groupBy("doc").agg(*bit_sums)
+    packed = None
+    for k in range(16):
+        term = F.when(F.col(f"s{k}") > 0, F.lit(2**k)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return sums.select("doc", packed.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 3, doc_col: str = "doc", sim_col: str = "simhash"
+) -> DataFrame:
+    """Pairs within a Hamming ball. For bounded signature width this is a
+    crossJoin + bit_count(xor) filter; at scale, band the signature bits
+    (split into chunks, equi-join chunks — same pattern as MinHash bands)."""
+    a = sim.select(F.col(doc_col).alias("doc_a"), F.col(sim_col).alias("ha"))
+    b = sim.select(F.col(doc_col).alias("doc_b"), F.col(sim_col).alias("hb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    key_col: str = "key",
+    vector_col: str = "embedding",
+    max_distance: float = 0.2,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs under a distance threshold (exact
+    all-pairs; swap in functions.vectors.lsh_ann_join at scale)."""
+    from storage_spark.functions.vectors import cosine_distance
+
+    a = vectors.select(F.col(key_col).alias("key_a"), F.col(vector_col).alias("va"))
+    b = vectors.select(F.col(key_col).alias("key_b"), F.col(vector_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("distance", cosine_distance(F.col("va"), F.col("vb")))
+        .filter(F.col("distance") < max_distance)
+        .select("key_a", "key_b", "distance")
+    )
