@@ -226,6 +226,122 @@ def q_keyset_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bucket scans, probes, legacy plans, validation, multipart, RLS
+# --------------------------------------------------------------------------
+
+
+def q_buckets_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.scans import list_buckets
+
+    t = _t(spark, sf_dir)
+    return list_buckets(t["buckets"], search="1", limit=10, offset=5)
+
+
+def q_find_object_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.scans import find_object_versions
+
+    t = _t(spark, sf_dir)
+    pairs = t["objects"].filter(F.col("id").cast("bigint") % 31 == 0).select(
+        "name", "version"
+    )
+    return find_object_versions(t["objects"], pairs).select("name", "version", "id")
+
+
+def q_find_objects_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.scans import find_objects_by_id
+
+    t = _t(spark, sf_dir)
+    ids = [str(i * 100) for i in range(20)]
+    return find_objects_by_id(t["objects"], ids).select("id", "name")
+
+
+def q_first_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.scans import first_per_group
+
+    t = _t(spark, sf_dir)
+    return first_per_group(t["objects"], ["bucket_id"], [F.col("name").asc()]).select(
+        "bucket_id", "name"
+    )
+
+
+def q_legacy_folder_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.scans import legacy_folder_search
+
+    t = _t(spark, sf_dir)
+    return legacy_folder_search(t["objects"], "Brand#13")
+
+
+def q_mime_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions.validation import mime_type_allowed
+
+    t = _t(spark, sf_dir)
+    allowed = mime_type_allowed(F.col("mimetype"), ["image/*", "text/plain"])
+    return t["objects"].groupBy("mimetype").agg(
+        F.sum(F.when(allowed, 1).otherwise(0)).alias("n_allowed"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def q_key_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.functions.validation import is_valid_bucket_name, is_valid_key
+
+    t = _t(spark, sf_dir)
+    objects_valid = t["objects"].select(
+        F.sum(F.when(is_valid_key(F.col("name")), 1).otherwise(0)).alias("n_keys_valid"),
+        F.count(F.lit(1)).alias("n_keys_total"),
+    )
+    buckets_valid = t["buckets"].select(
+        F.sum(F.when(is_valid_bucket_name(F.col("name")), 1).otherwise(0)).alias(
+            "n_bucket_names_valid"
+        ),
+        F.count(F.lit(1)).alias("n_buckets_total"),
+    )
+    return objects_valid.crossJoin(buckets_valid)
+
+
+def q_list_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.multipart import list_parts
+
+    t = _t(spark, sf_dir)
+    return list_parts(
+        t["multipart_parts"], "up-0", part_number_after=0, max_parts=10
+    ).select("part_number", "size", "etag")
+
+
+def q_list_multipart_uploads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.multipart import list_multipart_uploads
+
+    t = _t(spark, sf_dir)
+    return list_multipart_uploads(
+        t["multipart_uploads"], bucket_id="mpu-bucket", prefix="", delimiter="/"
+    )
+
+
+def q_delete_before_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/F5 read side: what delete-all-before would remove, per bucket."""
+    t = _t(spark, sf_dir)
+    cutoff = 1704067200000 + 500 * 60000
+    return (
+        t["objects"]
+        .filter(F.col("created_at_ms") < cutoff)
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("size").alias("total_size"))
+    )
+
+
+def q_rls_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.rls import Claims, apply_rls_objects
+
+    t = _t(spark, sf_dir)
+    claims = Claims(sub="user-3", role="authenticated")
+    return (
+        apply_rls_objects(t["objects"], t["buckets"], claims)
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
 # jsonb metadata filter DSL (F9) — compiled to Column over events.props
 # --------------------------------------------------------------------------
 
@@ -395,6 +511,64 @@ def q_vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
     )
     return lsh_ann_join(queries, v, k=3, dim=64, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# Mutations (M1-M5 as MERGE semantics) + event-time rollup
+# --------------------------------------------------------------------------
+
+#: Shared derivation of the upsert batch: modified rows + synthetic inserts.
+_UPDATES_SQL = """
+SELECT id, bucket_id, name, size + 1000 AS size, created_at_ms,
+       updated_at_ms, owner_id, 'v3' AS version, mimetype
+FROM objects WHERE bucket_id = 'Brand#13' AND CAST(id AS BIGINT) % 10 = 0
+UNION ALL
+SELECT 'new-' || CAST(s_suppkey AS STRING) AS id, 'Brand#13' AS bucket_id,
+       'inserted/new-' || CAST(s_suppkey AS STRING) || '.txt' AS name,
+       CAST(1 AS BIGINT) AS size, CAST(0 AS BIGINT) AS created_at_ms,
+       CAST(0 AS BIGINT) AS updated_at_ms, 'user-0' AS owner_id,
+       'v1' AS version, 'text/plain' AS mimetype
+FROM supplier
+"""
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.mutations import merge_upsert
+
+    t = _t(spark, sf_dir)
+    updates = spark.sql(_UPDATES_SQL)
+    merged = merge_upsert(t["objects"], updates, ["bucket_id", "name"])
+    return merged.filter(F.col("bucket_id") == "Brand#13").select(
+        "name", "size", "version"
+    )
+
+
+def q_delete_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.mutations import merge_delete
+
+    t = _t(spark, sf_dir)
+    probe = t["objects"].filter(F.col("id").cast("bigint") % 41 == 0).select(
+        "name", "version"
+    )
+    _remaining, deleted = merge_delete(t["objects"], probe, ["name", "version"])
+    return deleted.select("name", "version", "size")
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of streaming.windowed_event_counts (same aggregation the
+    availableNow stream computes; parity-tested in tests/test_streaming)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("window_start_ms"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -595,6 +769,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_filter_in_or": q_meta_filter_in_or,
         "path_functions": q_path_functions,
         "prefix_derivation": q_prefix_derivation,
+        "buckets_search": q_buckets_search,
+        "find_object_versions": q_find_object_versions,
+        "find_objects_by_id": q_find_objects_by_id,
+        "first_per_bucket": q_first_per_bucket,
+        "legacy_folder_join": q_legacy_folder_join,
+        "mime_validation": q_mime_validation,
+        "key_validation": q_key_validation,
+        "list_parts": q_list_parts,
+        "list_multipart_uploads": q_list_multipart_uploads,
+        "delete_before_preview": q_delete_before_preview,
+        "rls_owner": q_rls_owner,
+        "merge_upsert": q_merge_upsert,
+        "delete_returning": q_delete_returning,
+        "events_hourly": q_events_hourly,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -737,6 +925,118 @@ SELECT DISTINCT array_to_string(list_slice(str_split(name, '/'), 1, lvl), '/') A
 FROM objects, generate_series(1, 3) AS t(lvl)
 WHERE bucket_id = 'Brand#13' AND len(str_split(name, '/')) > lvl
 ORDER BY prefix
+"""),
+        "buckets_search": _o("""
+SELECT * FROM buckets
+WHERE lower(name) LIKE '%1%'
+ORDER BY name, name LIMIT 10 OFFSET 5
+"""),
+        "find_object_versions": _o("""
+SELECT o.name, o.version, o.id FROM objects o
+WHERE EXISTS (
+  SELECT 1 FROM objects p
+  WHERE CAST(p.id AS BIGINT) % 31 = 0
+    AND p.name = o.name AND p.version = o.version
+)
+"""),
+        "find_objects_by_id": _o("""
+SELECT id, name FROM objects
+WHERE id IN ('0','100','200','300','400','500','600','700','800','900','1000',
+             '1100','1200','1300','1400','1500','1600','1700','1800','1900')
+"""),
+        "first_per_bucket": _o("""
+SELECT bucket_id, name FROM (
+  SELECT bucket_id, name,
+         row_number() OVER (PARTITION BY bucket_id ORDER BY name) AS rn
+  FROM objects
+) WHERE rn = 1
+"""),
+        "legacy_folder_join": _o("""
+, folders AS (
+  SELECT DISTINCT split_part(name, '/', 1) || '/' AS folder
+  FROM objects WHERE bucket_id = 'Brand#13' AND instr(name, '/') > 0
+)
+SELECT f.folder, o.id, o.size
+FROM folders f LEFT JOIN objects o ON o.name = f.folder
+"""),
+        "mime_validation": _o("""
+SELECT mimetype,
+  CAST(sum(CASE WHEN mimetype LIKE 'image/%' OR mimetype = 'text/plain'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+  count(*) AS n_total
+FROM objects GROUP BY mimetype
+"""),
+        "key_validation": _o("""
+SELECT
+  (SELECT CAST(sum(CASE WHEN length(name) > 0 AND regexp_full_match(name,
+     '(\\w|/|!|\\-|\\.|\\*|''|\\(|\\)| |&|\\$|@|=|;|:|\\+|,|\\?)*')
+     THEN 1 ELSE 0 END) AS BIGINT) FROM objects) AS n_keys_valid,
+  (SELECT count(*) FROM objects) AS n_keys_total,
+  (SELECT CAST(sum(CASE WHEN length(name) > 0 AND length(name) < 101
+     AND regexp_full_match(name,
+     '(\\w|!|\\-|\\.|\\*|''|\\(|\\)| |&|\\$|@|=|;|:|\\+|,|\\?)*')
+     THEN 1 ELSE 0 END) AS BIGINT) FROM buckets) AS n_bucket_names_valid,
+  (SELECT count(*) FROM buckets) AS n_buckets_total
+"""),
+        "list_parts": _o("""
+SELECT part_number, size, etag FROM multipart_parts
+WHERE upload_id = 'up-0' AND part_number > 0
+ORDER BY part_number LIMIT 10
+"""),
+        "list_multipart_uploads": _o("""
+, tagged AS (
+  SELECT *,
+         CASE WHEN instr(key, '/') > 0
+              THEN split_part(key, '/', 1) || '/' END AS cp
+  FROM multipart_uploads WHERE bucket_id = 'mpu-bucket'
+),
+folders AS (
+  SELECT cp AS key, CAST(NULL AS STRING) AS id,
+         min(created_at_ms) AS created_at_ms
+  FROM tagged WHERE cp IS NOT NULL GROUP BY cp
+),
+leaves AS (SELECT key, id, created_at_ms FROM tagged WHERE cp IS NULL)
+SELECT * FROM (SELECT * FROM folders UNION ALL SELECT * FROM leaves)
+ORDER BY key, created_at_ms
+"""),
+        "delete_before_preview": _o("""
+SELECT bucket_id, count(*) AS n, CAST(sum(size) AS BIGINT) AS total_size
+FROM objects
+WHERE created_at_ms < 1704097200000
+GROUP BY bucket_id
+"""),
+        "rls_owner": _o("""
+SELECT o.bucket_id, count(*) AS n
+FROM objects o JOIN buckets b ON b.id = o.bucket_id
+WHERE b.public OR o.owner_id = 'user-3'
+GROUP BY o.bucket_id
+"""),
+        "merge_upsert": _o(f"""
+, updates AS ({_UPDATES_SQL}),
+merged AS (
+  SELECT o.* FROM objects o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM updates u
+    WHERE u.bucket_id = o.bucket_id AND u.name = o.name
+  )
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT name, size, version FROM merged WHERE bucket_id = 'Brand#13'
+"""),
+        "delete_returning": _o("""
+SELECT o.name, o.version, o.size FROM objects o
+WHERE EXISTS (
+  SELECT 1 FROM objects p
+  WHERE CAST(p.id AS BIGINT) % 41 = 0
+    AND p.name = o.name AND p.version = o.version
+)
+"""),
+        "events_hourly": _o("""
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY epoch_ms(date_trunc('hour', ts)), event_type
 """),
         "text_stats": _o(f"""
 SELECT doc_id,

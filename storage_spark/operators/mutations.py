@@ -1,0 +1,135 @@
+"""Write-side operators (M1-M8) as MERGE-semantics DataFrame transforms.
+
+The reference's mutations are row-at-a-time SQL with ``ON CONFLICT`` /
+``RETURNING`` (pg.ts:905-1253) plus advisory locks (pg.ts:1255-1423). In a
+batch engine each becomes a set-oriented merge:
+
+- M1 upsert        → anti-join survivors ∪ updates (full-row) or
+                     column-coalesce merge (partial update)
+- M2 create-fails-on-dup → overlap check then append
+- M4 delete + RETURNING  → semi-join (the deleted rows) + anti-join (the
+                     remaining table) — read-before-delete gives RETURNING
+- M5 batched cascade delete → a single anti-join; the reference's 500-row
+  batching (limits.ts:18-21) exists only to bound one transaction
+- M8 advisory locks → not needed: table-format optimistic concurrency
+  (Delta/Iceberg commit protocol) replaces lock-based serialization.
+
+This container has no Delta; ``ParquetTable`` provides an
+overwrite-on-commit table for tests and documents where a production
+deployment would issue ``MERGE INTO`` against Delta/Iceberg instead.
+Lifecycle events (T3) are derived as data: ``lifecycle_events`` diffs the
+before/after states into ObjectCreated/Updated/Removed rows, which the
+streaming layer fans out (src/storage/events/lifecycle/*.ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class KeyAlreadyExistsError(Exception):
+    """M2: unique-violation surfaced as an error (pg.ts:1004-1041)."""
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """M1 full-row upsert: ``INSERT … ON CONFLICT (keys) DO UPDATE SET *``
+    (pg.ts:905-961). Updates win on key match; everything else survives."""
+    survivors = target.join(updates.select(*keys), keys, "left_anti")
+    return survivors.unionByName(updates)
+
+
+def merge_update_columns(
+    target: DataFrame, updates: DataFrame, keys: list[str], update_cols: list[str]
+) -> DataFrame:
+    """M3 partial update: only ``update_cols`` change on matched keys, other
+    columns and unmatched rows pass through (``UPDATE … RETURNING *`` shape,
+    pg.ts:963-1002)."""
+    renamed = updates.select(
+        *keys, *[F.col(c).alias(f"_u_{c}") for c in update_cols]
+    )
+    joined = target.join(renamed, keys, "left")
+    out_cols = []
+    for c in target.columns:
+        if c in update_cols:
+            out_cols.append(F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
+def create_rows(target: DataFrame, new_rows: DataFrame, keys: list[str]) -> DataFrame:
+    """M2: plain INSERT where a key collision is an error, not an update."""
+    dup_count = new_rows.join(target, keys, "left_semi").limit(1).count()
+    if dup_count:
+        raise KeyAlreadyExistsError(f"duplicate key on {keys}")
+    return target.unionByName(new_rows)
+
+
+def merge_delete(
+    target: DataFrame, probe: DataFrame, keys: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """M4/M5: returns ``(remaining, deleted)``. ``deleted`` is the
+    RETURNING-parity set (semi-join), computed from the same snapshot as the
+    anti-join remainder."""
+    deleted = target.join(probe.select(*keys), keys, "left_semi")
+    remaining = target.join(probe.select(*keys), keys, "left_anti")
+    return remaining, deleted
+
+
+def delete_all_before(
+    objects: DataFrame, before_ms: int, bucket_id: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """T4 as one batch job (object-admin-delete-all-before.ts:35-125): the
+    reference loops 500-row transactions under a 10 s budget and re-enqueues
+    itself; a batch engine expresses the whole thing as one partition-
+    parallel anti-join pass."""
+    cond = F.col("created_at_ms") < before_ms
+    if bucket_id is not None:
+        cond = cond & (F.col("bucket_id") == bucket_id)
+    deleted = objects.filter(cond)
+    remaining = objects.filter(~cond)
+    return remaining, deleted
+
+
+def lifecycle_events(
+    before: DataFrame, after: DataFrame, keys: list[str], compare_col: str
+) -> DataFrame:
+    """T3: derive ObjectCreated / ObjectUpdatedMetadata / ObjectRemoved rows
+    by diffing table states (queue names: object-created.ts:23,
+    object-updated.ts:13, object-removed.ts:12-22)."""
+    b = before.select(*keys, F.col(compare_col).alias("_b"))
+    a = after.select(*keys, F.col(compare_col).alias("_a"))
+    created = a.join(b, keys, "left_anti").select(
+        *keys, F.lit("ObjectCreated").alias("event_type")
+    )
+    removed = b.join(a, keys, "left_anti").select(
+        *keys, F.lit("ObjectRemoved").alias("event_type")
+    )
+    updated = (
+        a.join(b, keys)
+        .filter(F.col("_a") != F.col("_b"))
+        .select(*keys, F.lit("ObjectUpdatedMetadata").alias("event_type"))
+    )
+    return created.unionByName(updated).unionByName(removed)
+
+
+class ParquetTable:
+    """Minimal committed-table holder for tests: read → transform → commit
+    (overwrite). Production target is a Delta/Iceberg table where commits
+    are ``MERGE INTO`` under optimistic concurrency — the transforms above
+    are exactly the MERGE matched/not-matched clauses."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def commit(self, df: DataFrame) -> None:
+        # localCheckpoint materializes before overwrite (reading and
+        # overwriting the same path in one plan is unsafe).
+        df.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)

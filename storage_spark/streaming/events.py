@@ -1,0 +1,127 @@
+"""Streaming layer — the pg-boss queue/worker surface as Structured Streaming.
+
+Reference mapping (SURVEY §2.10):
+- T1 queue workers (queue.ts:74,264-352): each queue = a readStream over the
+  events table; poll interval = processingTime trigger; retries = attempt
+  counter + re-append instead of pg-boss backoff state.
+- T2 exactly-once-per-key (singletonKey dedup,
+  object-admin-delete-all-before.ts:27-33): ``dropDuplicates`` within the
+  watermark window backed by the state store.
+- T3 lifecycle fan-out (events/lifecycle/*.ts): one stream, per-consumer
+  ``filter`` on event type; webhook delivery via ``foreachBatch`` (S8).
+- T6 LISTEN/NOTIFY config invalidation: CDC on the config table — modelled
+  as a stream of config-change events.
+- T10 watermark cutoffs: ``withWatermark`` is the principled version of the
+  reference's ``before: Date`` in-flight exclusion (scanner.ts:32,148).
+- T11: the reference has no event-time windows; windowed usage analytics
+  here are the flagged extension.
+
+All sinks used in tests are deterministic (availableNow trigger + memory/
+foreachBatch), so the same operators run unchanged with a processingTime
+trigger against a live events table at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of the engine's lifecycle/event stream (events.parquet shape with
+#: nanos already normalized to TimestampType).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """readStream over a parquet event log directory (one file per
+    micro-batch append in production)."""
+    return spark.readStream.schema(schema or EVENT_SCHEMA).parquet(path)
+
+
+def for_queue(stream: DataFrame, event_types: list[str]) -> DataFrame:
+    """T3: a queue consumer's view — filter to its event types."""
+    return stream.filter(F.col("event_type").isin(event_types))
+
+
+def dedup_singleton(stream: DataFrame, key_cols: list[str], watermark_col: str,
+                    delay: str = "1 hour") -> DataFrame:
+    """T2: at-most-one in-flight job per singleton key within the watermark
+    horizon (state-store-backed)."""
+    return stream.withWatermark(watermark_col, delay).dropDuplicates(key_cols)
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window usage rollup with late-data handling
+    (extension surface — T11)."""
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+
+
+def run_webhook_sink(
+    stream: DataFrame,
+    post_batch: Callable[[list[dict]], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> None:
+    """S8/T3: webhook delivery via foreachBatch — each micro-batch posts its
+    rows (the reference posts one HTTP call per event through the webhook
+    queue, webhook.ts:102-160; batching is the Spark-native form).
+
+    Blocks until the availableNow run drains (tests); with
+    ``available_now=False`` it runs continuously at the default trigger.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = [r.asDict() for r in batch_df.collect()]
+        if rows:
+            post_batch(rows)
+
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        writer.start()
+
+
+def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drain an availableNow stream into an in-memory table (tests)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

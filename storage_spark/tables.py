@@ -88,10 +88,35 @@ SELECT 'Brand#99/extra/orphan-' || CAST(s_suppkey AS STRING) || '.txt/v1.info' A
 FROM supplier
 """
 
+MULTIPART_UPLOADS_SQL = """
+SELECT
+  'up-' || CAST(o_orderkey AS STRING) AS id,
+  'mpu-bucket' AS bucket_id,
+  lower(replace(split_part(o_orderpriority, '-', 2), ' ', '-')) ||
+    '/obj-' || CAST(o_orderkey AS STRING) || '.bin' AS key,
+  'v1' AS version,
+  CAST(round(o_totalprice * 100) AS BIGINT) AS in_progress_size,
+  'user-' || CAST(o_custkey % 10 AS STRING) AS owner_id,
+  1704067200000 + o_orderkey * 1000 AS created_at_ms
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+MULTIPART_PARTS_SQL = """
+SELECT
+  'up-' || CAST(l_orderkey AS STRING) AS upload_id,
+  l_linenumber AS part_number,
+  CAST(round(l_extendedprice * 100) AS BIGINT) AS size,
+  md5(CAST(l_orderkey AS STRING) || '-' || CAST(l_linenumber AS STRING)) AS etag,
+  1704067200000 + l_orderkey * 1000 + l_linenumber AS created_at_ms
+FROM lineitem WHERE l_orderkey % 50 = 0
+"""
+
 DERIVED_VIEWS = [
     ("objects", OBJECTS_SQL),
     ("buckets", BUCKETS_SQL),
     ("s3_keys", S3_KEYS_SQL),
+    ("multipart_uploads", MULTIPART_UPLOADS_SQL),
+    ("multipart_parts", MULTIPART_PARTS_SQL),
 ]
 
 
@@ -141,8 +166,5 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def oracle_views_prefix() -> str:
     """CTE prefix so a DuckDB oracle query sees the same derived views."""
-    return (
-        "WITH objects AS ({obj}), buckets AS ({bkt}), s3_keys AS ({s3})".format(
-            obj=OBJECTS_SQL.strip(), bkt=BUCKETS_SQL.strip(), s3=S3_KEYS_SQL.strip()
-        )
-    )
+    parts = ", ".join(f"{name} AS ({sql.strip()})" for name, sql in DERIVED_VIEWS)
+    return "WITH " + parts

@@ -1,0 +1,112 @@
+"""MERGE-semantics mutation operators (M1-M5) + lifecycle event diffs (T3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from storage_spark.operators.mutations import (
+    KeyAlreadyExistsError,
+    ParquetTable,
+    create_rows,
+    delete_all_before,
+    lifecycle_events,
+    merge_delete,
+    merge_update_columns,
+    merge_upsert,
+)
+
+SCHEMA = "bucket_id string, name string, size long, created_at_ms long"
+
+
+@pytest.fixture()
+def target(spark):
+    return spark.createDataFrame(
+        [
+            ("b1", "a.txt", 10, 1000),
+            ("b1", "b.txt", 20, 2000),
+            ("b2", "a.txt", 30, 3000),
+        ],
+        SCHEMA,
+    )
+
+
+def test_merge_upsert(spark, target):
+    updates = spark.createDataFrame(
+        [("b1", "a.txt", 99, 1000), ("b1", "c.txt", 5, 4000)], SCHEMA
+    )
+    out = merge_upsert(target, updates, ["bucket_id", "name"])
+    rows = {(r.bucket_id, r.name): r.size for r in out.collect()}
+    assert rows == {
+        ("b1", "a.txt"): 99,  # updated
+        ("b1", "b.txt"): 20,  # survived
+        ("b2", "a.txt"): 30,  # survived
+        ("b1", "c.txt"): 5,  # inserted
+    }
+
+
+def test_merge_update_columns(spark, target):
+    updates = spark.createDataFrame(
+        [("b1", "a.txt", 77, 9999)], SCHEMA
+    )
+    out = merge_update_columns(
+        target, updates, ["bucket_id", "name"], update_cols=["size"]
+    )
+    rows = {(r.bucket_id, r.name): (r.size, r.created_at_ms) for r in out.collect()}
+    assert rows[("b1", "a.txt")] == (77, 1000)  # size updated, ts untouched
+    assert rows[("b1", "b.txt")] == (20, 2000)
+    assert out.count() == 3  # no inserts on update-only
+
+
+def test_create_rows_conflict(spark, target):
+    dup = spark.createDataFrame([("b1", "a.txt", 1, 1)], SCHEMA)
+    with pytest.raises(KeyAlreadyExistsError):
+        create_rows(target, dup, ["bucket_id", "name"])
+    fresh = spark.createDataFrame([("b3", "z.txt", 1, 1)], SCHEMA)
+    assert create_rows(target, fresh, ["bucket_id", "name"]).count() == 4
+
+
+def test_merge_delete_returning(spark, target):
+    probe = spark.createDataFrame(
+        [("b1", "a.txt"), ("b9", "nope.txt")], "bucket_id string, name string"
+    )
+    remaining, deleted = merge_delete(target, probe, ["bucket_id", "name"])
+    assert {r.name for r in deleted.collect()} == {"a.txt"}
+    assert deleted.count() == 1  # RETURNING parity: only rows that existed
+    assert remaining.count() == 2
+
+
+def test_delete_all_before(spark, target):
+    remaining, deleted = delete_all_before(target, before_ms=2500)
+    assert deleted.count() == 2 and remaining.count() == 1
+    remaining_b1, deleted_b1 = delete_all_before(target, 2500, bucket_id="b1")
+    assert deleted_b1.count() == 2 and remaining_b1.count() == 1
+
+
+def test_lifecycle_events(spark, target):
+    after = spark.createDataFrame(
+        [
+            ("b1", "a.txt", 99, 1000),  # updated (size changed)
+            ("b1", "b.txt", 20, 2000),  # unchanged
+            ("b1", "new.txt", 1, 5000),  # created
+        ],
+        SCHEMA,
+    )
+    ev = lifecycle_events(target, after, ["bucket_id", "name"], "size")
+    got = {(r.bucket_id, r.name, r.event_type) for r in ev.collect()}
+    assert got == {
+        ("b1", "new.txt", "ObjectCreated"),
+        ("b1", "a.txt", "ObjectUpdatedMetadata"),
+        ("b2", "a.txt", "ObjectRemoved"),
+    }
+
+
+def test_parquet_table_commit(spark, target, tmp_path):
+    path = str(tmp_path / "objects")
+    target.write.parquet(path)
+    tbl = ParquetTable(spark, path)
+    updates = spark.createDataFrame([("b1", "a.txt", 111, 1000)], SCHEMA)
+    tbl.commit(merge_upsert(tbl.read(), updates, ["bucket_id", "name"]))
+    assert {
+        r.size for r in tbl.read().filter(F.col("name") == "a.txt").collect()
+    } == {111, 30}

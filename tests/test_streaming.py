@@ -1,0 +1,77 @@
+"""Structured Streaming layer: windowed rollups, webhook foreachBatch sink,
+singleton-key dedup — all drained deterministically with availableNow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from storage_spark.streaming.events import (
+    dedup_singleton,
+    for_queue,
+    read_event_stream,
+    run_to_memory,
+    run_webhook_sink,
+    windowed_event_counts,
+)
+from storage_spark.tables import load_base_tables
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    sf_dir = "/root/testdata/sf0.001"
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load_base_tables(spark, sf_dir)["events"].write.parquet(path)
+    return path
+
+
+def test_windowed_counts_match_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    run_to_memory(windowed_event_counts(stream), "hourly", output_mode="complete")
+    streamed = {
+        (r.window_start, r.event_type): (r.n, r.value_cents)
+        for r in spark.table("hourly").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.value_cents)
+        for r in (
+            spark.read.parquet(event_dir)
+            .groupBy(
+                F.window("ts", "1 hour").alias("window"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                    "value_cents"
+                ),
+            )
+            .select(F.col("window.start").alias("window_start"), "event_type", "n", "value_cents")
+            .collect()
+        )
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_webhook_sink_delivers_all_rows(spark, event_dir, tmp_path):
+    stream = for_queue(read_event_stream(spark, event_dir), ["error"])
+    delivered: list[dict] = []
+    run_webhook_sink(
+        stream, delivered.extend, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    expected = (
+        spark.read.parquet(event_dir).filter(F.col("event_type") == "error").count()
+    )
+    assert len(delivered) == expected > 0
+    assert all(r["event_type"] == "error" for r in delivered)
+
+
+def test_dedup_singleton(spark, event_dir):
+    stream = read_event_stream(spark, event_dir).withColumn(
+        "singleton_key", F.col("event_type")
+    )
+    run_to_memory(
+        dedup_singleton(stream, ["singleton_key"], "ts"), "singletons"
+    )
+    rows = spark.table("singletons").groupBy("singleton_key").count().collect()
+    assert all(r["count"] == 1 for r in rows)
+    assert len(rows) == 5  # one in-flight job per event type
