@@ -501,6 +501,20 @@ def q_vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN (scale path) — approximate, rows-only driver check;
+    recall vs brute force asserted in tests/test_vectors.py."""
+    from storage_spark.functions.vectors import ivf_assign, ivf_centroids, ivf_search
+
+    v = _vectors(spark, sf_dir)
+    cents = ivf_centroids(v, n_cells=8)
+    assigned = ivf_assign(v, cents)
+    queries = v.filter(F.col("key").cast("bigint") < 20).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_search(queries, assigned, cents, k=3, n_probe=3)
+
+
 def q_vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path) — approximate, so rows-only driver
     check; recall vs brute force is asserted in tests/test_vectors.py."""
@@ -798,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_filtered_topk": q_vector_filtered_topk,
         "vector_segment_scan": q_vector_segment_scan,
         "vector_knn_join": q_vector_knn_join,
+        "vector_ivf_ann": q_vector_ivf_ann,
         "vector_lsh_ann": q_vector_lsh_ann,
     }
 

@@ -189,6 +189,87 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    key_col: str = "key",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the first ``n_cells`` vectors in key
+    order act as centroids (k-means would refine them; determinism matters
+    more here and the IVF *mechanics* are identical)."""
+    w = Window.orderBy(F.col(key_col))
+    return (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_cells)
+        .select(
+            (F.col("_rn") - 1).alias("cell"), F.col(vector_col).alias("centroid")
+        )
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    metric: str = "cosine",
+    key_col: str = "key",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid cell (broadcast
+    the tiny centroid table, window-min per key). One pass, one shuffle."""
+    d = _metric_distance(metric, F.col(vector_col), F.col("centroid"))
+    w = Window.partitionBy(key_col).orderBy(F.col("_cd").asc(), F.col("cell").asc())
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("_cd", d)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key_col, vector_col, "cell")
+    )
+
+
+def ivf_search(
+    queries: DataFrame,
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    metric: str = "cosine",
+    query_key: str = "q_key",
+    query_vec: str = "q_vec",
+    corpus_key: str = "key",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: rank centroids per query, probe only the ``n_probe``
+    nearest cells, exact-rank within the probed subset.
+
+    The at-scale property: the corpus is pre-partitioned by ``cell``, so a
+    query touches n_probe/n_cells of the data — an equi-join on ``cell``
+    replaces the full scan, and recall is tuned by ``n_probe``.
+    """
+    qd = _metric_distance(metric, F.col(query_vec), F.col("centroid"))
+    wq = Window.partitionBy(query_key).orderBy(F.col("_qd").asc(), F.col("cell").asc())
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_qd", qd)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_key, query_vec, "cell")
+    )
+    joined = probes.join(assigned_corpus, "cell")
+    joined = joined.filter(F.col(query_key) != F.col(corpus_key)).withColumn(
+        "distance", _metric_distance(metric, F.col(corpus_vec), F.col(query_vec))
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("distance").asc(), F.col(corpus_key).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, corpus_key, "distance", "rank")
+    )
+
+
 def lsh_ann_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1,0 +1,128 @@
+"""Iceberg catalog surface: the tenant-aware namespace/table INDEX plus
+native-catalog wiring (SURVEY §7.7).
+
+The reference stores an index of namespaces/tables per ANALYTICS bucket in
+Postgres (migrations/tenant/0038-iceberg-catalog-flag-on-buckets.sql:18-47,
+evolved 0047/0048) and proxies actual Iceberg operations to a REST catalog
+(src/storage/protocols/iceberg/catalog/tenant-catalog.ts:96). Spark IS an
+Iceberg client natively, so the engine splits the same way:
+
+- the *index* (quota enforcement A6, listing, FK joins J5) is a small
+  DataFrame maintained with the mutation operators;
+- load/commit/snapshot go through ``spark.sql`` DDL once an Iceberg
+  catalog is configured (``configure_iceberg_catalog``) — gated on the
+  runtime jar, absent in this container.
+
+Quota caps mirror src/storage/protocols/iceberg/pg.ts:576-595 (capped
+counts, not full counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storage_spark.operators.aggregates import capped_count
+from storage_spark.operators.mutations import KeyAlreadyExistsError, create_rows
+
+DEFAULT_MAX_NAMESPACES = 25
+DEFAULT_MAX_TABLES = 10
+
+
+class QuotaExceededError(Exception):
+    pass
+
+
+def create_namespace(
+    index: DataFrame,
+    bucket_id: str,
+    namespace: str,
+    max_namespaces: int = DEFAULT_MAX_NAMESPACES,
+) -> DataFrame:
+    """A6-capped create: existence count is capped at the quota, so the scan
+    never pays for more rows than the limit it enforces."""
+    n = capped_count(
+        index.filter(F.col("bucket_id") == bucket_id), max_namespaces
+    ).collect()[0]["n"]
+    if n >= max_namespaces:
+        raise QuotaExceededError(f"namespace quota {max_namespaces} reached")
+    spark = index.sparkSession
+    row = spark.createDataFrame(
+        [(bucket_id, namespace)], "bucket_id string, namespace string"
+    )
+    return create_rows(index, row, ["bucket_id", "namespace"])
+
+
+def create_table(
+    tables: DataFrame,
+    namespaces: DataFrame,
+    bucket_id: str,
+    namespace: str,
+    table: str,
+    max_tables: int = DEFAULT_MAX_TABLES,
+) -> DataFrame:
+    ns_exists = (
+        namespaces.filter(
+            (F.col("bucket_id") == bucket_id) & (F.col("namespace") == namespace)
+        )
+        .limit(1)
+        .count()
+    )
+    if not ns_exists:
+        raise KeyError(f"namespace {bucket_id}/{namespace} does not exist")
+    n = capped_count(
+        tables.filter(
+            (F.col("bucket_id") == bucket_id) & (F.col("namespace") == namespace)
+        ),
+        max_tables,
+    ).collect()[0]["n"]
+    if n >= max_tables:
+        raise QuotaExceededError(f"table quota {max_tables} reached")
+    spark = tables.sparkSession
+    row = spark.createDataFrame(
+        [(bucket_id, namespace, table)],
+        "bucket_id string, namespace string, table_name string",
+    )
+    return create_rows(tables, row, ["bucket_id", "namespace", "table_name"])
+
+
+def list_namespaces(index: DataFrame, bucket_id: str, limit: int | None = None) -> DataFrame:
+    df = index.filter(F.col("bucket_id") == bucket_id).orderBy("namespace")
+    return df.limit(limit) if limit else df
+
+
+def list_tables(
+    tables: DataFrame, bucket_id: str, namespace: str, limit: int | None = None
+) -> DataFrame:
+    df = tables.filter(
+        (F.col("bucket_id") == bucket_id) & (F.col("namespace") == namespace)
+    ).orderBy("table_name")
+    return df.limit(limit) if limit else df
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def configure_iceberg_catalog(
+    spark: SparkSession, name: str = "analytics", warehouse: str = "/tmp/iceberg-wh"
+) -> bool:
+    """Wire Spark's native Iceberg catalog for ANALYTICS buckets. Returns
+    False (no-op) when the Iceberg runtime jar is absent — callers keep
+    using the index DataFrames; DDL paths activate on real clusters."""
+    if not iceberg_available(spark):
+        return False
+    spark.conf.set(f"spark.sql.catalog.{name}", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(f"spark.sql.catalog.{name}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{name}.warehouse", warehouse)
+    return True
+
+
+class KeyAlreadyExists(KeyAlreadyExistsError):
+    """Alias kept for API parity with the reference's error name."""

@@ -1,0 +1,152 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference's only media operator is the imgproxy render path
+(src/storage/renderer/image.ts:298-355: width/height/resize∈{cover,contain,
+fill}/format/quality with clamped limits). At 100 TB the engine-side shape
+is: blobs as ``binary`` columns with a typed metadata struct, and
+decode/transform/feature steps as Arrow-batched ``mapInPandas`` stages so
+the Python media library only ever sees vectorized batches.
+
+The decode itself is STUBBED here (no Pillow/ffmpeg in this container):
+``decode_image_meta`` parses a deterministic fake header so the Spark-side
+plumbing — schema, batch iteration, partitioning, UDF signature — is real
+and tested; ``transform_images`` raises NotImplementedError unless given a
+codec, exactly where a Pillow call would slot in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata for a media blob (mirrors the jsonb metadata the
+#: reference stores per object, narrowed to media fields).
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+#: Render-option clamps (image.ts:14-19: dimensions capped; quality 1-100).
+MAX_DIMENSION = 2500
+RESIZE_MODES = ("cover", "contain", "fill")
+
+
+def fake_header(width: int, height: int, n_frames: int = 1) -> bytes:
+    """Deterministic stand-in codec: 'FAKE:w:h:f|' + payload."""
+    return f"FAKE:{width}:{height}:{n_frames}|".encode()
+
+
+def decode_image_meta(blobs: DataFrame, key_col: str = "key",
+                      content_col: str = "content") -> DataFrame:
+    """Arrow-batched decode stage: mapInPandas over binary content, one
+    pandas batch per partition slice — the real codec swaps into
+    ``_decode_one`` untouched."""
+
+    def _decode_one(b: bytes) -> tuple[str, int, int, int]:
+        if b is None or not bytes(b).startswith(b"FAKE:"):
+            raise NotImplementedError(
+                "real image decoding requires a media codec (Pillow) — "
+                "only the FAKE header codec ships in this environment"
+            )
+        head = bytes(b).split(b"|", 1)[0].decode()
+        _tag, w, h, f = head.split(":")
+        return ("image/fake", int(w), int(h), int(f))
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = [_decode_one(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col],
+                    "mime": [m[0] for m in meta],
+                    "width": [m[1] for m in meta],
+                    "height": [m[2] for m in meta],
+                    "n_frames": [m[3] for m in meta],
+                    "n_bytes": [len(bytes(b)) for b in pdf[content_col]],
+                }
+            )
+
+    return blobs.mapInPandas(_batches, DECODED_SCHEMA)
+
+
+def validate_render_options(width: int, height: int, resize: str,
+                           quality: int = 80) -> None:
+    """image.ts:298-355 option validation with clamped limits."""
+    if not (0 < width <= MAX_DIMENSION and 0 < height <= MAX_DIMENSION):
+        raise ValueError(f"dimensions must be in (0, {MAX_DIMENSION}]")
+    if resize not in RESIZE_MODES:
+        raise ValueError(f"resize must be one of {RESIZE_MODES}")
+    if not (1 <= quality <= 100):
+        raise ValueError("quality must be in [1, 100]")
+
+
+def transform_images(
+    blobs: DataFrame,
+    width: int,
+    height: int,
+    resize: str = "cover",
+    quality: int = 80,
+    codec: Callable[[bytes, int, int, str, int], bytes] | None = None,
+    key_col: str = "key",
+    content_col: str = "content",
+) -> DataFrame:
+    """Batch image transform (render path as a bulk operator). Without a
+    ``codec`` this raises at plan-build time — the Spark plumbing is real;
+    the pixel work is the only absent piece in this container."""
+    validate_render_options(width, height, resize, quality)
+    if codec is None:
+        raise NotImplementedError(
+            "transform_images needs a codec callable (e.g. Pillow-based "
+            "resize) — not available in this environment"
+        )
+
+    out_schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("content", T.BinaryType())]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col],
+                    "content": [
+                        codec(bytes(b), width, height, resize, quality)
+                        for b in pdf[content_col]
+                    ],
+                }
+            )
+
+    return blobs.mapInPandas(_batches, out_schema)
+
+
+def frame_sample_plan(videos: DataFrame, every_n: int,
+                      key_col: str = "key") -> DataFrame:
+    """Frame-sampling *plan*: one output row per sampled frame index, from
+    the decoded n_frames metadata — the per-frame extraction UDF plugs into
+    the same (key, frame_idx) grid. Pure expression (no Python rows)."""
+    return videos.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                       F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,113 @@
+"""W3 cursor semantics: limit+1 truncation, token codec, and the
+folder-vs-leaf cursor disambiguation over byte-ordered names — the
+load-bearing fixture from the reference's object-list-v2 tests
+(src/test/object-list-v2.test.ts:27-118 in spirit: folders + leaves,
+shuffled input, golden sorted expectations, pages of several sizes)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from storage_spark.operators.listing import list_objects_with_delimiter
+from storage_spark.operators.pagination import (
+    clamp_limit,
+    decode_token,
+    encode_token,
+    paginate,
+    take_page,
+)
+
+
+def _mk_names():
+    # 3-letter codes; n in 1..3 uppercased — exercises case-sensitive byte
+    # order (uppercase sorts before lowercase, '/' sorts below alphanumerics)
+    def code(n):
+        s = ""
+        m = n
+        for _ in range(3):
+            s = chr(ord("a") + m % 26) + s
+            m //= 26
+        return s.upper() if 1 <= n <= 3 else s
+
+    names = []
+    for n in range(30):
+        c = code(n)
+        if n > 5:
+            names.append(f"{c}.txt")  # root leaves
+        if n < 18:
+            kids = 9 if c == "aal" else 3
+            names.extend(f"{c}/dummy-{c}-{j}.txt" for j in range(kids))
+    return names
+
+
+@pytest.fixture(scope="module")
+def objects_df(spark):
+    names = _mk_names()
+    rng = random.Random(7)
+    rng.shuffle(names)  # shuffled insert order, like the reference fixture
+    rows = [
+        ("fixture-bucket", name, str(i), 10 + i, 1000 + i, 1000 + i, "text/plain")
+        for i, name in enumerate(names)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bucket_id string, name string, id string, size long,"
+        " created_at_ms long, updated_at_ms long, mimetype string",
+    ).cache()
+
+
+def _golden(names):
+    folders = sorted({n.split("/")[0] + "/" for n in names if "/" in n})
+    leaves = sorted(n for n in names if "/" not in n)
+    return sorted(folders + leaves)
+
+
+def test_full_listing_matches_golden(spark, objects_df):
+    got = [
+        r.name
+        for r in list_objects_with_delimiter(objects_df, "fixture-bucket").collect()
+    ]
+    assert got == _golden(_mk_names())
+
+
+@pytest.mark.parametrize("page_size", [1, 2, 3, 5])
+def test_cursor_pagination_covers_everything_once(spark, objects_df, page_size):
+    pages = list(
+        paginate(
+            lambda after: list_objects_with_delimiter(
+                objects_df, "fixture-bucket", start_after=after
+            ),
+            page_size,
+        )
+    )
+    names = [r.name for p in pages for r in p.rows]
+    assert names == _golden(_mk_names())  # no dup, no gap, in order
+    assert all(p.is_truncated for p in pages[:-1])
+    assert not pages[-1].is_truncated
+    assert all(len(p.rows) <= page_size for p in pages)
+
+
+def test_folder_cursor_skips_subtree(spark, objects_df):
+    # resume from a folder cursor: the next page must start PAST the whole
+    # folder subtree (children 'aal/dummy-…' sort after 'aal/' but are
+    # folded into it; byte order guarantees the skip)
+    listing = list_objects_with_delimiter(
+        objects_df, "fixture-bucket", start_after="aal/"
+    )
+    first = listing.limit(1).collect()[0].name
+    assert first > "aal/"
+    assert not first.startswith("aal/")
+
+
+def test_token_codec_roundtrip():
+    assert decode_token(encode_token("a/b/c.txt")) == "a/b/c.txt"
+    with pytest.raises(ValueError):
+        decode_token(encode_token("x").replace("b", "a", 1) + "zz")
+
+
+def test_clamp():
+    assert clamp_limit(None) == 1000
+    assert clamp_limit(5000) == 1000
+    assert clamp_limit(5) == 5
