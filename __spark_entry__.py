@@ -527,6 +527,50 @@ def q_vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_join(queries, v, k=3, dim=64, n_planes=6)
 
 
+def q_search_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.listing import search_by_timestamp
+
+    t = _t(spark, sf_dir)
+    return search_by_timestamp(
+        t["objects"],
+        bucket_id=None,
+        prefix="ECONOMY/",
+        sort_column="created_at_ms",
+        cursor_ts_ms=1704067200000,
+        cursor_name="",
+        limit=50,
+    ).select("name", "created_at_ms")
+
+
+def q_salted_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation — must equal bucket_usage exactly."""
+    from storage_spark.operators.aggregates import salted_usage
+
+    t = _t(spark, sf_dir)
+    return salted_usage(t["objects"])
+
+
+def q_copy_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.mutations import copy_object
+
+    t = _t(spark, sf_dir)
+    out = copy_object(
+        t["objects"], "Brand#17", "ECONOMY/red/widget-1.txt", "copies/widget-1.txt"
+    )
+    return out.filter(
+        (F.col("bucket_id") == "Brand#17")
+        & F.col("name").isin("ECONOMY/red/widget-1.txt", "copies/widget-1.txt")
+    ).select("name", "id", "size")
+
+
+def q_move_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from storage_spark.operators.mutations import move_objects
+
+    t = _t(spark, sf_dir)
+    out = move_objects(t["objects"], "Brand#13", "ECONOMY/", "BUDGET/")
+    return out.filter(F.col("bucket_id") == "Brand#13").select("name", "id")
+
+
 # --------------------------------------------------------------------------
 # Mutations (M1-M5 as MERGE semantics) + event-time rollup
 # --------------------------------------------------------------------------
@@ -794,6 +838,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_multipart_uploads": q_list_multipart_uploads,
         "delete_before_preview": q_delete_before_preview,
         "rls_owner": q_rls_owner,
+        "search_by_timestamp": q_search_by_timestamp,
+        "salted_usage": q_salted_usage,
+        "copy_object": q_copy_object,
+        "move_objects": q_move_objects,
         "merge_upsert": q_merge_upsert,
         "delete_returning": q_delete_returning,
         "events_hourly": q_events_hourly,
@@ -1025,6 +1073,42 @@ SELECT o.bucket_id, count(*) AS n
 FROM objects o JOIN buckets b ON b.id = o.bucket_id
 WHERE b.public OR o.owner_id = 'user-3'
 GROUP BY o.bucket_id
+"""),
+        "search_by_timestamp": _o("""
+, src AS (SELECT * FROM objects WHERE name >= 'ECONOMY/' AND name < 'ECONOMY0'),
+tagged AS (
+  SELECT *, CASE WHEN instr(substr(name, 9), '/') > 0
+                 THEN 'ECONOMY/' || split_part(substr(name, 9), '/', 1) || '/'
+            END AS cp
+  FROM src
+),
+merged AS (
+  SELECT cp AS name, min(created_at_ms) AS created_at_ms
+  FROM tagged WHERE cp IS NOT NULL GROUP BY cp
+  UNION ALL
+  SELECT name, created_at_ms FROM tagged WHERE cp IS NULL
+)
+SELECT name, created_at_ms FROM merged
+WHERE coalesce(created_at_ms, 0) > 1704067200000
+   OR (coalesce(created_at_ms, 0) = 1704067200000 AND name > '')
+ORDER BY coalesce(created_at_ms, 0), name LIMIT 50
+"""),
+        "salted_usage": _o("""
+SELECT bucket_id, CAST(sum(size) AS BIGINT) AS total_size, count(*) AS n_objects
+FROM objects GROUP BY bucket_id
+"""),
+        "copy_object": _o("""
+SELECT name, id, size FROM objects
+WHERE bucket_id = 'Brand#17' AND name = 'ECONOMY/red/widget-1.txt'
+UNION ALL
+SELECT 'copies/widget-1.txt' AS name, id, size FROM objects
+WHERE bucket_id = 'Brand#17' AND name = 'ECONOMY/red/widget-1.txt'
+"""),
+        "move_objects": _o("""
+SELECT CASE WHEN name >= 'ECONOMY/' AND name < 'ECONOMY0'
+            THEN 'BUDGET/' || substr(name, 9)
+            ELSE name END AS name, id
+FROM objects WHERE bucket_id = 'Brand#13'
 """),
         "merge_upsert": _o(f"""
 , updates AS ({_UPDATES_SQL}),

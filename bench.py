@@ -92,8 +92,32 @@ def main() -> None:
             .count()
         )
 
+    # materialized production layout: bucket-partitioned, name-sorted files —
+    # the shape where prefix pushdown + partition pruning actually bite
+    import tempfile
+
+    mat_path = tempfile.mkdtemp(prefix="bench_objects_") + "/objects"
+    (
+        t["objects"]
+        .repartition("bucket_id")
+        .sortWithinPartitions("name")
+        .write.partitionBy("bucket_id")
+        .parquet(mat_path)
+    )
+    mat = spark.read.parquet(mat_path)
+
+    def mat_prefix_listing():
+        return list_objects_with_delimiter(
+            mat, bucket_id="Brand#13", prefix="ECONOMY/"
+        ).count()
+
+    def mat_usage():
+        return bucket_usage(mat).count()
+
     queries = {
         "full_listing": full_listing,
+        "mat_prefix_listing": mat_prefix_listing,
+        "mat_usage": mat_usage,
         "deep_listing": deep_listing,
         "reconcile": reconcile,
         "usage": usage,

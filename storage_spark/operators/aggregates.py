@@ -34,6 +34,30 @@ def capped_count(df: DataFrame, cap: int) -> DataFrame:
     return df.limit(cap).select(F.count(F.lit(1)).alias("n"))
 
 
+def salted_usage(
+    objects: DataFrame, group_col: str = "bucket_id", salt_buckets: int = 16
+) -> DataFrame:
+    """Skew-safe variant of bucket_usage: two-stage aggregation with a
+    deterministic salt. When one bucket holds a disproportionate share of
+    objects (the hot-tenant case at 100 TB), the single-stage groupBy sends
+    every row of that key to one reducer; salting spreads stage one across
+    ``salt_buckets`` reducers and stage two combines ``salt_buckets`` rows
+    per key. Results are identical to bucket_usage (integral sums are
+    associative). AQE's skew handling covers joins; this covers aggregation.
+    """
+    salt = F.pmod(F.xxhash64(F.col("name")), F.lit(salt_buckets))
+    stage1 = (
+        objects.groupBy(F.col(group_col), salt.alias("_salt"))
+        .agg(
+            F.sum("size").alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return stage1.groupBy(group_col).agg(
+        F.sum("_s").alias("total_size"), F.sum("_n").alias("n_objects")
+    )
+
+
 def owner_usage(objects: DataFrame) -> DataFrame:
     """Per-owner rollup — extension of A1 (marked non-reference in SURVEY
     §2.4/A8): grouping-sets usage analytics."""

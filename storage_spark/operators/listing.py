@@ -160,6 +160,39 @@ def search_objects_sorted(
     return df
 
 
+def search_by_timestamp(
+    objects: DataFrame,
+    bucket_id: str | None,
+    prefix: str = "",
+    delimiter: str = "/",
+    sort_column: str = "created_at_ms",
+    sort_desc: bool = False,
+    cursor_ts_ms: int | None = None,
+    cursor_name: str | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Full ``search_by_timestamp`` parity (0050-search-v2-optimised.sql:
+    676-780): the A4 folder/leaf union, ordered by a timestamp column with
+    name tie-break (O2), resumed from a composite ms-truncated cursor (F4).
+    Folders carry MIN(created_at) as both timestamps, exactly like the
+    reference's aggregated prefix rows (:729-741)."""
+    out = list_objects_with_delimiter(objects, bucket_id, prefix, delimiter)
+    ts = F.coalesce(F.col(sort_column), F.lit(0))
+    if cursor_ts_ms is not None:
+        name_cmp = (
+            F.col("name") > cursor_name if not sort_desc else F.col("name") < cursor_name
+        )
+        ts_cmp = ts > cursor_ts_ms if not sort_desc else ts < cursor_ts_ms
+        cond = ts_cmp | ((ts == cursor_ts_ms) & name_cmp) if cursor_name else ts_cmp
+        out = out.filter(cond)
+    order = [ts.desc() if sort_desc else ts.asc(),
+             F.col("name").desc() if sort_desc else F.col("name").asc()]
+    out = out.orderBy(*order)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
 def top_k_merge(branches: list[DataFrame], order: list[Column], k: int) -> DataFrame:
     """O3 sorted-merge top-k: per-branch LIMIT k, UNION ALL, global top-k —
     search_v2's two-branch plan (0027-search-v2.sql:20-57). Catalyst lowers

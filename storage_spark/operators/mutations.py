@@ -94,6 +94,43 @@ def delete_all_before(
     return remaining, deleted
 
 
+def copy_object(
+    objects: DataFrame,
+    bucket_id: str,
+    from_name: str,
+    to_name: str,
+    to_bucket_id: str | None = None,
+) -> DataFrame:
+    """Object copy (route surface object.ts copy): duplicate the source row
+    under the destination key via upsert — metadata travels, id stays the
+    source's content identity."""
+    src = objects.filter(
+        (F.col("bucket_id") == bucket_id) & (F.col("name") == from_name)
+    )
+    dst = src.withColumn("name", F.lit(to_name))
+    if to_bucket_id is not None:
+        dst = dst.withColumn("bucket_id", F.lit(to_bucket_id))
+    return merge_upsert(objects, dst, ["bucket_id", "name"])
+
+
+def move_objects(
+    objects: DataFrame, bucket_id: str, from_prefix: str, to_prefix: str
+) -> DataFrame:
+    """Bulk move/rename (copy+delete in the reference, object.ts move): a
+    single name-rewrite merge over the prefix subtree — delete originals,
+    insert renamed rows, one pass."""
+    from storage_spark.functions.paths import prefix_range_filter
+
+    in_scope = (F.col("bucket_id") == bucket_id) & prefix_range_filter(
+        F.col("name"), from_prefix
+    )
+    moved = objects.filter(in_scope).withColumn(
+        "name",
+        F.concat(F.lit(to_prefix), F.substring(F.col("name"), len(from_prefix) + 1, 1 << 30)),
+    )
+    return objects.filter(~in_scope).unionByName(moved)
+
+
 def lifecycle_events(
     before: DataFrame, after: DataFrame, keys: list[str], compare_col: str
 ) -> DataFrame:
