@@ -527,6 +527,17 @@ def q_vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_join(queries, v, k=3, dim=64, n_planes=6)
 
 
+def q_usage_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 extension: cube usage analytics over (bucket, mimetype)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["objects"]
+        .filter(F.col("bucket_id").isin("Brand#13", "Brand#22"))
+        .cube("bucket_id", "mimetype")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("size").alias("total_size"))
+    )
+
+
 def q_search_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.operators.listing import search_by_timestamp
 
@@ -838,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_multipart_uploads": q_list_multipart_uploads,
         "delete_before_preview": q_delete_before_preview,
         "rls_owner": q_rls_owner,
+        "usage_cube": q_usage_cube,
         "search_by_timestamp": q_search_by_timestamp,
         "salted_usage": q_salted_usage,
         "copy_object": q_copy_object,
@@ -1073,6 +1085,11 @@ SELECT o.bucket_id, count(*) AS n
 FROM objects o JOIN buckets b ON b.id = o.bucket_id
 WHERE b.public OR o.owner_id = 'user-3'
 GROUP BY o.bucket_id
+"""),
+        "usage_cube": _o("""
+SELECT bucket_id, mimetype, count(*) AS n, CAST(sum(size) AS BIGINT) AS total_size
+FROM objects WHERE bucket_id IN ('Brand#13', 'Brand#22')
+GROUP BY CUBE (bucket_id, mimetype)
 """),
         "search_by_timestamp": _o("""
 , src AS (SELECT * FROM objects WHERE name >= 'ECONOMY/' AND name < 'ECONOMY0'),

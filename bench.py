@@ -114,8 +114,30 @@ def main() -> None:
     def mat_usage():
         return bucket_usage(mat).count()
 
+    def listing_10m():
+        # the reference's own benchmark dataset shape: 10M rows, 1000
+        # folders (0050-search-v2-optimised.sql:54-56). Page-at-a-time
+        # skip-scan serves this at ~28 ms/page -> >=280 s for all 10k
+        # pages; one distributed common-prefix job lists it whole.
+        big = spark.range(0, 10_000_000, 1, cpus * 4).select(
+            F.concat(
+                F.lit("f"),
+                (F.col("id") % 1000).cast("string"),
+                F.lit("/obj-"),
+                F.col("id").cast("string"),
+                F.lit(".bin"),
+            ).alias("name"),
+            F.col("id").cast("string").alias("id"),
+            (F.col("id") % 97_000).alias("size"),
+            (F.lit(1704067200000) + F.col("id")).alias("created_at_ms"),
+            (F.lit(1704067200000) + F.col("id")).alias("updated_at_ms"),
+            F.lit("application/octet-stream").alias("mimetype"),
+        )
+        return list_objects_with_delimiter(big, prefix="").count()
+
     queries = {
         "full_listing": full_listing,
+        "listing_10m": listing_10m,
         "mat_prefix_listing": mat_prefix_listing,
         "mat_usage": mat_usage,
         "deep_listing": deep_listing,

@@ -92,21 +92,32 @@ def list_objects_with_delimiter(
     cp = common_prefix(F.col("name"), prefix, delimiter)
     df = df.withColumn("_cp", cp)
 
-    folders = (
-        df.filter(F.col("_cp").isNotNull())
-        .groupBy(F.col("_cp").alias("name"))
-        .agg(F.min("created_at_ms").alias("created_at_ms"))
+    # Single-pass formulation: group on coalesce(folder, leaf-name). A leaf
+    # is a singleton group (its own columns survive via the leaf-guarded
+    # max); a folder group aggregates MIN(created_at) and NULL metadata —
+    # identical output to the folders-UNION-leaves plan with one scan and
+    # one shuffle instead of two of each (2x on a 10M-row namespace).
+    leaf = F.col("_cp").isNull()
+    out = (
+        df.groupBy(F.coalesce(F.col("_cp"), F.col("name")).alias("name"))
+        .agg(
+            F.min("created_at_ms").alias("_min_created"),
+            F.max(F.when(leaf, F.col("id"))).alias("id"),
+            F.max(F.when(leaf, F.col("size"))).alias("size"),
+            F.max(F.when(leaf, F.col("updated_at_ms"))).alias("_leaf_updated"),
+            F.max(F.when(leaf, F.col("mimetype"))).alias("mimetype"),
+        )
         .select(
             "name",
-            F.lit(None).cast("string").alias("id"),
-            F.lit(None).cast("bigint").alias("size"),
-            "created_at_ms",
-            F.col("created_at_ms").alias("updated_at_ms"),
-            F.lit(None).cast("string").alias("mimetype"),
+            "id",
+            "size",
+            F.col("_min_created").alias("created_at_ms"),
+            F.coalesce(F.col("_leaf_updated"), F.col("_min_created")).alias(
+                "updated_at_ms"
+            ),
+            "mimetype",
         )
     )
-    leaves = df.filter(F.col("_cp").isNull()).select(*LISTING_COLUMNS)
-    out = folders.unionByName(leaves)
     if start_after:
         # Folder-vs-leaf cursor semantics: a cursor naming a folder resumes
         # past the folder's whole subtree because the folder name ends with

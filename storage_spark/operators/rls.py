@@ -43,6 +43,82 @@ def apply_rls_objects(
     return df.filter(pred).drop("public")
 
 
+@dataclass(frozen=True)
+class Policy:
+    """A declarative RLS policy — the shape of the reference's corpus
+    (src/test/rls_tests.yaml: name/tables/roles/permissions + USING /
+    WITH CHECK predicate templates with ``{{uid}}`` substitution).
+    Predicates are Spark SQL expressions in this engine's dialect."""
+
+    name: str
+    table: str
+    roles: tuple[str, ...]
+    permissions: tuple[str, ...]
+    using: str | None = None
+    check: str | None = None
+
+
+def _compile(template: str, claims: Claims):
+    uid = claims.sub or ""
+    sql = template.replace("{{uid}}", uid).replace("auth.uid()", f"'{uid}'")
+    return F.expr(sql)
+
+
+def apply_policies(
+    df: DataFrame,
+    policies: list[Policy],
+    claims: Claims,
+    table: str,
+    permission: str = "select",
+) -> DataFrame:
+    """Postgres RLS read semantics: service role bypasses; otherwise a row
+    is visible iff ANY applicable policy's USING predicate passes; with no
+    applicable policy everything is filtered (default-deny)."""
+    if claims.role == "service_role":
+        return df
+    preds = [
+        _compile(p.using, claims)
+        for p in policies
+        if p.table == table
+        and claims.role in p.roles
+        and permission in p.permissions
+        and p.using
+    ]
+    if not preds:
+        return df.filter(F.lit(False))
+    cond = preds[0]
+    for p in preds[1:]:
+        cond = cond | p
+    return df.filter(cond)
+
+
+def check_policies(
+    rows: DataFrame,
+    policies: list[Policy],
+    claims: Claims,
+    table: str,
+    permission: str = "insert",
+) -> tuple[DataFrame, DataFrame]:
+    """WITH CHECK write-side validation: returns (allowed, rejected) — the
+    batch analogue of per-row policy violations on INSERT/UPDATE."""
+    if claims.role == "service_role":
+        return rows, rows.filter(F.lit(False))
+    preds = [
+        _compile(p.check, claims)
+        for p in policies
+        if p.table == table
+        and claims.role in p.roles
+        and permission in p.permissions
+        and p.check
+    ]
+    if not preds:
+        return rows.filter(F.lit(False)), rows
+    cond = preds[0]
+    for p in preds[1:]:
+        cond = cond | p
+    return rows.filter(cond), rows.filter(~F.coalesce(cond, F.lit(False)))
+
+
 def apply_rls_buckets(buckets: DataFrame, claims: Claims) -> DataFrame:
     if claims.role == "service_role":
         return buckets

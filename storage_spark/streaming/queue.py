@@ -1,0 +1,56 @@
+"""Queue/job semantics (T1/T2) in set-oriented form.
+
+The reference runs pg-boss over Postgres: per-queue workers with
+``retryLimit: 20`` exponential backoff and dead-letter handling
+(src/internal/queue/queue.ts:74,264-352,425). The engine models a queue as
+a jobs DataFrame with an ``attempts`` counter; one micro-batch tick is a
+pure transform: completed jobs leave, failures re-enqueue with
+``attempts + 1``, and jobs past the retry limit move to the dead-letter
+set. The streaming layer runs this per trigger; batch tests drive it
+synchronously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_RETRY_LIMIT = 20
+
+
+def claim_batch(
+    jobs: DataFrame, queue: str, batch_size: int, singleton_dedup: bool = True
+) -> DataFrame:
+    """One worker poll: oldest-first page of a queue, optionally keeping a
+    single in-flight job per singleton_key (T2)."""
+    df = jobs.filter(F.col("queue") == queue)
+    if singleton_dedup and "singleton_key" in df.columns:
+        from storage_spark.operators.scans import first_per_group
+
+        df = first_per_group(
+            df, ["singleton_key"], [F.col("created_at_ms").asc(), F.col("job_id").asc()]
+        )
+    return df.orderBy("created_at_ms", "job_id").limit(batch_size)
+
+
+def apply_outcomes(
+    jobs: DataFrame,
+    outcomes: DataFrame,
+    retry_limit: int = DEFAULT_RETRY_LIMIT,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Tick transition given ``outcomes(job_id, ok)``:
+    returns (pending, completed, dead_letter).
+
+    - ok=true        → completed
+    - ok=false       → attempts+1; re-enqueued while attempts <= limit
+    - past the limit → dead-letter (queue.ts dead-letter handling)
+    - jobs without an outcome stay pending untouched
+    """
+    joined = jobs.join(outcomes.select("job_id", "ok"), "job_id", "left")
+    completed = joined.filter(F.col("ok") == True).drop("ok")  # noqa: E712
+    failed = joined.filter(F.col("ok") == False).drop("ok")  # noqa: E712
+    untouched = joined.filter(F.col("ok").isNull()).drop("ok")
+    bumped = failed.withColumn("attempts", F.col("attempts") + 1)
+    dead = bumped.filter(F.col("attempts") > retry_limit)
+    retry = bumped.filter(F.col("attempts") <= retry_limit)
+    return untouched.unionByName(retry), completed, dead

@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from storage_spark.functions.jsonmeta import FilterError, compile_filter
 
@@ -166,6 +167,51 @@ INVALID = [
 def test_invalid_filters_raise(ast):
     with pytest.raises(FilterError):
         compile_filter(ast, "metadata")
+
+
+def test_fuzzed_filters_match_interpreter(spark, docs_df):
+    """Randomized grammar fuzz: 120 generated filters evaluated in ONE Spark
+    pass (each filter = one boolean column) against the Python interpreter."""
+    import random
+
+    rng = random.Random(42)
+    scalars = [69, 0, -3.5, 3.0, "69", "hello", True, False, "a", 7, 2]
+
+    def gen_field_filter(depth=0):
+        op = rng.choice(
+            ["$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin", "$exists",
+             "bare", "$and", "$or"]
+        )
+        if op in ("$and", "$or"):
+            if depth >= 2:
+                op = "$eq"
+            else:
+                return {
+                    op: [gen_field_filter(depth + 1) for _ in range(rng.randint(1, 3))]
+                }
+        if op in ("$gt", "$gte", "$lt", "$lte"):
+            return {"k": {op: rng.choice([69, 0, -3.5, 3, 100])}}
+        if op in ("$in", "$nin"):
+            return {"k": {op: rng.sample(scalars, rng.randint(1, 4))}}
+        if op == "$exists":
+            return {rng.choice(["k", "other", "nope"]): {"$exists": rng.random() < 0.5}}
+        if op == "bare":
+            return {"k": rng.choice(scalars)}
+        return {"k": {op: rng.choice(scalars)}}
+
+    filters = [gen_field_filter() for _ in range(120)]
+    cols = [
+        F.coalesce(compile_filter(ast, "metadata"), F.lit(False)).alias(f"f{i}")
+        for i, ast in enumerate(filters)
+    ]
+    rows = docs_df.select("i", *cols).collect()
+    got = {
+        i: {r.i for r in rows if r[f"f{i}"]}
+        for i in range(len(filters))
+    }
+    for i, ast in enumerate(filters):
+        want = {j for j, d in enumerate(DOCS) if eval_filter(ast, d)}
+        assert got[i] == want, f"filter {ast}: spark={sorted(got[i])} py={sorted(want)}"
 
 
 def test_non_filterable_keys():

@@ -1,0 +1,112 @@
+"""Declarative RLS corpus — port of the semantics-bearing policies in the
+reference's rls_tests.yaml (owner-match USING, auth.uid() WITH CHECK,
+metadata-predicate checks), evaluated per role/claims."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from storage_spark.operators.rls import (
+    Claims,
+    Policy,
+    apply_policies,
+    check_policies,
+)
+
+POLICIES = [
+    Policy(
+        name="read_only_all_objects",
+        table="objects",
+        roles=("authenticated",),
+        permissions=("select",),
+        using="owner_id = '{{uid}}'",
+    ),
+    Policy(
+        name="read_public_buckets_objects",
+        table="objects",
+        roles=("authenticated", "anon"),
+        permissions=("select",),
+        using="public = true",
+    ),
+    Policy(
+        name="insert_only_all_objects",
+        table="objects",
+        roles=("authenticated",),
+        permissions=("insert",),
+        check="auth.uid() = '{{uid}}'",
+    ),
+    Policy(
+        name="insert_with_metadata_check",
+        table="objects",
+        roles=("authenticated",),
+        permissions=("insert",),
+        check="get_json_object(user_metadata, '$.department') = 'engineering'",
+    ),
+    Policy(
+        name="insert_only_images",
+        table="objects",
+        roles=("authenticated",),
+        permissions=("insert",),
+        check="mimetype LIKE 'image/%'",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def obj_rows(spark):
+    return spark.createDataFrame(
+        [
+            ("o1", "u1", False, "image/png", '{"department": "engineering"}'),
+            ("o2", "u1", True, "text/plain", '{"department": "sales"}'),
+            ("o3", "u2", False, "image/jpeg", None),
+            ("o4", "u2", True, "video/mp4", '{"department": "engineering"}'),
+        ],
+        "name string, owner_id string, public boolean, mimetype string,"
+        " user_metadata string",
+    ).cache()
+
+
+@pytest.mark.parametrize(
+    ("claims", "expected"),
+    [
+        (Claims(sub="u1", role="authenticated"), {"o1", "o2", "o4"}),  # own + public
+        (Claims(sub="u2", role="authenticated"), {"o2", "o3", "o4"}),
+        (Claims(sub=None, role="anon"), {"o2", "o4"}),  # public only
+        (Claims(sub=None, role="service_role"), {"o1", "o2", "o3", "o4"}),
+        (Claims(sub="u9", role="authenticated"), {"o2", "o4"}),  # stranger
+    ],
+)
+def test_select_visibility(spark, obj_rows, claims, expected):
+    out = apply_policies(obj_rows, POLICIES, claims, "objects", "select")
+    assert {r.name for r in out.collect()} == expected
+
+
+def test_no_applicable_policy_denies_all(spark, obj_rows):
+    out = apply_policies(obj_rows, POLICIES, Claims(sub="u1", role="authenticated"),
+                         "objects", "delete")
+    assert out.count() == 0
+
+
+def test_with_check_split(spark, obj_rows):
+    # any-of semantics: a row passes if ANY applicable WITH CHECK passes —
+    # o2 fails uid-check? no: uid check passes for every row (claims-level),
+    # so everything is allowed for its owner claims
+    allowed, rejected = check_policies(
+        obj_rows, POLICIES, Claims(sub="u1", role="authenticated"), "objects"
+    )
+    assert rejected.count() == 0  # auth.uid() = uid grants all
+    # drop the uid policy: only metadata/image checks remain
+    narrowed = [p for p in POLICIES if p.name != "insert_only_all_objects"]
+    allowed, rejected = check_policies(
+        obj_rows, narrowed, Claims(sub="u1", role="authenticated"), "objects"
+    )
+    assert {r.name for r in allowed.collect()} == {"o1", "o3", "o4"}
+    assert {r.name for r in rejected.collect()} == {"o2"}
+
+
+def test_anon_cannot_insert(spark, obj_rows):
+    allowed, rejected = check_policies(
+        obj_rows, POLICIES, Claims(sub=None, role="anon"), "objects"
+    )
+    assert allowed.count() == 0 and rejected.count() == 4
