@@ -111,3 +111,21 @@ def test_clamp():
     assert clamp_limit(None) == 1000
     assert clamp_limit(5000) == 1000
     assert clamp_limit(5) == 5
+
+
+def test_s3_v2_response_shaping(spark, objects_df):
+    from storage_spark.operators.s3proto import shape_list_objects_v2
+
+    listing = list_objects_with_delimiter(objects_df, "fixture-bucket")
+    page = shape_list_objects_v2(listing, max_keys=10)
+    assert page.key_count == 10 and page.is_truncated
+    assert page.next_continuation_token
+    # folders → CommonPrefixes (NULL id), leaves → Contents
+    assert all(p.endswith("/") for p in page.common_prefixes)
+    assert all(c["Key"] and not c["Key"].endswith("/") for c in page.contents)
+    assert len(page.contents) + len(page.common_prefixes) == 10
+    full = shape_list_objects_v2(listing, max_keys=1000)
+    assert not full.is_truncated and full.next_continuation_token is None
+    golden = _golden(_mk_names())
+    got = sorted(full.common_prefixes + [c["Key"] for c in full.contents])
+    assert got == golden
