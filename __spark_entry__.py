@@ -527,6 +527,33 @@ def q_vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_join(queries, v, k=3, dim=64, n_planes=6)
 
 
+def q_tenant_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multitenant rollup (§1 tenant model): objects → tenant dimension
+    (broadcast) → per-tenant usage vs quota."""
+    t = _t(spark, sf_dir)
+    tenant_of_bucket = F.concat(
+        F.lit("tenant-"),
+        (F.substring(F.col("bucket_id"), 7, 10).cast("int") % 5).cast("string"),
+    )
+    usage = (
+        t["objects"]
+        .withColumn("tenant_id", tenant_of_bucket)
+        .groupBy("tenant_id")
+        .agg(
+            F.sum("size").alias("total_size"),
+            F.count(F.lit(1)).alias("n_objects"),
+            F.countDistinct("bucket_id").alias("n_buckets"),
+        )
+    )
+    return usage.join(F.broadcast(t["tenants"]), "tenant_id").select(
+        "tenant_id",
+        "total_size",
+        "n_objects",
+        "n_buckets",
+        (F.col("total_size") > F.col("max_size_bytes")).alias("over_quota"),
+    )
+
+
 def q_usage_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 extension: cube usage analytics over (bucket, mimetype)."""
     t = _t(spark, sf_dir)
@@ -649,6 +676,15 @@ _DUCK_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _DUCK_TOKENS = f"regexp_split_to_array({_DUCK_NORM_TEXT}, ' ')"
 _DUCK_RAW_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 _EN_STOP = "('a', 'the', 'of', 'and', 'to')"
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: composed curation pipeline (quality gate → exact dedup →
+    near-dup removal) as one declarative plan."""
+    from storage_spark.operators.pipeline import curate_corpus
+
+    t = _t(spark, sf_dir)
+    return curate_corpus(t["documents"], min_quality=0.5, min_jaccard=0.01)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_multipart_uploads": q_list_multipart_uploads,
         "delete_before_preview": q_delete_before_preview,
         "rls_owner": q_rls_owner,
+        "tenant_usage": q_tenant_usage,
         "usage_cube": q_usage_cube,
         "search_by_timestamp": q_search_by_timestamp,
         "salted_usage": q_salted_usage,
@@ -857,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "delete_returning": q_delete_returning,
         "events_hourly": q_events_hourly,
+        "curate_corpus": q_curate_corpus,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1086,6 +1124,17 @@ FROM objects o JOIN buckets b ON b.id = o.bucket_id
 WHERE b.public OR o.owner_id = 'user-3'
 GROUP BY o.bucket_id
 """),
+        "tenant_usage": _o("""
+SELECT u.tenant_id, u.total_size, u.n_objects, u.n_buckets,
+       u.total_size > t.max_size_bytes AS over_quota
+FROM (
+  SELECT 'tenant-' || CAST(CAST(substr(bucket_id, 7) AS INT) % 5 AS STRING) AS tenant_id,
+         CAST(sum(size) AS BIGINT) AS total_size,
+         count(*) AS n_objects,
+         count(DISTINCT bucket_id) AS n_buckets
+  FROM objects GROUP BY 1
+) u JOIN tenants t ON t.tenant_id = u.tenant_id
+"""),
         "usage_cube": _o("""
 SELECT bucket_id, mimetype, count(*) AS n, CAST(sum(size) AS BIGINT) AS total_size
 FROM objects WHERE bucket_id IN ('Brand#13', 'Brand#22')
@@ -1153,6 +1202,52 @@ SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
        count(*) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY epoch_ms(date_trunc('hour', ts)), event_type
+"""),
+        "curate_corpus": _o(f"""
+, scored AS (
+  SELECT doc_id AS doc, text,
+    least(CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE n / 20.0 END, 1.0) * 0.4
+    + (nd / n) * 0.4
+    + least((ns / n) * 4.0, 1.0) * 0.2 AS q,
+    substr(md5({_DUCK_NORM_TEXT}), 1, 16) AS fp
+  FROM (
+    SELECT doc_id, text,
+      CAST(len({_DUCK_RAW_TOKENS}) AS DOUBLE) AS n,
+      CAST(len(list_distinct({_DUCK_RAW_TOKENS})) AS DOUBLE) AS nd,
+      CAST(list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> CASE WHEN t IN {_EN_STOP} THEN 1 ELSE 0 END)) AS DOUBLE) AS ns
+    FROM documents
+  )
+),
+gated AS (SELECT * FROM scored WHERE q >= 0.5),
+keepers AS (SELECT fp, min(doc) AS doc FROM gated GROUP BY fp),
+exact_kept AS (
+  SELECT g.* FROM gated g JOIN keepers k ON k.fp = g.fp AND k.doc = g.doc
+),
+toks AS (
+  SELECT doc, regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM exact_kept
+),
+sh AS (
+  SELECT DISTINCT doc,
+    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM toks WHERE len(tk) >= 3
+),
+sizes AS (SELECT doc, count(*) AS nsh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+losers AS (
+  SELECT DISTINCT doc_b AS doc
+  FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE i * 1.0 / (sa.nsh + sb.nsh - i) >= 0.01
+)
+SELECT doc AS doc_id, CAST(round(q * 1000) AS BIGINT) AS score_1e3
+FROM exact_kept WHERE doc NOT IN (SELECT doc FROM losers)
 """),
         "text_stats": _o(f"""
 SELECT doc_id,

@@ -1,0 +1,65 @@
+"""End-to-end corpus curation — the composed training-data pipeline.
+
+One declarative plan chains the extension operators: quality gate →
+exact-duplicate removal → near-duplicate removal (inverted-index Jaccard,
+drop the higher doc_id of each close pair). Every stage is a pure
+DataFrame transform, so Catalyst fuses the quality filter into the scan and
+the whole pipeline is a handful of shuffles regardless of corpus size.
+
+At 100 TB the same plan holds: the Jaccard candidate join is
+shingle-bucketed (never all-pairs), the hot-shingle guard caps skew, and
+swapping `ngram_jaccard_pairs` for `minhash_lsh_pairs` + verification drops
+candidate volume further without touching the surrounding pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from storage_spark.functions.text import fingerprint, quality_score
+from storage_spark.operators.dedup import ngram_jaccard_pairs
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.0,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Returns the kept rows (id + quality score, scaled integral).
+
+    Removal rules (deterministic):
+    - quality_score < min_quality → dropped;
+    - exact content duplicates (same normalized fingerprint) → keep the
+      lowest doc_id of each group;
+    - near-duplicates (Jaccard >= min_jaccard) → drop the higher doc_id of
+      each pair (the transitive greedy pass of MinHashLSH-style dedup).
+    """
+    scored = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("text"),
+        quality_score(F.col(text_col)).alias("_q"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    ).filter(F.col("_q") >= min_quality)
+
+    keepers = scored.groupBy("_fp").agg(F.min("doc").alias("doc"))
+    exact_kept = scored.join(keepers, ["doc", "_fp"], "left_semi")
+
+    pairs = ngram_jaccard_pairs(
+        exact_kept,
+        text_col="text",
+        id_col="doc",
+        n=shingle_n,
+        min_jaccard=min_jaccard,
+        max_shingle_df=max_shingle_df,
+    )
+    losers = pairs.select(F.col("doc_b").alias("doc")).distinct()
+    kept = exact_kept.join(losers, "doc", "left_anti")
+    return kept.select(
+        F.col("doc").alias(id_col),
+        F.round(F.col("_q") * 1000).cast("bigint").alias("score_1e3"),
+    )

@@ -111,12 +111,21 @@ SELECT
 FROM lineitem WHERE l_orderkey % 50 = 0
 """
 
+TENANTS_SQL = """
+SELECT DISTINCT
+  'tenant-' || CAST(CAST(substr(p_brand, 7) AS INT) % 5 AS STRING) AS tenant_id,
+  CAST(substr(p_brand, 7) AS INT) % 5 % 2 = 0 AS features_image_transform,
+  (CAST(substr(p_brand, 7) AS INT) % 5 + 1) * 10000000 AS max_size_bytes
+FROM part
+"""
+
 DERIVED_VIEWS = [
     ("objects", OBJECTS_SQL),
     ("buckets", BUCKETS_SQL),
     ("s3_keys", S3_KEYS_SQL),
     ("multipart_uploads", MULTIPART_UPLOADS_SQL),
     ("multipart_parts", MULTIPART_PARTS_SQL),
+    ("tenants", TENANTS_SQL),
 ]
 
 
