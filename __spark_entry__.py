@@ -346,6 +346,26 @@ def q_rls_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_keyset_events_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 descending: cursor comparisons flip with the sort direction
+    (pg.ts:639-651 desc branch)."""
+    t = _t(spark, sf_dir)
+    ts_ms = F.unix_millis(F.date_trunc("millisecond", F.col("ts")))
+    cursor_ms = 1704074400000  # 2024-01-01T02:00:00Z
+    cursor_id = 10_000_000
+    return (
+        t["events"]
+        .withColumn("ts_ms", ts_ms)
+        .filter(
+            (F.col("ts_ms") < cursor_ms)
+            | ((F.col("ts_ms") == cursor_ms) & (F.col("event_id") < cursor_id))
+        )
+        .orderBy(F.col("ts_ms").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", "ts_ms", "event_type")
+    )
+
+
 def q_meta_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.functions.jsonmeta import compile_filter
 
@@ -870,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistency_report": q_consistency_report,
         "fk_join_usage": q_fk_join_usage,
         "keyset_events": q_keyset_events,
+        "keyset_events_desc": q_keyset_events_desc,
         "meta_filter_range": q_meta_filter_range,
         "meta_filter_in_or": q_meta_filter_in_or,
         "path_functions": q_path_functions,
@@ -1008,6 +1029,13 @@ FROM events
 WHERE epoch_ms(date_trunc('milliseconds', ts)) > 1704070800000
    OR (epoch_ms(date_trunc('milliseconds', ts)) = 1704070800000 AND event_id > 0)
 ORDER BY ts_ms, event_id LIMIT 100
+"""),
+        "keyset_events_desc": _o("""
+SELECT event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms, event_type
+FROM events
+WHERE epoch_ms(date_trunc('milliseconds', ts)) < 1704074400000
+   OR (epoch_ms(date_trunc('milliseconds', ts)) = 1704074400000 AND event_id < 10000000)
+ORDER BY ts_ms DESC, event_id DESC LIMIT 100
 """),
         "meta_filter_range": _o("""
 SELECT event_type, count(*) AS n

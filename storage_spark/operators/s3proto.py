@@ -57,6 +57,46 @@ def shape_list_objects_v2(listing: DataFrame, max_keys: int) -> ListObjectsV2Res
     )
 
 
+def to_list_bucket_result_xml(
+    result: ListObjectsV2Result,
+    bucket: str,
+    prefix: str = "",
+    delimiter: str = "/",
+    max_keys: int = 1000,
+) -> str:
+    """S3 ``ListBucketResult`` XML body (the reference serializes via
+    fast-xml-parser, src/http/plugins/xml.ts:1-275; same element shape)."""
+    from xml.etree import ElementTree as ET
+
+    root = ET.Element(
+        "ListBucketResult", xmlns="http://s3.amazonaws.com/doc/2006-03-01/"
+    )
+    for tag, val in [
+        ("Name", bucket),
+        ("Prefix", prefix),
+        ("Delimiter", delimiter),
+        ("MaxKeys", str(max_keys)),
+        ("KeyCount", str(result.key_count)),
+        ("IsTruncated", "true" if result.is_truncated else "false"),
+    ]:
+        ET.SubElement(root, tag).text = val
+    if result.next_continuation_token:
+        ET.SubElement(root, "NextContinuationToken").text = (
+            result.next_continuation_token
+        )
+    for c in result.contents:
+        el = ET.SubElement(root, "Contents")
+        ET.SubElement(el, "Key").text = c["Key"]
+        if c.get("Size") is not None:
+            ET.SubElement(el, "Size").text = str(c["Size"])
+        if c.get("ETag") is not None:
+            ET.SubElement(el, "ETag").text = str(c["ETag"])
+    for p in result.common_prefixes:
+        el = ET.SubElement(root, "CommonPrefixes")
+        ET.SubElement(el, "Prefix").text = p
+    return ET.tostring(root, encoding="unicode")
+
+
 def v1_marker_to_v2(marker: str | None, prefix_of_last_page: str | None = None) -> str | None:
     """V1 ``Marker`` ≡ V2 ``StartAfter`` on the raw key (s3-handler.ts:
     162-195 re-maps tokens; the engine-side cursor is just the name)."""

@@ -129,3 +129,28 @@ def test_s3_v2_response_shaping(spark, objects_df):
     golden = _golden(_mk_names())
     got = sorted(full.common_prefixes + [c["Key"] for c in full.contents])
     assert got == golden
+
+
+def test_list_bucket_result_xml(spark, objects_df):
+    from xml.etree import ElementTree as ET
+
+    from storage_spark.operators.s3proto import (
+        shape_list_objects_v2,
+        to_list_bucket_result_xml,
+    )
+
+    listing = list_objects_with_delimiter(objects_df, "fixture-bucket")
+    page = shape_list_objects_v2(listing, max_keys=7)
+    xml = to_list_bucket_result_xml(page, "fixture-bucket", max_keys=7)
+    ns = {"s3": "http://s3.amazonaws.com/doc/2006-03-01/"}
+    root = ET.fromstring(xml)
+    assert root.findtext("s3:KeyCount", namespaces=ns) == "7"
+    assert root.findtext("s3:IsTruncated", namespaces=ns) == "true"
+    assert root.findtext("s3:NextContinuationToken", namespaces=ns)
+    keys = [c.findtext("s3:Key", namespaces=ns) for c in root.findall("s3:Contents", ns)]
+    prefixes = [
+        p.findtext("s3:Prefix", namespaces=ns)
+        for p in root.findall("s3:CommonPrefixes", ns)
+    ]
+    assert len(keys) + len(prefixes) == 7
+    assert all(p.endswith("/") for p in prefixes)
