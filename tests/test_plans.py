@@ -76,6 +76,39 @@ def test_topk_lowering(spark, objects_parquet):
     assert "TakeOrderedAndProject" in plan
 
 
+#: Queries where a BroadcastNestedLoopJoin is the intended physical op:
+#: bounded all-pairs generation (docstrings point at the LSH/banded/IVF
+#: alternatives for scale) or a 1-row x 1-row scalar combine.
+_BNLJ_ALLOWED = {
+    "dedup_embedding",
+    "simhash_near_pairs",
+    "vector_knn_join",
+    "vector_ivf_ann",
+    "key_validation",
+}
+
+
+def test_no_bad_physical_operators_in_any_query(spark, sf_dir):
+    """Sweep every driver query's physical plan: no CartesianProduct, no
+    row-at-a-time Python evaluation, and nested-loop joins only where the
+    operator is intentionally all-pairs."""
+    import __spark_entry__ as entry_mod
+
+    offenders = {}
+    for name, fn in sorted(entry_mod.queries().items()):
+        plan = plan_of(fn(spark, sf_dir))
+        hits = []
+        if "CartesianProduct" in plan:
+            hits.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            hits.append("row-Python-UDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            hits.append("BroadcastNestedLoopJoin")
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
+
+
 def test_reconcile_plans(spark, sf_dir):
     from storage_spark.operators.reconcile import consistency_report, s3_orphans
 
