@@ -547,6 +547,28 @@ def q_vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_join(queries, v, k=3, dim=64, n_planes=6)
 
 
+def q_catalog_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: catalog_id backfill join-update (0048-iceberg-catalog-ids.sql:
+    96-104) — fill iceberg_tables.catalog_id from the analytics-bucket
+    dimension by bucket name, as a column-merge over the index."""
+    from storage_spark.operators.mutations import merge_update_columns
+
+    t = _t(spark, sf_dir)
+    # ANALYTICS buckets = the public ones in the derived model; table index
+    # rows point at buckets by name with catalog_id initially NULL.
+    catalogs = t["buckets"].filter(F.col("public")).select(
+        F.col("name").alias("bucket_name"), F.col("id").alias("new_catalog_id")
+    )
+    tables = t["objects"].filter(F.col("id").cast("bigint") % 100 == 0).select(
+        F.col("id").alias("table_id"),
+        F.col("bucket_id").alias("bucket_name"),
+        F.lit(None).cast("string").alias("catalog_id"),
+    )
+    updates = catalogs.withColumnRenamed("new_catalog_id", "catalog_id")
+    out = merge_update_columns(tables, updates, ["bucket_name"], ["catalog_id"])
+    return out.select("table_id", "bucket_name", "catalog_id")
+
+
 def q_tenant_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multitenant rollup (§1 tenant model): objects → tenant dimension
     (broadcast) → per-tenant usage vs quota."""
@@ -906,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_multipart_uploads": q_list_multipart_uploads,
         "delete_before_preview": q_delete_before_preview,
         "rls_owner": q_rls_owner,
+        "catalog_backfill": q_catalog_backfill,
         "tenant_usage": q_tenant_usage,
         "usage_cube": q_usage_cube,
         "search_by_timestamp": q_search_by_timestamp,
@@ -1151,6 +1174,14 @@ SELECT o.bucket_id, count(*) AS n
 FROM objects o JOIN buckets b ON b.id = o.bucket_id
 WHERE b.public OR o.owner_id = 'user-3'
 GROUP BY o.bucket_id
+"""),
+        "catalog_backfill": _o("""
+SELECT CAST(o.id AS STRING) AS table_id, o.bucket_id AS bucket_name,
+       b.id AS catalog_id
+FROM objects o
+LEFT JOIN (SELECT id, name FROM buckets WHERE public) b
+  ON b.name = o.bucket_id
+WHERE CAST(o.id AS BIGINT) % 100 = 0
 """),
         "tenant_usage": _o("""
 SELECT u.tenant_id, u.total_size, u.n_objects, u.n_buckets,

@@ -1,0 +1,41 @@
+"""AQE skew handling: a join with one pathologically hot key must finish
+and, under AQE, split the skewed partition (the runtime analogue of the
+salting strategy in aggregates.salted_usage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_skewed_join_completes_and_aqe_splits(spark):
+    n = 2_000_000
+    # 95% of rows share one key — the hot-tenant shape
+    skewed = spark.range(0, n, 1, 32).select(
+        F.when(F.col("id") % 20 != 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id").cast("string"))
+        ).alias("key"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"k{i}", i) for i in range(0, 200, 20)],
+        "key string, weight int",
+    )
+    # force a shuffle join (no broadcast) so skew handling is exercised
+    joined = skewed.hint("merge").join(dim.hint("merge"), "key")
+    assert joined.count() == 1900000 + 10
+
+    # runtime plan after AQE re-optimization
+    plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "AdaptiveSparkPlan" in plan
+
+    # the salted aggregation gives identical results on the same skew
+    agg = skewed.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    salted = (
+        skewed.groupBy("key", F.pmod(F.xxhash64("v"), F.lit(16)).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("key")
+        .agg(F.sum("n").alias("n"))
+    )
+    a = {r.key: r.n for r in agg.collect()}
+    b = {r.key: r.n for r in salted.collect()}
+    assert a == b and a["hot"] == 1900000
