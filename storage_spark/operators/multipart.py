@@ -16,6 +16,26 @@ from pyspark.sql import functions as F
 from storage_spark.functions.paths import common_prefix, prefix_range_filter
 
 
+def encode_upload_id(bucket: str, key: str, version: str) -> str:
+    """TUS/S3 upload-id codec (src/storage/protocols/tus/upload-id.ts:15):
+    url-safe base64 of the tuple, so the id round-trips through URLs."""
+    import base64
+
+    raw = "\x00".join((bucket, key, version))
+    return base64.urlsafe_b64encode(raw.encode()).decode().rstrip("=")
+
+
+def decode_upload_id(upload_id: str) -> tuple[str, str, str]:
+    import base64
+
+    pad = "=" * (-len(upload_id) % 4)
+    raw = base64.urlsafe_b64decode((upload_id + pad).encode()).decode()
+    parts = raw.split("\x00")
+    if len(parts) != 3 or not all(parts[:2]):
+        raise ValueError(f"invalid upload id: {upload_id!r}")
+    return parts[0], parts[1], parts[2]
+
+
 def list_parts(
     parts: DataFrame,
     upload_id: str,

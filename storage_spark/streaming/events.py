@@ -115,6 +115,53 @@ def run_webhook_sink(
         writer.start()
 
 
+def run_delete_all_before_consumer(
+    requests_stream: DataFrame,
+    objects_table,
+    events_sink: list,
+    checkpoint_dir: str,
+) -> None:
+    """T4 end-to-end: a stream of admin delete-all-before requests
+    (columns: bucket_id, before_ms, singleton key by bucket) drives the
+    one-pass batch delete against a committed objects table, emitting
+    ObjectRemoved lifecycle rows per applied request.
+
+    The reference loops 500-row/10 s job slices and re-enqueues itself
+    (object-admin-delete-all-before.ts:35-125) with singletonKey dedup
+    (:27-33); here each micro-batch applies every distinct request as one
+    anti-join commit — no self-requeue needed because the pass is complete.
+    """
+    from storage_spark.operators.mutations import delete_all_before
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        reqs = (
+            batch_df.select("bucket_id", "before_ms")
+            .groupBy("bucket_id")
+            .agg(F.max("before_ms").alias("before_ms"))
+            .collect()
+        )
+        for r in reqs:
+            current = objects_table.read()
+            remaining, deleted = delete_all_before(
+                current, r["before_ms"], bucket_id=r["bucket_id"]
+            )
+            removed = [
+                {"bucket_id": d["bucket_id"], "name": d["name"],
+                 "event_type": "ObjectRemoved"}
+                for d in deleted.collect()
+            ]
+            objects_table.commit(remaining)
+            events_sink.extend(removed)
+
+    q = (
+        requests_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drain an availableNow stream into an in-memory table (tests)."""
     q = (

@@ -154,3 +154,17 @@ def test_list_bucket_result_xml(spark, objects_df):
     ]
     assert len(keys) + len(prefixes) == 7
     assert all(p.endswith("/") for p in prefixes)
+
+
+def test_upload_id_codec():
+    from storage_spark.operators.multipart import decode_upload_id, encode_upload_id
+
+    uid = encode_upload_id("b1", "a/b/c.bin", "v2")
+    assert decode_upload_id(uid) == ("b1", "a/b/c.bin", "v2")
+    assert "=" not in uid and "+" not in uid and "/" not in uid  # url-safe
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_upload_id("!!!notbase64")
+    with _pytest.raises(ValueError):
+        decode_upload_id(encode_upload_id("", "k", "v"))  # empty bucket invalid
