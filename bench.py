@@ -125,14 +125,10 @@ def main() -> None:
     # the shape where prefix pushdown + partition pruning actually bite
     import tempfile
 
+    from storage_spark.sources.layout import write_listing_layout
+
     mat_path = tempfile.mkdtemp(prefix="bench_objects_") + "/objects"
-    (
-        t["objects"]
-        .repartition("bucket_id")
-        .sortWithinPartitions("name")
-        .write.partitionBy("bucket_id")
-        .parquet(mat_path)
-    )
+    write_listing_layout(t["objects"], mat_path)
     mat = spark.read.parquet(mat_path)
 
     def mat_prefix_listing():

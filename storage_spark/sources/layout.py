@@ -1,0 +1,48 @@
+"""Physical layout utilities — the 100 TB table designs.
+
+Two layouts matter for this engine (SURVEY §4 pushdown table):
+
+1. **Listing layout**: partition by ``bucket_id``, sort files by ``name`` —
+   prefix listings prune partitions and skip files via min/max stats
+   (asserted in tests/test_plans.py::test_prefix_range_pushdown).
+2. **Join layout**: bucket both sides of a recurring equi-join by the join
+   key (``bucketBy`` + ``sortBy``) so the join co-locates without any
+   Exchange — the reconciliation scan (objects ⋈ s3_keys on key) becomes
+   shuffle-free, which at 10M+ keys per side is the difference between a
+   network-bound and a scan-bound job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_listing_layout(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Bucket-partitioned, name-sorted parquet — the listing-optimal shape."""
+    (
+        df.repartition("bucket_id")
+        .sortWithinPartitions("name")
+        .write.mode(mode)
+        .partitionBy("bucket_id")
+        .parquet(path)
+    )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed, sorted managed table for co-located joins."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

@@ -120,3 +120,26 @@ def test_reconcile_plans(spark, sf_dir):
     plan = plan_of(consistency_report(t["objects"], t["s3_keys"]))
     assert "FullOuter" in plan
     assert "LeftAnti" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """Join layout: bucketing both sides on the join key removes every
+    Exchange from the reconcile-shaped equi-join."""
+    from storage_spark.operators.reconcile import clean_s3_keys, object_keys
+    from storage_spark.sources.layout import write_bucketed_table
+
+    t = load_all(spark, sf_dir)
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    db = object_keys(t["objects"]).select("key")
+    s3 = clean_s3_keys(t["s3_keys"]).select("key")
+    write_bucketed_table(db, "db_keys_bkt", "key", 8)
+    write_bucketed_table(s3, "s3_keys_bkt", "key", 8)
+    joined = (
+        spark.table("db_keys_bkt")
+        .hint("merge")
+        .join(spark.table("s3_keys_bkt").hint("merge"), "key")
+    )
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located: no shuffle on either side
+    assert joined.count() > 0
