@@ -535,6 +535,37 @@ def q_vector_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(queries, assigned, cents, k=3, n_probe=3)
 
 
+def q_backend_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: distributed backend (blob-store) listing over the sf directory
+    itself — rows-only (the oracle has no filesystem surface)."""
+    from storage_spark.sources.binary import list_blobs
+
+    return list_blobs(spark, sf_dir, glob="*.parquet").select("key", "size").orderBy(
+        "key"
+    )
+
+
+def q_vector_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryVectors end-to-end at scale shape: metadata-DSL filter + IVF
+    probe (rows-only; exact/filter variants are oracle-checked above)."""
+    from storage_spark.functions.jsonmeta import compile_filter
+    from storage_spark.functions.vectors import ivf_assign, ivf_centroids, ivf_search
+
+    t = _t(spark, sf_dir)
+    v = t["embeddings"].select(
+        F.col("vec_id").cast("string").alias("key"),
+        "embedding",
+        F.format_string('{"label": %d}', F.col("label")).alias("metadata"),
+    )
+    v = v.filter(compile_filter({"label": {"$in": [0, 1, 2]}}, "metadata"))
+    cents = ivf_centroids(v, n_cells=8)
+    assigned = ivf_assign(v, cents)
+    queries = v.filter(F.col("key").cast("bigint") < 10).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_search(queries, assigned, cents, k=3, n_probe=3)
+
+
 def q_vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path) — approximate, so rows-only driver
     check; recall vs brute force is asserted in tests/test_vectors.py."""
@@ -955,7 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_segment_scan": q_vector_segment_scan,
         "vector_knn_join": q_vector_knn_join,
         "vector_ivf_ann": q_vector_ivf_ann,
+        "vector_filtered_ivf": q_vector_filtered_ivf,
         "vector_lsh_ann": q_vector_lsh_ann,
+        "backend_list": q_backend_list,
     }
 
 

@@ -84,6 +84,7 @@ _BNLJ_ALLOWED = {
     "simhash_near_pairs",
     "vector_knn_join",
     "vector_ivf_ann",
+    "vector_filtered_ivf",
     "key_validation",
 }
 
@@ -132,6 +133,11 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     db = object_keys(t["objects"]).select("key")
     s3 = clean_s3_keys(t["s3_keys"]).select("key")
+    import shutil
+
+    for name in ("db_keys_bkt", "s3_keys_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"spark-warehouse/{name}", ignore_errors=True)
     write_bucketed_table(db, "db_keys_bkt", "key", 8)
     write_bucketed_table(s3, "s3_keys_bkt", "key", 8)
     joined = (
