@@ -535,6 +535,17 @@ def q_vector_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(queries, assigned, cents, k=3, n_probe=3)
 
 
+def q_sign_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sign-many route surface: batch HS256 signed URLs (rows-only — the
+    oracle has no HMAC; round-trip verification lives in tests/test_signing)."""
+    from storage_spark.operators.signing import sign_many
+
+    t = _t(spark, sf_dir)
+    docs = t["objects"].filter(F.col("bucket_id") == "Brand#13")
+    return sign_many(docs, secret="url-signing-key", expires_in_s=3600,
+                     issued_at_s=1704067200)
+
+
 def q_backend_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: distributed backend (blob-store) listing over the sf directory
     itself — rows-only (the oracle has no filesystem surface)."""
@@ -989,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_filtered_ivf": q_vector_filtered_ivf,
         "vector_lsh_ann": q_vector_lsh_ann,
         "backend_list": q_backend_list,
+        "sign_many": q_sign_many,
     }
 
 
