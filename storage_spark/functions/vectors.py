@@ -189,6 +189,19 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _first_n_by_key(
+    corpus: DataFrame, n: int, key_col: str, vector_col: str
+) -> DataFrame:
+    """The distributed corpus pass behind ``ivf_centroids``: lowers to
+    TakeOrderedAndProject (each partition keeps a local top-n, the driver
+    merges n rows) — never a global sort or single-partition Window."""
+    return (
+        corpus.select(F.col(key_col).alias("_k"), F.col(vector_col).alias("centroid"))
+        .orderBy("_k")
+        .limit(n)
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_cells: int,
@@ -197,14 +210,26 @@ def ivf_centroids(
 ) -> DataFrame:
     """Deterministic coarse quantizer: the first ``n_cells`` vectors in key
     order act as centroids (k-means would refine them; determinism matters
-    more here and the IVF *mechanics* are identical)."""
-    w = Window.orderBy(F.col(key_col))
-    return (
-        corpus.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_cells)
-        .select(
-            (F.col("_rn") - 1).alias("cell"), F.col(vector_col).alias("centroid")
-        )
+    more here and the IVF *mechanics* are identical).
+
+    Scale shape: the corpus pass is ``orderBy(key).limit(n_cells)`` —
+    TakeOrderedAndProject, distributed — and only the resulting ``n_cells``
+    rows are materialized driver-side to stamp cell ids 0..n-1. That
+    materialization is the same n_cells-row footprint ``broadcast(centroids)``
+    pays anyway in ivf_assign / ivf_search; the former implementation's
+    no-partition Window pulled the WHOLE corpus through one task.
+    """
+    spark = corpus.sparkSession
+    rows = _first_n_by_key(corpus, n_cells, key_col, vector_col).collect()
+    rows.sort(key=lambda r: r["_k"])  # collect order is plan-dependent; pin it
+    schema = corpus.select(F.col(vector_col).alias("centroid")).schema
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("cell", IntegerType(), False), schema.fields[0]]
+    )
+    return spark.createDataFrame(
+        [(i, r["centroid"]) for i, r in enumerate(rows)], out_schema
     )
 
 

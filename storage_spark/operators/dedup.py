@@ -224,20 +224,62 @@ def simhash16(
     return sums.select("doc", packed.cast("bigint").alias("simhash"))
 
 
+def _band_bounds(width: int, n_bands: int) -> list[tuple[int, int]]:
+    """Split ``width`` bits into ``n_bands`` contiguous (offset, width)
+    chunks whose sizes differ by at most one."""
+    base, extra = divmod(width, n_bands)
+    bounds, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
 def simhash_near_pairs(
-    sim: DataFrame, max_hamming: int = 3, doc_col: str = "doc", sim_col: str = "simhash"
+    sim: DataFrame,
+    max_hamming: int = 3,
+    doc_col: str = "doc",
+    sim_col: str = "simhash",
+    sig_bits: int = 16,
 ) -> DataFrame:
-    """Pairs within a Hamming ball. For bounded signature width this is a
-    crossJoin + bit_count(xor) filter; at scale, band the signature bits
-    (split into chunks, equi-join chunks — same pattern as MinHash bands)."""
-    a = sim.select(F.col(doc_col).alias("doc_a"), F.col(sim_col).alias("ha"))
-    b = sim.select(F.col(doc_col).alias("doc_b"), F.col(sim_col).alias("hb"))
+    """Pairs within a Hamming ball, by pigeonhole banding: split the
+    ``sig_bits`` signature into ``max_hamming + 1`` disjoint bit-bands. A
+    pair with hamming ≤ max_hamming differs in at most max_hamming bands,
+    so it agrees EXACTLY on at least one band — candidates meet in a
+    (band, band_value) equi-join, never an all-pairs product, and the exact
+    bit_count(xor) filter then keeps only true hits. Output is identical to
+    the naive crossJoin (banding only prunes pairs the hamming filter would
+    reject); the shuffle is content-distributed by band value, same scale
+    story as the MinHash bands above."""
+    n_bands = max_hamming + 1
+    assert n_bands <= sig_bits, "need at least one bit per band"
+    s = sim.select(F.col(doc_col).alias("doc"), F.col(sim_col).alias("h"))
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("h"), off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("val"),
+        )
+        for i, (off, w) in enumerate(_band_bounds(sig_bits, n_bands))
+    ]
+    bands = s.select(
+        "doc", "h", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc", "h", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.select(
+        F.col("doc").alias("doc_a"), F.col("h").alias("ha"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc").alias("doc_b"), F.col("h").alias("hb"), "band", "val"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()  # a pair may agree on several bands
     )
 
 
@@ -246,17 +288,64 @@ def embedding_near_dup_pairs(
     key_col: str = "key",
     vector_col: str = "embedding",
     max_distance: float = 0.2,
+    dim: int = 64,
+    n_planes: int = 8,
+    band_size: int = 4,
+    exact: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs under a distance threshold (exact
-    all-pairs; swap in functions.vectors.lsh_ann_join at scale)."""
-    from storage_spark.functions.vectors import cosine_distance
+    """Embedding-cosine near-dup pairs under a distance threshold.
 
-    a = vectors.select(F.col(key_col).alias("key_a"), F.col(vector_col).alias("va"))
-    b = vectors.select(F.col(key_col).alias("key_b"), F.col(vector_col).alias("vb"))
+    Default (scale) path: banded random-hyperplane LSH — each vector gets an
+    ``n_planes``-bit signature (functions.vectors.lsh_signature), split into
+    ``n_planes / band_size`` bands; candidate pairs share at least one whole
+    band (equi-join on (band, band_value)), then the exact cosine distance
+    filter keeps real near-dups. Same bucketed-equi-join shape as
+    lsh_ann_join / the MinHash bands: the corpus shuffles once by content,
+    never an all-pairs product. Recall < 1 is the LSH trade (tuned by
+    n_planes / band_size); ``exact=True`` keeps the exhaustive crossJoin as
+    the small-input / recall-measurement baseline.
+    """
+    from storage_spark.functions.vectors import (
+        cosine_distance,
+        hyperplanes,
+        lsh_signature,
+    )
+
+    if exact:
+        a = vectors.select(F.col(key_col).alias("key_a"), F.col(vector_col).alias("va"))
+        b = vectors.select(F.col(key_col).alias("key_b"), F.col(vector_col).alias("vb"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("key_a") < F.col("key_b"))
+            .withColumn("distance", cosine_distance(F.col("va"), F.col("vb")))
+            .filter(F.col("distance") < max_distance)
+            .select("key_a", "key_b", "distance")
+        )
+    assert n_planes % band_size == 0
+    n_bands = n_planes // band_size
+    planes = hyperplanes(dim, n_planes)
+    v = vectors.select(
+        F.col(key_col).alias("key"),
+        F.col(vector_col).alias("vec"),
+        lsh_signature(F.col(vector_col), planes).alias("sig"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.substring(F.col("sig"), i * band_size + 1, band_size).alias("val"),
+        )
+        for i in range(n_bands)
+    ]
+    bands = v.select(
+        "key", "vec", F.explode(F.array(*band_structs)).alias("b")
+    ).select("key", "vec", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.select(F.col("key").alias("key_a"), F.col("vec").alias("va"), "band", "val")
+    b = bands.select(F.col("key").alias("key_b"), F.col("vec").alias("vb"), "band", "val")
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "val"])
         .filter(F.col("key_a") < F.col("key_b"))
         .withColumn("distance", cosine_distance(F.col("va"), F.col("vb")))
         .filter(F.col("distance") < max_distance)
         .select("key_a", "key_b", "distance")
+        .distinct()  # a pair may share several bands
     )

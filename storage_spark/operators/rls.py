@@ -58,8 +58,18 @@ class Policy:
     check: str | None = None
 
 
+def _sql_quote(v: str) -> str:
+    """Escape a claim value for inclusion inside a single-quoted Spark SQL
+    literal. The reference never splices claims into SQL — it binds them as
+    parameterized GUCs (src/internal/database/pg-connection.ts:65-74); this
+    is the engine-side equivalent of that binding. Without it a crafted
+    ``sub`` like ``x' OR '1'='1`` would rewrite the policy predicate and
+    turn default-deny into allow-all."""
+    return v.replace("\\", "\\\\").replace("'", "''")
+
+
 def _compile(template: str, claims: Claims):
-    uid = claims.sub or ""
+    uid = _sql_quote(claims.sub or "")
     sql = template.replace("{{uid}}", uid).replace("auth.uid()", f"'{uid}'")
     return F.expr(sql)
 

@@ -80,8 +80,6 @@ def test_topk_lowering(spark, objects_parquet):
 #: bounded all-pairs generation (docstrings point at the LSH/banded/IVF
 #: alternatives for scale) or a 1-row x 1-row scalar combine.
 _BNLJ_ALLOWED = {
-    "dedup_embedding",
-    "simhash_near_pairs",
     "vector_knn_join",
     "vector_ivf_ann",
     "vector_filtered_ivf",
@@ -108,6 +106,40 @@ def test_no_bad_physical_operators_in_any_query(spark, sf_dir):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_ivf_centroid_pass_is_distributed(spark, sf_dir):
+    """The corpus pass behind ivf_centroids must lower to
+    TakeOrderedAndProject (per-partition local top-n), never a
+    single-partition Window/Sort over the whole corpus."""
+    from storage_spark.functions.vectors import _first_n_by_key
+
+    t = load_all(spark, sf_dir)
+    v = t["embeddings"].select(
+        F.col("vec_id").cast("string").alias("key"), "embedding"
+    )
+    plan = plan_of(_first_n_by_key(v, 8, "key", "embedding"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_banded_pairing_has_no_crossjoin(spark, sf_dir):
+    """simhash_near_pairs and embedding_near_dup_pairs left the BNLJ
+    allowlist: their candidate generation is a (band, value) equi-join."""
+    from storage_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        simhash16,
+        simhash_near_pairs,
+    )
+
+    t = load_all(spark, sf_dir)
+    sim = simhash16(t["documents"].filter(F.col("doc_id") < 40))
+    p1 = plan_of(simhash_near_pairs(sim, max_hamming=6))
+    v = t["embeddings"].select(F.col("vec_id").cast("string").alias("key"), "embedding")
+    p2 = plan_of(embedding_near_dup_pairs(v, max_distance=0.6))
+    for plan in (p1, p2):
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
 
 
 def test_reconcile_plans(spark, sf_dir):

@@ -105,6 +105,28 @@ def test_with_check_split(spark, obj_rows):
     assert {r.name for r in rejected.collect()} == {"o2"}
 
 
+@pytest.mark.parametrize(
+    "evil_sub",
+    [
+        "x' OR '1'='1",          # classic predicate rewrite
+        "x' OR owner_id != '",   # unbalanced-quote splice
+        "u1'--",                 # comment-style truncation attempt
+        "x\\' OR 1=1 --",        # backslash-escape confusion
+    ],
+)
+def test_uid_injection_cannot_widen_policy(spark, obj_rows, evil_sub):
+    """A crafted JWT sub must stay an opaque literal: the owner-match policy
+    with a hostile sub matches NO rows (the reference binds claims as
+    parameterized GUCs, pg-connection.ts:65-74 — splicing them unescaped
+    would turn default-deny into allow-all)."""
+    owner_only = [p for p in POLICIES if p.name == "read_only_all_objects"]
+    out = apply_policies(
+        obj_rows, owner_only, Claims(sub=evil_sub, role="authenticated"),
+        "objects", "select",
+    )
+    assert out.count() == 0
+
+
 def test_anon_cannot_insert(spark, obj_rows):
     allowed, rejected = check_policies(
         obj_rows, POLICIES, Claims(sub=None, role="anon"), "objects"
