@@ -325,6 +325,29 @@ def q_list_multipart_uploads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multipart_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side audit: declared in_progress_size (the signature-guarded
+    accumulator of shouldAllowPartUpload, s3-handler.ts:1432-1462) vs the
+    parts actually inserted."""
+    from storage_spark.operators.multipart import multipart_progress
+
+    t = _t(spark, sf_dir)
+    out = multipart_progress(t["multipart_uploads"], t["multipart_parts"])
+    return out.orderBy("id").limit(200)
+
+
+def q_multipart_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompleteMultipartUpload RETURNING row: Σ part sizes + AWS-style
+    hash-of-hashes ETag (s3-handler.ts:489-560)."""
+    from storage_spark.operators.multipart import complete_multipart_upload
+
+    t = _t(spark, sf_dir)
+    _, _, _, assembled = complete_multipart_upload(
+        t["multipart_uploads"], t["multipart_parts"], t["objects"], "up-100"
+    )
+    return assembled.select("upload_id", "name", "size", "n_parts", "etag")
+
+
 def q_delete_before_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4/F5 read side: what delete-all-before would remove, per bucket."""
     t = _t(spark, sf_dir)
@@ -568,6 +591,18 @@ def q_vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
         "rank",
+    )
+
+
+def q_vector_index_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listIndexes over the vector_indexes metadata table
+    (src/storage/protocols/vector/pg.ts:231-266): name-ordered, prefix
+    range-rewritten (F2), keyset-paginated."""
+    from storage_spark.operators.vectorindex import list_indexes
+
+    t = _t(spark, sf_dir)
+    return list_indexes(
+        t["vector_indexes"], "vb-0", prefix="idx-", max_results=100
     )
 
 
@@ -1003,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_filtered_topk": q_vector_filtered_topk,
         "vector_segment_scan": q_vector_segment_scan,
         "vector_knn_join": q_vector_knn_join,
+        "vector_index_list": q_vector_index_list,
         "dedup_embedding": q_dedup_embedding,
         "list_root": q_list_root,
         "list_nested": q_list_nested,
@@ -1032,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_validation": q_key_validation,
         "list_parts": q_list_parts,
         "list_multipart_uploads": q_list_multipart_uploads,
+        "multipart_progress": q_multipart_progress,
+        "multipart_complete": q_multipart_complete,
         "delete_before_preview": q_delete_before_preview,
         "rls_owner": q_rls_owner,
         "catalog_backfill": q_catalog_backfill,
@@ -1265,6 +1303,27 @@ folders AS (
 leaves AS (SELECT key, id, created_at_ms FROM tagged WHERE cp IS NULL)
 SELECT * FROM (SELECT * FROM folders UNION ALL SELECT * FROM leaves)
 ORDER BY key, created_at_ms
+"""),
+        "multipart_progress": _o("""
+SELECT u.id, u.key, u.in_progress_size,
+  COALESCE(p.parts_size, 0) AS parts_size,
+  COALESCE(p.n_parts, 0) AS n_parts,
+  u.in_progress_size - COALESCE(p.parts_size, 0) AS drift
+FROM multipart_uploads u LEFT JOIN (
+  SELECT upload_id, CAST(sum(size) AS BIGINT) AS parts_size,
+         count(*) AS n_parts
+  FROM multipart_parts GROUP BY upload_id
+) p ON u.id = p.upload_id
+ORDER BY u.id LIMIT 200
+"""),
+        "multipart_complete": _o("""
+SELECT u.id AS upload_id, u.key AS name, CAST(sum(p.size) AS BIGINT) AS size,
+       count(*) AS n_parts,
+       md5(string_agg(p.etag, '' ORDER BY p.part_number))
+         || '-' || CAST(count(*) AS STRING) AS etag
+FROM multipart_uploads u JOIN multipart_parts p ON p.upload_id = u.id
+WHERE u.id = 'up-100'
+GROUP BY u.id, u.key
 """),
         "delete_before_preview": _o("""
 SELECT bucket_id, count(*) AS n, CAST(sum(size) AS BIGINT) AS total_size
@@ -1549,6 +1608,12 @@ SELECT CAST(vec_id AS STRING) AS key, label
 FROM embeddings
 WHERE abs(vec_id) % 8 = 3 AND CAST(vec_id AS STRING) > '25'
 ORDER BY key LIMIT 100
+"""),
+        "vector_index_list": _o("""
+SELECT name, bucket_id, created_at_ms
+FROM vector_indexes
+WHERE bucket_id = 'vb-0' AND name LIKE 'idx-%'
+ORDER BY name LIMIT 100
 """),
         "vector_knn_join": _o(f"""
 SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank

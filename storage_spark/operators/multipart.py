@@ -1,19 +1,238 @@
-"""S3 multipart upload listing operators (O6 + the A5 delimiter variant).
+"""S3 multipart upload operators — listing (O6 + the A5 delimiter variant)
+and the write side (create / upload-part / complete / abort).
 
 Reference:
+- createMultipartUpload: INSERT with in_progress_size 0 + upload signature
+  (pg.ts:1455-1495; s3-handler.ts:440-480)
+- shouldAllowPartUpload: signature check → progress accumulation → size cap
+  (s3-handler.ts:1432-1462); insertUploadPart (pg.ts:1561-1580)
 - listParts: ``ORDER BY part_number LIMIT max`` with ``part_number > after``
   keyset (pg.ts:1581-1613)
+- completeMultipartUpload: assemble parts → object upsert → delete upload
+  (s3-handler.ts:489-560); abort → deleteMultipartUpload (pg.ts:1545-1560)
 - list_multipart_uploads_with_delimiter: DISTINCT ON common-prefix folding
   over in-flight upload keys (migrations/tenant/0021-s3-multipart-uploads
   .sql:28-67)
+
+The reference guards per-request progress races with SELECT … FOR UPDATE;
+a batch engine applies a whole batch of parts as ONE set-oriented merge, so
+the per-upload accumulation is a groupBy instead of a lock. The upload
+signature (an encrypted copy of the progress the reference uses to detect
+out-of-band writes) becomes a deterministic digest of the progress value —
+pure-function, recomputable by any engine, tamper-evident against the
+stored progress column.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from storage_spark.functions.paths import common_prefix, prefix_range_filter
+
+
+class EntityTooLargeError(Exception):
+    """A part batch would push an upload past its size cap
+    (ERRORS.EntityTooLarge, s3-handler.ts:1454-1456)."""
+
+
+class InvalidUploadSignatureError(Exception):
+    """Stored progress does not match its signature
+    (ERRORS.InvalidUploadSignature, s3-handler.ts:1448-1450)."""
+
+
+def upload_signature(progress: Column) -> Column:
+    """Deterministic signature of the progress value — the engine analogue
+    of uploadSignature({in_progress_size}) (s3-handler.ts:458, :1458).
+    md5-based so Spark, the oracle, and any auditor recompute it identically;
+    deployments needing secrecy swap in operators.signing HMAC."""
+    return F.md5(F.concat(F.lit("mpu-sig:"), progress.cast("string")))
+
+
+def with_signature(uploads: DataFrame) -> DataFrame:
+    """Attach the derived ``upload_signature`` column."""
+    return uploads.withColumn(
+        "upload_signature", upload_signature(F.col("in_progress_size"))
+    )
+
+
+def validate_signatures(uploads_signed: DataFrame) -> DataFrame:
+    """Rows whose stored signature does NOT match their progress — the batch
+    analogue of decryptUploadSignature → InvalidUploadSignature
+    (s3-handler.ts:1446-1450)."""
+    return uploads_signed.filter(
+        F.col("upload_signature") != upload_signature(F.col("in_progress_size"))
+    )
+
+
+def create_multipart_upload(
+    uploads: DataFrame,
+    upload_id: str,
+    bucket_id: str,
+    key: str,
+    version: str = "v1",
+    owner_id: str | None = None,
+    created_at_ms: int = 0,
+) -> DataFrame:
+    """CreateMultipartUpload (pg.ts:1455-1495): INSERT with
+    in_progress_size = 0; id collision is an error (PRIMARY KEY)."""
+    from storage_spark.operators.mutations import create_rows
+
+    spark = uploads.sparkSession
+    row = spark.createDataFrame(
+        [(upload_id, bucket_id, key, version, 0, owner_id, created_at_ms)],
+        "id string, bucket_id string, key string, version string,"
+        " in_progress_size bigint, owner_id string, created_at_ms bigint",
+    )
+    return create_rows(uploads, row.select(*uploads.columns), ["id"])
+
+
+def upload_parts(
+    uploads: DataFrame,
+    parts: DataFrame,
+    new_parts: DataFrame,
+    max_file_size: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Apply a batch of parts: per-upload accumulation + size-cap gate in
+    ONE set-oriented pass (the merge form of shouldAllowPartUpload +
+    insertUploadPart, s3-handler.ts:1432-1462, pg.ts:1561-1580).
+
+    Returns ``(uploads', parts', rejected_parts)``: uploads whose batch
+    total would exceed ``max_file_size`` are left untouched and ALL their
+    new parts land in ``rejected_parts`` (the reference rejects the request;
+    partial application would corrupt the signature chain).
+    """
+    add = new_parts.groupBy(F.col("upload_id").alias("id")).agg(
+        F.sum("size").alias("_add")
+    )
+    gated = uploads.join(F.broadcast(add), "id", "left").withColumn(
+        "_new_size",
+        F.col("in_progress_size") + F.coalesce(F.col("_add"), F.lit(0)),
+    )
+    ok_ids = gated.filter(F.col("_new_size") <= max_file_size).select("id")
+    updated = (
+        gated.withColumn(
+            "in_progress_size",
+            F.when(F.col("_new_size") <= max_file_size, F.col("_new_size")).otherwise(
+                F.col("in_progress_size")
+            ),
+        )
+        .drop("_add", "_new_size")
+    )
+    accepted = new_parts.join(
+        F.broadcast(ok_ids.withColumnRenamed("id", "upload_id")), "upload_id",
+        "left_semi",
+    )
+    rejected = new_parts.join(
+        F.broadcast(ok_ids.withColumnRenamed("id", "upload_id")), "upload_id",
+        "left_anti",
+    )
+    return updated, parts.unionByName(accepted), rejected
+
+
+def complete_multipart_upload(
+    uploads: DataFrame,
+    parts: DataFrame,
+    objects: DataFrame,
+    upload_id: str,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Assemble previously uploaded parts into the final object
+    (s3-handler.ts:489-560): object size = Σ part sizes, ETag is the
+    AWS-style hash-of-hashes ``md5(concat(etags)) || '-' || n``; the upload
+    row and its parts are deleted (ON DELETE CASCADE, 0021:14).
+
+    Returns ``(objects', uploads', parts', assembled)`` where ``assembled``
+    is the 1-row RETURNING-parity DataFrame.
+    """
+    from storage_spark.operators.mutations import merge_upsert
+
+    up = uploads.filter(F.col("id") == upload_id)
+    assembled = (
+        parts.filter(F.col("upload_id") == upload_id)
+        .groupBy("upload_id")
+        .agg(
+            F.sum("size").alias("size"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("part_number", "etag"))
+                        ),
+                        lambda s: s["etag"],
+                    ),
+                    "",
+                )
+            ).alias("etag_md5"),
+        )
+        .join(
+            up.select(
+                F.col("id").alias("upload_id"), "bucket_id",
+                F.col("key").alias("name"), "version", "owner_id",
+                "created_at_ms",
+            ),
+            "upload_id",
+        )
+        .withColumn(
+            "etag", F.concat(F.col("etag_md5"), F.lit("-"), F.col("n_parts"))
+        )
+        .drop("etag_md5")
+    )
+    new_objects = merge_upsert(
+        objects,
+        assembled.select(
+            F.col("upload_id").alias("id"), "bucket_id", "name", "size",
+            "created_at_ms", F.col("created_at_ms").alias("updated_at_ms"),
+            "owner_id", "version",
+            F.lit("application/octet-stream").alias("mimetype"),
+        ),
+        ["bucket_id", "name"],
+    )
+    return (
+        new_objects,
+        uploads.filter(F.col("id") != upload_id),
+        parts.filter(F.col("upload_id") != upload_id),
+        assembled,
+    )
+
+
+def abort_multipart_upload(
+    uploads: DataFrame, parts: DataFrame, upload_id: str
+) -> tuple[DataFrame, DataFrame]:
+    """AbortMultipartUpload (s3-handler.ts:761+, pg.ts:1545-1560): drop the
+    upload row; the parts cascade."""
+    return (
+        uploads.filter(F.col("id") != upload_id),
+        parts.filter(F.col("upload_id") != upload_id),
+    )
+
+
+def multipart_progress(
+    uploads: DataFrame, parts: DataFrame
+) -> DataFrame:
+    """Per-upload progress reconciliation: declared ``in_progress_size``
+    (the signature-guarded accumulator) vs the Σ size of parts actually
+    inserted — the set-oriented audit of the invariant
+    shouldAllowPartUpload maintains per request. ``drift ≠ 0`` marks uploads
+    whose part inserts failed after the progress bump (the compensation
+    path at s3-handler.ts:684-694)."""
+    actual = parts.groupBy(F.col("upload_id").alias("id")).agg(
+        F.sum("size").alias("parts_size"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        uploads.join(actual, "id", "left")
+        .select(
+            "id",
+            "key",
+            "in_progress_size",
+            F.coalesce(F.col("parts_size"), F.lit(0)).alias("parts_size"),
+            F.coalesce(F.col("n_parts"), F.lit(0)).alias("n_parts"),
+            (
+                F.col("in_progress_size")
+                - F.coalesce(F.col("parts_size"), F.lit(0))
+            ).alias("drift"),
+        )
+    )
 
 
 def encode_upload_id(bucket: str, key: str, version: str) -> str:

@@ -111,6 +111,26 @@ SELECT
 FROM lineitem WHERE l_orderkey % 50 = 0
 """
 
+BUCKETS_VECTORS_SQL = """
+SELECT DISTINCT
+  'vb-' || CAST(n_nationkey % 5 AS STRING) AS id,
+  'VECTOR' AS type
+FROM nation
+"""
+
+VECTOR_INDEXES_SQL = """
+SELECT
+  'vb-' || CAST(n_nationkey % 5 AS STRING) AS bucket_id,
+  'idx-' || lower(replace(n_name, ' ', '-')) AS name,
+  'float32' AS data_type,
+  64 AS dimension,
+  CASE WHEN n_nationkey % 2 = 0 THEN 'cosine' ELSE 'euclidean' END AS distance_metric,
+  CASE WHEN n_nationkey % 3 = 0
+       THEN '{"nonFilterableMetadataKeys": ["private-note"]}' END AS metadata_configuration,
+  1704067200000 + n_nationkey * 1000 AS created_at_ms
+FROM nation
+"""
+
 TENANTS_SQL = """
 SELECT DISTINCT
   'tenant-' || CAST(CAST(substr(p_brand, 7) AS INT) % 5 AS STRING) AS tenant_id,
@@ -125,6 +145,8 @@ DERIVED_VIEWS = [
     ("s3_keys", S3_KEYS_SQL),
     ("multipart_uploads", MULTIPART_UPLOADS_SQL),
     ("multipart_parts", MULTIPART_PARTS_SQL),
+    ("buckets_vectors", BUCKETS_VECTORS_SQL),
+    ("vector_indexes", VECTOR_INDEXES_SQL),
     ("tenants", TENANTS_SQL),
 ]
 
