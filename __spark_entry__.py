@@ -674,6 +674,22 @@ def q_vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_join(queries, v, k=3, dim=64, n_planes=6)
 
 
+def q_iceberg_table_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg index mutations: dropTable (iceberg/pg.ts:160-178) + REST
+    rename applied to the table index, then a namespace listing."""
+    from storage_spark.operators.catalog import drop_table, rename_table
+
+    t = _t(spark, sf_dir)
+    tbls = t["iceberg_tables"]
+    tbls = drop_table(tbls, "asia-bkt", "ns-asia", "tbl-nation_2")
+    tbls = rename_table(tbls, "asia-bkt", "ns-asia", "tbl-nation_12", "tbl-renamed_12")
+    return (
+        tbls.filter(F.col("namespace") == "ns-asia")
+        .select("table_name", "location")
+        .orderBy("table_name")
+    )
+
+
 def q_catalog_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: catalog_id backfill join-update (0048-iceberg-catalog-ids.sql:
     96-104) — fill iceberg_tables.catalog_id from the analytics-bucket
@@ -762,12 +778,13 @@ def q_copy_object(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _t(spark, sf_dir)
     out = copy_object(
-        t["objects"], "Brand#17", "ECONOMY/red/widget-1.txt", "copies/widget-1.txt"
+        t["objects"], "Brand#17", "ECONOMY/red/widget-1.txt", "copies/widget-1.txt",
+        new_id="copy-1", new_version="v-copy",
     )
     return out.filter(
         (F.col("bucket_id") == "Brand#17")
         & F.col("name").isin("ECONOMY/red/widget-1.txt", "copies/widget-1.txt")
-    ).select("name", "id", "size")
+    ).select("name", "id", "size", "version")
 
 
 def q_move_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1073,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_before_preview": q_delete_before_preview,
         "rls_owner": q_rls_owner,
         "catalog_backfill": q_catalog_backfill,
+        "iceberg_table_ops": q_iceberg_table_ops,
         "tenant_usage": q_tenant_usage,
         "usage_cube": q_usage_cube,
         "search_by_timestamp": q_search_by_timestamp,
@@ -1345,6 +1363,16 @@ LEFT JOIN (SELECT id, name FROM buckets WHERE public) b
   ON b.name = o.bucket_id
 WHERE CAST(o.id AS BIGINT) % 100 = 0
 """),
+        "iceberg_table_ops": _o("""
+SELECT table_name, location FROM (
+  SELECT CASE WHEN table_name = 'tbl-nation_12' THEN 'tbl-renamed_12'
+              ELSE table_name END AS table_name,
+         location
+  FROM iceberg_tables
+  WHERE namespace = 'ns-asia' AND table_name <> 'tbl-nation_2'
+)
+ORDER BY table_name
+"""),
         "tenant_usage": _o("""
 SELECT u.tenant_id, u.total_size, u.n_objects, u.n_buckets,
        u.total_size > t.max_size_bytes AS over_quota
@@ -1385,10 +1413,12 @@ SELECT bucket_id, CAST(sum(size) AS BIGINT) AS total_size, count(*) AS n_objects
 FROM objects GROUP BY bucket_id
 """),
         "copy_object": _o("""
-SELECT name, id, size FROM objects
+SELECT name, id, size, version FROM objects
 WHERE bucket_id = 'Brand#17' AND name = 'ECONOMY/red/widget-1.txt'
 UNION ALL
-SELECT 'copies/widget-1.txt' AS name, id, size FROM objects
+SELECT 'copies/widget-1.txt' AS name, 'copy-1' AS id, size,
+       'v-copy' AS version
+FROM objects
 WHERE bucket_id = 'Brand#17' AND name = 'ECONOMY/red/widget-1.txt'
 """),
         "move_objects": _o("""

@@ -100,6 +100,102 @@ def list_tables(
     return df.limit(limit) if limit else df
 
 
+def drop_table(
+    tables: DataFrame, bucket_id: str, namespace: str, table_name: str
+) -> DataFrame:
+    """dropTable (src/storage/protocols/iceberg/pg.ts:160-178): DELETE by
+    (catalog, namespace, name) — 0048 renames our bucket_id key to
+    catalog_id; the index shape is identical."""
+    return tables.filter(
+        ~(
+            (F.col("bucket_id") == bucket_id)
+            & (F.col("namespace") == namespace)
+            & (F.col("table_name") == table_name)
+        )
+    )
+
+
+def rename_table(
+    tables: DataFrame,
+    bucket_id: str,
+    namespace: str,
+    table_name: str,
+    new_name: str,
+    new_namespace: str | None = None,
+) -> DataFrame:
+    """REST-catalog rename (proxied by tenant-catalog.ts; on the index it is
+    a keyed update): destination must not exist, source must."""
+    dst_ns = new_namespace or namespace
+    if (
+        tables.filter(
+            (F.col("bucket_id") == bucket_id)
+            & (F.col("namespace") == dst_ns)
+            & (F.col("table_name") == new_name)
+        )
+        .limit(1)
+        .count()
+    ):
+        raise KeyAlreadyExistsError(f"table {dst_ns}.{new_name} exists")
+    src = (F.col("bucket_id") == bucket_id) & (
+        F.col("namespace") == namespace
+    ) & (F.col("table_name") == table_name)
+    if tables.filter(src).limit(1).count() == 0:
+        raise KeyError(f"table {namespace}.{table_name} does not exist")
+    return tables.withColumns(
+        {
+            "namespace": F.when(src, F.lit(dst_ns)).otherwise(F.col("namespace")),
+            "table_name": F.when(src, F.lit(new_name)).otherwise(
+                F.col("table_name")
+            ),
+        }
+    )
+
+
+def drop_namespace(
+    namespaces: DataFrame, tables: DataFrame, bucket_id: str, namespace: str
+) -> DataFrame:
+    """dropNamespace (pg.ts:348-372): RESTRICT — refuses while tables
+    remain (FK 23503 in the reference)."""
+    if (
+        tables.filter(
+            (F.col("bucket_id") == bucket_id) & (F.col("namespace") == namespace)
+        )
+        .limit(1)
+        .count()
+    ):
+        raise KeyAlreadyExistsError(
+            f"namespace {namespace} still has tables (RESTRICT)"
+        )
+    return namespaces.filter(
+        ~((F.col("bucket_id") == bucket_id) & (F.col("namespace") == namespace))
+    )
+
+
+def upsert_table_location(
+    tables: DataFrame,
+    bucket_id: str,
+    namespace: str,
+    table_name: str,
+    location: str,
+) -> DataFrame:
+    """Table upsert with location refresh — INSERT … ON CONFLICT DO UPDATE
+    SET location (pg.ts:455-460; location/metadata columns from
+    migrations 0047/0048)."""
+    from storage_spark.operators.mutations import merge_upsert
+
+    if "location" not in tables.columns:
+        # the ADD COLUMN IF NOT EXISTS evolution step (0047/0048)
+        tables = tables.withColumn("location", F.lit(None).cast("string"))
+    spark = tables.sparkSession
+    row = spark.createDataFrame(
+        [(bucket_id, namespace, table_name, location)],
+        "bucket_id string, namespace string, table_name string, location string",
+    )
+    return merge_upsert(
+        tables, row.select(*tables.columns), ["bucket_id", "namespace", "table_name"]
+    )
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(  # noqa: SLF001

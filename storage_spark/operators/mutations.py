@@ -100,16 +100,37 @@ def copy_object(
     from_name: str,
     to_name: str,
     to_bucket_id: str | None = None,
+    new_id: str | None = None,
+    new_version: str | None = None,
 ) -> DataFrame:
     """Object copy (route surface object.ts copy): duplicate the source row
-    under the destination key via upsert — metadata travels, id stays the
-    source's content identity."""
+    under the destination key via upsert. The reference mints a fresh
+    version (randomUUID, object.ts:316) and a fresh object id via
+    upsertObject — two objects never share one primary id (or one ETag,
+    since s3proto derives ETags from id). The engine takes the new identity
+    as explicit parameters (deterministic inputs keep plans replayable);
+    defaults derive them from the destination key so a copy NEVER inherits
+    the source identity."""
     src = objects.filter(
         (F.col("bucket_id") == bucket_id) & (F.col("name") == from_name)
     )
-    dst = src.withColumn("name", F.lit(to_name))
-    if to_bucket_id is not None:
-        dst = dst.withColumn("bucket_id", F.lit(to_bucket_id))
+    dst_bucket = to_bucket_id if to_bucket_id is not None else bucket_id
+    dst = (
+        src.withColumn("name", F.lit(to_name))
+        .withColumn("bucket_id", F.lit(dst_bucket))
+        .withColumn(
+            "id",
+            F.lit(new_id)
+            if new_id is not None
+            else F.md5(F.concat(F.lit(f"copy:{dst_bucket}:{to_name}:"), F.col("id"))),
+        )
+        .withColumn(
+            "version",
+            F.lit(new_version)
+            if new_version is not None
+            else F.md5(F.concat(F.lit(f"copyv:{dst_bucket}:{to_name}:"), F.col("version"))),
+        )
+    )
     return merge_upsert(objects, dst, ["bucket_id", "name"])
 
 

@@ -111,6 +111,15 @@ SELECT
 FROM lineitem WHERE l_orderkey % 50 = 0
 """
 
+ICEBERG_TABLES_SQL = """
+SELECT
+  lower(replace(r_name, ' ', '-')) || '-bkt' AS bucket_id,
+  'ns-' || lower(replace(r_name, ' ', '-')) AS namespace,
+  'tbl-' || lower(replace(n_name, ' ', '-')) AS table_name,
+  's3://warehouse/' || lower(replace(n_name, ' ', '-')) AS location
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
 BUCKETS_VECTORS_SQL = """
 SELECT DISTINCT
   'vb-' || CAST(n_nationkey % 5 AS STRING) AS id,
@@ -145,6 +154,7 @@ DERIVED_VIEWS = [
     ("s3_keys", S3_KEYS_SQL),
     ("multipart_uploads", MULTIPART_UPLOADS_SQL),
     ("multipart_parts", MULTIPART_PARTS_SQL),
+    ("iceberg_tables", ICEBERG_TABLES_SQL),
     ("buckets_vectors", BUCKETS_VECTORS_SQL),
     ("vector_indexes", VECTOR_INDEXES_SQL),
     ("tenants", TENANTS_SQL),

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from storage_spark.operators.mutations import (
     KeyAlreadyExistsError,
     ParquetTable,
+    copy_object,
     create_rows,
     delete_all_before,
     lifecycle_events,
@@ -99,6 +100,27 @@ def test_lifecycle_events(spark, target):
         ("b1", "a.txt", "ObjectUpdatedMetadata"),
         ("b2", "a.txt", "ObjectRemoved"),
     }
+
+
+def test_copy_object_mints_new_identity(spark):
+    """A copy never shares the source's primary id or version (the
+    reference mints both: randomUUID at object.ts:316 + upsertObject)."""
+    objects = spark.createDataFrame(
+        [("b1", "src.txt", "id-1", "v1", 10)],
+        "bucket_id string, name string, id string, version string, size long",
+    )
+    out = copy_object(objects, "b1", "src.txt", "dst.txt")
+    rows = {r.name: r for r in out.collect()}
+    assert set(rows) == {"src.txt", "dst.txt"}
+    assert rows["dst.txt"].id != rows["src.txt"].id
+    assert rows["dst.txt"].version != rows["src.txt"].version
+    assert rows["dst.txt"].size == 10  # metadata travels
+    # explicit identity wins (deterministic replay)
+    out2 = copy_object(
+        objects, "b1", "src.txt", "dst.txt", new_id="N", new_version="V"
+    )
+    d = {r.name: r for r in out2.collect()}["dst.txt"]
+    assert (d.id, d.version) == ("N", "V")
 
 
 def test_parquet_table_commit(spark, target, tmp_path):
