@@ -101,3 +101,161 @@ def v1_marker_to_v2(marker: str | None, prefix_of_last_page: str | None = None) 
     """V1 ``Marker`` ≡ V2 ``StartAfter`` on the raw key (s3-handler.ts:
     162-195 re-maps tokens; the engine-side cursor is just the name)."""
     return marker or prefix_of_last_page
+
+
+# ----------------------------------------------------------------------
+# V1 ListObjects: the full token remap (s3-handler.ts:162-195)
+# ----------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ListObjectsV1Result:
+    """V1 ``ListBucketResult``: tokens are RAW keys (cursorV1 mode —
+    s3-handler.ts:267-272 returns ``nextCursorKey``, not the encoded
+    cursor), and ``NextMarker`` appears only when the page is truncated AND
+    a delimiter was requested (:179-184)."""
+
+    contents: list[dict] = field(default_factory=list)
+    common_prefixes: list[str] = field(default_factory=list)
+    is_truncated: bool = False
+    marker: str | None = None
+    next_marker: str | None = None
+    key_count: int = 0
+
+
+def shape_list_objects_v1(
+    listing: DataFrame, max_keys: int, delimiter: str | None = "/"
+) -> ListObjectsV1Result:
+    """V1 page = the V2 page with the token remap applied: the request's
+    ``Marker`` feeds the listing as ``StartAfter`` upstream (v1_marker_to_v2)
+    and the response carries the raw last key instead of an opaque token."""
+    from storage_spark.operators.pagination import decode_token
+
+    v2 = shape_list_objects_v2(listing, max_keys)
+    raw_next = (
+        decode_token(v2.next_continuation_token)
+        if v2.next_continuation_token
+        else None
+    )
+    return ListObjectsV1Result(
+        contents=v2.contents,
+        common_prefixes=v2.common_prefixes,
+        is_truncated=v2.is_truncated,
+        marker=raw_next,
+        next_marker=raw_next if (v2.is_truncated and delimiter) else None,
+        key_count=v2.key_count,
+    )
+
+
+# ----------------------------------------------------------------------
+# XML request parsing (the reference's fast-xml-parser plugin,
+# src/http/plugins/xml.ts, feeds these command shapes)
+# ----------------------------------------------------------------------
+
+
+class MalformedXMLError(Exception):
+    """S3 ``MalformedXML``: body does not parse or misses required parts."""
+
+
+def _parse_xml(body: str):
+    from xml.etree import ElementTree as ET
+
+    try:
+        return ET.fromstring(body)
+    except ET.ParseError as e:
+        raise MalformedXMLError(str(e)) from e
+
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_complete_multipart_upload_xml(body: str) -> list[tuple[int, str]]:
+    """``CompleteMultipartUpload`` request body → ordered
+    ``(part_number, etag)`` list (the Parts array consumed at
+    s3-handler.ts:512-520). Part numbers must be integers; quotes around
+    ETags are stripped as AWS clients send either form."""
+    root = _parse_xml(body)
+    parts: list[tuple[int, str]] = []
+    for el in root:
+        if _strip_ns(el.tag) != "Part":
+            continue
+        num, etag = None, None
+        for child in el:
+            t = _strip_ns(child.tag)
+            if t == "PartNumber":
+                try:
+                    num = int((child.text or "").strip())
+                except ValueError as e:
+                    raise MalformedXMLError(f"bad PartNumber: {child.text!r}") from e
+            elif t == "ETag":
+                etag = (child.text or "").strip().strip('"')
+        if num is None or etag is None:
+            raise MalformedXMLError("Part needs PartNumber and ETag")
+        parts.append((num, etag))
+    if not parts:
+        raise MalformedXMLError("CompleteMultipartUpload needs at least one Part")
+    return parts
+
+
+def parse_delete_objects_xml(body: str) -> tuple[list[str], bool]:
+    """``Delete`` (multi-object delete) request body → (keys, quiet)."""
+    root = _parse_xml(body)
+    keys: list[str] = []
+    quiet = False
+    for el in root:
+        t = _strip_ns(el.tag)
+        if t == "Quiet":
+            quiet = (el.text or "").strip().lower() == "true"
+        elif t == "Object":
+            key = None
+            for child in el:
+                if _strip_ns(child.tag) == "Key":
+                    key = child.text or ""
+            if key is None:
+                raise MalformedXMLError("Object needs a Key")
+            keys.append(key)
+    if not keys:
+        raise MalformedXMLError("Delete needs at least one Object")
+    return keys, quiet
+
+
+def parse_list_bucket_result_xml(body: str) -> ListObjectsV2Result:
+    """Inverse of ``to_list_bucket_result_xml`` — golden round-trip support
+    and a client-side response reader."""
+    root = _parse_xml(body)
+    contents: list[dict] = []
+    prefixes: list[str] = []
+    is_truncated = False
+    token: str | None = None
+    key_count = 0
+    for el in root:
+        t = _strip_ns(el.tag)
+        if t == "Contents":
+            c: dict = {}
+            for child in el:
+                ct = _strip_ns(child.tag)
+                if ct == "Key":
+                    c["Key"] = child.text or ""
+                elif ct == "Size":
+                    c["Size"] = int(child.text or 0)
+                elif ct == "ETag":
+                    c["ETag"] = child.text
+            contents.append(c)
+        elif t == "CommonPrefixes":
+            for child in el:
+                if _strip_ns(child.tag) == "Prefix":
+                    prefixes.append(child.text or "")
+        elif t == "IsTruncated":
+            is_truncated = (el.text or "").strip().lower() == "true"
+        elif t == "NextContinuationToken":
+            token = el.text
+        elif t == "KeyCount":
+            key_count = int(el.text or 0)
+    return ListObjectsV2Result(
+        contents=contents,
+        common_prefixes=prefixes,
+        is_truncated=is_truncated,
+        next_continuation_token=token,
+        key_count=key_count,
+    )

@@ -156,6 +156,91 @@ def test_list_bucket_result_xml(spark, objects_df):
     assert all(p.endswith("/") for p in prefixes)
 
 
+def test_s3_v1_token_remap(spark, objects_df):
+    """V1 ListObjects = V2 + the cursorV1 remap (s3-handler.ts:162-195,
+    :267-272): tokens are raw keys, NextMarker only when truncated AND a
+    delimiter was requested."""
+    from storage_spark.operators.s3proto import (
+        shape_list_objects_v1,
+        shape_list_objects_v2,
+        v1_marker_to_v2,
+    )
+    from storage_spark.operators.pagination import decode_token
+
+    listing = list_objects_with_delimiter(objects_df, "fixture-bucket")
+    v1 = shape_list_objects_v1(listing, max_keys=10, delimiter="/")
+    v2 = shape_list_objects_v2(listing, max_keys=10)
+    assert v1.is_truncated and v1.key_count == 10
+    # raw-key token == decoded V2 token
+    assert v1.next_marker == decode_token(v2.next_continuation_token)
+    assert v1.marker == v1.next_marker
+    # no delimiter -> NextMarker omitted even when truncated (:179-184)
+    v1_nd = shape_list_objects_v1(listing, max_keys=10, delimiter=None)
+    assert v1_nd.is_truncated and v1_nd.next_marker is None
+    # request-side remap: Marker feeds StartAfter unchanged
+    assert v1_marker_to_v2("some/key.txt") == "some/key.txt"
+    # full page: no tokens at all
+    full = shape_list_objects_v1(listing, max_keys=1000)
+    assert not full.is_truncated and full.marker is None
+
+
+def test_xml_request_parsing():
+    from storage_spark.operators.s3proto import (
+        MalformedXMLError,
+        parse_complete_multipart_upload_xml,
+        parse_delete_objects_xml,
+    )
+    import pytest as _pytest
+
+    body = """
+    <CompleteMultipartUpload xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+      <Part><PartNumber>1</PartNumber><ETag>"etag-a"</ETag></Part>
+      <Part><PartNumber>2</PartNumber><ETag>etag-b</ETag></Part>
+    </CompleteMultipartUpload>"""
+    assert parse_complete_multipart_upload_xml(body) == [
+        (1, "etag-a"),
+        (2, "etag-b"),
+    ]
+    with _pytest.raises(MalformedXMLError):
+        parse_complete_multipart_upload_xml("<CompleteMultipartUpload/>")
+    with _pytest.raises(MalformedXMLError):
+        parse_complete_multipart_upload_xml(
+            "<CompleteMultipartUpload><Part><PartNumber>x</PartNumber>"
+            "<ETag>e</ETag></Part></CompleteMultipartUpload>"
+        )
+    with _pytest.raises(MalformedXMLError):
+        parse_complete_multipart_upload_xml("not xml at all <<<")
+
+    dbody = """
+    <Delete>
+      <Quiet>true</Quiet>
+      <Object><Key>a/b.txt</Key></Object>
+      <Object><Key>c.bin</Key></Object>
+    </Delete>"""
+    assert parse_delete_objects_xml(dbody) == (["a/b.txt", "c.bin"], True)
+    with _pytest.raises(MalformedXMLError):
+        parse_delete_objects_xml("<Delete><Quiet>false</Quiet></Delete>")
+
+
+def test_list_bucket_result_xml_roundtrip(spark, objects_df):
+    from storage_spark.operators.s3proto import (
+        parse_list_bucket_result_xml,
+        shape_list_objects_v2,
+        to_list_bucket_result_xml,
+    )
+
+    listing = list_objects_with_delimiter(objects_df, "fixture-bucket")
+    page = shape_list_objects_v2(listing, max_keys=7)
+    xml = to_list_bucket_result_xml(page, "fixture-bucket", max_keys=7)
+    back = parse_list_bucket_result_xml(xml)
+    assert back.key_count == page.key_count
+    assert back.is_truncated == page.is_truncated
+    assert back.next_continuation_token == page.next_continuation_token
+    assert back.common_prefixes == page.common_prefixes
+    assert [c["Key"] for c in back.contents] == [c["Key"] for c in page.contents]
+    assert [c["Size"] for c in back.contents] == [c["Size"] for c in page.contents]
+
+
 def test_upload_id_codec():
     from storage_spark.operators.multipart import decode_upload_id, encode_upload_id
 
