@@ -964,6 +964,26 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sim, max_hamming=6)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-closure dedup: connected components over the SimHash near-dup
+    pairs (iterative min-label propagation; oracle = recursive CTE). Every
+    doc maps to the min doc id reachable through pair chains."""
+    from storage_spark.operators.dedup import (
+        dedup_components,
+        simhash16,
+        simhash_near_pairs,
+    )
+
+    t = _t(spark, sf_dir)
+    sim = simhash16(t["documents"].filter(F.col("doc_id") < 40))
+    pairs = simhash_near_pairs(sim, max_hamming=6)
+    out = dedup_components(pairs, nodes=sim.select("doc"))
+    return out.select(
+        F.col("doc").cast("bigint").alias("doc"),
+        F.col("component").cast("bigint").alias("component"),
+    ).orderBy("doc")
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH near-dup (the scale path — candidate pairs meet
     in a (band, band_value) equi-join, never an all-pairs product). The
@@ -1015,6 +1035,42 @@ def _oracle_simhash_value() -> str:
         _oracle_simhash_sums()
         + f"SELECT doc_id AS doc, CAST({packed} AS BIGINT) AS simhash FROM s"
     )
+
+
+def _oracle_simhash_components(max_hamming: int) -> str:
+    """Recursive-CTE mirror of dedup_components over the SimHash pairs:
+    reach(doc,label) closes over undirected edges; min reachable = the
+    component id min-label propagation converges to."""
+    packed = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2 ** k} ELSE 0 END)" for k in range(16))
+    hamming = " + ".join(
+        f"(CASE WHEN (a.simhash // {2 ** k}) % 2 <> (b.simhash // {2 ** k}) % 2 THEN 1 ELSE 0 END)"
+        for k in range(16)
+    )
+    sql = _o(
+        _oracle_simhash_sums()
+        + f""",
+sv AS (SELECT doc_id AS doc, CAST({packed} AS BIGINT) AS simhash FROM s),
+prs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM sv a JOIN sv b ON a.doc < b.doc
+  WHERE {hamming} <= {max_hamming}
+),
+edges AS (
+  SELECT doc_a AS ea, doc_b AS eb FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+reach AS (
+  SELECT doc, doc AS label FROM sv
+  UNION
+  SELECT e.eb AS doc, r.label FROM reach r JOIN edges e ON e.ea = r.doc
+)
+SELECT CAST(doc AS BIGINT) AS doc, CAST(min(label) AS BIGINT) AS component
+FROM reach GROUP BY doc ORDER BY doc
+"""
+    )
+    # any recursive CTE requires the whole WITH clause to be RECURSIVE
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
 def _oracle_simhash_pairs(max_hamming: int) -> str:
@@ -1110,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "dedup_components": q_dedup_components,
         "vector_ivf_ann": q_vector_ivf_ann,
         "vector_filtered_ivf": q_vector_filtered_ivf,
         "vector_lsh_ann": q_vector_lsh_ann,
@@ -1607,6 +1664,7 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.
 """),
         "dedup_simhash": _oracle_simhash_value(),
         "simhash_near_pairs": _oracle_simhash_pairs(6),
+        "dedup_components": _oracle_simhash_components(6),
         "dedup_embedding": _oracle_embedding_neardup(),
         "vector_cosine_topk": _o(f"""
 SELECT key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4

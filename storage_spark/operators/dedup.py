@@ -283,6 +283,76 @@ def simhash_near_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    nodes: DataFrame | None = None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document converges
+    to ``component`` = the MIN doc id reachable through any chain of pairs.
+    This replaces greedy pair-drop dedup — a whole near-dup CLUSTER keeps
+    exactly one representative even when the pair list only connects it
+    transitively (a~b, b~c but not a~c).
+
+    Plan: iterative min-label propagation — per round, each node takes the
+    min of its own label and its neighbors' labels (one equi-join + groupBy
+    per round), with ``localCheckpoint`` truncating lineage so round N's
+    plan does not replay rounds 1..N-1. Converges in O(graph diameter)
+    rounds; near-dup graphs are dense clusters with tiny diameters, so 2-3
+    rounds is typical. At extreme scale the same loop upgrades to the
+    large-star/small-star contraction (O(log n) rounds) without changing
+    this contract.
+
+    ``nodes`` optionally supplies the full document set so singletons (no
+    pairs) appear with ``component = doc``.
+    """
+    edges = pairs.select(F.col(doc_a).alias("a"), F.col(doc_b).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    if nodes is None:
+        nodes_df = edges.select(F.col("a").alias("doc")).distinct()
+    else:
+        nodes_df = nodes.select(F.col(nodes.columns[0]).alias("doc")).distinct()
+    labels = nodes_df.select("doc", F.col("doc").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc").alias("a"), F.col("component").alias("la")
+                ),
+                "a",
+            )
+            .groupBy(F.col("b").alias("doc"))
+            .agg(F.min("la").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("doc", F.col("component").alias("old")), "doc"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     key_col: str = "key",

@@ -1,0 +1,40 @@
+"""Connected-components dedup: transitive closure over pair chains,
+singleton handling, and convergence beyond one propagation round."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from storage_spark.operators.dedup import dedup_components
+
+
+def _components(spark, pairs, nodes=None):
+    pdf = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    ndf = (
+        spark.createDataFrame([(n,) for n in nodes], "doc bigint")
+        if nodes is not None
+        else None
+    )
+    out = dedup_components(pdf, nodes=ndf)
+    return {r["doc"]: r["component"] for r in out.collect()}
+
+
+def test_path_graph_needs_multiple_rounds(spark):
+    # 1-2, 2-3, 3-4, 4-5: a path — label 1 must travel 4 hops
+    got = _components(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_clusters_and_singletons(spark):
+    got = _components(
+        spark,
+        [(10, 11), (11, 12), (20, 21)],
+        nodes=[10, 11, 12, 20, 21, 30],
+    )
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+
+
+def test_orientation_does_not_matter(spark):
+    # pair order reversed relative to min: closure still finds min id
+    got = _components(spark, [(5, 9), (2, 9)])
+    assert got == {2: 2, 5: 2, 9: 2}

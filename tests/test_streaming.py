@@ -65,6 +65,38 @@ def test_webhook_sink_delivers_all_rows(spark, event_dir, tmp_path):
     assert all(r["event_type"] == "error" for r in delivered)
 
 
+def test_webhook_sink_posts_from_executors(spark, event_dir, tmp_path):
+    """foreachPartition fan-out: every partition posts its own rows from
+    the executor (delivery bandwidth scales with the cluster); verified via
+    a filesystem sink since executor processes can't touch driver lists."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    out_dir = str(tmp_path / "posted")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def post(rows: list[dict]) -> None:
+        with open(f"{out_dir}/{uuid.uuid4().hex}.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps({"event_type": r["event_type"]}) + "\n")
+
+    stream = for_queue(read_event_stream(spark, event_dir), ["error"])
+    run_webhook_sink(
+        stream, post, checkpoint_dir=str(tmp_path / "ckpt2"), from_executors=True
+    )
+    delivered = []
+    for path in glob.glob(f"{out_dir}/*.jsonl"):
+        with open(path) as f:
+            delivered.extend(json.loads(line) for line in f)
+    expected = (
+        spark.read.parquet(event_dir).filter(F.col("event_type") == "error").count()
+    )
+    assert len(delivered) == expected > 0
+    assert all(r["event_type"] == "error" for r in delivered)
+
+
 def test_dedup_singleton(spark, event_dir):
     stream = read_event_stream(spark, event_dir).withColumn(
         "singleton_key", F.col("event_type")
