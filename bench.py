@@ -96,6 +96,23 @@ def main() -> None:
     def minhash_sweep():
         return minhash_lsh_pairs(t["documents"], n=3, n_hashes=8, band_size=2).count()
 
+    def simhash_pairs():
+        # banded pigeonhole pairing over the whole documents table —
+        # the plan that replaced the O(N^2) crossJoin this round
+        from storage_spark.operators.dedup import simhash16, simhash_near_pairs
+
+        sim = simhash16(t["documents"])
+        return simhash_near_pairs(sim, max_hamming=3).count()
+
+    def embedding_neardup():
+        # banded hyperplane-LSH near-dup over the full embeddings table
+        from storage_spark.operators.dedup import embedding_near_dup_pairs
+
+        v = t["embeddings"].select(
+            F.col("vec_id").cast("string").alias("key"), "embedding"
+        )
+        return embedding_near_dup_pairs(v, max_distance=0.2).count()
+
     def events_rollup():
         return (
             t["events"]
@@ -171,6 +188,8 @@ def main() -> None:
         "usage": usage,
         "vector_topk": vector_topk,
         "minhash_sweep": minhash_sweep,
+        "simhash_pairs": simhash_pairs,
+        "embedding_neardup": embedding_neardup,
         "events_rollup": events_rollup,
         "meta_filter": meta_filter,
         "lineitem_agg": lineitem_agg,

@@ -377,8 +377,10 @@ def embedding_near_dup_pairs(
     """
     from storage_spark.functions.vectors import (
         cosine_distance,
+        dot,
         hyperplanes,
         lsh_signature,
+        norm,
     )
 
     if exact:
@@ -394,9 +396,14 @@ def embedding_near_dup_pairs(
     assert n_planes % band_size == 0
     n_bands = n_planes // band_size
     planes = hyperplanes(dim, n_planes)
+    # Precompute the norm ONCE PER ROW (not per candidate pair): per-pair
+    # work drops to a single dot product. The pairwise expression
+    # dot/(na*nb) is bit-identical to cosine_distance's dot/(norm*norm) —
+    # same left-folded doubles, same operation order.
     v = vectors.select(
         F.col(key_col).alias("key"),
         F.col(vector_col).alias("vec"),
+        norm(F.col(vector_col)).alias("nrm"),
         lsh_signature(F.col(vector_col), planes).alias("sig"),
     )
     band_structs = [
@@ -407,14 +414,26 @@ def embedding_near_dup_pairs(
         for i in range(n_bands)
     ]
     bands = v.select(
-        "key", "vec", F.explode(F.array(*band_structs)).alias("b")
-    ).select("key", "vec", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
-    a = bands.select(F.col("key").alias("key_a"), F.col("vec").alias("va"), "band", "val")
-    b = bands.select(F.col("key").alias("key_b"), F.col("vec").alias("vb"), "band", "val")
+        "key", "vec", "nrm", F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        "key", "vec", "nrm", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    a = bands.select(
+        F.col("key").alias("key_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), "band", "val",
+    )
+    b = bands.select(
+        F.col("key").alias("key_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "band", "val",
+    )
     return (
         a.join(b, ["band", "val"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("distance", cosine_distance(F.col("va"), F.col("vb")))
+        .withColumn(
+            "distance",
+            F.lit(1.0)
+            - dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
         .filter(F.col("distance") < max_distance)
         .select("key_a", "key_b", "distance")
         .distinct()  # a pair may share several bands

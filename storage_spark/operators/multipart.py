@@ -21,6 +21,16 @@ signature (an encrypted copy of the progress the reference uses to detect
 out-of-band writes) becomes a deterministic digest of the progress value —
 pure-function, recomputable by any engine, tamper-evident against the
 stored progress column.
+
+TUS lease lockers (src/storage/protocols/tus/postgres-locker.ts:53,
+s3-locker.ts:40) are deliberately NOT modelled: their whole purpose is to
+serialize CONCURRENT PATCH requests mutating one upload's byte stream in
+place. In this engine an upload's parts are immutable rows applied in
+set-oriented batches and the final assembly is one deterministic merge
+commit — the table format's optimistic-concurrency commit (see
+mutations.CatalogTable) already rejects conflicting writers, which is
+exactly the serialization the lease provided, without lease renewal
+machinery or expiry races.
 """
 
 from __future__ import annotations

@@ -131,7 +131,13 @@ def copy_object(
             else F.md5(F.concat(F.lit(f"copyv:{dst_bucket}:{to_name}:"), F.col("version"))),
         )
     )
-    return merge_upsert(objects, dst, ["bucket_id", "name"])
+    # destination key is a literal → the upsert's anti-join folds to a scan
+    # predicate (no join at all); generic merge_upsert would lower to a
+    # nested-loop join against a constant-keyed side
+    survivors = objects.filter(
+        ~((F.col("bucket_id") == dst_bucket) & (F.col("name") == to_name))
+    )
+    return survivors.unionByName(dst)
 
 
 def move_objects(

@@ -52,6 +52,59 @@ def list_blobs(
     return out
 
 
+def slice_content(
+    blobs: DataFrame,
+    start: int,
+    length: int | None = None,
+    content_col: str = "content",
+) -> DataFrame:
+    """S9 range read as a columnar slice: the batch form of the backend's
+    ``Range`` header pass-through (src/storage/backend/s3/adapter.ts:119,
+    :135 contentRange). ``start`` is 0-based; ``length=None`` reads to the
+    end. Emits ``content`` (sliced) + ``content_range`` ("start-end/total",
+    HTTP Content-Range shape)."""
+    total = F.length(F.col(content_col))
+    # substring is 1-based; binary-safe in Spark
+    sliced = (
+        F.substring(F.col(content_col), start + 1, length)
+        if length is not None
+        else F.expr(f"substring({content_col}, {start + 1})")
+    )
+    end = (
+        F.least(F.lit(start + length), total) - 1
+        if length is not None
+        else total - 1
+    )
+    return blobs.withColumn("content_range", F.concat(
+        F.lit(f"{start}-"), end.cast("string"), F.lit("/"), total.cast("string")
+    )).withColumn(content_col, sliced)
+
+
+def conditional_get(
+    blobs: DataFrame,
+    etag_col: str = "md5",
+    modified_col: str = "modified_ms",
+    if_match: str | None = None,
+    if_none_match: str | None = None,
+    if_modified_since_ms: int | None = None,
+    if_unmodified_since_ms: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """S9 conditional read: the HTTP precondition headers the reference
+    forwards to the backend (adapter.ts:117-123; renderer/asset.ts:20-21)
+    as set filters. Returns ``(served, not_served)`` — ``not_served`` is
+    the 304/412 population (If-None-Match hit or If-Modified-Since miss)."""
+    cond = F.lit(True)
+    if if_match is not None:
+        cond = cond & (F.col(etag_col) == if_match.strip('"'))
+    if if_none_match is not None:
+        cond = cond & (F.col(etag_col) != if_none_match.strip('"'))
+    if if_modified_since_ms is not None:
+        cond = cond & (F.col(modified_col) > if_modified_since_ms)
+    if if_unmodified_since_ms is not None:
+        cond = cond & (F.col(modified_col) <= if_unmodified_since_ms)
+    return blobs.filter(cond), blobs.filter(~cond)
+
+
 def hash_blobs(blobs: DataFrame) -> DataFrame:
     """T9: content digests + byte counts as columnar expressions."""
     return blobs.select(

@@ -44,6 +44,40 @@ def test_hash_blobs(spark, blob_dir):
     assert row.n_bytes == 11
 
 
+def test_range_read_slice(spark, blob_dir):
+    from storage_spark.sources.binary import slice_content
+
+    blobs = list_blobs(spark, blob_dir, with_content=True)
+    row = {
+        r.key: r
+        for r in slice_content(blobs, start=6, length=3).collect()
+    }["a/x.bin"]
+    assert bytes(row.content) == b"wor"
+    assert row.content_range == "6-8/11"
+    # open-ended range reads to EOF; length overrun clamps
+    tail = {r.key: r for r in slice_content(blobs, start=6).collect()}["a/x.bin"]
+    assert bytes(tail.content) == b"world" and tail.content_range == "6-10/11"
+    over = {r.key: r for r in slice_content(blobs, 6, 99).collect()}["a/x.bin"]
+    assert bytes(over.content) == b"world" and over.content_range == "6-10/11"
+
+
+def test_conditional_get(spark, blob_dir):
+    from storage_spark.sources.binary import conditional_get
+
+    blobs = hash_blobs(
+        list_blobs(spark, blob_dir, with_content=True)
+    ).join(list_blobs(spark, blob_dir), "key")
+    etag = hashlib.md5(b"hello world").hexdigest()
+    served, not_served = conditional_get(blobs, if_match=f'"{etag}"')
+    assert {r.key for r in served.collect()} == {"a/x.bin"}
+    served2, not_served2 = conditional_get(blobs, if_none_match=etag)
+    assert {r.key for r in not_served2.collect()} == {"a/x.bin"}  # the 304
+    served3, _ = conditional_get(blobs, if_modified_since_ms=0)
+    assert served3.count() == 3  # all modified after epoch
+    _, failed = conditional_get(blobs, if_unmodified_since_ms=0)
+    assert failed.count() == 3  # the 412 population
+
+
 def test_ndjson_sink_roundtrip(spark, blob_dir, tmp_path):
     df = list_blobs(spark, blob_dir).select("key", "size")
     out = str(tmp_path / "nd")
