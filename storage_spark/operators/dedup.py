@@ -181,6 +181,45 @@ def minhash_lsh_pairs(
     )
 
 
+def band_threshold(n_hashes: int, band_size: int) -> float:
+    """The banded-LSH S-curve inflection ``(1/b)^(1/r)``: the Jaccard
+    similarity at which a pair has ~50% candidate probability. Pick
+    (n_hashes, band_size) so this sits just under the dedup threshold."""
+    b = n_hashes // band_size
+    return (1.0 / b) ** (1.0 / band_size)
+
+
+def banding_sweep(
+    df: DataFrame,
+    configs: list[tuple[int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> list[dict]:
+    """Empirical banding-parameter sweep: for each ``(n_hashes, band_size)``
+    run the banded pipeline once and record candidate-pair count next to
+    the analytic threshold. Small config list → a driver loop over full
+    distributed jobs (each config is one independent Spark job; at scale
+    run them concurrently from separate threads if sweep latency matters).
+    """
+    out = []
+    for n_hashes, band_size in configs:
+        pairs = minhash_lsh_pairs(
+            df, text_col=text_col, id_col=id_col, n=n,
+            n_hashes=n_hashes, band_size=band_size,
+        )
+        out.append(
+            {
+                "n_hashes": n_hashes,
+                "band_size": band_size,
+                "n_bands": n_hashes // band_size,
+                "threshold": round(band_threshold(n_hashes, band_size), 4),
+                "candidate_pairs": pairs.count(),
+            }
+        )
+    return out
+
+
 # ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------

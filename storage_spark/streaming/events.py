@@ -134,6 +134,42 @@ def run_webhook_sink(
         writer.start()
 
 
+def run_config_invalidation(
+    changes_stream: DataFrame,
+    cache: dict,
+    checkpoint_dir: str,
+    key_col: str = "config_key",
+    value_col: str = "config_value",
+    ts_col: str = "ts",
+) -> None:
+    """T6 LISTEN/NOTIFY config invalidation as CDC: the reference keeps
+    per-tenant config in an in-memory cache invalidated by Postgres
+    NOTIFY on the config table; here a change-event stream folds into the
+    cache via foreachBatch — last-write-wins PER KEY inside each batch (the
+    batch analogue of notifications arriving in commit order), deletes
+    modelled as NULL values."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.groupBy(key_col)
+            .agg(F.max_by(value_col, ts_col).alias("v"))
+            .collect()
+        )
+        for r in latest:
+            if r["v"] is None:
+                cache.pop(r[key_col], None)
+            else:
+                cache[r[key_col]] = r["v"]
+
+    q = (
+        changes_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_delete_all_before_consumer(
     requests_stream: DataFrame,
     objects_table,

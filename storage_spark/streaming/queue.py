@@ -37,6 +37,8 @@ def apply_outcomes(
     jobs: DataFrame,
     outcomes: DataFrame,
     retry_limit: int = DEFAULT_RETRY_LIMIT,
+    now_ms: int | None = None,
+    retry_delay_ms: int = 1000,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Tick transition given ``outcomes(job_id, ok)``:
     returns (pending, completed, dead_letter).
@@ -45,12 +47,37 @@ def apply_outcomes(
     - ok=false       → attempts+1; re-enqueued while attempts <= limit
     - past the limit → dead-letter (queue.ts dead-letter handling)
     - jobs without an outcome stay pending untouched
+
+    With ``now_ms`` set, re-enqueued failures carry exponential backoff:
+    ``next_attempt_at_ms = now + retry_delay * 2^(attempts-1)`` — pg-boss's
+    ``retryBackoff: true`` schedule (queue.ts:73-75, :280) as a column, so
+    ``due_jobs`` can gate the next claim without any per-job timer state.
     """
     joined = jobs.join(outcomes.select("job_id", "ok"), "job_id", "left")
     completed = joined.filter(F.col("ok") == True).drop("ok")  # noqa: E712
     failed = joined.filter(F.col("ok") == False).drop("ok")  # noqa: E712
     untouched = joined.filter(F.col("ok").isNull()).drop("ok")
     bumped = failed.withColumn("attempts", F.col("attempts") + 1)
+    if now_ms is not None:
+        bumped = bumped.withColumn(
+            "next_attempt_at_ms",
+            F.lit(now_ms)
+            + F.lit(retry_delay_ms) * F.pow(F.lit(2.0), F.col("attempts") - 1).cast("bigint"),
+        )
+        if "next_attempt_at_ms" not in untouched.columns:
+            untouched = untouched.withColumn(
+                "next_attempt_at_ms", F.lit(None).cast("bigint")
+            )
     dead = bumped.filter(F.col("attempts") > retry_limit)
     retry = bumped.filter(F.col("attempts") <= retry_limit)
     return untouched.unionByName(retry), completed, dead
+
+
+def due_jobs(jobs: DataFrame, now_ms: int) -> DataFrame:
+    """Jobs eligible to claim now: no backoff stamp, or stamp elapsed."""
+    if "next_attempt_at_ms" not in jobs.columns:
+        return jobs
+    return jobs.filter(
+        F.col("next_attempt_at_ms").isNull()
+        | (F.col("next_attempt_at_ms") <= now_ms)
+    )

@@ -38,3 +38,25 @@ def test_orientation_does_not_matter(spark):
     # pair order reversed relative to min: closure still finds min id
     got = _components(spark, [(5, 9), (2, 9)])
     assert got == {2: 2, 5: 2, 9: 2}
+
+
+def test_banding_sweep(spark):
+    from storage_spark.operators.dedup import band_threshold, banding_sweep
+
+    # analytic S-curve: more bands -> lower threshold; wider bands -> higher
+    assert band_threshold(8, 2) < band_threshold(8, 4)
+    assert abs(band_threshold(16, 4) - (1 / 4) ** (1 / 4)) < 1e-9
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    sweep = banding_sweep(docs, [(8, 2), (8, 4)])
+    assert [s["n_bands"] for s in sweep] == [4, 2]
+    # the looser config (more bands, lower threshold) finds >= as many pairs
+    assert sweep[0]["candidate_pairs"] >= sweep[1]["candidate_pairs"]
+    # the near-identical pair is caught by the loose config
+    assert sweep[0]["candidate_pairs"] >= 1

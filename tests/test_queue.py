@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from storage_spark.streaming.queue import apply_outcomes, claim_batch
+from storage_spark.streaming.queue import apply_outcomes, claim_batch, due_jobs
 
 SCHEMA = (
     "job_id long, queue string, singleton_key string, attempts int,"
@@ -41,3 +41,29 @@ def test_outcomes_transition(spark, jobs):
     assert {r.job_id for r in dead.collect()} == {3}  # 19+1 > 19
     pend = {r.job_id: r.attempts for r in pending.collect()}
     assert pend == {2: 0, 4: 1}  # 2 untouched, 4 retried with bumped counter
+
+
+def test_exponential_backoff_schedule(spark, jobs):
+    """pg-boss retryBackoff as a column: delay doubles per attempt and
+    due_jobs gates claims until the stamp elapses."""
+    outcomes = spark.createDataFrame(
+        [(1, False), (4, False)], "job_id long, ok boolean"
+    )
+    pending, _, _ = apply_outcomes(
+        jobs, outcomes, retry_limit=19, now_ms=10_000, retry_delay_ms=1000
+    )
+    stamps = {r.job_id: r.next_attempt_at_ms for r in pending.collect()}
+    assert stamps[1] == 11_000  # attempt 1 -> +1000 * 2^0
+    assert stamps[4] == 11_000
+    assert stamps[2] is None and stamps[3] is None  # untouched: no stamp
+    # second failure doubles the delay
+    pending2, _, _ = apply_outcomes(
+        pending, outcomes, retry_limit=19, now_ms=11_000, retry_delay_ms=1000
+    )
+    stamps2 = {r.job_id: r.next_attempt_at_ms for r in pending2.collect()}
+    assert stamps2[1] == 13_000  # attempt 2 -> +1000 * 2^1
+    # claim gating: nothing with a future stamp is due
+    assert {r.job_id for r in due_jobs(pending2, now_ms=11_500).collect()} == {2, 3}
+    assert {r.job_id for r in due_jobs(pending2, now_ms=13_000).collect()} == {1, 2, 3, 4}
+    # jobs without the column pass through untouched
+    assert due_jobs(jobs, now_ms=0).count() == 4

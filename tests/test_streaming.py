@@ -97,6 +97,32 @@ def test_webhook_sink_posts_from_executors(spark, event_dir, tmp_path):
     assert all(r["event_type"] == "error" for r in delivered)
 
 
+def test_config_cdc_invalidation(spark, tmp_path):
+    """T6: config change stream folds into a cache — last-write-wins per
+    key, NULL deletes, replay-safe via checkpoint."""
+    import json
+
+    from storage_spark.streaming.events import run_config_invalidation
+
+    changes = [
+        {"config_key": "tenant-1/max_size", "config_value": "100", "ts": 1},
+        {"config_key": "tenant-1/max_size", "config_value": "200", "ts": 2},
+        {"config_key": "tenant-2/feature_x", "config_value": "on", "ts": 1},
+        {"config_key": "tenant-3/old", "config_value": None, "ts": 5},
+    ]
+    src = tmp_path / "cfg"
+    src.mkdir()
+    (src / "batch1.json").write_text("\n".join(json.dumps(c) for c in changes))
+    schema = "config_key string, config_value string, ts long"
+    stream = spark.readStream.schema(schema).json(str(src))
+    cache = {"tenant-3/old": "stale"}
+    run_config_invalidation(stream, cache, str(tmp_path / "ckpt"))
+    assert cache == {
+        "tenant-1/max_size": "200",  # last write wins
+        "tenant-2/feature_x": "on",
+    }  # tenant-3 deleted by NULL
+
+
 def test_dedup_singleton(spark, event_dir):
     stream = read_event_stream(spark, event_dir).withColumn(
         "singleton_key", F.col("event_type")
