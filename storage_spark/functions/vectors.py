@@ -233,6 +233,52 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    n_cells: int,
+    iterations: int = 2,
+    metric: str = "cosine",
+    key_col: str = "key",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined coarse quantizer: start from the deterministic
+    first-n centroids, then ``iterations`` rounds of assign → elementwise
+    mean. Each round is fully distributed — posexplode to (cell, pos, val),
+    partial-aggregated avg per dimension, re-assembled per cell (two
+    shuffles per round, rows×dim exploded once). Empty cells keep their
+    previous centroid. Balanced cells cut IVF probe cost: with random
+    first-n seeds a hot cell can hold most of the corpus; a few Lloyd
+    rounds spread it (recall per probe rises accordingly)."""
+    cents = ivf_centroids(corpus, n_cells, key_col, vector_col)
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, cents, metric, key_col, vector_col)
+        dim_means = (
+            assigned.select("cell", F.posexplode(F.col(vector_col)).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        refined = (
+            dim_means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("centroid")
+            )
+        )
+        # empty cells (no assigned members) keep their previous centroid
+        cents = (
+            cents.select("cell", F.col("centroid").alias("_prev"))
+            .join(refined, "cell", "left")
+            .select(
+                "cell",
+                F.coalesce(F.col("centroid"), F.col("_prev")).alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

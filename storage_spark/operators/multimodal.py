@@ -138,6 +138,105 @@ def transform_images(
     return blobs.mapInPandas(_batches, out_schema)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def fake_audio_header(sample_rate: int, n_samples: int) -> bytes:
+    """Deterministic stand-in audio codec: 'FAKEPCM:<rate>:<n>|' + payload."""
+    return f"FAKEPCM:{sample_rate}:{n_samples}|".encode()
+
+
+def decode_audio_meta(
+    blobs: DataFrame, key_col: str = "key", content_col: str = "content"
+) -> DataFrame:
+    """Audio decode stage — same Arrow-batched mapInPandas shape as
+    decode_image_meta; a real decoder (soundfile/ffmpeg) swaps into
+    ``_decode_one`` untouched."""
+
+    def _decode_one(b: bytes) -> tuple[int, int]:
+        if b is None or not bytes(b).startswith(b"FAKEPCM:"):
+            raise NotImplementedError(
+                "real audio decoding requires a media codec — only the "
+                "FAKEPCM header codec ships in this environment"
+            )
+        head = bytes(b).split(b"|", 1)[0].decode()
+        _tag, rate, n = head.split(":")
+        return (int(rate), int(n))
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = [_decode_one(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col],
+                    "sample_rate": [m[0] for m in meta],
+                    "n_samples": [m[1] for m in meta],
+                    "duration_ms": [
+                        (m[1] * 1000) // m[0] if m[0] else 0 for m in meta
+                    ],
+                }
+            )
+
+    return blobs.mapInPandas(_batches, AUDIO_SCHEMA)
+
+
+def extract_embeddings(
+    blobs: DataFrame,
+    dim: int = 64,
+    key_col: str = "key",
+    content_col: str = "content",
+) -> DataFrame:
+    """The multimodal → vector bridge: content bytes → ``array<float>``
+    embedding via an Arrow-batched mapInPandas stage. The featurizer here
+    is a DETERMINISTIC FAKE (md5-seeded floats in [-1, 1]) standing in for
+    a real encoder (CLIP/wav2vec/...); identical bytes → identical vector,
+    so downstream near-dup (operators.dedup.embedding_near_dup_pairs) and
+    ANN (functions.vectors) run for real against the fake's output. The
+    batch shape, schema, and partition behavior are exactly what a real
+    model-inference stage uses (one model load per partition batch slot).
+    """
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def _embed_one(b: bytes) -> list[float]:
+        vec: list[float] = []
+        i = 0
+        while len(vec) < dim:
+            h = hashlib.md5(bytes(b) + i.to_bytes(4, "big")).digest()
+            # 4 floats per digest: each uint32 → [-1, 1]
+            for j in range(0, 16, 4):
+                if len(vec) >= dim:
+                    break
+                u = int.from_bytes(h[j : j + 4], "big")
+                vec.append((u / 2147483647.5) - 1.0)
+            i += 1
+        return vec
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col],
+                    "embedding": [_embed_one(bytes(b)) for b in pdf[content_col]],
+                }
+            )
+
+    return blobs.mapInPandas(_batches, out_schema)
+
+
 def frame_sample_plan(videos: DataFrame, every_n: int,
                       key_col: str = "key") -> DataFrame:
     """Frame-sampling *plan*: one output row per sampled frame index, from

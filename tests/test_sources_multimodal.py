@@ -128,3 +128,45 @@ def test_frame_sample_plan(spark, media_df):
     decoded = decode_image_meta(media_df)
     frames = frame_sample_plan(decoded.filter(F.col("n_frames") > 1), every_n=30)
     assert [r.frame_idx for r in frames.orderBy("frame_idx").collect()] == [0, 30, 60, 90]
+
+
+def test_decode_audio_meta(spark):
+    from storage_spark.operators.multimodal import decode_audio_meta, fake_audio_header
+
+    df = spark.createDataFrame(
+        [
+            ("a1", fake_audio_header(16000, 48000) + b"pcm"),
+            ("a2", fake_audio_header(8000, 8000)),
+        ],
+        "key string, content binary",
+    )
+    meta = {r.key: r for r in decode_audio_meta(df).collect()}
+    assert meta["a1"].duration_ms == 3000 and meta["a1"].sample_rate == 16000
+    assert meta["a2"].duration_ms == 1000
+    bad = spark.createDataFrame([("x", b"RIFF....")], "key string, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|media codec"):
+        decode_audio_meta(bad).collect()
+
+
+def test_embedding_bridge_feeds_neardup(spark):
+    """binary -> embedding -> near-dup: identical bytes produce identical
+    vectors, so the duplicated blob pair surfaces at distance 0 while the
+    distinct blob stays out — the multimodal dedup path end-to-end."""
+    from storage_spark.operators.dedup import embedding_near_dup_pairs
+    from storage_spark.operators.multimodal import extract_embeddings
+
+    blobs = spark.createDataFrame(
+        [
+            ("b1", b"same payload bytes"),
+            ("b2", b"same payload bytes"),  # exact duplicate content
+            ("b3", b"completely different content"),
+        ],
+        "key string, content binary",
+    )
+    vecs = extract_embeddings(blobs, dim=64)
+    row = {r.key: r.embedding for r in vecs.collect()}
+    assert row["b1"] == row["b2"] != row["b3"]
+    assert len(row["b1"]) == 64 and all(-1.0 <= x <= 1.0 for x in row["b1"])
+    pairs = embedding_near_dup_pairs(vecs, max_distance=0.1).collect()
+    assert [(p.key_a, p.key_b) for p in pairs] == [("b1", "b2")]
+    assert pairs[0].distance < 1e-9

@@ -53,6 +53,45 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert assigned.count() == v.count()
 
 
+def test_ivf_kmeans_refinement(spark, sf_dir):
+    """Lloyd rounds keep the cell contract (n_cells rows, every vector
+    assigned) and balance cells at least as well as raw first-n seeds."""
+    from storage_spark.functions.vectors import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_centroids_kmeans,
+        ivf_search,
+    )
+
+    v = _vectors(spark, sf_dir).cache()
+    raw = ivf_centroids(v, n_cells=8)
+    refined = ivf_centroids_kmeans(v, n_cells=8, iterations=2)
+    assert refined.count() == 8
+    assert len(refined.first()["centroid"]) == 64
+
+    def max_cell(c):
+        a = ivf_assign(v, c)
+        return a.groupBy("cell").count().agg(F.max("count")).first()[0], a
+
+    raw_max, _ = max_cell(raw)
+    ref_max, assigned = max_cell(refined)
+    assert ref_max <= raw_max  # refinement never worsens the hottest cell
+    assert assigned.count() == v.count()
+    # search still works end-to-end over refined cells with decent recall
+    queries = v.filter(F.col("key").cast("bigint") < 30).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_key, r.key) for r in knn_join(queries, v, k=5).select("q_key", "key").collect()}
+    approx = {
+        (r.q_key, r.key)
+        for r in ivf_search(queries, assigned, refined, k=5, n_probe=3)
+        .select("q_key", "key")
+        .collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.3, f"refined-IVF recall suspiciously low: {recall:.2f}"
+
+
 def test_segments_disjoint_and_covering(spark, sf_dir):
     v = _vectors(spark, sf_dir)
     total = v.count()
