@@ -606,6 +606,21 @@ def q_vector_index_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_get_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getVectors keyed fetch with projection flags
+    (pgvector/index.ts:690-721); missing keys drop out silently."""
+    from storage_spark.operators.vectorindex import get_vectors
+
+    t = _t(spark, sf_dir)
+    store = t["embeddings"].select(
+        F.col("vec_id").cast("string").alias("key"), "embedding", "label"
+    )
+    out = get_vectors(
+        store, ["3", "7", "11", "250", "9999999"], return_data=True
+    )
+    return out.select("key", F.size("embedding").alias("dim"))
+
+
 def q_vector_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN (scale path) — approximate, rows-only driver check;
     recall vs brute force asserted in tests/test_vectors.py."""
@@ -1113,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_segment_scan": q_vector_segment_scan,
         "vector_knn_join": q_vector_knn_join,
         "vector_index_list": q_vector_index_list,
+        "vector_get_keys": q_vector_get_keys,
         "dedup_embedding": q_dedup_embedding,
         "dedup_components": q_dedup_components,
         "multipart_progress": q_multipart_progress,
@@ -1703,6 +1719,11 @@ SELECT name, bucket_id, created_at_ms
 FROM vector_indexes
 WHERE bucket_id = 'vb-0' AND name LIKE 'idx-%'
 ORDER BY name LIMIT 100
+"""),
+        "vector_get_keys": _o("""
+SELECT CAST(vec_id AS STRING) AS key, CAST(len(embedding) AS INT) AS dim
+FROM embeddings
+WHERE CAST(vec_id AS STRING) IN ('3', '7', '11', '250', '9999999')
 """),
         "vector_knn_join": _o(f"""
 SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank

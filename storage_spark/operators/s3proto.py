@@ -220,6 +220,67 @@ def parse_delete_objects_xml(body: str) -> tuple[list[str], bool]:
     return keys, quiet
 
 
+def to_list_parts_result_xml(
+    parts: list[dict],
+    bucket: str,
+    key: str,
+    upload_id: str,
+    is_truncated: bool = False,
+    next_part_number_marker: int | None = None,
+) -> str:
+    """S3 ``ListPartsResult`` XML body (ListParts response shape the
+    reference emits through its XML plugin for O6 pages)."""
+    from xml.etree import ElementTree as ET
+
+    root = ET.Element(
+        "ListPartsResult", xmlns="http://s3.amazonaws.com/doc/2006-03-01/"
+    )
+    for tag, val in [
+        ("Bucket", bucket),
+        ("Key", key),
+        ("UploadId", upload_id),
+        ("IsTruncated", "true" if is_truncated else "false"),
+    ]:
+        ET.SubElement(root, tag).text = val
+    if next_part_number_marker is not None:
+        ET.SubElement(root, "NextPartNumberMarker").text = str(
+            next_part_number_marker
+        )
+    for p in parts:
+        el = ET.SubElement(root, "Part")
+        ET.SubElement(el, "PartNumber").text = str(p["PartNumber"])
+        ET.SubElement(el, "ETag").text = str(p["ETag"])
+        if p.get("Size") is not None:
+            ET.SubElement(el, "Size").text = str(p["Size"])
+    return ET.tostring(root, encoding="unicode")
+
+
+def parse_list_parts_result_xml(body: str) -> dict:
+    """Inverse of ``to_list_parts_result_xml`` (round-trip support)."""
+    root = _parse_xml(body)
+    out: dict = {"Parts": [], "IsTruncated": False}
+    for el in root:
+        t = _strip_ns(el.tag)
+        if t in ("Bucket", "Key", "UploadId"):
+            out[t] = el.text
+        elif t == "IsTruncated":
+            out["IsTruncated"] = (el.text or "").strip().lower() == "true"
+        elif t == "NextPartNumberMarker":
+            out["NextPartNumberMarker"] = int(el.text or 0)
+        elif t == "Part":
+            p: dict = {}
+            for child in el:
+                ct = _strip_ns(child.tag)
+                if ct == "PartNumber":
+                    p["PartNumber"] = int(child.text or 0)
+                elif ct == "ETag":
+                    p["ETag"] = child.text
+                elif ct == "Size":
+                    p["Size"] = int(child.text or 0)
+            out["Parts"].append(p)
+    return out
+
+
 def parse_list_bucket_result_xml(body: str) -> ListObjectsV2Result:
     """Inverse of ``to_list_bucket_result_xml`` — golden round-trip support
     and a client-side response reader."""

@@ -191,6 +191,67 @@ def non_filterable_keys(index_row) -> set[str]:
     return set(cfg.get("nonFilterableMetadataKeys") or [])
 
 
+MAX_VECTOR_KEYS = 100  # MAX_GET/DELETE_VECTOR_KEYS (pgvector/index.ts:693,726)
+
+
+def put_vectors(
+    store: DataFrame,
+    rows: DataFrame,
+    index_row=None,
+    key_col: str = "key",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """putVectors (pgvector/index.ts:518-585): batch upsert keyed on
+    ``key`` — INSERT … ON CONFLICT (key) DO UPDATE as one merge. With an
+    ``index_row`` the batch is validated against the index contract
+    (dimension) before it lands, the create-time check the adapter gets
+    from the halfvec(N) column type."""
+    from storage_spark.operators.mutations import merge_upsert
+
+    if index_row is not None:
+        dim = index_row["dimension"]
+        bad = rows.filter(F.size(F.col(vector_col)) != dim).limit(1).count()
+        if bad:
+            raise InvalidIndexParameterError(
+                f"vector dimension != index dimension {dim}"
+            )
+    return merge_upsert(store, rows, [key_col])
+
+
+def get_vectors(
+    store: DataFrame,
+    keys: list[str],
+    return_data: bool = False,
+    return_metadata: bool = False,
+    key_col: str = "key",
+    vector_col: str = "embedding",
+    metadata_col: str = "metadata",
+) -> DataFrame:
+    """getVectors (pgvector/index.ts:690-721): keyed fetch with explicit
+    projection flags (column pruning reaches the scan for free)."""
+    if len(keys) > MAX_VECTOR_KEYS:
+        raise InvalidIndexParameterError(
+            f"too many keys: {len(keys)} > {MAX_VECTOR_KEYS}"
+        )
+    cols = [F.col(key_col)]
+    if return_data:
+        cols.append(F.col(vector_col))
+    if return_metadata and metadata_col in store.columns:
+        cols.append(F.col(metadata_col))
+    return store.filter(F.col(key_col).isin(keys)).select(*cols)
+
+
+def delete_vectors(
+    store: DataFrame, keys: list[str], key_col: str = "key"
+) -> DataFrame:
+    """deleteVectors (pgvector/index.ts:723-738): keyed batch delete."""
+    if len(keys) > MAX_VECTOR_KEYS:
+        raise InvalidIndexParameterError(
+            f"too many keys: {len(keys)} > {MAX_VECTOR_KEYS}"
+        )
+    return store.filter(~F.col(key_col).isin(keys))
+
+
 def query_index(
     indexes: DataFrame,
     vectors: DataFrame,

@@ -28,6 +28,24 @@ def write_listing_layout(df: DataFrame, path: str, mode: str = "overwrite") -> N
     )
 
 
+def write_ivf_layout(
+    assigned_corpus: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """IVF-optimal vector layout: the cell-assigned corpus partitioned BY
+    CELL on disk. An ``ivf_search`` with ``n_probe`` cells then reads only
+    ``n_probe / n_cells`` of the files — the equi-join on ``cell`` becomes
+    a partition-pruned scan (PartitionFilters in the plan), which is the
+    on-disk analogue of pgvector's per-cell inverted lists. Re-written
+    whenever the quantizer is retrained (centroids are versioned with the
+    layout)."""
+    (
+        assigned_corpus.repartition("cell")
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

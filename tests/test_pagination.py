@@ -241,6 +241,26 @@ def test_list_bucket_result_xml_roundtrip(spark, objects_df):
     assert [c["Size"] for c in back.contents] == [c["Size"] for c in page.contents]
 
 
+def test_list_parts_xml_roundtrip():
+    from storage_spark.operators.s3proto import (
+        parse_list_parts_result_xml,
+        to_list_parts_result_xml,
+    )
+
+    parts = [
+        {"PartNumber": 1, "ETag": "e1", "Size": 500},
+        {"PartNumber": 2, "ETag": "e2", "Size": 300},
+    ]
+    xml = to_list_parts_result_xml(
+        parts, "b1", "a/b.bin", "up-1", is_truncated=True,
+        next_part_number_marker=2,
+    )
+    back = parse_list_parts_result_xml(xml)
+    assert back["Bucket"] == "b1" and back["UploadId"] == "up-1"
+    assert back["IsTruncated"] is True and back["NextPartNumberMarker"] == 2
+    assert back["Parts"] == parts
+
+
 def test_upload_id_codec():
     from storage_spark.operators.multipart import decode_upload_id, encode_upload_id
 

@@ -123,6 +123,30 @@ def test_ivf_centroid_pass_is_distributed(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_ivf_layout_prunes_cells(spark, sf_dir, tmp_path_factory):
+    """The cell-partitioned vector layout turns a probe into a
+    partition-pruned scan: filtering 2 of 8 cells shows PartitionFilters
+    on cell and skips the other partitions' files."""
+    from storage_spark.functions.vectors import ivf_assign, ivf_centroids
+    from storage_spark.sources.layout import write_ivf_layout
+
+    t = load_all(spark, sf_dir)
+    v = t["embeddings"].select(
+        F.col("vec_id").cast("string").alias("key"), "embedding"
+    )
+    cents = ivf_centroids(v, n_cells=8)
+    path = str(tmp_path_factory.mktemp("ivf") / "corpus")
+    write_ivf_layout(ivf_assign(v, cents), path)
+    mat = spark.read.parquet(path)
+    probed = mat.filter(F.col("cell").isin(2, 5))
+    plan = plan_of(probed)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruned read returns exactly the probed cells' rows
+    expect = ivf_assign(v, cents).filter(F.col("cell").isin(2, 5)).count()
+    assert probed.count() == expect > 0
+
+
 def test_banded_pairing_has_no_crossjoin(spark, sf_dir):
     """simhash_near_pairs and embedding_near_dup_pairs left the BNLJ
     allowlist: their candidate generation is a (band, value) equi-join."""

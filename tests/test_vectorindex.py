@@ -88,6 +88,53 @@ def test_list_indexes_keyset(spark, buckets, indexes):
     assert [r["name"] for r in page2.collect()] == ["idx-b"]
 
 
+def test_put_get_delete_vectors(spark, buckets, indexes):
+    from storage_spark.operators.vectorindex import (
+        delete_vectors,
+        get_vectors,
+        put_vectors,
+    )
+
+    idx_df = create_vector_index(indexes, buckets, "vb-main", "i1", 4)
+    idx = get_index(idx_df, "vb-main", "i1")
+    store = spark.createDataFrame(
+        [("k1", [1.0, 0.0, 0.0, 0.0], '{"a": 1}')],
+        "key string, embedding array<double>, metadata string",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("k1", [0.5, 0.5, 0.0, 0.0], '{"a": 2}'),  # update
+            ("k2", [0.0, 1.0, 0.0, 0.0], "{}"),  # insert
+        ],
+        "key string, embedding array<double>, metadata string",
+    )
+    store2 = put_vectors(store, batch, index_row=idx)
+    assert store2.count() == 2
+    got = {
+        r["key"]: r
+        for r in get_vectors(
+            store2, ["k1", "k2", "kX"], return_data=True, return_metadata=True
+        ).collect()
+    }
+    assert set(got) == {"k1", "k2"}  # missing keys drop out
+    assert got["k1"]["embedding"] == [0.5, 0.5, 0.0, 0.0]  # upsert won
+    assert got["k1"]["metadata"] == '{"a": 2}'
+    # projection flags prune columns
+    assert get_vectors(store2, ["k1"]).columns == ["key"]
+    left = delete_vectors(store2, ["k1"])
+    assert [r["key"] for r in left.collect()] == ["k2"]
+    # dimension contract enforced at put time
+    bad = spark.createDataFrame(
+        [("k3", [1.0, 2.0], "{}")],
+        "key string, embedding array<double>, metadata string",
+    )
+    with pytest.raises(InvalidIndexParameterError):
+        put_vectors(store2, bad, index_row=idx)
+    # key-count caps (MAX_GET/DELETE_VECTOR_KEYS)
+    with pytest.raises(InvalidIndexParameterError):
+        get_vectors(store2, [str(i) for i in range(101)])
+
+
 def test_metadata_configuration_drives_f10(spark, buckets, indexes):
     df = create_vector_index(
         indexes, buckets, "vb-main", "idx-cfg", 4,
