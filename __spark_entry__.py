@@ -999,6 +999,20 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc")
 
 
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints: min-hash per sliding window of
+    word-shingle hashes (MOSS selection) — any shared run of ≥ 6 words
+    yields a common fingerprint between documents."""
+    from storage_spark.functions.text import winnowing_fingerprints
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.explode(winnowing_fingerprints(F.col("text"), n=3, window=4)).alias("fp"),
+    ).orderBy("doc_id", "fp")
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane-LSH near-dup (the scale path — candidate pairs meet
     in a (band, band_value) equi-join, never an all-pairs product). The
@@ -1135,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multipart_complete": q_multipart_complete,
         "iceberg_table_ops": q_iceberg_table_ops,
         "copy_object": q_copy_object,
+        "text_winnowing": q_text_winnowing,
         "list_root": q_list_root,
         "list_nested": q_list_nested,
         "list_flat_cursor": q_list_flat_cursor,
@@ -1630,6 +1645,25 @@ SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_cents,
 FROM events
 GROUP BY event_type, CAST(round(value * 100) AS BIGINT)
 HAVING count(*) > 1
+"""),
+        "text_winnowing": _o(f"""
+, toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE doc_id < 50
+),
+shl AS (
+  SELECT doc_id,
+    list_transform(range(1, len(tk) - 1),
+                   i -> md5(array_to_string(tk[i:i+2], ' '))) AS hs
+  FROM toks WHERE len(tk) >= 3
+),
+w AS (
+  SELECT doc_id,
+    list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3])) AS mins
+  FROM shl WHERE len(hs) >= 4
+)
+SELECT DISTINCT doc_id, fp
+FROM (SELECT doc_id, unnest(mins) AS fp FROM w)
+ORDER BY doc_id, fp
 """),
         "dedup_ngram_jaccard": _o(f"""
 , toks AS (

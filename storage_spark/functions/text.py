@@ -135,3 +135,36 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     # zip_with pads the shorter side with null → trailing incomplete
     # shingles are null; drop them.
     return F.filter(shingle, lambda x: x.isNotNull())
+
+
+def winnowing_fingerprints(
+    text: Column, n: int = 3, window: int = 4
+) -> Column:
+    """Winnowing (MOSS-style) document fingerprints: hash every word
+    n-gram, then keep the MIN hash of each sliding window of ``window``
+    consecutive hashes — the standard rolling-fingerprint selection that
+    guarantees any shared substring of ≥ n+window-1 words contributes at
+    least one common fingerprint between two documents.
+
+    All expression-level: the window-min uses the same zip_with-of-shifted-
+    copies trick as word_shingles (each slice evaluated once per row, no
+    lambda capture of outer expressions). Hashes are md5 strings and the
+    min is lexicographic, so any engine reproduces the selection exactly.
+    Returns a sorted distinct array; empty when the doc has fewer than
+    ``n + window - 1`` words."""
+    h = F.transform(word_shingles(text, n), lambda s: F.md5(s))
+    wmin = h
+    for j in range(1, window):
+        shifted = F.slice(h, j + 1, F.greatest(F.size(h) - j, F.lit(0)))
+        wmin = F.zip_with(
+            wmin,
+            shifted,
+            lambda a, b: F.when(a.isNull() | b.isNull(), F.lit(None)).otherwise(
+                F.least(a, b)
+            ),
+        )
+    # only full windows: positions 1 .. len(h) - window + 1
+    full = F.slice(
+        wmin, 1, F.greatest(F.size(h) - window + 1, F.lit(0))
+    )
+    return F.array_sort(F.array_distinct(F.filter(full, lambda x: x.isNotNull())))

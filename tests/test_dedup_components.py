@@ -40,6 +40,33 @@ def test_orientation_does_not_matter(spark):
     assert got == {2: 2, 5: 2, 9: 2}
 
 
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing's core property: two documents sharing a run of at least
+    n + window - 1 = 6 words have at least one common fingerprint; short
+    docs yield none."""
+    from storage_spark.functions.text import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+            (3, "entirely unrelated content with no overlap whatsoever here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in docs.select(
+            "doc_id",
+            winnowing_fingerprints(F.col("text"), n=3, window=4).alias("fps"),
+        ).collect()
+    }
+    assert fps[1] & fps[2]  # shared 7-word run -> common fingerprint
+    assert not (fps[1] & fps[3])
+    assert fps[4] == set()  # < n + window - 1 words
+
+
 def test_banding_sweep(spark):
     from storage_spark.operators.dedup import band_threshold, banding_sweep
 
