@@ -86,11 +86,43 @@ def cosine_distance_arrow(a: Column, b: Column, na: Column, nb: Column) -> Colum
     return _dist(a, b, na, nb)
 
 
+def l2_distance_arrow(a: Column, b: Column) -> Column:
+    """Arrow-vectorized L2 — same bitwise contract as cosine_distance_arrow
+    (sequential left-fold of (x-y)^2, then sqrt)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dist(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        d = A - B
+        return pd.Series(np.sqrt(np.add.accumulate(d * d, axis=1)[:, -1]))
+
+    return _dist(a, b)
+
+
 def _metric_distance(metric: str, a: Column, b: Column) -> Column:
     if metric == "cosine":
         return cosine_distance(a, b)
     if metric in ("euclidean", "l2"):
         return l2_distance(a, b)
+    raise ValueError(f"unknown distance metric: {metric}")
+
+
+def _pair_distance(
+    metric: str, a: Column, b: Column, na: Column, nb: Column, arrow: bool
+) -> Column:
+    """Per-candidate-pair distance with norms precomputed per ROW (cosine's
+    denominators never recompute per pair); ``arrow=True`` routes the
+    arithmetic through the bitwise-identical vectorized path."""
+    if metric == "cosine":
+        if arrow:
+            return cosine_distance_arrow(a, b, na, nb)
+        return F.lit(1.0) - dot(a, b) / (na * nb)
+    if metric in ("euclidean", "l2"):
+        return l2_distance_arrow(a, b) if arrow else l2_distance(a, b)
     raise ValueError(f"unknown distance metric: {metric}")
 
 
@@ -164,16 +196,25 @@ def knn_join(
     corpus_key: str = "key",
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
+    arrow: bool = False,
 ) -> DataFrame:
     """Top-k neighbors for every query row — broadcast the (small) query
     side, window-rank per query. This is the brute-force baseline for
     similarity search / embedding near-dup; the LSH path below replaces the
-    crossJoin with a bucketed equi-join at scale."""
-    joined = corpus.crossJoin(F.broadcast(queries))
+    crossJoin with a bucketed equi-join at scale. Norms are precomputed per
+    row (never per pair); ``arrow=True`` moves the per-pair arithmetic into
+    the bitwise-identical vectorized path."""
+    c = corpus.withColumn("_cn", norm(F.col(corpus_vec)))
+    q = queries.withColumn("_qn", norm(F.col(query_vec)))
+    joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col(query_key) != F.col(corpus_key))
     joined = joined.withColumn(
-        "distance", _metric_distance(metric, F.col(corpus_vec), F.col(query_vec))
+        "distance",
+        _pair_distance(
+            metric, F.col(corpus_vec), F.col(query_vec),
+            F.col("_cn"), F.col("_qn"), arrow,
+        ),
     )
     w = Window.partitionBy(query_key).orderBy(
         F.col("distance").asc(), F.col(corpus_key).asc()
@@ -377,6 +418,7 @@ def lsh_ann_join(
     query_vec: str = "q_vec",
     corpus_key: str = "key",
     corpus_vec: str = "embedding",
+    arrow: bool = False,
 ) -> DataFrame:
     """ANN via hyperplane-bucket equi-join: candidates share the full
     signature, then exact distance + window rank within candidates.
@@ -389,11 +431,19 @@ def lsh_ann_join(
     banded MinHash analogue).
     """
     planes = hyperplanes(dim, n_planes)
-    c = corpus.withColumn("_sig", lsh_signature(F.col(corpus_vec), planes))
-    q = queries.withColumn("_sig", lsh_signature(F.col(query_vec), planes))
+    c = corpus.withColumn("_sig", lsh_signature(F.col(corpus_vec), planes)).withColumn(
+        "_cn", norm(F.col(corpus_vec))
+    )
+    q = queries.withColumn("_sig", lsh_signature(F.col(query_vec), planes)).withColumn(
+        "_qn", norm(F.col(query_vec))
+    )
     joined = c.join(q, "_sig")
     joined = joined.filter(F.col(query_key) != F.col(corpus_key)).withColumn(
-        "distance", _metric_distance(metric, F.col(corpus_vec), F.col(query_vec))
+        "distance",
+        _pair_distance(
+            metric, F.col(corpus_vec), F.col(query_vec),
+            F.col("_cn"), F.col("_qn"), arrow,
+        ),
     )
     w = Window.partitionBy(query_key).orderBy(
         F.col("distance").asc(), F.col(corpus_key).asc()
