@@ -376,13 +376,16 @@ def ivf_search(
     query_vec: str = "q_vec",
     corpus_key: str = "key",
     corpus_vec: str = "embedding",
+    arrow: bool = False,
 ) -> DataFrame:
     """IVF ANN: rank centroids per query, probe only the ``n_probe``
     nearest cells, exact-rank within the probed subset.
 
     The at-scale property: the corpus is pre-partitioned by ``cell``, so a
     query touches n_probe/n_cells of the data — an equi-join on ``cell``
-    replaces the full scan, and recall is tuned by ``n_probe``.
+    replaces the full scan, and recall is tuned by ``n_probe``. The probed
+    candidate distances precompute norms per row; ``arrow=True`` uses the
+    vectorized kernel for the candidate stage.
     """
     qd = _metric_distance(metric, F.col(query_vec), F.col("centroid"))
     wq = Window.partitionBy(query_key).orderBy(F.col("_qd").asc(), F.col("cell").asc())
@@ -392,10 +395,17 @@ def ivf_search(
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= n_probe)
         .select(query_key, query_vec, "cell")
+        .withColumn("_qn", norm(F.col(query_vec)))
     )
-    joined = probes.join(assigned_corpus, "cell")
+    joined = probes.join(
+        assigned_corpus.withColumn("_cn", norm(F.col(corpus_vec))), "cell"
+    )
     joined = joined.filter(F.col(query_key) != F.col(corpus_key)).withColumn(
-        "distance", _metric_distance(metric, F.col(corpus_vec), F.col(query_vec))
+        "distance",
+        _pair_distance(
+            metric, F.col(corpus_vec), F.col(query_vec),
+            F.col("_cn"), F.col("_qn"), arrow,
+        ),
     )
     w = Window.partitionBy(query_key).orderBy(
         F.col("distance").asc(), F.col(corpus_key).asc()

@@ -134,6 +134,37 @@ def run_webhook_sink(
         writer.start()
 
 
+def run_vector_ingest(
+    vectors_stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    index_row=None,
+    key_col: str = "key",
+) -> None:
+    """Streaming putVectors: each micro-batch of (key, embedding[,metadata])
+    rows merges into the committed vector store — the continuous-ingestion
+    form of the pgvector adapter's batch upsert (ON CONFLICT (key) DO
+    UPDATE, pgvector/index.ts:518-585). ``store`` is a committed-table
+    holder (mutations.ParquetTable here; CatalogTable MERGE INTO on a real
+    catalog); ``index_row`` enforces the index's dimension contract on
+    every batch."""
+    from storage_spark.operators.vectorindex import put_vectors
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        current = store.read()
+        store.commit(
+            put_vectors(current, batch_df, index_row=index_row, key_col=key_col)
+        )
+
+    q = (
+        vectors_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_config_invalidation(
     changes_stream: DataFrame,
     cache: dict,

@@ -97,6 +97,32 @@ def test_webhook_sink_posts_from_executors(spark, event_dir, tmp_path):
     assert all(r["event_type"] == "error" for r in delivered)
 
 
+def test_streaming_vector_ingest_upserts(spark, tmp_path):
+    """Micro-batched putVectors: later batches win on key conflicts and the
+    committed store accumulates across batches."""
+    from storage_spark.operators.mutations import ParquetTable
+    from storage_spark.streaming.events import run_vector_ingest
+
+    store_path = str(tmp_path / "store")
+    spark.createDataFrame(
+        [("k1", [1.0, 0.0])], "key string, embedding array<double>"
+    ).write.parquet(store_path)
+    table = ParquetTable(spark, store_path)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("k1", [9.0, 9.0]), ("k2", [0.0, 1.0])],
+        "key string, embedding array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("key string, embedding array<double>").parquet(
+        str(src)
+    )
+    run_vector_ingest(stream, table, checkpoint_dir=str(tmp_path / "ck"))
+    got = {r.key: r.embedding for r in table.read().collect()}
+    assert got == {"k1": [9.0, 9.0], "k2": [0.0, 1.0]}
+
+
 def test_config_cdc_invalidation(spark, tmp_path):
     """T6: config change stream folds into a cache — last-write-wins per
     key, NULL deletes, replay-safe via checkpoint."""
