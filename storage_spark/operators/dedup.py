@@ -64,6 +64,26 @@ def _materialize(df: DataFrame, flag: bool) -> DataFrame:
     return df.localCheckpoint(eager=True) if flag else df
 
 
+def _cap_band_buckets(
+    bands: DataFrame, bucket_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Hot-bucket skew guard for band equi-joins: a degenerate band value
+    (e.g. the all-zeros signature every near-empty doc hashes to) turns the
+    self-join quadratic in that bucket's size. Like ``max_shingle_df`` on
+    the inverted index, buckets above the cap are dropped — a documented
+    recall trade for a bounded join (at 100 TB an uncapped hot bucket is a
+    straggler task that never finishes)."""
+    if max_bucket_size is None:
+        return bands
+    hot = (
+        bands.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select(*bucket_cols)
+    )
+    return bands.join(hot, bucket_cols, "left_anti")
+
+
 def _doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, max_shingle_df: int | None
 ) -> DataFrame:
@@ -160,6 +180,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     materialize: bool = False,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -184,6 +205,7 @@ def minhash_lsh_pairs(
     bands = sigs.select(
         "doc", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = _cap_band_buckets(bands, ["band", "sig"], max_band_df)
     bands = _materialize(bands, materialize)
     a = bands.select(F.col("doc").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc").alias("doc_b"), "band", "sig")
@@ -296,6 +318,7 @@ def simhash_near_pairs(
     sim_col: str = "simhash",
     sig_bits: int = 16,
     materialize: bool = False,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Pairs within a Hamming ball, by pigeonhole banding: split the
     ``sig_bits`` signature into ``max_hamming + 1`` disjoint bit-bands. A
@@ -321,6 +344,7 @@ def simhash_near_pairs(
     bands = s.select(
         "doc", "h", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc", "h", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    bands = _cap_band_buckets(bands, ["band", "val"], max_band_df)
     bands = _materialize(bands, materialize)
     a = bands.select(
         F.col("doc").alias("doc_a"), F.col("h").alias("ha"), "band", "val"
@@ -419,6 +443,7 @@ def embedding_near_dup_pairs(
     exact: bool = False,
     materialize: bool = False,
     arrow: bool = False,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs under a distance threshold.
 
@@ -475,6 +500,7 @@ def embedding_near_dup_pairs(
     ).select(
         "key", "vec", "nrm", F.col("b.band").alias("band"), F.col("b.val").alias("val")
     )
+    bands = _cap_band_buckets(bands, ["band", "val"], max_band_df)
     bands = _materialize(bands, materialize)
     a = bands.select(
         F.col("key").alias("key_a"), F.col("vec").alias("va"),

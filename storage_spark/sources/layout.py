@@ -28,6 +28,18 @@ def write_listing_layout(df: DataFrame, path: str, mode: str = "overwrite") -> N
     )
 
 
+def compact_listing_layout(
+    spark: SparkSession, src_path: str, dst_path: str
+) -> None:
+    """Small-file compaction (maintenance pass): incremental commits
+    fragment a partition into many small files; rewriting through
+    ``write_listing_layout`` into a NEW versioned directory restores one
+    sorted file per bucket partition (hash repartition sends each bucket to
+    exactly one task). At scale the swap is a metastore / table-format
+    pointer flip — never an in-place overwrite of the live directory."""
+    write_listing_layout(spark.read.parquet(src_path), dst_path)
+
+
 def write_ivf_layout(
     assigned_corpus: DataFrame, path: str, mode: str = "overwrite"
 ) -> None:

@@ -40,6 +40,26 @@ def test_orientation_does_not_matter(spark):
     assert got == {2: 2, 5: 2, 9: 2}
 
 
+def test_hot_band_bucket_cap(spark):
+    """max_band_df drops degenerate band buckets (quadratic-join guard):
+    many near-identical docs share one band value; capping removes their
+    pairs while unrelated-but-similar pairs in small buckets survive."""
+    from storage_spark.operators.dedup import minhash_lsh_pairs
+
+    clones = [(i, "common boilerplate text repeated in every document") for i in range(20)]
+    pair = [
+        (100, "a unique sentence about distributed query planning"),
+        (101, "a unique sentence about distributed query planning too"),
+    ]
+    docs = spark.createDataFrame(clones + pair, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(docs, n=3, n_hashes=8, band_size=2)
+    capped = minhash_lsh_pairs(docs, n=3, n_hashes=8, band_size=2, max_band_df=10)
+    assert uncapped.count() > capped.count()
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in got  # small-bucket pair survives the cap
+    assert not any(a < 20 and b < 20 for a, b in got)  # clone cluster dropped
+
+
 def test_winnowing_shared_run_guarantee(spark):
     """Winnowing's core property: two documents sharing a run of at least
     n + window - 1 = 6 words have at least one common fingerprint; short

@@ -179,6 +179,31 @@ def test_reconcile_plans(spark, sf_dir):
     assert "LeftAnti" not in plan
 
 
+def test_compaction_restores_file_invariant(spark, sf_dir, tmp_path_factory):
+    """Fragmented layout (many files per bucket) compacts back to one
+    sorted file per bucket partition with rows preserved and the prefix
+    pushdown still reaching the scan."""
+    import glob
+
+    from storage_spark.sources.layout import compact_listing_layout
+
+    t = load_all(spark, sf_dir)
+    base = tmp_path_factory.mktemp("compact")
+    frag, tidy = str(base / "frag"), str(base / "tidy")
+    # simulate many incremental commits: 8 files per bucket
+    t["objects"].repartition(8).write.partitionBy("bucket_id").parquet(frag)
+    assert len(glob.glob(f"{frag}/bucket_id=Brand%2313/*.parquet")) > 1
+    compact_listing_layout(spark, frag, tidy)
+    assert len(glob.glob(f"{tidy}/bucket_id=Brand%2313/*.parquet")) == 1
+    assert spark.read.parquet(tidy).count() == t["objects"].count()
+    from storage_spark.operators.listing import list_objects_flat
+
+    plan = plan_of(
+        list_objects_flat(spark.read.parquet(tidy), bucket_id="Brand#13", prefix="ECONOMY/")
+    )
+    assert "PushedFilters" in plan and "PartitionFilters" in plan
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
     """Join layout: bucketing both sides on the join key removes every
     Exchange from the reconcile-shaped equi-join."""
