@@ -792,13 +792,17 @@ def q_copy_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.operators.mutations import copy_object
 
     t = _t(spark, sf_dir)
+    src_name = (
+        t["objects"].filter(F.col("bucket_id") == "Brand#17")
+        .agg(F.min("name")).first()[0]
+    )
     out = copy_object(
-        t["objects"], "Brand#17", "ECONOMY/red/widget-1.txt", "copies/widget-1.txt",
+        t["objects"], "Brand#17", src_name, "copies/widget-1.txt",
         new_id="copy-1", new_version="v-copy",
     )
     return out.filter(
         (F.col("bucket_id") == "Brand#17")
-        & F.col("name").isin("ECONOMY/red/widget-1.txt", "copies/widget-1.txt")
+        & F.col("name").isin(src_name, "copies/widget-1.txt")
     ).select("name", "id", "size", "version")
 
 
@@ -1503,12 +1507,14 @@ FROM objects GROUP BY bucket_id
 """),
         "copy_object": _o("""
 SELECT name, id, size, version FROM objects
-WHERE bucket_id = 'Brand#17' AND name = 'ECONOMY/red/widget-1.txt'
+WHERE bucket_id = 'Brand#17'
+  AND name = (SELECT min(name) FROM objects WHERE bucket_id = 'Brand#17')
 UNION ALL
 SELECT 'copies/widget-1.txt' AS name, 'copy-1' AS id, size,
        'v-copy' AS version
 FROM objects
-WHERE bucket_id = 'Brand#17' AND name = 'ECONOMY/red/widget-1.txt'
+WHERE bucket_id = 'Brand#17'
+  AND name = (SELECT min(name) FROM objects WHERE bucket_id = 'Brand#17')
 """),
         "move_objects": _o("""
 SELECT CASE WHEN name >= 'ECONOMY/' AND name < 'ECONOMY0'

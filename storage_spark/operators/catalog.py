@@ -33,6 +33,12 @@ class QuotaExceededError(Exception):
     pass
 
 
+class NamespaceNotEmptyError(Exception):
+    """RESTRICT refusal (FK 23503) — distinct from a unique violation so
+    create-if-absent retry logic never misreads a non-empty namespace as a
+    name conflict."""
+
+
 def create_namespace(
     index: DataFrame,
     bucket_id: str,
@@ -163,7 +169,7 @@ def drop_namespace(
         .limit(1)
         .count()
     ):
-        raise KeyAlreadyExistsError(
+        raise NamespaceNotEmptyError(
             f"namespace {namespace} still has tables (RESTRICT)"
         )
     return namespaces.filter(
@@ -191,6 +197,11 @@ def upsert_table_location(
         [(bucket_id, namespace, table_name, location)],
         "bucket_id string, namespace string, table_name string, location string",
     )
+    # null-pad whatever other columns the index schema has evolved
+    # (metadata/shard columns from 0047/0048) so the upsert row conforms
+    for f in tables.schema.fields:
+        if f.name not in row.columns:
+            row = row.withColumn(f.name, F.lit(None).cast(f.dataType))
     return merge_upsert(
         tables, row.select(*tables.columns), ["bucket_id", "namespace", "table_name"]
     )

@@ -205,8 +205,9 @@ def minhash_lsh_pairs(
     bands = sigs.select(
         "doc", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = _materialize(bands, materialize)  # before the cap: its agg +
+    # anti-join would otherwise re-plan the full signature pipeline twice
     bands = _cap_band_buckets(bands, ["band", "sig"], max_band_df)
-    bands = _materialize(bands, materialize)
     a = bands.select(F.col("doc").alias("doc_a"), "band", "sig")
     b = bands.select(F.col("doc").alias("doc_b"), "band", "sig")
     return (
@@ -344,8 +345,9 @@ def simhash_near_pairs(
     bands = s.select(
         "doc", "h", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc", "h", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    bands = _materialize(bands, materialize)  # before the cap: its agg +
+    # anti-join would otherwise re-plan the full signature pipeline twice
     bands = _cap_band_buckets(bands, ["band", "val"], max_band_df)
-    bands = _materialize(bands, materialize)
     a = bands.select(
         F.col("doc").alias("doc_a"), F.col("h").alias("ha"), "band", "val"
     )
@@ -437,7 +439,7 @@ def embedding_near_dup_pairs(
     key_col: str = "key",
     vector_col: str = "embedding",
     max_distance: float = 0.2,
-    dim: int = 64,
+    dim: int | None = 64,
     n_planes: int = 8,
     band_size: int = 4,
     exact: bool = False,
@@ -477,6 +479,19 @@ def embedding_near_dup_pairs(
         )
     assert n_planes % band_size == 0
     n_bands = n_planes // band_size
+    # A dim/plane-length mismatch silently zero-collapses every signature
+    # (zip_with null-pads → dot folds NULL → every bit '0' → one giant
+    # bucket): probe one row and fail loudly instead. dim=None infers.
+    probe = vectors.select(F.size(F.col(vector_col)).alias("d")).first()
+    actual_dim = probe["d"] if probe is not None else None
+    if actual_dim is None:
+        dim = dim or 1  # empty corpus: any plane length yields empty output
+    elif dim is None:
+        dim = actual_dim
+    elif dim != actual_dim:
+        raise ValueError(
+            f"dim={dim} does not match embedding dimension {actual_dim}"
+        )
     planes = hyperplanes(dim, n_planes)
     # Precompute the norm ONCE PER ROW (not per candidate pair): per-pair
     # work drops to a single dot product. The pairwise expression
@@ -500,8 +515,9 @@ def embedding_near_dup_pairs(
     ).select(
         "key", "vec", "nrm", F.col("b.band").alias("band"), F.col("b.val").alias("val")
     )
+    bands = _materialize(bands, materialize)  # before the cap: its agg +
+    # anti-join would otherwise re-plan the full signature pipeline twice
     bands = _cap_band_buckets(bands, ["band", "val"], max_band_df)
-    bands = _materialize(bands, materialize)
     a = bands.select(
         F.col("key").alias("key_a"), F.col("vec").alias("va"),
         F.col("nrm").alias("na"), "band", "val",

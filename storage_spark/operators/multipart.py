@@ -51,6 +51,11 @@ class InvalidUploadSignatureError(Exception):
     (ERRORS.InvalidUploadSignature, s3-handler.ts:1448-1450)."""
 
 
+class InvalidCompleteError(Exception):
+    """CompleteMultipartUpload with no parts / malformed part list
+    (the XML parser enforces ≥1 Part; this is the engine-side guard)."""
+
+
 def upload_signature(progress: Column) -> Column:
     """Deterministic signature of the progress value — the engine analogue
     of uploadSignature({in_progress_size}) (s3-handler.ts:458, :1458).
@@ -111,9 +116,40 @@ def upload_parts(
     total would exceed ``max_file_size`` are left untouched and ALL their
     new parts land in ``rejected_parts`` (the reference rejects the request;
     partial application would corrupt the signature chain).
+
+    S3 retry semantics: re-uploading an existing ``part_number`` REPLACES
+    the stored part, so the progress delta counts ``new − replaced_old``
+    bytes and the parts table upserts on (upload_id, part_number) — a
+    retried part never double-counts toward the size cap or the final
+    object. Within one batch the last row per part_number wins
+    (max created_at_ms, ties by size).
     """
-    add = new_parts.groupBy(F.col("upload_id").alias("id")).agg(
-        F.sum("size").alias("_add")
+    # last-write-wins within the batch itself
+    from storage_spark.operators.scans import first_per_group
+
+    batch = first_per_group(
+        new_parts,
+        ["upload_id", "part_number"],
+        [F.col("created_at_ms").desc(), F.col("size").desc()],
+    )
+    # bytes freed by parts this batch replaces
+    replaced = (
+        parts.join(
+            batch.select("upload_id", "part_number"),
+            ["upload_id", "part_number"],
+            "left_semi",
+        )
+        .groupBy(F.col("upload_id").alias("id"))
+        .agg(F.sum("size").alias("_old"))
+    )
+    add = (
+        batch.groupBy(F.col("upload_id").alias("id"))
+        .agg(F.sum("size").alias("_new"))
+        .join(replaced, "id", "left")
+        .select(
+            "id",
+            (F.col("_new") - F.coalesce(F.col("_old"), F.lit(0))).alias("_add"),
+        )
     )
     gated = uploads.join(F.broadcast(add), "id", "left").withColumn(
         "_new_size",
@@ -129,15 +165,22 @@ def upload_parts(
         )
         .drop("_add", "_new_size")
     )
-    accepted = new_parts.join(
-        F.broadcast(ok_ids.withColumnRenamed("id", "upload_id")), "upload_id",
-        "left_semi",
-    )
-    rejected = new_parts.join(
-        F.broadcast(ok_ids.withColumnRenamed("id", "upload_id")), "upload_id",
+    if "upload_signature" in updated.columns:
+        # the reference re-signs on every progress update
+        # (s3-handler.ts:1458); a stale stored signature would read as
+        # tampering to validate_signatures
+        updated = updated.withColumn(
+            "upload_signature", upload_signature(F.col("in_progress_size"))
+        )
+    ok_uploads = F.broadcast(ok_ids.withColumnRenamed("id", "upload_id"))
+    accepted = batch.join(ok_uploads, "upload_id", "left_semi")
+    rejected = new_parts.join(ok_uploads, "upload_id", "left_anti")
+    surviving = parts.join(
+        accepted.select("upload_id", "part_number"),
+        ["upload_id", "part_number"],
         "left_anti",
     )
-    return updated, parts.unionByName(accepted), rejected
+    return updated, surviving.unionByName(accepted), rejected
 
 
 def complete_multipart_upload(
@@ -154,9 +197,16 @@ def complete_multipart_upload(
     Returns ``(objects', uploads', parts', assembled)`` where ``assembled``
     is the 1-row RETURNING-parity DataFrame.
     """
-    from storage_spark.operators.mutations import merge_upsert
+    from storage_spark.operators.mutations import NoSuchKeyError, merge_upsert
 
     up = uploads.filter(F.col("id") == upload_id)
+    if up.limit(1).count() == 0:
+        raise NoSuchKeyError(f"no such upload: {upload_id}")
+    if parts.filter(F.col("upload_id") == upload_id).limit(1).count() == 0:
+        # completing with zero parts is an error (the reference requires at
+        # least one Part; silently dropping the upload row would destroy an
+        # in-flight upload without producing an object)
+        raise InvalidCompleteError(f"upload {upload_id} has no parts")
     assembled = (
         parts.filter(F.col("upload_id") == upload_id)
         .groupBy("upload_id")

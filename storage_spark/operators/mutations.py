@@ -32,6 +32,10 @@ class KeyAlreadyExistsError(Exception):
     """M2: unique-violation surfaced as an error (pg.ts:1004-1041)."""
 
 
+class NoSuchKeyError(Exception):
+    """Source row absent where the reference raises NoSuchKey."""
+
+
 def merge_upsert(
     target: DataFrame, updates: DataFrame, keys: list[str]
 ) -> DataFrame:
@@ -114,6 +118,10 @@ def copy_object(
     src = objects.filter(
         (F.col("bucket_id") == bucket_id) & (F.col("name") == from_name)
     )
+    if src.limit(1).count() == 0:
+        # the reference raises NoSuchKey; silently proceeding would DELETE a
+        # pre-existing destination via the survivors filter below
+        raise NoSuchKeyError(f"{bucket_id}/{from_name}")
     dst_bucket = to_bucket_id if to_bucket_id is not None else bucket_id
     dst = (
         src.withColumn("name", F.lit(to_name))
@@ -256,7 +264,13 @@ class CatalogTable:
         return self.spark.table(self.name)
 
     def _stage(self, df: DataFrame) -> str:
-        view = f"_merge_src_{abs(hash(self.name)) % 10_000_000}"
+        import re
+
+        # view name derived from the table name itself: deterministic
+        # across processes (no PYTHONHASHSEED dependence) and collision-free
+        # per table, so interleaved CatalogTables never clobber each other's
+        # staged source
+        view = "_merge_src_" + re.sub(r"[^A-Za-z0-9_]", "_", self.name)
         df.createOrReplaceTempView(view)
         return view
 

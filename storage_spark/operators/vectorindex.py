@@ -54,6 +54,11 @@ class InvalidIndexParameterError(Exception):
     """ERRORS.InvalidParameter at create-index time (pgvector/index.ts:429-455)."""
 
 
+class VectorBucketNotEmptyError(Exception):
+    """FK refusal on bucket delete while indexes remain (0045:18) —
+    distinct from a unique violation."""
+
+
 def create_vector_bucket(buckets: DataFrame, bucket_name: str) -> DataFrame:
     """createVectorBucket (pg.ts:213-229): INSERT; id collision conflicts."""
     spark = buckets.sparkSession
@@ -138,7 +143,7 @@ def delete_vector_bucket(
     """deleteVectorBucket (pg.ts:329-338). The FK from vector_indexes
     (0045:18) makes deleting a bucket with live indexes a violation."""
     if indexes.filter(F.col("bucket_id") == bucket_name).limit(1).count():
-        raise KeyAlreadyExistsError(
+        raise VectorBucketNotEmptyError(
             f"vector bucket {bucket_name} still has indexes (FK violation)"
         )
     return buckets.filter(F.col("id") != bucket_name)

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from storage_spark.operators.catalog import (
+    NamespaceNotEmptyError,
     QuotaExceededError,
     configure_iceberg_catalog,
     create_namespace,
@@ -83,7 +84,7 @@ def test_drop_and_rename_table(spark, tbl_index):
 
 
 def test_drop_namespace_restrict(spark, ns_index, tbl_index):
-    with pytest.raises(KeyAlreadyExistsError):
+    with pytest.raises(NamespaceNotEmptyError):
         drop_namespace(ns_index, tbl_index, "b1", "raw")
     empty_tables = drop_table(tbl_index, "b1", "raw", "events")
     out = drop_namespace(ns_index, empty_tables, "b1", "raw")

@@ -67,6 +67,55 @@ def test_upload_parts_accumulates_and_caps(spark, uploads, parts):
     assert parts3.count() == 2
 
 
+def test_part_retry_replaces_not_duplicates(spark, uploads, parts):
+    """S3 retry semantics: re-uploading a part_number REPLACES the stored
+    part — progress counts the delta, never double-counts, and the
+    completed object sees one part."""
+    b1 = spark.createDataFrame([("up-a", 1, 100, "e1", 1001)], PART_SCHEMA)
+    up2, parts2, _ = upload_parts(uploads, parts, b1, max_file_size=1000)
+    assert up2.first()["in_progress_size"] == 100
+    # retry with a different size (e.g. after a corrected upload)
+    b2 = spark.createDataFrame([("up-a", 1, 120, "e1b", 1002)], PART_SCHEMA)
+    up3, parts3, rej = upload_parts(up2, parts2, b2, max_file_size=1000)
+    assert rej.count() == 0
+    assert up3.first()["in_progress_size"] == 120  # delta, not 220
+    rows = parts3.collect()
+    assert len(rows) == 1 and rows[0]["etag"] == "e1b"
+    # duplicate part_number WITHIN one batch: last write wins
+    b3 = spark.createDataFrame(
+        [("up-a", 2, 50, "x1", 1003), ("up-a", 2, 60, "x2", 1004)], PART_SCHEMA
+    )
+    up4, parts4, _ = upload_parts(up3, parts3, b3, max_file_size=1000)
+    assert up4.first()["in_progress_size"] == 180
+    assert {r["etag"] for r in parts4.collect()} == {"e1b", "x2"}
+
+
+def test_upload_parts_refreshes_stored_signature(spark, uploads, parts):
+    """A persisted upload_signature column is re-signed on every progress
+    update (the reference re-signs at s3-handler.ts:1458) — otherwise every
+    sanctioned write would read as tampering."""
+    signed = with_signature(uploads)
+    batch = spark.createDataFrame([("up-a", 1, 100, "e1", 1001)], PART_SCHEMA)
+    up2, _, _ = upload_parts(signed, parts, batch, max_file_size=1000)
+    assert validate_signatures(up2).count() == 0
+
+
+def test_complete_requires_upload_and_parts(spark, uploads, parts):
+    from storage_spark.operators.multipart import InvalidCompleteError
+    from storage_spark.operators.mutations import NoSuchKeyError
+
+    objects = spark.createDataFrame(
+        [],
+        "id string, bucket_id string, name string, size bigint,"
+        " created_at_ms bigint, updated_at_ms bigint, owner_id string,"
+        " version string, mimetype string",
+    )
+    with pytest.raises(NoSuchKeyError):
+        complete_multipart_upload(uploads, parts, objects, "up-ghost")
+    with pytest.raises(InvalidCompleteError):
+        complete_multipart_upload(uploads, parts, objects, "up-a")  # no parts
+
+
 def test_signature_roundtrip(spark, uploads):
     signed = with_signature(uploads)
     assert validate_signatures(signed).count() == 0

@@ -163,6 +163,11 @@ def test_copy_object_mints_new_identity(spark):
     )
     d = {r.name: r for r in out2.collect()}["dst.txt"]
     assert (d.id, d.version) == ("N", "V")
+    # missing source raises (and must NOT delete a pre-existing destination)
+    from storage_spark.operators.mutations import NoSuchKeyError
+
+    with pytest.raises(NoSuchKeyError):
+        copy_object(out, "b1", "no-such.txt", "dst.txt")
 
 
 def test_parquet_table_commit(spark, target, tmp_path):

@@ -12,6 +12,7 @@ from storage_spark.functions.jsonmeta import FilterError
 from storage_spark.operators.mutations import KeyAlreadyExistsError
 from storage_spark.operators.vectorindex import (
     INDEX_SCHEMA,
+    VectorBucketNotEmptyError,
     InvalidIndexParameterError,
     VectorBucketNotFoundError,
     VectorIndexNotFoundError,
@@ -71,7 +72,7 @@ def test_create_index_conflict_and_quota(spark, buckets, indexes):
 
 def test_delete_index_and_bucket_fk(spark, buckets, indexes):
     one = create_vector_index(indexes, buckets, "vb-main", "idx-a", 64)
-    with pytest.raises(KeyAlreadyExistsError):
+    with pytest.raises(VectorBucketNotEmptyError):
         delete_vector_bucket(buckets, one, "vb-main")
     none = delete_vector_index(one, "vb-main", "idx-a")
     assert none.count() == 0
