@@ -1369,11 +1369,12 @@ SELECT bucket_id, name FROM (
 """),
         "legacy_folder_join": _o("""
 , folders AS (
-  SELECT DISTINCT split_part(name, '/', 1) || '/' AS folder
-  FROM objects WHERE bucket_id = 'Brand#13' AND instr(name, '/') > 0
+  SELECT DISTINCT split_part(name, '/', 1) AS folder
+  FROM objects WHERE bucket_id = 'Brand#13'
 )
-SELECT f.folder, o.id, o.size
-FROM folders f LEFT JOIN objects o ON o.name = f.folder
+SELECT f.folder AS name, o.id, o.size
+FROM folders f LEFT JOIN objects o
+  ON o.name = f.folder AND o.bucket_id = 'Brand#13'
 """),
         "mime_validation": _o("""
 SELECT mimetype,

@@ -62,8 +62,14 @@ def _validate_primitive(value: Any) -> Any:
 
 
 def _path(field: str) -> str:
-    escaped = field.replace("'", "\\'")
-    return f"$['{escaped}']"
+    # Spark's variant path grammar has NO escape sequence inside ['...'] —
+    # a quote in the key would build an invalid path and surface as
+    # INVALID_VARIANT_GET_PATH at execution. Refuse it up front as a
+    # FilterError (grammar violation), the same class of rejection the
+    # reference's InvalidParameter gives malformed filters.
+    if "'" in field or '"' in field:
+        raise FilterError(f"Unsupported quote character in metadata key: {field!r}")
+    return f"$['{field}']"
 
 
 class _Compiler:

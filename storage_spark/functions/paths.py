@@ -77,15 +77,30 @@ def common_prefix(name: Column, prefix: str, delimiter: str = "/") -> Column:
     ).otherwise(F.lit(None))
 
 
-def prefix_upper_bound(prefix: str) -> str:
-    """Smallest string > every string with this prefix, by incrementing the
-    last byte — the reference's bounded-range rewrite
-    (0050-search-v2-optimised.sql:138-146). Lets the engine turn
-    ``startswith`` into a sargable ``name >= p AND name < bound`` pair that
-    prunes range-partitioned / min-max-indexed files."""
+def prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string > every string with this prefix — the reference's
+    bounded-range rewrite (0050-search-v2-optimised.sql:138-146). Lets the
+    engine turn ``startswith`` into a sargable ``name >= p AND name < bound``
+    pair that prunes range-partitioned / min-max-indexed files.
+
+    Proper string-successor: incrementing the last code point must skip the
+    surrogate gap (U+D800-DFFF can't round-trip through UTF-8 literals) and
+    carry past U+10FFFF by dropping the exhausted tail character. Returns
+    None when no finite bound exists (prefix entirely of U+10FFFF) — the
+    range degrades to the >= side alone."""
     if not prefix:
         raise ValueError("empty prefix has no upper bound")
-    return prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    chars = list(prefix)
+    while chars:
+        cp = ord(chars[-1])
+        if cp >= 0x10FFFF:
+            chars.pop()  # carry: no successor for this character
+            continue
+        nxt = cp + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000  # skip the surrogate gap
+        return "".join(chars[:-1]) + chr(nxt)
+    return None
 
 
 def prefix_range_filter(name: Column, prefix: str) -> Column:
@@ -93,4 +108,7 @@ def prefix_range_filter(name: Column, prefix: str) -> Column:
     file skipping (min/max stats on a name-sorted layout) applies."""
     if not prefix:
         return F.lit(True)
-    return (name >= F.lit(prefix)) & (name < F.lit(prefix_upper_bound(prefix)))
+    bound = prefix_upper_bound(prefix)
+    if bound is None:
+        return name >= F.lit(prefix)
+    return (name >= F.lit(prefix)) & (name < F.lit(bound))

@@ -208,6 +208,8 @@ def top_k_merge(branches: list[DataFrame], order: list[Column], k: int) -> DataF
     """O3 sorted-merge top-k: per-branch LIMIT k, UNION ALL, global top-k —
     search_v2's two-branch plan (0027-search-v2.sql:20-57). Catalyst lowers
     the final sort+limit to TakeOrderedAndProject (no full sort)."""
+    if not branches:
+        raise ValueError("top_k_merge needs at least one branch")
     limited = [b.orderBy(*order).limit(k) for b in branches]
     out = limited[0]
     for b in limited[1:]:

@@ -54,8 +54,12 @@ class Page:
 
 def take_page(listing: DataFrame, limit: int, name_col: str = "name") -> Page:
     """limit+1 truncation over an already-sorted listing DataFrame: fetch
-    one extra row to learn whether more exist without a count."""
-    limit = clamp_limit(limit)
+    one extra row to learn whether more exist without a count.
+
+    ``limit <= 0`` falls back to the protocol default like the reference's
+    ``maxKeys || 1000`` (object.ts:631) — a literal 0 page would report
+    is_truncated with no token and spin ``paginate`` forever."""
+    limit = clamp_limit(limit) or MAX_KEYS_PROTOCOL
     rows = listing.limit(limit + 1).collect()
     is_truncated = len(rows) > limit
     rows = rows[:limit]

@@ -29,6 +29,7 @@ def curate_corpus(
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
     max_shingle_df: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Returns the kept rows (id + quality score, scaled integral).
 
@@ -38,16 +39,27 @@ def curate_corpus(
       lowest doc_id of each group;
     - near-duplicates (Jaccard >= min_jaccard) → drop the higher doc_id of
       each pair (the transitive greedy pass of MinHashLSH-style dedup).
+
+    ``materialize=True`` checkpoints the scored/exact-kept stage and the
+    shingle index: they feed several subplans each (keeper agg, semi-join,
+    index a/b sides, final anti-join), and Catalyst re-plans shared
+    subtrees per consumer — at scale the scan+scoring+shingling would
+    otherwise run several times.
     """
+    from storage_spark.operators.dedup import _materialize
+
     scored = docs.select(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("text"),
         quality_score(F.col(text_col)).alias("_q"),
         fingerprint(F.col(text_col)).alias("_fp"),
     ).filter(F.col("_q") >= min_quality)
+    scored = _materialize(scored, materialize)
 
     keepers = scored.groupBy("_fp").agg(F.min("doc").alias("doc"))
-    exact_kept = scored.join(keepers, ["doc", "_fp"], "left_semi")
+    exact_kept = _materialize(
+        scored.join(keepers, ["doc", "_fp"], "left_semi"), materialize
+    )
 
     pairs = ngram_jaccard_pairs(
         exact_kept,
@@ -56,6 +68,7 @@ def curate_corpus(
         n=shingle_n,
         min_jaccard=min_jaccard,
         max_shingle_df=max_shingle_df,
+        materialize=materialize,
     )
     losers = pairs.select(F.col("doc_b").alias("doc")).distinct()
     kept = exact_kept.join(losers, "doc", "left_anti")

@@ -40,25 +40,37 @@ def clean_s3_keys(s3_keys: DataFrame, before_ms: int | None = None) -> DataFrame
     return df
 
 
-def s3_orphans(objects: DataFrame, s3_keys: DataFrame) -> DataFrame:
+def s3_orphans(
+    objects: DataFrame, s3_keys: DataFrame, before_ms: int | None = None
+) -> DataFrame:
     """Keys present in the backend but absent from the metadata DB — J2
-    (scanner.ts:323-363) as one anti-join."""
-    return clean_s3_keys(s3_keys).join(object_keys(objects), "key", "left_anti")
+    (scanner.ts:323-363) as one anti-join. ``before_ms`` excludes in-flight
+    writes (an upload landing in the backend moments before the DB row
+    commits must not be reported for deletion — scanner.ts:32,148)."""
+    return clean_s3_keys(s3_keys, before_ms).join(
+        object_keys(objects), "key", "left_anti"
+    )
 
 
-def db_orphans(objects: DataFrame, s3_keys: DataFrame) -> DataFrame:
+def db_orphans(
+    objects: DataFrame, s3_keys: DataFrame, before_ms: int | None = None
+) -> DataFrame:
     """Metadata rows whose backend blob is missing — J3 (scanner.ts:365-403)."""
-    return object_keys(objects).join(clean_s3_keys(s3_keys), "key", "left_anti")
+    return object_keys(objects).join(
+        clean_s3_keys(s3_keys, before_ms), "key", "left_anti"
+    )
 
 
-def consistency_report(objects: DataFrame, s3_keys: DataFrame) -> DataFrame:
+def consistency_report(
+    objects: DataFrame, s3_keys: DataFrame, before_ms: int | None = None
+) -> DataFrame:
     """Both directions in one pass (T5's merged generator,
     src/internal/concurrency mergeAsyncGenerators): a single FULL OUTER
     join on the key, keeping rows missing on either side. Result-identical
     to UNION-of-two-anti-joins but each side is scanned and shuffled once
     instead of twice (measured 2x at 10M x 10M keys)."""
     db = object_keys(objects).select("key", F.lit(1).alias("_db"))
-    s3 = clean_s3_keys(s3_keys).select("key", F.lit(1).alias("_s3"))
+    s3 = clean_s3_keys(s3_keys, before_ms).select("key", F.lit(1).alias("_s3"))
     j = db.join(s3, "key", "full")
     return j.filter(F.col("_db").isNull() | F.col("_s3").isNull()).select(
         "key",

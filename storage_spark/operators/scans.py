@@ -67,24 +67,32 @@ def first_per_group(
 
 
 def legacy_folder_search(
-    objects: DataFrame, bucket_id: str, prefix: str = "", delimiter: str = "/"
+    objects: DataFrame,
+    bucket_id: str,
+    prefix: str = "",
+    delimiter: str = "/",
+    levels: int = 1,
 ) -> DataFrame:
-    """J1: the v0 ``storage.search`` plan — folder names grouped from paths,
-    LEFT JOIN back to objects on exact name match so pure folders carry NULL
-    object columns (0002-storage-schema.sql:125-150). Superseded by the A4
-    common-prefix plan; kept for parity."""
-    from storage_spark.functions.paths import common_prefix, prefix_range_filter
+    """J1: the v0 ``storage.search`` plan (0002-storage-schema.sql:125-150):
+    the ``levels``-th path segment per object — a BARE token with no
+    trailing delimiter — grouped distinct, then LEFT JOINed back to the
+    SAME bucket's objects on ``prefix || folder = name``, so leaf segments
+    carry their object's columns and pure folders carry NULLs. Superseded
+    by the A4 common-prefix plan; kept for parity."""
+    import re as _re
+
+    from storage_spark.functions.paths import prefix_range_filter
 
     src = objects.filter(F.col("bucket_id") == bucket_id)
     if prefix:
         src = src.filter(prefix_range_filter(F.col("name"), prefix))
-    folders = (
-        src.select(common_prefix(F.col("name"), prefix, delimiter).alias("folder"))
-        .filter(F.col("folder").isNotNull())
-        .distinct()
+    seg = F.element_at(F.split(F.col("name"), _re.escape(delimiter)), levels)
+    folders = src.select(seg.alias("name")).distinct()
+    same_bucket = objects.filter(F.col("bucket_id") == bucket_id).select(
+        F.col("name").alias("_objname"), "id", "size"
     )
-    return folders.join(
-        objects.select(F.col("name").alias("folder"), "id", "size"),
-        "folder",
-        "left",
-    ).select("folder", "id", "size")
+    return (
+        folders.withColumn("_objname", F.concat(F.lit(prefix), F.col("name")))
+        .join(same_bucket, "_objname", "left")
+        .select("name", "id", "size")
+    )

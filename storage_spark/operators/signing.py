@@ -36,14 +36,21 @@ def hs256_token(payload: dict, secret: str) -> str:
     return f"{header}.{body}.{sig}"
 
 
-def verify_hs256(token: str, secret: str) -> dict:
+def verify_hs256(token: str, secret: str, now_s: int | None = None) -> dict:
+    """Verify HMAC AND expiry: jsonwebtoken.verify rejects expired tokens,
+    so a missing exp check would accept any stale signed URL forever.
+    ``now_s`` is an explicit input (deterministic/replayable); None skips
+    the expiry check for signature-only inspection."""
     header, body, sig = token.split(".")
     signing_input = f"{header}.{body}".encode()
     expect = _b64url(hmac.new(secret.encode(), signing_input, hashlib.sha256).digest())
     if not hmac.compare_digest(sig, expect):
         raise ValueError("invalid signature")
     pad = "=" * (-len(body) % 4)
-    return json.loads(base64.urlsafe_b64decode(body + pad))
+    payload = json.loads(base64.urlsafe_b64decode(body + pad))
+    if now_s is not None and "exp" in payload and payload["exp"] < now_s:
+        raise ValueError("token expired")
+    return payload
 
 
 def sign_many(

@@ -160,6 +160,10 @@ INVALID = [
     {"k": {"$exists": "yes"}},
     {"k": {"$eq": float("inf")}},
     {"k": {"$eq": [1, 2]}},
+    # quote in a key: Spark's variant path grammar has no escape, so this
+    # must be a FilterError up front, not INVALID_VARIANT_GET_PATH at run
+    {"it's": 1},
+    {'he said "hi"': 1},
 ]
 
 

@@ -88,3 +88,18 @@ def test_prefix_upper_bound_property(spark):
         assert p < ub
         for suffix in ["", "a", "zzz", "/x", "~"]:
             assert p <= p + suffix < ub
+
+
+def test_prefix_upper_bound_edge_codepoints():
+    # surrogate gap is skipped: successor of U+D7FF is U+E000, not a lone
+    # surrogate that UTF-8 literals can't carry
+    assert paths.prefix_upper_bound("a" + chr(0xD7FF)) == "a" + chr(0xE000)
+    # U+10FFFF carries into the previous character
+    assert paths.prefix_upper_bound("a\U0010FFFF") == "b"
+    # a prefix made entirely of U+10FFFF has no finite bound
+    assert paths.prefix_upper_bound("\U0010FFFF\U0010FFFF") is None
+    from pyspark.sql import functions as F
+
+    # and the range filter degrades to >= alone without erroring
+    col = paths.prefix_range_filter(F.lit("x"), "\U0010FFFF")
+    assert col is not None

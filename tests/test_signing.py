@@ -17,6 +17,17 @@ def test_token_roundtrip_and_tamper():
         verify_hs256(f"{h}.{b}x.{s}", "s3cret")
 
 
+def test_expired_token_rejected():
+    """jsonwebtoken.verify rejects expired tokens; so must we — a signed
+    URL is a time-limited credential, not a permanent one."""
+    tok = hs256_token({"url": "b/a.txt", "exp": 1000}, "s3cret")
+    assert verify_hs256(tok, "s3cret", now_s=999)["url"] == "b/a.txt"
+    with pytest.raises(ValueError, match="expired"):
+        verify_hs256(tok, "s3cret", now_s=1001)
+    # no-exp tokens pass any clock (signature-only inspection unchanged)
+    assert verify_hs256(hs256_token({"url": "x"}, "s3cret"), "s3cret", now_s=10**10)
+
+
 def test_sign_many(spark):
     df = spark.createDataFrame(
         [("b1", "a.txt"), ("b1", "d/e.png"), ("b2", "x.bin")],
