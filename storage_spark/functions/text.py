@@ -49,7 +49,9 @@ def regex_token_count(text: Column, pattern: str = "[a-z]+|[0-9]+|[^a-z0-9 ]") -
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     toks = tokens(F.lower(text))
-    sw = stopwords or STOPWORDS["en"]
+    # `is None`, not falsiness: an explicitly EMPTY list means "no
+    # stopword term" (ratio 0), not "use the English default"
+    sw = STOPWORDS["en"] if stopwords is None else stopwords
     hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
     return hits.cast("double") / F.size(toks).cast("double")
 

@@ -12,10 +12,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 #: limits.ts:94 — object keys allow word chars, '/', and S3-special chars.
-OBJECT_KEY_RE = r"^(\w|/|!|\-|\.|\*|'|\(|\)| |&|\$|@|=|;|:|\+|,|\?)*$"
+#: \z (absolute end), not $: Java's $ matches before a trailing newline,
+#: which would admit newline-terminated keys the reference rejects.
+OBJECT_KEY_RE = r"^(\w|/|!|\-|\.|\*|'|\(|\)| |&|\$|@|=|;|:|\+|,|\?)*\z"
 
 #: limits.ts:110 — bucket names: same minus '/' (and length < 101).
-BUCKET_NAME_RE = r"^(\w|!|\-|\.|\*|'|\(|\)| |&|\$|@|=|;|:|\+|,|\?)*$"
+BUCKET_NAME_RE = r"^(\w|!|\-|\.|\*|'|\(|\)| |&|\$|@|=|;|:|\+|,|\?)*\z"
 
 
 def is_valid_key(key: Column) -> Column:
@@ -27,16 +29,24 @@ def is_valid_bucket_name(name: Column) -> Column:
 
 
 def mime_type_allowed(mime: Column, allowed: list[str]) -> Column:
-    """uploader.ts:305-332: exact match, or 'type/*' wildcard prefix, or a
-    bare '*' / '*/*' allow-all. Empty/None allowed list allows everything."""
+    """uploader.ts:305-332 (validateMimeType): the requested mime must be
+    'type/subtype'; an allowed entry matches when its TYPE equals the
+    requested type and its subtype is '*' or equals the requested subtype.
+    Note the reference matches NEITHER '*' nor '*/*' — the wildcard exists
+    only in the subtype position — and a mime without '/' is invalid.
+    Empty/None allowed list allows everything (no restriction configured)."""
     if not allowed:
         return F.lit(True)
+    req_type = F.split(mime, "/").getItem(0)
+    req_ext = F.split(mime, "/").getItem(1)
     cond = F.lit(False)
     for pattern in allowed:
-        if pattern in ("*", "*/*"):
-            cond = cond | F.lit(True)
-        elif pattern.endswith("/*"):
-            cond = cond | mime.startswith(pattern[:-1])
+        parts = pattern.split("/")
+        if len(parts) < 2:
+            continue  # '*' or bare types never match (uploader.ts:317-319)
+        a_type, a_ext = parts[0], parts[1]
+        if a_ext == "*":
+            cond = cond | (req_type == a_type)
         else:
-            cond = cond | (mime == pattern)
-    return cond
+            cond = cond | ((req_type == a_type) & (req_ext == a_ext))
+    return mime.contains("/") & cond

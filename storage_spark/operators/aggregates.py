@@ -35,7 +35,10 @@ def capped_count(df: DataFrame, cap: int) -> DataFrame:
 
 
 def salted_usage(
-    objects: DataFrame, group_col: str = "bucket_id", salt_buckets: int = 16
+    objects: DataFrame,
+    group_col: str = "bucket_id",
+    salt_buckets: int = 16,
+    salt_col: str | None = "name",
 ) -> DataFrame:
     """Skew-safe variant of bucket_usage: two-stage aggregation with a
     deterministic salt. When one bucket holds a disproportionate share of
@@ -45,7 +48,13 @@ def salted_usage(
     per key. Results are identical to bucket_usage (integral sums are
     associative). AQE's skew handling covers joins; this covers aggregation.
     """
-    salt = F.pmod(F.xxhash64(F.col("name")), F.lit(salt_buckets))
+    if salt_col is not None and salt_col in objects.columns:
+        salt_src = F.xxhash64(F.col(salt_col))
+    else:
+        # no designated salt column: hash the whole row (any deterministic
+        # spreader works — the two-stage sums recombine identically)
+        salt_src = F.xxhash64(*[F.col(c) for c in objects.columns])
+    salt = F.pmod(salt_src, F.lit(salt_buckets))
     stage1 = (
         objects.groupBy(F.col(group_col), salt.alias("_salt"))
         .agg(

@@ -242,10 +242,12 @@ def frame_sample_plan(videos: DataFrame, every_n: int,
     """Frame-sampling *plan*: one output row per sampled frame index, from
     the decoded n_frames metadata — the per-frame extraction UDF plugs into
     the same (key, frame_idx) grid. Pure expression (no Python rows)."""
+    grid = F.when(
+        F.col("n_frames") > 0,
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
+    # zero-frame / NULL-metadata videos yield NO rows (a phantom frame 0
+    # would send the per-frame UDF after a frame that does not exist)
     return videos.select(
-        F.col(key_col).alias("key"),
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
-                       F.lit(every_n))
-        ).alias("frame_idx"),
+        F.col(key_col).alias("key"), F.explode(grid).alias("frame_idx")
     )

@@ -93,6 +93,10 @@ def delete_all_before(
     cond = F.col("created_at_ms") < before_ms
     if bucket_id is not None:
         cond = cond & (F.col("bucket_id") == bucket_id)
+    # NULL created_at_ms must land in REMAINING: cond is NULL for it, and
+    # both filter(cond) and filter(~cond) drop NULL — the row would vanish
+    # from both sides (deleted without an ObjectRemoved event)
+    cond = F.coalesce(cond, F.lit(False))
     deleted = objects.filter(cond)
     remaining = objects.filter(~cond)
     return remaining, deleted

@@ -59,8 +59,13 @@ def for_queue(stream: DataFrame, event_types: list[str]) -> DataFrame:
 def dedup_singleton(stream: DataFrame, key_cols: list[str], watermark_col: str,
                     delay: str = "1 hour") -> DataFrame:
     """T2: at-most-one in-flight job per singleton key within the watermark
-    horizon (state-store-backed)."""
-    return stream.withWatermark(watermark_col, delay).dropDuplicates(key_cols)
+    horizon (state-store-backed). ``dropDuplicatesWithinWatermark`` is the
+    form whose state actually EVICTS at the horizon — plain dropDuplicates
+    with a non-key watermark column keeps state forever (unbounded store,
+    and a legitimate re-submission hours later stays suppressed)."""
+    return stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def windowed_event_counts(
@@ -92,7 +97,7 @@ def run_webhook_sink(
     checkpoint_dir: str,
     available_now: bool = True,
     from_executors: bool = False,
-) -> None:
+):
     """S8/T3: webhook delivery via foreachBatch — each micro-batch posts its
     rows (the reference posts one HTTP call per event through the webhook
     queue, webhook.ts:102-160; batching is the Spark-native form).
@@ -130,8 +135,10 @@ def run_webhook_sink(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-    else:
-        writer.start()
+        return q
+    # continuous mode: hand the StreamingQuery back so the caller can
+    # monitor, awaitTermination, or stop delivery
+    return writer.start()
 
 
 def run_vector_ingest(

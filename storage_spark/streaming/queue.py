@@ -27,9 +27,15 @@ def claim_batch(
     if singleton_dedup and "singleton_key" in df.columns:
         from storage_spark.operators.scans import first_per_group
 
-        df = first_per_group(
-            df, ["singleton_key"], [F.col("created_at_ms").asc(), F.col("job_id").asc()]
+        # NULL singleton_key means "no dedup" (pg-boss semantics) — the
+        # window would otherwise collapse ALL null-key jobs into one row
+        # and starve the rest of the queue
+        keyed = first_per_group(
+            df.filter(F.col("singleton_key").isNotNull()),
+            ["singleton_key"],
+            [F.col("created_at_ms").asc(), F.col("job_id").asc()],
         )
+        df = keyed.unionByName(df.filter(F.col("singleton_key").isNull()))
     return df.orderBy("created_at_ms", "job_id").limit(batch_size)
 
 

@@ -84,6 +84,17 @@ def test_delete_all_before(spark, target):
     assert deleted_b1.count() == 2 and remaining_b1.count() == 1
 
 
+def test_delete_all_before_null_timestamps_survive(spark):
+    objects = spark.createDataFrame(
+        [("b1", "old.txt", 1, 100), ("b1", "untimed.txt", 2, None)],
+        "bucket_id string, name string, size long, created_at_ms long",
+    )
+    remaining, deleted = delete_all_before(objects, before_ms=1000)
+    # the NULL-timestamp row must NOT vanish from both sides
+    assert {r.name for r in deleted.collect()} == {"old.txt"}
+    assert {r.name for r in remaining.collect()} == {"untimed.txt"}
+
+
 def test_lifecycle_events(spark, target):
     after = spark.createDataFrame(
         [

@@ -43,6 +43,23 @@ def test_outcomes_transition(spark, jobs):
     assert pend == {2: 0, 4: 1}  # 2 untouched, 4 retried with bumped counter
 
 
+def test_null_singleton_keys_are_not_deduped(spark):
+    """pg-boss: no singletonKey means no dedup — NULL keys must all claim,
+    not collapse into one window group."""
+    jobs = spark.createDataFrame(
+        [
+            (1, "webhooks", None, 0, 100),
+            (2, "webhooks", None, 0, 200),
+            (3, "webhooks", None, 0, 300),
+            (4, "webhooks", "k1", 0, 50),
+            (5, "webhooks", "k1", 0, 60),
+        ],
+        SCHEMA,
+    )
+    got = [r.job_id for r in claim_batch(jobs, "webhooks", batch_size=10).collect()]
+    assert got == [4, 1, 2, 3]  # all NULL-key jobs + one per singleton key
+
+
 def test_exponential_backoff_schedule(spark, jobs):
     """pg-boss retryBackoff as a column: delay doubles per attempt and
     due_jobs gates claims until the stamp elapses."""

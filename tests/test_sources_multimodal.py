@@ -130,6 +130,20 @@ def test_frame_sample_plan(spark, media_df):
     assert [r.frame_idx for r in frames.orderBy("frame_idx").collect()] == [0, 30, 60, 90]
 
 
+def test_frame_sample_skips_zero_frame_videos(spark):
+    from storage_spark.operators.multimodal import frame_sample_plan
+
+    decoded = spark.createDataFrame(
+        [("v1", 90), ("still", 0), ("broken", None)],
+        "key string, n_frames int",
+    )
+    rows = frame_sample_plan(decoded, every_n=30).collect()
+    # no phantom frame 0 for zero-frame or NULL-metadata entries
+    assert {(r.key, r.frame_idx) for r in rows} == {
+        ("v1", 0), ("v1", 30), ("v1", 60),
+    }
+
+
 def test_decode_audio_meta(spark):
     from storage_spark.operators.multimodal import decode_audio_meta, fake_audio_header
 
