@@ -1003,6 +1003,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc")
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus health report: per-language docs / tokens /
+    high-quality share over the documents table."""
+    from storage_spark.operators.pipeline import corpus_stats
+
+    t = _t(spark, sf_dir)
+    return corpus_stats(t["documents"]).orderBy("lang")
+
+
 def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints: min-hash per sliding window of
     word-shingle hashes (MOSS selection) — any shared run of ≥ 6 words
@@ -1154,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_table_ops": q_iceberg_table_ops,
         "copy_object": q_copy_object,
         "text_winnowing": q_text_winnowing,
+        "corpus_stats": q_corpus_stats,
         "list_root": q_list_root,
         "list_nested": q_list_nested,
         "list_flat_cursor": q_list_flat_cursor,
@@ -1652,6 +1662,42 @@ SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_cents,
 FROM events
 GROUP BY event_type, CAST(round(value * 100) AS BIGINT)
 HAVING count(*) > 1
+"""),
+        "corpus_stats": _o(f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(ntoks) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_quality
+FROM (
+  SELECT
+    CASE
+      WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+      WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+      WHEN fr > 0 AND fr >= es THEN 'fr'
+      WHEN es > 0 THEN 'es'
+      ELSE 'und' END AS lang,
+    len(tk_raw) AS ntoks,
+    least(CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE n / 20.0 END, 1.0) * 0.4
+      + (nd / n) * 0.4
+      + least((ns / n) * 4.0, 1.0) * 0.2 AS score
+  FROM (
+    SELECT
+      {_DUCK_RAW_TOKENS} AS tk_raw,
+      CAST(len({_DUCK_RAW_TOKENS}) AS DOUBLE) AS n,
+      CAST(len(list_distinct({_DUCK_RAW_TOKENS})) AS DOUBLE) AS nd,
+      CAST(list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> CASE WHEN t IN {_EN_STOP} THEN 1 ELSE 0 END)) AS DOUBLE) AS ns,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('a','the','of','and','to') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS en,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('der','die','das','und','zu') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS de,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('le','la','les','et','de') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS fr,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('el','la','los','y','de') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS es
+    FROM (
+      SELECT text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk_low
+      FROM documents
+    )
+  )
+)
+GROUP BY lang ORDER BY lang
 """),
         "text_winnowing": _o(f"""
 , toks AS (

@@ -17,8 +17,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from storage_spark.functions.text import fingerprint, quality_score
+from storage_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
 from storage_spark.operators.dedup import ngram_jaccard_pairs
+
+
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    quality_threshold: float = 0.5,
+) -> DataFrame:
+    """One-pass corpus profile: per-language doc counts, token totals, and
+    the high-quality share — the daily health report a corpus pipeline
+    publishes. One scan; every aggregate is map-side partial before the
+    single shuffle on the (tiny-cardinality) language key."""
+    col = F.col(text_col)
+    enriched = docs.select(
+        lang_id(col).alias("lang"),
+        token_count(col).alias("_toks"),
+        quality_score(col).alias("_q"),
+    )
+    return enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_toks").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("_q") >= quality_threshold, 1).otherwise(0)
+        ).alias("n_high_quality"),
+    )
 
 
 def curate_corpus(
