@@ -482,6 +482,102 @@ _DUCK_NORM_Q = (
 )
 
 
+def _duck_sig_expr(planes: list[list[float]], emb: str = "embedding") -> str:
+    """Concatenated sign-bit signature over deterministic ±1 hyperplanes —
+    mirrors functions.vectors.lsh_signature bit for bit (left-fold dots)."""
+
+    def _dot_plane(p: list[float]) -> str:
+        lit = "[" + ", ".join(f"{x:.1f}" for x in p) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({emb}, {lit}),"
+            " t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+        )
+
+    return " ||\n      ".join(
+        f"(CASE WHEN {_dot_plane(p)} >= 0 THEN '1' ELSE '0' END)" for p in planes
+    )
+
+
+def _duck_cos(a: str, b: str) -> str:
+    """1 - dot/(|a||b|) with strict left folds — bitwise equal to the
+    Spark expression path."""
+    return (
+        f"1.0 - list_sum(list_transform(list_zip({a}, {b}),"
+        " t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+def _oracle_lsh_ann(n_planes: int, k: int, max_q_vec_id: int) -> str:
+    """Full-signature LSH ANN: bucket equi-join + per-query rank."""
+    from storage_spark.functions.vectors import hyperplanes
+
+    sig = _duck_sig_expr(hyperplanes(64, n_planes))
+    d = _duck_cos("c.embedding", "q.embedding")
+    return _o(f"""
+, sigv AS (
+  SELECT CAST(vec_id AS STRING) AS key, vec_id, embedding,
+      {sig} AS sig
+  FROM embeddings
+)
+SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank
+FROM (
+  SELECT q.key AS q_key, c.key AS key, {d} AS distance,
+    CAST(ROW_NUMBER() OVER (PARTITION BY q.key
+      ORDER BY {d} ASC, c.key ASC) AS INT) AS rank
+  FROM sigv c JOIN sigv q
+    ON c.sig = q.sig AND q.vec_id < {max_q_vec_id} AND q.key <> c.key
+) WHERE rank <= {k}
+""")
+
+
+def _oracle_ivf_ann(
+    n_cells: int, k: int, n_probe: int, max_q_vec_id: int,
+    corpus_where: str = "TRUE",
+) -> str:
+    """IVF ANN replay: first-n-by-key centroids → nearest-cell assignment →
+    per-query probe ranking → exact rank within probed cells. Every
+    distance is the same left-folded double as the Spark side."""
+    d_bc = _duck_cos("b.embedding", "c.centroid")
+    d_aq = _duck_cos("a.embedding", "p.q_emb")
+    return _o(f"""
+, base AS (
+  SELECT CAST(vec_id AS STRING) AS key, vec_id, embedding
+  FROM embeddings WHERE {corpus_where}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY key) AS INT) - 1 AS cell,
+         embedding AS centroid
+  FROM (SELECT key, embedding FROM base ORDER BY key LIMIT {n_cells})
+),
+assigned AS (
+  SELECT key, embedding, cell FROM (
+    SELECT b.key, b.embedding, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY b.key
+        ORDER BY {d_bc} ASC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_key, q_emb, cell FROM (
+    SELECT b.key AS q_key, b.embedding AS q_emb, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY b.key
+        ORDER BY {d_bc} ASC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN cents c
+    WHERE b.vec_id < {max_q_vec_id}
+  ) WHERE rn <= {n_probe}
+)
+SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank
+FROM (
+  SELECT p.q_key, a.key, {d_aq} AS distance,
+    CAST(ROW_NUMBER() OVER (PARTITION BY p.q_key
+      ORDER BY {d_aq} ASC, a.key ASC) AS INT) AS rank
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND p.q_key <> a.key
+) WHERE rank <= {k}
+""")
+
+
 def _oracle_embedding_neardup() -> str:
     """SQL mirror of dedup.embedding_near_dup_pairs' banded hyperplane LSH:
     the ±1 planes are deterministic (vectors.hyperplanes), so DuckDB can
@@ -632,7 +728,12 @@ def q_vector_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = v.filter(F.col("key").cast("bigint") < 20).select(
         F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
     )
-    return ivf_search(queries, assigned, cents, k=3, n_probe=3)
+    out = ivf_search(queries, assigned, cents, k=3, n_probe=3)
+    return out.select(
+        "q_key", "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def q_sign_many(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,19 +775,30 @@ def q_vector_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = v.filter(F.col("key").cast("bigint") < 10).select(
         F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
     )
-    return ivf_search(queries, assigned, cents, k=3, n_probe=3)
+    out = ivf_search(queries, assigned, cents, k=3, n_probe=3)
+    return out.select(
+        "q_key", "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def q_vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path) — approximate, so rows-only driver
-    check; recall vs brute force is asserted in tests/test_vectors.py."""
+    """LSH-bucketed ANN (scale path). Approximate vs brute force (recall
+    asserted in tests/test_vectors.py) but DETERMINISTIC: the hyperplanes
+    are fixed, so the oracle replays the identical signatures and ranks."""
     from storage_spark.functions.vectors import lsh_ann_join
 
     v = _vectors(spark, sf_dir)
     queries = v.filter(F.col("key").cast("bigint") < 20).select(
         F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
     )
-    return lsh_ann_join(queries, v, k=3, dim=64, n_planes=6)
+    out = lsh_ann_join(queries, v, k=3, dim=64, n_planes=6)
+    return out.select(
+        "q_key", "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def q_iceberg_table_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,6 +1276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copy_object": q_copy_object,
         "text_winnowing": q_text_winnowing,
         "corpus_stats": q_corpus_stats,
+        "vector_lsh_ann": q_vector_lsh_ann,
+        "vector_ivf_ann": q_vector_ivf_ann,
+        "vector_filtered_ivf": q_vector_filtered_ivf,
         "list_root": q_list_root,
         "list_nested": q_list_nested,
         "list_flat_cursor": q_list_flat_cursor,
@@ -1213,9 +1328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
-        "vector_ivf_ann": q_vector_ivf_ann,
-        "vector_filtered_ivf": q_vector_filtered_ivf,
-        "vector_lsh_ann": q_vector_lsh_ann,
         "backend_list": q_backend_list,
         "sign_many": q_sign_many,
     }
@@ -1812,6 +1924,14 @@ SELECT CAST(vec_id AS STRING) AS key, CAST(len(embedding) AS INT) AS dim
 FROM embeddings
 WHERE CAST(vec_id AS STRING) IN ('3', '7', '11', '250', '9999999')
 """),
+        "vector_lsh_ann": _oracle_lsh_ann(n_planes=6, k=3, max_q_vec_id=20),
+        "vector_ivf_ann": _oracle_ivf_ann(
+            n_cells=8, k=3, n_probe=3, max_q_vec_id=20
+        ),
+        "vector_filtered_ivf": _oracle_ivf_ann(
+            n_cells=8, k=3, n_probe=3, max_q_vec_id=10,
+            corpus_where="label IN (0, 1, 2)",
+        ),
         "vector_knn_join": _o(f"""
 SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank
 FROM (
