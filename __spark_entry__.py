@@ -30,6 +30,12 @@ from storage_spark.tables import load_all, oracle_views_prefix
 
 
 _TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+#: Temp views are SESSION-global while the cache is keyed per sf_dir: track
+#: which key registered them last, and re-register on any switch — a driver
+#: interleaving entry() (sf0.001) with sf0.01 queries must never leave a
+#: view pointing at the other scale while cached DataFrames (and the
+#: view-reading _UPDATES_SQL) assume this one.
+_LAST_VIEWS: list = [None]
 
 
 def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -44,6 +50,9 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         except Exception:
             pass
         _TABLE_CACHE[key] = load_all(spark, sf_dir)
+    elif _LAST_VIEWS[0] != key:
+        _TABLE_CACHE[key] = load_all(spark, sf_dir)
+    _LAST_VIEWS[0] = key
     return _TABLE_CACHE[key]
 
 
@@ -1467,7 +1476,7 @@ ORDER BY prefix
         "buckets_search": _o("""
 SELECT * FROM buckets
 WHERE lower(name) LIKE '%1%'
-ORDER BY name, name LIMIT 10 OFFSET 5
+ORDER BY name LIMIT 10 OFFSET 5
 """),
         "find_object_versions": _o("""
 SELECT o.name, o.version, o.id FROM objects o

@@ -49,11 +49,10 @@ def main() -> None:
         return list_objects_with_delimiter(t["objects"], prefix="").count()
 
     def deep_listing():
-        # per-bucket nested listing: 25 buckets x level-2 folders
-        total = 0
-        df = list_objects_with_delimiter(t["objects"], bucket_id="Brand#13", prefix="ECONOMY/")
-        total += df.count()
-        return total
+        # nested listing inside one bucket/prefix (level-2 folders + leaves)
+        return list_objects_with_delimiter(
+            t["objects"], bucket_id="Brand#13", prefix="ECONOMY/"
+        ).count()
 
     def reconcile():
         return consistency_report(t["objects"], t["s3_keys"]).count()
@@ -108,10 +107,9 @@ def main() -> None:
         # banded hyperplane-LSH near-dup over the full embeddings table
         from storage_spark.operators.dedup import embedding_near_dup_pairs
 
-        v = t["embeddings"].select(
-            F.col("vec_id").cast("string").alias("key"), "embedding"
-        )
-        return embedding_near_dup_pairs(v, max_distance=0.2, materialize=True, arrow=True).count()
+        return embedding_near_dup_pairs(
+            vectors, max_distance=0.2, materialize=True, arrow=True
+        ).count()
 
     def events_rollup():
         return (
@@ -144,7 +142,8 @@ def main() -> None:
 
     from storage_spark.sources.layout import write_listing_layout
 
-    mat_path = tempfile.mkdtemp(prefix="bench_objects_") + "/objects"
+    mat_dir = tempfile.mkdtemp(prefix="bench_objects_")
+    mat_path = mat_dir + "/objects"
     write_listing_layout(t["objects"], mat_path)
     mat = spark.read.parquet(mat_path)
 
@@ -220,6 +219,9 @@ def main() -> None:
             settle()
         timings[name] = round(best, 3)
 
+    import shutil
+
+    shutil.rmtree(mat_dir, ignore_errors=True)  # don't leak a full copy per run
     out = {
         "metric": "storage_spark headline suite wall time",
         "value": round(sum(timings.values()), 3),

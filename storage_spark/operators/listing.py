@@ -98,8 +98,16 @@ def list_objects_with_delimiter(
     # identical output to the folders-UNION-leaves plan with one scan and
     # one shuffle instead of two of each (2x on a 10M-row namespace).
     leaf = F.col("_cp").isNull()
+    # Leaves carry their unique id as a second grouping column: a leaf is
+    # ALWAYS its own group even when another leaf shares its name (possible
+    # only in cross-bucket listings, bucket_id=None) — matching the
+    # folders-UNION-leaves formulation, which never merges leaf rows.
+    # Folder members have NULL _leaf_key and aggregate together.
     out = (
-        df.groupBy(F.coalesce(F.col("_cp"), F.col("name")).alias("name"))
+        df.groupBy(
+            F.coalesce(F.col("_cp"), F.col("name")).alias("name"),
+            F.when(leaf, F.col("id")).alias("_leaf_key"),
+        )
         .agg(
             F.min("created_at_ms").alias("_min_created"),
             F.max(F.when(leaf, F.col("id"))).alias("id"),
@@ -194,7 +202,14 @@ def search_by_timestamp(
             F.col("name") > cursor_name if not sort_desc else F.col("name") < cursor_name
         )
         ts_cmp = ts > cursor_ts_ms if not sort_desc else ts < cursor_ts_ms
-        cond = ts_cmp | ((ts == cursor_ts_ms) & name_cmp) if cursor_name else ts_cmp
+        # `is not None`, not truthiness: "" is a legitimate first-page name
+        # cursor whose tie-break arm (ts == cursor AND name > '') must stay
+        # — dropping it skips boundary rows whose ts equals the cursor
+        cond = (
+            ts_cmp | ((ts == cursor_ts_ms) & name_cmp)
+            if cursor_name is not None
+            else ts_cmp
+        )
         out = out.filter(cond)
     order = [ts.desc() if sort_desc else ts.asc(),
              F.col("name").desc() if sort_desc else F.col("name").asc()]

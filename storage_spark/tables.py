@@ -172,11 +172,24 @@ def load_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
     for t in BASE_TABLES:
         if t == "events":
+            # scope the legacy flag to THIS read and restore it: leaving it
+            # set would make every later TIMESTAMP(NANOS) parquet read in
+            # the session silently come back as BIGINT without the fixup
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-            from pyspark.sql import functions as F
+            try:
+                df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+                from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                # materialize the schema under the flag; the plan itself
+                # stays lazy (binary parquet read options are bound at
+                # DataFrame creation)
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                else:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         else:
             df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         df.createOrReplaceTempView(t)
