@@ -113,6 +113,16 @@ def test_clamp():
     assert clamp_limit(5) == 5
 
 
+def test_take_page_limit_zero_uses_default(spark, objects_df):
+    """limit<=0 falls back to the protocol default (maxKeys || 1000) — a
+    literal 0 page reported is_truncated with no token and spun paginate
+    forever."""
+    listing = list_objects_with_delimiter(objects_df, "fixture-bucket")
+    page = take_page(listing, 0)
+    assert len(page.rows) > 0
+    assert not (page.is_truncated and page.next_token is None)
+
+
 def test_s3_v2_response_shaping(spark, objects_df):
     from storage_spark.operators.s3proto import shape_list_objects_v2
 

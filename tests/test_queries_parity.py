@@ -29,3 +29,13 @@ def test_entry_smoke(spark):
 
 def test_oracles_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_view_coherence_across_sf_switch(spark):
+    """Interleaving sf_dirs (the driver runs entry() at sf0.001 between
+    sf0.01 queries) must re-register the session-global temp views — the
+    view-reading merge_upsert would otherwise scan the wrong scale."""
+    a = QUERIES["merge_upsert"](spark, "/root/testdata/sf0.01").count()
+    entry_mod.entry(spark).count()  # registers sf0.001 views
+    b = QUERIES["merge_upsert"](spark, "/root/testdata/sf0.01").count()
+    assert a == b
