@@ -1265,11 +1265,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver evaluates in dict order under a wall-clock
-    # budget (round 1 recorded exactly the first 50 and dropped the tail).
-    # Queries whose green status is NEW this round run FIRST so their rows
-    # land in CORRECTNESS even if the budget truncates; long-green queries
-    # (r1 evidence on record) follow; rows-only queries stay last.
+    # budget (rounds 1-2 recorded exactly the first 50 and dropped the tail).
+    # Rotation policy: entries whose driver evidence is OLDEST on current
+    # code run FIRST — round 3 front-loads the 19 entries that sat past the
+    # 50-row cap in round 2 (several of which had round-2 semantic changes:
+    # simhash_near_pairs, search_by_timestamp, salted_usage, merge_upsert,
+    # move_objects), followed by round-3-new queries, then the r2-proven
+    # block in its prior order. Whatever rotates out now is pass-r2 on an
+    # operator unchanged since.
     return {
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "search_by_timestamp": q_search_by_timestamp,
+        "salted_usage": q_salted_usage,
+        "merge_upsert": q_merge_upsert,
+        "move_objects": q_move_objects,
+        "usage_cube": q_usage_cube,
+        "delete_returning": q_delete_returning,
+        "events_hourly": q_events_hourly,
+        "curate_corpus": q_curate_corpus,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact_events": q_dedup_exact_events,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "backend_list": q_backend_list,
+        "sign_many": q_sign_many,
         "vector_cosine_topk": q_vector_cosine_topk,
         "vector_l2_topk": q_vector_l2_topk,
         "vector_filtered_topk": q_vector_filtered_topk,
@@ -1320,25 +1343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rls_owner": q_rls_owner,
         "catalog_backfill": q_catalog_backfill,
         "tenant_usage": q_tenant_usage,
-        "usage_cube": q_usage_cube,
-        "search_by_timestamp": q_search_by_timestamp,
-        "salted_usage": q_salted_usage,
-        "move_objects": q_move_objects,
-        "merge_upsert": q_merge_upsert,
-        "delete_returning": q_delete_returning,
-        "events_hourly": q_events_hourly,
-        "curate_corpus": q_curate_corpus,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "dedup_exact_events": q_dedup_exact_events,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "backend_list": q_backend_list,
-        "sign_many": q_sign_many,
     }
 
 

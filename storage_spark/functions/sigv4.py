@@ -126,6 +126,8 @@ def parse_chunked(
         pos += 2
     if not saw_final:
         raise InvalidChunkError("Missing final chunk")
+    if pos != len(payload):
+        raise InvalidChunkError("data after trailer section")
     out.data = b"".join(parts)
     return out
 
@@ -172,6 +174,33 @@ def sign_chunk(
     ).hexdigest()
 
 
+def canonical_trailer(trailers: dict) -> str:
+    """Canonical trailing-header string (sigv4-streaming-trailers spec):
+    ``name:value\\n`` per trailer, excluding x-amz-trailer-signature."""
+    return "".join(
+        f"{k}:{v}\n" for k, v in trailers.items() if k != "x-amz-trailer-signature"
+    )
+
+
+def sign_trailer(
+    signing_key: bytes, timestamp: str, scope: str,
+    previous_signature: str, trailers: dict,
+) -> str:
+    """Trailer string-to-sign uses the AWS4-HMAC-SHA256-TRAILER label and
+    the sha256 of the canonical trailing headers, chained onto the final
+    chunk signature."""
+    sts = "\n".join(
+        [
+            "AWS4-HMAC-SHA256-TRAILER",
+            timestamp,
+            scope,
+            previous_signature,
+            hashlib.sha256(canonical_trailer(trailers).encode()).hexdigest(),
+        ]
+    )
+    return hmac.new(signing_key, sts.encode(), hashlib.sha256).hexdigest()
+
+
 def encode_chunked(
     data: bytes,
     chunk_size: int,
@@ -179,9 +208,12 @@ def encode_chunked(
     signing_key: bytes | None = None,
     timestamp: str = "",
     scope: str = "",
+    trailers: dict | None = None,
 ) -> bytes:
     """Inverse of parse_chunked (test fixture / writer): split ``data``
-    into signed (or unsigned) aws-chunked framing ending in the 0-chunk."""
+    into signed (or unsigned) aws-chunked framing ending in the 0-chunk.
+    With ``trailers``, emits the trailer section after the final chunk
+    (signed mode appends a chained x-amz-trailer-signature)."""
     chunks = [
         data[i : i + chunk_size] for i in range(0, len(data), chunk_size)
     ] + [b""]
@@ -194,7 +226,17 @@ def encode_chunked(
             prev = sig
         else:
             out += f"{len(c):x}".encode() + _CRLF
-        out += c + _CRLF
+        if c or trailers is None:
+            out += c + _CRLF
+    if trailers is not None:
+        tr = dict(trailers)
+        if signing_key is not None and prev is not None:
+            tr["x-amz-trailer-signature"] = sign_trailer(
+                signing_key, timestamp, scope, prev, trailers
+            )
+        for k, v in tr.items():
+            out += f"{k}:{v}".encode() + _CRLF
+        out += _CRLF
     return bytes(out)
 
 
@@ -208,7 +250,13 @@ def verify_chunked(
 ) -> DecodedChunked:
     """Decode AND verify the rolling signature chain: chunk N's signature
     signs (previous signature, sha256(chunk N)) — any byte flip or
-    signature swap breaks the chain at that link."""
+    signature swap breaks the chain at that link. For the ``-TRAILER``
+    signed algorithm the chain extends one more link: the
+    ``x-amz-trailer-signature`` trailer must equal the
+    AWS4-HMAC-SHA256-TRAILER string-to-sign over the canonical trailing
+    headers, chained onto the final chunk signature — so a tampered
+    trailer (e.g. a flipped checksum) fails exactly like a tampered
+    chunk."""
     decoded = parse_chunked(payload, algorithm)
     prev = seed_signature
     for size, sig, chunk in zip(
@@ -222,6 +270,15 @@ def verify_chunked(
                 f"chunk of size {size}: signature mismatch"
             )
         prev = sig
+    if algorithm == "STREAMING-AWS4-HMAC-SHA256-PAYLOAD-TRAILER":
+        got = decoded.trailers.get("x-amz-trailer-signature")
+        if got is None:
+            raise ChunkSignatureMismatchError("missing x-amz-trailer-signature")
+        expect = sign_trailer(
+            signing_key, timestamp, scope, prev, decoded.trailers
+        )
+        if got.lower() != expect:
+            raise ChunkSignatureMismatchError("trailer signature mismatch")
     return decoded
 
 

@@ -49,10 +49,17 @@ def fingerprint_duplicates(
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition the doc side to full parallelism before expression-heavy
-    explodes. Document tables often arrive as one file → one partition; the
-    shingle/hash work below is CPU-bound and must fan out across cores
-    (measured >10x on a single-file 5k-doc corpus at 32 cores)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    explodes — but ONLY when the input is under-partitioned. Document tables
+    often arrive as one file → one partition; the shingle/hash work below is
+    CPU-bound and must fan out across cores (measured >10x on a single-file
+    5k-doc corpus at 32 cores). A corpus that already has >= parallelism
+    partitions (the normal case at 100 TB) passes through untouched: an
+    unconditional repartition there is a gratuitous full shuffle of the
+    dataset."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 def _materialize(df: DataFrame, flag: bool) -> DataFrame:
@@ -370,6 +377,7 @@ def dedup_components(
     doc_b: str = "doc_b",
     nodes: DataFrame | None = None,
     max_iterations: int = 50,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over near-dup pairs: every document converges
     to ``component`` = the MIN doc id reachable through any chain of pairs.
@@ -377,14 +385,22 @@ def dedup_components(
     exactly one representative even when the pair list only connects it
     transitively (a~b, b~c but not a~c).
 
-    Plan: iterative min-label propagation — per round, each node takes the
-    min of its own label and its neighbors' labels (one equi-join + groupBy
-    per round), with ``localCheckpoint`` truncating lineage so round N's
-    plan does not replay rounds 1..N-1. Converges in O(graph diameter)
-    rounds; near-dup graphs are dense clusters with tiny diameters, so 2-3
-    rounds is typical. At extreme scale the same loop upgrades to the
-    large-star/small-star contraction (O(log n) rounds) without changing
-    this contract.
+    Two physical strategies, same contract:
+
+    - ``algorithm="label"`` (default): iterative min-label propagation —
+      per round, each node takes the min of its own label and its
+      neighbors' labels (one equi-join + groupBy per round), with
+      ``localCheckpoint`` truncating lineage so round N's plan does not
+      replay rounds 1..N-1. Converges in O(graph diameter) rounds;
+      near-dup graphs are dense clusters with tiny diameters, so 2-3
+      rounds is typical.
+    - ``algorithm="star"``: alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+      O(log n) rounds regardless of diameter, the scale path for graphs
+      with long chains (e.g. transitive fuzzy-match chains at 100 TB).
+
+    Both RAISE if ``max_iterations`` rounds pass without convergence —
+    returning unconverged labels would silently merge/split clusters.
 
     ``nodes`` optionally supplies the full document set so singletons (no
     pairs) appear with ``component = doc``.
@@ -397,6 +413,10 @@ def dedup_components(
         nodes_df = edges.select(F.col("a").alias("doc")).distinct()
     else:
         nodes_df = nodes.select(F.col(nodes.columns[0]).alias("doc")).distinct()
+    if algorithm == "star":
+        return _components_star(edges, nodes_df, max_iterations)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}; use 'label' or 'star'")
     labels = nodes_df.select("doc", F.col("doc").alias("component"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iterations):
@@ -430,8 +450,80 @@ def dedup_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"dedup_components(label) did not converge in {max_iterations} rounds "
+        "— a pair chain is longer than max_iterations hops; raise "
+        "max_iterations or use algorithm='star' (O(log n) rounds)"
+    )
+
+
+def _components_star(
+    edges: DataFrame, nodes_df: DataFrame, max_iterations: int
+) -> DataFrame:
+    """Large-star/small-star contraction. ``edges`` is the symmetric edge
+    list. Each round:
+
+    - large-star: per node u, link every STRICTLY LARGER neighbor to
+      m = min(N(u) ∪ {u});
+    - small-star: orient edges child=max/parent=min; per child u, link u
+      and all its (≤) parents to the minimum parent.
+
+    Fixpoint: the edge set is a union of stars rooted at each component's
+    minimum; labels fall out as (child → root) ∪ (root → root).
+    Convergence check per round = one exceptAll().limit(1).count() probe —
+    the same O(1)-row action shape as the label path's `changed` probe.
+    """
+    cur = edges.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        # Large-star: group the symmetric adjacency by u.
+        sym = cur.unionByName(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        grouped = sym.groupBy("a").agg(F.collect_set("b").alias("nbrs"))
+        m = F.array_min(F.array_append(F.col("nbrs"), F.col("a")))
+        large = (
+            grouped.select(
+                F.explode(F.filter("nbrs", lambda v: v > F.col("a"))).alias("v"),
+                m.alias("m"),
+            )
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # Small-star over large-star output: child = max end, parent = min end.
+        oriented = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("p")
+        )
+        grouped2 = oriented.groupBy("u").agg(F.collect_set("p").alias("ps"))
+        m2 = F.array_min(F.col("ps"))
+        small = (
+            grouped2.select(
+                F.explode(F.array_append(F.col("ps"), F.col("u"))).alias("v"),
+                m2.alias("m"),
+            )
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(small).limit(1).count()
+        )
+        cur = small
+        if changed == 0:
+            # Stars: every edge is (child, root). Labels = children ∪ roots
+            # ∪ singletons.
+            child = cur.select(F.col("a").alias("doc"), F.col("b").alias("component"))
+            return (
+                nodes_df.join(child, "doc", "left")
+                .select(
+                    "doc",
+                    F.coalesce(F.col("component"), F.col("doc")).alias("component"),
+                )
+            )
+    raise RuntimeError(
+        f"dedup_components(star) did not converge in {max_iterations} rounds"
+    )
 
 
 def embedding_near_dup_pairs(

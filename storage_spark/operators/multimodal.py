@@ -7,11 +7,12 @@ is: blobs as ``binary`` columns with a typed metadata struct, and
 decode/transform/feature steps as Arrow-batched ``mapInPandas`` stages so
 the Python media library only ever sees vectorized batches.
 
-The decode itself is STUBBED here (no Pillow/ffmpeg in this container):
-``decode_image_meta`` parses a deterministic fake header so the Spark-side
-plumbing — schema, batch iteration, partitioning, UDF signature — is real
-and tested; ``transform_images`` raises NotImplementedError unless given a
-codec, exactly where a Pillow call would slot in.
+Metadata decode is REAL for PNG and JPEG: ``decode_image_meta`` parses the
+PNG IHDR chunk and the JPEG SOF0/SOF2 frame headers with pure struct reads
+(no Pillow needed — the container has no media libs). Pixel-level work
+(``transform_images``) still requires a codec callable, exactly where a
+Pillow call would slot in; the deterministic FAKE header remains as a
+test fixture format alongside the real ones.
 """
 
 from __future__ import annotations
@@ -55,21 +56,75 @@ def fake_header(width: int, height: int, n_frames: int = 1) -> bytes:
     return f"FAKE:{width}:{height}:{n_frames}|".encode()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None, int | None]:
+    """Pure-struct image metadata sniffer: ``(mime, width, height,
+    n_frames)``, all-None when the bytes are not a recognized image.
+
+    - **PNG**: 8-byte magic, then the IHDR chunk is REQUIRED first
+      (PNG spec §11.2.2) — width/height are the two big-endian u32s at
+      offsets 16/20.
+    - **JPEG**: walk the marker stream; every SOFn (0xC0-0xCF except the
+      non-frame DHT/DNL/DAC markers) carries precision(1) height(2)
+      width(2) after the segment length. SOF always precedes SOS in a
+      valid stream, so the walk stops at SOS/EOI.
+    - **FAKE**: the deterministic test fixture format, kept so plumbing
+      tests don't need valid image bytes.
+
+    This is the dependency-free core of the reference's metadata probe
+    (src/storage/renderer/image.ts:298-355 reads the same fields via
+    imgproxy); a real pixel codec is only needed for transforms.
+    """
+    if b is None:
+        return (None, None, None, None)
+    b = bytes(b)
+    if b.startswith(b"FAKE:"):
+        head = b.split(b"|", 1)[0].decode()
+        _tag, w, h, f = head.split(":")
+        return ("image/fake", int(w), int(h), int(f))
+    if b.startswith(_PNG_MAGIC) and len(b) >= 24 and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return ("image/png", w, h, 1)
+    if b.startswith(b"\xff\xd8"):
+        i, n = 2, len(b)
+        while i + 9 <= n:
+            if b[i] != 0xFF:
+                return (None, None, None, None)  # marker misalignment
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill bytes before a marker
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # no-payload
+                if marker == 0xD9:
+                    break  # EOI before any SOF
+                i += 2
+                continue
+            if marker == 0xDA:
+                break  # SOS: entropy-coded data; SOF must precede it
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seglen < 2:
+                return (None, None, None, None)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return ("image/jpeg", w, h, 1)
+            i += 2 + seglen
+        return (None, None, None, None)
+    return (None, None, None, None)
+
+
 def decode_image_meta(blobs: DataFrame, key_col: str = "key",
                       content_col: str = "content") -> DataFrame:
     """Arrow-batched decode stage: mapInPandas over binary content, one
-    pandas batch per partition slice — the real codec swaps into
-    ``_decode_one`` untouched."""
+    pandas batch per partition slice. Metadata parsing is real for
+    PNG/JPEG (``parse_image_header``); unrecognized bytes yield NULL
+    metadata instead of raising — at 100 TB one poison blob must not kill
+    the job."""
 
-    def _decode_one(b: bytes) -> tuple[str, int, int, int]:
-        if b is None or not bytes(b).startswith(b"FAKE:"):
-            raise NotImplementedError(
-                "real image decoding requires a media codec (Pillow) — "
-                "only the FAKE header codec ships in this environment"
-            )
-        head = bytes(b).split(b"|", 1)[0].decode()
-        _tag, w, h, f = head.split(":")
-        return ("image/fake", int(w), int(h), int(f))
+    _decode_one = parse_image_header
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -81,7 +136,10 @@ def decode_image_meta(blobs: DataFrame, key_col: str = "key",
                     "width": [m[1] for m in meta],
                     "height": [m[2] for m in meta],
                     "n_frames": [m[3] for m in meta],
-                    "n_bytes": [len(bytes(b)) for b in pdf[content_col]],
+                    "n_bytes": [
+                        None if b is None else len(bytes(b))
+                        for b in pdf[content_col]
+                    ],
                 }
             )
 

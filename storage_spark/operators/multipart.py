@@ -183,6 +183,99 @@ def upload_parts(
     return updated, surviving.unionByName(accepted), rejected
 
 
+def upload_part_copy(
+    uploads: DataFrame,
+    parts: DataFrame,
+    objects: DataFrame,
+    copies: DataFrame,
+    max_file_size: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """S3 UploadPartCopy as a set-oriented batch
+    (s3-handler.ts:1267-1390; range rules: range.ts:58-77
+    parseCopySourceRangeHeader; route: operations.ts S3_UPLOAD_PART_COPY).
+
+    ``copies`` rows: ``(upload_id, part_number, source_bucket, source_key,
+    range_start, range_end, created_at_ms)`` — the two range bounds are
+    BOTH present or BOTH NULL (the copy-source header regex requires
+    ``bytes=(\\d+)-(\\d+)``; NULL/NULL copies the whole object).
+
+    Per request, exactly the reference's checks, as Column expressions over
+    ONE equi-join to the object catalog:
+
+    - source resolved by (bucket, key) → missing = ``NO_SUCH_KEY``;
+    - range valid iff ``0 <= start <= end < source_size`` (range.ts:69
+      rejects ``toByte >= sourceSize`` — copy ranges do NOT clamp, unlike
+      read ranges) → ``INVALID_RANGE``;
+    - copy size = ``end - start + 1`` (or the whole source size), then the
+      same per-upload accumulation + cap gate as uploaded parts via
+      ``upload_parts`` → ``ENTITY_TOO_LARGE``.
+
+    The part's etag is the deterministic digest of the source identity and
+    byte range (the backend's copy-part etag is content-addressed; source
+    id/version + range IS the content identity here).
+
+    Returns ``(uploads', parts', failed)`` — ``failed`` carries the copy
+    request columns plus ``reason``.
+    """
+    src = objects.select(
+        F.col("bucket_id").alias("source_bucket"),
+        F.col("name").alias("source_key"),
+        F.col("id").alias("_src_id"),
+        F.col("version").alias("_src_version"),
+        F.col("size").alias("_src_size"),
+    )
+    joined = copies.join(src, ["source_bucket", "source_key"], "left")
+    has_range = F.col("range_start").isNotNull() | F.col("range_end").isNotNull()
+    range_valid = (
+        F.col("range_start").isNotNull()
+        & F.col("range_end").isNotNull()
+        & (F.col("range_start") >= 0)
+        & (F.col("range_end") >= F.col("range_start"))
+        & (F.col("range_end") < F.col("_src_size"))
+    )
+    classified = joined.withColumn(
+        "reason",
+        F.when(F.col("_src_id").isNull(), F.lit("NO_SUCH_KEY"))
+        .when(has_range & ~F.coalesce(range_valid, F.lit(False)), F.lit("INVALID_RANGE"))
+        .otherwise(F.lit(None)),
+    )
+    copy_cols = copies.columns
+    failed_early = classified.filter(F.col("reason").isNotNull()).select(
+        *copy_cols, "reason"
+    )
+    ok = classified.filter(F.col("reason").isNull())
+    derived = ok.select(
+        "upload_id",
+        "part_number",
+        F.when(
+            has_range, F.col("range_end") - F.col("range_start") + 1
+        ).otherwise(F.col("_src_size")).alias("size"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("part-copy"),
+                F.col("_src_id"),
+                F.col("_src_version"),
+                F.coalesce(F.col("range_start").cast("string"), F.lit("0")),
+                F.coalesce(
+                    F.col("range_end").cast("string"),
+                    (F.col("_src_size") - 1).cast("string"),
+                ),
+            )
+        ).alias("etag"),
+        "created_at_ms",
+    )
+    new_uploads, new_parts, rejected = upload_parts(
+        uploads, parts, derived, max_file_size
+    )
+    too_large = copies.join(
+        rejected.select("upload_id", "part_number"),
+        ["upload_id", "part_number"],
+        "left_semi",
+    ).select(*copy_cols, F.lit("ENTITY_TOO_LARGE").alias("reason"))
+    return new_uploads, new_parts, failed_early.unionByName(too_large)
+
+
 def complete_multipart_upload(
     uploads: DataFrame,
     parts: DataFrame,

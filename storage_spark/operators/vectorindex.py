@@ -165,10 +165,14 @@ def list_indexes(
         df = df.filter(prefix_range_filter(F.col("name"), prefix))
     if next_token:
         df = df.filter(F.col("name") > next_token)
+    # Zero/negative max_results falls back to the default page size (the
+    # reference treats it as "unset"); never hand limit() a non-positive
+    # value (empty page / IllegalArgumentException).
+    page = max_results if 0 < max_results <= 500 else 500
     return (
         df.select("name", "bucket_id", "created_at_ms")
         .orderBy("name")
-        .limit(min(max_results, 500))
+        .limit(page)
     )
 
 

@@ -92,7 +92,12 @@ def conditional_get(
     """S9 conditional read: the HTTP precondition headers the reference
     forwards to the backend (adapter.ts:117-123; renderer/asset.ts:20-21)
     as set filters. Returns ``(served, not_served)`` — ``not_served`` is
-    the 304/412 population (If-None-Match hit or If-Modified-Since miss)."""
+    the 304/412 population (If-None-Match hit or If-Modified-Since miss).
+
+    Rows with a NULL etag/modified attribute make the raw predicate NULL;
+    both ``filter(cond)`` and ``filter(~cond)`` would drop them. Coalesce to
+    False so they land deterministically in ``not_served`` (a precondition
+    that cannot be evaluated is not satisfied)."""
     cond = F.lit(True)
     if if_match is not None:
         cond = cond & (F.col(etag_col) == if_match.strip('"'))
@@ -102,6 +107,7 @@ def conditional_get(
         cond = cond & (F.col(modified_col) > if_modified_since_ms)
     if if_unmodified_since_ms is not None:
         cond = cond & (F.col(modified_col) <= if_unmodified_since_ms)
+    cond = F.coalesce(cond, F.lit(False))
     return blobs.filter(cond), blobs.filter(~cond)
 
 

@@ -96,19 +96,20 @@ def run_webhook_sink(
     post_batch: Callable[[list[dict]], None],
     checkpoint_dir: str,
     available_now: bool = True,
-    from_executors: bool = False,
+    from_executors: bool = True,
 ):
     """S8/T3: webhook delivery via foreachBatch — each micro-batch posts its
     rows (the reference posts one HTTP call per event through the webhook
     queue, webhook.ts:102-160; batching is the Spark-native form).
 
-    ``from_executors=True`` is the fan-out shape that scales: each PARTITION
-    posts from its own executor (foreachPartition), so delivery bandwidth
-    grows with the cluster instead of funneling every event through the
-    driver. ``post_batch`` must then be a picklable callable that performs
-    its own HTTP/session setup per partition. The default driver-side
-    collect remains for page-sized batches and driver-held test sinks
-    (a local list can't be appended to from executor processes).
+    The default (``from_executors=True``) is the fan-out shape that scales:
+    each PARTITION posts from its own executor (foreachPartition), so
+    delivery bandwidth grows with the cluster instead of funneling every
+    event through the driver. ``post_batch`` must be a picklable callable
+    that performs its own HTTP/session setup per partition.
+    ``from_executors=False`` is the explicit test-only mode for driver-held
+    sinks (a local list can't be appended to from executor processes) and
+    page-sized batches.
 
     Blocks until the availableNow run drains (tests); with
     ``available_now=False`` it runs continuously at the default trigger.

@@ -164,14 +164,19 @@ DERIVED_VIEWS = [
 def load_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read the driver parquet tables and register them as temp views.
 
-    ``events.ts`` is written as INT64 TIMESTAMP(NANOS), which Spark 4 refuses
-    by default; read it as nano-longs and floor-convert to TimestampType
-    (microseconds) — consistent with the reference's millisecond-truncation
-    comparison contract, which is coarser than either.
+    ``events.ts`` has shipped in two physical forms across testdata
+    generations: INT64 TIMESTAMP(NANOS) (which Spark 4 refuses by default —
+    read as nano-longs under the scoped legacy flag and floor-convert) and
+    plain ``timestamp[us]`` without a timezone (reads as TIMESTAMP_NTZ —
+    cast to TimestampType, a numeric no-op under the UTC session zone).
+    Either way the engine-facing contract is the same: ``ts`` is
+    TimestampType at microsecond precision.
     """
     out: dict[str, DataFrame] = {}
     for t in BASE_TABLES:
         if t == "events":
+            from pyspark.sql import functions as F
+
             # scope the legacy flag to THIS read and restore it: leaving it
             # set would make every later TIMESTAMP(NANOS) parquet read in
             # the session silently come back as BIGINT without the fixup
@@ -179,9 +184,13 @@ def load_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             try:
                 df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-                from pyspark.sql import functions as F
-
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                ts_type = dict(df.dtypes).get("ts")
+                if ts_type == "bigint":  # TIMESTAMP(NANOS) read as nano-longs
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+                elif ts_type == "timestamp_ntz":
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
                 # materialize the schema under the flag; the plan itself
                 # stays lazy (binary parquet read options are bound at
                 # DataFrame creation)

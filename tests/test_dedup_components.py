@@ -3,41 +3,84 @@ singleton handling, and convergence beyond one propagation round."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from storage_spark.operators.dedup import dedup_components
 
+ALGOS = ["label", "star"]
 
-def _components(spark, pairs, nodes=None):
+
+def _components(spark, pairs, nodes=None, algorithm="label", **kw):
     pdf = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
     ndf = (
         spark.createDataFrame([(n,) for n in nodes], "doc bigint")
         if nodes is not None
         else None
     )
-    out = dedup_components(pdf, nodes=ndf)
+    out = dedup_components(pdf, nodes=ndf, algorithm=algorithm, **kw)
     return {r["doc"]: r["component"] for r in out.collect()}
 
 
-def test_path_graph_needs_multiple_rounds(spark):
+@pytest.mark.parametrize("algo", ALGOS)
+def test_path_graph_needs_multiple_rounds(spark, algo):
     # 1-2, 2-3, 3-4, 4-5: a path — label 1 must travel 4 hops
-    got = _components(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    got = _components(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], algorithm=algo)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
 
 
-def test_disjoint_clusters_and_singletons(spark):
+@pytest.mark.parametrize("algo", ALGOS)
+def test_disjoint_clusters_and_singletons(spark, algo):
     got = _components(
         spark,
         [(10, 11), (11, 12), (20, 21)],
         nodes=[10, 11, 12, 20, 21, 30],
+        algorithm=algo,
     )
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
 
 
-def test_orientation_does_not_matter(spark):
+@pytest.mark.parametrize("algo", ALGOS)
+def test_orientation_does_not_matter(spark, algo):
     # pair order reversed relative to min: closure still finds min id
-    got = _components(spark, [(5, 9), (2, 9)])
+    got = _components(spark, [(5, 9), (2, 9)], algorithm=algo)
     assert got == {2: 2, 5: 2, 9: 2}
+
+
+def test_star_matches_label_on_random_graphs(spark):
+    """Property: large-star/small-star contraction and min-label propagation
+    produce identical component labels on arbitrary graphs (mix of chains,
+    cliques, singletons). Fixed seed keeps it deterministic."""
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 45))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = list(range(n))
+        got_label = _components(spark, edges or [(0, 1)], nodes=nodes)
+        got_star = _components(spark, edges or [(0, 1)], nodes=nodes, algorithm="star")
+        assert got_star == got_label, f"trial {trial}: {edges}"
+
+
+def test_long_chain_exhaustion_raises_not_silently_wrong(spark):
+    """A path longer than max_iterations hops must RAISE under label
+    propagation (unconverged labels silently split clusters); the star
+    path converges in O(log n) rounds on the same budget."""
+    chain = [(i, i + 1) for i in range(1, 9)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _components(spark, chain, max_iterations=2)
+    got = _components(spark, chain, algorithm="star", max_iterations=6)
+    assert set(got.values()) == {1}
+
+
+def test_unknown_algorithm_rejected(spark):
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        _components(spark, [(1, 2)], algorithm="bogus")
 
 
 def test_hot_band_bucket_cap(spark):

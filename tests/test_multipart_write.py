@@ -174,3 +174,88 @@ def test_progress_reconciliation(spark, uploads, parts):
     )
     rec2 = multipart_progress(drifted, parts2).first()
     assert rec2["drift"] == 50
+
+
+COPY_SCHEMA = (
+    "upload_id string, part_number int, source_bucket string,"
+    " source_key string, range_start bigint, range_end bigint,"
+    " created_at_ms bigint"
+)
+
+
+@pytest.fixture()
+def source_objects(spark):
+    return spark.createDataFrame(
+        [
+            ("obj-1", "src-b", "data/big.bin", 1000, "v1"),
+            ("obj-2", "src-b", "data/small.bin", 10, "v2"),
+        ],
+        "id string, bucket_id string, name string, size bigint, version string",
+    )
+
+
+def test_upload_part_copy_whole_and_ranged(spark, uploads, parts, source_objects):
+    from storage_spark.operators.multipart import upload_part_copy
+
+    copies = spark.createDataFrame(
+        [
+            ("up-a", 1, "src-b", "data/small.bin", None, None, 1001),  # whole
+            ("up-a", 2, "src-b", "data/big.bin", 100, 599, 1002),  # 500 bytes
+        ],
+        COPY_SCHEMA,
+    )
+    up2, parts2, failed = upload_part_copy(
+        uploads, parts, source_objects, copies, max_file_size=1000
+    )
+    assert failed.count() == 0
+    got = {r.part_number: r for r in parts2.collect()}
+    assert got[1].size == 10 and got[2].size == 500
+    assert up2.first()["in_progress_size"] == 510
+    # etag is deterministic content identity: same source+range -> same etag
+    _, parts3, _ = upload_part_copy(
+        uploads, parts, source_objects, copies, max_file_size=1000
+    )
+    assert {r.etag for r in parts2.collect()} == {r.etag for r in parts3.collect()}
+
+
+def test_upload_part_copy_failures_classified(spark, uploads, parts, source_objects):
+    """NO_SUCH_KEY for a missing source; INVALID_RANGE exactly per
+    parseCopySourceRangeHeader (range.ts:58-77): copy ranges do NOT clamp —
+    range_end >= source_size is refused, as is a half-open range."""
+    from storage_spark.operators.multipart import upload_part_copy
+
+    copies = spark.createDataFrame(
+        [
+            ("up-a", 1, "src-b", "nope.bin", None, None, 1001),
+            ("up-a", 2, "src-b", "data/big.bin", 0, 1000, 1002),  # end==size
+            ("up-a", 3, "src-b", "data/big.bin", 500, None, 1003),  # half-open
+            ("up-a", 4, "src-b", "data/big.bin", 0, 999, 1004),  # exact fit
+        ],
+        COPY_SCHEMA,
+    )
+    up2, parts2, failed = upload_part_copy(
+        uploads, parts, source_objects, copies, max_file_size=5000
+    )
+    reasons = {r.part_number: r.reason for r in failed.collect()}
+    assert reasons == {1: "NO_SUCH_KEY", 2: "INVALID_RANGE", 3: "INVALID_RANGE"}
+    assert [r.part_number for r in parts2.collect()] == [4]
+    assert up2.first()["in_progress_size"] == 1000
+
+
+def test_upload_part_copy_cap_rejects_batch(spark, uploads, parts, source_objects):
+    """The copy feeds the same accumulation gate as uploaded parts: a batch
+    pushing the upload past max_file_size fails whole with
+    ENTITY_TOO_LARGE and leaves progress untouched."""
+    from storage_spark.operators.multipart import upload_part_copy
+
+    copies = spark.createDataFrame(
+        [("up-a", 1, "src-b", "data/big.bin", None, None, 1001)], COPY_SCHEMA
+    )
+    up2, parts2, failed = upload_part_copy(
+        uploads, parts, source_objects, copies, max_file_size=500
+    )
+    assert [(r.part_number, r.reason) for r in failed.collect()] == [
+        (1, "ENTITY_TOO_LARGE")
+    ]
+    assert parts2.count() == 0
+    assert up2.first()["in_progress_size"] == 0

@@ -230,3 +230,25 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path_factory):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # co-located: no shuffle on either side
     assert joined.count() > 0
+
+
+def test_spread_is_conditional(spark, tmp_path_factory):
+    """_spread() fans a single-file corpus out to full parallelism, but a
+    well-partitioned input passes through with NO added Exchange — at 100 TB
+    an unconditional repartition is a gratuitous full shuffle."""
+    from storage_spark.operators.dedup import _spread
+
+    par = spark.sparkContext.defaultParallelism
+    path = str(tmp_path_factory.mktemp("spread") / "docs")
+    spark.range(1000).withColumnRenamed("id", "doc_id").repartition(
+        par * 2
+    ).write.parquet(path)
+    wide = spark.read.parquet(path)
+    assert wide.rdd.getNumPartitions() >= par
+    assert _spread(wide) is wide  # identity: no new plan node at all
+    assert "Exchange" not in plan_of(_spread(wide).select("doc_id"))
+    narrow = spark.range(10).coalesce(1)
+    spread = _spread(narrow)
+    assert spread is not narrow
+    narrow_plan = plan_of(spread)
+    assert "Exchange" in narrow_plan and "RoundRobinPartitioning" in narrow_plan

@@ -86,3 +86,35 @@ def test_decode_chunked_blobs(spark):
     assert bytes(got["b1"].content) == b"first blob"
     assert got["b1"].n_chunks == 4  # 4+4+2 data chunks + final
     assert bytes(got["b2"].content) == b"second"
+
+
+def _signed_trailer(data: bytes, trailers: dict, chunk: int = 8) -> bytes:
+    return encode_chunked(data, chunk, seed_signature=SEED, signing_key=KEY,
+                          timestamp=TS, scope=SCOPE, trailers=trailers)
+
+
+def test_signed_trailer_roundtrip_and_tamper():
+    """The -TRAILER signed algorithm extends the HMAC chain one link: the
+    x-amz-trailer-signature signs the canonical trailing headers chained
+    onto the final chunk signature (AWS4-HMAC-SHA256-TRAILER label)."""
+    alg = "STREAMING-AWS4-HMAC-SHA256-PAYLOAD-TRAILER"
+    payload = _signed_trailer(b"trailered payload body", {"x-amz-checksum-crc32c": "wdBDMA=="})
+    out = verify_chunked(payload, SEED, KEY, TS, SCOPE, algorithm=alg)
+    assert out.data == b"trailered payload body"
+    assert out.trailers["x-amz-checksum-crc32c"] == "wdBDMA=="
+    assert "x-amz-trailer-signature" in out.trailers
+    # flip one byte of the checksum trailer: the trailer link breaks
+    tampered = payload.replace(b"wdBDMA==", b"XdBDMA==")
+    with pytest.raises(ChunkSignatureMismatchError, match="trailer"):
+        verify_chunked(tampered, SEED, KEY, TS, SCOPE, algorithm=alg)
+    # strip the trailer-signature line entirely: also refused
+    lines = payload.split(b"\r\n")
+    stripped = b"\r\n".join(l for l in lines if not l.startswith(b"x-amz-trailer-signature"))
+    with pytest.raises(ChunkSignatureMismatchError, match="missing"):
+        verify_chunked(stripped, SEED, KEY, TS, SCOPE, algorithm=alg)
+
+
+def test_trailing_garbage_after_trailer_section_raises():
+    body = b"4\r\nWiki\r\n5\r\npedia\r\n0\r\nx-amz-checksum-crc32:AAAA\r\n\r\nGARBAGE"
+    with pytest.raises(InvalidChunkError, match="after trailer"):
+        parse_chunked(body, algorithm="STREAMING-UNSIGNED-PAYLOAD-TRAILER")

@@ -105,10 +105,96 @@ def test_decode_image_meta(spark, media_df):
     assert meta["img2"].n_bytes == len(fake_header(100, 200)) + 2
 
 
-def test_decode_unknown_codec_raises(spark):
-    df = spark.createDataFrame([("bad", b"\x89PNG....")], "key string, content binary")
-    with pytest.raises(Exception, match="NotImplementedError|media codec"):
-        decode_image_meta(df).collect()
+def _png_bytes(width: int, height: int) -> bytes:
+    """A complete, valid PNG: magic + IHDR + 1 IDAT row-filter stream + IEND
+    (pure stdlib — struct reads are what the parser consumes)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + b"\x7f" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_bytes(width: int, height: int, sof: int = 0xC0) -> bytes:
+    """Minimal JPEG marker stream: SOI, APP0(JFIF), DQT, SOFn, EOI — the
+    SOF frame header carries the dimensions the parser reads."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)
+    sof_body = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    out = b"\xff\xd8"
+    for marker, body in ((0xE0, app0), (0xDB, dqt), (sof, sof_body)):
+        out += bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+    return out + b"\xff\xd9"
+
+
+def test_decode_real_png_jpeg_headers(spark):
+    """The dependency-free codec parses REAL image bytes: PNG IHDR and
+    baseline/progressive JPEG SOF frame headers."""
+    rows = [
+        ("png", _png_bytes(31, 17)),
+        ("jpg_baseline", _jpeg_bytes(640, 480, sof=0xC0)),
+        ("jpg_progressive", _jpeg_bytes(123, 456, sof=0xC2)),
+    ]
+    df = spark.createDataFrame(rows, "key string, content binary")
+    meta = {r.key: r for r in decode_image_meta(df).collect()}
+    assert (meta["png"].mime, meta["png"].width, meta["png"].height) == (
+        "image/png", 31, 17,
+    )
+    assert (meta["jpg_baseline"].width, meta["jpg_baseline"].height) == (640, 480)
+    assert meta["jpg_baseline"].mime == "image/jpeg"
+    assert (meta["jpg_progressive"].width, meta["jpg_progressive"].height) == (
+        123, 456,
+    )
+    assert meta["png"].n_bytes == len(_png_bytes(31, 17))
+
+
+def test_decode_unknown_bytes_yield_null_meta(spark):
+    """Unrecognized/poison blobs must NOT kill the job at scale: NULL
+    metadata, row preserved. Covers truncated PNG magic, JPEG with no SOF
+    before EOI, empty, and NULL content."""
+    rows = [
+        ("trunc_png", b"\x89PNG...."),
+        ("no_sof", b"\xff\xd8\xff\xd9"),
+        ("empty", b""),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "key string, content binary")
+    got = {r.key: r for r in decode_image_meta(df).collect()}
+    assert len(got) == 4
+    for k in rows:
+        assert got[k[0]].mime is None and got[k[0]].width is None
+    assert got["empty"].n_bytes == 0 and got["nul"].n_bytes is None
+
+
+def test_parse_image_header_pure():
+    from storage_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_png_bytes(2500, 1)) == ("image/png", 2500, 1, 1)
+    assert parse_image_header(_jpeg_bytes(1, 1)) == ("image/jpeg", 1, 1, 1)
+    assert parse_image_header(fake_header(9, 8, 7)) == ("image/fake", 9, 8, 7)
+    # fill bytes (0xFF padding) before a marker are legal
+    padded = b"\xff\xd8" + b"\xff" + _jpeg_bytes(10, 20)[2:]
+    assert parse_image_header(padded)[1:3] == (10, 20)
+    # a DHT (0xC4) segment must NOT be mistaken for a frame header
+    import struct
+    dht = b"\xff\xd8" + b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    assert parse_image_header(dht + b"\xff\xd9") == (None, None, None, None)
 
 
 def test_transform_images_gating(spark, media_df):
@@ -184,3 +270,22 @@ def test_embedding_bridge_feeds_neardup(spark):
     pairs = embedding_near_dup_pairs(vecs, max_distance=0.1).collect()
     assert [(p.key_a, p.key_b) for p in pairs] == [("b1", "b2")]
     assert pairs[0].distance < 1e-9
+
+
+def test_conditional_get_null_attributes_land_in_not_served(spark):
+    """Rows with NULL etag/modified make the raw predicate NULL; without the
+    coalesce both filter(cond) and filter(~cond) drop them (the vanishing-row
+    class). They must land deterministically in not_served."""
+    from storage_spark.sources.binary import conditional_get
+
+    rows = [("k1", "aaa", 1000), ("k2", None, 1000), ("k3", "ccc", None)]
+    blobs = spark.createDataFrame(rows, "key string, md5 string, modified_ms long")
+    served, not_served = conditional_get(blobs, if_match='"aaa"')
+    assert {r.key for r in served.collect()} == {"k1"}
+    assert {r.key for r in not_served.collect()} == {"k2", "k3"}
+    served2, not_served2 = conditional_get(blobs, if_modified_since_ms=500)
+    assert {r.key for r in served2.collect()} == {"k1", "k2"}
+    assert {r.key for r in not_served2.collect()} == {"k3"}
+    # every row is in exactly one population, always
+    assert served.count() + not_served.count() == 3
+    assert served2.count() + not_served2.count() == 3

@@ -56,7 +56,10 @@ def test_webhook_sink_delivers_all_rows(spark, event_dir, tmp_path):
     stream = for_queue(read_event_stream(spark, event_dir), ["error"])
     delivered: list[dict] = []
     run_webhook_sink(
-        stream, delivered.extend, checkpoint_dir=str(tmp_path / "ckpt")
+        stream,
+        delivered.extend,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        from_executors=False,  # driver-held list: the explicit test-only mode
     )
     expected = (
         spark.read.parquet(event_dir).filter(F.col("event_type") == "error").count()
@@ -83,9 +86,8 @@ def test_webhook_sink_posts_from_executors(spark, event_dir, tmp_path):
                 f.write(json.dumps({"event_type": r["event_type"]}) + "\n")
 
     stream = for_queue(read_event_stream(spark, event_dir), ["error"])
-    run_webhook_sink(
-        stream, post, checkpoint_dir=str(tmp_path / "ckpt2"), from_executors=True
-    )
+    # default mode: executor-side fan-out
+    run_webhook_sink(stream, post, checkpoint_dir=str(tmp_path / "ckpt2"))
     delivered = []
     for path in glob.glob(f"{out_dir}/*.jsonl"):
         with open(path) as f:

@@ -169,3 +169,14 @@ def test_metadata_configuration_drives_f10(spark, buckets, indexes):
     # dimension contract enforced
     with pytest.raises(InvalidIndexParameterError):
         query_index(df, vectors, "vb-main", "idx-cfg", [1.0, 0.0], top_k=1)
+
+
+def test_list_indexes_nonpositive_max_results_uses_default_page(spark, buckets, indexes):
+    """A zero/negative max_results means "unset": the full default page, not
+    an empty page or an IllegalArgumentException from limit()."""
+    df = indexes
+    for n in ("idx-a", "idx-b"):
+        df = create_vector_index(df, buckets, "vb-main", n, 64)
+    for bad in (0, -5, 10_000):
+        names = [r["name"] for r in list_indexes(df, "vb-main", max_results=bad).collect()]
+        assert names == ["idx-a", "idx-b"], f"max_results={bad}"
