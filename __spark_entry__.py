@@ -357,6 +357,43 @@ def q_multipart_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assembled.select("upload_id", "name", "size", "n_parts", "etag")
 
 
+def q_multipart_part_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 UploadPartCopy batch (s3-handler.ts:1267-1390; range.ts:58-77):
+    every copy request classified ACCEPTED / NO_SUCH_KEY / INVALID_RANGE /
+    ENTITY_TOO_LARGE, with the derived part size and content-identity etag
+    for accepted rows."""
+    from storage_spark.operators.multipart import upload_part_copy
+
+    t = _t(spark, sf_dir)
+    copies = t["part_copies"]
+    _, parts2, failed = upload_part_copy(
+        t["multipart_uploads"],
+        t["multipart_parts"],
+        t["objects"],
+        copies,
+        max_file_size=30_000_000,
+    )
+    accepted = parts2.join(
+        copies.select("upload_id", "part_number"),
+        ["upload_id", "part_number"],
+        "left_semi",
+    ).select(
+        "upload_id",
+        "part_number",
+        "size",
+        "etag",
+        F.lit("ACCEPTED").alias("status"),
+    )
+    fails = failed.select(
+        "upload_id",
+        "part_number",
+        F.lit(None).cast("long").alias("size"),
+        F.lit(None).cast("string").alias("etag"),
+        F.col("reason").alias("status"),
+    )
+    return accepted.unionByName(fails).orderBy("upload_id", "part_number")
+
+
 def q_delete_before_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4/F5 read side: what delete-all-before would remove, per bucket."""
     t = _t(spark, sf_dir)
@@ -1293,6 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "backend_list": q_backend_list,
         "sign_many": q_sign_many,
+        # round-3-new queries: never driver-recorded, run next
+        "multipart_part_copy": q_multipart_part_copy,
         "vector_cosine_topk": q_vector_cosine_topk,
         "vector_l2_topk": q_vector_l2_topk,
         "vector_filtered_topk": q_vector_filtered_topk,
@@ -1571,6 +1610,43 @@ SELECT u.id AS upload_id, u.key AS name, CAST(sum(p.size) AS BIGINT) AS size,
 FROM multipart_uploads u JOIN multipart_parts p ON p.upload_id = u.id
 WHERE u.id = 'up-100'
 GROUP BY u.id, u.key
+"""),
+        "multipart_part_copy": _o("""
+, resolved AS (
+  SELECT c.*, o.id AS src_id, o.version AS src_version, o.size AS src_size
+  FROM part_copies c
+  LEFT JOIN objects o
+    ON o.bucket_id = c.source_bucket AND o.name = c.source_key
+),
+classified AS (
+  SELECT *,
+    CASE WHEN src_id IS NULL THEN 'NO_SUCH_KEY'
+         WHEN (range_start IS NOT NULL OR range_end IS NOT NULL)
+              AND NOT (range_start IS NOT NULL AND range_end IS NOT NULL
+                       AND range_start >= 0 AND range_end >= range_start
+                       AND range_end < src_size)
+         THEN 'INVALID_RANGE' END AS early_reason,
+    CASE WHEN range_start IS NOT NULL OR range_end IS NOT NULL
+         THEN range_end - range_start + 1 ELSE src_size END AS copy_size
+  FROM resolved
+),
+gated AS (
+  SELECT c.*,
+    CASE WHEN c.early_reason IS NOT NULL THEN c.early_reason
+         WHEN u.in_progress_size + c.copy_size > 30000000
+         THEN 'ENTITY_TOO_LARGE'
+         ELSE 'ACCEPTED' END AS status
+  FROM classified c JOIN multipart_uploads u ON u.id = c.upload_id
+)
+SELECT upload_id, part_number,
+  CASE WHEN status = 'ACCEPTED' THEN CAST(copy_size AS BIGINT) END AS size,
+  CASE WHEN status = 'ACCEPTED'
+       THEN md5('part-copy:' || src_id || ':' || src_version || ':'
+            || COALESCE(CAST(range_start AS STRING), '0') || ':'
+            || COALESCE(CAST(range_end AS STRING),
+                        CAST(src_size - 1 AS STRING))) END AS etag,
+  status
+FROM gated ORDER BY upload_id, part_number
 """),
         "delete_before_preview": _o("""
 SELECT bucket_id, count(*) AS n, CAST(sum(size) AS BIGINT) AS total_size

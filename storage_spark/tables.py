@@ -111,6 +111,21 @@ SELECT
 FROM lineitem WHERE l_orderkey % 50 = 0
 """
 
+PART_COPIES_SQL = """
+SELECT
+  u.id AS upload_id,
+  100 AS part_number,
+  CASE WHEN u.ok % 500 = 450 THEN 'no-such-bucket' ELSE o.bucket_id END
+    AS source_bucket,
+  o.name AS source_key,
+  CASE WHEN u.ok % 150 > 0 THEN CAST(0 AS BIGINT) END AS range_start,
+  CASE WHEN u.ok % 150 = 50 THEN CAST(floor(o.size / 2) AS BIGINT)
+       WHEN u.ok % 150 = 100 THEN o.size + 5 END AS range_end,
+  1704067200000 + u.ok AS created_at_ms
+FROM (SELECT id, CAST(substr(id, 4) AS BIGINT) AS ok FROM multipart_uploads) u
+JOIN objects o ON CAST(o.id AS BIGINT) = u.ok % 199 + 1
+"""
+
 ICEBERG_TABLES_SQL = """
 SELECT
   lower(replace(r_name, ' ', '-')) || '-bkt' AS bucket_id,
@@ -154,6 +169,7 @@ DERIVED_VIEWS = [
     ("s3_keys", S3_KEYS_SQL),
     ("multipart_uploads", MULTIPART_UPLOADS_SQL),
     ("multipart_parts", MULTIPART_PARTS_SQL),
+    ("part_copies", PART_COPIES_SQL),
     ("iceberg_tables", ICEBERG_TABLES_SQL),
     ("buckets_vectors", BUCKETS_VECTORS_SQL),
     ("vector_indexes", VECTOR_INDEXES_SQL),
