@@ -946,6 +946,28 @@ def q_salted_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_usage(t["objects"])
 
 
+def q_copy_objects_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched copy (set-oriented copy_object): every (id % 97 == 0) object
+    duplicated under copies/ in one pass — fresh content-addressed
+    id/version per destination, no per-object probe jobs."""
+    from storage_spark.operators.mutations import copy_objects
+
+    t = _t(spark, sf_dir)
+    objs = t["objects"]
+    pairs = objs.filter(F.col("id").cast("bigint") % 97 == 0).select(
+        "bucket_id",
+        F.col("name").alias("from_name"),
+        F.lit(None).cast("string").alias("to_bucket_id"),
+        F.concat(F.lit("copies/"), F.col("name")).alias("to_name"),
+    )
+    out, _failed = copy_objects(objs, pairs)
+    return (
+        out.filter(F.col("name").startswith("copies/"))
+        .select("bucket_id", "name", "id", "version", "size")
+        .orderBy("bucket_id", "name")
+    )
+
+
 def q_copy_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.operators.mutations import copy_object
 
@@ -1116,6 +1138,48 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", F.round(F.col("jaccard") * 10000).cast("bigint").alias("j_1e4")
     )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap scrub: docs sharing >=1 distinct word trigram
+    with the benchmark subset (doc_id % 37 == 0) are flagged, with the
+    distinct-hit count for auditability."""
+    from storage_spark.operators.pipeline import decontaminate
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate(docs, bench, n=3, min_hits=1).orderBy("doc_id")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: per-language keep rates applied via
+    the engine-portable md5-threshold cut (reproducible on any cluster
+    layout / engine — same rows every run)."""
+    from storage_spark.operators.pipeline import sample_corpus
+
+    t = _t(spark, sf_dir)
+    out = sample_corpus(
+        t["documents"],
+        stratum_col="lang",
+        rates={"en": 0.25, "de": 0.75, "zh": 0.5},
+        default_rate=1.0,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate scrub over the documents corpus: 3-word windows recurring
+    in >= 2 docs are dropped; each doc reassembled from survivors."""
+    from storage_spark.operators.pipeline import remove_repeated_segments
+
+    t = _t(spark, sf_dir)
+    out = remove_repeated_segments(
+        t["documents"], segment_words=3, sep=None, min_df=2
+    )
+    return out.select(
+        "doc_id", F.md5("text_clean").alias("clean_md5"), "n_kept", "n_removed"
+    ).orderBy("doc_id")
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,6 +1396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sign_many": q_sign_many,
         # round-3-new queries: never driver-recorded, run next
         "multipart_part_copy": q_multipart_part_copy,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
+        "remove_boilerplate": q_remove_boilerplate,
+        "copy_objects_bulk": q_copy_objects_bulk,
         "vector_cosine_topk": q_vector_cosine_topk,
         "vector_l2_topk": q_vector_l2_topk,
         "vector_filtered_topk": q_vector_filtered_topk,
@@ -1717,6 +1785,15 @@ ORDER BY coalesce(created_at_ms, 0), name LIMIT 50
 SELECT bucket_id, CAST(sum(size) AS BIGINT) AS total_size, count(*) AS n_objects
 FROM objects GROUP BY bucket_id
 """),
+        "copy_objects_bulk": _o("""
+SELECT bucket_id, 'copies/' || name AS name,
+  md5('copy:' || bucket_id || ':' || 'copies/' || name || ':' || id) AS id,
+  md5('copyv:' || bucket_id || ':' || 'copies/' || name || ':' || version)
+    AS version,
+  size
+FROM objects WHERE CAST(id AS BIGINT) % 97 = 0
+ORDER BY bucket_id, name
+"""),
         "copy_object": _o("""
 SELECT name, id, size, version FROM objects
 WHERE bucket_id = 'Brand#17'
@@ -1918,6 +1995,69 @@ w AS (
 SELECT DISTINCT doc_id, fp
 FROM (SELECT doc_id, unnest(mins) AS fp FROM w)
 ORDER BY doc_id, fp
+"""),
+        "decontaminate": _o(f"""
+, toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+),
+doc_sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(tk) - 1),
+                          i -> array_to_string(tk[i:i+2], ' '))) AS sh
+  FROM toks WHERE len(tk) >= 3
+),
+bench_sh AS (SELECT DISTINCT sh FROM doc_sh WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM doc_sh JOIN bench_sh USING (sh) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""),
+        "remove_boilerplate": _o(f"""
+, toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+),
+positions AS (
+  SELECT doc_id, tk,
+    unnest(range(0, CAST(ceil(len(tk) / 3.0) AS BIGINT))) AS pos
+  FROM toks
+),
+segs AS (
+  SELECT doc_id, pos,
+    array_to_string(tk[(pos*3 + 1):(pos*3 + 3)], ' ') AS seg
+  FROM positions
+  WHERE array_to_string(tk[(pos*3 + 1):(pos*3 + 3)], ' ') <> ''
+),
+hot AS (
+  SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT s.* FROM segs s ANTI JOIN hot h ON s.seg = h.seg),
+totals AS (SELECT doc_id, count(*) AS total FROM segs GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, md5(COALESCE(r.text_clean, '')) AS clean_md5,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(t.total, 0) - COALESCE(r.n_kept, 0) AS n_removed
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""),
+        "sample_stratified": _o("""
+SELECT doc_id, lang FROM documents
+WHERE md5('corpus-sample:' || CAST(doc_id AS STRING)) <
+  CASE lang
+    WHEN 'zh' THEN '80000000' || repeat('0', 24)
+    WHEN 'en' THEN '40000000' || repeat('0', 24)
+    WHEN 'de' THEN 'c0000000' || repeat('0', 24)
+    ELSE repeat('g', 32) END
+ORDER BY doc_id
 """),
         "dedup_ngram_jaccard": _o(f"""
 , toks AS (

@@ -152,6 +152,84 @@ def copy_object(
     return survivors.unionByName(dst)
 
 
+def copy_objects(
+    objects: DataFrame, pairs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Batched copy: the set-oriented form of ``copy_object`` for callers
+    driving MANY copies (bulk namespace duplication, tenant cloning). One
+    Spark job total instead of one existence-probe job per object.
+
+    ``pairs`` rows: ``(bucket_id, from_name, to_bucket_id, to_name)``.
+
+    Semantics per pair, identical to the scalar form:
+    - missing source → the pair lands in the returned ``failed`` frame
+      (the batch analogue of the scalar NoSuchKey raise — one bad pair
+      must not poison a million-row batch);
+    - destination minted with fresh id/version (content-addressed from the
+      destination key + source identity — a copy never inherits the
+      source identity);
+    - a pre-existing destination row is replaced (upsert), and the LAST
+      pair wins when one batch targets the same destination twice
+      (dedup on destination key, max source name for determinism).
+
+    Returns ``(objects', failed_pairs)``.
+    """
+    p = pairs.select(
+        F.col("bucket_id").alias("_src_bucket"),
+        F.col("from_name").alias("_src_name"),
+        F.coalesce(F.col("to_bucket_id"), F.col("bucket_id")).alias("_dst_bucket"),
+        F.col("to_name").alias("_dst_name"),
+    )
+    src = objects.select(
+        F.col("bucket_id").alias("_src_bucket"),
+        F.col("name").alias("_src_name"),
+        F.struct(*objects.columns).alias("_row"),
+    )
+    joined = p.join(src, ["_src_bucket", "_src_name"], "left")
+    failed = joined.filter(F.col("_row").isNull()).select(
+        F.col("_src_bucket").alias("bucket_id"),
+        F.col("_src_name").alias("from_name"),
+        F.col("_dst_bucket").alias("to_bucket_id"),
+        F.col("_dst_name").alias("to_name"),
+    )
+    resolved = joined.filter(F.col("_row").isNotNull())
+    # last-pair-wins per destination key (deterministic: max source name)
+    from storage_spark.operators.scans import first_per_group
+
+    resolved = first_per_group(
+        resolved,
+        ["_dst_bucket", "_dst_name"],
+        [F.col("_src_name").desc()],
+    )
+    dst = resolved.select(
+        *[
+            F.col(f"_row.{c}").alias(c)
+            for c in objects.columns
+            if c not in ("bucket_id", "name", "id", "version")
+        ],
+        F.col("_dst_bucket").alias("bucket_id"),
+        F.col("_dst_name").alias("name"),
+        F.md5(
+            F.concat_ws(
+                ":", F.lit("copy"), F.col("_dst_bucket"), F.col("_dst_name"),
+                F.col("_row.id"),
+            )
+        ).alias("id"),
+        F.md5(
+            F.concat_ws(
+                ":", F.lit("copyv"), F.col("_dst_bucket"), F.col("_dst_name"),
+                F.col("_row.version"),
+            )
+        ).alias("version"),
+    ).select(*objects.columns)
+    survivors = objects.join(
+        dst.select(F.col("bucket_id"), F.col("name")),
+        ["bucket_id", "name"],
+        "left_anti",
+    )
+    return survivors.unionByName(dst), failed
+
+
 def move_objects(
     objects: DataFrame, bucket_id: str, from_prefix: str, to_prefix: str
 ) -> DataFrame:

@@ -105,3 +105,204 @@ def curate_corpus(
         F.col("doc").alias(id_col),
         F.round(F.col("_q") * 1000).cast("bigint").alias("score_1e3"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+    max_shingle_df: int | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least ``min_hits`` distinct word ``n``-grams with an evaluation
+    benchmark corpus — the standard train/test-overlap scrub a
+    training-data pipeline runs before every release (13-gram overlap in
+    GPT-3's appendix; n is a parameter here).
+
+    Plan: the benchmark's distinct shingle set (tiny — eval suites are
+    MBs while the corpus is TBs) is broadcast against the corpus's
+    inverted shingle index, so the only shuffle over corpus-scale data is
+    the per-doc hit count's partial aggregation. ``max_shingle_df`` drops
+    degenerate boilerplate shingles from the corpus side before the join
+    (same hot-key guard as the Jaccard path).
+
+    Returns every input doc row's id plus ``n_hits`` (distinct
+    contaminating shingles) and ``contaminated``. Callers drop flagged
+    rows with one filter; keeping the full classification makes the
+    decision auditable.
+    """
+    from storage_spark.functions.text import word_shingles
+    from storage_spark.operators.dedup import _doc_shingles
+
+    bench_sh = benchmark.select(
+        F.explode(
+            F.array_distinct(word_shingles(F.col(bench_text_col), n))
+        ).alias("sh")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = _doc_shingles(docs, text_col, id_col, n, max_shingle_df)
+    hits = (
+        doc_sh.join(bench_sh, "sh")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def _hash_threshold(rate: float) -> str:
+    """32-hex-char threshold whose lexicographic compare against an md5
+    digest implements P(keep) = rate. Hex strings of equal length compare
+    like the numbers they encode, so the cut is exact to 16^-8 granularity
+    and identical in ANY engine that can md5 + compare strings."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    scaled = int(rate * 16**8)
+    if scaled >= 16**8:  # rate == 1.0: must sort after EVERY hex digest —
+        return "g" * 32  # 'g' > 'f', same length, keeps the compare exact
+    return format(scaled, "08x") + "0" * 24
+
+
+def sample_corpus(
+    docs: DataFrame,
+    rate: float | None = None,
+    stratum_col: str | None = None,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+    key_col: str = "doc_id",
+    seed: str = "corpus-sample",
+) -> DataFrame:
+    """Deterministic (reproducible, engine-portable) corpus sampling.
+
+    Each row's fate is a pure function of ``(seed, key)``: keep iff
+    ``md5(seed || ':' || key) < threshold(rate)``. No RNG state, no
+    partition sensitivity — the same sample falls out on ANY cluster
+    layout, any retry, any engine (unlike ``DataFrame.sample``, whose
+    output depends on partitioning). That reproducibility is what makes a
+    training-data cut auditable and diffable between pipeline runs.
+
+    Two modes:
+    - uniform: ``rate=0.1`` keeps ~10% of rows;
+    - stratified: ``stratum_col='lang', rates={'en': 0.1, 'de': 0.5}``
+      applies a per-stratum rate (``default_rate`` for unlisted strata) —
+      the standard language/source rebalancing knob.
+
+    The predicate is a pure Column expression → Catalyst pushes it into
+    the scan; sampling 1% of 100 TB reads all rows but shuffles none.
+    """
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    if rate is not None:
+        return docs.filter(h < F.lit(_hash_threshold(rate)))
+    if stratum_col is None or rates is None:
+        raise ValueError("need either rate= or (stratum_col= and rates=)")
+    thr = F.lit(_hash_threshold(default_rate))
+    for value, r in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == value, F.lit(_hash_threshold(r))
+        ).otherwise(thr)
+    return docs.filter(h < thr)
+
+
+def remove_repeated_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_words: int | None = None,
+    sep: str | None = "\n",
+    min_df: int = 2,
+) -> DataFrame:
+    """Intra-corpus boilerplate scrub: drop text segments that recur across
+    ``min_df`` or more documents (site headers/footers/navigation, license
+    blocks, template chrome) and reassemble each document from its
+    surviving segments in original order.
+
+    Segmentation: ``sep`` splits on a literal separator (paragraphs);
+    ``segment_words=k`` instead chunks the normalized token stream into
+    fixed k-word windows (for corpora without structural separators).
+
+    Plan: posexplode(segments) → segment document-frequency (one partial
+    agg on the segment hash) → anti-join hot segments → groupBy doc with
+    ``sort_array(collect_list(struct(pos, seg)))`` to restore order. Two
+    shuffles total, both keyed on high-cardinality columns — no skew,
+    no driver round-trips; the df-side agg is map-side combined.
+
+    Output: one row per input doc — ``(id, text_clean, n_kept,
+    n_removed)``; a fully-boilerplate doc survives as an empty string so
+    downstream joins see every id.
+    """
+    from storage_spark.functions.text import normalized_text, tokens
+
+    if (segment_words is None) == (sep is None):
+        raise ValueError("exactly one of segment_words / sep must be set")
+    if sep is not None:
+        segs = F.split(F.col(text_col), F.lit(sep).cast("string"), -1)
+        base = docs.select(F.col(id_col).alias("doc"), segs.alias("_segs"))
+    else:
+        k = segment_words
+        base = docs.select(
+            F.col(id_col).alias("doc"),
+            tokens(normalized_text(F.col(text_col))).alias("_toks"),
+        ).select(
+            "doc",
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("_toks") / F.lit(k)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("_toks"), i * k + 1, k), " "
+                ),
+            ).alias("_segs"),
+        )
+    exploded = base.select(
+        "doc", F.posexplode_outer("_segs").alias("pos", "seg")
+    ).filter(F.col("seg").isNotNull() & (F.col("seg") != ""))
+    hot = (
+        exploded.groupBy("seg")
+        .agg(F.count_distinct("doc").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("seg")
+    )
+    kept = exploded.join(hot, "seg", "left_anti")
+    totals = exploded.groupBy("doc").agg(F.count(F.lit(1)).alias("_total"))
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " " if sep is None else sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(totals, "doc", "left")
+        .join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce(F.col("_total"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )

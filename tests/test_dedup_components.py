@@ -150,3 +150,41 @@ def test_banding_sweep(spark):
     assert sweep[0]["candidate_pairs"] >= sweep[1]["candidate_pairs"]
     # the near-identical pair is caught by the loose config
     assert sweep[0]["candidate_pairs"] >= 1
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Docs sharing >= min_hits distinct n-grams with the benchmark are
+    flagged; clean docs and sub-n docs get n_hits = 0."""
+    from storage_spark.operators.pipeline import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different sentence with no overlap at all"),
+            (3, "quick brown fox but only this fragment matches here"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontaminate(docs, bench, n=3, min_hits=2).collect()
+    }
+    # doc 1 shares 'the quick brown','quick brown fox','brown fox jumps'
+    assert got[1][0] == 3 and got[1][1]
+    assert got[2] == (0, False)
+    assert got[3] == (1, False)  # one hit < min_hits
+    assert got[4] == (0, False)
+    # hot-shingle guard drops boilerplate shingles before the join
+    boiler = spark.createDataFrame(
+        [(i, "shared boilerplate trigram line") for i in range(10)],
+        "doc_id long, text string",
+    )
+    bench2 = spark.createDataFrame(
+        [(0, "shared boilerplate trigram line")], "doc_id long, text string"
+    )
+    guarded = decontaminate(boiler, bench2, n=3, min_hits=1, max_shingle_df=5)
+    assert guarded.filter("contaminated").count() == 0

@@ -190,3 +190,53 @@ def test_parquet_table_commit(spark, target, tmp_path):
     assert {
         r.size for r in tbl.read().filter(F.col("name") == "a.txt").collect()
     } == {111, 30}
+
+
+def test_copy_objects_batched(spark):
+    """Set-oriented copy: one pass for a whole batch — missing sources land
+    in failed (no poison-pill raise), destinations get fresh identity,
+    duplicate destinations dedup to one winner."""
+    from storage_spark.operators.mutations import copy_objects
+
+    objects = spark.createDataFrame(
+        [
+            ("b1", "a.txt", "id-1", "v1", 10),
+            ("b1", "b.txt", "id-2", "v1", 20),
+            ("b2", "c.txt", "id-3", "v2", 30),
+        ],
+        "bucket_id string, name string, id string, version string, size long",
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("b1", "a.txt", None, "copies/a.txt"),
+            ("b1", "b.txt", "b2", "b-moved.txt"),
+            ("b1", "missing.txt", None, "copies/m.txt"),
+            # two pairs to ONE destination: max source name (b.txt) wins
+            ("b1", "a.txt", "b2", "dup-dst.txt"),
+            ("b1", "b.txt", "b2", "dup-dst.txt"),
+        ],
+        "bucket_id string, from_name string, to_bucket_id string, to_name string",
+    )
+    out, failed = copy_objects(objects, pairs)
+    assert [tuple(r) for r in failed.collect()] == [
+        ("b1", "missing.txt", "b1", "copies/m.txt")
+    ]
+    rows = {(r.bucket_id, r.name): r for r in out.collect()}
+    assert len(rows) == 3 + 3  # originals + 3 distinct destinations
+    copy_a = rows[("b1", "copies/a.txt")]
+    assert copy_a.size == 10
+    assert copy_a.id != "id-1" and copy_a.version != "v1"
+    assert rows[("b2", "dup-dst.txt")].size == 20  # b.txt won the dup dst
+    # batch output identical to scalar copy_object for the same copy
+    from storage_spark.operators.mutations import copy_object
+
+    scalar = copy_object(objects, "b1", "a.txt", "copies/a.txt")
+    srow = {(r.bucket_id, r.name): r for r in scalar.collect()}[("b1", "copies/a.txt")]
+    assert srow.size == copy_a.size and srow.name == copy_a.name
+    # a pre-existing destination row is REPLACED, not duplicated
+    out2, _ = copy_objects(out, spark.createDataFrame(
+        [("b1", "b.txt", "b1", "copies/a.txt")],
+        "bucket_id string, from_name string, to_bucket_id string, to_name string",
+    ))
+    replaced = [r for r in out2.collect() if (r.bucket_id, r.name) == ("b1", "copies/a.txt")]
+    assert len(replaced) == 1 and replaced[0].size == 20

@@ -1,0 +1,122 @@
+"""Deterministic corpus sampling: reproducibility, rate accuracy, stratified
+rates, and scan-level pushdown of the sampling predicate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from storage_spark.operators.pipeline import _hash_threshold, sample_corpus
+
+
+def test_threshold_edges():
+    assert _hash_threshold(0.0) == "0" * 32
+    assert _hash_threshold(1.0) == "g" * 32  # sorts after every hex digest
+    assert _hash_threshold(0.5).startswith("80000000")
+    with pytest.raises(ValueError):
+        _hash_threshold(1.5)
+
+
+def test_uniform_sample_is_deterministic_and_rate_accurate(spark):
+    docs = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in sample_corpus(docs, rate=0.1).collect()}
+    b = {r.doc_id for r in sample_corpus(docs, rate=0.1).collect()}
+    assert a == b  # same seed+keys -> same rows, independent of run
+    assert 0.08 < len(a) / 10_000 < 0.12
+    # a different seed draws a different (but still deterministic) sample
+    c = {r.doc_id for r in sample_corpus(docs, rate=0.1, seed="other").collect()}
+    assert c != a
+    # nested rates: a 5% sample is a SUBSET of the 10% sample (same seed) —
+    # the property that lets pipelines scale a cut up/down consistently
+    d = {r.doc_id for r in sample_corpus(docs, rate=0.05).collect()}
+    assert d <= a
+    # rate 1.0 keeps everything, 0.0 keeps nothing
+    assert sample_corpus(docs, rate=1.0).count() == 10_000
+    assert sample_corpus(docs, rate=0.0).count() == 0
+
+
+def test_stratified_rates_apply_per_stratum(spark):
+    docs = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = sample_corpus(
+        docs, stratum_col="lang", rates={"en": 0.9, "de": 0.1}, default_rate=0.0
+    )
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.8 < counts["en"] / 2000 < 1.0
+    assert 0.05 < counts["de"] / 2000 < 0.16
+    assert "fr" not in counts  # default_rate=0 drops unlisted strata
+
+
+def test_sampling_predicate_pushes_to_scan(spark, tmp_path):
+    """The cut is a pure Column predicate — it must reach the parquet scan
+    as a data filter (no shuffle, no UDF barrier)."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "docs")
+    spark.range(1000).withColumnRenamed("id", "doc_id").write.parquet(path)
+    plan_df = sample_corpus(spark.read.parquet(path), rate=0.2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Filter" in plan
+
+
+def test_remove_repeated_segments_sep_mode(spark):
+    """Paragraph boilerplate (shared header/footer) is dropped; unique
+    paragraphs survive in original order; a fully-boilerplate doc comes
+    back as an empty string, not a missing row."""
+    from storage_spark.operators.pipeline import remove_repeated_segments
+
+    hdr, ftr = "SITE HEADER", "copyright footer"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hdr}\nunique one\nmore unique\n{ftr}"),
+            (2, f"{hdr}\ndifferent body\n{ftr}"),
+            (3, f"{hdr}\n{ftr}"),
+            (4, "standalone document"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_repeated_segments(docs, sep="\n", min_df=2).collect()
+    }
+    assert got[1].text_clean == "unique one\nmore unique"
+    assert (got[1].n_kept, got[1].n_removed) == (2, 2)
+    assert got[2].text_clean == "different body"
+    assert got[3].text_clean == "" and got[3].n_kept == 0
+    assert got[4].text_clean == "standalone document"
+
+
+def test_remove_repeated_segments_word_windows(spark):
+    from storage_spark.operators.pipeline import remove_repeated_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared boiler text plus some unique words here"),
+            (2, "shared boiler text with another unique continuation now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_repeated_segments(
+            docs, segment_words=3, sep=None, min_df=2
+        ).collect()
+    }
+    # first 3-word window identical in both docs -> removed from both
+    assert got[1].n_removed == 1 and got[2].n_removed == 1
+    assert got[1].text_clean.startswith("plus some unique")
+    with pytest.raises(ValueError):
+        remove_repeated_segments(docs, segment_words=3, sep="\n")  # both set
+    with pytest.raises(ValueError):
+        remove_repeated_segments(docs, segment_words=None, sep=None)  # neither
