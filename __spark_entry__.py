@@ -1182,6 +1182,22 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit token-budget packing per language: deterministic bin
+    assignment (id-ordered walk, 128-token bins) — the sequence-packing
+    prep step, verified bin-for-bin against a recursive-CTE oracle."""
+    from storage_spark.operators.pipeline import pack_sequences
+
+    t = _t(spark, sf_dir)
+    out = pack_sequences(
+        t["documents"], group_col="lang", max_tokens=128
+    )
+    return out.select(
+        F.col("grp").alias("lang"), F.col("doc").alias("doc_id"),
+        "n_tokens", "bin",
+    ).orderBy("lang", "doc_id")
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1400,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "remove_boilerplate": q_remove_boilerplate,
         "copy_objects_bulk": q_copy_objects_bulk,
+        "pack_sequences": q_pack_sequences,
         "vector_cosine_topk": q_vector_cosine_topk,
         "vector_l2_topk": q_vector_l2_topk,
         "vector_filtered_topk": q_vector_filtered_topk,

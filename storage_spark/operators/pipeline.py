@@ -306,3 +306,57 @@ def remove_repeated_segments(
             ).alias("n_removed"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    group_col: str = "lang",
+    max_tokens: int = 512,
+) -> DataFrame:
+    """Next-fit sequence packing: assign documents to fixed token-budget
+    bins (the pre-tokenization step that turns a document corpus into
+    training sequences with minimal padding). Deterministic contract:
+    within each ``group_col`` partition, docs are walked in ``id_col``
+    order; a doc that would overflow the current bin closes it and opens
+    the next (an oversize doc gets a bin of its own).
+
+    Plan: one ``applyInPandas`` per group — the packing walk is inherently
+    sequential PER GROUP, so the group key is the parallelism unit. At
+    100 TB the caller picks group granularity (language, source shard, or
+    ``hash(id) % N``) so each group fits one task; across groups the job
+    scales linearly. Arrow moves each group as columnar batches — the
+    Python loop touches one int per row, not row objects.
+
+    Output: ``(group, id, n_tokens, bin)`` — join ``bin`` back to the
+    corpus or aggregate it for packing-efficiency stats.
+    """
+    toks = (
+        F.col(token_col)
+        if token_col is not None
+        else token_count(F.col(text_col))
+    )
+    base = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc"),
+        toks.cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values("doc").reset_index(drop=True)
+        bins = []
+        bin_id, acc, first = 0, 0, True
+        for t in pdf["n_tokens"]:
+            if not first and acc + int(t) > max_tokens:
+                bin_id += 1
+                acc = 0
+            acc += int(t)
+            first = False
+            bins.append(bin_id)
+        pdf["bin"] = bins
+        return pdf
+
+    out_schema = base.schema.add("bin", "long")
+    return base.groupBy("grp").applyInPandas(_pack, out_schema)
