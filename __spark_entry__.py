@@ -1062,6 +1062,28 @@ _DUCK_TOKENS = f"regexp_split_to_array({_DUCK_NORM_TEXT}, ' ')"
 _DUCK_RAW_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 _EN_STOP = "('a', 'the', 'of', 'and', 'to')"
 
+#: Sequential next-fit packing replay (doc_id order per lang, 128-token
+#: bins) — the DuckDB oracle for pack_sequences / packing_efficiency.
+_PACK_WALK_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+    CAST(len({_DUCK_RAW_TOKENS}) AS BIGINT) AS n_tokens,
+    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT lang, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS acc
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+    CASE WHEN w.acc + t.n_tokens > 128 THEN w.bin + 1 ELSE w.bin END AS bin,
+    CASE WHEN w.acc + t.n_tokens > 128 THEN t.n_tokens
+         ELSE w.acc + t.n_tokens END AS acc
+  FROM walk w JOIN toks t ON t.lang = w.lang AND t.rn = w.rn + 1
+)
+"""
+
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone: composed curation pipeline (quality gate → exact dedup →
@@ -1185,7 +1207,7 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-fit token-budget packing per language: deterministic bin
     assignment (id-ordered walk, 128-token bins) — the sequence-packing
-    prep step, verified bin-for-bin against a recursive-CTE oracle."""
+    prep step. Oracle: DuckDB window-scan recurrence (see oracle_sql)."""
     from storage_spark.operators.pipeline import pack_sequences
 
     t = _t(spark, sf_dir)
@@ -1196,6 +1218,28 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grp").alias("lang"), F.col("doc").alias("doc_id"),
         "n_tokens", "bin",
     ).orderBy("lang", "doc_id")
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-utilisation report over the packed corpus: per language, bin
+    count / doc count / token total / oversize-bin count / utilisation
+    (1e4 basis) at the same 128-token budget as pack_sequences."""
+    from storage_spark.operators.pipeline import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    t = _t(spark, sf_dir)
+    packed = pack_sequences(t["documents"], group_col="lang", max_tokens=128)
+    out = packing_efficiency(packed, max_tokens=128)
+    return out.select(
+        F.col("grp").alias("lang"),
+        "n_bins",
+        "n_docs",
+        "total_tokens",
+        "n_oversize_bins",
+        "util_1e4",
+    ).orderBy("lang")
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1417,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": q_remove_boilerplate,
         "copy_objects_bulk": q_copy_objects_bulk,
         "pack_sequences": q_pack_sequences,
+        "packing_efficiency": q_packing_efficiency,
         "vector_cosine_topk": q_vector_cosine_topk,
         "vector_l2_topk": q_vector_l2_topk,
         "vector_filtered_topk": q_vector_filtered_topk,
@@ -1717,11 +1762,12 @@ classified AS (
 ),
 gated AS (
   SELECT c.*,
-    CASE WHEN c.early_reason IS NOT NULL THEN c.early_reason
+    CASE WHEN u.id IS NULL THEN 'NO_SUCH_UPLOAD'
+         WHEN c.early_reason IS NOT NULL THEN c.early_reason
          WHEN u.in_progress_size + c.copy_size > 30000000
          THEN 'ENTITY_TOO_LARGE'
          ELSE 'ACCEPTED' END AS status
-  FROM classified c JOIN multipart_uploads u ON u.id = c.upload_id
+  FROM classified c LEFT JOIN multipart_uploads u ON u.id = c.upload_id
 )
 SELECT upload_id, part_number,
   CASE WHEN status = 'ACCEPTED' THEN CAST(copy_size AS BIGINT) END AS size,
@@ -2076,6 +2122,28 @@ WHERE md5('corpus-sample:' || CAST(doc_id AS STRING)) <
     ELSE repeat('g', 32) END
 ORDER BY doc_id
 """),
+        # Standalone WITH RECURSIVE (no _o prefix: only needs the base
+        # `documents` view; the shared prefix's plain WITH cannot host a
+        # recursive CTE). The walk replays next-fit packing sequentially —
+        # the exact recurrence pack_sequences runs per Arrow group.
+        "pack_sequences": _PACK_WALK_SQL + """
+SELECT lang, doc_id, n_tokens, bin FROM walk ORDER BY lang, doc_id
+""",
+        "packing_efficiency": _PACK_WALK_SQL + """
+, per_bin AS (
+  SELECT lang, bin, sum(n_tokens) AS bin_tokens, count(*) AS bin_docs
+  FROM walk GROUP BY lang, bin
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_bins,
+  CAST(sum(bin_docs) AS BIGINT) AS n_docs,
+  CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(CASE WHEN bin_tokens > 128 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_oversize_bins,
+  CAST(round(sum(bin_tokens) * 1.0 / (count(*) * 128) * 10000) AS BIGINT)
+    AS util_1e4
+FROM per_bin GROUP BY lang ORDER BY lang
+""",
         "dedup_ngram_jaccard": _o(f"""
 , toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE doc_id < 60

@@ -224,7 +224,15 @@ def upload_part_copy(
         F.col("version").alias("_src_version"),
         F.col("size").alias("_src_size"),
     )
-    joined = copies.join(src, ["source_bucket", "source_key"], "left")
+    # The reference resolves the multipart upload BEFORE the copy source
+    # (s3-handler.ts UploadPartCopy), so an unknown upload_id is
+    # NoSuchUpload — not a downstream size rejection.
+    up_ids = uploads.select(
+        F.col("id").alias("upload_id"), F.lit(True).alias("_up_ok")
+    ).distinct()
+    joined = copies.join(src, ["source_bucket", "source_key"], "left").join(
+        up_ids, "upload_id", "left"
+    )
     has_range = F.col("range_start").isNotNull() | F.col("range_end").isNotNull()
     range_valid = (
         F.col("range_start").isNotNull()
@@ -235,7 +243,8 @@ def upload_part_copy(
     )
     classified = joined.withColumn(
         "reason",
-        F.when(F.col("_src_id").isNull(), F.lit("NO_SUCH_KEY"))
+        F.when(F.col("_up_ok").isNull(), F.lit("NO_SUCH_UPLOAD"))
+        .when(F.col("_src_id").isNull(), F.lit("NO_SUCH_KEY"))
         .when(has_range & ~F.coalesce(range_valid, F.lit(False)), F.lit("INVALID_RANGE"))
         .otherwise(F.lit(None)),
     )

@@ -193,13 +193,15 @@ def copy_objects(
         F.col("_dst_name").alias("to_name"),
     )
     resolved = joined.filter(F.col("_row").isNotNull())
-    # last-pair-wins per destination key (deterministic: max source name)
+    # last-pair-wins per destination key. Tiebreak on (name, bucket) so
+    # two pairs whose same-named sources live in DIFFERENT buckets pick
+    # the same winner every run — name alone left it nondeterministic.
     from storage_spark.operators.scans import first_per_group
 
     resolved = first_per_group(
         resolved,
         ["_dst_bucket", "_dst_name"],
-        [F.col("_src_name").desc()],
+        [F.col("_src_name").desc(), F.col("_src_bucket").desc()],
     )
     dst = resolved.select(
         *[

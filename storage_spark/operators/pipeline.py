@@ -14,8 +14,11 @@ candidate volume further without touching the surrounding pipeline.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from storage_spark.functions.text import (
     fingerprint,
@@ -252,7 +255,10 @@ def remove_repeated_segments(
     if (segment_words is None) == (sep is None):
         raise ValueError("exactly one of segment_words / sep must be set")
     if sep is not None:
-        segs = F.split(F.col(text_col), F.lit(sep).cast("string"), -1)
+        # F.split's pattern is a Java regex; sep is documented as a
+        # LITERAL separator, so escape it ('.', '|', '+' would otherwise
+        # silently mis-segment every document).
+        segs = F.split(F.col(text_col), F.lit(re.escape(sep)), -1)
         base = docs.select(F.col(id_col).alias("doc"), segs.alias("_segs"))
     else:
         k = segment_words
@@ -358,5 +364,55 @@ def pack_sequences(
         pdf["bin"] = bins
         return pdf
 
-    out_schema = base.schema.add("bin", "long")
+    # Build a FRESH StructType: StructType.add mutates in place, and
+    # DataFrame.schema hands back the plan's cached schema object —
+    # mutating it makes the input claim a phantom column and breaks
+    # resolution (the round-3 pack_sequences AnalysisException).
+    out_schema = T.StructType(
+        list(base.schema.fields) + [T.StructField("bin", T.LongType())]
+    )
     return base.groupBy("grp").applyInPandas(_pack, out_schema)
+
+
+def packing_efficiency(
+    packed: DataFrame,
+    max_tokens: int,
+    group_col: str = "grp",
+    bin_col: str = "bin",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Utilisation report over ``pack_sequences`` output — the number a
+    training-data team actually reads off the packer: how full the bins
+    are, i.e. how much padding the packed batches will carry.
+
+    Per group: bin count, docs packed, token total, mean docs per bin,
+    and ``util_1e4`` = total_tokens / (n_bins * max_tokens) scaled to an
+    integral 1e4 basis (integral so the value hashes stably across
+    engines). Oversize docs (> max_tokens alone in a bin) can push a
+    single bin above 1.0 utilisation; the cap column counts them.
+
+    Plan: two partial-aggregated shuffles — (group, bin) then group —
+    both on bounded-cardinality keys; no Python, no skew at any scale.
+    """
+    per_bin = packed.groupBy(group_col, bin_col).agg(
+        F.sum(token_col).alias("_bin_tokens"),
+        F.count(F.lit(1)).alias("_bin_docs"),
+    )
+    return (
+        per_bin.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("_bin_docs").alias("n_docs"),
+            F.sum("_bin_tokens").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("_bin_tokens") > max_tokens, 1).otherwise(0)
+            ).alias("n_oversize_bins"),
+            F.round(
+                F.sum("_bin_tokens")
+                / (F.count(F.lit(1)) * F.lit(max_tokens))
+                * 10000
+            )
+            .cast("bigint")
+            .alias("util_1e4"),
+        )
+    )

@@ -124,6 +124,16 @@ SELECT
   1704067200000 + u.ok AS created_at_ms
 FROM (SELECT id, CAST(substr(id, 4) AS BIGINT) AS ok FROM multipart_uploads) u
 JOIN objects o ON CAST(o.id AS BIGINT) = u.ok % 199 + 1
+UNION ALL
+SELECT
+  'up-phantom-' || CAST(o.id AS STRING) AS upload_id,
+  101 AS part_number,
+  o.bucket_id AS source_bucket,
+  o.name AS source_key,
+  CAST(NULL AS BIGINT) AS range_start,
+  CAST(NULL AS BIGINT) AS range_end,
+  1704067200000 AS created_at_ms
+FROM objects o WHERE CAST(o.id AS BIGINT) <= 5
 """
 
 ICEBERG_TABLES_SQL = """

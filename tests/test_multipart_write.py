@@ -259,3 +259,28 @@ def test_upload_part_copy_cap_rejects_batch(spark, uploads, parts, source_object
     ]
     assert parts2.count() == 0
     assert up2.first()["in_progress_size"] == 0
+
+
+def test_upload_part_copy_unknown_upload_is_no_such_upload(
+    spark, uploads, parts, source_objects
+):
+    """The reference resolves the upload before the copy source: an
+    unknown upload_id is NoSuchUpload — it must neither surface as
+    ENTITY_TOO_LARGE nor shadow into NO_SUCH_KEY even when the source is
+    ALSO missing (upload resolution happens first)."""
+    from storage_spark.operators.multipart import upload_part_copy
+
+    copies = spark.createDataFrame(
+        [
+            ("up-ghost", 1, "src-b", "data/small.bin", None, None, 1001),
+            ("up-ghost", 2, "src-b", "nope.bin", None, None, 1002),
+            ("up-a", 3, "src-b", "data/small.bin", None, None, 1003),
+        ],
+        COPY_SCHEMA,
+    )
+    up2, parts2, failed = upload_part_copy(
+        uploads, parts, source_objects, copies, max_file_size=1000
+    )
+    reasons = {r.part_number: r.reason for r in failed.collect()}
+    assert reasons == {1: "NO_SUCH_UPLOAD", 2: "NO_SUCH_UPLOAD"}
+    assert [r.part_number for r in parts2.collect()] == [3]

@@ -240,3 +240,31 @@ def test_copy_objects_batched(spark):
     ))
     replaced = [r for r in out2.collect() if (r.bucket_id, r.name) == ("b1", "copies/a.txt")]
     assert len(replaced) == 1 and replaced[0].size == 20
+
+
+def test_copy_objects_dup_dst_same_name_cross_bucket_deterministic(spark):
+    """Two pairs targeting one destination from SAME-named sources in
+    different buckets must pick the same winner every run: the tiebreak
+    orders by (source name desc, source bucket desc)."""
+    from storage_spark.operators.mutations import copy_objects
+
+    objects = spark.createDataFrame(
+        [
+            ("b1", "same.txt", "id-1", "v1", 111),
+            ("b2", "same.txt", "id-2", "v1", 222),
+        ],
+        "bucket_id string, name string, id string, version string, size long",
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("b1", "same.txt", "b9", "dst.txt"),
+            ("b2", "same.txt", "b9", "dst.txt"),
+        ],
+        "bucket_id string, from_name string, to_bucket_id string, to_name string",
+    )
+    for _ in range(3):
+        out, failed = copy_objects(objects, pairs)
+        assert failed.count() == 0
+        winner = [r for r in out.collect() if r.name == "dst.txt"]
+        assert len(winner) == 1
+        assert winner[0].size == 222  # b2 > b1 on the bucket tiebreak

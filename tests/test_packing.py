@@ -1,0 +1,101 @@
+"""pack_sequences / packing_efficiency unit semantics.
+
+The round-3 regression this file guards: building the applyInPandas output
+schema with ``DataFrame.schema.add(...)`` mutated the input's cached schema
+and broke column resolution on every call. These tests execute the operator
+for real (schema construction AND the Arrow path), so any resolution bug
+fails here, not in the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from storage_spark.operators.pipeline import pack_sequences, packing_efficiency
+
+
+def _corpus(spark):
+    rows = [
+        # grp a: 60+60 fit a 128 bin; +30 overflows -> bin 1; 200 oversize
+        # closes bin 1 and sits alone in bin 2; 10 opens bin 3.
+        ("a", 1, 60),
+        ("a", 2, 60),
+        ("a", 3, 30),
+        ("a", 4, 200),
+        ("a", 5, 10),
+        # grp b: independent walk, restarts at bin 0.
+        ("b", 1, 128),
+        ("b", 2, 1),
+    ]
+    return spark.createDataFrame(rows, "lang string, doc_id long, nt long")
+
+
+def test_next_fit_walk_and_oversize(spark):
+    out = pack_sequences(
+        _corpus(spark),
+        id_col="doc_id",
+        token_col="nt",
+        group_col="lang",
+        max_tokens=128,
+    )
+    got = {
+        (r["grp"], r["doc"]): r["bin"]
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", 1): 0,
+        ("a", 2): 0,
+        ("a", 3): 1,
+        ("a", 4): 2,
+        ("a", 5): 3,
+        ("b", 1): 0,
+        ("b", 2): 1,
+    }
+
+
+def test_input_schema_not_mutated(spark):
+    """DataFrame.schema of the INPUT must not grow a phantom 'bin' column
+    after calling pack_sequences (the round-3 StructType.add bug)."""
+    docs = _corpus(spark)
+    before = [f.name for f in docs.schema.fields]
+    packed = pack_sequences(
+        docs, id_col="doc_id", token_col="nt", group_col="lang"
+    )
+    assert [f.name for f in docs.schema.fields] == before
+    # and calling it twice on the same input still resolves
+    again = pack_sequences(
+        docs, id_col="doc_id", token_col="nt", group_col="lang"
+    )
+    assert packed.count() == again.count() == 7
+
+
+def test_token_col_default_counts_whitespace_tokens(spark):
+    docs = spark.createDataFrame(
+        [("a", 1, "one two three"), ("a", 2, "four")],
+        "lang string, doc_id long, text string",
+    )
+    out = pack_sequences(
+        docs, id_col="doc_id", group_col="lang", max_tokens=3
+    )
+    rows = {r["doc"]: (r["n_tokens"], r["bin"]) for r in out.collect()}
+    assert rows == {1: (3, 0), 2: (1, 1)}
+
+
+def test_packing_efficiency_math(spark):
+    packed = pack_sequences(
+        _corpus(spark),
+        id_col="doc_id",
+        token_col="nt",
+        group_col="lang",
+        max_tokens=128,
+    )
+    eff = {r["grp"]: r.asDict() for r in
+           packing_efficiency(packed, max_tokens=128).collect()}
+    a = eff["a"]
+    # bins: {0: 120, 1: 30, 2: 200, 3: 10} -> 4 bins, 360 tokens, 1 oversize
+    assert (a["n_bins"], a["n_docs"], a["total_tokens"]) == (4, 5, 360)
+    assert a["n_oversize_bins"] == 1
+    assert a["util_1e4"] == round(360 / (4 * 128) * 10000)
+    b = eff["b"]
+    assert (b["n_bins"], b["n_docs"], b["total_tokens"]) == (2, 2, 129)
+    assert b["n_oversize_bins"] == 0

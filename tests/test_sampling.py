@@ -97,6 +97,38 @@ def test_remove_repeated_segments_sep_mode(spark):
     assert got[4].text_clean == "standalone document"
 
 
+def test_remove_repeated_segments_sep_is_literal_not_regex(spark):
+    """sep is documented as a LITERAL separator; regex metacharacters like
+    '|' or '.' must not explode every character into its own segment."""
+    from storage_spark.operators.pipeline import remove_repeated_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared|unique one|tail"),
+            (2, "shared|other body|tail"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in remove_repeated_segments(docs, sep="|", min_df=2).collect()
+    }
+    assert got[1].text_clean == "unique one"
+    assert (got[1].n_kept, got[1].n_removed) == (1, 2)
+    assert got[2].text_clean == "other body"
+
+    dotted = spark.createDataFrame(
+        [(1, "common.alpha beta.end"), (2, "common.gamma delta.end")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r.doc_id: r
+        for r in remove_repeated_segments(dotted, sep=".", min_df=2).collect()
+    }
+    assert got2[1].text_clean == "alpha beta"
+    assert got2[2].text_clean == "gamma delta"
+
+
 def test_remove_repeated_segments_word_windows(spark):
     from storage_spark.operators.pipeline import remove_repeated_segments
 
