@@ -578,6 +578,39 @@ FROM (
 """)
 
 
+def _oracle_lsh_multiprobe(
+    n_planes: int, k: int, max_q_vec_id: int, radius: int
+) -> str:
+    """Multi-probe LSH replay: probing every bucket within Hamming
+    distance r of the query signature admits EXACTLY the pairs whose
+    signatures differ in <= r bits — so the oracle joins on the Hamming
+    distance directly instead of enumerating probe buckets."""
+    from storage_spark.functions.vectors import hyperplanes
+
+    sig = _duck_sig_expr(hyperplanes(64, n_planes))
+    d = _duck_cos("c.embedding", "q.embedding")
+    ham = " + ".join(
+        f"(CASE WHEN substr(c.sig,{i},1) <> substr(q.sig,{i},1) "
+        "THEN 1 ELSE 0 END)"
+        for i in range(1, n_planes + 1)
+    )
+    return _o(f"""
+, sigv AS (
+  SELECT CAST(vec_id AS STRING) AS key, vec_id, embedding,
+      {sig} AS sig
+  FROM embeddings
+)
+SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank
+FROM (
+  SELECT q.key AS q_key, c.key AS key, {d} AS distance,
+    CAST(ROW_NUMBER() OVER (PARTITION BY q.key
+      ORDER BY {d} ASC, c.key ASC) AS INT) AS rank
+  FROM sigv c JOIN sigv q
+    ON ({ham}) <= {radius} AND q.vec_id < {max_q_vec_id} AND q.key <> c.key
+) WHERE rank <= {k}
+""")
+
+
 def _oracle_ivf_ann(
     n_cells: int, k: int, n_probe: int, max_q_vec_id: int,
     corpus_where: str = "TRUE",
@@ -847,6 +880,27 @@ def q_vector_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. VLDB'07): each query also probes
+    the Hamming-1 neighbor buckets of its signature — recall rises
+    sharply (NOTES_r4 recall table) while the corpus-side shuffle stays
+    identical to single-probe LSH; only the 20-row query side explodes."""
+    from storage_spark.functions.vectors import lsh_ann_join
+
+    v = _vectors(spark, sf_dir)
+    queries = v.filter(F.col("key").cast("bigint") < 20).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    out = lsh_ann_join(
+        queries, v, k=3, dim=64, n_planes=6, probe_radius=1
+    )
+    return out.select(
+        "q_key", "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_iceberg_table_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg index mutations: dropTable (iceberg/pg.ts:160-178) + REST
     rename applied to the table index, then a namespace listing."""
@@ -946,6 +1000,16 @@ def q_salted_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_usage(t["objects"])
 
 
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe EXACT distinct count (distinct names per bucket) via the
+    value-derived salt: per-(bucket, salt) distinct counts sum to the true
+    per-bucket count — the aggregation-skew case partial-agg can't fix."""
+    from storage_spark.operators.aggregates import salted_distinct_usage
+
+    t = _t(spark, sf_dir)
+    return salted_distinct_usage(t["objects"], salt_buckets=16)
+
+
 def q_copy_objects_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched copy (set-oriented copy_object): every (id % 97 == 0) object
     duplicated under copies/ in one pass — fresh content-addressed
@@ -1022,6 +1086,25 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("bucket_id") == "Brand#13").select(
         "name", "size", "version"
     )
+
+
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M1 upsert EXECUTED through SnapshotTable's manifest-commit
+    protocol (sources/snapshots.py): create v1 from the object catalog,
+    copy-on-write merge the update batch into v2 (only touched bucket
+    partitions rewrite; untouched files carry forward by reference),
+    read the committed snapshot back. Same oracle as merge_upsert — the
+    in-memory transform and the committed table must agree row-for-row."""
+    import tempfile
+
+    from storage_spark.sources.snapshots import SnapshotTable
+
+    t = _t(spark, sf_dir)
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="snapmerge-"))
+    tbl.create(t["objects"])
+    updates = spark.sql(_UPDATES_SQL)
+    tbl.merge_upsert(updates, ["bucket_id", "name"])
+    return tbl.read(partitions=["Brand#13"]).select("name", "size", "version")
 
 
 def q_delete_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1426,67 +1509,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver evaluates in dict order under a wall-clock
-    # budget (rounds 1-2 recorded exactly the first 50 and dropped the tail).
-    # Rotation policy: entries whose driver evidence is OLDEST on current
-    # code run FIRST — round 3 front-loads the 19 entries that sat past the
-    # 50-row cap in round 2 (several of which had round-2 semantic changes:
-    # simhash_near_pairs, search_by_timestamp, salted_usage, merge_upsert,
-    # move_objects), followed by round-3-new queries, then the r2-proven
-    # block in its prior order. Whatever rotates out now is pass-r2 on an
-    # operator unchanged since.
+    # budget and records the FIRST ~50 entries.
+    # Rotation policy (round 4): lead with
+    # the 25 entries whose last driver evidence is r2 (their shared
+    # events/listing loaders changed in r3 — fresh rows complete the
+    # two-round proven cycle), then round-4-new/changed queries (incl.
+    # pack_sequences, r3's one red row, now fixed), then the r3-proven
+    # block in its prior order.
     return {
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "search_by_timestamp": q_search_by_timestamp,
-        "salted_usage": q_salted_usage,
-        "merge_upsert": q_merge_upsert,
-        "move_objects": q_move_objects,
-        "usage_cube": q_usage_cube,
-        "delete_returning": q_delete_returning,
-        "events_hourly": q_events_hourly,
-        "curate_corpus": q_curate_corpus,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "dedup_exact_events": q_dedup_exact_events,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "backend_list": q_backend_list,
-        "sign_many": q_sign_many,
-        # round-3-new queries: never driver-recorded, run next
-        "multipart_part_copy": q_multipart_part_copy,
-        "decontaminate": q_decontaminate,
-        "sample_stratified": q_sample_stratified,
-        "remove_boilerplate": q_remove_boilerplate,
-        "copy_objects_bulk": q_copy_objects_bulk,
-        "pack_sequences": q_pack_sequences,
-        "packing_efficiency": q_packing_efficiency,
-        "vector_cosine_topk": q_vector_cosine_topk,
-        "vector_l2_topk": q_vector_l2_topk,
-        "vector_filtered_topk": q_vector_filtered_topk,
-        "vector_segment_scan": q_vector_segment_scan,
-        "vector_knn_join": q_vector_knn_join,
-        "vector_index_list": q_vector_index_list,
-        "vector_get_keys": q_vector_get_keys,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_components": q_dedup_components,
-        "multipart_progress": q_multipart_progress,
-        "multipart_complete": q_multipart_complete,
-        "iceberg_table_ops": q_iceberg_table_ops,
-        "copy_object": q_copy_object,
-        "text_winnowing": q_text_winnowing,
-        "corpus_stats": q_corpus_stats,
-        "vector_lsh_ann": q_vector_lsh_ann,
-        "vector_ivf_ann": q_vector_ivf_ann,
-        "vector_filtered_ivf": q_vector_filtered_ivf,
-        "list_root": q_list_root,
-        "list_nested": q_list_nested,
-        "list_flat_cursor": q_list_flat_cursor,
-        "skipscan_prefixes": q_skipscan_prefixes,
-        "sort_updated_at": q_sort_updated_at,
-        "topk_merge": q_topk_merge,
-        "bucket_usage": q_bucket_usage,
         "capped_count": q_capped_count,
         "owner_rollup": q_owner_rollup,
         "orphans_s3": q_orphans_s3,
@@ -1512,10 +1542,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rls_owner": q_rls_owner,
         "catalog_backfill": q_catalog_backfill,
         "tenant_usage": q_tenant_usage,
+        # round-4 new or changed:
+        "snapshot_merge": q_snapshot_merge,
+        "pack_sequences": q_pack_sequences,
+        "packing_efficiency": q_packing_efficiency,
+        "salted_distinct": q_salted_distinct,
+        "vector_multiprobe_ann": q_vector_multiprobe_ann,
+        "multipart_part_copy": q_multipart_part_copy,
+        "copy_objects_bulk": q_copy_objects_bulk,
+        "remove_boilerplate": q_remove_boilerplate,
+        "vector_lsh_ann": q_vector_lsh_ann,
+        # driver-green in r3 on current code:
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "search_by_timestamp": q_search_by_timestamp,
+        "salted_usage": q_salted_usage,
+        "merge_upsert": q_merge_upsert,
+        "move_objects": q_move_objects,
+        "usage_cube": q_usage_cube,
+        "delete_returning": q_delete_returning,
+        "events_hourly": q_events_hourly,
+        "curate_corpus": q_curate_corpus,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact_events": q_dedup_exact_events,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "backend_list": q_backend_list,
+        "sign_many": q_sign_many,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
+        "vector_cosine_topk": q_vector_cosine_topk,
+        "vector_l2_topk": q_vector_l2_topk,
+        "vector_filtered_topk": q_vector_filtered_topk,
+        "vector_segment_scan": q_vector_segment_scan,
+        "vector_knn_join": q_vector_knn_join,
+        "vector_index_list": q_vector_index_list,
+        "vector_get_keys": q_vector_get_keys,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_components": q_dedup_components,
+        "multipart_progress": q_multipart_progress,
+        "multipart_complete": q_multipart_complete,
+        "iceberg_table_ops": q_iceberg_table_ops,
+        "copy_object": q_copy_object,
+        "text_winnowing": q_text_winnowing,
+        "corpus_stats": q_corpus_stats,
+        "vector_ivf_ann": q_vector_ivf_ann,
+        "vector_filtered_ivf": q_vector_filtered_ivf,
+        "list_root": q_list_root,
+        "list_nested": q_list_nested,
+        "list_flat_cursor": q_list_flat_cursor,
+        "skipscan_prefixes": q_skipscan_prefixes,
+        "sort_updated_at": q_sort_updated_at,
+        "topk_merge": q_topk_merge,
+        "bucket_usage": q_bucket_usage,
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "list_root": _oracle_delimiter_listing("bucket_id = 'Brand#13'", "", None),
         "list_nested": _oracle_delimiter_listing(
@@ -1846,6 +1932,10 @@ ORDER BY coalesce(created_at_ms, 0), name LIMIT 50
 """),
         "salted_usage": _o("""
 SELECT bucket_id, CAST(sum(size) AS BIGINT) AS total_size, count(*) AS n_objects
+FROM objects GROUP BY bucket_id
+"""),
+        "salted_distinct": _o("""
+SELECT bucket_id, CAST(count(DISTINCT name) AS BIGINT) AS n_distinct
 FROM objects GROUP BY bucket_id
 """),
         "copy_objects_bulk": _o("""
@@ -2239,6 +2329,9 @@ FROM embeddings
 WHERE CAST(vec_id AS STRING) IN ('3', '7', '11', '250', '9999999')
 """),
         "vector_lsh_ann": _oracle_lsh_ann(n_planes=6, k=3, max_q_vec_id=20),
+        "vector_multiprobe_ann": _oracle_lsh_multiprobe(
+            n_planes=6, k=3, max_q_vec_id=20, radius=1
+        ),
         "vector_ivf_ann": _oracle_ivf_ann(
             n_cells=8, k=3, n_probe=3, max_q_vec_id=20
         ),
@@ -2260,3 +2353,12 @@ FROM (
 ) WHERE rank <= 3
 """),
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_literal()
+    # snapshot_merge executes the SAME upsert semantics as merge_upsert,
+    # through SnapshotTable's manifest-commit path — one oracle, two
+    # execution engines under test.
+    out["snapshot_merge"] = out["merge_upsert"]
+    return out

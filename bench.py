@@ -196,6 +196,20 @@ def main() -> None:
 
         return salted_usage(_skewed_objects(), salt_buckets=32).count()
 
+    def skewed_distinct_plain():
+        # distinct names per bucket: the shuffle carries the hot key's
+        # VALUE SET to one reducer — the skew partial-agg can't fix
+        from storage_spark.operators.aggregates import distinct_usage
+
+        return distinct_usage(_skewed_objects()).count()
+
+    def skewed_distinct_salted():
+        from storage_spark.operators.aggregates import salted_distinct_usage
+
+        return salted_distinct_usage(
+            _skewed_objects(), salt_buckets=32
+        ).count()
+
     queries = {
         "full_listing": full_listing,
         "listing_10m": listing_10m,
@@ -207,6 +221,8 @@ def main() -> None:
         "usage": usage,
         "skewed_usage_plain": skewed_usage_plain,
         "skewed_usage_salted": skewed_usage_salted,
+        "skewed_distinct_plain": skewed_distinct_plain,
+        "skewed_distinct_salted": skewed_distinct_salted,
         "vector_topk": vector_topk,
         "minhash_sweep": minhash_sweep,
         "simhash_pairs": simhash_pairs,

@@ -417,6 +417,42 @@ def ivf_search(
     )
 
 
+def _flip_bit(sig: Column, i: int, n_planes: int) -> Column:
+    """Signature with bit ``i`` (0-based) flipped — string surgery on the
+    packed bit signature, stays a Column expression."""
+    flipped = F.when(
+        F.substring(sig, i + 1, 1) == "1", F.lit("0")
+    ).otherwise(F.lit("1"))
+    parts = []
+    if i > 0:
+        parts.append(F.substring(sig, 1, i))
+    parts.append(flipped)
+    if i < n_planes - 1:
+        parts.append(F.substring(sig, i + 2, n_planes - i - 1))
+    return F.concat(*parts)
+
+
+def probe_signatures(sig: Column, n_planes: int, radius: int = 1) -> Column:
+    """Multi-probe signature set (Lv et al., Multi-Probe LSH, VLDB'07):
+    the exact bucket plus every bucket within Hamming distance ``radius``
+    (radius <= 2 supported — beyond that multi-table repetition is the
+    better recall lever). A vector near a hyperplane lands on either side
+    nondeterministically; probing the neighbor buckets recovers those
+    split pairs without growing the corpus-side shuffle at all — only the
+    (tiny) query side explodes."""
+    if radius not in (1, 2):
+        raise ValueError(f"radius must be 1 or 2, got {radius}")
+    sigs = [sig]
+    for i in range(n_planes):
+        sigs.append(_flip_bit(sig, i, n_planes))
+    if radius == 2:
+        for i in range(n_planes):
+            fi = _flip_bit(sig, i, n_planes)
+            for j in range(i + 1, n_planes):
+                sigs.append(_flip_bit(fi, j, n_planes))
+    return F.array(*sigs)
+
+
 def lsh_ann_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -429,26 +465,54 @@ def lsh_ann_join(
     corpus_key: str = "key",
     corpus_vec: str = "embedding",
     arrow: bool = False,
+    probe_radius: int = 0,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """ANN via hyperplane-bucket equi-join: candidates share the full
+    """ANN via hyperplane-bucket equi-join: candidates share a bucket
     signature, then exact distance + window rank within candidates.
 
     At 100 TB this is the plan that survives: the corpus is scanned once,
     bucketed (shuffle on signature), and each bucket joins only its own
-    queries — no all-pairs crossJoin. Recall is tuned by n_planes (fewer
-    planes → bigger buckets → higher recall, more compute); multi-probe or
-    banded repetition raises recall further (see operators/dedup.py for the
-    banded MinHash analogue).
+    queries — no all-pairs crossJoin. Three recall levers, composable:
+
+    - ``n_planes``: fewer planes → bigger buckets → higher recall.
+    - ``probe_radius`` (multi-probe, Lv et al. VLDB'07): each QUERY also
+      probes every bucket within Hamming distance r of its signature —
+      the query side explodes ×(1+n_planes[+C(n_planes,2)]), the
+      corpus-side shuffle is unchanged. The cheap first lever.
+    - ``n_tables`` (classic multi-table LSH): L independent plane sets;
+      candidates match in ANY table. Recall 1-(1-p^b)^L; the corpus side
+      explodes ×L, so spend probe_radius first, tables second.
     """
-    planes = hyperplanes(dim, n_planes)
-    c = corpus.withColumn("_sig", lsh_signature(F.col(corpus_vec), planes)).withColumn(
-        "_cn", norm(F.col(corpus_vec))
-    )
-    q = queries.withColumn("_sig", lsh_signature(F.col(query_vec), planes)).withColumn(
-        "_qn", norm(F.col(query_vec))
-    )
-    joined = c.join(q, "_sig")
-    joined = joined.filter(F.col(query_key) != F.col(corpus_key)).withColumn(
+    probes = max(1, n_tables)
+    c = corpus.withColumn("_cn", norm(F.col(corpus_vec)))
+    q = queries.withColumn("_qn", norm(F.col(query_vec)))
+    c_sigs, q_sigs = [], []
+    for tbl in range(probes):
+        planes = hyperplanes(dim, n_planes, seed=42 + 1_000_003 * tbl)
+        sig_c = lsh_signature(F.col(corpus_vec), planes)
+        sig_q = lsh_signature(F.col(query_vec), planes)
+        c_sigs.append(F.concat(F.lit(f"{tbl}:"), sig_c))
+        if probe_radius > 0:
+            q_sigs.append(
+                F.transform(
+                    probe_signatures(sig_q, n_planes, probe_radius),
+                    lambda s: F.concat(F.lit(f"{tbl}:"), s),
+                )
+            )
+        else:
+            q_sigs.append(F.array(F.concat(F.lit(f"{tbl}:"), sig_q)))
+    c = c.withColumn("_sig", F.explode(F.array(*c_sigs)))
+    q = q.withColumn("_sig", F.explode(F.flatten(F.array(*q_sigs))))
+    joined = c.join(q, "_sig").filter(F.col(query_key) != F.col(corpus_key))
+    if probes > 1 or probe_radius > 0:
+        # a (query, corpus) pair can meet in several probed buckets /
+        # tables — dedupe candidate IDENTITIES before the distance math;
+        # single-probe single-table mode skips the extra shuffle
+        joined = joined.select(
+            query_key, query_vec, "_qn", corpus_key, corpus_vec, "_cn"
+        ).dropDuplicates([query_key, corpus_key])
+    joined = joined.withColumn(
         "distance",
         _pair_distance(
             metric, F.col(corpus_vec), F.col(query_vec),

@@ -40,13 +40,23 @@ def salted_usage(
     salt_buckets: int = 16,
     salt_col: str | None = "name",
 ) -> DataFrame:
-    """Skew-safe variant of bucket_usage: two-stage aggregation with a
-    deterministic salt. When one bucket holds a disproportionate share of
-    objects (the hot-tenant case at 100 TB), the single-stage groupBy sends
-    every row of that key to one reducer; salting spreads stage one across
-    ``salt_buckets`` reducers and stage two combines ``salt_buckets`` rows
-    per key. Results are identical to bucket_usage (integral sums are
-    associative). AQE's skew handling covers joins; this covers aggregation.
+    """Two-stage salted form of bucket_usage. Results are identical
+    (integral sums are associative).
+
+    Operating regime — measured, not assumed (NOTES_r4 §salting): in
+    SPARK, salting aggregation buys nothing for sums/counts (map-side
+    partial combine already collapses a hot key to one row per map
+    partition before the shuffle) NOR for count(DISTINCT) (the dedup
+    Exchange is keyed (group, value) — plan-verified). Measured on a
+    10 M-row namespace with one key holding 50% of rows: plain vs salted
+    within ±15% both AQE on and off, no skew cliff anywhere. Salting
+    aggregation pays on engines lacking those rewrites, and for holistic
+    aggregates (collect_list/collect_set) whose partial buffers carry
+    the hot key's whole value list to one reducer — though there the
+    OUTPUT itself is per-key, so the real 100 TB advice is to not
+    collect hot-key lists at all. Join-side skew is AQE's job
+    (test_skew.py). Kept as the two-stage template; results identical
+    to bucket_usage (integral sums are associative).
     """
     if salt_col is not None and salt_col in objects.columns:
         salt_src = F.xxhash64(F.col(salt_col))
@@ -64,6 +74,45 @@ def salted_usage(
     )
     return stage1.groupBy(group_col).agg(
         F.sum("_s").alias("total_size"), F.sum("_n").alias("n_objects")
+    )
+
+
+def distinct_usage(
+    objects: DataFrame,
+    group_col: str = "bucket_id",
+    distinct_col: str = "name",
+) -> DataFrame:
+    """Exact distinct-value count per group (distinct object names per
+    bucket — the dedup-audit number). Spark plans ``count(DISTINCT x)``
+    with the dedup Exchange keyed on (group, x) — verified in the
+    physical plan, NOTES_r4 §salting — so even this is natively
+    skew-safe here; the salted variant below is the engine-portable /
+    bounded-buffer template, not a Spark speedup."""
+    return objects.groupBy(group_col).agg(
+        F.count_distinct(F.col(distinct_col)).alias("n_distinct")
+    )
+
+
+def salted_distinct_usage(
+    objects: DataFrame,
+    group_col: str = "bucket_id",
+    distinct_col: str = "name",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact distinct count via a value-derived salt: every distinct
+    value lands in exactly one salt bucket, so per-(group, salt)
+    distinct counts SUM to the exact per-group count (equality
+    property-tested in test_skew.py). In Spark this matches
+    ``distinct_usage`` in time (its dedup shuffle is already keyed
+    (group, value)); the two-stage form is for engines that key the
+    dedup on group alone, and it bounds any single reducer's hash table
+    at 1/salt_buckets of a hot group's value set."""
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(salt_buckets))
+    stage1 = objects.groupBy(F.col(group_col), salt.alias("_salt")).agg(
+        F.count_distinct(F.col(distinct_col)).alias("_nd")
+    )
+    return stage1.groupBy(group_col).agg(
+        F.sum("_nd").alias("n_distinct")
     )
 
 

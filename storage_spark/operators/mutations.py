@@ -291,6 +291,111 @@ class ParquetTable:
         df.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
 
 
+class PartitionedParquetTable:
+    """Partition-pruned copy-on-write mutations without a table-format jar.
+
+    The table is ``partitionBy(partition_col)`` parquet (the listing layout
+    from sources/layout.py). A mutation batch touches only the partitions
+    whose keys appear in the batch: read THOSE partitions (partition-pruned
+    scan), merge in memory, and rewrite them via dynamic partition
+    overwrite — every untouched partition's files stay byte-identical on
+    disk. That is the copy-on-write granularity Delta/Iceberg MERGE buys
+    (file-level there, partition-level here), which at 100 TB turns a
+    full-table rewrite per batch into a rewrite of the few hot partitions
+    — reference semantics pg.ts:905-1253, minus the per-row transaction.
+
+    The affected-partition list is a bounded driver collect: one value per
+    DISTINCT partition key in the BATCH (not the table) — thousands at
+    most, never rows.
+    """
+
+    def __init__(
+        self, spark: SparkSession, path: str, partition_col: str = "bucket_id"
+    ):
+        self.spark = spark
+        self.path = path
+        self.partition_col = partition_col
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def write_initial(self, df: DataFrame) -> None:
+        (
+            df.repartition(self.partition_col)
+            .write.mode("overwrite")
+            .partitionBy(self.partition_col)
+            .parquet(self.path)
+        )
+
+    def _affected(self, batch: DataFrame) -> list:
+        return [
+            r[0]
+            for r in batch.select(self.partition_col).distinct().collect()
+        ]
+
+    def _commit_partitions(self, merged: DataFrame) -> None:
+        # partitionOverwriteMode=dynamic as a WRITER option (scoped to this
+        # write, not session-global): mode("overwrite") then replaces only
+        # the partitions present in `merged`.
+        (
+            merged.localCheckpoint(eager=True)
+            .repartition(self.partition_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.partition_col)
+            .parquet(self.path)
+        )
+
+    def merge_upsert(self, updates: DataFrame, keys: list[str]) -> None:
+        if self.partition_col not in keys:
+            raise ValueError(
+                f"upsert keys must include {self.partition_col!r}: a row is "
+                "only reachable inside its partition"
+            )
+        parts = self._affected(updates)
+        scoped = self.read().filter(F.col(self.partition_col).isin(parts))
+        self._commit_partitions(merge_upsert(scoped, updates, keys))
+
+    def merge_update_columns(
+        self, updates: DataFrame, keys: list[str], update_cols: list[str]
+    ) -> None:
+        if self.partition_col not in keys:
+            raise ValueError(
+                f"update keys must include {self.partition_col!r}"
+            )
+        parts = self._affected(updates)
+        scoped = self.read().filter(F.col(self.partition_col).isin(parts))
+        self._commit_partitions(
+            merge_update_columns(scoped, updates, keys, update_cols)
+        )
+
+    def merge_delete(self, probe: DataFrame, keys: list[str]) -> DataFrame:
+        """Returns the RETURNING-parity deleted rows. Dynamic overwrite
+        only replaces partitions PRESENT in the written data, so a
+        partition whose every row was deleted would silently keep its old
+        files — those are dropped explicitly afterwards (the local-FS
+        analogue of the metastore's DROP PARTITION; a table format makes
+        this a metadata-only commit)."""
+        if self.partition_col not in keys:
+            raise ValueError(
+                f"delete keys must include {self.partition_col!r}"
+            )
+        parts = self._affected(probe)
+        scoped = self.read().filter(F.col(self.partition_col).isin(parts))
+        remaining, deleted = merge_delete(scoped, probe, keys)
+        deleted = deleted.localCheckpoint(eager=True)
+        remaining = remaining.localCheckpoint(eager=True)
+        surviving = set(self._affected(remaining))
+        self._commit_partitions(remaining)
+        import shutil
+
+        for p in set(parts) - surviving:
+            shutil.rmtree(
+                f"{self.path}/{self.partition_col}={p}", ignore_errors=True
+            )
+        return deleted
+
+
 # ----------------------------------------------------------------------
 # Table-format path: real MERGE INTO when an Iceberg/Delta catalog exists
 # ----------------------------------------------------------------------

@@ -1,0 +1,231 @@
+"""Snapshot-versioned parquet table — a minimal table-format commit
+protocol, jar-free.
+
+The production target for the write side is Delta/Iceberg ``MERGE INTO``
+under optimistic concurrency (no jar ships in this container — NOTES_r3
+documents the attempt). This module re-derives the part of that protocol
+the engine actually needs, with Spark doing all data movement:
+
+- **Immutable data files.** Every commit writes NEW parquet files under
+  ``path/data/<commit-id>/``; nothing is ever overwritten in place.
+- **Manifest-pointer commits.** A snapshot is a JSON manifest at
+  ``path/_commits/v{N}.json`` listing, per partition value, exactly the
+  files that make up the table at version N. Committing version N+1 is
+  one atomic ``O_CREAT|O_EXCL`` file create — the loser of a concurrent
+  race gets ``CommitConflictError`` (the analogue of a table format's
+  CommitFailedException) and retries against the new snapshot. This is
+  what makes the reference's advisory locks (pg.ts:1255-1423) obsolete:
+  serialization happens at the pointer swap, not around row groups.
+- **Partition-pruned copy-on-write.** A mutation batch rewrites only the
+  partitions its keys touch; untouched partitions' files are CARRIED
+  FORWARD by reference in the new manifest (zero IO — strictly better
+  than PartitionedParquetTable's dynamic overwrite, which still relies
+  on directory swap semantics).
+- **Snapshot-isolated reads + time travel.** A reader resolves a
+  manifest once and scans an immutable file set; ``read(version=N)``
+  reads any retained snapshot.
+
+At 100 TB the manifest is the only driver-side object, one entry per
+live FILE (table formats page this through avro manifests; a JSON list
+is the same O(files) metadata at this scale of abstraction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflictError(Exception):
+    """Another writer committed the next version first — re-read and retry
+    (the optimistic-concurrency loser path)."""
+
+
+class SnapshotTable:
+    _DUP = "__part_dup"
+
+    def __init__(
+        self, spark: SparkSession, path: str, partition_col: str = "bucket_id"
+    ):
+        self.spark = spark
+        self.path = path
+        self.partition_col = partition_col
+
+    # ---------------------------------------------------------- manifests
+
+    @property
+    def _commits_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._commits_dir):
+            return []
+        out = []
+        for f in os.listdir(self._commits_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def _manifest(self, version: int | None = None) -> dict:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        v = max(vs) if version is None else version
+        with open(os.path.join(self._commits_dir, f"v{v:08d}.json")) as fh:
+            return json.load(fh)
+
+    def _commit_manifest(self, manifest: dict) -> int:
+        """Atomically create the next version pointer. O_EXCL makes the
+        create itself the serialization point — no lock service."""
+        os.makedirs(self._commits_dir, exist_ok=True)
+        v = manifest["version"]
+        target = os.path.join(self._commits_dir, f"v{v:08d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"version {v} already committed at {self.path}"
+            ) from e
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        return v
+
+    # ------------------------------------------------------------- writes
+
+    def _write_data_files(self, df: DataFrame) -> dict[str, list[str]]:
+        """Write df's rows as immutable files under a fresh commit dir,
+        one subdirectory per partition value (ONE Spark job via
+        partitionBy; the partition column is duplicated into the data so
+        a manifest-driven file read keeps every column)."""
+        commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex[:12])
+        (
+            df.withColumn(self._DUP, F.col(self.partition_col))
+            .repartition(self.partition_col)
+            .write.mode("error")
+            .partitionBy(self.partition_col)
+            .parquet(commit_dir)
+        )
+        files: dict[str, list[str]] = {}
+        prefix = f"{self.partition_col}="
+        for entry in os.listdir(commit_dir):
+            if not entry.startswith(prefix):
+                continue
+            # Spark Hive-escapes special chars in partition dir names
+            # (e.g. 'Brand#13' -> 'Brand%2313'); manifest keys carry the
+            # REAL value
+            from urllib.parse import unquote
+
+            part = unquote(entry[len(prefix):])
+            pdir = os.path.join(commit_dir, entry)
+            files[part] = sorted(
+                os.path.join(pdir, f)
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+        return files
+
+    def create(self, df: DataFrame) -> int:
+        files = self._write_data_files(df)
+        return self._commit_manifest(
+            {
+                "version": 1,
+                "parent": None,
+                "columns": list(df.columns),
+                "schema_json": df.schema.json(),
+                "files": files,
+            }
+        )
+
+    # -------------------------------------------------------------- reads
+
+    def read(
+        self, version: int | None = None, partitions: list | None = None
+    ) -> DataFrame:
+        m = self._manifest(version)
+        parts = m["files"]
+        if partitions is not None:
+            wanted = {str(p) for p in partitions}
+            parts = {p: fs for p, fs in parts.items() if p in wanted}
+        paths = [f for fs in parts.values() for f in fs]
+        cols = m["columns"]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m["schema_json"]))
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(*paths)
+        # restore the partition column from its in-data duplicate and the
+        # original column order
+        return df.withColumn(
+            self.partition_col, F.col(self._DUP)
+        ).select(*cols)
+
+    # ------------------------------------------------------ merge commits
+
+    def _merge_commit(self, batch: DataFrame, merge_fn) -> int:
+        """Shared copy-on-write commit: prune to touched partitions,
+        merge, write replacement files, carry untouched files forward by
+        reference, commit the pointer."""
+        touched = [
+            str(r[0])
+            for r in batch.select(self.partition_col).distinct().collect()
+        ]
+        m = self._manifest()
+        scoped = self.read(partitions=touched)
+        merged = merge_fn(scoped).localCheckpoint(eager=True)
+        new_files = (
+            self._write_data_files(merged) if merged.take(1) else {}
+        )
+        files = {
+            p: fs for p, fs in m["files"].items() if p not in set(touched)
+        }
+        files.update(new_files)
+        return self._commit_manifest(
+            {
+                "version": m["version"] + 1,
+                "parent": m["version"],
+                "columns": m["columns"],
+                "schema_json": m["schema_json"],
+                "files": files,
+            }
+        )
+
+    def merge_upsert(self, updates: DataFrame, keys: list[str]) -> int:
+        from storage_spark.operators.mutations import merge_upsert
+
+        self._require_key(keys)
+        return self._merge_commit(
+            updates, lambda scoped: merge_upsert(scoped, updates, keys)
+        )
+
+    def merge_update_columns(
+        self, updates: DataFrame, keys: list[str], update_cols: list[str]
+    ) -> int:
+        from storage_spark.operators.mutations import merge_update_columns
+
+        self._require_key(keys)
+        return self._merge_commit(
+            updates,
+            lambda scoped: merge_update_columns(
+                scoped, updates, keys, update_cols
+            ),
+        )
+
+    def merge_delete(self, probe: DataFrame, keys: list[str]) -> int:
+        from storage_spark.operators.mutations import merge_delete
+
+        self._require_key(keys)
+        return self._merge_commit(
+            probe, lambda scoped: merge_delete(scoped, probe, keys)[0]
+        )
+
+    def _require_key(self, keys: list[str]) -> None:
+        if self.partition_col not in keys:
+            raise ValueError(
+                f"merge keys must include {self.partition_col!r}: a row is "
+                "only reachable inside its partition"
+            )

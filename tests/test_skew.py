@@ -39,3 +39,37 @@ def test_skewed_join_completes_and_aqe_splits(spark):
     a = {r.key: r.n for r in agg.collect()}
     b = {r.key: r.n for r in salted.collect()}
     assert a == b and a["hot"] == 1900000
+
+
+def test_salted_distinct_equals_plain(spark):
+    """salted_distinct_usage must be EXACTLY distinct_usage: the salt is
+    derived from the distinct column, so per-salt distinct counts sum to
+    the true per-group count (each value lives in one salt bucket)."""
+    from storage_spark.operators.aggregates import (
+        distinct_usage,
+        salted_distinct_usage,
+    )
+
+    n = 200_000
+    objects = spark.range(0, n, 1, 16).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot")).otherwise(
+            F.concat(F.lit("b"), (F.col("id") % 97).cast("string"))
+        ).alias("bucket_id"),
+        # duplicate names on purpose: distinct != count
+        F.concat(F.lit("n"), (F.col("id") % 50_000).cast("string")).alias(
+            "name"
+        ),
+    )
+    plain = {
+        r.bucket_id: r.n_distinct for r in distinct_usage(objects).collect()
+    }
+    for buckets in (1, 16, 32):
+        salted = {
+            r.bucket_id: r.n_distinct
+            for r in salted_distinct_usage(
+                objects, salt_buckets=buckets
+            ).collect()
+        }
+        assert salted == plain
+    # hot bucket = even ids; even id % 50_000 stays even -> 25_000 values
+    assert plain["hot"] == 25_000

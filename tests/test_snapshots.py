@@ -1,0 +1,163 @@
+"""SnapshotTable: manifest-pointer commits, copy-on-write by partition,
+optimistic concurrency, snapshot isolation + time travel."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from storage_spark.sources.snapshots import CommitConflictError, SnapshotTable
+
+
+def _rows(df):
+    return {
+        (r.bucket_id, r.name): (r.payload, r.size) for r in df.collect()
+    }
+
+
+def _all_data_file_hashes(path: str) -> dict[str, str]:
+    out = {}
+    for f in glob.glob(f"{path}/data/**/*.parquet", recursive=True):
+        with open(f, "rb") as fh:
+            out[f] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    rows = [
+        (b, f"k{i}", f"v-{b}-{i}", i * 10)
+        for b in ("b1", "b2", "b3")
+        for i in range(4)
+    ]
+    assert t.create(
+        spark.createDataFrame(
+            rows, "bucket_id string, name string, payload string, size long"
+        )
+    ) == 1
+    return t
+
+
+def test_upsert_creates_new_version_and_carries_files_by_reference(
+    spark, table
+):
+    m1 = table._manifest(1)
+    before_hashes = _all_data_file_hashes(table.path)
+
+    updates = spark.createDataFrame(
+        [("b1", "k0", "UPDATED", 999)],
+        "bucket_id string, name string, payload string, size long",
+    )
+    assert table.merge_upsert(updates, ["bucket_id", "name"]) == 2
+
+    m2 = table._manifest(2)
+    # untouched partitions: the SAME file paths carried forward (zero IO)
+    assert m2["files"]["b2"] == m1["files"]["b2"]
+    assert m2["files"]["b3"] == m1["files"]["b3"]
+    assert m2["files"]["b1"] != m1["files"]["b1"]
+    # v1's files are immutable: every pre-existing file byte-identical
+    after = _all_data_file_hashes(table.path)
+    for f, h in before_hashes.items():
+        assert after[f] == h
+    got = _rows(table.read())
+    assert got[("b1", "k0")] == ("UPDATED", 999)
+    assert got[("b2", "k0")] == ("v-b2-0", 0)
+    assert len(got) == 12
+
+
+def test_time_travel_and_snapshot_isolation(spark, table):
+    reader_v1 = table.read()  # resolved against v1's manifest
+    updates = spark.createDataFrame(
+        [("b1", "k0", "UPDATED", 999)],
+        "bucket_id string, name string, payload string, size long",
+    )
+    table.merge_upsert(updates, ["bucket_id", "name"])
+    # the pre-commit reader still sees v1 (immutable files, no overwrite)
+    assert _rows(reader_v1)[("b1", "k0")] == ("v-b1-0", 0)
+    # explicit time travel
+    assert _rows(table.read(version=1))[("b1", "k0")] == ("v-b1-0", 0)
+    assert _rows(table.read(version=2))[("b1", "k0")] == ("UPDATED", 999)
+    assert table.versions() == [1, 2]
+
+
+def test_commit_conflict_raises(spark, table):
+    """Two writers preparing version 2 concurrently: the second pointer
+    create must fail with CommitConflictError, not silently clobber."""
+    m = table._manifest()
+    winner = dict(m, version=2, parent=1)
+    table._commit_manifest(winner)
+    loser = dict(m, version=2, parent=1)
+    with pytest.raises(CommitConflictError):
+        table._commit_manifest(loser)
+    assert table.versions() == [1, 2]
+
+
+def test_merge_delete_and_empty_partition(spark, table):
+    probe = spark.createDataFrame(
+        [("b1", "k0")] + [("b2", f"k{i}") for i in range(4)],
+        "bucket_id string, name string",
+    )
+    v = table.merge_delete(probe, ["bucket_id", "name"])
+    m = table._manifest(v)
+    assert "b2" not in m["files"]  # emptied partition disappears entirely
+    got = table.read()
+    assert got.filter(F.col("bucket_id") == "b2").count() == 0
+    assert got.count() == 7  # 12 - 1 - 4
+    # delete EVERYTHING: table reads back empty with the original schema
+    table.merge_delete(table.read().select("bucket_id", "name"),
+                       ["bucket_id", "name"])
+    empty = table.read()
+    assert empty.count() == 0
+    assert empty.columns == ["bucket_id", "name", "payload", "size"]
+
+
+def test_update_columns_and_partition_pruned_read(spark, table):
+    updates = spark.createDataFrame(
+        [("b2", "k1", 777)], "bucket_id string, name string, size long"
+    )
+    table.merge_update_columns(updates, ["bucket_id", "name"], ["size"])
+    got = _rows(table.read(partitions=["b2"]))
+    assert set(b for b, _ in got) == {"b2"}
+    assert got[("b2", "k1")] == ("v-b2-1", 777)
+    with pytest.raises(ValueError):
+        table.merge_upsert(updates, ["name"])
+
+
+def test_partition_values_with_special_chars_round_trip(spark, tmp_path):
+    """Spark Hive-escapes partition dir names ('Brand#13' ->
+    'Brand%2313'); manifest keys must carry the REAL value or
+    partition-pruned reads silently return nothing."""
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(
+        spark.createDataFrame(
+            [("Brand#13", "k0", "p", 1), ("a b/c", "k1", "q", 2)],
+            "bucket_id string, name string, payload string, size long",
+        )
+    )
+    assert set(t._manifest()["files"]) == {"Brand#13", "a b/c"}
+    got = _rows(t.read(partitions=["Brand#13"]))
+    assert got == {("Brand#13", "k0"): ("p", 1)}
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("Brand#13", "k0", "UP", 9)],
+            "bucket_id string, name string, payload string, size long",
+        ),
+        ["bucket_id", "name"],
+    )
+    assert _rows(t.read())[("Brand#13", "k0")] == ("UP", 9)
+
+
+def test_manifest_is_valid_json_with_expected_shape(table):
+    files = glob.glob(f"{table.path}/_commits/*.json")
+    assert files
+    m = json.load(open(files[0]))
+    assert set(m) >= {"version", "parent", "columns", "files", "schema_json"}
+    for part, fs in m["files"].items():
+        for f in fs:
+            assert os.path.exists(f)

@@ -32,6 +32,37 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall > 0.3, f"LSH recall suspiciously low: {recall:.2f}"
 
 
+def test_multiprobe_and_multitable_strictly_widen_candidates(spark, sf_dir):
+    """Each recall lever must dominate the baseline: the probe-radius-1
+    candidate set contains the exact-bucket set, and 4 tables contain
+    1 table — so recall is monotone in both knobs (set containment, not
+    luck)."""
+    v = _vectors(spark, sf_dir).cache()
+    queries = v.filter(F.col("key").cast("bigint") < 30).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    exact_set = {
+        (r.q_key, r.key)
+        for r in knn_join(queries, v, k=5).select("q_key", "key").collect()
+    }
+
+    def rec(**kw):
+        got = {
+            (r.q_key, r.key)
+            for r in lsh_ann_join(queries, v, k=5, dim=64, n_planes=4, **kw)
+            .select("q_key", "key")
+            .collect()
+        }
+        return len(got & exact_set) / len(exact_set)
+
+    base = rec()
+    probed = rec(probe_radius=1)
+    tabled = rec(probe_radius=1, n_tables=4)
+    assert probed >= base
+    assert tabled >= probed
+    assert tabled > 0.75, f"multi-probe+table recall too low: {tabled:.2f}"
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     from storage_spark.functions.vectors import ivf_assign, ivf_centroids, ivf_search
 

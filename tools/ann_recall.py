@@ -1,0 +1,111 @@
+"""ANN recall@k sweep — measures every operating point against the exact
+brute-force top-k on the sf embeddings corpus.
+
+Usage: python tools/ann_recall.py [sf_dir]   (default /root/testdata/sf0.1)
+Prints a markdown table for NOTES_r{N}.md.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+K = 10
+N_QUERIES = 50
+DIM = 64
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "16")
+    .config("spark.driver.memory", "12g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from storage_spark.functions.vectors import (  # noqa: E402
+    ivf_assign,
+    ivf_centroids_kmeans,
+    ivf_search,
+    knn_join,
+    lsh_ann_join,
+)
+
+corpus = (
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    .select(F.col("vec_id").cast("string").alias("key"), "embedding")
+    .cache()
+)
+queries = (
+    corpus.orderBy("key")
+    .limit(N_QUERIES)
+    .select(F.col("key").alias("q_key"), F.col("embedding").alias("q_vec"))
+    .cache()
+)
+n_corpus = corpus.count()
+queries.count()
+
+exact = knn_join(queries, corpus, k=K, metric="cosine", exclude_self=True)
+truth = {}
+for r in exact.collect():
+    truth.setdefault(r["q_key"], set()).add(r["key"])
+
+
+def recall(df) -> float:
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["q_key"], set()).add(r["key"])
+    scores = [
+        len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+    ]
+    return sum(scores) / len(scores)
+
+
+rows = []
+
+
+def run(label: str, fn):
+    t0 = time.time()
+    r = recall(fn())
+    rows.append((label, r, time.time() - t0))
+    print(f"  {label}: recall@{K} = {r:.3f} ({time.time() - t0:.1f}s)", flush=True)
+
+
+for planes, radius, tables in [
+    (4, 0, 1), (4, 1, 1), (4, 2, 1),
+    (8, 0, 1), (8, 1, 1), (8, 2, 1),
+    (8, 1, 4), (8, 2, 4), (8, 2, 8),
+    (4, 1, 4), (4, 2, 4),
+]:
+    run(
+        f"LSH planes={planes} radius={radius} tables={tables}",
+        lambda p=planes, r=radius, L=tables: lsh_ann_join(
+            queries, corpus, k=K, dim=DIM, n_planes=p,
+            probe_radius=r, n_tables=L,
+        ),
+    )
+
+cents = ivf_centroids_kmeans(corpus, 16, iterations=3).cache()
+cents.count()
+assigned = ivf_assign(corpus, cents).cache()
+assigned.count()
+for n_probe in [4, 6, 8, 10, 12]:
+    run(
+        f"IVF cells=16 kmeans3 probe={n_probe}",
+        lambda np_=n_probe: ivf_search(
+            queries, assigned, cents, k=K, n_probe=np_
+        ),
+    )
+
+print(f"\ncorpus={n_corpus} dim={DIM} queries={N_QUERIES} k={K} ({sf_dir})")
+print("| path | config | recall@10 | wall s |")
+print("|---|---|---|---|")
+for label, r, w in rows:
+    path, _, cfg = label.partition(" ")
+    print(f"| {path} | {cfg} | {r:.3f} | {w:.1f} |")
