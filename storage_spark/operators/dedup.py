@@ -573,18 +573,25 @@ def embedding_near_dup_pairs(
     n_bands = n_planes // band_size
     # A dim/plane-length mismatch silently zero-collapses every signature
     # (zip_with null-pads → dot folds NULL → every bit '0' → one giant
-    # bucket): probe one row and fail loudly instead. dim=None infers.
-    probe = vectors.select(F.size(F.col(vector_col)).alias("d")).first()
-    actual_dim = probe["d"] if probe is not None else None
-    if actual_dim is None:
-        dim = dim or 1  # empty corpus: any plane length yields empty output
-    elif dim is None:
-        dim = actual_dim
-    elif dim != actual_dim:
-        raise ValueError(
-            f"dim={dim} does not match embedding dimension {actual_dim}"
-        )
+    # bucket): fail loudly instead. With an explicit dim the guard is a
+    # LAZY per-row assert_true fused into the scan — no extra driver job;
+    # only dim=None pays a one-row probe to size the hyperplanes.
+    if dim is None:
+        probe = vectors.select(F.size(F.col(vector_col)).alias("d")).first()
+        # empty corpus: any plane length yields empty output
+        dim = probe["d"] if probe is not None else 1
     planes = hyperplanes(dim, n_planes)
+    sig = lsh_signature(F.col(vector_col), planes)
+    # fuse the dim guard INTO the signature expression (a separate
+    # dropped column would be pruned away and never evaluate):
+    # assert_true yields NULL on success, raises on the first bad row
+    sig = F.when(
+        F.assert_true(
+            F.size(F.col(vector_col)) == dim,
+            F.lit(f"embedding dimension != dim={dim}"),
+        ).isNull(),
+        sig,
+    )
     # Precompute the norm ONCE PER ROW (not per candidate pair): per-pair
     # work drops to a single dot product. The pairwise expression
     # dot/(na*nb) is bit-identical to cosine_distance's dot/(norm*norm) —
@@ -593,7 +600,7 @@ def embedding_near_dup_pairs(
         F.col(key_col).alias("key"),
         F.col(vector_col).alias("vec"),
         norm(F.col(vector_col)).alias("nrm"),
-        lsh_signature(F.col(vector_col), planes).alias("sig"),
+        sig.alias("sig"),
     )
     band_structs = [
         F.struct(
