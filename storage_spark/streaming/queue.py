@@ -87,3 +87,70 @@ def due_jobs(jobs: DataFrame, now_ms: int) -> DataFrame:
         F.col("next_attempt_at_ms").isNull()
         | (F.col("next_attempt_at_ms") <= now_ms)
     )
+
+
+def job_state_machine(
+    outcomes: DataFrame, retry_limit: int = DEFAULT_RETRY_LIMIT
+) -> DataFrame:
+    """T1 retry/dead-letter tracking as a TRUE streaming state machine:
+    per-job attempt counters live in Spark's state store ACROSS
+    micro-batches via ``applyInPandasWithState`` — the
+    arbitrary-stateful path (a counter that must survive batches and
+    emit one row per transition) that windowed aggregation /
+    dropDuplicates can't express. Batch-mode ``apply_outcomes`` above is
+    the per-tick pure transform; this is its continuous form (pg-boss
+    retryLimit/dead-letter, queue.ts:74,264-352).
+
+    Input (streaming): ``(job_id string, ok boolean, ts long)`` outcome
+    events. Output: one row per STATE TRANSITION —
+    ``(job_id, attempts, status)``, status ∈ {completed, retrying,
+    dead_letter}. Events for a job already terminal are ignored
+    (at-least-once outcome delivery stays idempotent). State per key is
+    two scalars, so a run's state-store footprint is O(live jobs), not
+    O(events); Arrow moves each group's batch columnar.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("job_id", T.StringType()),
+            T.StructField("attempts", T.IntegerType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("attempts", T.IntegerType()),
+            T.StructField("done", T.BooleanType()),
+        ]
+    )
+
+    def _track(key, pdf_iter, state):
+        attempts, done = state.get if state.exists else (0, False)
+        rows = []
+        for pdf in pdf_iter:
+            for ok in pdf.sort_values("ts")["ok"]:
+                if done:
+                    continue
+                if bool(ok):
+                    done = True
+                    rows.append((key[0], attempts, "completed"))
+                else:
+                    attempts += 1
+                    if attempts > retry_limit:
+                        done = True
+                        rows.append((key[0], attempts, "dead_letter"))
+                    else:
+                        rows.append((key[0], attempts, "retrying"))
+        state.update((attempts, done))
+        yield pd.DataFrame(rows, columns=["job_id", "attempts", "status"])
+
+    return outcomes.groupBy("job_id").applyInPandasWithState(
+        _track,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

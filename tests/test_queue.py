@@ -84,3 +84,51 @@ def test_exponential_backoff_schedule(spark, jobs):
     assert {r.job_id for r in due_jobs(pending2, now_ms=13_000).collect()} == {1, 2, 3, 4}
     # jobs without the column pass through untouched
     assert due_jobs(jobs, now_ms=0).count() == 4
+
+
+def test_job_state_machine_counts_across_micro_batches(spark, tmp_path):
+    """The attempt counter must SURVIVE micro-batch boundaries (state
+    store), emit one row per transition, dead-letter past the limit, and
+    ignore outcome events after a job is terminal."""
+    from storage_spark.streaming.queue import job_state_machine
+
+    src = tmp_path / "outcomes"
+    src.mkdir()
+    schema = "job_id string, ok boolean, ts long"
+    # batch file 1: job-a fails twice; job-b fails once
+    spark.createDataFrame(
+        [("job-a", False, 1), ("job-a", False, 2), ("job-b", False, 3)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # batch file 2: job-a fails again (3rd > limit=2 -> dead_letter),
+    # job-b succeeds, then gets a late duplicate outcome (ignored)
+    spark.createDataFrame(
+        [("job-a", False, 4), ("job-b", True, 5), ("job-b", True, 6)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = job_state_machine(stream, retry_limit=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("job_sm")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (r.job_id, r.attempts, r.status)
+        for r in spark.table("job_sm").orderBy("job_id", "attempts").collect()
+    ]
+    assert rows == [
+        ("job-a", 1, "retrying"),
+        ("job-a", 2, "retrying"),
+        ("job-a", 3, "dead_letter"),  # counter carried across batches
+        ("job-b", 1, "retrying"),
+        ("job-b", 1, "completed"),    # duplicate success ignored
+    ]
