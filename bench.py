@@ -210,6 +210,44 @@ def main() -> None:
             _skewed_objects(), salt_buckets=32
         ).count()
 
+    def ann_multiprobe():
+        # the recommended ANN operating point (NOTES_r4: recall@10 = 0.92):
+        # multi-probe Hamming-1 x 4 tables, 50 queries over the corpus
+        from storage_spark.functions.vectors import lsh_ann_join
+
+        queries = (
+            vectors.orderBy("key")
+            .limit(50)
+            .select(F.col("key").alias("q_key"), F.col("embedding").alias("q_vec"))
+        )
+        return lsh_ann_join(
+            queries, vectors, k=10, dim=64, n_planes=4,
+            probe_radius=1, n_tables=4,
+        ).count()
+
+    def snapshot_commit():
+        # table-format commit path: create v1 from the object catalog,
+        # copy-on-write upsert one bucket into v2 (untouched partitions
+        # carried by reference), read the committed snapshot
+        import shutil
+        import tempfile
+
+        from storage_spark.sources.snapshots import SnapshotTable
+
+        d = tempfile.mkdtemp(prefix="bench_snap_")
+        try:
+            tbl = SnapshotTable(spark, d + "/t")
+            tbl.create(t["objects"])
+            updates = (
+                t["objects"]
+                .filter(F.col("bucket_id") == "Brand#13")
+                .withColumn("size", F.col("size") + 1)
+            )
+            tbl.merge_upsert(updates, ["bucket_id", "name"])
+            return tbl.read(partitions=["Brand#13"]).count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     queries = {
         "full_listing": full_listing,
         "listing_10m": listing_10m,
@@ -223,6 +261,8 @@ def main() -> None:
         "skewed_usage_salted": skewed_usage_salted,
         "skewed_distinct_plain": skewed_distinct_plain,
         "skewed_distinct_salted": skewed_distinct_salted,
+        "ann_multiprobe": ann_multiprobe,
+        "snapshot_commit": snapshot_commit,
         "vector_topk": vector_topk,
         "minhash_sweep": minhash_sweep,
         "simhash_pairs": simhash_pairs,

@@ -229,3 +229,52 @@ class SnapshotTable:
                 f"merge keys must include {self.partition_col!r}: a row is "
                 "only reachable inside its partition"
             )
+
+    # ------------------------------------------------------- maintenance
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop manifests older than the newest ``keep_last`` (bounds the
+        time-travel window). Returns the expired version numbers. Data
+        files are untouched — run ``vacuum`` afterwards to reclaim them."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        expired = vs[:-keep_last]
+        for v in expired:
+            os.remove(os.path.join(self._commits_dir, f"v{v:08d}.json"))
+        return expired
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO retained manifest: replaced
+        copy-on-write files whose snapshots expired, and files written by
+        commits that lost the optimistic race. Metadata-only scan — reads
+        manifests and lists directories, never data. Returns the deleted
+        paths. Safe w.r.t. readers of retained snapshots (their file sets
+        are all kept); like any table-format vacuum, a reader pinned to an
+        EXPIRED snapshot loses — expire conservatively."""
+        live: set[str] = set()
+        for v in self.versions():
+            m = self._manifest(v)
+            for fs in m["files"].values():
+                live.update(fs)
+        removed: list[str] = []
+        data_root = os.path.join(self.path, "data")
+        if not os.path.isdir(data_root):
+            return removed
+        for sub, _dirs, names in os.walk(data_root, topdown=False):
+            for n in names:
+                f = os.path.join(sub, n)
+                if f.endswith(".parquet") and f not in live:
+                    os.remove(f)
+                    removed.append(f)
+            # drop directories holding no parquet anywhere below them
+            # (write markers like _SUCCESS go with their commit dir)
+            if not any(
+                x.endswith(".parquet")
+                for root, _d, files in os.walk(sub)
+                for x in files
+            ):
+                import shutil
+
+                shutil.rmtree(sub, ignore_errors=True)
+        return removed

@@ -81,6 +81,42 @@ def test_token_col_default_counts_whitespace_tokens(spark):
     assert rows == {1: (3, 0), 2: (1, 1)}
 
 
+def test_next_fit_invariants_random_corpus(spark):
+    """Invariants that hold for ANY corpus (seeded pseudo-random here):
+    bin ids are contiguous from 0 per group; bin ids never decrease in
+    id order; every bin's total fits max_tokens unless it holds exactly
+    one oversize doc."""
+    import random
+
+    rng = random.Random(7)
+    max_tokens = 100
+    rows = [
+        (f"g{rng.randrange(3)}", i, rng.choice([1, 5, 40, 60, 99, 150, 250]))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "lang string, doc_id long, nt long")
+    out = pack_sequences(
+        docs, id_col="doc_id", token_col="nt", group_col="lang",
+        max_tokens=max_tokens,
+    ).collect()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["grp"], []).append(r)
+    assert sum(len(v) for v in by_group.values()) == 300
+    for grp, rs in by_group.items():
+        rs.sort(key=lambda r: r["doc"])
+        bins = [r["bin"] for r in rs]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+        totals: dict = {}
+        counts: dict = {}
+        for r in rs:
+            totals[r["bin"]] = totals.get(r["bin"], 0) + r["n_tokens"]
+            counts[r["bin"]] = counts.get(r["bin"], 0) + 1
+        for b, total in totals.items():
+            assert total <= max_tokens or counts[b] == 1, (grp, b, total)
+
+
 def test_packing_efficiency_math(spark):
     packed = pack_sequences(
         _corpus(spark),

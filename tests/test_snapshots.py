@@ -153,6 +153,34 @@ def test_partition_values_with_special_chars_round_trip(spark, tmp_path):
     assert _rows(t.read())[("Brand#13", "k0")] == ("UP", 9)
 
 
+def test_expire_and_vacuum_reclaim_only_dead_files(spark, table):
+    """vacuum must delete exactly the files no retained manifest
+    references — replaced copy-on-write files after expiry — and never a
+    file a live snapshot needs."""
+    updates = spark.createDataFrame(
+        [("b1", "k0", "UPDATED", 999)],
+        "bucket_id string, name string, payload string, size long",
+    )
+    table.merge_upsert(updates, ["bucket_id", "name"])  # v2 rewrites b1
+
+    # both snapshots retained: nothing is dead yet
+    assert table.vacuum() == []
+
+    v1_b1_files = set(table._manifest(1)["files"]["b1"])
+    assert table.expire_snapshots(keep_last=1) == [1]
+    removed = set(table.vacuum())
+    assert removed == v1_b1_files  # ONLY v1's replaced b1 files die
+    for fs in table._manifest(2)["files"].values():
+        for f in fs:
+            assert os.path.exists(f)
+    # the table still reads correctly after the GC
+    got = _rows(table.read())
+    assert got[("b1", "k0")] == ("UPDATED", 999)
+    assert len(got) == 12
+    with pytest.raises(ValueError):
+        table.expire_snapshots(keep_last=0)
+
+
 def test_manifest_is_valid_json_with_expected_shape(table):
     files = glob.glob(f"{table.path}/_commits/*.json")
     assert files
