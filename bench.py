@@ -104,11 +104,14 @@ def main() -> None:
         return simhash_near_pairs(sim, max_hamming=3, materialize=True).count()
 
     def embedding_neardup():
-        # banded hyperplane-LSH near-dup over the full embeddings table
+        # banded hyperplane-LSH near-dup over the full embeddings table.
+        # arrow=False (the default JVM expression path) since the r4
+        # hyperplane fix: candidate volume dropped 5x and at this volume
+        # Arrow batch transfer costs more than it saves (NOTES_r4 §6).
         from storage_spark.operators.dedup import embedding_near_dup_pairs
 
         return embedding_near_dup_pairs(
-            vectors, max_distance=0.2, materialize=True, arrow=True
+            vectors, max_distance=0.2, materialize=True
         ).count()
 
     def events_rollup():

@@ -233,14 +233,23 @@ def knn_join(
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic ±1 pseudo-random hyperplanes (no RNG state needed —
-    reproducible across engines and runs)."""
-    return [
-        [
-            1.0 if ((seed + 73856093 * j + 19349663 * i) % 97) % 2 == 0 else -1.0
-            for i in range(dim)
-        ]
-        for j in range(n_planes)
-    ]
+    reproducible across engines and runs). Signs come from one md5 per
+    (seed, plane, coordinate): the previous linear-congruence pattern
+    made ADJACENT PLANES nearly identical (pairwise cosine 0.69-1.0,
+    some exactly 1.0), which collapsed LSH signatures into two
+    mega-buckets holding ~60% of a uniform corpus — candidate "pruning"
+    that kept 64% of all pairs. Hash-derived signs are independent:
+    measured pairwise plane cosine now ~N(0, 1/dim)."""
+    import hashlib
+
+    out = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()
+            row.append(1.0 if h[0] & 1 else -1.0)
+        out.append(row)
+    return out
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:

@@ -27,9 +27,14 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     exact_set = {(r.q_key, r.key) for r in exact}
     approx_set = {(r.q_key, r.key) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # 4 hyperplanes → 16 buckets over 500 vectors: generous buckets, recall
-    # should be well above chance; this guards the plumbing, not the tuning.
-    assert recall > 0.3, f"LSH recall suspiciously low: {recall:.2f}"
+    # Single-probe single-table over 16 honest buckets: recall is modest
+    # BY DESIGN (~0.13 on this near-uniform corpus; the production levers
+    # are probe_radius/n_tables, tested below). Floor guards the
+    # plumbing — chance alone is ~5/500 = 0.01. NOTE: before the round-4
+    # hyperplane fix, correlated planes collapsed signatures into two
+    # mega-buckets and inflated this to 0.38 while keeping 64% of all
+    # pairs as "candidates".
+    assert recall > 0.05, f"LSH recall suspiciously low: {recall:.2f}"
 
 
 def test_multiprobe_and_multitable_strictly_widen_candidates(spark, sf_dir):
