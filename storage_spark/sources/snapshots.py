@@ -230,6 +230,20 @@ class SnapshotTable:
                 "only reachable inside its partition"
             )
 
+    def with_retry(self, op, attempts: int = 3):
+        """Run a merge op under optimistic-concurrency retry: on
+        CommitConflictError the op re-executes against the NEW latest
+        snapshot (each _merge_commit re-reads the manifest), exactly a
+        table format's commit loop. ``op`` is a zero-arg callable —
+        ``table.with_retry(lambda: table.merge_upsert(df, keys))``."""
+        last: CommitConflictError | None = None
+        for _ in range(attempts):
+            try:
+                return op()
+            except CommitConflictError as e:
+                last = e
+        raise last  # type: ignore[misc]
+
     # ------------------------------------------------------- maintenance
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:

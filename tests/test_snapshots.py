@@ -98,6 +98,46 @@ def test_commit_conflict_raises(spark, table):
     assert table.versions() == [1, 2]
 
 
+def test_losing_writer_retries_against_new_snapshot(spark, table):
+    """A full interleaved race: writer B commits v2 AFTER writer A has
+    read v1 but BEFORE A's pointer create. A must get
+    CommitConflictError, and with_retry must re-run A's merge against
+    B's v2 so BOTH updates survive in v3."""
+    updates_a = spark.createDataFrame(
+        [("b1", "k0", "FROM-A", 111)],
+        "bucket_id string, name string, payload string, size long",
+    )
+    updates_b = spark.createDataFrame(
+        [("b2", "k0", "FROM-B", 222)],
+        "bucket_id string, name string, payload string, size long",
+    )
+    other = SnapshotTable(spark, table.path)
+    orig = table._write_data_files
+    raced = {"done": False}
+
+    def race(df):
+        files = orig(df)
+        if not raced["done"]:
+            raced["done"] = True  # interleave exactly once
+            other.merge_upsert(updates_b, ["bucket_id", "name"])
+        return files
+
+    table._write_data_files = race
+    try:
+        with pytest.raises(CommitConflictError):
+            table.merge_upsert(updates_a, ["bucket_id", "name"])
+        # the retry re-reads B's snapshot and lands as v3
+        v = table.with_retry(
+            lambda: table.merge_upsert(updates_a, ["bucket_id", "name"])
+        )
+    finally:
+        table._write_data_files = orig
+    assert v == 3
+    got = _rows(table.read())
+    assert got[("b1", "k0")] == ("FROM-A", 111)
+    assert got[("b2", "k0")] == ("FROM-B", 222)  # B's commit not lost
+
+
 def test_merge_delete_and_empty_partition(spark, table):
     probe = spark.createDataFrame(
         [("b1", "k0")] + [("b2", f"k{i}") for i in range(4)],
