@@ -1348,6 +1348,18 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sim, max_hamming=6)
 
 
+def q_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near pairs — the corpus-scale signature width
+    (16 bits = 65k values collides constantly past ~10^6 docs; wider
+    signatures keep the banded join's (band, value) key space far larger
+    than the corpus). Same pigeonhole banding, same oracle construction."""
+    from storage_spark.operators.dedup import simhash, simhash_near_pairs
+
+    t = _t(spark, sf_dir)
+    sim = simhash(t["documents"].filter(F.col("doc_id") < 40), n_bits=32)
+    return simhash_near_pairs(sim, max_hamming=6, sig_bits=32)
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-closure dedup: connected components over the SimHash near-dup
     pairs (iterative min-label propagation; oracle = recursive CTE). Every
@@ -1410,17 +1422,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_simhash_sums() -> str:
-    """Generate the 16 per-bit sign sums + packed value (doc_id < 40)."""
+def _oracle_simhash_sums(n_bits: int = 16) -> str:
+    """Generate the per-bit sign sums + packed value (doc_id < 40)."""
     digits = ",\n       ".join(
         f"(instr('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1) AS d{i}"
-        for i in range(4)
+        for i in range(n_bits // 4)
     )
     sums = ",\n       ".join(
         f"sum(CASE WHEN (d{k // 4} // {2 ** (k % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s{k}"
-        for k in range(16)
+        for k in range(n_bits)
     )
-    packed = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2 ** k} ELSE 0 END)" for k in range(16))
     return f"""
 , toks AS (
   SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok
@@ -1480,14 +1491,14 @@ FROM reach GROUP BY doc ORDER BY doc
     return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
-def _oracle_simhash_pairs(max_hamming: int) -> str:
-    packed = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2 ** k} ELSE 0 END)" for k in range(16))
+def _oracle_simhash_pairs(max_hamming: int, n_bits: int = 16) -> str:
+    packed = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2 ** k} ELSE 0 END)" for k in range(n_bits))
     hamming = " + ".join(
         f"(CASE WHEN (a.simhash // {2 ** k}) % 2 <> (b.simhash // {2 ** k}) % 2 THEN 1 ELSE 0 END)"
-        for k in range(16)
+        for k in range(n_bits)
     )
     return _o(
-        _oracle_simhash_sums()
+        _oracle_simhash_sums(n_bits)
         + f""",
 sv AS (SELECT doc_id AS doc, CAST({packed} AS BIGINT) AS simhash FROM s)
 SELECT a.doc AS doc_a, b.doc AS doc_b, CAST({hamming} AS INT) AS hamming
@@ -1548,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": q_packing_efficiency,
         "salted_distinct": q_salted_distinct,
         "vector_multiprobe_ann": q_vector_multiprobe_ann,
+        "simhash_wide": q_simhash_wide,
         "multipart_part_copy": q_multipart_part_copy,
         "copy_objects_bulk": q_copy_objects_bulk,
         "remove_boilerplate": q_remove_boilerplate,
@@ -2284,6 +2296,7 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.
 """),
         "dedup_simhash": _oracle_simhash_value(),
         "simhash_near_pairs": _oracle_simhash_pairs(6),
+        "simhash_wide": _oracle_simhash_pairs(6, n_bits=32),
         "dedup_components": _oracle_simhash_components(6),
         "dedup_embedding": _oracle_embedding_neardup(),
         "vector_cosine_topk": _o(f"""

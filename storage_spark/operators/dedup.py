@@ -274,25 +274,39 @@ def _hex_digit_val(c: Column) -> Column:
     return F.conv(c, 16, 10).cast("int")
 
 
-def simhash16(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
 ) -> DataFrame:
-    """16-bit SimHash over whitespace tokens: per bit, majority vote of
-    md5(token) bits (+1/-1), packed little-endian into an int.
+    """``n_bits``-bit SimHash over whitespace tokens: per bit, majority
+    vote of md5(token) bits (+1/-1), packed little-endian into a BIGINT.
 
-    Plan: explode tokens → 4 hex digits → 16 per-bit sign sums per doc →
-    pack. One shuffle (groupBy doc), all expression-level.
+    Plan: explode tokens → n_bits/4 hex digits → per-bit sign sums per
+    doc → pack. One shuffle (groupBy doc), all expression-level.
+
+    Size the signature to the corpus: 16 bits = 65,536 distinct values,
+    so beyond ~10⁶ docs unrelated documents collide constantly and the
+    banded join's buckets blow up — at 10⁹ docs use 32–60 bits so the
+    (band, value) key space stays far larger than the corpus (60 max:
+    the packed value must fit a signed BIGINT).
     """
     from storage_spark.functions.text import normalized_text, tokens
 
+    if not 4 <= n_bits <= 60 or n_bits % 4:
+        raise ValueError("n_bits must be a multiple of 4 in [4, 60]")
     toked = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"),
     )
     h = F.md5(F.col("tok"))
-    digit_vals = [_hex_digit_val(F.substring(h, i + 1, 1)) for i in range(4)]
+    n_digits = n_bits // 4
+    digit_vals = [
+        _hex_digit_val(F.substring(h, i + 1, 1)) for i in range(n_digits)
+    ]
     bit_sums = []
-    for i in range(4):
+    for i in range(n_digits):
         d = digit_vals[i]
         for b in range(4):
             bit = F.floor(d / (2**b)) % 2
@@ -301,10 +315,18 @@ def simhash16(
             )
     sums = toked.groupBy("doc").agg(*bit_sums)
     packed = None
-    for k in range(16):
+    for k in range(n_bits):
         term = F.when(F.col(f"s{k}") > 0, F.lit(2**k)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
     return sums.select("doc", packed.cast("bigint").alias("simhash"))
+
+
+def simhash16(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash (see ``simhash`` for the generalized form and the
+    signature-width-vs-corpus-size sizing rule)."""
+    return simhash(df, text_col, id_col, n_bits=16)
 
 
 def _band_bounds(width: int, n_bands: int) -> list[tuple[int, int]]:
