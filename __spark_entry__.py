@@ -1107,6 +1107,26 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(partitions=["Brand#13"]).select("name", "size", "version")
 
 
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC read over the snapshot table: commit the upsert batch as v2,
+    then diff v1 -> v2 into change rows (insert / update_preimage /
+    update_postimage — no deletes in this flow). The oracle recomputes
+    the same change set relationally from the base table and the update
+    batch."""
+    import tempfile
+
+    from storage_spark.sources.snapshots import SnapshotTable
+
+    t = _t(spark, sf_dir)
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="snapcdc-"))
+    tbl.create(t["objects"])
+    tbl.merge_upsert(spark.sql(_UPDATES_SQL), ["bucket_id", "name"])
+    out = tbl.table_changes(1, 2, ["bucket_id", "name"])
+    return out.select("name", "_change_type", "size", "version").orderBy(
+        "name", "_change_type"
+    )
+
+
 def q_delete_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.operators.mutations import merge_delete
 
@@ -1555,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tenant_usage": q_tenant_usage,
         # round-4 new or changed:
         "snapshot_merge": q_snapshot_merge,
+        "snapshot_changes": q_snapshot_changes,
         "pack_sequences": q_pack_sequences,
         "packing_efficiency": q_packing_efficiency,
         "salted_distinct": q_salted_distinct,
@@ -2374,4 +2395,29 @@ def oracle_sql() -> dict[str, str]:
     # through SnapshotTable's manifest-commit path — one oracle, two
     # execution engines under test.
     out["snapshot_merge"] = out["merge_upsert"]
+    out["snapshot_changes"] = _o(f"""
+, upd AS ({_UPDATES_SQL}),
+ins AS (
+  SELECT u.name, 'insert' AS _change_type, u.size, u.version
+  FROM upd u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM objects o
+    WHERE o.bucket_id = u.bucket_id AND o.name = u.name
+  )
+),
+pre AS (
+  SELECT o.name, 'update_preimage' AS _change_type, o.size, o.version
+  FROM objects o JOIN upd u
+    ON o.bucket_id = u.bucket_id AND o.name = u.name
+),
+post AS (
+  SELECT u.name, 'update_postimage' AS _change_type, u.size, u.version
+  FROM objects o JOIN upd u
+    ON o.bucket_id = u.bucket_id AND o.name = u.name
+)
+SELECT name, _change_type, CAST(size AS BIGINT) AS size, version
+FROM (SELECT * FROM ins UNION ALL SELECT * FROM pre
+      UNION ALL SELECT * FROM post)
+ORDER BY name, _change_type
+""")
     return out

@@ -230,6 +230,40 @@ class SnapshotTable:
                 "only reachable inside its partition"
             )
 
+    def table_changes(
+        self, from_version: int, to_version: int, keys: list[str]
+    ) -> DataFrame:
+        """CDC between two snapshots: diff their committed states into
+        change rows — ``_change_type`` ∈ {insert, delete,
+        update_preimage, update_postimage} (the shape a table format's
+        changelog read returns). Pure DataFrame diff over the two
+        immutable file sets; cost is a join keyed on ``keys``, at any
+        scale."""
+        before = self.read(version=from_version)
+        after = self.read(version=to_version)
+        b = before.select(*keys, F.struct(*before.columns).alias("_row"))
+        a = after.select(*keys, F.struct(*after.columns).alias("_row"))
+        inserted = (
+            a.join(b.select(*keys), keys, "left_anti")
+            .select("_row.*")
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        deleted = (
+            b.join(a.select(*keys), keys, "left_anti")
+            .select("_row.*")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        matched = b.select(*keys, F.col("_row").alias("_b")).join(
+            a.select(*keys, F.col("_row").alias("_a")), keys
+        ).filter(F.col("_b") != F.col("_a"))
+        pre = matched.select("_b.*").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = matched.select("_a.*").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        return inserted.unionByName(deleted).unionByName(pre).unionByName(post)
+
     def with_retry(self, op, attempts: int = 3):
         """Run a merge op under optimistic-concurrency retry: on
         CommitConflictError the op re-executes against the NEW latest

@@ -173,6 +173,36 @@ def run_vector_ingest(
     q.awaitTermination()
 
 
+def run_snapshot_ingest(
+    stream: DataFrame,
+    table,
+    keys: list[str],
+    checkpoint_dir: str,
+    attempts: int = 3,
+) -> None:
+    """Continuous ingestion into a versioned table: every micro-batch
+    merge-upserts into a ``SnapshotTable`` under the optimistic commit
+    loop (losers retry against the new snapshot). Combined with the
+    stream checkpoint this is the effectively-once ingestion shape:
+    replaying a failed micro-batch re-runs the SAME keyed upsert, which
+    is idempotent — the table converges to one committed version per
+    applied batch, and every version stays time-travel readable."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        table.with_retry(
+            lambda: table.merge_upsert(batch, keys), attempts=attempts
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_config_invalidation(
     changes_stream: DataFrame,
     cache: dict,

@@ -221,6 +221,73 @@ def test_expire_and_vacuum_reclaim_only_dead_files(spark, table):
         table.expire_snapshots(keep_last=0)
 
 
+def test_table_changes_cdc_between_versions(spark, table):
+    probe_updates = spark.createDataFrame(
+        [
+            ("b1", "k0", "UPDATED", 999),   # update existing
+            ("b1", "k9", "NEW", 900),       # insert
+        ],
+        "bucket_id string, name string, payload string, size long",
+    )
+    table.merge_upsert(probe_updates, ["bucket_id", "name"])
+    table.merge_delete(
+        spark.createDataFrame(
+            [("b2", "k0")], "bucket_id string, name string"
+        ),
+        ["bucket_id", "name"],
+    )
+    changes = table.table_changes(1, 3, ["bucket_id", "name"]).collect()
+    got = {
+        (r.bucket_id, r.name, r._change_type): (r.payload, r.size)
+        for r in changes
+    }
+    assert got[("b1", "k9", "insert")] == ("NEW", 900)
+    assert got[("b2", "k0", "delete")] == ("v-b2-0", 0)
+    assert got[("b1", "k0", "update_preimage")] == ("v-b1-0", 0)
+    assert got[("b1", "k0", "update_postimage")] == ("UPDATED", 999)
+    assert len(got) == 4  # nothing else changed
+    # v1 -> v2 sees only the upsert, not the later delete
+    v12 = {r._change_type for r in
+           table.table_changes(1, 2, ["bucket_id", "name"]).collect()}
+    assert v12 == {"insert", "update_preimage", "update_postimage"}
+
+
+def test_streaming_ingest_commits_versions(spark, tmp_path):
+    """availableNow stream of two micro-batches into a SnapshotTable:
+    one committed version per batch, final state correct, every
+    intermediate version time-travel readable."""
+    from storage_spark.streaming.events import run_snapshot_ingest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "bucket_id string, name string, payload string, size long"
+    spark.createDataFrame(
+        [("b1", "k0", "first", 1), ("b2", "k0", "first", 2)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("b1", "k0", "second", 10), ("b3", "k0", "new", 3)], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    t.create(spark.createDataFrame([], schema))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    run_snapshot_ingest(
+        stream, t, keys=["bucket_id", "name"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert t.versions() == [1, 2, 3]
+    final = _rows(t.read())
+    assert final[("b1", "k0")][0] in ("first", "second")
+    assert len(final) == 3
+    # batches could arrive in either order, but SOME intermediate
+    # version holds fewer rows than the final state
+    assert t.read(version=2).count() == 2
+
+
 def test_manifest_is_valid_json_with_expected_shape(table):
     files = glob.glob(f"{table.path}/_commits/*.json")
     assert files
