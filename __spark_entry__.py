@@ -1323,6 +1323,24 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows, 16-token overlap
+    (stride 48) — every doc emits >= 1 chunk, every token lands in >= 1
+    chunk; no UDF, no shuffle (map-only, fuses into the scan)."""
+    from storage_spark.operators.pipeline import chunk_documents
+
+    t = _t(spark, sf_dir)
+    out = chunk_documents(
+        t["documents"], chunk_tokens=64, overlap_tokens=16
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.md5("text_chunk").alias("chunk_md5"),
+        F.col("n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin-utilisation report over the packed corpus: per language, bin
     count / doc count / token total / oversize-bin count / utilisation
@@ -1578,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changes": q_snapshot_changes,
         "pack_sequences": q_pack_sequences,
         "packing_efficiency": q_packing_efficiency,
+        "chunk_documents": q_chunk_documents,
         "salted_distinct": q_salted_distinct,
         "vector_multiprobe_ann": q_vector_multiprobe_ann,
         "simhash_wide": q_simhash_wide,
@@ -2252,6 +2271,26 @@ ORDER BY doc_id
         "pack_sequences": _PACK_WALK_SQL + """
 SELECT lang, doc_id, n_tokens, bin FROM walk ORDER BY lang, doc_id
 """,
+        "chunk_documents": _o(f"""
+, toks AS (
+  SELECT doc_id, {_DUCK_RAW_TOKENS} AS tk,
+         len({_DUCK_RAW_TOKENS}) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+    unnest(range(0, greatest(1, CAST(ceil((n - 16) / 48.0) AS BIGINT))))
+      AS chunk_id,
+    tk, n
+  FROM toks
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+  md5(array_to_string(tk[(chunk_id*48 + 1):(chunk_id*48 + 64)], ' '))
+    AS chunk_md5,
+  CAST(len(tk[(chunk_id*48 + 1):(chunk_id*48 + 64)]) AS BIGINT)
+    AS n_chunk_tokens
+FROM chunks ORDER BY doc_id, chunk_id
+"""),
         "packing_efficiency": _PACK_WALK_SQL + """
 , per_bin AS (
   SELECT lang, bin, sum(n_tokens) AS bin_tokens, count(*) AS bin_docs

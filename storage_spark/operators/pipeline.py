@@ -314,6 +314,63 @@ def remove_repeated_segments(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Split documents into fixed token windows with optional overlap —
+    the context-window chunking step that turns long documents into
+    trainable sequences (``pack_sequences`` is its complement: it packs
+    SHORT docs up, this cuts LONG docs down).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap_tokens``; the chunk count is
+    ``max(1, ceil((n - overlap) / stride))``, so every document emits at
+    least one chunk and every token belongs to at least one chunk.
+
+    Pure Column expressions end-to-end (tokens → start sequence →
+    transform slice+join → posexplode): no UDF, no shuffle — chunking
+    100 TB is a map-only pass that fuses into the scan.
+
+    Output: ``(id, chunk_id, text_chunk, n_chunk_tokens)``.
+    """
+    from storage_spark.functions.text import tokens
+
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap_tokens
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        tokens(F.trim(F.col(text_col))).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.col("_n") - F.lit(overlap_tokens)) / F.lit(stride)
+        ).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("_toks"), i * stride + 1, chunk_tokens),
+    )
+    return (
+        base.select(
+            "doc", F.posexplode(chunks).alias("chunk_id", "_chunk")
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "chunk_id",
+            F.array_join(F.col("_chunk"), " ").alias("text_chunk"),
+            F.size("_chunk").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -117,6 +117,40 @@ def test_next_fit_invariants_random_corpus(spark):
             assert total <= max_tokens or counts[b] == 1, (grp, b, total)
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    from storage_spark.operators.pipeline import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "only three tokens"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap_tokens=1)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: stride 3 -> ceil((10-1)/3)=3 chunks: [0:4),[3:7),[6:10)
+    assert [rows[(1, i)].text_chunk for i in range(3)] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    # every token appears in at least one chunk; overlap duplicates t3/t6
+    all_toks = " ".join(rows[(1, i)].text_chunk for i in range(3)).split()
+    assert set(all_toks) == {f"t{i}" for i in range(10)}
+    # short doc: single partial chunk
+    assert rows[(2, 0)].text_chunk == "only three tokens"
+    assert rows[(2, 0)].n_chunk_tokens == 3
+    assert (2, 1) not in rows
+    # single-token doc still emits one chunk
+    assert rows[(3, 0)].text_chunk == "x"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+
+
 def test_packing_efficiency_math(spark):
     packed = pack_sequences(
         _corpus(spark),
