@@ -1323,6 +1323,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "doc_id")
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality signals: duplicate
+    2-gram / 3-gram / line occurrence fractions, all map-only (no
+    shuffle, no explode). NULL where the doc is too short for a signal."""
+    from storage_spark.functions.text import (
+        duplicate_line_fraction,
+        duplicate_ngram_fraction,
+    )
+
+    t = _t(spark, sf_dir)
+    c = F.col("text")
+
+    def s(col):
+        return F.round(col * 10000).cast("bigint")
+
+    return t["documents"].select(
+        "doc_id",
+        s(duplicate_ngram_fraction(c, 2)).alias("dup2_1e4"),
+        s(duplicate_ngram_fraction(c, 3)).alias("dup3_1e4"),
+        s(duplicate_line_fraction(c)).alias("dupline_1e4"),
+    ).orderBy("doc_id")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 64-token windows, 16-token overlap
     (stride 48) — every doc emits >= 1 chunk, every token lands in >= 1
@@ -1597,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "packing_efficiency": q_packing_efficiency,
         "chunk_documents": q_chunk_documents,
+        "repetition_signals": q_repetition_signals,
         "salted_distinct": q_salted_distinct,
         "vector_multiprobe_ann": q_vector_multiprobe_ann,
         "simhash_wide": q_simhash_wide,
@@ -2271,6 +2295,39 @@ ORDER BY doc_id
         "pack_sequences": _PACK_WALK_SQL + """
 SELECT lang, doc_id, n_tokens, bin FROM walk ORDER BY lang, doc_id
 """,
+        "repetition_signals": _o(f"""
+, tk AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+    ELSE [] END AS s2,
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+    ELSE [] END AS s3
+  FROM tk
+),
+ln AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(regexp_split_to_array(text, '\n'), x -> trim(x)),
+      x -> x <> ''
+    ) AS ls
+  FROM documents
+)
+SELECT sh.doc_id,
+  CASE WHEN len(s2) > 0 THEN
+    CAST(round((len(s2) - len(list_distinct(s2))) * 1.0 / len(s2) * 10000)
+         AS BIGINT) END AS dup2_1e4,
+  CASE WHEN len(s3) > 0 THEN
+    CAST(round((len(s3) - len(list_distinct(s3))) * 1.0 / len(s3) * 10000)
+         AS BIGINT) END AS dup3_1e4,
+  CASE WHEN len(ls) > 0 THEN
+    CAST(round((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls) * 10000)
+         AS BIGINT) END AS dupline_1e4
+FROM sh JOIN ln ON sh.doc_id = ln.doc_id
+ORDER BY sh.doc_id
+"""),
         "chunk_documents": _o(f"""
 , toks AS (
   SELECT doc_id, {_DUCK_RAW_TOKENS} AS tk,

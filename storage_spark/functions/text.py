@@ -139,6 +139,41 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.filter(shingle, lambda x: x.isNotNull())
 
 
+def duplicate_ngram_fraction(text: Column, n: int = 3) -> Column:
+    """Within-document repetition signal: the fraction of word n-gram
+    OCCURRENCES that are repeats of an n-gram already seen in the same
+    document — (total - distinct) / total over the shingle array. The
+    dup-n-gram family of Gopher's repetition filters (Rae et al. 2021,
+    the public quality-filter recipe) in occurrence-count form
+    (documented variant: Gopher measures the character share; the
+    occurrence share needs no second pass and ranks documents the same
+    way for filtering).
+
+    Pure within-row array math — NO shuffle, no explode: repetition
+    scoring 100 TB is a map-only pass. NULL when the doc has no
+    n-grams (shorter than n tokens) — callers treat it as "no signal",
+    not 0 (a 2-token doc isn't repetition-free evidence)."""
+    sh = word_shingles(text, n)
+    total = F.size(sh)
+    dups = (total - F.size(F.array_distinct(sh))).cast("double")
+    return F.when(total > 0, dups / total.cast("double"))
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Fraction of line occurrences that repeat an earlier line of the
+    SAME document (empty lines ignored) — boilerplate menus/footers
+    pasted repeatedly inside one page. Same no-shuffle shape as
+    duplicate_ngram_fraction; NULL when the doc has no non-empty
+    lines."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    total = F.size(lines)
+    dups = (total - F.size(F.array_distinct(lines))).cast("double")
+    return F.when(total > 0, dups / total.cast("double"))
+
+
 def winnowing_fingerprints(
     text: Column, n: int = 3, window: int = 4
 ) -> Column:
