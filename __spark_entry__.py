@@ -1441,6 +1441,48 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc")
 
 
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution stage of the dedup family: SimHash near-pairs → connected
+    components → elect one canonical doc per cluster (most tokens, ties →
+    min doc id). Oracle = recursive-CTE closure + window election."""
+    from storage_spark.operators.dedup import (
+        resolve_canonical,
+        simhash16,
+        simhash_near_pairs,
+    )
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 40)
+    pairs = simhash_near_pairs(simhash16(docs), max_hamming=6)
+    out = resolve_canonical(docs, pairs)
+    return out.select(
+        F.col("doc").cast("bigint").alias("doc"),
+        F.col("component").cast("bigint").alias("component"),
+        F.col("canonical").cast("bigint").alias("canonical"),
+        "is_canonical",
+    ).orderBy("doc")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup: the existing corpus participates only as its
+    fingerprint index (doc_id < 100); the new batch (100..199) is deduped
+    within itself (keep min id per fingerprint) and against the index
+    (anti-join) — the monotonic-ingest shape used at corpus scale."""
+    from storage_spark.functions.text import fingerprint
+    from storage_spark.operators.dedup import incremental_exact_dedup
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    index = (
+        docs.filter(F.col("doc_id") < 100)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    kept, _new_rows = incremental_exact_dedup(batch, index)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass corpus health report: per-language docs / tokens /
     high-quality share over the documents table."""
@@ -1552,6 +1594,58 @@ FROM reach GROUP BY doc ORDER BY doc
     return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
+def _oracle_simhash_resolve(max_hamming: int) -> str:
+    """Canonical election over the recursive-CTE components: per component,
+    the doc with the most whitespace tokens wins (ties → min doc id) —
+    mirroring dedup.resolve_canonical's default policy."""
+    packed = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2 ** k} ELSE 0 END)" for k in range(16))
+    hamming = " + ".join(
+        f"(CASE WHEN (a.simhash // {2 ** k}) % 2 <> (b.simhash // {2 ** k}) % 2 THEN 1 ELSE 0 END)"
+        for k in range(16)
+    )
+    sql = _o(
+        _oracle_simhash_sums()
+        + f""",
+sv AS (SELECT doc_id AS doc, CAST({packed} AS BIGINT) AS simhash FROM s),
+prs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM sv a JOIN sv b ON a.doc < b.doc
+  WHERE {hamming} <= {max_hamming}
+),
+edges AS (
+  SELECT doc_a AS ea, doc_b AS eb FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+reach AS (
+  SELECT doc, doc AS label FROM sv
+  UNION
+  SELECT e.eb AS doc, r.label FROM reach r JOIN edges e ON e.ea = r.doc
+),
+comp AS (SELECT doc, min(label) AS component FROM reach GROUP BY doc),
+tc AS (
+  SELECT doc_id AS doc, CAST(len({_DUCK_RAW_TOKENS}) AS BIGINT) AS n
+  FROM documents WHERE doc_id < 40
+),
+winners AS (
+  SELECT component, doc AS canonical FROM (
+    SELECT c.component, c.doc,
+           row_number() OVER (
+             PARTITION BY c.component ORDER BY t.n DESC, c.doc ASC
+           ) AS rn
+    FROM comp c JOIN tc t ON t.doc = c.doc
+  ) WHERE rn = 1
+)
+SELECT CAST(c.doc AS BIGINT) AS doc,
+       CAST(c.component AS BIGINT) AS component,
+       CAST(w.canonical AS BIGINT) AS canonical,
+       c.doc = w.canonical AS is_canonical
+FROM comp c JOIN winners w USING (component) ORDER BY doc
+"""
+    )
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
 def _oracle_simhash_pairs(max_hamming: int, n_bits: int = 16) -> str:
     packed = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2 ** k} ELSE 0 END)" for k in range(n_bits))
     hamming = " + ".join(
@@ -1615,6 +1709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_backfill": q_catalog_backfill,
         "tenant_usage": q_tenant_usage,
         # round-4 new or changed:
+        "dedup_resolve": q_dedup_resolve,
+        "dedup_incremental": q_dedup_incremental,
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
         "pack_sequences": q_pack_sequences,
@@ -2415,6 +2511,18 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.
         "simhash_near_pairs": _oracle_simhash_pairs(6),
         "simhash_wide": _oracle_simhash_pairs(6, n_bits=32),
         "dedup_components": _oracle_simhash_components(6),
+        "dedup_resolve": _oracle_simhash_resolve(6),
+        "dedup_incremental": _o(f"""
+, fps AS (
+  SELECT doc_id, substr(md5({_DUCK_NORM_TEXT}), 1, 16) AS fp FROM documents
+),
+idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 100),
+batch AS (SELECT * FROM fps WHERE doc_id >= 100 AND doc_id < 200),
+firsts AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY fp)
+SELECT f.doc_id FROM firsts f
+LEFT JOIN idx i ON i.fp = f.fp
+WHERE i.fp IS NULL ORDER BY doc_id
+"""),
         "dedup_embedding": _oracle_embedding_neardup(),
         "vector_cosine_topk": _o(f"""
 SELECT key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4

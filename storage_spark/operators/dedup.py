@@ -665,3 +665,98 @@ def embedding_near_dup_pairs(
         .select("key_a", "key_b", "distance")
         .distinct()  # a pair may share several bands
     )
+
+
+def resolve_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    prefer: Column | None = None,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    algorithm: str = "label",
+) -> DataFrame:
+    """The resolution stage that turns near-dup PAIRS into a kept corpus:
+    close pairs transitively (``dedup_components``), then elect exactly one
+    canonical representative per cluster and flag everyone else a casualty.
+
+    Election is deterministic: highest ``prefer`` value wins (default =
+    whitespace token count, i.e. "keep the longest document" — the common
+    curation policy, since near-dup clusters usually contain truncated or
+    boilerplate-trimmed variants of one source), ties broken by MIN doc id.
+
+    Returns one row per input doc:
+    ``(doc, component, canonical, is_canonical)``.
+
+    Scale shape: beyond the component closure itself, election is ONE
+    partially-aggregated shuffle on ``component`` (a lexicographic
+    struct-min — no window function, so no per-partition sort of the full
+    corpus) plus a broadcast-size join of the winners table back onto the
+    membership rows only when clusters are few; Catalyst picks the join
+    strategy from runtime stats under AQE.
+    """
+    from storage_spark.functions.text import token_count
+
+    if prefer is None:
+        prefer = token_count(F.col("text"))
+    ranked = docs.select(
+        F.col(id_col).alias("doc"), prefer.alias("_pref")
+    )
+    comp = dedup_components(
+        pairs, doc_a=doc_a, doc_b=doc_b,
+        nodes=docs.select(id_col), algorithm=algorithm,
+    )
+    member = comp.join(ranked, "doc")
+    # struct-min is lexicographic: (-pref, doc) ascending == highest pref,
+    # then lowest doc — a single partial-aggregable expression.
+    winners = member.groupBy("component").agg(
+        F.min(F.struct((-F.col("_pref")).alias("np"), F.col("doc").alias("d")))
+        .alias("w")
+    ).select("component", F.col("w.d").alias("canonical"))
+    return (
+        member.join(winners, "component")
+        .select(
+            "doc",
+            "component",
+            "canonical",
+            (F.col("doc") == F.col("canonical")).alias("is_canonical"),
+        )
+    )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an existing corpus without touching the
+    corpus text: the corpus is represented only by its fingerprint ``index``
+    (one 16-char md5 prefix per retained doc — the shape you keep as a
+    bucketed table at 100 TB and grow monotonically).
+
+    Two rules, both set-oriented:
+    - within-batch: keep the MIN id per fingerprint group;
+    - cross-corpus: drop any batch doc whose fingerprint already exists in
+      the index (left-anti equi-join on ``fp``).
+
+    Returns ``(kept, new_index_rows)`` — callers append ``new_index_rows``
+    to the index table to absorb the batch.
+
+    Scale shape: one map-side-combined groupBy on ``fp`` over the (small)
+    batch plus one anti-join against the index. With the index stored
+    bucketed on ``fp`` (``sources/layout.py``), the big side needs NO
+    shuffle — only the batch redistributes; without bucketing it is one
+    hash-join shuffle keyed on uniformly-distributed md5 (no skew by
+    construction).
+    """
+    fps = batch.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias(fp_col)
+    )
+    first_in_batch = fps.groupBy(fp_col).agg(F.min(id_col).alias(id_col))
+    fresh = first_in_batch.join(
+        index.select(fp_col), fp_col, "left_anti"
+    )
+    kept = batch.join(fresh.select(id_col), id_col, "left_semi")
+    return kept, fresh.select(fp_col, F.col(id_col).alias("first_" + id_col))

@@ -188,3 +188,100 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     )
     guarded = decontaminate(boiler, bench2, n=3, min_hits=1, max_shingle_df=5)
     assert guarded.filter("contaminated").count() == 0
+
+
+# --------------------------------------------------------------------------
+# resolve_canonical — election on top of the closure
+# --------------------------------------------------------------------------
+
+
+def _resolve(spark, docs, pairs, **kw):
+    ddf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pdf = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    from storage_spark.operators.dedup import resolve_canonical
+
+    out = resolve_canonical(ddf, pdf, **kw)
+    return {
+        r["doc"]: (r["component"], r["canonical"], r["is_canonical"])
+        for r in out.collect()
+    }
+
+
+def test_resolve_longest_doc_wins(spark):
+    got = _resolve(
+        spark,
+        [(1, "a b"), (2, "a b c d"), (3, "a"), (9, "solo doc")],
+        [(1, 2), (2, 3)],
+    )
+    # cluster {1,2,3}: doc 2 has most tokens; 9 is a singleton
+    assert got[1] == (1, 2, False)
+    assert got[2] == (1, 2, True)
+    assert got[3] == (1, 2, False)
+    assert got[9] == (9, 9, True)
+
+
+def test_resolve_tie_breaks_to_min_doc(spark):
+    got = _resolve(
+        spark,
+        [(5, "x y z"), (6, "p q r")],
+        [(5, 6)],
+    )
+    assert got[5] == (5, 5, True)
+    assert got[6] == (5, 5, False)
+
+
+def test_resolve_custom_preference(spark):
+    # prefer = doc id itself → highest id wins
+    got = _resolve(
+        spark,
+        [(5, "x"), (6, "p q")],
+        [(5, 6)],
+        prefer=F.col("doc_id"),
+    )
+    assert got[6] == (5, 6, True)
+    assert got[5] == (5, 6, False)
+
+
+def test_resolve_exactly_one_canonical_per_component(spark):
+    docs = [(i, "w " * (i % 7 + 1)) for i in range(30)]
+    pairs = [(i, i + 1) for i in range(0, 28, 2)]  # 15 two-doc clusters
+    got = _resolve(spark, docs, pairs)
+    by_comp: dict[int, int] = {}
+    for _doc, (comp, canon, is_c) in got.items():
+        assert (canon in got) and got[canon][2]  # canonical flagged
+        by_comp.setdefault(comp, 0)
+        by_comp[comp] += int(is_c)
+    assert all(n == 1 for n in by_comp.values())
+
+
+# --------------------------------------------------------------------------
+# incremental_exact_dedup — batch vs fingerprint index
+# --------------------------------------------------------------------------
+
+
+def test_incremental_dedup_within_and_cross(spark):
+    from storage_spark.operators.dedup import incremental_exact_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "already here"), (2, "also here")], "doc_id bigint, text string"
+    )
+    from storage_spark.functions.text import fingerprint
+
+    index = corpus.select(fingerprint(F.col("text")).alias("fp")).distinct()
+    batch = spark.createDataFrame(
+        [
+            (10, "Already   HERE"),   # normalizes to a corpus dup → dropped
+            (11, "fresh one"),
+            (12, "fresh one"),        # within-batch dup of 11 → dropped
+            (13, "another fresh"),
+        ],
+        "doc_id bigint, text string",
+    )
+    kept, new_rows = incremental_exact_dedup(batch, index)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+    rows = {r["fp"]: r["first_doc_id"] for r in new_rows.collect()}
+    assert sorted(rows.values()) == [11, 13]
+    # appending new_rows to the index absorbs the batch: rerun drops all
+    grown = index.unionByName(new_rows.select("fp"))
+    kept2, new2 = incremental_exact_dedup(batch, grown)
+    assert kept2.count() == 0 and new2.count() == 0
