@@ -1483,6 +1483,48 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id").orderBy("doc_id")
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub parity: deterministic synthetic PII (an email, an IPv4,
+    a phone built from doc_id) appended to each document, then the
+    sequential email → ip → phone redaction chain; counts + redacted md5
+    checked against DuckDB replaying the identical RE2∩Java regexes."""
+    from storage_spark.functions.text import pii_counts, redact_pii
+
+    t = _t(spark, sf_dir)
+    aug = t["documents"].filter(F.col("doc_id") < 80).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel +15550"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = aug.select(
+        "doc_id",
+        pii_counts(F.col("text")).alias("c"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+    return out.select(
+        "doc_id", "c.n_email", "c.n_ipv4", "c.n_phone", "redacted_md5"
+    ).orderBy("doc_id")
+
+
+def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality gate: drop each language's weakest
+    quartile by integer-scaled score (exact interpolated percentile; the
+    documented 100 TB path swaps in percentile_approx)."""
+    from storage_spark.operators.pipeline import quality_quantile_filter
+
+    t = _t(spark, sf_dir)
+    return quality_quantile_filter(t["documents"]).orderBy("doc_id")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass corpus health report: per-language docs / tokens /
     high-quality share over the documents table."""
@@ -1646,6 +1688,46 @@ FROM comp c JOIN winners w USING (component) ORDER BY doc
     return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
+def _oracle_redact_pii() -> str:
+    """Replay the exact PII regex chain (same patterns, same order, same
+    placeholders — imported from the implementation constant) in DuckDB."""
+    from storage_spark.functions.text import PII_PATTERNS
+
+    (k1, re1, p1), (k2, re2, p2), (k3, re3, p3) = PII_PATTERNS
+    assert (k1, k2, k3) == ("email", "ipv4", "phone")
+    return _o(f"""
+, aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@example.com from 10.0.' || CAST(doc_id % 3 AS VARCHAR)
+      || '.' || CAST(doc_id % 256 AS VARCHAR)
+      || ' tel +15550' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+      AS text
+  FROM documents WHERE doc_id < 80
+),
+r1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{re1}')) AS BIGINT) AS n_email,
+    regexp_replace(text, '{re1}', '{p1}', 'g') AS t1
+  FROM aug
+),
+r2 AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(t1, '{re2}')) AS BIGINT) AS n_ipv4,
+    regexp_replace(t1, '{re2}', '{p2}', 'g') AS t2
+  FROM r1
+),
+r3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+    CAST(len(regexp_extract_all(t2, '{re3}')) AS BIGINT) AS n_phone,
+    regexp_replace(t2, '{re3}', '{p3}', 'g') AS t3
+  FROM r2
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, md5(t3) AS redacted_md5
+FROM r3 ORDER BY doc_id
+""")
+
+
 def _oracle_simhash_pairs(max_hamming: int, n_bits: int = 16) -> str:
     packed = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2 ** k} ELSE 0 END)" for k in range(n_bits))
     hamming = " + ".join(
@@ -1711,6 +1793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 new or changed:
         "dedup_resolve": q_dedup_resolve,
         "dedup_incremental": q_dedup_incremental,
+        "redact_pii": q_redact_pii,
+        "quality_quantile": q_quality_quantile,
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
         "pack_sequences": q_pack_sequences,
@@ -2265,6 +2349,47 @@ SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_cents,
 FROM events
 GROUP BY event_type, CAST(round(value * 100) AS BIGINT)
 HAVING count(*) > 1
+"""),
+        "redact_pii": _oracle_redact_pii(),
+        "quality_quantile": _o(f"""
+, scored AS (
+  SELECT doc_id,
+    CASE
+      WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+      WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+      WHEN fr > 0 AND fr >= es THEN 'fr'
+      WHEN es > 0 THEN 'es'
+      ELSE 'und' END AS lang,
+    CAST(round((
+      least(CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE n / 20.0 END, 1.0) * 0.4
+      + (nd / n) * 0.4
+      + least((ns / n) * 4.0, 1.0) * 0.2
+    ) * 1000) AS BIGINT) AS score_1e3
+  FROM (
+    SELECT doc_id,
+      CAST(len({_DUCK_RAW_TOKENS}) AS DOUBLE) AS n,
+      CAST(len(list_distinct({_DUCK_RAW_TOKENS})) AS DOUBLE) AS nd,
+      CAST(list_sum(list_transform(tk_low,
+        t -> CASE WHEN t IN {_EN_STOP} THEN 1 ELSE 0 END)) AS DOUBLE) AS ns,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('a','the','of','and','to') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS en,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('der','die','das','und','zu') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS de,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('le','la','les','et','de') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS fr,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('el','la','los','y','de') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS es
+    FROM (
+      SELECT doc_id, text,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS tk_low
+      FROM documents
+    )
+  )
+),
+thr AS (
+  SELECT lang, quantile_cont(score_1e3, 0.25) AS thr
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.score_1e3
+FROM scored s JOIN thr t ON t.lang = s.lang
+WHERE s.score_1e3 >= t.thr
+ORDER BY s.doc_id
 """),
         "corpus_stats": _o(f"""
 SELECT lang, count(*) AS n_docs,

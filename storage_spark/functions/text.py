@@ -205,3 +205,43 @@ def winnowing_fingerprints(
         wmin, 1, F.greatest(F.size(h) - window + 1, F.lit(0))
     )
     return F.array_sort(F.array_distinct(F.filter(full, lambda x: x.isNotNull())))
+
+
+#: PII regexes, applied in THIS order (email first so its digits/dots are
+#: gone before the looser ip/phone classes run). Every pattern is in the
+#: common Java-regex ∩ RE2 dialect — character classes, bounded repeats,
+#: \d, \b — so the SQL oracle replays them verbatim in DuckDB.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Sequentially replace email → IPv4 → phone matches with typed
+    placeholders. Pure regexp_replace chain: codegen'd, map-only — PII
+    scrubbing 100 TB is a scan-speed pass with zero shuffle. The order is
+    part of the contract (an email's digits must not survive into the
+    phone pass)."""
+    out = text
+    for _kind, pattern, placeholder in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-kind match counts, computed on the SAME progressive
+    redaction sequence ``redact_pii`` applies, so counts equal exactly
+    what redaction removed (an IP inside an already-redacted email is not
+    double-counted)."""
+    fields = []
+    cur = text
+    for kind, pattern, placeholder in PII_PATTERNS:
+        fields.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pattern), F.lit(0)))
+            .cast("bigint")
+            .alias("n_" + kind)
+        )
+        cur = F.regexp_replace(cur, pattern, placeholder)
+    return F.struct(*fields)

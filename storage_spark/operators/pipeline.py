@@ -473,3 +473,47 @@ def packing_efficiency(
             .alias("util_1e4"),
         )
     )
+
+
+def quality_quantile_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quantile: float = 0.25,
+    approx: bool = False,
+) -> DataFrame:
+    """Drop each language's weakest ``quantile`` share of documents —
+    adaptive quality gating (a fixed global threshold over-prunes
+    low-resource languages whose score distribution sits lower).
+
+    Determinism contract: ranking happens on the INTEGER score
+    ``round(quality*1000)`` so any engine derives identical thresholds
+    (double-precision tails never flip membership at the boundary).
+    Per-language thresholds are an exact interpolated percentile by
+    default; ``approx=True`` switches to ``percentile_approx`` — at
+    100 TB the exact percentile materializes per-group sorted value
+    lists, while the approx sketch is a bounded-memory partial aggregate
+    (the correct scale path; thresholds then differ from exact by the
+    sketch's rank error, which a quality gate tolerates).
+
+    Plan shape: one scan scoring every doc, one tiny aggregate (rows =
+    languages) broadcast back onto the scored scan, filter. No sort, no
+    window.
+    """
+    col = F.col(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        lang_id(col).alias("lang"),
+        F.round(quality_score(col) * 1000).cast("bigint").alias("score_1e3"),
+    )
+    agg = (
+        F.percentile_approx("score_1e3", quantile)
+        if approx
+        else F.percentile("score_1e3", quantile)
+    )
+    thresholds = scored.groupBy("lang").agg(agg.alias("thr"))
+    return (
+        scored.join(F.broadcast(thresholds), "lang")
+        .filter(F.col("score_1e3") >= F.col("thr"))
+        .select(id_col, "lang", "score_1e3")
+    )

