@@ -1127,6 +1127,29 @@ def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE half of the maintenance loop: create the table with write
+    fanout 4 (multi-file partitions), bin-pack every crowded partition back
+    to one file via an identity-rewrite commit, and read the result. The
+    oracle is the plain base-table selection — compaction must change the
+    physical layout and NOTHING else."""
+    import tempfile
+
+    from storage_spark.sources.snapshots import SnapshotTable
+
+    t = _t(spark, sf_dir)
+    tbl = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="snapcompact-"), write_fanout=4
+    )
+    tbl.create(t["objects"])
+    v = tbl.compact(max_files_per_partition=1)
+    assert v == 2, "fanout-4 create must leave compactable partitions"
+    n_files = sum(len(fs) for fs in tbl._manifest()["files"].values())
+    n_parts = len(tbl._manifest()["files"])
+    assert n_files == n_parts, "compaction must leave one file per partition"
+    return tbl.read(partitions=["Brand#13"]).select("name", "size", "version")
+
+
 def q_delete_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.operators.mutations import merge_delete
 
@@ -1797,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantile": q_quality_quantile,
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
+        "snapshot_compact": q_snapshot_compact,
         "pack_sequences": q_pack_sequences,
         "packing_efficiency": q_packing_efficiency,
         "chunk_documents": q_chunk_documents,
@@ -2724,6 +2748,9 @@ def oracle_sql() -> dict[str, str]:
     # through SnapshotTable's manifest-commit path — one oracle, two
     # execution engines under test.
     out["snapshot_merge"] = out["merge_upsert"]
+    out["snapshot_compact"] = _o("""
+SELECT name, size, version FROM objects WHERE bucket_id = 'Brand#13'
+""")
     out["snapshot_changes"] = _o(f"""
 , upd AS ({_UPDATES_SQL}),
 ins AS (

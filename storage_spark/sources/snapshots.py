@@ -49,11 +49,21 @@ class SnapshotTable:
     _DUP = "__part_dup"
 
     def __init__(
-        self, spark: SparkSession, path: str, partition_col: str = "bucket_id"
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_col: str = "bucket_id",
+        write_fanout: int = 1,
     ):
         self.spark = spark
         self.path = path
         self.partition_col = partition_col
+        # How many writer tasks (→ files) a single partition VALUE spreads
+        # over per commit. 1 reproduces the minimal layout; at scale a hot
+        # partition funneled through ONE task is the write-side skew
+        # bottleneck, so real deployments set this to ceil(partition_bytes /
+        # target_file_size) and let `compact()` re-pack later.
+        self.write_fanout = write_fanout
 
     # ---------------------------------------------------------- manifests
 
@@ -96,16 +106,39 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- writes
 
-    def _write_data_files(self, df: DataFrame) -> dict[str, list[str]]:
+    def _write_data_files(
+        self, df: DataFrame, fanout: int | None = None
+    ) -> dict[str, list[str]]:
         """Write df's rows as immutable files under a fresh commit dir,
         one subdirectory per partition value (ONE Spark job via
         partitionBy; the partition column is duplicated into the data so
-        a manifest-driven file read keeps every column)."""
+        a manifest-driven file read keeps every column).
+
+        ``fanout`` > 1 spreads each partition value over up to that many
+        writer tasks via a deterministic row-hash salt — the parallel
+        write path for hot partitions (files per partition is best-effort
+        ≤ fanout: distinct salts can hash into one shuffle task)."""
+        fanout = self.write_fanout if fanout is None else fanout
         commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex[:12])
+        staged = df.withColumn(self._DUP, F.col(self.partition_col))
+        if fanout > 1:
+            salt = F.pmod(
+                F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+                F.lit(fanout),
+            )
+            # explicit numPartitions: AQE must not coalesce the salted
+            # shuffle back into one task (it would on a small batch,
+            # silently undoing the fanout)
+            n = max(
+                fanout * 16, self.spark.sparkContext.defaultParallelism
+            )
+            staged = staged.withColumn("__salt", salt).repartition(
+                n, F.col(self.partition_col), F.col("__salt")
+            ).drop("__salt")
+        else:
+            staged = staged.repartition(self.partition_col)
         (
-            df.withColumn(self._DUP, F.col(self.partition_col))
-            .repartition(self.partition_col)
-            .write.mode("error")
+            staged.write.mode("error")
             .partitionBy(self.partition_col)
             .parquet(commit_dir)
         )
@@ -279,6 +312,48 @@ class SnapshotTable:
         raise last  # type: ignore[misc]
 
     # ------------------------------------------------------- maintenance
+
+    def compact(
+        self, max_files_per_partition: int = 1, target_fanout: int = 1
+    ) -> int | None:
+        """Bin-pack small files: rewrite every partition holding MORE than
+        ``max_files_per_partition`` files into ``target_fanout`` files,
+        and commit the result as a new snapshot. Untouched partitions'
+        files are carried forward BY REFERENCE (zero IO), data is
+        byte-for-byte equivalent (it's an identity rewrite), and the
+        commit contends through the same atomic pointer as merges — a
+        concurrent writer turns this into ``CommitConflictError``, which
+        ``with_retry`` replays against the new snapshot.
+
+        Returns the new version, or None when nothing is crowded (no
+        empty commit). This is the OPTIMIZE half of a table format's
+        maintenance loop (expire_snapshots + vacuum is the other); at
+        100 TB you run it partition-incremental exactly like this —
+        only crowded partitions pay the rewrite."""
+        m = self._manifest()
+        crowded = [
+            p
+            for p, fs in m["files"].items()
+            if len(fs) > max_files_per_partition
+        ]
+        if not crowded:
+            return None
+        scoped = self.read(partitions=crowded)
+        new_files = self._write_data_files(scoped, fanout=target_fanout)
+        files = {
+            p: fs for p, fs in m["files"].items() if p not in set(crowded)
+        }
+        files.update(new_files)
+        return self._commit_manifest(
+            {
+                "version": m["version"] + 1,
+                "parent": m["version"],
+                "columns": m["columns"],
+                "schema_json": m["schema_json"],
+                "files": files,
+                "compacted_partitions": sorted(crowded),
+            }
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop manifests older than the newest ``keep_last`` (bounds the

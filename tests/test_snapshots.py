@@ -296,3 +296,134 @@ def test_manifest_is_valid_json_with_expected_shape(table):
     for part, fs in m["files"].items():
         for f in fs:
             assert os.path.exists(f)
+
+
+# --------------------------------------------------------------------------
+# write fanout + compaction
+# --------------------------------------------------------------------------
+
+
+def _files_per_partition(t, version=None):
+    return {p: len(fs) for p, fs in t._manifest(version)["files"].items()}
+
+
+def test_write_fanout_spreads_partitions_over_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "fan"), write_fanout=4)
+    rows = [("b1", f"k{i}", f"v{i}", i) for i in range(200)] + [
+        ("b2", f"k{i}", f"v{i}", i) for i in range(200)
+    ]
+    t.create(
+        spark.createDataFrame(
+            rows, "bucket_id string, name string, payload string, size long"
+        )
+    )
+    counts = _files_per_partition(t)
+    assert set(counts) == {"b1", "b2"}
+    assert all(1 <= n <= 4 for n in counts.values())
+    assert sum(counts.values()) > 2  # fanout actually produced extra files
+    # content unharmed
+    assert t.read().count() == 400
+
+
+def test_compact_repacks_crowded_partitions_only(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cp"), write_fanout=4)
+    rows = [("b1", f"k{i}", f"v{i}", i) for i in range(200)] + [
+        ("b2", f"k{i}", f"v{i}", i) for i in range(200)
+    ]
+    t.create(
+        spark.createDataFrame(
+            rows, "bucket_id string, name string, payload string, size long"
+        )
+    )
+    before = t._manifest()
+    crowded = {p for p, fs in before["files"].items() if len(fs) > 1}
+    calm = {p for p, fs in before["files"].items() if len(fs) <= 1}
+    assert crowded, "fixture must produce at least one crowded partition"
+    data_before = {
+        (r.bucket_id, r.name): (r.payload, r.size) for r in t.read().collect()
+    }
+    hashes_before = _all_data_file_hashes(t.path)
+
+    v = t.compact(max_files_per_partition=1)
+    assert v == 2
+    after = t._manifest()
+    assert after.get("compacted_partitions") == sorted(crowded)
+    # crowded partitions now hold exactly one file; calm ones carried by ref
+    for p in crowded:
+        assert len(after["files"][p]) == 1
+    for p in calm:
+        assert after["files"][p] == before["files"][p]
+        for f in before["files"][p]:
+            with open(f, "rb") as fh:
+                assert hashes_before[f] == hashlib.md5(fh.read()).hexdigest()
+    # identity rewrite: same rows before and after
+    data_after = {
+        (r.bucket_id, r.name): (r.payload, r.size) for r in t.read().collect()
+    }
+    assert data_after == data_before
+    # time travel still reaches the pre-compaction layout
+    assert t.read(version=1).count() == 400
+
+
+def test_compact_noop_returns_none(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "np"))
+    t.create(
+        spark.createDataFrame(
+            [("b1", "k", "v", 1)],
+            "bucket_id string, name string, payload string, size long",
+        )
+    )
+    assert t.compact(max_files_per_partition=1) is None
+    assert t.versions() == [1]  # no empty commit
+
+
+def test_compact_then_expire_vacuum_reclaims_small_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "vc"), write_fanout=4)
+    rows = [("b1", f"k{i}", f"v{i}", i) for i in range(300)]
+    t.create(
+        spark.createDataFrame(
+            rows, "bucket_id string, name string, payload string, size long"
+        )
+    )
+    n_before = len(_all_data_file_hashes(t.path))
+    assert t.compact(max_files_per_partition=1) == 2
+    t.expire_snapshots(keep_last=1)
+    removed = t.vacuum()
+    assert removed  # the pre-compaction small files are gone
+    assert len(_all_data_file_hashes(t.path)) < n_before
+    assert t.read().count() == 300
+
+
+def test_compact_conflicts_with_concurrent_commit(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cf"), write_fanout=4)
+    rows = [("b1", f"k{i}", f"v{i}", i) for i in range(100)]
+    t.create(
+        spark.createDataFrame(
+            rows, "bucket_id string, name string, payload string, size long"
+        )
+    )
+    # another writer lands version 2 first
+    t.merge_upsert(
+        spark.createDataFrame(
+            [("b1", "k0", "NEW", 999)],
+            "bucket_id string, name string, payload string, size long",
+        ),
+        ["bucket_id", "name"],
+    )
+    # a compactor that resolved the old manifest must lose the race
+    m = t._manifest(1)
+    scoped = t.read(version=1)
+    new_files = t._write_data_files(scoped, fanout=1)
+    files = dict(new_files)
+    with pytest.raises(CommitConflictError):
+        t._commit_manifest(
+            {
+                "version": 2,
+                "parent": 1,
+                "columns": m["columns"],
+                "schema_json": m["schema_json"],
+                "files": files,
+            }
+        )
+    # with_retry path: fresh compact sees version 2 and lands 3
+    assert t.with_retry(lambda: t.compact(max_files_per_partition=1)) == 3
