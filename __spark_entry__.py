@@ -1150,6 +1150,36 @@ def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read(partitions=["Brand#13"]).select("name", "size", "version")
 
 
+def q_usage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained bucket_usage materialization: v1 usage +
+    CDC deltas from (upsert v2, delete v3) must equal a recompute of the
+    final state — the oracle recomputes it relationally. At 100 TB the
+    refresh cost is the change batch, not the base table."""
+    import tempfile
+
+    from storage_spark.operators.aggregates import (
+        apply_usage_delta,
+        bucket_usage,
+        usage_delta_from_changes,
+    )
+    from storage_spark.sources.snapshots import SnapshotTable
+
+    t = _t(spark, sf_dir)
+    tbl = SnapshotTable(spark, tempfile.mkdtemp(prefix="snapusage-"))
+    tbl.create(t["objects"])
+    base = bucket_usage(tbl.read(version=1)).localCheckpoint(eager=True)
+    tbl.merge_upsert(spark.sql(_UPDATES_SQL), ["bucket_id", "name"])
+    probe = t["objects"].filter(
+        (F.col("bucket_id") == "Brand#13")
+        & (F.col("id").cast("bigint") % 7 == 0)
+    ).select("bucket_id", "name")
+    tbl.merge_delete(probe, ["bucket_id", "name"])
+    delta = usage_delta_from_changes(
+        tbl.table_changes(1, 3, ["bucket_id", "name"])
+    )
+    return apply_usage_delta(base, delta).orderBy("bucket_id")
+
+
 def q_delete_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.operators.mutations import merge_delete
 
@@ -1821,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
         "snapshot_compact": q_snapshot_compact,
+        "usage_incremental": q_usage_incremental,
         "pack_sequences": q_pack_sequences,
         "packing_efficiency": q_packing_efficiency,
         "chunk_documents": q_chunk_documents,
@@ -2750,6 +2781,29 @@ def oracle_sql() -> dict[str, str]:
     out["snapshot_merge"] = out["merge_upsert"]
     out["snapshot_compact"] = _o("""
 SELECT name, size, version FROM objects WHERE bucket_id = 'Brand#13'
+""")
+    out["usage_incremental"] = _o(f"""
+, updates AS ({_UPDATES_SQL}),
+merged AS (
+  SELECT o.* FROM objects o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM updates u
+    WHERE u.bucket_id = o.bucket_id AND u.name = o.name
+  )
+  UNION ALL
+  SELECT * FROM updates
+),
+final AS (
+  SELECT m.* FROM merged m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM objects p
+    WHERE p.bucket_id = 'Brand#13' AND CAST(p.id AS BIGINT) % 7 = 0
+      AND p.bucket_id = m.bucket_id AND p.name = m.name
+  )
+)
+SELECT bucket_id, CAST(sum(size) AS BIGINT) AS total_size,
+       count(*) AS n_objects
+FROM final GROUP BY bucket_id ORDER BY bucket_id
 """)
     out["snapshot_changes"] = _o(f"""
 , upd AS ({_UPDATES_SQL}),

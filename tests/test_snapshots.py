@@ -427,3 +427,56 @@ def test_compact_conflicts_with_concurrent_commit(spark, tmp_path):
         )
     # with_retry path: fresh compact sees version 2 and lands 3
     assert t.with_retry(lambda: t.compact(max_files_per_partition=1)) == 3
+
+
+# --------------------------------------------------------------------------
+# incremental usage maintenance from CDC
+# --------------------------------------------------------------------------
+
+
+def test_incremental_usage_equals_recompute(spark, table):
+    from storage_spark.operators.aggregates import (
+        apply_usage_delta,
+        bucket_usage,
+        usage_delta_from_changes,
+    )
+
+    base = bucket_usage(table.read(version=1)).localCheckpoint(eager=True)
+    # v2: update one row's size and insert one new row
+    table.merge_upsert(
+        spark.createDataFrame(
+            [("b1", "k0", "upd", 5000), ("b1", "knew", "new", 7)],
+            "bucket_id string, name string, payload string, size long",
+        ),
+        ["bucket_id", "name"],
+    )
+    # v3: delete ALL of b2 (its usage row must disappear) and one b3 row
+    probe = spark.createDataFrame(
+        [("b2", f"k{i}") for i in range(4)] + [("b3", "k1")],
+        "bucket_id string, name string",
+    )
+    table.merge_delete(probe, ["bucket_id", "name"])
+
+    delta = usage_delta_from_changes(
+        table.table_changes(1, 3, ["bucket_id", "name"])
+    )
+    incremental = {
+        r["bucket_id"]: (r["total_size"], r["n_objects"])
+        for r in apply_usage_delta(base, delta).collect()
+    }
+    recomputed = {
+        r["bucket_id"]: (r["total_size"], r["n_objects"])
+        for r in bucket_usage(table.read()).collect()
+    }
+    assert incremental == recomputed
+    assert "b2" not in incremental  # emptied bucket dropped, like recompute
+
+
+def test_usage_delta_rejects_unknown_change_type(spark):
+    from storage_spark.operators.aggregates import usage_delta_from_changes
+
+    bad = spark.createDataFrame(
+        [("b1", 10, "upsert")], "bucket_id string, size long, _change_type string"
+    )
+    with pytest.raises(ValueError):
+        usage_delta_from_changes(bad)
