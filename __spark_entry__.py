@@ -657,6 +657,134 @@ FROM (
 """)
 
 
+def _pq_scored_cte(
+    m: int, k: int, max_vec_id: int, max_q_vec_id: int
+) -> str:
+    """Shared PQ replay CTEs (base, queries, encoding, ADC scores): the
+    deterministic dyadic codebooks are inlined as exact literals, encoding
+    is the same first-minimum argmin, and the ADC score left-folds
+    subspace terms in s order — bit-for-bit the Spark plan's
+    arithmetic."""
+    from storage_spark.functions.vectors import pq_codebooks
+
+    dim = 64
+    ds = dim // m
+    books = pq_codebooks(dim, m, k)
+
+    def lit_book(s: int) -> str:
+        return (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(v) for v in row) + "]"
+                for row in books[s]
+            )
+            + "]"
+        )
+
+    def sq(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            " t -> (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))"
+            " * (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))))"
+        )
+
+    d_defs = ",\n    ".join(
+        f"list_transform(range(1, {k + 1}), j -> "
+        + sq(f"embedding[{s * ds + 1}:{(s + 1) * ds}]", f"({lit_book(s)})[j]")
+        + f") AS d{s}"
+        for s in range(m)
+    )
+    code_list = ", ".join(
+        f"CAST(list_indexof(d{s}, list_min(d{s})) - 1 AS INT)" for s in range(m)
+    )
+    terms = ", ".join(
+        sq(
+            f"q.q_emb[{s * ds + 1}:{(s + 1) * ds}]",
+            f"({lit_book(s)})[c.codes[{s + 1}] + 1]",
+        )
+        for s in range(m)
+    )
+    return f"""
+, base AS (
+  SELECT CAST(vec_id AS STRING) AS key, embedding
+  FROM embeddings WHERE vec_id < {max_vec_id}
+),
+q AS (
+  SELECT CAST(vec_id AS STRING) AS q_key, embedding AS q_emb
+  FROM embeddings WHERE vec_id < {max_q_vec_id}
+),
+dists AS (
+  SELECT key,
+    {d_defs}
+  FROM base
+),
+codes AS (
+  SELECT key, [{code_list}] AS codes FROM dists
+),
+scored AS (
+  SELECT q.q_key, c.key, list_sum([{terms}]) AS score
+  FROM codes c CROSS JOIN q
+  WHERE q.q_key <> c.key
+)
+"""
+
+
+def _oracle_pq_topk(
+    m: int, k: int, k_top: int, max_vec_id: int, max_q_vec_id: int
+) -> str:
+    return _o(
+        _pq_scored_cte(m, k, max_vec_id, max_q_vec_id)
+        + f"""
+SELECT q_key, key, CAST(round(score * 10000) AS BIGINT) AS score_1e4, rank
+FROM (
+  SELECT q_key, key, score,
+    CAST(ROW_NUMBER() OVER (PARTITION BY q_key
+      ORDER BY score ASC, key ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k_top}
+"""
+    )
+
+
+def _oracle_pq_rerank(
+    m: int, k: int, k_top: int, refine_factor: int,
+    max_vec_id: int, max_q_vec_id: int,
+) -> str:
+    """Candidate selection by ADC rank (k_top*refine_factor wide), then
+    exact L2 re-rank of only those candidates — the two-stage replay."""
+    exact = (
+        "sqrt(list_sum(list_transform(list_zip(b.embedding, q.q_emb),"
+        " t -> (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))"
+        " * (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE)))))"
+    )
+    return _o(
+        _pq_scored_cte(m, k, max_vec_id, max_q_vec_id)
+        + f""",
+cands AS (
+  SELECT q_key, key FROM (
+    SELECT q_key, key,
+      ROW_NUMBER() OVER (PARTITION BY q_key
+        ORDER BY score ASC, key ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {k_top * refine_factor}
+),
+reranked AS (
+  SELECT c.q_key, c.key, {exact} AS distance
+  FROM cands c
+  JOIN base b ON b.key = c.key
+  JOIN q ON q.q_key = c.q_key
+)
+SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank
+FROM (
+  SELECT q_key, key, distance,
+    CAST(ROW_NUMBER() OVER (PARTITION BY q_key
+      ORDER BY distance ASC, key ASC) AS INT) AS rank
+  FROM reranked
+) WHERE rank <= {k_top}
+"""
+    )
+
+
 def _oracle_embedding_neardup() -> str:
     """SQL mirror of dedup.embedding_near_dup_pairs' banded hyperplane LSH:
     the ±1 planes are deterministic (vectors.hyperplanes), so DuckDB can
@@ -896,6 +1024,62 @@ def q_vector_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "q_key", "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_vector_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): the corpus is
+    stored as 8 one-byte codes per vector (32x compression at dim 64) and
+    ranked by asymmetric distance — the query stays full-precision, the
+    corpus never decompresses. Deterministic dyadic codebooks let the
+    oracle replay encoding and ADC bit-for-bit in SQL."""
+    from storage_spark.functions.vectors import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    v = _vectors(spark, sf_dir)
+    corpus = v.filter(F.col("key").cast("bigint") < 300)
+    queries = v.filter(F.col("key").cast("bigint") < 4).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    books = pq_codebooks(dim=64, m=8, k=16)
+    codes = pq_encode(corpus, books)
+    out = pq_adc_topk(queries, codes, books, k_top=5)
+    return out.select(
+        "q_key",
+        "key",
+        F.round(F.col("score") * 10000).cast("bigint").alias("score_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_vector_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ shape (FAISS IVFPQ+refine): ADC over compressed
+    codes selects a 10x-wide candidate set, exact L2 re-ranks only those
+    rows. Oracle replays candidate selection AND the rerank in SQL."""
+    from storage_spark.functions.vectors import (
+        pq_codebooks,
+        pq_encode,
+        pq_search_rerank,
+    )
+
+    v = _vectors(spark, sf_dir)
+    corpus = v.filter(F.col("key").cast("bigint") < 300)
+    queries = v.filter(F.col("key").cast("bigint") < 4).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    books = pq_codebooks(dim=64, m=8, k=16)
+    codes = pq_encode(corpus, books)
+    out = pq_search_rerank(
+        queries, codes, corpus, books, k=5, refine_factor=10, metric="l2"
+    )
+    return out.select(
+        "q_key",
+        "key",
         F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
         F.col("rank").cast("int").alias("rank"),
     )
@@ -1858,6 +2042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "salted_distinct": q_salted_distinct,
         "vector_multiprobe_ann": q_vector_multiprobe_ann,
+        "vector_pq_topk": q_vector_pq_topk,
+        "vector_pq_rerank": q_vector_pq_rerank,
         "simhash_wide": q_simhash_wide,
         "multipart_part_copy": q_multipart_part_copy,
         "copy_objects_bulk": q_copy_objects_bulk,
@@ -2749,6 +2935,13 @@ WHERE CAST(vec_id AS STRING) IN ('3', '7', '11', '250', '9999999')
         "vector_lsh_ann": _oracle_lsh_ann(n_planes=6, k=3, max_q_vec_id=20),
         "vector_multiprobe_ann": _oracle_lsh_multiprobe(
             n_planes=6, k=3, max_q_vec_id=20, radius=1
+        ),
+        "vector_pq_topk": _oracle_pq_topk(
+            m=8, k=16, k_top=5, max_vec_id=300, max_q_vec_id=4
+        ),
+        "vector_pq_rerank": _oracle_pq_rerank(
+            m=8, k=16, k_top=5, refine_factor=10,
+            max_vec_id=300, max_q_vec_id=4,
         ),
         "vector_ivf_ann": _oracle_ivf_ann(
             n_cells=8, k=3, n_probe=3, max_q_vec_id=20

@@ -536,3 +536,243 @@ def lsh_ann_join(
         .filter(F.col("rank") <= k)
         .select(query_key, corpus_key, "distance", "rank")
     )
+
+
+# ----------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale path for ANN
+# ----------------------------------------------------------------------
+# At 100 TB the corpus embeddings themselves stop fitting anywhere useful
+# (10^9 × 64 float32 = 256 GB; real deployments are 10^10 × 768+). PQ
+# stores each vector as m small codes (m bytes at k<=256) — a 32x-256x
+# compression — and answers top-k via asymmetric distance computation
+# (ADC): per query, a tiny m×k lookup table of exact subspace distances,
+# summed per corpus code word. Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 (public).
+
+
+def pq_codebooks(
+    dim: int, m: int, k: int = 16, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic data-independent codebooks: ``m`` subspaces × ``k``
+    centroids × ``dim//m`` coordinates, every value an exact dyadic
+    rational in [-1, 1) derived from one md5 per (seed, subspace,
+    centroid, coordinate) — independent across all axes (the correlated-
+    generator lesson from the hyperplane defect, NOTES_r4), reproducible
+    in any engine, and float-exact as a SQL literal so the DuckDB oracle
+    replays encoding bit-for-bit. ``pq_codebooks_kmeans`` refines these
+    on data for recall; the mechanics are identical."""
+    import hashlib
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    out = []
+    for s in range(m):
+        book = []
+        for j in range(k):
+            row = []
+            for i in range(ds):
+                h = hashlib.md5(f"pq:{seed}:{s}:{j}:{i}".encode()).digest()
+                row.append(h[0] / 128.0 - 1.0)  # dyadic: exact in f32/f64
+            book.append(row)
+        out.append(book)
+    return out
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Left-folded squared-L2 between two arrays (no sqrt — PQ ranks on
+    squared distance; monotone, and skipping sqrt keeps the fold exact)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lit_vec(row: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in row])
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    key_col: str = "key",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every vector to its per-subspace nearest-centroid codes:
+    ``(key, codes array<int>)``. Ties break to the lowest code
+    (array_position finds the FIRST minimum). Pure Column expressions —
+    encoding is a map-only scan (the plan-sweep no-Python guarantee
+    holds), and the output is the m-byte-per-vector table you keep."""
+    return corpus.select(
+        F.col(key_col).alias("key"),
+        _pq_code_exprs(F.col(vector_col), codebooks).alias("codes"),
+    )
+
+
+def _pq_code_exprs(
+    vec: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """The codes-array expression shared by pq_encode and the k-means
+    refiner (which must compute codes INLINE on the training scan — a
+    separate encode joined back by a generated id would not line up)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    ds = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sub = F.slice(vec, s * ds + 1, ds)
+        dists = F.array(*[_l2sq(sub, _lit_vec(codebooks[s][j])) for j in range(k)])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k_top: int,
+    query_key: str = "q_key",
+    query_vec: str = "q_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query keeps full precision, the
+    corpus is its codes. Per (query, code word) the score is the
+    s-ordered left-folded sum of exact subspace distances — equivalent to
+    looking up the classic m×k ADC table, expressed as Column math so the
+    whole ranking is a broadcast join + one per-query window, no Python
+    and NO decompression of the corpus. Returns
+    ``(q_key, key, score, rank)``; score is squared-L2 in quantized
+    space."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    qv = F.col(query_vec)
+    terms = []
+    for s in range(m):
+        book = F.array(*[_lit_vec(row) for row in codebooks[s]])
+        centroid = F.element_at(book, F.element_at(F.col("codes"), s + 1) + 1)
+        terms.append(_l2sq(F.slice(qv, s * ds + 1, ds), centroid))
+    score = F.aggregate(
+        F.array(*terms), F.lit(0.0), lambda acc, v: acc + v
+    )
+    joined = codes.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        joined = joined.filter(F.col(query_key) != F.col("key"))
+    joined = joined.withColumn("score", score)
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("score").asc(), F.col("key").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(query_key, "key", "score", "rank")
+    )
+
+
+def pq_codebooks_kmeans(
+    corpus: DataFrame,
+    m: int,
+    k: int = 16,
+    iterations: int = 2,
+    seed: int = 42,
+    vector_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Lloyd-refine the deterministic codebooks on data — the recall
+    lever (random codebooks waste centroids where the data isn't). One
+    distributed job per round refines ALL subspaces at once: encode with
+    the current books, explode to (s, code, pos, val), partial-aggregated
+    means, collect the m×k refined centroids (bounded driver transfer —
+    the same m×k rows any PQ implementation must hold). Empty code cells
+    keep their previous centroid."""
+    first = corpus.select(F.col(vector_col).alias("e")).first()
+    dim = len(first["e"])
+    ds = dim // m
+    books = pq_codebooks(dim, m, k, seed)
+    for _ in range(iterations):
+        src = corpus.select(
+            F.col(vector_col).alias("e"),
+            _pq_code_exprs(F.col(vector_col), books).alias("codes"),
+        )
+        exploded = src.select(
+            F.posexplode(F.col("e")).alias("pos", "val"),
+            F.col("codes"),
+        ).select(
+            (F.col("pos") / ds).cast("int").alias("s"),
+            F.pmod(F.col("pos"), F.lit(ds)).alias("sub_pos"),
+            F.element_at(F.col("codes"), (F.col("pos") / ds).cast("int") + 1).alias("code"),
+            "val",
+        )
+        means = (
+            exploded.groupBy("s", "code", "sub_pos")
+            .agg(F.avg("val").alias("mv"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub_pos", "mv"))),
+                    lambda t: t["mv"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        refined = [[list(row) for row in book] for book in books]
+        for r in means:
+            refined[r["s"]][r["code"]] = [float(v) for v in r["centroid"]]
+        books = refined
+    return books
+
+
+def pq_search_rerank(
+    queries: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    refine_factor: int = 10,
+    metric: str = "l2",
+    query_key: str = "q_key",
+    query_vec: str = "q_vec",
+    corpus_key: str = "key",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search, the production shape (FAISS's IVFPQ+refine):
+    ADC over the compressed codes selects ``refine_factor * k``
+    candidates per query, then ONLY those rows fetch their full-precision
+    vectors (semi-join on the candidate ids) for exact re-ranking. On a
+    distance-concentrated corpus raw ADC ordering is noisy — the wide
+    candidate set + exact rerank recovers the recall (measured: 0.03 raw
+    → ~1.0 at refine 20x, NOTES_r4) while still scanning only codes.
+
+    At 100 TB: stage 1 touches m bytes/vector (the only full-corpus
+    pass), stage 2 touches refine_factor*k full vectors PER QUERY — the
+    IO the compression bought stays bought."""
+    cands = pq_adc_topk(
+        queries, codes, codebooks, k * refine_factor,
+        query_key=query_key, query_vec=query_vec,
+    ).select(query_key, corpus_key)
+    enriched = cands.join(
+        corpus.select(
+            F.col(corpus_key), F.col(corpus_vec).alias("_cv")
+        ),
+        corpus_key,
+    ).join(
+        F.broadcast(
+            queries.select(F.col(query_key), F.col(query_vec).alias("_qv"))
+        ),
+        query_key,
+    )
+    dist = _metric_distance(metric, F.col("_cv"), F.col("_qv"))
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("distance").asc(), F.col(corpus_key).asc()
+    )
+    return (
+        enriched.withColumn("distance", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, corpus_key, "distance", "rank")
+    )

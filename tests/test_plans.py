@@ -84,6 +84,11 @@ _BNLJ_ALLOWED = {
     "vector_ivf_ann",
     "vector_filtered_ivf",
     "key_validation",
+    # PQ ADC intentionally scans every CODE word per query (that scan of
+    # m-byte codes is the whole point — the corpus vectors themselves are
+    # never touched until the rerank's candidate semi-join)
+    "vector_pq_topk",
+    "vector_pq_rerank",
 }
 
 

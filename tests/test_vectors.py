@@ -154,3 +154,99 @@ def test_segments_disjoint_and_covering(spark, sf_dir):
     for i in range(4):
         seen += list_vectors(v, segment_count=4, segment_index=i).count()
     assert seen == total
+
+
+# --------------------------------------------------------------------------
+# product quantization
+# --------------------------------------------------------------------------
+
+
+def test_pq_zero_error_when_codebook_contains_subvectors(spark):
+    """When every subvector IS a codebook centroid, quantization error is
+    zero and ADC equals the exact squared L2 distance."""
+    from storage_spark.functions.vectors import pq_adc_topk, pq_encode
+
+    # dim 4, m 2, ds 2; codebook entries cover all used subvectors
+    books = [
+        [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+        [[0.0, 0.0], [0.5, 0.5], [1.0, 1.0]],
+    ]
+    corpus = spark.createDataFrame(
+        [
+            ("a", [0.0, 0.0, 0.5, 0.5]),
+            ("b", [1.0, 0.0, 1.0, 1.0]),
+            ("c", [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "key string, embedding array<float>",
+    )
+    codes = pq_encode(corpus, books)
+    got = {r["key"]: list(r["codes"]) for r in codes.collect()}
+    assert got == {"a": [0, 1], "b": [1, 2], "c": [2, 0]}
+
+    queries = spark.createDataFrame(
+        [("q", [0.0, 0.0, 0.5, 0.5])], "q_key string, q_vec array<float>"
+    )
+    out = {
+        r["key"]: r["score"]
+        for r in pq_adc_topk(queries, codes, books, 3, exclude_self=False).collect()
+    }
+    # exact squared L2 from q to each corpus vector
+    assert abs(out["a"] - 0.0) < 1e-12
+    assert abs(out["b"] - (1.0 + 0.25 + 0.25)) < 1e-12
+    assert abs(out["c"] - (1.0 + 0.25 + 0.25)) < 1e-12
+
+
+def test_pq_codes_bounded_and_deterministic(spark, sf_dir):
+    from storage_spark.functions.vectors import pq_codebooks, pq_encode
+
+    v = _vectors(spark, sf_dir).limit(100)
+    books = pq_codebooks(64, 8, 16)
+    codes = pq_encode(v, books)
+    rows = codes.select(
+        F.size("codes").alias("m"),
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+    ).collect()
+    assert all(r["m"] == 8 and 0 <= r["lo"] and r["hi"] <= 15 for r in rows)
+    # same input, same codes (no RNG state)
+    again = {r["key"]: list(r["codes"]) for r in pq_encode(v, books).collect()}
+    first = {r["key"]: list(r["codes"]) for r in codes.collect()}
+    assert again == first
+
+
+def test_pq_kmeans_refinement_reduces_quantization_error(spark, sf_dir):
+    from storage_spark.functions.vectors import (
+        _lit_vec,
+        _pq_code_exprs,
+        pq_codebooks,
+        pq_codebooks_kmeans,
+    )
+
+    v = _vectors(spark, sf_dir).limit(400).cache()
+
+    def mean_sq_error(books):
+        m, ds = len(books), len(books[0][0])
+        vec = F.col("embedding")
+        codes = _pq_code_exprs(vec, books)
+        terms = []
+        for s in range(m):
+            book = F.array(*[_lit_vec(row) for row in books[s]])
+            cent = F.element_at(book, F.element_at(codes, s + 1) + 1)
+            sub = F.slice(vec, s * ds + 1, ds)
+            terms.append(
+                F.aggregate(
+                    F.zip_with(
+                        sub, cent,
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            )
+        err = sum(terms[1:], terms[0])
+        return v.select(F.avg(err).alias("e")).collect()[0]["e"]
+
+    random_books = pq_codebooks(64, 8, 16)
+    refined = pq_codebooks_kmeans(v, m=8, k=16, iterations=2)
+    e0, e1 = mean_sq_error(random_books), mean_sq_error(refined)
+    assert e1 < e0 * 0.7, (e0, e1)  # Lloyd rounds must pay for themselves

@@ -103,6 +103,58 @@ for n_probe in [4, 6, 8, 10, 12]:
         ),
     )
 
+# --- PQ (ADC ranks by squared L2, so its truth set is the exact L2 top-k)
+from storage_spark.functions.vectors import (  # noqa: E402
+    pq_adc_topk,
+    pq_codebooks,
+    pq_codebooks_kmeans,
+    pq_encode,
+)
+
+exact_l2 = knn_join(queries, corpus, k=K, metric="l2", exclude_self=True)
+truth_l2 = {}
+for r in exact_l2.collect():
+    truth_l2.setdefault(r["q_key"], set()).add(r["key"])
+
+
+def recall_l2(df) -> float:
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["q_key"], set()).add(r["key"])
+    scores = [
+        len(got.get(q, set()) & t) / len(t) for q, t in truth_l2.items()
+    ]
+    return sum(scores) / len(scores)
+
+
+from storage_spark.functions.vectors import pq_search_rerank  # noqa: E402
+
+for m, kc, iters, rf in [
+    (8, 16, 0, 0), (8, 16, 2, 0), (16, 16, 2, 0),
+    (16, 16, 2, 10), (16, 16, 2, 20),
+    (32, 16, 2, 10), (32, 16, 2, 20), (32, 16, 2, 30),
+]:
+    books = (
+        pq_codebooks(DIM, m, kc)
+        if iters == 0
+        else pq_codebooks_kmeans(corpus, m=m, k=kc, iterations=iters)
+    )
+    codes = pq_encode(corpus, books).cache()
+    codes.count()
+    t0 = time.time()
+    if rf:
+        out = pq_search_rerank(
+            queries, codes, corpus, books, k=K, refine_factor=rf
+        )
+        label = f"PQ m={m} k={kc} kmeans{iters} rerank{rf}x"
+    else:
+        out = pq_adc_topk(queries, codes, books, K)
+        label = f"PQ m={m} k={kc} kmeans{iters} raw-ADC"
+    r = recall_l2(out)
+    rows.append((label, r, time.time() - t0))
+    print(f"  {label}: recall@{K} = {r:.3f}", flush=True)
+    codes.unpersist()
+
 print(f"\ncorpus={n_corpus} dim={DIM} queries={N_QUERIES} k={K} ({sf_dir})")
 print("| path | config | recall@10 | wall s |")
 print("|---|---|---|---|")
