@@ -1311,6 +1311,31 @@ def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: per-user 0-based session index,
+    a new session opening at gaps >= 30 min (the half-open convention of
+    Spark's native session_window, equivalence-tested)."""
+    from storage_spark.operators.sessions import sessionize
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 15)
+    return sessionize(ev, gap_seconds=1800).select(
+        "event_id", "user_id", "session_idx"
+    ).orderBy("user_id", "event_id")
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup (count, bounds, duration, value) over the full
+    event stream — the batch twin of the streaming session_window plan."""
+    from storage_spark.operators.sessions import session_stats
+
+    t = _t(spark, sf_dir)
+    return session_stats(t["events"], gap_seconds=1800).select(
+        "user_id", "session_idx", "n_events", "start_ms", "end_ms",
+        "duration_ms", "value_cents",
+    ).orderBy("user_id", "session_idx")
+
+
 def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE half of the maintenance loop: create the table with write
     fanout 4 (multi-file partitions), bin-pack every crowded partition back
@@ -2036,6 +2061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changes": q_snapshot_changes,
         "snapshot_compact": q_snapshot_compact,
         "usage_incremental": q_usage_incremental,
+        "sessionize_events": q_sessionize_events,
+        "session_stats": q_session_stats,
         "pack_sequences": q_pack_sequences,
         "packing_efficiency": q_packing_efficiency,
         "chunk_documents": q_chunk_documents,
@@ -2481,6 +2508,47 @@ WHERE EXISTS (
   WHERE CAST(p.id AS BIGINT) % 41 = 0
     AND p.name = o.name AND p.version = o.version
 )
+"""),
+        "sessionize_events": _o("""
+, ordered AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_ms
+  FROM events WHERE user_id < 15
+),
+flagged AS (
+  SELECT user_id, event_id, ts_ms,
+    CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms >= 1800000
+         THEN 1 ELSE 0 END AS opens
+  FROM ordered
+)
+SELECT event_id, user_id,
+  CAST(SUM(opens) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+FROM flagged ORDER BY user_id, event_id
+"""),
+        "session_stats": _o("""
+, ordered AS (
+  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_ms
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, ts_ms, value,
+    SUM(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms >= 1800000
+        THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM ordered
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  count(*) AS n_events,
+  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+  max(ts_ms) - min(ts_ms) AS duration_ms,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
 """),
         "events_hourly": _o("""
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,

@@ -1,0 +1,123 @@
+"""Sessionization — event-stream session assignment and per-session
+rollups (extension surface; the reference's queue layer is task-parallel
+and has no event-time windows, SURVEY §2.10 T11).
+
+Two equivalent formulations, cross-validated in tests:
+
+- ``sessionize`` / ``session_stats``: the relational gaps-and-islands
+  plan — per key, a new session opens when the gap to the previous event
+  is >= ``gap_seconds`` (lag + running sum). One shuffle on the session
+  key with a per-key sort; works identically on any engine, which is
+  what the DuckDB oracle replays.
+- ``session_window_stats``: Spark's native ``F.session_window``
+  aggregation — the same semantics as a streaming-capable operator
+  (works unchanged under ``readStream`` + watermark, where the state
+  store merges windows incrementally instead of sorting partitions).
+
+Boundary convention (both paths): an event exactly ``gap_seconds`` after
+its predecessor starts a NEW session — matching ``session_window``'s
+half-open [ts, ts+gap) extension.
+
+At 100 TB: gaps-and-islands costs one hash shuffle on the key plus a
+per-partition sort (Spark spills sorts; no driver state); the native
+session_window path is the streaming answer where the corpus never
+lands at rest. Skewed keys (one bot user = 10^9 events) are the hazard:
+cap per-key event counts upstream or bucket the key with a time prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """Assign ``session_idx`` (0-based per key, in time order) to every
+    event row. Ties on the timestamp share a session regardless of
+    tiebreak order (their gap is 0); the tiebreak only pins a total
+    order for determinism of row-level lag."""
+    ts_ms = F.unix_millis(F.col(ts_col))
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_ms = F.lag(ts_ms).over(w)
+    opens = F.when(
+        prev_ms.isNull() | (ts_ms - prev_ms >= gap_seconds * 1000), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_idx",
+        (F.sum(opens).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - 1).cast("bigint"),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Per-session rollup: event count, start/end (ms), duration. The
+    aggregate after sessionize is map-side partial on (key, session)."""
+    s = sessionize(events, key_col, ts_col, gap_seconds)
+    ts_ms = F.unix_millis(F.col(ts_col))
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_ms).alias("start_ms"),
+        F.max(ts_ms).alias("end_ms"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 100).cast("bigint")).alias(
+                "value_cents"
+            )
+        )
+    out = s.groupBy(key_col, "session_idx").agg(*aggs)
+    return out.withColumn(
+        "duration_ms", F.col("end_ms") - F.col("start_ms")
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """The same rollup via Spark's native session_window aggregation —
+    streaming-capable (attach a watermark and this exact plan runs under
+    writeStream with incremental window merge). Batch output is proven
+    equal to session_stats in tests; ``start_ms`` matches, the native
+    window end is last_event + gap so ``end_ms`` is normalized back to
+    the last event timestamp."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.unix_millis(F.col(ts_col))).alias("end_ms"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 100).cast("bigint")).alias(
+                "value_cents"
+            )
+        )
+    out = events.groupBy(
+        F.session_window(F.col(ts_col), f"{gap_seconds} seconds"),
+        F.col(key_col),
+    ).agg(*aggs)
+    return out.select(
+        key_col,
+        F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+        "end_ms",
+        "n_events",
+        *([ "value_cents"] if value_col is not None else []),
+    ).withColumn("duration_ms", F.col("end_ms") - F.col("start_ms"))
