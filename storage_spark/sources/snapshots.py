@@ -107,7 +107,10 @@ class SnapshotTable:
     # ------------------------------------------------------------- writes
 
     def _write_data_files(
-        self, df: DataFrame, fanout: int | None = None
+        self,
+        df: DataFrame,
+        fanout: int | None = None,
+        sort_by: list[str] | None = None,
     ) -> dict[str, list[str]]:
         """Write df's rows as immutable files under a fresh commit dir,
         one subdirectory per partition value (ONE Spark job via
@@ -115,28 +118,37 @@ class SnapshotTable:
         a manifest-driven file read keeps every column).
 
         ``fanout`` > 1 spreads each partition value over up to that many
-        writer tasks via a deterministic row-hash salt — the parallel
-        write path for hot partitions (files per partition is best-effort
-        ≤ fanout: distinct salts can hash into one shuffle task)."""
+        writer tasks — via a deterministic row-hash salt, or, when
+        ``sort_by`` is given, via RANGE partitioning on the sort key so
+        sibling files hold DISJOINT key ranges (clustered layout: parquet
+        footer min/max then prunes files on sort-key predicates — the
+        Z-order-lite a single sort dimension buys). ``sort_by`` also
+        sorts rows within every file."""
         fanout = self.write_fanout if fanout is None else fanout
         commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex[:12])
         staged = df.withColumn(self._DUP, F.col(self.partition_col))
-        if fanout > 1:
+        # explicit numPartitions below: AQE must not coalesce the
+        # fanout shuffle back into one task (it would on a small batch,
+        # silently undoing the fanout)
+        n = max(fanout * 16, self.spark.sparkContext.defaultParallelism)
+        if fanout > 1 and sort_by:
+            staged = staged.repartitionByRange(
+                n, F.col(self.partition_col), *[F.col(c) for c in sort_by]
+            )
+        elif fanout > 1:
             salt = F.pmod(
                 F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
                 F.lit(fanout),
-            )
-            # explicit numPartitions: AQE must not coalesce the salted
-            # shuffle back into one task (it would on a small batch,
-            # silently undoing the fanout)
-            n = max(
-                fanout * 16, self.spark.sparkContext.defaultParallelism
             )
             staged = staged.withColumn("__salt", salt).repartition(
                 n, F.col(self.partition_col), F.col("__salt")
             ).drop("__salt")
         else:
             staged = staged.repartition(self.partition_col)
+        if sort_by:
+            staged = staged.sortWithinPartitions(
+                self.partition_col, *sort_by
+            )
         (
             staged.write.mode("error")
             .partitionBy(self.partition_col)
@@ -190,7 +202,21 @@ class SnapshotTable:
 
             schema = StructType.fromJson(json.loads(m["schema_json"]))
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(*paths)
+        # mergeSchema: after a schema-evolving commit, files written
+        # before the new column existed simply read it as NULL
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        for field in json.loads(m["schema_json"])["fields"]:
+            # a pruned read may touch only pre-evolution files; the
+            # manifest schema is authoritative
+            if field["name"] not in df.columns:
+                from pyspark.sql.types import StructField
+
+                df = df.withColumn(
+                    field["name"],
+                    F.lit(None).cast(
+                        StructField.fromJson(field).dataType
+                    ),
+                )
         # restore the partition column from its in-data duplicate and the
         # original column order
         return df.withColumn(
@@ -199,16 +225,44 @@ class SnapshotTable:
 
     # ------------------------------------------------------ merge commits
 
-    def _merge_commit(self, batch: DataFrame, merge_fn) -> int:
+    def _merge_commit(
+        self, batch: DataFrame, merge_fn, evolve_schema: bool = False
+    ) -> int:
         """Shared copy-on-write commit: prune to touched partitions,
         merge, write replacement files, carry untouched files forward by
-        reference, commit the pointer."""
+        reference, commit the pointer.
+
+        ``evolve_schema=True`` admits batches carrying columns the table
+        does not have yet (table-format ADD COLUMN semantics): touched
+        partitions rewrite with the new column populated, untouched
+        files stay as-is and read the column as NULL, and the manifest
+        schema appends the new fields. Without the flag an unknown
+        column raises — silent drift is worse than a failed commit."""
+        from pyspark.sql.types import StructType
+
         touched = [
             str(r[0])
             for r in batch.select(self.partition_col).distinct().collect()
         ]
         m = self._manifest()
         scoped = self.read(partitions=touched)
+        extra = [
+            f for f in batch.schema.fields if f.name not in scoped.columns
+        ]
+        if extra and not evolve_schema:
+            raise ValueError(
+                f"batch adds columns {[f.name for f in extra]}; pass "
+                "evolve_schema=True to evolve the table schema"
+            )
+        columns = list(m["columns"])
+        schema = StructType.fromJson(json.loads(m["schema_json"]))
+        if extra:
+            for f in extra:
+                scoped = scoped.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+                columns.append(f.name)
+            schema = StructType(list(schema.fields) + list(extra))
         merged = merge_fn(scoped).localCheckpoint(eager=True)
         new_files = (
             self._write_data_files(merged) if merged.take(1) else {}
@@ -221,18 +275,25 @@ class SnapshotTable:
             {
                 "version": m["version"] + 1,
                 "parent": m["version"],
-                "columns": m["columns"],
-                "schema_json": m["schema_json"],
+                "columns": columns,
+                "schema_json": schema.json(),
                 "files": files,
             }
         )
 
-    def merge_upsert(self, updates: DataFrame, keys: list[str]) -> int:
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        evolve_schema: bool = False,
+    ) -> int:
         from storage_spark.operators.mutations import merge_upsert
 
         self._require_key(keys)
         return self._merge_commit(
-            updates, lambda scoped: merge_upsert(scoped, updates, keys)
+            updates,
+            lambda scoped: merge_upsert(scoped, updates, keys),
+            evolve_schema=evolve_schema,
         )
 
     def merge_update_columns(
@@ -314,7 +375,10 @@ class SnapshotTable:
     # ------------------------------------------------------- maintenance
 
     def compact(
-        self, max_files_per_partition: int = 1, target_fanout: int = 1
+        self,
+        max_files_per_partition: int = 1,
+        target_fanout: int = 1,
+        sort_by: list[str] | None = None,
     ) -> int | None:
         """Bin-pack small files: rewrite every partition holding MORE than
         ``max_files_per_partition`` files into ``target_fanout`` files,
@@ -336,10 +400,15 @@ class SnapshotTable:
             for p, fs in m["files"].items()
             if len(fs) > max_files_per_partition
         ]
+        if sort_by:
+            # clustering rewrite: every partition re-sorts, crowded or not
+            crowded = list(m["files"])
         if not crowded:
             return None
         scoped = self.read(partitions=crowded)
-        new_files = self._write_data_files(scoped, fanout=target_fanout)
+        new_files = self._write_data_files(
+            scoped, fanout=target_fanout, sort_by=sort_by
+        )
         files = {
             p: fs for p, fs in m["files"].items() if p not in set(crowded)
         }

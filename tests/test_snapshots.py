@@ -480,3 +480,118 @@ def test_usage_delta_rejects_unknown_change_type(spark):
     )
     with pytest.raises(ValueError):
         usage_delta_from_changes(bad)
+
+
+# --------------------------------------------------------------------------
+# schema evolution
+# --------------------------------------------------------------------------
+
+
+def test_schema_evolution_on_merge(spark, table):
+    batch = spark.createDataFrame(
+        [("b1", "k0", "upd", 11, "hot"), ("b1", "knew", "new", 12, "cold")],
+        "bucket_id string, name string, payload string, size long, tier string",
+    )
+    # without the flag: refuse to drift
+    with pytest.raises(ValueError, match="tier"):
+        table.merge_upsert(batch, ["bucket_id", "name"])
+    v = table.merge_upsert(batch, ["bucket_id", "name"], evolve_schema=True)
+    assert v == 2
+    cur = table.read()
+    assert "tier" in cur.columns
+    got = {r.name: r.tier for r in cur.filter("bucket_id = 'b1'").collect()}
+    assert got["k0"] == "hot" and got["knew"] == "cold"
+    assert got["k1"] is None  # untouched row reads the new column as NULL
+    # untouched PARTITION (pre-evolution files only) also sees the column
+    b2 = table.read(partitions=["b2"])
+    assert "tier" in b2.columns
+    assert all(r.tier is None for r in b2.collect())
+    # time travel shows the pre-evolution schema
+    assert "tier" not in table.read(version=1).columns
+
+
+def test_schema_evolution_then_plain_merge_keeps_column(spark, table):
+    table.merge_upsert(
+        spark.createDataFrame(
+            [("b1", "k0", "upd", 11, "hot")],
+            "bucket_id string, name string, payload string, size long, tier string",
+        ),
+        ["bucket_id", "name"],
+        evolve_schema=True,
+    )
+    # a later merge WITHOUT the new column still round-trips it
+    table.merge_upsert(
+        spark.createDataFrame(
+            [("b3", "k9", "x", 1, None)],
+            "bucket_id string, name string, payload string, size long, tier string",
+        ),
+        ["bucket_id", "name"],
+    )
+    cur = table.read()
+    assert cur.filter("name = 'k0'").collect()[0].tier == "hot"
+    assert cur.filter("name = 'k9'").count() == 1
+
+
+# --------------------------------------------------------------------------
+# clustered (sorted) compaction
+# --------------------------------------------------------------------------
+
+
+def _file_name_ranges(path: str):
+    """Per partition dir: [(file, min(name), max(name))] from parquet
+    footer statistics — what engine file-skipping reads."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+        part = [p for p in f.split("/") if p.startswith("bucket_id=")]
+        if not part:
+            continue
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["name"]).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.setdefault(part[0], []).append((f, lo, hi))
+    return out
+
+
+def test_clustered_compaction_yields_disjoint_sorted_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cl"), write_fanout=4)
+    rows = [("b1", f"k{i:04d}", f"v{i}", i) for i in range(400)]
+    t.create(
+        spark.createDataFrame(
+            rows, "bucket_id string, name string, payload string, size long"
+        )
+    )
+    # hash-salted layout: file name-ranges overlap (that's the point)
+    before = _file_name_ranges(t.path)["bucket_id=b1"]
+    assert len(before) > 1
+    overlaps = sum(
+        1
+        for i, (_, lo1, hi1) in enumerate(before)
+        for (_, lo2, hi2) in before[i + 1:]
+        if lo1 <= hi2 and lo2 <= hi1
+    )
+    assert overlaps > 0
+    v = t.compact(target_fanout=4, sort_by=["name"])
+    assert v == 2
+    m = t._manifest()
+    live = {f for fs in m["files"].values() for f in fs}
+    after = [
+        r for r in _file_name_ranges(t.path).get("bucket_id=b1", [])
+        if r[0] in live
+    ]
+    # clustered: several files, pairwise DISJOINT name ranges
+    assert len(after) > 1
+    for i, (_, lo1, hi1) in enumerate(after):
+        for (_, lo2, hi2) in after[i + 1:]:
+            assert hi1 < lo2 or hi2 < lo1, (lo1, hi1, lo2, hi2)
+    # identity rewrite
+    assert t.read().count() == 400
+    assert (
+        t.read().select(F.min("name"), F.max("name")).collect()[0]
+        == ("k0000", "k0399")
+    )
