@@ -251,6 +251,33 @@ def main() -> None:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    # PQ index build (one-time indexing cost, like the materialized layout
+    # above): deterministic codebooks + encoded corpus, kept hot — the
+    # bench measures QUERY cost over the compressed codes
+    from storage_spark.functions.vectors import (
+        pq_codebooks,
+        pq_encode,
+        pq_search_rerank,
+    )
+
+    pq_books = pq_codebooks(64, 8, 16)
+    pq_codes = pq_encode(vectors, pq_books).localCheckpoint(eager=True)
+
+    def pq_rerank():
+        queries_df = (
+            vectors.orderBy("key")
+            .limit(50)
+            .select(F.col("key").alias("q_key"), F.col("embedding").alias("q_vec"))
+        )
+        return pq_search_rerank(
+            queries_df, pq_codes, vectors, pq_books, k=10, refine_factor=20
+        ).count()
+
+    def sessionization():
+        from storage_spark.operators.sessions import session_stats
+
+        return session_stats(t["events"], gap_seconds=1800).count()
+
     queries = {
         "full_listing": full_listing,
         "listing_10m": listing_10m,
@@ -265,7 +292,9 @@ def main() -> None:
         "skewed_distinct_plain": skewed_distinct_plain,
         "skewed_distinct_salted": skewed_distinct_salted,
         "ann_multiprobe": ann_multiprobe,
+        "pq_rerank": pq_rerank,
         "snapshot_commit": snapshot_commit,
+        "sessionization": sessionization,
         "vector_topk": vector_topk,
         "minhash_sweep": minhash_sweep,
         "simhash_pairs": simhash_pairs,
