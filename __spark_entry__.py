@@ -1787,6 +1787,44 @@ def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_quantile_filter(t["documents"]).orderBy("doc_id")
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style domain blocklist filter: deterministic synthetic URLs
+    (host keyed by doc_id) injected per document, blocklist joined as a
+    table, citing docs dropped by anti-join."""
+    from storage_spark.operators.pipeline import filter_blocked_domains
+
+    t = _t(spark, sf_dir)
+    aug = t["documents"].filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page and http://Mirror"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org"),
+        ).alias("text"),
+    )
+    blocklist = spark.createDataFrame(
+        [("site1.example.com",), ("site3.example.com",), ("mirror2.example.org",)],
+        "domain string",
+    )
+    return filter_blocked_domains(aug, blocklist).select("doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-greedy token-budget selection: per language, best-scored
+    docs first while the running token total fits the budget."""
+    from storage_spark.operators.pipeline import token_budget_filter
+
+    t = _t(spark, sf_dir)
+    return token_budget_filter(t["documents"], budget_tokens=20000).orderBy(
+        "doc_id"
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass corpus health report: per-language docs / tokens /
     high-quality share over the documents table."""
@@ -2063,6 +2101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usage_incremental": q_usage_incremental,
         "sessionize_events": q_sessionize_events,
         "session_stats": q_session_stats,
+        "url_blocklist": q_url_blocklist,
+        "token_budget": q_token_budget,
         "pack_sequences": q_pack_sequences,
         "packing_efficiency": q_packing_efficiency,
         "chunk_documents": q_chunk_documents,
@@ -2660,6 +2700,74 @@ GROUP BY event_type, CAST(round(value * 100) AS BIGINT)
 HAVING count(*) > 1
 """),
         "redact_pii": _oracle_redact_pii(),
+        "url_blocklist": _o(r"""
+, aug AS (
+  SELECT doc_id,
+    text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+      || '.example.com/page and http://Mirror' || CAST(doc_id % 5 AS VARCHAR)
+      || '.example.org' AS text
+  FROM documents WHERE doc_id < 100
+),
+mentions AS (
+  SELECT doc_id, lower(dom) AS dom FROM (
+    SELECT doc_id,
+      unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS dom
+    FROM aug
+  )
+),
+blocklist(domain) AS (
+  VALUES ('site1.example.com'), ('site3.example.com'), ('mirror2.example.org')
+),
+hits AS (
+  SELECT DISTINCT m.doc_id FROM mentions m
+  JOIN blocklist b ON lower(b.domain) = m.dom
+)
+SELECT a.doc_id FROM aug a
+LEFT JOIN hits h ON h.doc_id = a.doc_id
+WHERE h.doc_id IS NULL ORDER BY a.doc_id
+"""),
+        "token_budget": _o(f"""
+, scored AS (
+  SELECT doc_id,
+    CASE
+      WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+      WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+      WHEN fr > 0 AND fr >= es THEN 'fr'
+      WHEN es > 0 THEN 'es'
+      ELSE 'und' END AS lang,
+    CAST(round((
+      least(CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE n / 20.0 END, 1.0) * 0.4
+      + (nd / n) * 0.4
+      + least((ns / n) * 4.0, 1.0) * 0.2
+    ) * 1000) AS BIGINT) AS score_1e3,
+    CAST(n AS BIGINT) AS n_tokens
+  FROM (
+    SELECT doc_id,
+      CAST(len({_DUCK_RAW_TOKENS}) AS DOUBLE) AS n,
+      CAST(len(list_distinct({_DUCK_RAW_TOKENS})) AS DOUBLE) AS nd,
+      CAST(list_sum(list_transform(tk_low,
+        t -> CASE WHEN t IN {_EN_STOP} THEN 1 ELSE 0 END)) AS DOUBLE) AS ns,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('a','the','of','and','to') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS en,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('der','die','das','und','zu') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS de,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('le','la','les','et','de') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS fr,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('el','la','los','y','de') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS es
+    FROM (
+      SELECT doc_id, text,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS tk_low
+      FROM documents
+    )
+  )
+),
+walked AS (
+  SELECT doc_id, lang, score_1e3, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang
+      ORDER BY score_1e3 DESC, doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, score_1e3, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM walked WHERE cum_tokens <= 20000 ORDER BY doc_id
+"""),
         "quality_quantile": _o(f"""
 , scored AS (
   SELECT doc_id,

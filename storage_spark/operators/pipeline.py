@@ -517,3 +517,86 @@ def quality_quantile_filter(
         .filter(F.col("score_1e3") >= F.col("thr"))
         .select(id_col, "lang", "score_1e3")
     )
+
+
+#: Scheme-qualified URL host extractor — Java∩RE2 dialect so the SQL
+#: oracle replays it verbatim (group 1 = the host).
+URL_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_domains(text: Column) -> Column:
+    """Distinct, lowercased URL hosts mentioned in a document (empty
+    array when none). Map-only regexp; feeds the blocklist filter and
+    per-domain corpus stats."""
+    return F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(text, F.lit(URL_HOST_PATTERN), F.lit(1)),
+            F.lower,
+        )
+    )
+
+
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """C4-style URL filtering: drop every document that cites ANY
+    blocklisted domain. The blocklist arrives as a DataFrame (real
+    blocklists run to millions of hosts — a literal in-predicate would
+    not scale), so matching is set-oriented: explode each doc's distinct
+    domains, equi-join the blocklist, anti-join the hit set back.
+
+    Scale shape: the join keys on domain (bounded cardinality,
+    power-law — but the HIT SET is only doc ids, and the final anti-join
+    keys on id). With AQE the blocklist side broadcasts when small."""
+    mentions = docs.select(
+        F.col(id_col),
+        F.explode(extract_domains(F.col(text_col))).alias("_dom"),
+    )
+    hits = mentions.join(
+        blocklist.select(F.lower(F.col(domain_col)).alias("_dom")), "_dom"
+    ).select(id_col).distinct()
+    return docs.join(hits, id_col, "left_anti")
+
+
+def token_budget_filter(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    per_lang: bool = True,
+) -> DataFrame:
+    """Quality-greedy selection under a token budget: per language, take
+    documents in (quality desc, id asc) order while the RUNNING token
+    total stays within ``budget_tokens`` — the "we can afford N tokens
+    of this source" curation step. A document that would overflow the
+    budget is skipped along with everything after it (prefix rule, not
+    knapsack — deterministic and single-pass).
+
+    Ordering ranks on the integer-scaled score (engine-exact ties, same
+    convention as quality_quantile_filter). Returns
+    ``(id, lang, score_1e3, n_tokens, cum_tokens)``.
+
+    Scale shape: one window (sort within each language partition;
+    Spark's external sort spills — no driver state). At true 100 TB you
+    first coarse-prune with quality_quantile_filter so the sorted set is
+    the plausible candidates, not the raw corpus."""
+    col = F.col(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        (lang_id(col) if per_lang else F.lit("all")).alias("lang"),
+        F.round(quality_score(col) * 1000).cast("bigint").alias("score_1e3"),
+        token_count(col).cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score_1e3").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return out.filter(F.col("cum_tokens") <= budget_tokens)

@@ -152,3 +152,55 @@ def test_remove_repeated_segments_word_windows(spark):
         remove_repeated_segments(docs, segment_words=3, sep="\n")  # both set
     with pytest.raises(ValueError):
         remove_repeated_segments(docs, segment_words=None, sep=None)  # neither
+
+
+# --------------------------------------------------------------------------
+# domain blocklist + token budget
+# --------------------------------------------------------------------------
+
+
+def test_filter_blocked_domains(spark):
+    from storage_spark.operators.pipeline import filter_blocked_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "read https://Evil.example.com/a and more"),
+            (2, "nothing cited here"),
+            (3, "ok site http://good.example.org/x"),
+            (4, "both https://good.example.org/y https://evil.example.com/z"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bl = spark.createDataFrame([("EVIL.example.com",)], "domain string")
+    kept = sorted(
+        r["doc_id"] for r in filter_blocked_domains(docs, bl).collect()
+    )
+    assert kept == [2, 3]  # case-insensitive, any-mention drops
+
+
+def test_token_budget_prefix_rule(spark):
+    from storage_spark.operators.pipeline import token_budget_filter
+
+    # identical stopword-rich text length 5 → every doc ~5 tokens; one
+    # lang; budget of 12 keeps exactly the first two by (score, id)
+    docs = spark.createDataFrame(
+        [(i, "the of and to a") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    out = token_budget_filter(docs, budget_tokens=12)
+    rows = sorted((r["doc_id"], r["cum_tokens"]) for r in out.collect())
+    assert rows == [(0, 5), (1, 10)]  # third doc would hit 15 > 12
+
+
+def test_token_budget_is_per_language(spark):
+    from storage_spark.operators.pipeline import token_budget_filter
+
+    docs = [(i, "the of and to a") for i in range(3)]
+    docs += [(10 + i, "der die das und zu") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = token_budget_filter(df, budget_tokens=10)
+    langs = {}
+    for r in out.collect():
+        langs.setdefault(r["lang"], []).append(r["doc_id"])
+    assert sorted(langs["en"]) == [0, 1]
+    assert sorted(langs["de"]) == [10, 11]
