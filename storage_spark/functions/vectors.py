@@ -641,6 +641,7 @@ def pq_adc_topk(
     query_key: str = "q_key",
     query_vec: str = "q_vec",
     exclude_self: bool = True,
+    arrow: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance top-k: the query keeps full precision, the
     corpus is its codes. Per (query, code word) the score is the
@@ -649,18 +650,25 @@ def pq_adc_topk(
     whole ranking is a broadcast join + one per-query window, no Python
     and NO decompression of the corpus. Returns
     ``(q_key, key, score, rank)``; score is squared-L2 in quantized
-    space."""
+    space. ``arrow=True`` routes scoring through the bitwise-identical
+    vectorized numpy gather (pq_adc_scores_arrow) — the right choice
+    once pair volume makes interpreted HOFs the bottleneck."""
     m = len(codebooks)
     ds = len(codebooks[0][0])
     qv = F.col(query_vec)
-    terms = []
-    for s in range(m):
-        book = F.array(*[_lit_vec(row) for row in codebooks[s]])
-        centroid = F.element_at(book, F.element_at(F.col("codes"), s + 1) + 1)
-        terms.append(_l2sq(F.slice(qv, s * ds + 1, ds), centroid))
-    score = F.aggregate(
-        F.array(*terms), F.lit(0.0), lambda acc, v: acc + v
-    )
+    if arrow:
+        score = pq_adc_scores_arrow(qv, F.col("codes"), codebooks)
+    else:
+        terms = []
+        for s in range(m):
+            book = F.array(*[_lit_vec(row) for row in codebooks[s]])
+            centroid = F.element_at(
+                book, F.element_at(F.col("codes"), s + 1) + 1
+            )
+            terms.append(_l2sq(F.slice(qv, s * ds + 1, ds), centroid))
+        score = F.aggregate(
+            F.array(*terms), F.lit(0.0), lambda acc, v: acc + v
+        )
     joined = codes.crossJoin(F.broadcast(queries))
     if exclude_self:
         joined = joined.filter(F.col(query_key) != F.col("key"))
@@ -739,6 +747,7 @@ def pq_search_rerank(
     query_vec: str = "q_vec",
     corpus_key: str = "key",
     corpus_vec: str = "embedding",
+    arrow: bool = False,
 ) -> DataFrame:
     """Two-stage PQ search, the production shape (FAISS's IVFPQ+refine):
     ADC over the compressed codes selects ``refine_factor * k``
@@ -753,7 +762,7 @@ def pq_search_rerank(
     IO the compression bought stays bought."""
     cands = pq_adc_topk(
         queries, codes, codebooks, k * refine_factor,
-        query_key=query_key, query_vec=query_vec,
+        query_key=query_key, query_vec=query_vec, arrow=arrow,
     ).select(query_key, corpus_key)
     enriched = cands.join(
         corpus.select(
@@ -776,3 +785,35 @@ def pq_search_rerank(
         .filter(F.col("rank") <= k)
         .select(query_key, corpus_key, "distance", "rank")
     )
+
+
+def pq_adc_scores_arrow(
+    qv: Column, codes: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Arrow-vectorized ADC scoring — the classic PQ fast path: one
+    numpy gather of each row's selected centroids, squared-difference
+    folds along the subspace axis, then along s. Bitwise-identical to
+    the expression path (every fold is ``np.add.accumulate`` — strict
+    left-to-right double accumulation, the same order as the per-term
+    ``F.aggregate`` and the s-ordered outer fold); verified in tests.
+    Use when the (query x corpus-codes) pair volume makes the
+    interpreted higher-order functions the bottleneck."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.array(codebooks, dtype=np.float64)  # (m, k, ds)
+
+    @pandas_udf("double")
+    def _score(q: pd.Series, c: pd.Series) -> pd.Series:
+        import numpy as np
+
+        Q = np.stack(q.to_numpy()).astype(np.float64)
+        C = np.stack(c.to_numpy()).astype(np.int64)
+        n, (m, _k, ds) = Q.shape[0], books.shape
+        qs = Q.reshape(n, m, ds)
+        cents = books[np.arange(m)[None, :], C]  # (n, m, ds)
+        d = qs - cents
+        terms = np.add.accumulate(d * d, axis=2)[:, :, -1]
+        return pd.Series(np.add.accumulate(terms, axis=1)[:, -1])
+
+    return _score(qv, codes)

@@ -250,3 +250,28 @@ def test_pq_kmeans_refinement_reduces_quantization_error(spark, sf_dir):
     refined = pq_codebooks_kmeans(v, m=8, k=16, iterations=2)
     e0, e1 = mean_sq_error(random_books), mean_sq_error(refined)
     assert e1 < e0 * 0.7, (e0, e1)  # Lloyd rounds must pay for themselves
+
+
+def test_pq_adc_arrow_bitwise_matches_expression(spark, sf_dir):
+    from storage_spark.functions.vectors import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    v = _vectors(spark, sf_dir)
+    corpus = v.limit(200)
+    books = pq_codebooks(64, 8, 16)
+    codes = pq_encode(corpus, books).localCheckpoint(eager=True)
+    queries = v.limit(5).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    expr = {
+        (r["q_key"], r["key"]): r["score"]
+        for r in pq_adc_topk(queries, codes, books, 20).collect()
+    }
+    arrow = {
+        (r["q_key"], r["key"]): r["score"]
+        for r in pq_adc_topk(queries, codes, books, 20, arrow=True).collect()
+    }
+    assert expr == arrow  # exact equality: same left-fold order bit-for-bit
