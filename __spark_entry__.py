@@ -1787,6 +1787,24 @@ def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_quantile_filter(t["documents"]).orderBy("doc_id")
 
 
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit (the batch answer to the reference's declarative
+    constraints — objects unique on (bucket_id,name) 0002:80, bucket FK):
+    violations injected deterministically (a duplicated slice and a slice
+    remapped to ghost buckets), then the one-pass report must count them
+    exactly."""
+    from storage_spark.operators.audit import audit_report
+
+    t = _t(spark, sf_dir)
+    objs = t["objects"]
+    dups = objs.filter(F.col("id").cast("bigint") % 101 == 0)
+    orphans = objs.filter(F.col("id").cast("bigint") % 103 == 0).withColumn(
+        "bucket_id", F.concat(F.lit("ghost-"), F.col("bucket_id"))
+    )
+    aug = objs.unionByName(dups).unionByName(orphans)
+    return audit_report(aug, t["buckets"]).orderBy("check")
+
+
 def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style domain blocklist filter: deterministic synthetic URLs
     (host keyed by doc_id) injected per document, blocklist joined as a
@@ -2103,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "url_blocklist": q_url_blocklist,
         "token_budget": q_token_budget,
+        "constraint_audit": q_constraint_audit,
         "pack_sequences": q_pack_sequences,
         "packing_efficiency": q_packing_efficiency,
         "chunk_documents": q_chunk_documents,
@@ -2700,6 +2719,29 @@ GROUP BY event_type, CAST(round(value * 100) AS BIGINT)
 HAVING count(*) > 1
 """),
         "redact_pii": _oracle_redact_pii(),
+        "constraint_audit": _o("""
+, aug AS (
+  SELECT * FROM objects
+  UNION ALL
+  SELECT * FROM objects WHERE CAST(id AS BIGINT) % 101 = 0
+  UNION ALL
+  SELECT id, 'ghost-' || bucket_id AS bucket_id, name, size,
+         created_at_ms, updated_at_ms, owner_id, version, mimetype
+  FROM objects WHERE CAST(id AS BIGINT) % 103 = 0
+)
+SELECT 'duplicate_object_keys' AS check, CAST(count(*) AS BIGINT) AS n_violations
+FROM (SELECT bucket_id, name FROM aug GROUP BY bucket_id, name HAVING count(*) > 1)
+UNION ALL
+SELECT 'duplicate_bucket_names', CAST(count(*) AS BIGINT)
+FROM (SELECT name FROM buckets GROUP BY name HAVING count(*) > 1)
+UNION ALL
+SELECT 'orphaned_objects', CAST(count(*) AS BIGINT)
+FROM aug a WHERE NOT EXISTS (SELECT 1 FROM buckets b WHERE b.name = a.bucket_id)
+UNION ALL
+SELECT 'null_object_names', CAST(count(*) AS BIGINT)
+FROM aug WHERE name IS NULL
+ORDER BY "check"
+"""),
         "url_blocklist": _o(r"""
 , aug AS (
   SELECT doc_id,
