@@ -1787,6 +1787,27 @@ def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_quantile_filter(t["documents"]).orderBy("doc_id")
 
 
+def q_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 round-trip: export one bucket's catalog as NDJSON (the admin
+    orphan-export shape), re-ingest it schema-enforced with quarantine
+    splitting, and hand back the rows — which must equal the source."""
+    import tempfile
+
+    from storage_spark.sources.binary import (
+        read_ndjson,
+        split_corrupt,
+        write_ndjson,
+    )
+
+    t = _t(spark, sf_dir)
+    src = t["objects"].filter(F.col("bucket_id") == "Brand#13")
+    path = tempfile.mkdtemp(prefix="ndjson-rt-") + "/out"
+    write_ndjson(src, path)
+    good, bad = split_corrupt(read_ndjson(spark, path, src.schema))
+    assert bad.count() == 0
+    return good.select("name", "size", "version").orderBy("name")
+
+
 def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint audit (the batch answer to the reference's declarative
     constraints — objects unique on (bucket_id,name) 0002:80, bucket FK):
@@ -2122,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "token_budget": q_token_budget,
         "constraint_audit": q_constraint_audit,
+        "ndjson_roundtrip": q_ndjson_roundtrip,
         "pack_sequences": q_pack_sequences,
         "packing_efficiency": q_packing_efficiency,
         "chunk_documents": q_chunk_documents,
@@ -2719,6 +2741,10 @@ GROUP BY event_type, CAST(round(value * 100) AS BIGINT)
 HAVING count(*) > 1
 """),
         "redact_pii": _oracle_redact_pii(),
+        "ndjson_roundtrip": _o("""
+SELECT name, size, version FROM objects WHERE bucket_id = 'Brand#13'
+ORDER BY name
+"""),
         "constraint_audit": _o("""
 , aug AS (
   SELECT * FROM objects

@@ -125,3 +125,54 @@ def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S7: newline-delimited JSON sink (admin orphan export shape,
     src/http/routes/admin/objects.ts:81,145)."""
     df.write.mode(mode).json(path)
+
+
+def read_ndjson(
+    spark,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+):
+    """S7 read side: schema-enforced NDJSON ingest with bad-record
+    capture. PERMISSIVE mode keeps malformed lines instead of failing
+    the 100 TB job at line 3 billion: a broken line lands with every
+    typed column NULL and its raw text in ``corrupt_col``. Pair with
+    ``split_corrupt`` to route the quarantine.
+
+    The schema is REQUIRED: schema inference runs an extra full pass
+    over the data and silently widens types on dirty input — both wrong
+    at scale."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType(
+        list(schema.fields)
+        + (
+            []
+            if corrupt_col in schema.names
+            else [StructField(corrupt_col, StringType(), True)]
+        )
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(good_rows_without_quarantine_col, quarantined_raw_lines).
+
+    Caches the parsed frame first: Spark refuses to answer a query that
+    references ONLY the corrupt-record column of a raw JSON scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and both
+    outputs consume the same parse anyway, so one materialization is
+    also the efficient plan."""
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, bad

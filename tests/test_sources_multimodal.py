@@ -289,3 +289,39 @@ def test_conditional_get_null_attributes_land_in_not_served(spark):
     # every row is in exactly one population, always
     assert served.count() + not_served.count() == 3
     assert served2.count() + not_served2.count() == 3
+
+
+# --------------------------------------------------------------------------
+# NDJSON round-trip with quarantine
+# --------------------------------------------------------------------------
+
+
+def test_ndjson_roundtrip_with_corrupt_lines(spark, tmp_path):
+    from storage_spark.sources.binary import (
+        read_ndjson,
+        split_corrupt,
+        write_ndjson,
+    )
+
+    df = spark.createDataFrame(
+        [("b1", "k1", 10), ("b1", "k2", 20), ("b2", "k3", 30)],
+        "bucket_id string, name string, size long",
+    )
+    path = str(tmp_path / "nd")
+    write_ndjson(df, path)
+    # poison the export with lines a real feed produces
+    with open(f"{path}/part-poison.json", "w") as fh:
+        fh.write('{"bucket_id": "b9", "name": "ok-extra", "size": 5}\n')
+        fh.write('{"bucket_id": "b9", "name": broken!!\n')
+        fh.write("not json at all\n")
+    got = read_ndjson(spark, path, df.schema)
+    good, bad = split_corrupt(got)
+    rows = {(r.bucket_id, r.name): r.size for r in good.collect()}
+    assert rows == {
+        ("b1", "k1"): 10, ("b1", "k2"): 20, ("b2", "k3"): 30,
+        ("b9", "ok-extra"): 5,
+    }
+    raws = sorted(r.raw for r in bad.collect())
+    assert len(raws) == 2 and "not json at all" in raws
+    assert any("broken!!" in r for r in raws)
+    assert "_corrupt_record" not in good.columns
