@@ -657,6 +657,25 @@ FROM (
 """)
 
 
+def _pq_lit_book(books, s: int) -> str:
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(v) for v in row) + "]" for row in books[s]
+        )
+        + "]"
+    )
+
+
+def _duck_sq(a: str, b: str) -> str:
+    """Squared-L2 left fold (the DuckDB twin of vectors._l2sq)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " t -> (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))"
+        " * (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))))"
+    )
+
+
 def _pq_scored_cte(
     m: int, k: int, max_vec_id: int, max_q_vec_id: int
 ) -> str:
@@ -672,21 +691,9 @@ def _pq_scored_cte(
     books = pq_codebooks(dim, m, k)
 
     def lit_book(s: int) -> str:
-        return (
-            "["
-            + ", ".join(
-                "[" + ", ".join(repr(v) for v in row) + "]"
-                for row in books[s]
-            )
-            + "]"
-        )
+        return _pq_lit_book(books, s)
 
-    def sq(a: str, b: str) -> str:
-        return (
-            f"list_sum(list_transform(list_zip({a}, {b}),"
-            " t -> (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))"
-            " * (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))))"
-        )
+    sq = _duck_sq
 
     d_defs = ",\n    ".join(
         f"list_transform(range(1, {k + 1}), j -> "
@@ -783,6 +790,110 @@ FROM (
 ) WHERE rank <= {k_top}
 """
     )
+
+
+def _oracle_ivfpq(
+    m: int, kc: int, n_cells: int, n_probe: int, k_top: int,
+    refine_factor: int, max_vec_id: int, max_q_vec_id: int,
+) -> str:
+    """IVFPQ replay: first-n-by-key centroids → nearest-cell assignment →
+    per-query probes → PQ-ADC scoring restricted to probed cells →
+    candidate cut → exact sqrt-L2 rerank. Cell ordering uses the squared
+    fold (same order as sqrt); reranked distances take the sqrt exactly
+    like vectors.l2_distance."""
+    from storage_spark.functions.vectors import pq_codebooks
+
+    dim = 64
+    ds = dim // m
+    books = pq_codebooks(dim, m, kc)
+    d_defs = ",\n    ".join(
+        f"list_transform(range(1, {kc + 1}), j -> "
+        + _duck_sq(
+            f"embedding[{s * ds + 1}:{(s + 1) * ds}]",
+            f"({_pq_lit_book(books, s)})[j]",
+        )
+        + f") AS d{s}"
+        for s in range(m)
+    )
+    code_list = ", ".join(
+        f"CAST(list_indexof(d{s}, list_min(d{s})) - 1 AS INT)"
+        for s in range(m)
+    )
+    terms = ", ".join(
+        _duck_sq(
+            f"p.q_emb[{s * ds + 1}:{(s + 1) * ds}]",
+            f"({_pq_lit_book(books, s)})[c.codes[{s + 1}] + 1]",
+        )
+        for s in range(m)
+    )
+    return _o(f"""
+, base AS (
+  SELECT CAST(vec_id AS STRING) AS key, embedding
+  FROM embeddings WHERE vec_id < {max_vec_id}
+),
+q AS (
+  SELECT CAST(vec_id AS STRING) AS q_key, embedding AS q_emb
+  FROM embeddings WHERE vec_id < {max_q_vec_id}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY key) AS INT) - 1 AS cell,
+         embedding AS centroid
+  FROM (SELECT key, embedding FROM base ORDER BY key LIMIT {n_cells})
+),
+assigned AS (
+  SELECT key, cell FROM (
+    SELECT b.key, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY b.key
+        ORDER BY {_duck_sq("b.embedding", "c.centroid")} ASC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_key, q_emb, cell FROM (
+    SELECT b.q_key, b.q_emb, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY b.q_key
+        ORDER BY {_duck_sq("b.q_emb", "c.centroid")} ASC, c.cell ASC) AS rn
+    FROM q b CROSS JOIN cents c
+  ) WHERE rn <= {n_probe}
+),
+dists AS (
+  SELECT key,
+    {d_defs}
+  FROM base
+),
+codes AS (
+  SELECT key, [{code_list}] AS codes FROM dists
+),
+cand_scored AS (
+  SELECT p.q_key, c.key, list_sum([{terms}]) AS score
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN codes c ON c.key = a.key
+  WHERE p.q_key <> c.key
+),
+cands AS (
+  SELECT q_key, key FROM (
+    SELECT q_key, key,
+      ROW_NUMBER() OVER (PARTITION BY q_key
+        ORDER BY score ASC, key ASC) AS rn
+    FROM cand_scored
+  ) WHERE rn <= {k_top * refine_factor}
+),
+reranked AS (
+  SELECT cd.q_key, cd.key,
+    sqrt({_duck_sq("b.embedding", "q.q_emb")}) AS distance
+  FROM cands cd
+  JOIN base b ON b.key = cd.key
+  JOIN q ON q.q_key = cd.q_key
+)
+SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank
+FROM (
+  SELECT q_key, key, distance,
+    CAST(ROW_NUMBER() OVER (PARTITION BY q_key
+      ORDER BY distance ASC, key ASC) AS INT) AS rank
+  FROM reranked
+) WHERE rank <= {k_top}
+""")
 
 
 def _oracle_embedding_neardup() -> str:
@@ -1076,6 +1187,41 @@ def q_vector_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(corpus, books)
     out = pq_search_rerank(
         queries, codes, corpus, books, k=5, refine_factor=10, metric="l2"
+    )
+    return out.select(
+        "q_key",
+        "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_vector_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-scale ANN capstone — IVFPQ: coarse cells prune the
+    corpus, PQ codes score only the probed cells, exact rerank on the
+    candidate cut. Every stage replayed in the oracle."""
+    from storage_spark.functions.vectors import (
+        ivf_assign,
+        ivf_centroids,
+        ivfpq_search,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    v = _vectors(spark, sf_dir)
+    corpus = v.filter(F.col("key").cast("bigint") < 300)
+    queries = v.filter(F.col("key").cast("bigint") < 4).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    cents = ivf_centroids(corpus, 8)
+    assigned = ivf_assign(corpus, cents, metric="l2")
+    books = pq_codebooks(dim=64, m=8, k=16)
+    coded = pq_encode(corpus, books).join(
+        assigned.select("key", "cell"), "key"
+    )
+    out = ivfpq_search(
+        queries, coded, cents, books, corpus,
+        k=5, n_probe=2, refine_factor=10, metric="l2",
     )
     return out.select(
         "q_key",
@@ -2152,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_multiprobe_ann": q_vector_multiprobe_ann,
         "vector_pq_topk": q_vector_pq_topk,
         "vector_pq_rerank": q_vector_pq_rerank,
+        "vector_ivfpq": q_vector_ivfpq,
         "simhash_wide": q_simhash_wide,
         "multipart_part_copy": q_multipart_part_copy,
         "copy_objects_bulk": q_copy_objects_bulk,
@@ -3186,6 +3333,10 @@ WHERE CAST(vec_id AS STRING) IN ('3', '7', '11', '250', '9999999')
         "vector_pq_rerank": _oracle_pq_rerank(
             m=8, k=16, k_top=5, refine_factor=10,
             max_vec_id=300, max_q_vec_id=4,
+        ),
+        "vector_ivfpq": _oracle_ivfpq(
+            m=8, kc=16, n_cells=8, n_probe=2, k_top=5,
+            refine_factor=10, max_vec_id=300, max_q_vec_id=4,
         ),
         "vector_ivf_ann": _oracle_ivf_ann(
             n_cells=8, k=3, n_probe=3, max_q_vec_id=20

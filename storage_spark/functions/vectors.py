@@ -817,3 +817,92 @@ def pq_adc_scores_arrow(
         return pd.Series(np.add.accumulate(terms, axis=1)[:, -1])
 
     return _score(qv, codes)
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    coded_corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    corpus: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    refine_factor: int = 10,
+    metric: str = "l2",
+    query_key: str = "q_key",
+    query_vec: str = "q_vec",
+    corpus_key: str = "key",
+    corpus_vec: str = "embedding",
+    arrow: bool = False,
+) -> DataFrame:
+    """The full IVFPQ architecture (FAISS's default at billion scale):
+    coarse quantizer prunes to ``n_probe`` cells, PQ codes score ONLY
+    the probed cells' rows by asymmetric distance, and the top
+    ``k * refine_factor`` candidates rerank exactly against their
+    full-precision vectors.
+
+    ``coded_corpus`` is ``(key, cell, codes)`` — ``ivf_assign`` ∘
+    ``pq_encode``, the index you materialize cell-partitioned
+    (sources/layout.py) so the probe join prunes partitions.
+
+    100 TB cost model: the per-query work is (n_probe / n_cells) of the
+    corpus in m-BYTE codes (both knobs multiplicative: 16 of 1024 cells
+    x 32-of-256 bytes = 1/512 of the raw-scan bytes), plus
+    refine_factor*k full vectors. Recall = product of the probe recall
+    (did the true neighbor's cell get probed?) and the ADC candidate
+    recall (did rerank see it?) — tune n_probe first, refine second
+    (NOTES_r4 recall table)."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0])
+    qd = _metric_distance(metric, F.col(query_vec), F.col("centroid"))
+    wq = Window.partitionBy(query_key).orderBy(
+        F.col("_qd").asc(), F.col("cell").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_qd", qd)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_key, query_vec, "cell")
+    )
+    joined = probes.join(coded_corpus, "cell").filter(
+        F.col(query_key) != F.col(corpus_key)
+    )
+    qv = F.col(query_vec)
+    if arrow:
+        score = pq_adc_scores_arrow(qv, F.col("codes"), codebooks)
+    else:
+        terms = []
+        for s in range(m):
+            book = F.array(*[_lit_vec(row) for row in codebooks[s]])
+            cent = F.element_at(book, F.element_at(F.col("codes"), s + 1) + 1)
+            terms.append(_l2sq(F.slice(qv, s * ds + 1, ds), cent))
+        score = F.aggregate(F.array(*terms), F.lit(0.0), lambda a, v: a + v)
+    wc = Window.partitionBy(query_key).orderBy(
+        F.col("_score").asc(), F.col(corpus_key).asc()
+    )
+    cands = (
+        joined.withColumn("_score", score)
+        .withColumn("_crn", F.row_number().over(wc))
+        .filter(F.col("_crn") <= k * refine_factor)
+        .select(query_key, corpus_key)
+    )
+    enriched = cands.join(
+        corpus.select(F.col(corpus_key), F.col(corpus_vec).alias("_cv")),
+        corpus_key,
+    ).join(
+        F.broadcast(
+            queries.select(F.col(query_key), F.col(query_vec).alias("_qv"))
+        ),
+        query_key,
+    )
+    dist = _metric_distance(metric, F.col("_cv"), F.col("_qv"))
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("distance").asc(), F.col(corpus_key).asc()
+    )
+    return (
+        enriched.withColumn("distance", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, corpus_key, "distance", "rank")
+    )

@@ -89,6 +89,7 @@ _BNLJ_ALLOWED = {
     # never touched until the rerank's candidate semi-join)
     "vector_pq_topk",
     "vector_pq_rerank",
+    "vector_ivfpq",  # broadcast centroid ranking, like vector_ivf_ann
 }
 
 

@@ -275,3 +275,34 @@ def test_pq_adc_arrow_bitwise_matches_expression(spark, sf_dir):
         for r in pq_adc_topk(queries, codes, books, 20, arrow=True).collect()
     }
     assert expr == arrow  # exact equality: same left-fold order bit-for-bit
+
+
+def test_ivfpq_full_probe_wide_refine_equals_exact(spark, sf_dir):
+    """With every cell probed and a refine window covering the corpus,
+    IVFPQ degenerates to exact search — the composition is lossless when
+    both knobs are opened."""
+    from storage_spark.functions.vectors import (
+        ivf_assign,
+        ivf_centroids,
+        ivfpq_search,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    v = _vectors(spark, sf_dir)
+    corpus = v.limit(120).cache()
+    queries = corpus.limit(5).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    cents = ivf_centroids(corpus, 4)
+    assigned = ivf_assign(corpus, cents, metric="l2")
+    books = pq_codebooks(64, 8, 16)
+    coded = pq_encode(corpus, books).join(assigned.select("key", "cell"), "key")
+    got = ivfpq_search(
+        queries, coded, cents, books, corpus,
+        k=5, n_probe=4, refine_factor=1000, metric="l2",
+    )
+    exact = knn_join(queries, corpus, k=5, metric="l2")
+    g = {(r["q_key"], r["rank"]): r["key"] for r in got.collect()}
+    e = {(r["q_key"], r["rank"]): r["key"] for r in exact.collect()}
+    assert g == e
