@@ -155,6 +155,29 @@ for m, kc, iters, rf in [
     print(f"  {label}: recall@{K} = {r:.3f}", flush=True)
     codes.unpersist()
 
+# --- IVFPQ composite (L2 truth, like PQ)
+from storage_spark.functions.vectors import ivfpq_search  # noqa: E402
+
+cents_l2 = ivf_centroids_kmeans(corpus, 16, iterations=3, metric="l2").localCheckpoint()
+assigned_l2 = ivf_assign(corpus, cents_l2, metric="l2").localCheckpoint()
+books32 = pq_codebooks_kmeans(corpus, m=32, k=16, iterations=2)
+coded32 = (
+    pq_encode(corpus, books32)
+    .join(assigned_l2.select("key", "cell"), "key")
+    .localCheckpoint()
+)
+for n_probe, rf in [(8, 20), (12, 30), (16, 30)]:
+    t0 = time.time()
+    r = recall_l2(
+        ivfpq_search(
+            queries, coded32, cents_l2, books32, corpus,
+            k=K, n_probe=n_probe, refine_factor=rf, metric="l2", arrow=True,
+        )
+    )
+    label = f"IVFPQ cells=16 probe={n_probe} m=32 rerank{rf}x"
+    rows.append((label, r, time.time() - t0))
+    print(f"  {label}: recall@{K} = {r:.3f}", flush=True)
+
 print(f"\ncorpus={n_corpus} dim={DIM} queries={N_QUERIES} k={K} ({sf_dir})")
 print("| path | config | recall@10 | wall s |")
 print("|---|---|---|---|")
