@@ -62,6 +62,7 @@ def curate_corpus(
     min_jaccard: float = 0.5,
     max_shingle_df: int | None = None,
     materialize: bool = False,
+    resolution: str = "greedy",
 ) -> DataFrame:
     """Returns the kept rows (id + quality score, scaled integral).
 
@@ -69,8 +70,15 @@ def curate_corpus(
     - quality_score < min_quality → dropped;
     - exact content duplicates (same normalized fingerprint) → keep the
       lowest doc_id of each group;
-    - near-duplicates (Jaccard >= min_jaccard) → drop the higher doc_id of
-      each pair (the transitive greedy pass of MinHashLSH-style dedup).
+    - near-duplicates (Jaccard >= min_jaccard), by ``resolution``:
+      * ``"greedy"`` (default): drop the higher doc_id of each pair
+        (the transitive greedy pass of MinHashLSH-style dedup — can
+        over-delete: a kept doc may survive only via a dropped
+        middleman);
+      * ``"components"``: close pairs into clusters and keep exactly ONE
+        canonical doc per cluster — the longest, ties to min id
+        (dedup.resolve_canonical). Guarantees one survivor per
+        connected near-dup family.
 
     ``materialize=True`` checkpoints the scored/exact-kept stage and the
     shingle index: they feed several subplans each (keeper agg, semi-join,
@@ -102,8 +110,23 @@ def curate_corpus(
         max_shingle_df=max_shingle_df,
         materialize=materialize,
     )
-    losers = pairs.select(F.col("doc_b").alias("doc")).distinct()
-    kept = exact_kept.join(losers, "doc", "left_anti")
+    if resolution == "components":
+        from storage_spark.operators.dedup import resolve_canonical
+
+        resolved = resolve_canonical(
+            exact_kept.select(F.col("doc").alias(id_col), "text"),
+            pairs,
+            id_col=id_col,
+        )
+        survivors = resolved.filter(F.col("is_canonical")).select("doc")
+        kept = exact_kept.join(survivors, "doc", "left_semi")
+    elif resolution == "greedy":
+        losers = pairs.select(F.col("doc_b").alias("doc")).distinct()
+        kept = exact_kept.join(losers, "doc", "left_anti")
+    else:
+        raise ValueError(
+            f"unknown resolution {resolution!r}; use 'greedy' or 'components'"
+        )
     return kept.select(
         F.col("doc").alias(id_col),
         F.round(F.col("_q") * 1000).cast("bigint").alias("score_1e3"),

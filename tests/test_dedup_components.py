@@ -285,3 +285,42 @@ def test_incremental_dedup_within_and_cross(spark):
     grown = index.unionByName(new_rows.select("fp"))
     kept2, new2 = incremental_exact_dedup(batch, grown)
     assert kept2.count() == 0 and new2.count() == 0
+
+
+def test_curate_components_keeps_one_per_cluster(spark):
+    """Chain a~b~c (no a~c pair): greedy drops both b and c leaving only
+    a; components resolution also keeps one — but guarantees it even
+    when the chain would orphan clusters, and elects the LONGEST doc."""
+    from storage_spark.operators.pipeline import curate_corpus
+
+    # three docs sharing enough 3-gram shingles to pair up in a chain
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one"),
+            (2, base + " one two"),          # pairs with 1 and 3
+            (3, base + " one two three"),    # longest → components winner
+            (9, "completely different words nothing shared here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    greedy = sorted(
+        r["doc_id"]
+        for r in curate_corpus(docs, min_jaccard=0.5, resolution="greedy").collect()
+    )
+    comp = sorted(
+        r["doc_id"]
+        for r in curate_corpus(docs, min_jaccard=0.5, resolution="components").collect()
+    )
+    assert greedy == [1, 9]   # 2 and 3 each lose some pair
+    assert comp == [3, 9]     # one canonical per cluster, longest wins
+
+
+def test_curate_unknown_resolution_raises(spark):
+    from storage_spark.operators.pipeline import curate_corpus
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="resolution"):
+        curate_corpus(docs, resolution="nope").collect()
