@@ -2235,6 +2235,76 @@ WHERE {hamming} <= {max_hamming}
 # --------------------------------------------------------------------------
 
 
+def q_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids in curriculum order (lang, longest-first,
+    doc_id tiebreak) via the grouped prefix-sum plan — per-group windows
+    plus a broadcast offset table; NO single-partition global window
+    (plan-asserted in tests/test_ordering.py). Oracle is the
+    ``row_number() OVER (ORDER BY ...)`` it replaces."""
+    from storage_spark.operators.ordering import assign_global_ids
+
+    t = _t(spark, sf_dir)
+    out = assign_global_ids(
+        t["documents"].select("doc_id", "lang", "n_chars"),
+        [F.col("lang"), F.col("n_chars").desc(), F.col("doc_id")],
+        group_col="lang",
+    )
+    return out.select("doc_id", "lang", "global_id").orderBy("doc_id")
+
+
+def q_top_objects_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 largest objects per bucket — W1's rank generalized past 1;
+    WindowGroupLimit pushes the per-group limit below the shuffle
+    (plan-asserted in tests/test_ordering.py)."""
+    from storage_spark.operators.ordering import top_n_per_group
+
+    t = _t(spark, sf_dir)
+    out = top_n_per_group(
+        t["objects"].select("bucket_id", "name", "size"),
+        ["bucket_id"],
+        [F.col("size").desc(), F.col("name")],
+        3,
+    )
+    return out.orderBy("bucket_id", "rn")
+
+
+def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution (exact percentiles, linear
+    interpolation — the percentile_cont definition DuckDB's quantile_cont
+    replays bit-for-bit). The exact aggregate is the oracle-comparable
+    face; ``exact=False`` flips to the mergeable approx sketch for
+    10^10-row groups (tolerance-tested in tests/test_incremental_dedup.py)."""
+    from storage_spark.operators.pipeline import token_percentiles
+
+    t = _t(spark, sf_dir)
+    return token_percentiles(
+        t["documents"], probs=(0.25, 0.5, 0.75, 0.9)
+    ).orderBy("lang")
+
+
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-index near-dup candidates: the corpus (doc_id % 5 != 0)
+    participates only as its persisted MinHash band index; the ingest
+    batch (doc_id % 5 = 0) probes it on (band, sig) and self-joins for
+    batch-internal pairs — corpus text is never re-shingled, the 100 TB
+    monotonic-ingest contract (recompute-equivalence proven in
+    tests/test_incremental_dedup.py)."""
+    from storage_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_index,
+    )
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 120).select("doc_id", "text")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    index = minhash_band_index(corpus, n=3, n_hashes=4, band_size=1)
+    pairs, _new_rows = incremental_minhash_pairs(
+        index, batch, n=3, n_hashes=4, band_size=1
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2256,6 +2326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (1) new in round 4 — zero driver rows until this round records:
         "pack_sequences": q_pack_sequences,
+        "global_ids": q_global_ids,
+        "top_objects_per_bucket": q_top_objects_per_bucket,
+        "token_percentiles": q_token_percentiles,
+        "incremental_minhash": q_incremental_minhash,
         "packing_efficiency": q_packing_efficiency,
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
@@ -3269,6 +3343,91 @@ bands AS (
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""),
+        "global_ids": _o("""
+SELECT doc_id, lang,
+  CAST(row_number() OVER (ORDER BY lang, n_chars DESC, doc_id) - 1
+       AS BIGINT) AS global_id
+FROM documents ORDER BY doc_id
+"""),
+        "top_objects_per_bucket": _o("""
+SELECT bucket_id, name, size, rn FROM (
+  SELECT bucket_id, name, size,
+    row_number() OVER (PARTITION BY bucket_id
+                       ORDER BY size DESC, name) AS rn
+  FROM objects
+) WHERE rn <= 3 ORDER BY bucket_id, rn
+"""),
+        "token_percentiles": _o(f"""
+, scored AS (
+  SELECT
+    CASE
+      WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+      WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+      WHEN fr > 0 AND fr >= es THEN 'fr'
+      WHEN es > 0 THEN 'es'
+      ELSE 'und' END AS lang,
+    CAST(len(tk_raw) AS BIGINT) AS ntoks
+  FROM (
+    SELECT
+      {_DUCK_RAW_TOKENS} AS tk_raw,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('a','the','of','and','to') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS en,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('der','die','das','und','zu') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS de,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('le','la','les','et','de') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS fr,
+      list_sum(list_transform(tk_low, t -> CASE WHEN t IN ('el','la','los','y','de') THEN 1 ELSE 0 END)) * 1.0 / len(tk_low) AS es
+    FROM (
+      SELECT text, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk_low
+      FROM documents
+    )
+  )
+)
+SELECT lang, n_docs,
+  CAST(qs[1] AS DOUBLE) AS p25, CAST(qs[2] AS DOUBLE) AS p50,
+  CAST(qs[3] AS DOUBLE) AS p75, CAST(qs[4] AS DOUBLE) AS p90
+FROM (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    quantile_cont(ntoks, [0.25, 0.5, 0.75, 0.9]) AS qs
+  FROM scored GROUP BY lang
+) ORDER BY lang
+"""),
+        "incremental_minhash": _o(f"""
+, toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE doc_id < 120
+),
+shl AS (
+  SELECT doc_id,
+    list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) AS sh
+  FROM toks WHERE len(tk) >= 3
+),
+sig AS (
+  SELECT doc_id,
+    list_min(list_transform(sh, s -> md5('0:' || s))) AS m0,
+    list_min(list_transform(sh, s -> md5('1:' || s))) AS m1,
+    list_min(list_transform(sh, s -> md5('2:' || s))) AS m2,
+    list_min(list_transform(sh, s -> md5('3:' || s))) AS m3
+  FROM shl WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id, 0 AS band, m0 AS sig FROM sig
+  UNION ALL SELECT doc_id, 1, m1 FROM sig
+  UNION ALL SELECT doc_id, 2, m2 FROM sig
+  UNION ALL SELECT doc_id, 3, m3 FROM sig
+),
+cross_pairs AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id % 5 != 0 AND b.doc_id % 5 = 0
+),
+internal_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+)
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT * FROM cross_pairs UNION ALL SELECT * FROM internal_pairs
+) ORDER BY doc_a, doc_b
 """),
         "dedup_simhash": _oracle_simhash_value(),
         "simhash_near_pairs": _oracle_simhash_pairs(6),

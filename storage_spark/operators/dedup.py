@@ -179,6 +179,89 @@ def minhash_signatures(
     return ex.groupBy("doc").agg(*aggs)
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """The persistable LSH index: one row per (doc, band, sig), where
+    ``sig`` is the concatenated MinHash values of that band. This is the
+    table a 100 TB pipeline stores (partitioned by ``band``) so that
+    ingest batches probe it instead of re-shingling the corpus — see
+    ``incremental_minhash_pairs``."""
+    assert n_hashes % band_size == 0
+    sigs = minhash_signatures(df, text_col, id_col, n, n_hashes)
+    n_bands = n_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+            ).alias("sig"),
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def incremental_minhash_pairs(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_band_df: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup candidates for an ingest BATCH against an already-indexed
+    corpus, without touching corpus text.
+
+    ``index`` is a prior ``minhash_band_index`` output (doc, band, sig).
+    The batch's bands are computed with the same md5 generator, so equal
+    shingle sets produce equal signatures across runs — then:
+
+    - batch-vs-corpus candidates: equi-join batch bands against the index
+      on (band, sig) — cost scales with the BATCH, not the corpus; with
+      the index stored partitioned by ``band`` the join prunes to probed
+      partitions;
+    - batch-internal candidates: the usual self-join on the batch's own
+      bands (batches are small; this is cheap).
+
+    Returns ``(pairs, batch_bands)``: ``pairs`` has canonical
+    (doc_a < doc_b) rows, and ``batch_bands`` is exactly the rows to
+    APPEND to the index — the monotonic-ingest maintenance contract, same
+    shape as ``incremental_exact_dedup``'s fingerprint index.
+    """
+    batch_bands = minhash_band_index(
+        batch, text_col, id_col, n, n_hashes, band_size
+    )
+    probe = _cap_band_buckets(batch_bands, ["band", "sig"], max_band_df)
+    cross = (
+        index.select(F.col("doc").alias("_ix"), "band", "sig")
+        .join(probe.select(F.col("doc").alias("_bt"), "band", "sig"),
+              ["band", "sig"])
+        .filter(F.col("_ix") != F.col("_bt"))
+        .select(
+            F.least("_ix", "_bt").alias("doc_a"),
+            F.greatest("_ix", "_bt").alias("doc_b"),
+        )
+    )
+    a = probe.select(F.col("doc").alias("doc_a"), "band", "sig")
+    b = probe.select(F.col("doc").alias("doc_b"), "band", "sig")
+    internal = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    return cross.unionByName(internal).distinct(), batch_bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -197,21 +280,7 @@ def minhash_lsh_pairs(
     Output: doc_a < doc_b (distinct candidates — verify with
     ngram_jaccard_pairs on the candidates at scale).
     """
-    assert n_hashes % band_size == 0
-    sigs = minhash_signatures(df, text_col, id_col, n, n_hashes)
-    n_bands = n_hashes // band_size
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-            ).alias("sig"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = sigs.select(
-        "doc", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = minhash_band_index(df, text_col, id_col, n, n_hashes, band_size)
     bands = _materialize(bands, materialize)  # before the cap: its agg +
     # anti-join would otherwise re-plan the full signature pipeline twice
     bands = _cap_band_buckets(bands, ["band", "sig"], max_band_df)

@@ -53,6 +53,44 @@ def corpus_stats(
     )
 
 
+def token_percentiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    probs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-language token-count distribution — the percentile table a
+    corpus report prints next to ``corpus_stats``'s totals.
+
+    ``exact=True`` uses the exact ``percentile`` aggregate (sorts each
+    group's values inside the agg buffer — fine up to ~10^7 docs per
+    language, and oracle-comparable bit-for-bit). At 100 TB flip
+    ``exact=False`` for ``approx_percentile`` (t-digest-style sketch,
+    constant memory per group, mergeable map-side — the only version
+    that survives 10^10-row groups; rank error <= 1/accuracy)."""
+    col = F.col(text_col)
+    pcts = F.array(*[F.lit(p) for p in probs])
+    agg = (
+        F.percentile(F.col("_toks"), pcts)
+        if exact
+        else F.approx_percentile(F.col("_toks"), pcts, F.lit(10000))
+    )
+    enriched = docs.select(
+        lang_id(col).alias("lang"), token_count(col).alias("_toks")
+    )
+    out = enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), agg.alias("_p")
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        *[
+            F.element_at("_p", i + 1).alias(f"p{int(p * 100):02d}")
+            for i, p in enumerate(probs)
+        ],
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",

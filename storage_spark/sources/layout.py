@@ -14,7 +14,49 @@ Two layouts matter for this engine (SURVEY §4 pushdown table):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def morton_code(
+    cols: list[Column],
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) key: quantize each numeric column to ``bits``
+    levels over its [min, max] range, then interleave the bits. Sorting
+    by this key clusters rows so that EVERY dimension's values are
+    locally narrow — parquet footer min/max then prunes files on
+    predicates over ANY of the columns, where a lexicographic sort only
+    skips on its leading key. Pure Column bit math (shift/and/or), fully
+    codegen'd; the only non-local input is the per-column min/max pair
+    (one tiny agg job — at 100 TB, a metadata lookup).
+
+    Quantization is linear over the range — heavily skewed columns
+    deserve a pre-transform (log, rank-bucket) before handing them in."""
+    k = len(cols)
+    top = (1 << bits) - 1
+    terms: list[Column] = []
+    for j, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            continue  # constant column: contributes nothing to the order
+        scaled = F.least(
+            F.lit(top),
+            F.floor(
+                (c.cast("double") - F.lit(float(lo))) * ((top + 1) / span)
+            ),
+        ).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(scaled, i).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, i * k + j))
+    if not terms:
+        return F.lit(0).cast("long")
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t  # disjoint bit positions: sum == bitwise OR
+    return z
 
 
 def write_listing_layout(df: DataFrame, path: str, mode: str = "overwrite") -> None:

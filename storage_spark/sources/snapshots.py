@@ -149,6 +149,10 @@ class SnapshotTable:
             staged = staged.sortWithinPartitions(
                 self.partition_col, *sort_by
             )
+            # derived cluster keys (dunder-named, e.g. compact's __z) are
+            # layout-only: sort on them, then project them away — row
+            # order survives the projection, the schema stays clean
+            staged = staged.drop(*[c for c in sort_by if c.startswith("__")])
         (
             staged.write.mode("error")
             .partitionBy(self.partition_col)
@@ -379,6 +383,8 @@ class SnapshotTable:
         max_files_per_partition: int = 1,
         target_fanout: int = 1,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
     ) -> int | None:
         """Bin-pack small files: rewrite every partition holding MORE than
         ``max_files_per_partition`` files into ``target_fanout`` files,
@@ -393,19 +399,43 @@ class SnapshotTable:
         empty commit). This is the OPTIMIZE half of a table format's
         maintenance loop (expire_snapshots + vacuum is the other); at
         100 TB you run it partition-incremental exactly like this —
-        only crowded partitions pay the rewrite."""
+        only crowded partitions pay the rewrite.
+
+        ``zorder_by`` (mutually exclusive with ``sort_by``) clusters each
+        partition's files on a Morton-interleaved key over the named
+        NUMERIC columns instead of a lexicographic sort — multi-dimension
+        file skipping (see ``layout.morton_code``); per-column min/max
+        comes from one tiny agg over the rewritten scope."""
+        assert not (sort_by and zorder_by), "sort_by and zorder_by conflict"
         m = self._manifest()
         crowded = [
             p
             for p, fs in m["files"].items()
             if len(fs) > max_files_per_partition
         ]
-        if sort_by:
+        if sort_by or zorder_by:
             # clustering rewrite: every partition re-sorts, crowded or not
             crowded = list(m["files"])
         if not crowded:
             return None
         scoped = self.read(partitions=crowded)
+        if zorder_by:
+            from storage_spark.sources.layout import morton_code
+
+            stats = scoped.agg(
+                *[F.min(c).alias(f"lo{i}") for i, c in enumerate(zorder_by)],
+                *[F.max(c).alias(f"hi{i}") for i, c in enumerate(zorder_by)],
+            ).first()
+            scoped = scoped.withColumn(
+                "__z",
+                morton_code(
+                    [F.col(c) for c in zorder_by],
+                    [stats[f"lo{i}"] for i in range(len(zorder_by))],
+                    [stats[f"hi{i}"] for i in range(len(zorder_by))],
+                    bits=zorder_bits,
+                ),
+            )
+            sort_by = ["__z"]
         new_files = self._write_data_files(
             scoped, fanout=target_fanout, sort_by=sort_by
         )

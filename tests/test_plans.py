@@ -258,3 +258,32 @@ def test_spread_is_conditional(spark, tmp_path_factory):
     assert spread is not narrow
     narrow_plan = plan_of(spread)
     assert "Exchange" in narrow_plan and "RoundRobinPartitioning" in narrow_plan
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, objects_parquet, sf_dir):
+    """The 100 TB join shape: fact (bucket-partitioned objects) joined to a
+    FILTERED dimension must prune fact partitions at runtime (DPP) — the
+    scan reads only partitions whose bucket survives the dim filter,
+    instead of all of them. The plan carries a dynamicpruning subquery in
+    the fact scan's partition filters."""
+    buckets = load_all(spark, sf_dir)["buckets"]
+    dim = buckets.filter(F.col("owner_id") == buckets.select("owner_id").first()[0])
+    joined = objects_parquet.join(
+        dim.select(F.col("name").alias("bucket_id")), "bucket_id"
+    )
+    plan = plan_of(joined, "formatted").lower()
+    assert "dynamicpruning" in plan, plan
+
+
+def test_global_id_offsets_broadcast(spark, sf_dir):
+    """assign_global_ids' offset table joins by BROADCAST (it is #groups
+    rows); the data never shuffles for the join, only for the per-group
+    window."""
+    from storage_spark.operators.ordering import assign_global_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = assign_global_ids(
+        docs, [F.col("lang"), F.col("doc_id")], group_col="lang"
+    )
+    plan = plan_of(out, "formatted")
+    assert "BroadcastHashJoin" in plan, plan

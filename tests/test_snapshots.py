@@ -595,3 +595,96 @@ def test_clustered_compaction_yields_disjoint_sorted_files(spark, tmp_path):
         t.read().select(F.min("name"), F.max("name")).collect()[0]
         == ("k0000", "k0399")
     )
+
+
+# --------------------------------------------------------------------------
+# z-order clustered compaction
+# --------------------------------------------------------------------------
+
+
+def _file_numeric_ranges(path: str, col: str, live: set[str]):
+    """[(lo, hi)] per live parquet file for a numeric column, from footer
+    statistics — what multi-dimension file skipping reads."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(f"{path}/**/*.parquet", recursive=True):
+        if f not in live:
+            continue
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((lo, hi))
+    return out
+
+
+def _avg_width(ranges, domain):
+    return sum(hi - lo for lo, hi in ranges) / len(ranges) / domain
+
+
+def test_morton_code_matches_python_bit_interleave(spark):
+    from storage_spark.sources.layout import morton_code
+
+    df = spark.range(64).select(
+        (F.col("id") % 8).alias("x"), (F.col("id") / 8).cast("long").alias("y")
+    )
+    got = df.withColumn(
+        "z", morton_code([F.col("x"), F.col("y")], [0, 0], [8, 8], bits=3)
+    ).collect()
+
+    def interleave(x, y):
+        z = 0
+        for i in range(3):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in got:
+        # quantized value = floor(v * 8/8) = v, capped at 7
+        qx, qy = min(r.x, 7), min(r.y, 7)
+        assert r.z == interleave(qx, qy), (r.x, r.y, r.z)
+
+
+def test_zorder_compaction_narrows_both_dimensions(spark, tmp_path):
+    """Grid data (x, y independent): a lexicographic sort on x leaves each
+    file spanning y's FULL domain; z-order leaves both dimensions narrow,
+    so footer min/max prunes files for predicates on either column."""
+    n = 64
+    rows = [("b1", f"k{i:04d}", float(i % n), float(i // n)) for i in range(n * n)]
+    schema = "bucket_id string, name string, x double, y double"
+
+    linear = SnapshotTable(spark, str(tmp_path / "lin"), write_fanout=16)
+    linear.create(spark.createDataFrame(rows, schema))
+    linear.compact(target_fanout=16, sort_by=["x"])
+    m = linear._manifest()
+    live = {f for fs in m["files"].values() for f in fs}
+    lin_y = _avg_width(_file_numeric_ranges(linear.path, "y", live), n - 1)
+    assert lin_y > 0.9  # x-sort: every file spans ~all of y
+
+    zt = SnapshotTable(spark, str(tmp_path / "zo"), write_fanout=16)
+    zt.create(spark.createDataFrame(rows, schema))
+    v = zt.compact(target_fanout=16, zorder_by=["x", "y"])
+    assert v == 2
+    m = zt._manifest()
+    live = {f for fs in m["files"].values() for f in fs}
+    z_x = _avg_width(_file_numeric_ranges(zt.path, "x", live), n - 1)
+    z_y = _avg_width(_file_numeric_ranges(zt.path, "y", live), n - 1)
+    # both dimensions narrow: each file covers a fraction of each domain
+    assert z_y < 0.55 and z_x < 0.55, (z_x, z_y, lin_y)
+    # identity rewrite: same rows, schema unchanged (no __z leak)
+    assert zt.read().count() == n * n
+    assert set(zt.read().columns) == {"bucket_id", "name", "x", "y"}
+
+
+def test_zorder_constant_column_degrades_gracefully(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "zc"), write_fanout=4)
+    rows = [("b1", f"k{i:03d}", 5.0, float(i)) for i in range(200)]
+    t.create(
+        spark.createDataFrame(rows, "bucket_id string, name string, x double, y double")
+    )
+    v = t.compact(target_fanout=4, zorder_by=["x", "y"])  # x constant
+    assert v == 2
+    assert t.read().count() == 200
