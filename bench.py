@@ -282,6 +282,22 @@ def main() -> None:
 
         return session_stats(t["events"], gap_seconds=1800).count()
 
+    def global_ids_10m():
+        # contiguous ids over 10M rows in (folder, name) total order via
+        # the grouped prefix-sum plan — 1000 parallel per-group windows +
+        # a broadcast offset table; the row_number()-OVER-(ORDER BY) it
+        # replaces would drag all 10M rows through ONE task
+        from storage_spark.operators.ordering import assign_global_ids
+
+        big = spark.range(0, 10_000_000, 1, cpus * 4).select(
+            F.concat(F.lit("f"), (F.col("id") % 1000).cast("string")).alias("folder"),
+            F.concat(F.lit("obj-"), F.col("id").cast("string")).alias("name"),
+        )
+        out = assign_global_ids(
+            big, [F.col("folder"), F.col("name")], group_col="folder"
+        )
+        return out.select(F.max("global_id")).collect()[0][0]
+
     queries = {
         "full_listing": full_listing,
         "listing_10m": listing_10m,
@@ -299,6 +315,7 @@ def main() -> None:
         "pq_rerank": pq_rerank,
         "snapshot_commit": snapshot_commit,
         "sessionization": sessionization,
+        "global_ids_10m": global_ids_10m,
         "vector_topk": vector_topk,
         "minhash_sweep": minhash_sweep,
         "simhash_pairs": simhash_pairs,
