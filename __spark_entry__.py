@@ -2305,6 +2305,78 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
+# --------------------------------------------------------------------------
+# Temporal joins (extension §2.13: as-of + interval; operators/temporal.py)
+# --------------------------------------------------------------------------
+
+
+def q_asof_latest_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: for each (sampled) event, the owner's most
+    recent object at-or-before the event time — the point-in-time state
+    backfill a feature pipeline runs. Union + running last(ignorenulls)
+    plan: ONE shuffle on owner, no range explosion (plan-tested
+    tests/test_temporal.py). created_at_ms is unique per owner (derived
+    epoch + partkey*60s), so the obj_id tiebreak is for determinism under
+    hypothetical ties only."""
+    from storage_spark.operators.temporal import asof_join
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("event_id") % 20 == 0).select(
+        "event_id",
+        F.concat(
+            F.lit("user-"), (F.col("user_id") % 10).cast("string")
+        ).alias("owner"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    obj = t["objects"].select(
+        F.col("owner_id").alias("owner"),
+        "created_at_ms",
+        F.col("id").alias("obj_id"),
+        F.col("name").alias("obj_name"),
+    )
+    out = asof_join(
+        ev,
+        obj,
+        on="owner",
+        left_ts="ts_ms",
+        right_ts="created_at_ms",
+        right_cols=["obj_id", "obj_name"],
+        tiebreak="obj_id",
+    )
+    return out.select(
+        "event_id", "owner", "ts_ms", "created_at_ms", "obj_id", "obj_name"
+    ).orderBy("event_id")
+
+
+def q_interval_upload_contention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: objects created while a multipart upload
+    window [created_at_ms, created_at_ms + in_progress_size) was open —
+    the write-contention audit. Bin-bucketed equi-join (10-min bins), NOT
+    a BroadcastNestedLoop; verified row-identical to the naive inequality
+    join in tests/test_temporal.py."""
+    from storage_spark.operators.temporal import interval_join
+
+    t = _t(spark, sf_dir)
+    pts = t["objects"].select("id", "created_at_ms")
+    ivs = t["multipart_uploads"].select(
+        F.col("id").alias("upload_id"),
+        F.col("created_at_ms").alias("w_start"),
+        (F.col("created_at_ms") + F.col("in_progress_size")).alias("w_end"),
+    )
+    out = interval_join(
+        pts, ivs, "created_at_ms", "w_start", "w_end", bin_width=600_000
+    )
+    return (
+        out.groupBy("upload_id")
+        .agg(
+            F.count("*").alias("n_contending"),
+            F.min("created_at_ms").alias("first_ms"),
+            F.max("created_at_ms").alias("last_ms"),
+        )
+        .orderBy("upload_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2326,6 +2398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (1) new in round 4 — zero driver rows until this round records:
         "pack_sequences": q_pack_sequences,
+        "asof_latest_object": q_asof_latest_object,
+        "interval_upload_contention": q_interval_upload_contention,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -2816,6 +2890,42 @@ WHERE EXISTS (
   WHERE CAST(p.id AS BIGINT) % 41 = 0
     AND p.name = o.name AND p.version = o.version
 )
+"""),
+        "asof_latest_object": _o("""
+, ev AS (
+  SELECT event_id,
+         'user-' || CAST(user_id % 10 AS VARCHAR) AS owner,
+         epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_id % 20 = 0
+)
+, best AS (
+  SELECT e.event_id, e.owner, e.ts_ms, max(o.created_at_ms) AS created_at_ms
+  FROM ev e LEFT JOIN objects o
+    ON o.owner_id = e.owner AND o.created_at_ms <= e.ts_ms
+  GROUP BY e.event_id, e.owner, e.ts_ms
+)
+SELECT b.event_id, b.owner, b.ts_ms, b.created_at_ms,
+       max(o.id) AS obj_id,
+       arg_max(o.name, o.id) AS obj_name
+FROM best b
+LEFT JOIN objects o
+  ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
+GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
+ORDER BY b.event_id
+"""),
+        "interval_upload_contention": _o("""
+, ivs AS (
+  SELECT id AS upload_id, created_at_ms AS w_start,
+         created_at_ms + in_progress_size AS w_end
+  FROM multipart_uploads
+)
+SELECT i.upload_id,
+       count(*) AS n_contending,
+       min(o.created_at_ms) AS first_ms,
+       max(o.created_at_ms) AS last_ms
+FROM objects o JOIN ivs i
+  ON o.created_at_ms >= i.w_start AND o.created_at_ms < i.w_end
+GROUP BY i.upload_id ORDER BY i.upload_id
 """),
         "sessionize_events": _o("""
 , ordered AS (

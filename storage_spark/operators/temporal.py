@@ -1,0 +1,212 @@
+"""Temporal joins — as-of (point-in-time) and interval (range) joins.
+
+Extension surface: the reference engine has no temporal-join operator (its
+queries are exact-key lookups; see SURVEY.md §2.13 extensions), but a
+training-data / analytics engine needs both constantly — "state as of event
+time" backfills (feature stores, slowly-changing catalogs) and
+point-in-interval attribution (events inside maintenance / upload windows).
+Spark has no built-in ASOF JOIN either, so both are built as compositions
+of shuffle-friendly primitives:
+
+- ``asof_join``: the union + running ``last(..., ignorenulls)`` plan.
+  Tag both inputs, union them, and take the running last right-side value
+  over a window partitioned by the join key and ordered by time — right
+  rows sort *before* left rows at equal timestamps, which yields inclusive
+  (``right_ts <= left_ts``) backward-as-of semantics. ONE hash shuffle on
+  the key plus a per-partition sort; no range explosion, no broadcast of
+  either side, and the running frame (UnboundedPreceding → CurrentRow) is
+  evaluated incrementally by Spark's window operator. This is the classic
+  distributed as-of plan (same shape Flink's temporal join and
+  pandas.merge_asof's sort-merge use) and it survives 100 TB: cost is
+  union-scan + one shuffle, identical to a plain sort-merge join.
+- ``interval_join``: point-in-interval via **bin bucketing**. Intervals
+  are exploded to the fixed-width time bins they overlap
+  (``sequence(floor(start/W), floor(end/W))``), points map to exactly one
+  bin, and the join becomes an equi-join on ``bin`` followed by the exact
+  range predicate. A point's single bin meets a given interval at most
+  once, so no post-join dedup is needed. Without this, Spark plans a
+  non-equi join as BroadcastNestedLoop/cartesian — the bin column turns
+  it into a hash-partitioned equi-join that scales linearly. Bin width is
+  the knob: ~the median interval length keeps the blow-up factor near 2×
+  (an interval of length L explodes to ceil(L/W)+1 bins); pathological
+  long intervals should be capped or routed to a broadcast side.
+
+Skew note (100 TB): both operators shuffle on a user-chosen key (as-of)
+or on time bins (interval). Hot as-of keys behave like any skewed
+window — AQE cannot split a window partition, so cap per-key row counts
+upstream; hot bins (flash-crowd seconds) are bounded by W.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    tiebreak: str | None = None,
+    tolerance: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the latest right row
+    with ``right_ts <= left_ts`` on the same key (inclusive).
+
+    Parameters
+    ----------
+    on : join key column name(s) present in both inputs.
+    left_ts / right_ts : ordering columns (same comparable type — use
+        epoch-ms BIGINT for engine-portable semantics).
+    right_cols : right payload columns to attach (default: all non-key,
+        non-ts right columns). Each lands as ``<col><suffix>`` if the name
+        collides with a left column, else under its own name.
+    tiebreak : optional right column ordering equal-``right_ts`` rows;
+        the one sorting LAST wins (e.g. a monotonically increasing id →
+        the highest id wins). Without it, equal-ts winners are
+        nondeterministic, so pass one whenever right_ts can collide.
+    tolerance : optional max staleness (same unit as the ts columns);
+        matches older than ``left_ts - tolerance`` are nulled out.
+
+    Returns the left rows (all of them — left-outer semantics) with the
+    attached right payload plus ``<right_ts><suffix>`` (the matched row's
+    timestamp, null when no match).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    right_cols = list(right_cols)
+    if tiebreak is not None and tiebreak not in right_cols + [right_ts]:
+        right_cols.append(tiebreak)
+
+    # Output names for attached right columns (suffix only on collision).
+    out_name = {
+        c: (c + suffix if c in left.columns else c) for c in right_cols
+    }
+    matched_ts = right_ts + suffix if right_ts in left.columns else right_ts
+
+    t = "_asof_t"
+    tag = "_asof_tag"  # right=0 sorts before left=1 at equal t → inclusive
+    tb = "_asof_tb"
+
+    # tb must be a concrete sortable type on BOTH union branches (a bare
+    # NullType column can neither be unioned with a typed one nor sorted).
+    tb_type = right.schema[tiebreak].dataType if tiebreak else None
+
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias(t),
+        F.lit(0).alias(tag),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias(tb),
+        F.col(right_ts).alias("_r_" + right_ts),
+        *[F.col(c).alias("_r_" + c) for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias("_l_" + c)
+          for c in left.columns if c not in keys],
+    )
+    l_ = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias(t),
+        F.lit(1).alias(tag),
+        (F.lit(None).cast(tb_type) if tb_type is not None else F.lit(0)).alias(tb),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_" + right_ts),
+        *[F.lit(None).cast(right.schema[c].dataType).alias("_r_" + c)
+          for c in right_cols],
+        *[F.col(c).alias("_l_" + c) for c in left.columns if c not in keys],
+    )
+
+    # Right rows first at equal t; among equal-t right rows the tiebreak
+    # orders them so last() picks the highest. Left rows carry null tb →
+    # asc_nulls_last keeps them stable after the rights.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(t).asc(), F.col(tag).asc(), F.col(tb).asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = r.unionByName(l_)
+    filled = unioned.select(
+        *keys,
+        F.col(t),
+        F.col(tag),
+        F.last("_r_" + right_ts, ignorenulls=True).over(w).alias("_m_ts"),
+        *[F.last("_r_" + c, ignorenulls=True).over(w).alias("_m_" + c)
+          for c in right_cols],
+        *[F.col("_l_" + c) for c in left.columns if c not in keys],
+    ).where(F.col(tag) == 1)
+
+    stale = (
+        F.col("_m_ts") < F.col(t) - F.lit(tolerance)
+        if tolerance is not None
+        else F.lit(False)
+    )
+    out_cols = [F.col(k) for k in keys]
+    out_cols += [
+        F.col("_l_" + c).alias(c) for c in left.columns if c not in keys
+    ]
+    out_cols.append(
+        F.when(~stale, F.col("_m_ts")).alias(matched_ts)
+    )
+    out_cols += [
+        F.when(~stale, F.col("_m_" + c)).alias(out_name[c])
+        for c in right_cols
+    ]
+    return filled.select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    on: str | Sequence[str] | None = None,
+    bin_width: int = 3_600_000,
+    closed: str = "left",
+) -> DataFrame:
+    """Inner point-in-interval join via fixed-width bin bucketing.
+
+    Emits one row per (point, containing interval) pair — a point inside k
+    overlapping intervals appears k times, matching the SQL inequality
+    join ``ON p.t >= i.start AND p.t < i.end`` (``closed='left'``; 'both'
+    makes the end inclusive). ``on`` optionally adds equi-key columns.
+
+    ``bin_width`` is in the ts columns' unit (default 1h in ms). An
+    interval of length L costs ceil(L/W)+1 exploded rows — pick W near the
+    median interval length. The join itself is a plain hash equi-join on
+    (keys..., bin): shuffle-partitioned, AQE-skew-splittable, no
+    BroadcastNestedLoop (plan-tested in tests/test_plans.py).
+    """
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    binc = "_iv_bin"
+
+    iv = intervals.withColumn(
+        binc,
+        # floor-div, not cast-truncate: pre-epoch (negative) timestamps
+        # must round toward -inf or they'd land in the wrong bin
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_width).cast("long"),
+                F.floor(F.col(end_col) / bin_width).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        binc, F.floor(F.col(point_ts) / bin_width).cast("long")
+    )
+
+    in_range = F.col(point_ts) >= F.col(start_col)
+    in_range &= (
+        F.col(point_ts) <= F.col(end_col)
+        if closed == "both"
+        else F.col(point_ts) < F.col(end_col)
+    )
+    return pt.join(iv, [binc] + keys, "inner").where(in_range).drop(binc)

@@ -1,0 +1,142 @@
+"""As-of and interval join semantics (storage_spark/operators/temporal.py).
+
+Cross-validated two ways: hand-built edge-case frames here, and the
+documents/events-scale DuckDB oracles in tests/test_queries_parity.py
+(`asof_latest_object`, `interval_upload_contention`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from storage_spark.operators.temporal import asof_join, interval_join
+
+
+def _asof(spark, **kw):
+    left = spark.createDataFrame(
+        [
+            ("a", 100, "e1"),
+            ("a", 205, "e2"),
+            ("a", 300, "e3"),
+            ("b", 50, "e4"),  # before any right row for b
+            ("c", 999, "e5"),  # key absent on the right
+        ],
+        "k string, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 100, 1, "r-a-100"),  # equal-ts: inclusive
+            ("a", 200, 2, "r-a-200-lo"),
+            ("a", 200, 3, "r-a-200-hi"),  # equal right ts: tiebreak max wins
+            ("a", 250, 4, "r-a-250"),
+            ("b", 60, 5, "r-b-60"),
+        ],
+        "k string, rt long, rid long, payload string",
+    )
+    return asof_join(left, right, on="k", left_ts="t", right_ts="rt", **kw)
+
+
+def test_asof_backward_inclusive_and_tiebreak(spark):
+    out = {
+        r["ev"]: (r["payload"], r["rt"])
+        for r in _asof(spark, tiebreak="rid").collect()
+    }
+    assert out["e1"] == ("r-a-100", 100)  # rt == t matches (inclusive)
+    assert out["e2"] == ("r-a-200-hi", 200)  # equal-ts winner = max rid
+    assert out["e3"] == ("r-a-250", 250)
+    assert out["e4"] == (None, None)  # left-outer: unmatched survives
+    assert out["e5"] == (None, None)
+
+
+def test_asof_tolerance_boundary(spark):
+    rows = {
+        r["ev"]: r["payload"]
+        for r in _asof(spark, tiebreak="rid", tolerance=50).collect()
+    }
+    # e3: t=300, match rt=250, age 50 == tolerance → kept (<= semantics)
+    assert rows["e3"] == "r-a-250"
+    rows = {
+        r["ev"]: r["payload"]
+        for r in _asof(spark, tiebreak="rid", tolerance=49).collect()
+    }
+    assert rows["e3"] is None  # age 50 > 49 → nulled
+    assert rows["e2"] == "r-a-200-hi"  # age 5 unaffected
+
+
+def test_asof_single_shuffle_no_join(spark):
+    plan = _asof(spark, tiebreak="rid")._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"):
+        assert bad not in plan
+    # one hash-partitioning exchange on the key (plus nothing else)
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_interval_join_basic_and_closed(spark):
+    pts = spark.createDataFrame(
+        [(1, 100), (2, 150), (3, 200), (4, 5000)], "pid long, t long"
+    )
+    ivs = spark.createDataFrame(
+        [("w1", 100, 200), ("w2", 140, 160)], "wid string, s long, e long"
+    )
+    got = {
+        (r["pid"], r["wid"])
+        for r in interval_join(
+            pts, ivs, "t", "s", "e", bin_width=50
+        ).collect()
+    }
+    # half-open [s, e): t=100 in w1, t=150 in both, t=200 (== e) excluded
+    assert got == {(1, "w1"), (2, "w1"), (2, "w2")}
+    got_closed = {
+        (r["pid"], r["wid"])
+        for r in interval_join(
+            pts, ivs, "t", "s", "e", bin_width=50, closed="both"
+        ).collect()
+    }
+    assert got_closed == got | {(3, "w1")}
+
+
+def test_interval_join_matches_inequality_join(spark, sf_dir):
+    """Bin-bucketed plan == the naive non-equi join, row for row."""
+    from storage_spark.tables import load_all
+
+    t = load_all(spark, sf_dir)
+    pts = t["objects"].select("id", "created_at_ms").limit(500)
+    ivs = t["multipart_uploads"].select(
+        F.col("id").alias("upload_id"),
+        F.col("created_at_ms").alias("w_start"),
+        (F.col("created_at_ms") + F.col("in_progress_size")).alias("w_end"),
+    )
+    fast = interval_join(
+        pts, ivs, "created_at_ms", "w_start", "w_end", bin_width=600_000
+    )
+    naive = pts.join(
+        ivs,
+        (pts.created_at_ms >= ivs.w_start) & (pts.created_at_ms < ivs.w_end),
+        "inner",
+    )
+    assert fast.count() == naive.count()
+    assert fast.exceptAll(naive.select(*fast.columns)).count() == 0
+
+
+def test_interval_join_plan_is_equi(spark):
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"), (F.col("id") * 10).alias("t")
+    )
+    ivs = spark.range(10).select(
+        F.col("id").alias("wid"),
+        (F.col("id") * 100).alias("s"),
+        (F.col("id") * 100 + 120).alias("e"),
+    )
+    plan = (
+        interval_join(pts, ivs, "t", "s", "e", bin_width=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_interval_join_rejects_bad_closed(spark):
+    pts = spark.range(1).select(F.col("id").alias("t"))
+    with pytest.raises(ValueError):
+        interval_join(pts, pts, "t", "t", "t", closed="right")
