@@ -2377,6 +2377,22 @@ def q_interval_upload_contention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: per-document top-3 distinctive terms
+    under the integer-exact ranking (tf DESC, df ASC, term ASC) — monotone
+    in tf·idf for any decreasing idf but free of cross-engine float-log
+    drift. Vocabulary (df) side broadcast; window on doc_id for the
+    top-k (pipeline.top_terms)."""
+    from storage_spark.operators.pipeline import top_terms
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 200)
+    out = top_terms(docs, k=3)
+    return out.withColumn("rnk", F.col("rnk").cast("long")).orderBy(
+        "doc_id", "rnk"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2400,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "asof_latest_object": q_asof_latest_object,
         "interval_upload_contention": q_interval_upload_contention,
+        "top_terms": q_top_terms,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -2912,6 +2929,26 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "top_terms": _o("""
+, tokens AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents WHERE doc_id < 200
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM tokens WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, d.df ASC, tf.term ASC) AS rnk
+  FROM tf JOIN dfreq d USING (term)
+)
+SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
 """),
         "interval_upload_contention": _o("""
 , ivs AS (

@@ -661,3 +661,60 @@ def token_budget_filter(
     )
     out = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return out.filter(F.col("cum_tokens") <= budget_tokens)
+
+
+def term_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Whitespace-tokenize and return ``(tf, df)``: per-(doc, term)
+    frequency and per-term document frequency. Both are pure groupBys with
+    map-side partial aggregation; ``df`` is derived from ``tf`` (not the
+    raw token stream) so it shuffles one row per DISTINCT (doc, term), not
+    one per token occurrence."""
+    tokens = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf, df_
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document top-k distinctive terms — TF-IDF keyword extraction
+    with an integer-only ranking: (tf DESC, df ASC, term ASC). That order
+    is monotone in tf/df exactly like tf·idf for any decreasing idf, and
+    it keeps the ranking engine-exact (no float log whose last-ulp can
+    differ between JVM Math.log and libm — the DuckDB oracle replays the
+    identical integer sort). Consumers wanting a score compute their
+    preferred idf flavor from the returned (tf, df, rnk).
+
+    Plan: two partial-agg shuffles (tf, df) + one term join + one window
+    on the doc key. ``broadcast_vocab=True`` broadcasts the df table —
+    right for natural-language vocabularies (≤ tens of millions of rows);
+    flip it off for adversarial/id-heavy corpora where the vocabulary is
+    corpus-sized and a shuffle join on term is the honest plan.
+    """
+    from pyspark.sql import Window
+
+    tf, df_ = term_stats(docs, id_col=id_col, text_col=text_col)
+    vocab = F.broadcast(df_) if broadcast_vocab else df_
+    joined = tf.join(vocab, "term")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "rnk")
+    )
