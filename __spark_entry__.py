@@ -2121,6 +2121,40 @@ FROM reach GROUP BY doc ORDER BY doc
     return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
+def _oracle_group_split(
+    max_hamming: int, train: float, val: float, seed: str = "split-v1"
+) -> str:
+    """Leakage-free split oracle: the recursive-CTE component closure of
+    _oracle_simhash_components, then the SAME md5-threshold cut on the
+    component id that pipeline.leakage_free_split applies (thresholds come
+    from the shared _hash_threshold so both engines compare against
+    byte-identical hex literals)."""
+    from storage_spark.operators.pipeline import _hash_threshold
+
+    base = _oracle_simhash_components(max_hamming)
+    old_tail = (
+        "SELECT CAST(doc AS BIGINT) AS doc, "
+        "CAST(min(label) AS BIGINT) AS component\n"
+        "FROM reach GROUP BY doc ORDER BY doc"
+    )
+    assert old_tail in base, "components oracle tail changed"
+    t_thr, v_thr = _hash_threshold(train), _hash_threshold(train + val)
+    new_tail = f""", comp AS (
+  SELECT doc, CAST(min(label) AS BIGINT) AS component
+  FROM reach GROUP BY doc
+),
+lang_of AS (SELECT doc_id, lang FROM documents WHERE doc_id < 40)
+SELECT CAST(c.doc AS BIGINT) AS doc_id, c.component, l.lang,
+       CASE WHEN md5('{seed}:' || CAST(c.component AS VARCHAR)) < '{t_thr}'
+            THEN 'train'
+            WHEN md5('{seed}:' || CAST(c.component AS VARCHAR)) < '{v_thr}'
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM comp c JOIN lang_of l ON l.doc_id = c.doc
+ORDER BY doc_id"""
+    return base.replace(old_tail, new_tail)
+
+
 def _oracle_simhash_resolve(max_hamming: int) -> str:
     """Canonical election over the recursive-CTE components: per component,
     the doc with the most whitespace tokens wins (ties → min doc id) —
@@ -2393,6 +2427,26 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: SimHash near-dup pairs →
+    connected components → whole-component md5-threshold assignment, so
+    no near-duplicate pair straddles a split boundary. Oracle replays
+    the recursive-CTE closure + the same md5 cut."""
+    from storage_spark.operators.dedup import simhash16, simhash_near_pairs
+    from storage_spark.operators.pipeline import leakage_free_split
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 40).select("doc_id", "lang")
+    pairs = simhash_near_pairs(simhash16(t["documents"].filter(F.col("doc_id") < 40)), max_hamming=6)
+    out = leakage_free_split(docs, pairs, train=0.6, val=0.2)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+        "lang",
+        "split",
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2417,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_object": q_asof_latest_object,
         "interval_upload_contention": q_interval_upload_contention,
         "top_terms": q_top_terms,
+        "group_split": q_group_split,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -3580,6 +3635,7 @@ SELECT DISTINCT doc_a, doc_b FROM (
         "simhash_near_pairs": _oracle_simhash_pairs(6),
         "simhash_wide": _oracle_simhash_pairs(6, n_bits=32),
         "dedup_components": _oracle_simhash_components(6),
+        "group_split": _oracle_group_split(6, train=0.6, val=0.2),
         "dedup_resolve": _oracle_simhash_resolve(6),
         "dedup_incremental": _o(f"""
 , fps AS (

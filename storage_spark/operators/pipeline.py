@@ -718,3 +718,53 @@ def top_terms(
         .where(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", "rnk")
     )
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    train: float = 0.8,
+    val: float = 0.1,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Group-aware train/val/test split: near-duplicate documents NEVER
+    straddle a split boundary. Assigning splits per-document leaks — a
+    train doc's near-dup twin lands in test and the eval is contaminated.
+    Here the unit of assignment is the connected component of the
+    near-dup graph (``pairs``): every doc resolves to its component
+    (dedup_components — min reachable id), and the whole component is
+    hashed into train/val/test with the same engine-portable
+    md5-threshold predicate as ``sample_corpus``. Reproducible across
+    runs, engines, and cluster layouts; singletons (no pairs) form their
+    own component.
+
+    Cost on top of the component labels: one join docs⋈components on the
+    doc id and a pure-Column split expression — no extra shuffle beyond
+    the components computation itself.
+    """
+    if not (0.0 <= train and 0.0 <= val and train + val <= 1.0):
+        raise ValueError(f"need train, val >= 0 and train+val <= 1, got {train}, {val}")
+    from storage_spark.operators.dedup import dedup_components
+
+    comps = dedup_components(
+        pairs,
+        doc_a=doc_a,
+        doc_b=doc_b,
+        nodes=docs.select(F.col(id_col).alias("doc")),
+    )
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col("component").cast("string"))
+    )
+    split = (
+        F.when(h < F.lit(_hash_threshold(train)), F.lit("train"))
+        .when(h < F.lit(_hash_threshold(train + val)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.join(comps, docs[id_col] == comps["doc"], "inner")
+        .drop("doc")
+        .withColumn("split", split)
+    )

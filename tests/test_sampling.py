@@ -204,3 +204,51 @@ def test_token_budget_is_per_language(spark):
         langs.setdefault(r["lang"], []).append(r["doc_id"])
     assert sorted(langs["en"]) == [0, 1]
     assert sorted(langs["de"]) == [10, 11]
+
+
+def test_leakage_free_split_groups_stay_together(spark):
+    from storage_spark.operators.pipeline import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id bigint, text string"
+    )
+    # chain 0-1-2 and pair 10-11; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    out = leakage_free_split(docs, pairs, train=0.5, val=0.25)
+    rows = {r["doc_id"]: (r["component"], r["split"]) for r in out.collect()}
+    assert len(rows) == 30  # every doc assigned, singletons included
+    # connected docs share both component and split (no leakage)
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[10] == rows[11]
+    assert rows[0][0] == 0 and rows[10][0] == 10  # min-id component labels
+    assert set(s for _, s in rows.values()) <= {"train", "val", "test"}
+
+
+def test_leakage_free_split_is_deterministic_and_seeded(spark):
+    from storage_spark.operators.pipeline import leakage_free_split
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    a = {r["doc_id"]: r["split"] for r in leakage_free_split(docs, pairs).collect()}
+    b = {r["doc_id"]: r["split"] for r in leakage_free_split(docs, pairs).collect()}
+    assert a == b  # rerun-stable
+    c = {
+        r["doc_id"]: r["split"]
+        for r in leakage_free_split(docs, pairs, seed="other").collect()
+    }
+    assert a != c  # the seed actually feeds the hash
+
+
+def test_leakage_free_split_rejects_bad_fractions(spark):
+    import pytest
+
+    from storage_spark.operators.pipeline import leakage_free_split
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    with pytest.raises(ValueError):
+        leakage_free_split(docs, pairs, train=0.9, val=0.2)
