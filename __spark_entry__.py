@@ -2447,6 +2447,25 @@ def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar shard export, verified at the manifest level: the
+    oracle recomputes the contiguous shard slicing (row_number // per)
+    and per-shard byte totals (UTF-8 member sizes) that the executor-side
+    tar writer must produce. Member-level bytes are covered by the
+    round-trip + determinism tests in tests/test_webdataset.py."""
+    import tempfile
+
+    from storage_spark.sources.webdataset import write_webdataset_shards
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").cast("string").alias("key"), "text"
+    )
+    out_dir = tempfile.mkdtemp(prefix="wds_export_")
+    m = write_webdataset_shards(docs, out_dir, "key", ["text"], n_shards=4)
+    return m.select("shard", "n_samples", "n_bytes").orderBy("shard")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2472,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_upload_contention": q_interval_upload_contention,
         "top_terms": q_top_terms,
         "group_split": q_group_split,
+        "webdataset_export": q_webdataset_export,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -2984,6 +3004,19 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "webdataset_export": _o("""
+, d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key, text
+  FROM documents WHERE doc_id < 100
+),
+r AS (
+  SELECT key, text, row_number() OVER (ORDER BY key) - 1 AS rid FROM d
+)
+SELECT CAST(rid // 25 AS INT) AS shard,
+       count(*) AS n_samples,
+       CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+FROM r GROUP BY shard ORDER BY shard
 """),
         "top_terms": _o("""
 , tokens AS (
