@@ -2466,6 +2466,23 @@ def q_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("shard", "n_samples", "n_bytes").orderBy("shard")
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleave (stride scheduling on an
+    integer virtual-time key): src0 at weight 3, src1 at 2, everything
+    else 1. The oracle replays the same (2i+1)·lcm/w arithmetic, so the
+    mixture order is engine-exact."""
+    from storage_spark.operators.pipeline import mix_corpora
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 150).select(
+        "doc_id", "source"
+    )
+    out = mix_corpora(docs, {"src0": 3, "src1": 2}, default_weight=1)
+    return out.select(
+        "doc_id", "source", "src_pos", "mix_key"
+    ).orderBy("mix_key", "source", "doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2492,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "group_split": q_group_split,
         "webdataset_export": q_webdataset_export,
+        "corpus_mixture": q_corpus_mixture,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -3004,6 +3022,18 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "corpus_mixture": _o("""
+, pos AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+           AS src_pos,
+         CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END AS w
+  FROM documents WHERE doc_id < 150
+)
+SELECT doc_id, source, CAST(src_pos AS BIGINT) AS src_pos,
+       CAST((2 * src_pos + 1) * (6 // w) AS BIGINT) AS mix_key
+FROM pos ORDER BY mix_key, source, doc_id
 """),
         "webdataset_export": _o("""
 , d AS (

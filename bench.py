@@ -282,6 +282,31 @@ def main() -> None:
 
         return session_stats(t["events"], gap_seconds=1800).count()
 
+    def asof_10m():
+        # 10M-event backward as-of join against a 100k-row versioned
+        # dimension over 10k keys: union + running last(ignorenulls) —
+        # ONE shuffle on the key, no per-event range probe. The naive
+        # plan (non-equi join + argmax) is quadratic in rows-per-key.
+        from storage_spark.operators.temporal import asof_join
+
+        left = spark.range(0, 10_000_000, 1, cpus * 4).select(
+            (F.col("id") % 10_000).alias("k"),
+            (F.col("id") * 7 % 1_000_000_000).alias("t"),
+            F.col("id").alias("event_id"),
+        )
+        right = spark.range(0, 100_000, 1, cpus * 2).select(
+            (F.col("id") % 10_000).alias("k"),
+            (F.col("id") * 9973 % 1_000_000_000).alias("vt"),
+            F.col("id").alias("version_id"),
+        )
+        out = asof_join(
+            left, right, on="k", left_ts="t", right_ts="vt",
+            right_cols=["version_id"], tiebreak="version_id",
+        )
+        return out.agg(
+            F.count("version_id"), F.sum("version_id")
+        ).collect()[0][0]
+
     def global_ids_10m():
         # contiguous ids over 10M rows in (folder, name) total order via
         # the grouped prefix-sum plan — 1000 parallel per-group windows +
@@ -316,6 +341,7 @@ def main() -> None:
         "snapshot_commit": snapshot_commit,
         "sessionization": sessionization,
         "global_ids_10m": global_ids_10m,
+        "asof_10m": asof_10m,
         "vector_topk": vector_topk,
         "minhash_sweep": minhash_sweep,
         "simhash_pairs": simhash_pairs,

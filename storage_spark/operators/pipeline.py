@@ -768,3 +768,63 @@ def leakage_free_split(
         .drop("doc")
         .withColumn("split", split)
     )
+
+
+def mix_corpora(
+    docs: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    order_by: str = "doc_id",
+    default_weight: int = 0,
+) -> DataFrame:
+    """Deterministic weighted interleave of corpus sources — the "data
+    mixture" a training run consumes (e.g. web:3, code:1, books:1).
+
+    Every kept row gets an integer ``mix_key``; reading in ``mix_key``
+    order yields source ``s`` with long-run frequency ∝ ``weights[s]``
+    and near-uniform local spacing (stride scheduling: the i-th doc of a
+    source with weight w lands at virtual time (2i+1)/(2w); scaled by
+    lcm(weights) it stays INTEGER, so the order is engine-exact — no
+    float accumulation, same order in the DuckDB oracle). Sources not in
+    ``weights`` get ``default_weight`` (0 = dropped).
+
+    Scale shape: per-source positions come from the grouped prefix-sum
+    global order (``assign_global_ids`` — parallel windows, broadcast
+    offsets) minus each source's start offset (tiny aggregate, broadcast
+    back). No single-partition window; one shuffle on the order key, two
+    broadcast joins. Feed the result straight to ``assign_shards(order_by=
+    [mix_key, ...])`` to cut curriculum-preserving training shards.
+    """
+    from math import lcm
+
+    from storage_spark.operators.ordering import assign_global_ids
+
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("weights must be non-negative integers")
+    kept = [w for w in weights.values() if w > 0]
+    if default_weight > 0:
+        kept.append(default_weight)
+    scale = lcm(*kept) if kept else 1
+
+    w_expr = F.lit(default_weight)
+    for s, w in sorted(weights.items()):
+        w_expr = F.when(F.col(source_col) == s, F.lit(w)).otherwise(w_expr)
+
+    kept = docs.withColumn("_w", w_expr).filter(F.col("_w") > 0)
+    ordered = assign_global_ids(
+        kept,
+        [F.col(source_col), F.col(order_by)],
+        group_col=source_col,
+    )
+    starts = ordered.groupBy(source_col).agg(
+        F.min("global_id").alias("_start")
+    )
+    return (
+        ordered.join(F.broadcast(starts), source_col)
+        .withColumn("src_pos", F.col("global_id") - F.col("_start"))
+        .withColumn(
+            "mix_key",
+            (2 * F.col("src_pos") + 1) * (F.lit(scale) / F.col("_w")).cast("long"),
+        )
+        .drop("global_id", "_start", "_w")
+    )

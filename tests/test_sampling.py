@@ -252,3 +252,42 @@ def test_leakage_free_split_rejects_bad_fractions(spark):
     pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     with pytest.raises(ValueError):
         leakage_free_split(docs, pairs, train=0.9, val=0.2)
+
+
+def test_mix_corpora_stride_pattern(spark):
+    from storage_spark.operators.pipeline import mix_corpora
+
+    rows = [(i, "A") for i in range(6)] + [(100 + i, "B") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = mix_corpora(docs, {"A": 2, "B": 1})
+    ordered = [
+        r["source"]
+        for r in out.orderBy("mix_key", "source", "doc_id").collect()
+    ]
+    # stride schedule at 2:1 — A keys 1,3,5,..., B keys 2,6,10:
+    assert ordered == ["A", "B", "A", "A", "B", "A", "A", "B", "A"]
+    # positions are per-source and 0-based
+    pos = {r["doc_id"]: r["src_pos"] for r in out.collect()}
+    assert pos[0] == 0 and pos[5] == 5 and pos[100] == 0 and pos[102] == 2
+
+
+def test_mix_corpora_drops_zero_weight_and_defaults(spark):
+    from storage_spark.operators.pipeline import mix_corpora
+
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "doc_id bigint, source string"
+    )
+    out = mix_corpora(docs, {"A": 1, "B": 0})  # default_weight=0
+    assert {r["source"] for r in out.collect()} == {"A"}
+    out2 = mix_corpora(docs, {"A": 1, "B": 0}, default_weight=2)
+    assert {r["source"] for r in out2.collect()} == {"A", "C"}
+
+
+def test_mix_corpora_rejects_negative_weights(spark):
+    import pytest
+
+    from storage_spark.operators.pipeline import mix_corpora
+
+    docs = spark.createDataFrame([(1, "A")], "doc_id bigint, source string")
+    with pytest.raises(ValueError):
+        mix_corpora(docs, {"A": -1})
