@@ -2382,6 +2382,41 @@ def q_asof_latest_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_asof_next_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: the owner's EARLIEST object at-or-after each sampled
+    event (the "next version visible after this point" lookup). Same
+    one-shuffle union+window plan run on negated epoch-ms; oracle mirrors
+    with min() + arg-min back-join."""
+    from storage_spark.operators.temporal import asof_join
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("event_id") % 20 == 3).select(
+        "event_id",
+        F.concat(
+            F.lit("user-"), (F.col("user_id") % 10).cast("string")
+        ).alias("owner"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    obj = t["objects"].select(
+        F.col("owner_id").alias("owner"),
+        "created_at_ms",
+        F.col("id").alias("obj_id"),
+    )
+    out = asof_join(
+        ev,
+        obj,
+        on="owner",
+        left_ts="ts_ms",
+        right_ts="created_at_ms",
+        right_cols=["obj_id"],
+        tiebreak="obj_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "owner", "ts_ms", "created_at_ms", "obj_id"
+    ).orderBy("event_id")
+
+
 def q_interval_upload_contention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join: objects created while a multipart upload
     window [created_at_ms, created_at_ms + in_progress_size) was open —
@@ -2505,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) new in round 4 — zero driver rows until this round records:
         "pack_sequences": q_pack_sequences,
         "asof_latest_object": q_asof_latest_object,
+        "asof_next_object": q_asof_next_object,
         "interval_upload_contention": q_interval_upload_contention,
         "top_terms": q_top_terms,
         "group_split": q_group_split,
@@ -3067,6 +3103,27 @@ ranked AS (
 )
 SELECT doc_id, term, tf, df, rnk FROM ranked WHERE rnk <= 3
 ORDER BY doc_id, rnk
+"""),
+        "asof_next_object": _o("""
+, ev AS (
+  SELECT event_id,
+         'user-' || CAST(user_id % 10 AS VARCHAR) AS owner,
+         epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_id % 20 = 3
+)
+, best AS (
+  SELECT e.event_id, e.owner, e.ts_ms, min(o.created_at_ms) AS created_at_ms
+  FROM ev e LEFT JOIN objects o
+    ON o.owner_id = e.owner AND o.created_at_ms >= e.ts_ms
+  GROUP BY e.event_id, e.owner, e.ts_ms
+)
+SELECT b.event_id, b.owner, b.ts_ms, b.created_at_ms,
+       max(o.id) AS obj_id
+FROM best b
+LEFT JOIN objects o
+  ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
+GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
+ORDER BY b.event_id
 """),
         "interval_upload_contention": _o("""
 , ivs AS (

@@ -55,9 +55,12 @@ def asof_join(
     tiebreak: str | None = None,
     tolerance: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the latest right row
-    with ``right_ts <= left_ts`` on the same key (inclusive).
+    """As-of join: for each left row, attach the closest right row on the
+    same key — ``direction='backward'`` (default) takes the latest right
+    row with ``right_ts <= left_ts``; ``'forward'`` the earliest with
+    ``right_ts >= left_ts``. Both inclusive.
 
     Parameters
     ----------
@@ -72,12 +75,42 @@ def asof_join(
         the highest id wins). Without it, equal-ts winners are
         nondeterministic, so pass one whenever right_ts can collide.
     tolerance : optional max staleness (same unit as the ts columns);
-        matches older than ``left_ts - tolerance`` are nulled out.
+        matches further than ``tolerance`` from ``left_ts`` (older, for
+        backward; newer, for forward) are nulled out.
+    direction : 'backward' or 'forward'. Forward runs the identical
+        one-shuffle plan on NEGATED time columns (so they must be
+        numeric — use epoch-ms BIGINT, the engine-wide convention) and
+        un-negates the matched timestamp on the way out; at equal
+        ``right_ts`` the tiebreak winner is the same (highest) either
+        way.
 
     Returns the left rows (all of them — left-outer semantics) with the
     attached right payload plus ``<right_ts><suffix>`` (the matched row's
     timestamp, null when no match).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
+    if direction == "forward":
+        neg_l = left.withColumn(left_ts, -F.col(left_ts))
+        neg_r = right.withColumn(right_ts, -F.col(right_ts))
+        out = asof_join(
+            neg_l,
+            neg_r,
+            on=on,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            right_cols=right_cols,
+            tiebreak=tiebreak,
+            tolerance=tolerance,
+            suffix=suffix,
+        )
+        matched = right_ts + suffix if right_ts in left.columns else right_ts
+        return out.withColumn(matched, -F.col(matched)).withColumn(
+            left_ts, -F.col(left_ts)
+        )
+
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [

@@ -140,3 +140,42 @@ def test_interval_join_rejects_bad_closed(spark):
     pts = spark.range(1).select(F.col("id").alias("t"))
     with pytest.raises(ValueError):
         interval_join(pts, pts, "t", "t", "t", closed="right")
+
+
+def test_asof_forward_direction(spark):
+    out = {
+        r["ev"]: (r["payload"], r["rt"])
+        for r in _asof(spark, tiebreak="rid", direction="forward").collect()
+    }
+    assert out["e1"] == ("r-a-100", 100)  # rt == t still matches (inclusive)
+    # e2 (t=205): earliest rt >= 205 is 250
+    assert out["e2"] == ("r-a-250", 250)
+    assert out["e3"] == (None, None)  # nothing at/after 300
+    assert out["e4"] == ("r-b-60", 60)  # forward fills what backward missed
+    assert out["e5"] == (None, None)
+
+
+def test_asof_forward_tolerance(spark):
+    rows = {
+        r["ev"]: r["payload"]
+        for r in _asof(
+            spark, tiebreak="rid", direction="forward", tolerance=45
+        ).collect()
+    }
+    # e2: match at 250, 45 ahead of t=205 → kept at tolerance 45 (<=)
+    assert rows["e2"] == "r-a-250"
+    rows = {
+        r["ev"]: r["payload"]
+        for r in _asof(
+            spark, tiebreak="rid", direction="forward", tolerance=44
+        ).collect()
+    }
+    assert rows["e2"] is None
+    assert rows["e1"] == "r-a-100"  # zero-distance match unaffected
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        _asof(spark, direction="nearest")
