@@ -2518,6 +2518,32 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("mix_key", "source", "doc_id")
 
 
+def q_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two size histogram of the object catalog — integer-exact
+    bucketing (bucket = binary digit count, no float log), one
+    partial-agg shuffle of #buckets rows."""
+    from storage_spark.operators.aggregates import numeric_histogram
+
+    t = _t(spark, sf_dir)
+    return numeric_histogram(t["objects"], "size", mode="log2").orderBy(
+        "bucket"
+    )
+
+
+def q_term_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document term co-occurrence counts (word2vec/PMI prep):
+    per-doc top-16 terms (capped fan-out — the load-bearing guard
+    against quadratic pathological docs), pairs counted across docs,
+    kept at n_docs >= 3."""
+    from storage_spark.operators.pipeline import term_cooccurrence
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 80)
+    return term_cooccurrence(
+        docs, max_terms_per_doc=16, min_pair_count=3
+    ).orderBy("term_a", "term_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2546,6 +2572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": q_group_split,
         "webdataset_export": q_webdataset_export,
         "corpus_mixture": q_corpus_mixture,
+        "size_histogram": q_size_histogram,
+        "term_cooc": q_term_cooc,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -3058,6 +3086,38 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "size_histogram": _o("""
+SELECT CASE WHEN size <= 0 THEN 0
+            ELSE CAST(strlen(bin(size)) AS BIGINT) END AS bucket,
+       count(*) AS n,
+       min(size) AS min_value,
+       max(size) AS max_value,
+       CAST(sum(size) AS BIGINT) AS sum_value
+FROM objects GROUP BY bucket ORDER BY bucket
+"""),
+        "term_cooc": _o("""
+, toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents WHERE doc_id < 80
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+capped AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY tf DESC, term ASC) AS r
+    FROM tf
+  ) WHERE r <= 16
+)
+SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+FROM capped a JOIN capped b
+  ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY term_a, term_b HAVING count(*) >= 3
+ORDER BY term_a, term_b
 """),
         "corpus_mixture": _o("""
 , pos AS (

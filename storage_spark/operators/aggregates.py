@@ -178,3 +178,47 @@ def apply_usage_delta(usage: DataFrame, delta: DataFrame) -> DataFrame:
         (F.coalesce(F.col("_n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias("n_objects"),
     )
     return merged.filter(F.col("n_objects") > 0)
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    mode: str = "log2",
+    lo: int = 0,
+    width: int = 1,
+) -> DataFrame:
+    """Distribution profile of a non-negative integer column — the size /
+    token-length histogram a corpus dashboard plots.
+
+    Buckets are computed with INTEGER-EXACT arithmetic so the histogram
+    is identical on every engine (no float log whose edge values could
+    land a boundary row in a different bucket):
+
+    - ``mode='log2'``: bucket = number of binary digits of the value
+      (``length(conv(v, 10, 2))`` — i.e. ``floor(log2 v) + 1`` for v>0;
+      value 0 → bucket 0). Power-of-two buckets, right for sizes
+      spanning many decades.
+    - ``mode='linear'``: bucket = ``(v - lo) div width``.
+
+    One scan, one partial-agg shuffle of #buckets rows; grouped on a
+    tiny key so skew is structural-free.
+    """
+    v = F.col(value_col)
+    if mode == "log2":
+        bucket = F.when(v <= 0, F.lit(0)).otherwise(
+            F.length(F.conv(v.cast("string"), 10, 2))
+        ).cast("long")
+    elif mode == "linear":
+        bucket = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
+    else:
+        raise ValueError(f"mode must be 'log2' or 'linear', got {mode!r}")
+    return (
+        df.select(bucket.alias("bucket"), v.alias("_v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("min_value"),
+            F.max("_v").alias("max_value"),
+            F.sum("_v").alias("sum_value"),
+        )
+    )

@@ -828,3 +828,46 @@ def mix_corpora(
         )
         .drop("global_id", "_start", "_w")
     )
+
+
+def term_cooccurrence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_terms_per_doc: int = 64,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Within-document term co-occurrence counts — the word2vec/PMI-style
+    preprocessing table (pair → number of docs where both terms appear).
+
+    The naive formulation self-joins the full (doc, term) table: a doc
+    with t distinct terms contributes t² pairs, so one pathological
+    10^5-term doc emits 10^10 rows. The cap is therefore load-bearing,
+    not cosmetic: each doc keeps only its ``max_terms_per_doc`` top
+    terms (by tf DESC, term ASC — same deterministic ranking as
+    ``top_terms``) before pairing, bounding per-doc fan-out at
+    cap·(cap-1)/2 regardless of input shape. Pair counts then shuffle
+    once on the (term_a, term_b) key.
+
+    Returns (term_a, term_b, n_docs) with term_a < term_b and
+    ``n_docs >= min_pair_count``.
+    """
+    from pyspark.sql import Window
+
+    tf, _ = term_stats(docs, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("term").asc()
+    )
+    capped = (
+        tf.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= max_terms_per_doc)
+        .select(id_col, "term")
+    )
+    a = capped.select(F.col(id_col).alias("_d"), F.col("term").alias("term_a"))
+    b = capped.select(F.col(id_col).alias("_d"), F.col("term").alias("term_b"))
+    pairs = a.join(b, "_d").where(F.col("term_a") < F.col("term_b"))
+    return (
+        pairs.groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_pair_count)
+    )

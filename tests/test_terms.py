@@ -66,3 +66,67 @@ def test_top_terms_broadcast_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan2
+
+
+def test_term_cooccurrence_counts_and_symmetry(spark):
+    from storage_spark.operators.pipeline import term_cooccurrence
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana"),
+            (3, "banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["term_a"], r["term_b"]): r["n_docs"]
+        for r in term_cooccurrence(docs).collect()
+    }
+    assert out[("apple", "banana")] == 2
+    assert out[("banana", "cherry")] == 2
+    assert out[("apple", "cherry")] == 1
+    # canonical orientation only — no (b, a) mirror rows
+    assert ("banana", "apple") not in out
+
+
+def test_term_cooccurrence_cap_bounds_fanout(spark):
+    from storage_spark.operators.pipeline import term_cooccurrence
+
+    # one doc with 10 distinct terms; cap at 3 → C(3,2)=3 pairs max
+    docs = spark.createDataFrame(
+        [(1, " ".join(" ".join([f"t{i}"] * (10 - i)) for i in range(10)))],
+        "doc_id long, text string",
+    )
+    rows = term_cooccurrence(docs, max_terms_per_doc=3).collect()
+    assert len(rows) == 3
+    # kept terms are the top-3 by tf (t0, t1, t2)
+    kept = {t for r in rows for t in (r["term_a"], r["term_b"])}
+    assert kept == {"t0", "t1", "t2"}
+
+
+def test_numeric_histogram_log2_and_linear(spark):
+    from storage_spark.operators.aggregates import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (4,), (7,), (8,), (1024,)], "v long"
+    )
+    log2 = {r["bucket"]: (r["n"], r["min_value"], r["max_value"])
+            for r in numeric_histogram(df, "v", mode="log2").collect()}
+    assert log2[0] == (1, 0, 0)      # zero → bucket 0
+    assert log2[1] == (1, 1, 1)      # 1 = '1' (1 digit)
+    assert log2[2] == (2, 2, 3)      # 2,3 = 2 digits
+    assert log2[3] == (2, 4, 7)      # 4 and 7 = 3 digits
+    assert log2[4] == (1, 8, 8)
+    assert log2[11] == (1, 1024, 1024)
+    lin = {r["bucket"]: r["n"]
+           for r in numeric_histogram(df, "v", mode="linear", lo=0, width=4).collect()}
+    assert lin[0] == 4  # 0,1,2,3
+    assert lin[1] == 2  # 4,7
+    assert lin[2] == 1  # 8
+    assert lin[256] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        numeric_histogram(df, "v", mode="sqrt")
