@@ -2417,6 +2417,42 @@ def q_asof_next_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_asof_nearest_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of: closest object timestamp either side of
+    each sampled event, |Δt| ties to the backward side. Both fills come
+    out of ONE shuffle (second window = second sort, same partitioning);
+    oracle recomputes backward-max + forward-min and replays the choice
+    arithmetic."""
+    from storage_spark.operators.temporal import asof_join
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("event_id") % 20 == 7).select(
+        "event_id",
+        F.concat(
+            F.lit("user-"), (F.col("user_id") % 10).cast("string")
+        ).alias("owner"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    obj = t["objects"].select(
+        F.col("owner_id").alias("owner"),
+        "created_at_ms",
+        F.col("id").alias("obj_id"),
+    )
+    out = asof_join(
+        ev,
+        obj,
+        on="owner",
+        left_ts="ts_ms",
+        right_ts="created_at_ms",
+        right_cols=["obj_id"],
+        tiebreak="obj_id",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "owner", "ts_ms", "created_at_ms", "obj_id"
+    ).orderBy("event_id")
+
+
 def q_interval_upload_contention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join: objects created while a multipart upload
     window [created_at_ms, created_at_ms + in_progress_size) was open —
@@ -2567,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "asof_latest_object": q_asof_latest_object,
         "asof_next_object": q_asof_next_object,
+        "asof_nearest_object": q_asof_nearest_object,
         "interval_upload_contention": q_interval_upload_contention,
         "top_terms": q_top_terms,
         "group_split": q_group_split,
@@ -3184,6 +3221,43 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "asof_nearest_object": _o("""
+, ev AS (
+  SELECT event_id,
+         'user-' || CAST(user_id % 10 AS VARCHAR) AS owner,
+         epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_id % 20 = 7
+)
+, back AS (
+  SELECT e.event_id, max(o.created_at_ms) AS b_ts
+  FROM ev e LEFT JOIN objects o
+    ON o.owner_id = e.owner AND o.created_at_ms <= e.ts_ms
+  GROUP BY e.event_id
+)
+, fwd AS (
+  SELECT e.event_id, min(o.created_at_ms) AS f_ts
+  FROM ev e LEFT JOIN objects o
+    ON o.owner_id = e.owner AND o.created_at_ms >= e.ts_ms
+  GROUP BY e.event_id
+)
+, pick AS (
+  SELECT e.event_id, e.owner, e.ts_ms,
+         CASE WHEN b.b_ts IS NULL THEN f.f_ts
+              WHEN f.f_ts IS NULL THEN b.b_ts
+              WHEN (e.ts_ms - b.b_ts) > (f.f_ts - e.ts_ms) THEN f.f_ts
+              ELSE b.b_ts END AS created_at_ms
+  FROM ev e
+  JOIN back b ON b.event_id = e.event_id
+  JOIN fwd f ON f.event_id = e.event_id
+)
+SELECT p.event_id, p.owner, p.ts_ms, p.created_at_ms,
+       max(o.id) AS obj_id
+FROM pick p
+LEFT JOIN objects o
+  ON o.owner_id = p.owner AND o.created_at_ms = p.created_at_ms
+GROUP BY p.event_id, p.owner, p.ts_ms, p.created_at_ms
+ORDER BY p.event_id
 """),
         "interval_upload_contention": _o("""
 , ivs AS (

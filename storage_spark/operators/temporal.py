@@ -77,20 +77,25 @@ def asof_join(
     tolerance : optional max staleness (same unit as the ts columns);
         matches further than ``tolerance`` from ``left_ts`` (older, for
         backward; newer, for forward) are nulled out.
-    direction : 'backward' or 'forward'. Forward runs the identical
-        one-shuffle plan on NEGATED time columns (so they must be
-        numeric — use epoch-ms BIGINT, the engine-wide convention) and
-        un-negates the matched timestamp on the way out; at equal
+    direction : 'backward', 'forward', or 'nearest'. Forward runs the
+        identical one-shuffle plan on NEGATED time columns (so they must
+        be numeric — use epoch-ms BIGINT, the engine-wide convention)
+        and un-negates the matched timestamp on the way out; at equal
         ``right_ts`` the tiebreak winner is the same (highest) either
-        way.
+        way. Nearest computes BOTH fills in the same single shuffle (a
+        second window over the same partitioning, reverse sort — one
+        extra per-partition sort, no extra exchange) and picks the
+        smaller |Δt| per row, ties to the backward side; ``tolerance``
+        then filters the chosen match (pandas merge_asof semantics).
 
     Returns the left rows (all of them — left-outer semantics) with the
     attached right payload plus ``<right_ts><suffix>`` (the matched row's
     timestamp, null when no match).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"direction must be 'backward' or 'forward', got {direction!r}"
+            "direction must be 'backward', 'forward', or 'nearest', "
+            f"got {direction!r}"
         )
     if direction == "forward":
         neg_l = left.withColumn(left_ts, -F.col(left_ts))
@@ -164,21 +169,68 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = r.unionByName(l_)
+    fill_cols = [
+        F.last("_r_" + right_ts, ignorenulls=True).over(w).alias("_m_ts"),
+        *[F.last("_r_" + c, ignorenulls=True).over(w).alias("_m_" + c)
+          for c in right_cols],
+    ]
+    if direction == "nearest":
+        # Forward fill in the SAME pass: identical hash partitioning
+        # (no second exchange, just a second per-partition sort), frame
+        # from the current row onward. At equal t, left rows (tag=1)
+        # sort BEFORE right rows under tag desc, so an equal-timestamp
+        # right row IS in the forward frame (inclusive); among equal-t′
+        # rights, tb desc makes first() pick the highest tiebreak — the
+        # same winner the backward side elects.
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(
+                F.col(t).asc(), F.col(tag).desc(), F.col(tb).desc_nulls_last()
+            )
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill_cols += [
+            F.first("_r_" + right_ts, ignorenulls=True).over(wf).alias("_f_ts"),
+            *[F.first("_r_" + c, ignorenulls=True).over(wf).alias("_f_" + c)
+              for c in right_cols],
+        ]
     filled = unioned.select(
         *keys,
         F.col(t),
         F.col(tag),
-        F.last("_r_" + right_ts, ignorenulls=True).over(w).alias("_m_ts"),
-        *[F.last("_r_" + c, ignorenulls=True).over(w).alias("_m_" + c)
-          for c in right_cols],
+        *fill_cols,
         *[F.col("_l_" + c) for c in left.columns if c not in keys],
     ).where(F.col(tag) == 1)
 
-    stale = (
-        F.col("_m_ts") < F.col(t) - F.lit(tolerance)
-        if tolerance is not None
-        else F.lit(False)
-    )
+    if direction == "nearest":
+        # Pick the closer side; |Δt| ties go backward. Tolerance filters
+        # the CHOSEN match (merge_asof semantics), symmetric in time.
+        use_fwd = F.col("_m_ts").isNull() | (
+            F.col("_f_ts").isNotNull()
+            & ((F.col(t) - F.col("_m_ts")) > (F.col("_f_ts") - F.col(t)))
+        )
+        chosen = {"_m_ts": F.when(use_fwd, F.col("_f_ts")).otherwise(F.col("_m_ts"))}
+        for c in right_cols:
+            chosen["_m_" + c] = F.when(use_fwd, F.col("_f_" + c)).otherwise(
+                F.col("_m_" + c)
+            )
+        filled = filled.select(
+            *keys,
+            F.col(t),
+            *[expr.alias(name) for name, expr in chosen.items()],
+            *[F.col("_l_" + c) for c in left.columns if c not in keys],
+        )
+        stale = (
+            F.abs(F.col("_m_ts") - F.col(t)) > F.lit(tolerance)
+            if tolerance is not None
+            else F.lit(False)
+        )
+    else:
+        stale = (
+            F.col("_m_ts") < F.col(t) - F.lit(tolerance)
+            if tolerance is not None
+            else F.lit(False)
+        )
     out_cols = [F.col(k) for k in keys]
     out_cols += [
         F.col("_l_" + c).alias(c) for c in left.columns if c not in keys

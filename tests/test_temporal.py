@@ -178,4 +178,59 @@ def test_asof_rejects_bad_direction(spark):
     import pytest
 
     with pytest.raises(ValueError):
-        _asof(spark, direction="nearest")
+        _asof(spark, direction="sideways")
+
+
+def test_asof_nearest_direction(spark):
+    out = {
+        r["ev"]: (r["payload"], r["rt"])
+        for r in _asof(spark, tiebreak="rid", direction="nearest").collect()
+    }
+    assert out["e1"] == ("r-a-100", 100)  # exact hit
+    # e2 (t=205): backward 200 (Δ5) beats forward 250 (Δ45)
+    assert out["e2"] == ("r-a-200-hi", 200)
+    assert out["e3"] == ("r-a-250", 250)  # only backward exists
+    assert out["e4"] == ("r-b-60", 60)  # only forward exists
+    assert out["e5"] == (None, None)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([("a", 100, "e")], "k string, t long, ev string")
+    right = spark.createDataFrame(
+        [("a", 90, 1, "back"), ("a", 110, 2, "fwd")],
+        "k string, rt long, rid long, payload string",
+    )
+    row = asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt",
+        tiebreak="rid", direction="nearest",
+    ).collect()[0]
+    assert row["payload"] == "back"  # |Δ|=10 both ways → backward wins
+
+
+def test_asof_nearest_tolerance_is_symmetric(spark):
+    rows = {
+        r["ev"]: r["payload"]
+        for r in _asof(
+            spark, tiebreak="rid", direction="nearest", tolerance=10
+        ).collect()
+    }
+    assert rows["e2"] == "r-a-200-hi"  # Δ5 within 10
+    assert rows["e4"] == "r-b-60"  # forward Δ10 == tolerance → kept
+    rows9 = {
+        r["ev"]: r["payload"]
+        for r in _asof(
+            spark, tiebreak="rid", direction="nearest", tolerance=9
+        ).collect()
+    }
+    assert rows9["e4"] is None  # Δ10 > 9 → nulled, symmetric bound
+    assert rows9["e2"] == "r-a-200-hi"
+
+
+def test_asof_nearest_single_exchange(spark):
+    plan = (
+        _asof(spark, tiebreak="rid", direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("hashpartitioning") == 1  # two windows, ONE shuffle
+    for bad in ("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"):
+        assert bad not in plan
