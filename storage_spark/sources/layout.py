@@ -59,15 +59,31 @@ def morton_code(
     return z
 
 
-def write_listing_layout(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Bucket-partitioned, name-sorted parquet — the listing-optimal shape."""
-    (
+def write_listing_layout(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    bloom_filter_cols: list[str] | None = None,
+    bloom_ndv: int = 1_000_000,
+) -> None:
+    """Bucket-partitioned, name-sorted parquet — the listing-optimal shape.
+
+    ``bloom_filter_cols`` writes a parquet bloom filter per listed column
+    (``parquet.bloom.filter.enabled#<col>``): point lookups on a
+    non-sort-key column (``id``, ``version``) then skip row groups that
+    min/max stats can't exclude — the sort only narrows ``name``. Cost is
+    ~``bloom_ndv`` bits per row group per column; size it to the expected
+    distinct count per row group, not per table."""
+    w = (
         df.repartition("bucket_id")
         .sortWithinPartitions("name")
         .write.mode(mode)
-        .partitionBy("bucket_id")
-        .parquet(path)
     )
+    for c in bloom_filter_cols or []:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv)
+        )
+    w.partitionBy("bucket_id").parquet(path)
 
 
 def compact_listing_layout(

@@ -77,3 +77,40 @@ def test_custom_order_survives_sharding(spark, tmp_path):
     with tarfile.open(first["path"]) as tar:
         names = tar.getnames()
     assert names[0] == "doc019.txt"  # highest key first under rev order
+
+
+def test_listing_layout_bloom_filters(spark, sf_dir, tmp_path):
+    """Bloom-filter columns land in the files (size delta ≈ ndv bits per
+    row group) and filtered reads stay correct."""
+    import glob
+    import os
+
+    from storage_spark.sources.layout import write_listing_layout
+    from storage_spark.tables import load_all
+
+    objects = load_all(spark, sf_dir)["objects"]
+    plain_dir, bloom_dir = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    write_listing_layout(objects, plain_dir)
+    write_listing_layout(
+        objects, bloom_dir, bloom_filter_cols=["id"], bloom_ndv=100_000
+    )
+
+    def total(d):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(d + "/**/*.parquet", recursive=True)
+        )
+
+    n_files = len(glob.glob(bloom_dir + "/**/*.parquet", recursive=True))
+    delta = total(bloom_dir) - total(plain_dir)
+    # ndv=100k → ~128 KiB of bloom bitset per row group; require at least
+    # half that per file to prove the filters are physically present
+    assert delta > n_files * 64 * 1024, (delta, n_files)
+
+    some_id = objects.select("id").limit(1).collect()[0]["id"]
+    got = (
+        spark.read.parquet(bloom_dir)
+        .where(F.col("id") == some_id)
+        .count()
+    )
+    assert got == objects.where(F.col("id") == some_id).count()
