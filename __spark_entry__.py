@@ -2580,6 +2580,17 @@ def q_term_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("term_a", "term_b")
 
 
+def q_sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced eval-set builder: exactly 20 docs per language, drawn in
+    deterministic md5(seed:key) order — reproducible on any engine or
+    layout; the oracle replays the identical hash ranking."""
+    from storage_spark.operators.pipeline import sample_k_per_group
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang")
+    return sample_k_per_group(docs, "lang", 20).orderBy("lang", "doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2611,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": q_corpus_mixture,
         "size_histogram": q_size_histogram,
         "term_cooc": q_term_cooc,
+        "sample_k_per_lang": q_sample_k_per_lang,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -3123,6 +3135,15 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "sample_k_per_lang": _o("""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5('kpg-v1:' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= 20 ORDER BY lang, doc_id
 """),
         "size_histogram": _o("""
 SELECT CASE WHEN size <= 0 THEN 0

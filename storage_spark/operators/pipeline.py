@@ -871,3 +871,38 @@ def term_cooccurrence(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_pair_count)
     )
+
+
+def sample_k_per_group(
+    docs: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "kpg-v1",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample — the balanced eval-set
+    builder (k docs per language/source, never k±noise). Rows are ranked
+    inside each group by ``md5(seed || ':' || key)`` — a uniform,
+    engine-portable pseudo-random order — and the first ``k`` kept.
+    Same auditability story as ``sample_corpus``: a pure function of
+    (seed, key), identical on any engine, cluster layout, or retry;
+    changing the seed redraws the sample.
+
+    Plan: one shuffle on the group key; WindowGroupLimit (Spark 3.5+)
+    pushes the ``<= k`` bound below the shuffle so each map task forwards
+    at most k rows per group it sees (same shape as ``top_n_per_group``).
+    Groups smaller than k are returned whole.
+    """
+    from storage_spark.operators.ordering import top_n_per_group
+
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    out = top_n_per_group(
+        docs,
+        [group_col],
+        [h.asc(), F.col(key_col).asc()],
+        k,
+        rank_col="_rk",
+    )
+    return out.drop("_rk")

@@ -291,3 +291,27 @@ def test_mix_corpora_rejects_negative_weights(spark):
     docs = spark.createDataFrame([(1, "A")], "doc_id bigint, source string")
     with pytest.raises(ValueError):
         mix_corpora(docs, {"A": -1})
+
+
+def test_sample_k_per_group_exact_k_and_deterministic(spark):
+    from storage_spark.operators.pipeline import sample_k_per_group
+
+    docs = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(90)] + [(1000, "tiny")],
+        "doc_id bigint, grp string",
+    )
+    out = sample_k_per_group(docs, "grp", 5, key_col="doc_id")
+    counts = {r["grp"]: 0 for r in out.collect()}
+    for r in out.collect():
+        counts[r["grp"]] += 1
+    assert counts == {"g0": 5, "g1": 5, "g2": 5, "tiny": 1}  # small group whole
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"] for r in sample_k_per_group(docs, "grp", 5).collect()
+    )
+    assert a == b  # rerun-stable
+    c = sorted(
+        r["doc_id"]
+        for r in sample_k_per_group(docs, "grp", 5, seed="other").collect()
+    )
+    assert a != c  # seeded redraw
