@@ -307,6 +307,24 @@ def main() -> None:
             F.count("version_id"), F.sum("version_id")
         ).collect()[0][0]
 
+    def interval_10m():
+        # 10M points against 100k half-open windows (5k wide) through the
+        # bin-bucketed equi-join (10k bins) — the plan a naive inequality
+        # join would run as BroadcastNestedLoop over 10^12 pairs
+        from storage_spark.operators.temporal import interval_join
+
+        pts = spark.range(0, 10_000_000, 1, cpus * 4).select(
+            (F.col("id") * 13 % 1_000_000_000).alias("t"),
+            F.col("id").alias("pid"),
+        )
+        ivs = spark.range(0, 100_000, 1, cpus * 2).select(
+            F.col("id").alias("wid"),
+            (F.col("id") * 9973 % 1_000_000_000).alias("s"),
+        ).withColumn("e", F.col("s") + 5_000)
+        return interval_join(
+            pts, ivs, "t", "s", "e", bin_width=10_000
+        ).count()
+
     def global_ids_10m():
         # contiguous ids over 10M rows in (folder, name) total order via
         # the grouped prefix-sum plan — 1000 parallel per-group windows +
@@ -342,6 +360,7 @@ def main() -> None:
         "sessionization": sessionization,
         "global_ids_10m": global_ids_10m,
         "asof_10m": asof_10m,
+        "interval_10m": interval_10m,
         "vector_topk": vector_topk,
         "minhash_sweep": minhash_sweep,
         "simhash_pairs": simhash_pairs,
