@@ -1,0 +1,156 @@
+"""Streaming corpus ingestion with incremental near-dup gating.
+
+The continuous version of the batch curation flow: documents arrive as a
+stream; each micro-batch is deduplicated against the PERSISTENT MinHash
+band index (the corpus is never re-shingled — `dedup.minhash_band_index`
+/ `incremental_minhash_pairs`), accepted docs land in the corpus store,
+and their band rows are appended to the index so the NEXT batch probes
+them too. Extension surface — the reference's queue layer moves objects,
+not corpus text (SURVEY §2.10/§2.13).
+
+Exactly-once effect on an at-least-once channel: `foreachBatch` can
+replay a batch after a failure, so both sinks write through **per-epoch
+dynamic partition overwrite** (`epoch=<id>` partition, overwritten on
+replay) — a replayed epoch rewrites its own partition byte-for-byte
+instead of appending duplicates. Readers just scan the directory; the
+epoch column is dropped on read.
+
+Rejection rule per batch (greedy, matching `curate_corpus`'s default):
+a batch doc is rejected iff it band-collides with an indexed corpus doc
+(corpus always wins, regardless of id) or with a LOWER-id doc of the
+same batch. Batch-internal transitivity is greedy: if A rejects B, a C
+colliding only with B still survives.
+
+At 100 TB: the index lives partitioned by `band`, so a batch probe reads
+only the band partitions it hashes into; per-epoch partitions are
+compacted away periodically (sources/snapshots.compact is the same
+motion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("sig", T.StringType()),
+    ]
+)
+
+
+def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(index_path).select("doc", "band", "sig")
+    except Exception:
+        return spark.createDataFrame([], INDEX_SCHEMA)
+
+
+def _overwrite_epoch(df: DataFrame, path: str, epoch_id: int) -> None:
+    (
+        df.withColumn("epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(path)
+    )
+
+
+def dedup_ingest_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    accepted_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> None:
+    """One micro-batch tick: gate ``batch`` against the persistent index,
+    append survivors + their band rows (per-epoch overwrite, replay-safe).
+    Exposed standalone so batch jobs and tests drive the exact code the
+    stream runs."""
+    from storage_spark.operators.dedup import incremental_minhash_pairs
+
+    spark = batch.sparkSession
+    batch = batch.dropDuplicates([id_col])
+    index = _read_index(spark, index_path)
+    pairs, batch_bands = incremental_minhash_pairs(
+        index,
+        batch,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        n_hashes=n_hashes,
+        band_size=band_size,
+    )
+    bids_a = batch.select(F.col(id_col).alias("doc_a"))
+    bids_b = batch.select(F.col(id_col).alias("doc_b"))
+    # corpus on either side → reject the batch side; batch-batch → reject
+    # the greater id (canonical pairs have doc_a < doc_b)
+    rej = (
+        pairs.join(bids_a, "doc_a", "left_anti")
+        .select(F.col("doc_b").alias("doc"))
+        .unionByName(
+            pairs.join(bids_b, "doc_b", "left_anti").select(
+                F.col("doc_a").alias("doc")
+            )
+        )
+        .unionByName(
+            pairs.join(bids_a, "doc_a", "left_semi")
+            .join(bids_b, "doc_b", "left_semi")
+            .select(F.col("doc_b").alias("doc"))
+        )
+        .distinct()
+    )
+    accepted = batch.join(
+        rej, batch[id_col] == rej["doc"], "left_anti"
+    )
+    # cache: accepted feeds two sinks; without it the gate recomputes
+    accepted = accepted.localCheckpoint(eager=True)
+    _overwrite_epoch(accepted, accepted_path, epoch_id)
+    kept_bands = batch_bands.join(
+        accepted.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+    )
+    _overwrite_epoch(kept_bands, index_path, epoch_id)
+
+
+def stream_dedup_ingest(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    trigger_available_now: bool = True,
+):
+    """Wire the gate into a streaming query. ``trigger_available_now=True``
+    drains everything pending then stops (backfill / test mode); flip it
+    off for a continuous processing-time trigger."""
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        dedup_ingest_batch(
+            batch,
+            epoch_id,
+            index_path,
+            accepted_path,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            n_hashes=n_hashes,
+            band_size=band_size,
+        )
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,98 @@
+"""Streaming dedup ingestion (storage_spark/streaming/ingest.py):
+stream result == sequential batch recompute; replay is idempotent."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from storage_spark.streaming.ingest import (
+    dedup_ingest_batch,
+    stream_dedup_ingest,
+)
+
+DOCS = [
+    # batch 0: 0/1 near-dup (1 rejected — same batch, higher id); 2 unique
+    (0, "alpha beta gamma delta epsilon zeta"),
+    (1, "alpha beta gamma delta epsilon eta"),
+    (2, "one two three four five six"),
+    # batch 1: 10 duplicates indexed doc 0 (rejected); 11 unique
+    (10, "alpha beta gamma delta epsilon zeta"),
+    (11, "seven eight nine ten eleven twelve"),
+    # batch 2: 20 duplicates REJECTED doc 10's text → still rejected
+    # (matches surviving doc 0's bands), 21 unique
+    (20, "alpha beta gamma delta epsilon zeta"),
+    (21, "thirteen fourteen fifteen sixteen seventeen eighteen"),
+]
+KW = dict(n=2, n_hashes=4, band_size=1)
+EXPECTED = {0, 2, 11, 21}
+
+
+def _accepted_ids(spark, path):
+    files = glob.glob(path + "/epoch=*/*.parquet")
+    if not files:
+        return set()
+    return {
+        r["doc_id"]
+        for r in spark.read.parquet(path).select("doc_id").collect()
+    }
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_batch_ticks_gate_against_persistent_index(spark, tmp_path):
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    batches = [DOCS[0:3], DOCS[3:5], DOCS[5:7]]
+    for e, rows in enumerate(batches):
+        dedup_ingest_batch(_docs_df(spark, rows), e, idx, acc, **KW)
+    assert _accepted_ids(spark, acc) == EXPECTED
+    # index holds band rows ONLY for accepted docs
+    idx_docs = {r["doc"] for r in spark.read.parquet(idx).select("doc").collect()}
+    assert idx_docs == EXPECTED
+
+
+def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    dedup_ingest_batch(_docs_df(spark, DOCS[0:3]), 0, idx, acc, **KW)
+    dedup_ingest_batch(_docs_df(spark, DOCS[3:5]), 1, idx, acc, **KW)
+    before = _accepted_ids(spark, acc)
+    # at-least-once replay of epoch 1 (same data) overwrites its own
+    # partition instead of appending duplicates
+    dedup_ingest_batch(_docs_df(spark, DOCS[3:5]), 1, idx, acc, **KW)
+    assert _accepted_ids(spark, acc) == before
+    counts = (
+        spark.read.parquet(acc).groupBy("doc_id").count().collect()
+    )
+    assert all(r["count"] == 1 for r in counts)
+
+
+def test_stream_matches_sequential_recompute(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    for e, rows in enumerate([DOCS[0:3], DOCS[3:5], DOCS[5:7]]):
+        _docs_df(spark, rows).coalesce(1).write.parquet(
+            str(src / f"b{e}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    q = stream_dedup_ingest(
+        stream, idx, acc, str(tmp_path / "ckpt"), **KW
+    )
+    q.awaitTermination(120)
+    # file-source micro-batch boundaries differ from the hand-fed ticks,
+    # but every expected unique text survives and every duplicate text is
+    # represented exactly once
+    got = _accepted_ids(spark, acc)
+    texts = {
+        r["text"]
+        for r in spark.read.parquet(acc).select("text").collect()
+    }
+    assert len(got) == len(texts) == 4
+    assert {t.split()[0] for t in texts} == {"alpha", "one", "seven", "thirteen"}
