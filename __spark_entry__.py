@@ -2656,14 +2656,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
         # (3) r2-evidence rotated block:
+        # keyset_events* lead block (3): their events loader changed in
+        # r3, so their driver evidence is the stalest — keep BOTH inside
+        # the 50-entry recorded window
+        "keyset_events": q_keyset_events,
+        "keyset_events_desc": q_keyset_events_desc,
         "capped_count": q_capped_count,
         "owner_rollup": q_owner_rollup,
         "orphans_s3": q_orphans_s3,
         "orphans_db": q_orphans_db,
         "consistency_report": q_consistency_report,
         "fk_join_usage": q_fk_join_usage,
-        "keyset_events": q_keyset_events,
-        "keyset_events_desc": q_keyset_events_desc,
         "meta_filter_range": q_meta_filter_range,
         "meta_filter_in_or": q_meta_filter_in_or,
         "path_functions": q_path_functions,
