@@ -2591,6 +2591,24 @@ def q_sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_k_per_group(docs, "lang", 20).orderBy("lang", "doc_id")
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier sweep: top-5 vectors by
+    distance-to-centroid under integer-exact arithmetic (quantized
+    components; score = Σ(q·cnt − sum)², never a float mean). Oracle
+    replays the identical quantize → centroid-sum → score → rank chain."""
+    from storage_spark.functions.vectors import embedding_outliers
+
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"].filter(F.col("vec_id") < 500)
+    out = embedding_outliers(emb, k=5)
+    return out.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "dist2_scaled",
+        F.col("rk").cast("long").alias("rk"),
+    ).orderBy("label", "rk")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2623,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_histogram": q_size_histogram,
         "term_cooc": q_term_cooc,
         "sample_k_per_lang": q_sample_k_per_lang,
+        "embedding_outliers": q_embedding_outliers,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -3138,6 +3157,36 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "embedding_outliers": _o("""
+, q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+           AS qv
+  FROM embeddings WHERE vec_id < 500
+),
+pos AS (
+  SELECT vec_id, label, g.i - 1 AS pos, qv[g.i] AS v
+  FROM q, generate_series(1, 64) AS g(i)
+),
+cent AS (
+  SELECT label, pos, CAST(sum(v) AS BIGINT) AS s, count(*) AS cnt
+  FROM pos GROUP BY label, pos
+),
+sc AS (
+  SELECT p.vec_id, p.label,
+         CAST(sum((p.v * c.cnt - c.s) * (p.v * c.cnt - c.s)) AS BIGINT)
+           AS dist2_scaled
+  FROM pos p JOIN cent c ON c.label = p.label AND c.pos = p.pos
+  GROUP BY p.vec_id, p.label
+)
+SELECT vec_id, CAST(label AS INTEGER) AS label, dist2_scaled, rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY label
+    ORDER BY dist2_scaled DESC, vec_id ASC) AS rk
+  FROM sc
+) WHERE rk <= 5 ORDER BY label, rk
 """),
         "sample_k_per_lang": _o("""
 SELECT doc_id, lang FROM (

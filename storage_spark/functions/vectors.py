@@ -906,3 +906,70 @@ def ivfpq_search(
         .filter(F.col("rank") <= k)
         .select(query_key, corpus_key, "distance", "rank")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    k: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """Top-``k`` per-label embedding outliers by distance-to-centroid —
+    the corpus-quality sweep that surfaces mislabeled / corrupted vectors.
+
+    All arithmetic is INTEGER-exact so the ranking is engine-identical:
+    components quantize to ``round(x * scale)`` longs, the per-label
+    centroid is carried as (component sums, count) — never divided — and
+    the score is ``Σ_d (q_d·cnt − sum_d)² = cnt² · ‖q − mean‖²·scale²``,
+    a monotone transform of the true distance within each label. No
+    float accumulation ⇒ no partition-order sensitivity and a
+    bit-matching DuckDB oracle.
+
+    Plan: one posexplode pass builds the (label, dim) centroid table
+    (tiny — labels × dims rows), broadcast back; scores are then pure
+    array math (zip_with + aggregate) on the UNEXPLODED rows — map-only —
+    and the per-label top-k uses the WindowGroupLimit-pushed rank.
+    Overflow bound: |q·cnt| must stay << 2³², i.e. scale · max|x| ·
+    label_count < ~3e9 — at bigger labels drop ``scale``.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    qdf = df.select(F.col(id_col), F.col(label_col), q.alias("_q"))
+    pos = qdf.select(
+        id_col, label_col, F.posexplode("_q").alias("_pos", "_v")
+    )
+    cent = pos.groupBy(label_col, "_pos").agg(
+        F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_cnt")
+    )
+    cent_arr = cent.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_s"))),
+            lambda t: t["_s"],
+        ).alias("_sums"),
+        F.max("_cnt").alias("_cnt"),
+    )
+    scored = qdf.join(F.broadcast(cent_arr), label_col).select(
+        id_col,
+        label_col,
+        F.aggregate(
+            F.zip_with(
+                "_q",
+                "_sums",
+                lambda a, b: (a * F.col("_cnt") - b)
+                * (a * F.col("_cnt") - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist2_scaled"),
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("dist2_scaled").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -306,3 +306,47 @@ def test_ivfpq_full_probe_wide_refine_equals_exact(spark, sf_dir):
     g = {(r["q_key"], r["rank"]): r["key"] for r in got.collect()}
     e = {(r["q_key"], r["rank"]): r["key"] for r in exact.collect()}
     assert g == e
+
+
+def test_embedding_outliers_finds_planted_outlier(spark):
+    from storage_spark.functions.vectors import embedding_outliers
+
+    rows = []
+    for i in range(10):
+        rows.append((i, 0, [0.1, 0.1, 0.1, 0.1]))
+    rows.append((99, 0, [0.9, -0.9, 0.9, -0.9]))  # planted outlier
+    for i in range(5):
+        rows.append((100 + i, 1, [0.2, 0.2, 0.2, 0.2]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = embedding_outliers(df, k=2)
+    top0 = [r for r in out.collect() if r["label"] == 0]
+    assert min(top0, key=lambda r: r["rk"])["vec_id"] == 99
+    # identical vectors in label 1: all scores equal, ranked by vec_id
+    top1 = sorted(
+        (r for r in out.collect() if r["label"] == 1), key=lambda r: r["rk"]
+    )
+    assert [r["vec_id"] for r in top1] == [100, 101]
+    assert top1[0]["dist2_scaled"] == top1[1]["dist2_scaled"] == 0
+
+
+def test_embedding_outliers_score_is_scaled_distance(spark):
+    """dist2_scaled == cnt^2 * ||q - mean_q||^2 exactly (integer math)."""
+    from storage_spark.functions.vectors import embedding_outliers
+
+    vecs = {1: [0.0, 0.0], 2: [0.1, 0.0], 3: [0.2, 0.3]}
+    df = spark.createDataFrame(
+        [(i, 0, v) for i, v in vecs.items()],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["dist2_scaled"]
+        for r in embedding_outliers(df, k=3).collect()
+    }
+    q = {i: [round(x * 1000) for x in v] for i, v in vecs.items()}
+    sums = [sum(q[i][d] for i in q) for d in range(2)]
+    cnt = len(q)
+    for i in q:
+        expect = sum((q[i][d] * cnt - sums[d]) ** 2 for d in range(2))
+        assert got[i] == expect
