@@ -2609,6 +2609,19 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label", "rk")
 
 
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence detection (inverse sessionization): per-user stretches of
+    >= 6h with no events, bounded by the events either side — lead()
+    over the keyed sort, integer epoch-ms arithmetic."""
+    from storage_spark.operators.sessions import detect_gaps
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 15)
+    return detect_gaps(ev, min_gap_ms=21_600_000).orderBy(
+        "user_id", "gap_start_ms"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2642,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cooc": q_term_cooc,
         "sample_k_per_lang": q_sample_k_per_lang,
         "embedding_outliers": q_embedding_outliers,
+        "event_gaps": q_event_gaps,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -3157,6 +3171,20 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "event_gaps": _o("""
+, ordered AS (
+  SELECT user_id, epoch_ms(ts) AS gap_start_ms,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS gap_end_ms
+  FROM events WHERE user_id < 15
+)
+SELECT user_id, gap_start_ms, gap_end_ms,
+       gap_end_ms - gap_start_ms AS gap_ms
+FROM ordered
+WHERE gap_end_ms IS NOT NULL
+  AND gap_end_ms - gap_start_ms >= 21600000
+ORDER BY user_id, gap_start_ms
 """),
         "embedding_outliers": _o("""
 , q AS (

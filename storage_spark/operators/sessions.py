@@ -121,3 +121,41 @@ def session_window_stats(
         "n_events",
         *([ "value_cents"] if value_col is not None else []),
     ).withColumn("duration_ms", F.col("end_ms") - F.col("start_ms"))
+
+
+def detect_gaps(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gap_ms: int = 3_600_000,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Silence detection — the inverse of sessionization: per key, emit
+    one row for every stretch of at least ``min_gap_ms`` with no events
+    (heartbeat monitoring, feed-outage audits). ``lead`` over the same
+    keyed sort sessionize uses — one shuffle on the key, integer
+    epoch-ms arithmetic throughout (engine-exact; no timestamp
+    subtraction semantics to disagree on).
+
+    Returns (key, gap_start_ms, gap_end_ms, gap_ms): the last event
+    before the silence and the first event after it. Trailing silence
+    (after a key's last event) has no bounding successor and is a
+    stream-time concern (watermarks), not a batch row.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    ms = F.unix_millis(F.col(ts_col))
+    nxt = F.lead(ms).over(w)
+    return (
+        events.select(
+            F.col(key_col),
+            ms.alias("gap_start_ms"),
+            nxt.alias("gap_end_ms"),
+        )
+        .where(
+            F.col("gap_end_ms").isNotNull()
+            & (F.col("gap_end_ms") - F.col("gap_start_ms") >= min_gap_ms)
+        )
+        .withColumn("gap_ms", F.col("gap_end_ms") - F.col("gap_start_ms"))
+    )

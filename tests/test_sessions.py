@@ -93,3 +93,23 @@ def test_session_window_runs_as_stream(spark, tmp_path, sf_dir):
         for r in session_stats(ev, gap_seconds=1800).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_detect_gaps_bounds_and_threshold(spark):
+    from storage_spark.operators.sessions import detect_gaps
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:30:00"),  # 30 min — below threshold
+        (3, 1, "2024-01-01 02:30:00"),  # 2h gap — emitted
+        (4, 2, "2024-01-01 00:00:00"),  # single event: no bounded gap
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = detect_gaps(ev, min_gap_ms=3_600_000).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["user_id"] == 1
+    assert g["gap_ms"] == 2 * 3_600_000
+    assert g["gap_end_ms"] - g["gap_start_ms"] == g["gap_ms"]
