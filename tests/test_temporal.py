@@ -234,3 +234,21 @@ def test_asof_nearest_single_exchange(spark):
     assert plan.count("hashpartitioning") == 1  # two windows, ONE shuffle
     for bad in ("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"):
         assert bad not in plan
+
+
+def test_interval_join_with_equi_keys(spark):
+    pts = spark.createDataFrame(
+        [("u1", 1, 150), ("u2", 2, 150)], "k string, pid long, t long"
+    )
+    ivs = spark.createDataFrame(
+        [("u1", "w1", 100, 200), ("u2", "w2", 100, 200), ("u1", "w3", 300, 400)],
+        "k string, wid string, s long, e long",
+    )
+    got = {
+        (r["pid"], r["wid"])
+        for r in interval_join(
+            pts, ivs, "t", "s", "e", on="k", bin_width=50
+        ).collect()
+    }
+    # same timestamp, but the key keeps each point in its own window
+    assert got == {(1, "w1"), (2, "w2")}
