@@ -2622,6 +2622,42 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped OLAP: top-10 open orders by revenue (integer
+    cents — per-row IEEE product, long sum; see operators/analytics.py).
+    Customer dim broadcasts; the only real shuffle is lineitem→orders +
+    the per-order agg."""
+    from storage_spark.operators.analytics import unshipped_order_revenue
+
+    t = _t(spark, sf_dir)
+    out = unshipped_order_revenue(
+        t["customer"], t["orders"], t["lineitem"]
+    )
+    return out.select(
+        "o_orderkey",
+        # o_orderdate ships as TIMESTAMP_NTZ — cast is a numeric no-op
+        # under the UTC session zone (same convention as tables.py)
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+            "orderdate_ms"
+        ),
+        "o_orderpriority",
+        "revenue_cents",
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped OLAP: per-nation revenue with customer and
+    supplier in the same nation, one region, one order-date year. Four
+    broadcast dims, one fact-key shuffle, tiny groupBy."""
+    from storage_spark.operators.analytics import regional_nation_revenue
+
+    t = _t(spark, sf_dir)
+    return regional_nation_revenue(
+        t["region"], t["nation"], t["customer"], t["supplier"],
+        t["orders"], t["lineitem"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2656,6 +2692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k_per_lang": q_sample_k_per_lang,
         "embedding_outliers": q_embedding_outliers,
         "event_gaps": q_event_gaps,
+        "unshipped_orders": q_unshipped_orders,
+        "region_revenue": q_region_revenue,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -3171,6 +3209,39 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "unshipped_orders": _o("""
+SELECT o.o_orderkey,
+       epoch_ms(o.o_orderdate) AS orderdate_ms,
+       o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, o.o_orderkey ASC
+LIMIT 10
+"""),
+        "region_revenue": _o("""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_nationkey = c.c_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue_cents DESC, n.n_name ASC
 """),
         "event_gaps": _o("""
 , ordered AS (

@@ -1,0 +1,100 @@
+"""General OLAP analytics over the TPC-H-shaped base tables.
+
+The engine's §2 surface is storage-domain; these operators prove the
+same Spark-first machinery runs classic warehouse shapes (multi-way
+dimension joins + grouped rollups — TPC-H Q3/Q5 patterns) with the
+plans you'd want at 100 TB:
+
+- dimension tables (region/nation/customer/supplier) broadcast; the only
+  shuffles touch fact-table keys (orders → lineitem join, final groupBy);
+- revenue carried as INTEGER CENTS: ``round(price·(1−discount)·100)``
+  is computed per row (both engines execute the identical IEEE double
+  product before the round) and summed as longs — distributed float
+  summation would be partition-order-dependent and can't hash-match an
+  oracle, integer sums can;
+- date predicates push into the parquet scan before any join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _revenue_cents() -> F.Column:
+    return F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("long")
+
+
+def unshipped_order_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k orders by open revenue — ordered before the
+    cutoff, with lines still shipping after it, for one market segment.
+    customer (filtered, tiny) broadcasts into orders; the only real
+    shuffle is lineitem→orders and the per-order aggregation."""
+    cut = F.to_timestamp(F.lit(cutoff))
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    lines = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", _revenue_cents().alias("_rev")
+    )
+    return (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(lines, ords.o_orderkey == lines.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("_rev").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def regional_nation_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: per-nation revenue where the supplier and the
+    customer share the nation, for one region and one order-date year.
+    All four dimension inputs collapse to broadcasts; the fact-side plan
+    is orders⋈lineitem (one key shuffle) then the tiny nation groupBy."""
+    lo, hi = F.to_timestamp(F.lit(date_from)), F.to_timestamp(F.lit(date_to))
+    nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation.n_regionkey == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nations), customer.c_nationkey == nations.n_nationkey
+    ).select("c_custkey", F.col("n_nationkey").alias("_c_nat"), "n_name")
+    supp = supplier.select("s_suppkey", F.col("s_nationkey").alias("_s_nat"))
+    ords = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    lines = lineitem.select(
+        "l_orderkey", "l_suppkey", _revenue_cents().alias("_rev")
+    )
+    return (
+        lines.join(ords, lines.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), lines.l_suppkey == supp.s_suppkey)
+        .filter(F.col("_c_nat") == F.col("_s_nat"))
+        .groupBy("n_name")
+        .agg(F.sum("_rev").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("n_name").asc())
+    )

@@ -287,3 +287,18 @@ def test_global_id_offsets_broadcast(spark, sf_dir):
     )
     plan = plan_of(out, "formatted")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_olap_queries_broadcast_dimensions(spark, sf_dir):
+    """TPC-H-shaped analytics: every dimension side broadcasts; no
+    SortMergeJoin on a dim, no cartesian anywhere."""
+    import __spark_entry__ as entry_mod
+
+    for name in ("unshipped_orders", "region_revenue"):
+        plan = plan_of(entry_mod.queries()[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+    # region_revenue: the ONLY sort-merge-eligible join is fact-fact
+    # (lineitem ⋈ orders); all four dims must come in as broadcasts
+    plan = plan_of(entry_mod.queries()["region_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan.count("BroadcastHashJoin")
