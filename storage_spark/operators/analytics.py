@@ -98,3 +98,35 @@ def regional_nation_revenue(
         .agg(F.sum("_rev").alias("revenue_cents"))
         .orderBy(F.col("revenue_cents").desc(), F.col("n_name").asc())
     )
+
+
+def pricing_summary(
+    lineitem: DataFrame,
+    ship_before: str = "1998-12-01",
+) -> DataFrame:
+    """TPC-H Q1 shape: the one-scan grouped pricing rollup. Every
+    aggregate is map-side partial over integer-exact inputs (quantities
+    are integral doubles → longs; money in rounded cents; charge =
+    price·(1−disc)·(1+tax) rounded per row). Averages are left to the
+    consumer (sums + count) — a distributed float mean is
+    partition-order-dependent, sums and counts are not."""
+    cut = F.to_timestamp(F.lit(ship_before))
+    charge = F.round(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= cut)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(_revenue_cents()).alias("sum_disc_cents"),
+            F.sum(charge).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
