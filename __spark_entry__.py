@@ -2670,6 +2670,19 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape, decorrelated: orders above their own
+    customer's average price, compared with cross-multiplied integers
+    (price·n > sum) — no float average, engine-exact boundary."""
+    from storage_spark.operators.analytics import orders_above_customer_average
+
+    t = _t(spark, sf_dir)
+    out = orders_above_customer_average(
+        t["orders"].filter(F.col("o_custkey") < 200)
+    )
+    return out.orderBy("o_orderkey")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2707,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unshipped_orders": q_unshipped_orders,
         "region_revenue": q_region_revenue,
         "pricing_summary": q_pricing_summary,
+        "orders_above_avg": q_orders_above_avg,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -3222,6 +3236,22 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "orders_above_avg": _o("""
+, o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_custkey < 200
+),
+agg AS (
+  SELECT o_custkey, CAST(sum(c) AS BIGINT) AS s, count(*) AS n
+  FROM o GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey,
+       o.c AS totalprice_cents, a.n AS n_orders
+FROM o JOIN agg a ON a.o_custkey = o.o_custkey
+WHERE o.c * a.n > a.s
+ORDER BY o.o_orderkey
 """),
         "pricing_summary": _o("""
 SELECT l_returnflag, l_linestatus,

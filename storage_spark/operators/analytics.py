@@ -130,3 +130,32 @@ def pricing_summary(
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+def orders_above_customer_average(orders: DataFrame) -> DataFrame:
+    """Decorrelated "above my customer's average" filter — the classic
+    correlated subquery (``o_totalprice > (SELECT avg(...) WHERE same
+    customer)``) rewritten as one aggregate + a join back, with the
+    comparison cross-multiplied into integers: keep order iff
+    ``price_cents · n > sum_cents`` — no division, no float average, so
+    the cut is engine-exact even for customers whose average lands
+    exactly on an order's price. Two shuffles total (per-customer agg,
+    join back on the customer key); the agg side is one row per
+    customer, broadcastable when the customer dimension fits."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = (
+        orders.select("o_custkey", cents.alias("_c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("_c").alias("_sum"), F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        orders.withColumn("_c", cents)
+        .join(per_cust, "o_custkey")
+        .filter(F.col("_c") * F.col("_n") > F.col("_sum"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("_c").alias("totalprice_cents"),
+            F.col("_n").alias("n_orders"),
+        )
+    )
