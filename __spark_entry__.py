@@ -2705,7 +2705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1) new in round 4 — zero driver rows until this round records:
         "pack_sequences": q_pack_sequences,
         "asof_latest_object": q_asof_latest_object,
-        "asof_next_object": q_asof_next_object,
         "asof_nearest_object": q_asof_nearest_object,
         "interval_upload_contention": q_interval_upload_contention,
         "top_terms": q_top_terms,
@@ -2759,6 +2758,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 50-entry recorded window
         "keyset_events": q_keyset_events,
         "keyset_events_desc": q_keyset_events_desc,
+        # asof_next_object: the forward-direction variant — same plan as
+        # asof_latest (negated) and same oracle family as asof_nearest;
+        # trimmed below the 50-row cap per the near-duplicate rule, local
+        # parity still covers it every round
+        "asof_next_object": q_asof_next_object,
         "capped_count": q_capped_count,
         "owner_rollup": q_owner_rollup,
         "orphans_s3": q_orphans_s3,
