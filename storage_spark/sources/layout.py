@@ -70,10 +70,17 @@ def write_listing_layout(
 
     ``bloom_filter_cols`` writes a parquet bloom filter per listed column
     (``parquet.bloom.filter.enabled#<col>``): point lookups on a
-    non-sort-key column (``id``, ``version``) then skip row groups that
-    min/max stats can't exclude — the sort only narrows ``name``. Cost is
-    ~``bloom_ndv`` bits per row group per column; size it to the expected
-    distinct count per row group, not per table."""
+    non-sort-key column (``id``, ``version``) can then skip row groups
+    that min/max stats can't exclude — the sort only narrows ``name``.
+    Cost is ~``bloom_ndv`` bits per row group per column; size it to the
+    expected distinct count per row group, not per table.
+
+    Measured honestly (NOTES_r4, 20M rows, local NVMe): Spark's own
+    vectorized scan gains ~nothing from the blooms here — a local
+    equality scan is decode-CPU-bound, not IO-bound. The feature's value
+    is the FILE FORMAT contract: remote object storage (skipped row
+    groups = network bytes not fetched) and external parquet readers
+    that do bloom-prune row groups."""
     w = (
         df.repartition("bucket_id")
         .sortWithinPartitions("name")
