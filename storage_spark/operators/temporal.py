@@ -295,3 +295,66 @@ def interval_join(
         else F.col(point_ts) < F.col(end_col)
     )
     return pt.join(iv, [binc] + keys, "inner").where(in_range).drop(binc)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance: int,
+    direction: str = "backward",
+    **kwargs,
+) -> DataFrame:
+    """Skew-splitting as-of join — identical results to ``asof_join`` with
+    the same (required) ``tolerance``, but the window partitions on
+    ``(key, time_bucket)`` instead of the bare key, so a hot key (one
+    device emitting 10^9 events) spreads over ``timespan / tolerance``
+    partitions instead of landing in ONE window task. This is the knob
+    the plain operator's docstring warns about; use it when a key's rows
+    exceed one executor's sort budget.
+
+    Correctness: with tolerance T, a left row at t can only match rights
+    in [t−T, t] (backward; mirrored forward, both sides for nearest) —
+    that range spans at most two T-wide buckets, so each right row is
+    duplicated into the adjacent bucket(s) on the direction's side and
+    the per-bucket window sees every candidate the global window would
+    keep. Candidates visible beyond the tolerance are nulled by the same
+    filter in both variants, so outputs are row-identical — property-
+    tested against ``asof_join`` for all three directions in
+    tests/test_temporal.py. Cost: the right side is duplicated ×2 (×3
+    for nearest) — buy partitioning with copies, the standard trade.
+    """
+    if tolerance is None or tolerance <= 0:
+        raise ValueError("asof_join_bucketed requires a positive tolerance")
+    offs = {
+        "backward": (0, 1),
+        "forward": (-1, 0),
+        "nearest": (-1, 0, 1),
+    }.get(direction)
+    if offs is None:
+        raise ValueError(
+            "direction must be 'backward', 'forward', or 'nearest', "
+            f"got {direction!r}"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    b = "_asof_bucket"
+    lb = left.withColumn(
+        b, F.floor(F.col(left_ts) / tolerance).cast("long")
+    )
+    rbase = F.floor(F.col(right_ts) / tolerance).cast("long")
+    rb = right.withColumn(
+        b, F.explode(F.array(*[rbase + F.lit(o) for o in offs]))
+    )
+    out = asof_join(
+        lb,
+        rb,
+        on=keys + [b],
+        left_ts=left_ts,
+        right_ts=right_ts,
+        tolerance=tolerance,
+        direction=direction,
+        **kwargs,
+    )
+    return out.drop(b)

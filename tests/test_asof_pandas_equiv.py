@@ -83,3 +83,37 @@ def test_asof_matches_pandas_merge_asof(spark, direction, seed, tolerance):
     assert len(got) == len(exp) == len(left)
     diffs = {k: (got[k], exp[k]) for k in exp if got[k] != exp[k]}
     assert not diffs, f"first diffs: {dict(list(diffs.items())[:5])}"
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_bucketed_asof_equals_plain(spark, direction):
+    """asof_join_bucketed (skew-splitting (key, time-bucket) windows) is
+    row-identical to asof_join at the same tolerance."""
+    from storage_spark.operators.temporal import asof_join_bucketed
+
+    left, right = _frames(7)
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    kw = dict(
+        on="k", left_ts="t", right_ts="rt",
+        right_cols=["payload"], tolerance=700, direction=direction,
+    )
+    plain = {
+        int(r["lid"]): (r["rt"], r["payload"])
+        for r in asof_join(sl, sr, **kw).collect()
+    }
+    bucketed = {
+        int(r["lid"]): (r["rt"], r["payload"])
+        for r in asof_join_bucketed(sl, sr, **kw).collect()
+    }
+    assert plain == bucketed
+
+
+def test_bucketed_asof_requires_tolerance(spark):
+    from storage_spark.operators.temporal import asof_join_bucketed
+
+    left, right = _frames(0)
+    with pytest.raises(ValueError):
+        asof_join_bucketed(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            on="k", left_ts="t", right_ts="rt", tolerance=0,
+        )
