@@ -2691,15 +2691,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver evaluates in dict order under a wall-clock
     # budget and records the FIRST ~50 entries.
-    # Rotation policy (round 4, updated for the continuation session):
+    # Rotation policy (round 4, final continuation state):
     # (1) every query added THIS round (no driver evidence exists yet) —
-    #     pack_sequences first, it is round 3's one red row;
+    #     pack_sequences first (round 3's one red row), then the
+    #     temporal/pipeline/OLAP additions; asof_next_object is the one
+    #     deliberate exception, trimmed below the cap as a near-duplicate
+    #     of asof_latest (same plan, negated) and asof_nearest (same
+    #     oracle family);
     # (2) r3-proven queries whose OPERATORS changed this round (hyperplane
     #     fix, copy tiebreak, literal-sep escape, NO_SUCH_UPLOAD class);
-    # (3) as many of the 25 r2-evidence rotated entries as fit the window
-    #     (their loaders changed in r3; local parity green on current
-    #     code) — buckets_search/mime_validation/key_validation slip past
-    #     the cap, they are the simplest and most stable of that block;
+    # (3) stalest-evidence entries, keyset_events* first (their events
+    #     loader changed in r3), then as many of the r2-evidence rotated
+    #     entries as fit the window — local parity covers what slips;
     # (4) the r3-proven block in its prior order.
     return {
         # (1) new in round 4 — zero driver rows until this round records:
