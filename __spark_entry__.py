@@ -2683,6 +2683,18 @@ def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("o_orderkey")
 
 
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column stats over the object catalog (rows,
+    nulls, exact ndv, min/max as strings) — one aggregate pass, unpivoted
+    to one row per column."""
+    from storage_spark.operators.catalog import column_stats
+
+    t = _t(spark, sf_dir)
+    return column_stats(
+        t["objects"], ["bucket_id", "name", "size", "owner_id", "mimetype"]
+    ).orderBy("col_name")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2723,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "pricing_summary": q_pricing_summary,
         "orders_above_avg": q_orders_above_avg,
+        "table_stats": q_table_stats,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -3243,6 +3256,35 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "table_stats": _o("""
+SELECT * FROM (
+  SELECT 'bucket_id' AS col_name, count(*) AS n_rows,
+         CAST(sum(CASE WHEN bucket_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         count(DISTINCT bucket_id) AS n_distinct,
+         CAST(min(bucket_id) AS VARCHAR) AS min_value,
+         CAST(max(bucket_id) AS VARCHAR) AS max_value FROM objects
+  UNION ALL
+  SELECT 'name', count(*),
+         CAST(sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT name), CAST(min(name) AS VARCHAR),
+         CAST(max(name) AS VARCHAR) FROM objects
+  UNION ALL
+  SELECT 'size', count(*),
+         CAST(sum(CASE WHEN size IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT size), CAST(min(size) AS VARCHAR),
+         CAST(max(size) AS VARCHAR) FROM objects
+  UNION ALL
+  SELECT 'owner_id', count(*),
+         CAST(sum(CASE WHEN owner_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT owner_id), CAST(min(owner_id) AS VARCHAR),
+         CAST(max(owner_id) AS VARCHAR) FROM objects
+  UNION ALL
+  SELECT 'mimetype', count(*),
+         CAST(sum(CASE WHEN mimetype IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT mimetype), CAST(min(mimetype) AS VARCHAR),
+         CAST(max(mimetype) AS VARCHAR) FROM objects
+) ORDER BY col_name
 """),
         "orders_above_avg": _o("""
 , o AS (

@@ -233,3 +233,50 @@ def configure_iceberg_catalog(
 
 class KeyAlreadyExists(KeyAlreadyExistsError):
     """Alias kept for API parity with the reference's error name."""
+
+
+def column_stats(
+    df: DataFrame,
+    columns: list[str],
+    exact_ndv: bool = True,
+) -> DataFrame:
+    """ANALYZE-style per-column statistics — the stats table a catalog
+    stores for optimizer costing and data-quality dashboards: row count,
+    null count, distinct count, min/max (stringified so one schema holds
+    any column type).
+
+    One pass per column batch via a single select of grouped aggregates
+    (no shuffle beyond each aggregate's partial-combine). ``exact_ndv``
+    uses count(DISTINCT) — natively skew-safe in Spark (two-stage
+    dedup-then-count plan, NOTES_r4 §salting) and oracle-comparable; at
+    10^10+ rows flip to ``approx_count_distinct`` (HLL, mergeable,
+    constant memory) and accept ~2% relative error.
+    """
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        nd = (
+            F.countDistinct(col)
+            if exact_ndv
+            else F.approx_count_distinct(col)
+        )
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            nd.alias(f"{c}__ndv"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__ndv").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in columns
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
