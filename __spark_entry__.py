@@ -2524,6 +2524,7 @@ def q_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-shard byte totals (UTF-8 member sizes) that the executor-side
     tar writer must produce. Member-level bytes are covered by the
     round-trip + determinism tests in tests/test_webdataset.py."""
+    import os
     import tempfile
 
     from storage_spark.sources.webdataset import write_webdataset_shards
@@ -2532,7 +2533,13 @@ def q_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"].filter(F.col("doc_id") < 100).select(
         F.col("doc_id").cast("string").alias("key"), "text"
     )
-    out_dir = tempfile.mkdtemp(prefix="wds_export_")
+    # deterministic per-scale dir, shard files overwritten in place —
+    # repeated driver/parity runs don't accumulate tmp directories
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "wds_export_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(out_dir, exist_ok=True)
     m = write_webdataset_shards(docs, out_dir, "key", ["text"], n_shards=4)
     return m.select("shard", "n_samples", "n_bytes").orderBy("shard")
 
