@@ -2702,6 +2702,19 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream: users cohorted by
+    first-event week, distinct-active counts per (cohort, weeks-since).
+    Integer epoch-ms week arithmetic; three finer→coarser keyed
+    aggregations, no windows."""
+    from storage_spark.operators.sessions import cohort_retention
+
+    t = _t(spark, sf_dir)
+    return cohort_retention(t["events"]).orderBy(
+        "cohort_period", "period_offset"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2743,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "orders_above_avg": q_orders_above_avg,
         "table_stats": q_table_stats,
+        "cohort_retention": q_cohort_retention,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -3263,6 +3277,19 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "cohort_retention": _o("""
+, activity AS (
+  SELECT DISTINCT user_id AS k,
+         CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS p
+  FROM events
+),
+cohorts AS (SELECT k, min(p) AS c FROM activity GROUP BY k)
+SELECT co.c AS cohort_period, a.p - co.c AS period_offset,
+       count(*) AS n_active
+FROM activity a JOIN cohorts co ON co.k = a.k
+GROUP BY cohort_period, period_offset
+ORDER BY cohort_period, period_offset
 """),
         "table_stats": _o("""
 SELECT * FROM (

@@ -159,3 +159,43 @@ def detect_gaps(
         )
         .withColumn("gap_ms", F.col("gap_end_ms") - F.col("gap_start_ms"))
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_ms: int = 604_800_000,
+) -> DataFrame:
+    """Cohort retention — the product-analytics staple: users grouped by
+    the period of their FIRST event; for each (cohort, periods-since)
+    offset, how many distinct cohort members were active.
+
+    All period arithmetic is integer epoch-ms division (engine-exact;
+    default period = 1 week). Plan: one distinct-activity aggregate per
+    (user, period) — count(DISTINCT) is natively skew-safe in Spark —
+    one tiny min-per-user aggregate for the cohort assignment, joined
+    back on the user key, then the final (cohort, offset) rollup. Three
+    shuffles, each keyed finer→coarser; no window functions, so no
+    single-partition hazard at any fan-in.
+
+    Returns (cohort_period, period_offset, n_active) with offset 0 being
+    the cohort's own first period (n_active = cohort size).
+    """
+    ms = F.unix_millis(F.col(ts_col))
+    activity = (
+        events.select(
+            F.col(key_col).alias("_k"),
+            F.floor(ms / period_ms).cast("long").alias("_p"),
+        )
+        .distinct()
+    )
+    cohorts = activity.groupBy("_k").agg(F.min("_p").alias("_c"))
+    return (
+        activity.join(cohorts, "_k")
+        .groupBy(
+            F.col("_c").alias("cohort_period"),
+            (F.col("_p") - F.col("_c")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -113,3 +113,23 @@ def test_detect_gaps_bounds_and_threshold(spark):
     assert g["user_id"] == 1
     assert g["gap_ms"] == 2 * 3_600_000
     assert g["gap_end_ms"] - g["gap_start_ms"] == g["gap_ms"]
+
+
+def test_cohort_retention_small_case(spark):
+    from storage_spark.operators.sessions import cohort_retention
+
+    day = 86_400_000
+    rows = [
+        # u1: first period 0, active again period 2
+        (1, 1, 0), (2, 1, 5 * day // 1000 * 1000), (3, 1, 2 * 7 * day),
+        # u2: first period 1 only
+        (4, 2, 8 * day),
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, ms) for e, u, ms in rows], "event_id long, user_id long, ms long"
+    ).select("event_id", "user_id", F.timestamp_millis(F.col("ms")).alias("ts"))
+    out = {
+        (r["cohort_period"], r["period_offset"]): r["n_active"]
+        for r in cohort_retention(ev, period_ms=7 * day).collect()
+    }
+    assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
