@@ -2715,6 +2715,21 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (1h windows sliding every 15min — each event
+    in exactly 4 windows) via native window(ts, size, slide); oracle
+    replicates the assignment with a 0..3 series join and integer floor
+    arithmetic. Streaming-compatible shape (watermark skipped for batch
+    parity). Restricted to user_id < 10 to bound rows."""
+    from storage_spark.streaming.events import hopping_event_counts
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 10)
+    return hopping_event_counts(ev, watermark=False).orderBy(
+        "window_start_ms"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2757,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_avg": q_orders_above_avg,
         "table_stats": q_table_stats,
         "cohort_retention": q_cohort_retention,
+        "events_hopping": q_events_hopping,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -3277,6 +3293,20 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "events_hopping": _o("""
+, ev AS (
+  SELECT epoch_ms(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id < 10
+),
+assigned AS (
+  SELECT (t // 900000 - g.i) * 900000 AS ws, t, cents
+  FROM ev, generate_series(0, 3) AS g(i)
+)
+SELECT ws AS window_start_ms, ws + 3600000 AS window_end_ms,
+       count(*) AS n, CAST(sum(cents) AS BIGINT) AS value_cents
+FROM assigned GROUP BY ws ORDER BY window_start_ms
 """),
         "cohort_retention": _o("""
 , activity AS (

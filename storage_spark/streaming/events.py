@@ -91,6 +91,40 @@ def windowed_event_counts(
     )
 
 
+def hopping_event_counts(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str = "15 minutes",
+    watermark_delay: str = "2 hours",
+    watermark: bool = True,
+) -> DataFrame:
+    """Hopping (sliding) event-time windows — the smoothed rate rollup a
+    monitoring dashboard plots (each event lands in size/slide
+    overlapping windows; Spark's ``window(ts, size, slide)`` explodes
+    exactly those assignments and the aggregate is partial as usual).
+    The same code runs batch or under ``readStream`` + watermark
+    (``watermark=False`` skips the watermark for batch oracle parity).
+    Money/value carried as integer cents."""
+    src = (
+        stream.withWatermark("ts", watermark_delay) if watermark else stream
+    )
+    return (
+        src.groupBy(F.window("ts", window_duration, slide_duration))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            F.unix_millis(F.col("window.end")).alias("window_end_ms"),
+            "n",
+            "value_cents",
+        )
+    )
+
+
 def run_webhook_sink(
     stream: DataFrame,
     post_batch: Callable[[list[dict]], None],
