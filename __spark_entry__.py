@@ -2730,6 +2730,21 @@ def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→click→purchase funnel with a 7-day horizon:
+    earliest-entry per step, every step inside the horizon from step 1.
+    One conditional min-aggregation per step; oracle replays the same
+    CTE chain."""
+    from storage_spark.operators.sessions import funnel_conversion
+
+    t = _t(spark, sf_dir)
+    return funnel_conversion(
+        t["events"],
+        ["signup", "click", "purchase"],
+        within_ms=604_800_000,
+    ).orderBy("step_index")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hierarchical delimiter listing (A4 plan) on sf0.001."""
     return q_list_root(spark, "/root/testdata/sf0.001")
@@ -2773,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_stats": q_table_stats,
         "cohort_retention": q_cohort_retention,
         "events_hopping": q_events_hopping,
+        "funnel": q_funnel,
         "global_ids": q_global_ids,
         "top_objects_per_bucket": q_top_objects_per_bucket,
         "token_percentiles": q_token_percentiles,
@@ -3293,6 +3309,31 @@ LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
 GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
 ORDER BY b.event_id
+"""),
+        "funnel": _o("""
+, ev AS (
+  SELECT user_id AS k, event_type AS ty, epoch_ms(ts) AS t FROM events
+),
+s0 AS (SELECT k, min(t) AS t0 FROM ev WHERE ty = 'signup' GROUP BY k),
+s1 AS (
+  SELECT e.k, min(e.t) AS t1 FROM ev e JOIN s0 ON s0.k = e.k
+  WHERE e.ty = 'click' AND e.t > s0.t0 AND e.t - s0.t0 <= 604800000
+  GROUP BY e.k
+),
+s2 AS (
+  SELECT e.k, min(e.t) AS t2
+  FROM ev e JOIN s1 ON s1.k = e.k JOIN s0 ON s0.k = e.k
+  WHERE e.ty = 'purchase' AND e.t > s1.t1 AND e.t - s0.t0 <= 604800000
+  GROUP BY e.k
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS step_index, 'signup' AS step_name,
+         (SELECT count(*) FROM s0) AS n_users
+  UNION ALL
+  SELECT 1, 'click', (SELECT count(*) FROM s1)
+  UNION ALL
+  SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+) ORDER BY step_index
 """),
         "events_hopping": _o("""
 , ev AS (

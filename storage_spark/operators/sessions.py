@@ -199,3 +199,71 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_ms: int | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed step 1, then
+    step 2 strictly after their step-1 time, and so on — with an
+    optional ``within_ms`` horizon from the FIRST step's timestamp.
+
+    Earliest-entry semantics (the standard funnel definition): each
+    step's timestamp is the user's EARLIEST qualifying event after the
+    previous step — greedy-earliest maximizes conversion counts for
+    strictly ordered funnels. Plan: ONE conditional-aggregation pass per
+    step over the (already tiny) per-user event set — step i is
+    ``min(ts) FILTER (type = steps[i] AND ts > t_{i-1})``, computed by
+    re-aggregating the events joined to the accumulated per-user step
+    times. len(steps) keyed aggregations + joins, no windows, integer
+    epoch-ms throughout.
+
+    Returns one row per step: (step_index, step_name, n_users).
+    """
+    ms = F.unix_millis(F.col(ts_col))
+    ev = events.select(
+        F.col(key_col).alias("_k"),
+        F.col(type_col).alias("_ty"),
+        ms.alias("_t"),
+    )
+    # per-user running state: _s{i} = earliest ms of step i after _s{i-1}
+    state = (
+        ev.filter(F.col("_ty") == steps[0])
+        .groupBy("_k")
+        .agg(F.min("_t").alias("_s0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        prev = f"_s{i - 1}"
+        sel = ["_k", prev] if prev == "_s0" else ["_k", "_s0", prev]
+        cond = F.col("_t") > F.col(prev)
+        if within_ms is not None:
+            # EVERY step must land inside the horizon from step 1
+            cond &= F.col("_t") - F.col("_s0") <= within_ms
+        nxt = (
+            ev.filter(F.col("_ty") == step)
+            .join(state.select(*sel), "_k")
+            .filter(cond)
+            .groupBy("_k")
+            .agg(F.min("_t").alias(f"_s{i}"))
+        )
+        state = state.join(nxt, "_k", "left")
+    counts = state.agg(
+        *[
+            F.count(F.col(f"_s{i}")).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(i).cast("long").alias("step_index"),
+            F.lit(s).alias("step_name"),
+            F.col(f"n{i}").alias("n_users"),
+        )
+        for i, s in enumerate(steps)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

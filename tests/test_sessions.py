@@ -133,3 +133,32 @@ def test_cohort_retention_small_case(spark):
         for r in cohort_retention(ev, period_ms=7 * day).collect()
     }
     assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_funnel_ordering_and_horizon(spark):
+    from storage_spark.operators.sessions import funnel_conversion
+
+    def ev(eid, uid, ty, ms):
+        return (eid, uid, ty, ms)
+
+    rows = [
+        # u1 completes A->B->C in order
+        ev(1, 1, "A", 1000), ev(2, 1, "B", 2000), ev(3, 1, "C", 3000),
+        # u2 has B BEFORE A: B does not count; no B after A
+        ev(4, 2, "B", 500), ev(5, 2, "A", 1000), ev(6, 2, "C", 2000),
+        # u3 completes but C beyond the horizon
+        ev(7, 3, "A", 0), ev(8, 3, "B", 10), ev(9, 3, "C", 99_999),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ms long"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+    )
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel_conversion(
+            df, ["A", "B", "C"], within_ms=50_000
+        ).collect()
+    }
+    assert out == {"A": 3, "B": 2, "C": 1}
