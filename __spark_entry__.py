@@ -2763,8 +2763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (2) r3-proven queries whose OPERATORS changed this round (hyperplane
     #     fix, copy tiebreak, literal-sep escape, NO_SUCH_UPLOAD class);
     # (3) stalest-evidence entries, keyset_events* first (their events
-    #     loader changed in r3), then as many of the r2-evidence rotated
-    #     entries as fit the window — local parity covers what slips;
+    #     loader changed in r3) — this round's 50 slots are fully taken
+    #     by zero-evidence new queries, so block (3) queues for the next
+    #     rotation; local parity covers everything that slips;
     # (4) the r3-proven block in its prior order.
     return {
         # (1) new in round 4 — zero driver rows until this round records:
@@ -2822,9 +2823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
         # (3) r2-evidence rotated block:
-        # keyset_events* lead block (3): their events loader changed in
-        # r3, so their driver evidence is the stalest — keep BOTH inside
-        # the 50-entry recorded window
+        # keyset_events* lead block (3) (stalest driver evidence — their
+        # events loader changed in r3); the round's 50 recording slots are
+        # fully consumed by zero-evidence new queries, so they queue first
+        # for the NEXT rotation, covered meanwhile by local parity
         "keyset_events": q_keyset_events,
         "keyset_events_desc": q_keyset_events_desc,
         # asof_next_object: the forward-direction variant — same plan as
