@@ -945,12 +945,31 @@ def embedding_outliers(
     cent = pos.groupBy(label_col, "_pos").agg(
         F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_cnt")
     )
+    # Precondition: every vector in a label has the SAME dimension and no
+    # null components (the embeddings-table contract). Ragged dims would
+    # give per-dimension counts that differ from the label count — guard
+    # with a runtime raise instead of silently mis-scoring the label.
     cent_arr = cent.groupBy(label_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("_pos", "_s"))),
             lambda t: t["_s"],
         ).alias("_sums"),
         F.max("_cnt").alias("_cnt"),
+        F.min("_cnt").alias("_cnt_min"),
+    ).select(
+        label_col,
+        "_sums",
+        F.when(
+            F.col("_cnt") == F.col("_cnt_min"), F.col("_cnt")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("embedding_outliers: ragged vector dimensions "
+                          "or null components in label "),
+                    F.col(label_col).cast("string"),
+                )
+            ).cast("long")
+        ).alias("_cnt"),
     )
     scored = qdf.join(F.broadcast(cent_arr), label_col).select(
         id_col,

@@ -209,7 +209,15 @@ def numeric_histogram(
             F.length(F.conv(v.cast("string"), 10, 2))
         ).cast("long")
     elif mode == "linear":
-        bucket = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
+        # floor-div without a double quotient: strip the remainder with
+        # pmod (floor semantics for negatives), then divide the exact
+        # multiple in DECIMAL — double division would round once v - lo
+        # passes 2^53, moving boundary rows across buckets
+        d = v - F.lit(lo)
+        m = d - F.pmod(d, F.lit(width))
+        bucket = (
+            m.cast("decimal(38,0)") / F.lit(width).cast("decimal(38,0)")
+        ).cast("long")
     else:
         raise ValueError(f"mode must be 'log2' or 'linear', got {mode!r}")
     return (

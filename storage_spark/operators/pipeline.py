@@ -806,11 +806,22 @@ def mix_corpora(
         kept.append(default_weight)
     scale = lcm(*kept) if kept else 1
 
+    # stride = scale // w computed in PYTHON ints per branch: a runtime
+    # double division scale/w would lose exactness once lcm(weights)
+    # exceeds 2^53, breaking the engine-exact ordering contract
     w_expr = F.lit(default_weight)
+    stride_expr = F.lit(scale // default_weight if default_weight > 0 else 0)
     for s, w in sorted(weights.items()):
         w_expr = F.when(F.col(source_col) == s, F.lit(w)).otherwise(w_expr)
+        stride_expr = F.when(
+            F.col(source_col) == s, F.lit(scale // w if w > 0 else 0)
+        ).otherwise(stride_expr)
 
-    kept = docs.withColumn("_w", w_expr).filter(F.col("_w") > 0)
+    kept = (
+        docs.withColumn("_w", w_expr)
+        .withColumn("_stride", stride_expr)
+        .filter(F.col("_w") > 0)
+    )
     ordered = assign_global_ids(
         kept,
         [F.col(source_col), F.col(order_by)],
@@ -824,9 +835,9 @@ def mix_corpora(
         .withColumn("src_pos", F.col("global_id") - F.col("_start"))
         .withColumn(
             "mix_key",
-            (2 * F.col("src_pos") + 1) * (F.lit(scale) / F.col("_w")).cast("long"),
+            (2 * F.col("src_pos") + 1) * F.col("_stride"),
         )
-        .drop("global_id", "_start", "_w")
+        .drop("global_id", "_start", "_w", "_stride")
     )
 
 

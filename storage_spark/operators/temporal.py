@@ -139,13 +139,28 @@ def asof_join(
     # NullType column can neither be unioned with a typed one nor sorted).
     tb_type = right.schema[tiebreak].dataType if tiebreak else None
 
+    # The whole right payload travels as ONE struct (_r_pack): the fill
+    # must be row-atomic. Filling each column independently with
+    # last(ignorenulls) would let a genuinely-NULL payload field in the
+    # matched right row be "filled through" by an OLDER right row's
+    # value, stitching together a row that never existed. A struct from
+    # a right row is non-null even when every field inside is null, so
+    # one last(ignorenulls) over the struct picks a whole real row.
+    from pyspark.sql import types as T
+
+    pack_type = T.StructType(
+        [T.StructField("ts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias(t),
         F.lit(0).alias(tag),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias(tb),
-        F.col(right_ts).alias("_r_" + right_ts),
-        *[F.col(c).alias("_r_" + c) for c in right_cols],
+        F.struct(
+            F.col(right_ts).alias("ts"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias("_r_pack"),
         *[F.lit(None).cast(left.schema[c].dataType).alias("_l_" + c)
           for c in left.columns if c not in keys],
     )
@@ -154,9 +169,7 @@ def asof_join(
         F.col(left_ts).alias(t),
         F.lit(1).alias(tag),
         (F.lit(None).cast(tb_type) if tb_type is not None else F.lit(0)).alias(tb),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_" + right_ts),
-        *[F.lit(None).cast(right.schema[c].dataType).alias("_r_" + c)
-          for c in right_cols],
+        F.lit(None).cast(pack_type).alias("_r_pack"),
         *[F.col(c).alias("_l_" + c) for c in left.columns if c not in keys],
     )
 
@@ -170,9 +183,7 @@ def asof_join(
     )
     unioned = r.unionByName(l_)
     fill_cols = [
-        F.last("_r_" + right_ts, ignorenulls=True).over(w).alias("_m_ts"),
-        *[F.last("_r_" + c, ignorenulls=True).over(w).alias("_m_" + c)
-          for c in right_cols],
+        F.last("_r_pack", ignorenulls=True).over(w).alias("_m"),
     ]
     if direction == "nearest":
         # Forward fill in the SAME pass: identical hash partitioning
@@ -189,11 +200,9 @@ def asof_join(
             )
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        fill_cols += [
-            F.first("_r_" + right_ts, ignorenulls=True).over(wf).alias("_f_ts"),
-            *[F.first("_r_" + c, ignorenulls=True).over(wf).alias("_f_" + c)
-              for c in right_cols],
-        ]
+        fill_cols.append(
+            F.first("_r_pack", ignorenulls=True).over(wf).alias("_f")
+        )
     filled = unioned.select(
         *keys,
         F.col(t),
@@ -203,31 +212,27 @@ def asof_join(
     ).where(F.col(tag) == 1)
 
     if direction == "nearest":
-        # Pick the closer side; |Δt| ties go backward. Tolerance filters
-        # the CHOSEN match (merge_asof semantics), symmetric in time.
-        use_fwd = F.col("_m_ts").isNull() | (
-            F.col("_f_ts").isNotNull()
-            & ((F.col(t) - F.col("_m_ts")) > (F.col("_f_ts") - F.col(t)))
+        # Pick the closer side — the WHOLE packed row, atomically; |Δt|
+        # ties go backward. Tolerance filters the CHOSEN match
+        # (merge_asof semantics), symmetric in time.
+        use_fwd = F.col("_m").isNull() | (
+            F.col("_f").isNotNull()
+            & ((F.col(t) - F.col("_m.ts")) > (F.col("_f.ts") - F.col(t)))
         )
-        chosen = {"_m_ts": F.when(use_fwd, F.col("_f_ts")).otherwise(F.col("_m_ts"))}
-        for c in right_cols:
-            chosen["_m_" + c] = F.when(use_fwd, F.col("_f_" + c)).otherwise(
-                F.col("_m_" + c)
-            )
         filled = filled.select(
             *keys,
             F.col(t),
-            *[expr.alias(name) for name, expr in chosen.items()],
+            F.when(use_fwd, F.col("_f")).otherwise(F.col("_m")).alias("_m"),
             *[F.col("_l_" + c) for c in left.columns if c not in keys],
         )
         stale = (
-            F.abs(F.col("_m_ts") - F.col(t)) > F.lit(tolerance)
+            F.abs(F.col("_m.ts") - F.col(t)) > F.lit(tolerance)
             if tolerance is not None
             else F.lit(False)
         )
     else:
         stale = (
-            F.col("_m_ts") < F.col(t) - F.lit(tolerance)
+            F.col("_m.ts") < F.col(t) - F.lit(tolerance)
             if tolerance is not None
             else F.lit(False)
         )
@@ -236,10 +241,10 @@ def asof_join(
         F.col("_l_" + c).alias(c) for c in left.columns if c not in keys
     ]
     out_cols.append(
-        F.when(~stale, F.col("_m_ts")).alias(matched_ts)
+        F.when(~stale, F.col("_m.ts")).alias(matched_ts)
     )
     out_cols += [
-        F.when(~stale, F.col("_m_" + c)).alias(out_name[c])
+        F.when(~stale, F.col("_m")[c]).alias(out_name[c])
         for c in right_cols
     ]
     return filled.select(*out_cols)

@@ -90,12 +90,17 @@ def write_webdataset_shards(
         pdf = pdf.sort_values("global_id")
         path = f"{out_dir}/shard-{shard:05d}.tar"
         n_bytes = 0
+        # positional column access, NOT itertuples()._asdict(): pandas
+        # renames keyword / non-identifier / underscore-leading column
+        # names to _N in namedtuples, which would KeyError on perfectly
+        # legal Spark column names like 'class' or 'content-type'
+        keys_vals = pdf[key_col].tolist()
+        col_vals = {col: pdf[col].tolist() for col in payload}
         with tarfile.open(path, "w") as tar:
-            for row in pdf.itertuples(index=False):
-                d = row._asdict()
+            for i in range(len(pdf)):
                 for col in payload:
-                    data = _to_bytes(d[col])
-                    info = tarfile.TarInfo(name=f"{d[key_col]}.{col}")
+                    data = _to_bytes(col_vals[col][i])
+                    info = tarfile.TarInfo(name=f"{keys_vals[i]}.{col}")
                     info.size = len(data)
                     info.mtime = 0
                     info.uid = info.gid = 0

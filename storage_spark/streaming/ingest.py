@@ -17,9 +17,12 @@ epoch column is dropped on read.
 
 Rejection rule per batch (greedy, matching `curate_corpus`'s default):
 a batch doc is rejected iff it band-collides with an indexed corpus doc
-(corpus always wins, regardless of id) or with a LOWER-id doc of the
-same batch. Batch-internal transitivity is greedy: if A rejects B, a C
-colliding only with B still survives.
+(corpus always wins, regardless of id) or with ANY lower-id doc of the
+same batch — the lower-id doc's own fate is not consulted, so in a
+chain A<B<C with pairs (A,B),(B,C), both B and C are rejected (greedy
+over-delete, exactly curate_corpus's default; use its
+resolution='components' mode upstream when one-survivor-per-cluster
+semantics are required).
 
 At 100 TB: the index lives partitioned by `band`, so a batch probe reads
 only the band partitions it hashes into; per-epoch partitions are
@@ -43,10 +46,18 @@ INDEX_SCHEMA = T.StructType(
 
 
 def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(index_path).select("doc", "band", "sig")
-    except Exception:
-        return spark.createDataFrame([], INDEX_SCHEMA)
+    except AnalysisException as ex:
+        # ONLY the first-epoch bootstrap (no index yet) may fall back to
+        # empty — a corrupt index or storage error must fail the batch,
+        # or the gate silently ingests near-duplicates with no signal
+        msg = str(ex)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], INDEX_SCHEMA)
+        raise
 
 
 def _overwrite_epoch(df: DataFrame, path: str, epoch_id: int) -> None:

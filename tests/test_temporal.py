@@ -252,3 +252,36 @@ def test_interval_join_with_equi_keys(spark):
     }
     # same timestamp, but the key keeps each point in its own window
     assert got == {(1, "w1"), (2, "w2")}
+
+
+def test_asof_null_payload_is_not_filled_through(spark):
+    """A genuinely-NULL payload field in the matched right row must come
+    through as NULL — not be 'filled' by an older right row's value
+    (row-atomic struct fill regression test)."""
+    left = spark.createDataFrame(
+        [("a", 300, "e1"), ("a", 150, "e2")], "k string, t long, ev string"
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 1, "x"), ("a", 200, 2, None)],
+        "k string, rt long, rid long, payload string",
+    )
+    for direction in ("backward", "nearest"):
+        out = {
+            r["ev"]: (r["rt"], r["payload"])
+            for r in asof_join(
+                left, right, on="k", left_ts="t", right_ts="rt",
+                tiebreak="rid", direction=direction,
+            ).collect()
+        }
+        # e1 matches rt=200 whose payload IS null — must stay null
+        assert out["e1"] == (200, None), direction
+        # e2 matches rt=100 normally
+        assert out["e2"] == (100, "x"), direction
+    fwd = {
+        r["ev"]: (r["rt"], r["payload"])
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt",
+            tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    assert fwd["e2"] == (200, None)
