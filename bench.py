@@ -307,6 +307,41 @@ def main() -> None:
             F.count("version_id"), F.sum("version_id")
         ).collect()[0][0]
 
+    def _asof_hot_inputs():
+        left = spark.range(0, 5_000_000, 1, cpus * 4).select(
+            F.lit("hot").alias("k"),
+            (F.col("id") * 7 % 1_000_000_000).alias("t"),
+            F.col("id").alias("eid"),
+        )
+        right = spark.range(0, 100_000, 1, cpus * 2).select(
+            F.lit("hot").alias("k"),
+            (F.col("id") * 9973 % 1_000_000_000).alias("vt"),
+            F.col("id").alias("vid"),
+        )
+        return left, right
+
+    def asof_skew_plain():
+        # ONE hot key: the whole 5M-row partition sorts in a single
+        # window task — the hazard asof_join's docstring warns about
+        from storage_spark.operators.temporal import asof_join
+
+        left, right = _asof_hot_inputs()
+        return asof_join(
+            left, right, on="k", left_ts="t", right_ts="vt",
+            right_cols=["vid"], tiebreak="vid", tolerance=50_000_000,
+        ).agg(F.count("vid")).collect()[0][0]
+
+    def asof_skew_bucketed():
+        # same inputs through (key, time-bucket) windows — 20 partitions
+        # instead of 1; results proven identical (test_asof_pandas_equiv)
+        from storage_spark.operators.temporal import asof_join_bucketed
+
+        left, right = _asof_hot_inputs()
+        return asof_join_bucketed(
+            left, right, on="k", left_ts="t", right_ts="vt",
+            right_cols=["vid"], tiebreak="vid", tolerance=50_000_000,
+        ).agg(F.count("vid")).collect()[0][0]
+
     def interval_10m():
         # 10M points against 100k half-open windows (5k wide) through the
         # bin-bucketed equi-join (10k bins) — the plan a naive inequality
@@ -361,6 +396,8 @@ def main() -> None:
         "global_ids_10m": global_ids_10m,
         "asof_10m": asof_10m,
         "interval_10m": interval_10m,
+        "asof_skew_plain": asof_skew_plain,
+        "asof_skew_bucketed": asof_skew_bucketed,
         "vector_topk": vector_topk,
         "minhash_sweep": minhash_sweep,
         "simhash_pairs": simhash_pairs,

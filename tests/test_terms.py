@@ -130,3 +130,26 @@ def test_numeric_histogram_log2_and_linear(spark):
 
     with pytest.raises(ValueError):
         numeric_histogram(df, "v", mode="sqrt")
+
+
+def test_column_stats_exact_and_approx(spark):
+    from storage_spark.operators.catalog import column_stats
+
+    df = spark.createDataFrame(
+        [(i % 100, None if i % 10 == 0 else f"v{i % 7}") for i in range(1000)],
+        "a long, b string",
+    )
+    exact = {r["col_name"]: r for r in column_stats(df, ["a", "b"]).collect()}
+    assert exact["a"]["n_rows"] == 1000
+    assert exact["a"]["n_distinct"] == 100
+    assert exact["a"]["n_nulls"] == 0
+    assert exact["b"]["n_nulls"] == 100
+    assert exact["b"]["n_distinct"] == 7  # countDistinct ignores nulls
+    assert exact["a"]["min_value"] == "0" and exact["a"]["max_value"] == "99"
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in column_stats(df, ["a", "b"], exact_ndv=False).collect()
+    }
+    # HLL default rsd = 5%: generous 15% acceptance band
+    assert abs(approx["a"] - 100) <= 15
+    assert abs(approx["b"] - 7) <= 2
