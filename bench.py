@@ -326,9 +326,12 @@ def main() -> None:
         from storage_spark.operators.temporal import asof_join
 
         left, right = _asof_hot_inputs()
+        # bucketed=False: this entry deliberately measures the hazard
+        # plan the tolerance auto-routing now avoids
         return asof_join(
             left, right, on="k", left_ts="t", right_ts="vt",
             right_cols=["vid"], tiebreak="vid", tolerance=50_000_000,
+            bucketed=False,
         ).agg(F.count("vid")).collect()[0][0]
 
     def asof_skew_bucketed():

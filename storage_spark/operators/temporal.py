@@ -45,6 +45,36 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+class AsofSkewError(Exception):
+    """Raised by ``asof_join(..., max_rows_per_key=N)`` when a key's row
+    count exceeds the caller's sort budget — the alternative is a silent
+    one-task window sort that OOMs at scale. Pass a ``tolerance`` (which
+    auto-routes through the bucketed plan) or raise the budget."""
+
+
+# Internal column names used by the union+window plan. Input columns may
+# not collide with these (or with the "_l_"-prefixed carried-left names) —
+# a silent collision would corrupt the select, so it raises instead.
+_RESERVED = ("_r_pack", "_m", "_f")
+
+
+def _check_reserved(left: DataFrame, right: DataFrame) -> None:
+    for side, df in (("left", left), ("right", right)):
+        bad = [
+            c
+            for c in df.columns
+            if c in _RESERVED
+            or c.startswith("_l_")
+            or c.startswith("_asof_")
+        ]
+        if bad:
+            raise ValueError(
+                f"asof_join reserves internal column names; rename {side} "
+                f"column(s) {bad} (reserved: {list(_RESERVED)} plus the "
+                "'_l_' and '_asof_' prefixes)"
+            )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -56,6 +86,9 @@ def asof_join(
     tolerance: int | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    bucketed: bool | None = None,
+    max_rows_per_key: int | None = None,
+    _internal: bool = False,
 ) -> DataFrame:
     """As-of join: for each left row, attach the closest right row on the
     same key — ``direction='backward'`` (default) takes the latest right
@@ -91,12 +124,58 @@ def asof_join(
     Returns the left rows (all of them — left-outer semantics) with the
     attached right payload plus ``<right_ts><suffix>`` (the matched row's
     timestamp, null when no match).
+
+    Skew policy (``bucketed``): when ``tolerance`` is given the join
+    AUTO-ROUTES through the (key, time-bucket) windows of
+    ``asof_join_bucketed`` — proven row-identical for all three
+    directions (tests/test_temporal.py), and the only plan whose
+    per-task sort state stays bounded under a hot key. ``bucketed=False``
+    forces the plain single-window-per-key plan (the hazard shape — a
+    10^9-row key sorts in ONE task; kept for measurement and for inputs
+    known skew-free); ``bucketed=True`` asserts a tolerance was given.
+    Without a tolerance there is no bucket width to split on, so the
+    plain plan runs; pass ``max_rows_per_key`` to make that explicit —
+    it runs one cheap keyed count over both inputs and raises
+    ``AsofSkewError`` instead of silently planning a one-task sort.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             "direction must be 'backward', 'forward', or 'nearest', "
             f"got {direction!r}"
         )
+    if not _internal:
+        _check_reserved(left, right)
+    if bucketed is True and tolerance is None:
+        raise ValueError("bucketed=True requires a tolerance (bucket width)")
+    if tolerance is not None and bucketed is not False:
+        return asof_join_bucketed(
+            left,
+            right,
+            on=on,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            right_cols=right_cols,
+            tiebreak=tiebreak,
+            tolerance=tolerance,
+            suffix=suffix,
+            direction=direction,
+        )
+    if max_rows_per_key is not None:
+        keys_ = [on] if isinstance(on, str) else list(on)
+        worst = (
+            left.select(*keys_)
+            .unionAll(right.select(*keys_))
+            .groupBy(*keys_)
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        if worst is not None and worst > max_rows_per_key:
+            raise AsofSkewError(
+                f"hottest as-of key holds {worst} rows > budget "
+                f"{max_rows_per_key}; pass a tolerance (auto-routes to "
+                "the bucketed plan) or raise max_rows_per_key"
+            )
     if direction == "forward":
         neg_l = left.withColumn(left_ts, -F.col(left_ts))
         neg_r = right.withColumn(right_ts, -F.col(right_ts))
@@ -110,6 +189,8 @@ def asof_join(
             tiebreak=tiebreak,
             tolerance=tolerance,
             suffix=suffix,
+            bucketed=False,
+            _internal=True,
         )
         matched = right_ts + suffix if right_ts in left.columns else right_ts
         return out.withColumn(matched, -F.col(matched)).withColumn(
@@ -281,11 +362,19 @@ def interval_join(
     iv = intervals.withColumn(
         binc,
         # floor-div, not cast-truncate: pre-epoch (negative) timestamps
-        # must round toward -inf or they'd land in the wrong bin
+        # must round toward -inf or they'd land in the wrong bin.
+        # The when() guard: a corrupt interval with end < start would make
+        # sequence() default to step -1 and explode to a huge DESCENDING
+        # bin array (end=0, start=epoch-ms → millions of rows); such an
+        # interval can contain no point, so it explodes to NOTHING
+        # (explode drops the NULL array).
         F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / bin_width).cast("long"),
-                F.floor(F.col(end_col) / bin_width).cast("long"),
+            F.when(
+                F.col(end_col) >= F.col(start_col),
+                F.sequence(
+                    F.floor(F.col(start_col) / bin_width).cast("long"),
+                    F.floor(F.col(end_col) / bin_width).cast("long"),
+                ),
             )
         ),
     )
@@ -343,6 +432,7 @@ def asof_join_bucketed(
             "direction must be 'backward', 'forward', or 'nearest', "
             f"got {direction!r}"
         )
+    _check_reserved(left, right)
     keys = [on] if isinstance(on, str) else list(on)
     b = "_asof_bucket"
     lb = left.withColumn(
@@ -360,6 +450,8 @@ def asof_join_bucketed(
         right_ts=right_ts,
         tolerance=tolerance,
         direction=direction,
+        bucketed=False,
+        _internal=True,
         **kwargs,
     )
     return out.drop(b)

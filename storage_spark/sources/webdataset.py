@@ -79,6 +79,12 @@ def write_webdataset_shards(
     ``group_col`` is forwarded to ``assign_shards``' grouped prefix-sum
     (the leading order key must equal it) — at real scale pick a grouping
     whose largest group fits one task.
+
+    ``out_dir`` must be a POSIX path mounted identically on every
+    executor (NFS/local in tests, a shared mount on a cluster) — each
+    shard task creates it if missing and writes its tar there via stdlib
+    ``tarfile``. Object-store URIs raise up front; route those through a
+    staging mount (or extend the writer with the Hadoop FS API).
     """
     order = order_by or [F.col(key_col)]
     sharded = assign_shards(df, order, n_shards, group_col=group_col)
@@ -86,9 +92,23 @@ def write_webdataset_shards(
     payload = list(payload_cols)
 
     def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values("global_id")
-        path = f"{out_dir}/shard-{shard:05d}.tar"
+        # tarfile.open() needs a POSIX path — create the directory on
+        # THIS executor (every task may be first on its host) and fail
+        # with a legible message on object-store URIs instead of the
+        # opaque OSError tarfile would raise
+        if "://" in out_dir and not out_dir.startswith("file://"):
+            raise ValueError(
+                f"write_webdataset_shards needs a shared POSIX path, got "
+                f"{out_dir!r} — stage to a mounted filesystem (or extend "
+                "the writer through the Hadoop FS API for object stores)"
+            )
+        local_dir = out_dir.removeprefix("file://")
+        os.makedirs(local_dir, exist_ok=True)
+        path = f"{local_dir}/shard-{shard:05d}.tar"
         n_bytes = 0
         # positional column access, NOT itertuples()._asdict(): pandas
         # renames keyword / non-identifier / underscore-leading column

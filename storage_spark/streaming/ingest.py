@@ -45,11 +45,19 @@ INDEX_SCHEMA = T.StructType(
 )
 
 
-def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
+def _read_index(
+    spark: SparkSession, index_path: str, exclude_epoch: int | None = None
+) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(index_path).select("doc", "band", "sig")
+        df = spark.read.parquet(index_path)
+        if exclude_epoch is not None and "epoch" in df.columns:
+            # a REPLAYED epoch must not probe the band rows its own
+            # previous (partial) attempt wrote — that partition is about
+            # to be overwritten anyway
+            df = df.filter(F.col("epoch") != exclude_epoch)
+        return df.select("doc", "band", "sig")
     except AnalysisException as ex:
         # ONLY the first-epoch bootstrap (no index yet) may fall back to
         # empty — a corrupt index or storage error must fail the batch,
@@ -89,7 +97,25 @@ def dedup_ingest_batch(
 
     spark = batch.sparkSession
     batch = batch.dropDuplicates([id_col])
-    index = _read_index(spark, index_path)
+    index = _read_index(spark, index_path, exclude_epoch=int(epoch_id))
+    # Id uniqueness is the invariant the pair canonicalization relies on:
+    # incremental_minhash_pairs drops index-vs-batch pairs with EQUAL ids,
+    # so an id-reusing near-duplicate would silently bypass the gate and
+    # append a second band-row set under the same doc id. Raise instead.
+    # (The current epoch is excluded above, so a replayed batch does NOT
+    # trip this on its own previous partial write.)
+    clash = (
+        batch.select(F.col(id_col).alias("doc"))
+        .join(index.select("doc"), "doc", "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"batch reuses doc id(s) already in the index: "
+            f"{sorted(r['doc'] for r in clash)} — ids must be unique "
+            "across the corpus (mint new ids upstream)"
+        )
     pairs, batch_bands = incremental_minhash_pairs(
         index,
         batch,

@@ -96,3 +96,21 @@ def test_stream_matches_sequential_recompute(spark, tmp_path):
     }
     assert len(got) == len(texts) == 4
     assert {t.split()[0] for t in texts} == {"alpha", "one", "seven", "thirteen"}
+
+
+def test_id_reuse_across_epochs_raises(spark, tmp_path):
+    """An id already in the index is the one thing the gate cannot judge
+    (same-id index-vs-batch pairs are canonicalization-filtered), so it
+    must RAISE, not silently append a second band-row set. Replay of the
+    SAME epoch stays exempt (its own partial write is excluded)."""
+    import pytest
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    dedup_ingest_batch(_docs_df(spark, DOCS[0:3]), 0, idx, acc, **KW)
+    # doc id 0 again, different text, NEW epoch → id reuse → raise
+    reused = [(0, "totally different words here now indeed")]
+    with pytest.raises(ValueError, match="reuses doc id"):
+        dedup_ingest_batch(_docs_df(spark, reused), 1, idx, acc, **KW)
+    # same ids, SAME epoch (replay) → fine
+    dedup_ingest_batch(_docs_df(spark, DOCS[0:3]), 0, idx, acc, **KW)
+    assert _accepted_ids(spark, acc) == {0, 2}

@@ -285,3 +285,86 @@ def test_asof_null_payload_is_not_filled_through(spark):
         ).collect()
     }
     assert fwd["e2"] == (200, None)
+
+
+def test_asof_tolerance_auto_routes_to_bucketed_plan(spark):
+    """Skew policy: a tolerance auto-routes through the (key, time-bucket)
+    windows — the per-task-bounded plan — unless bucketed=False forces
+    the plain one. Detected via the bucket column in the analyzed plan;
+    row-equality of the two plans is property-tested elsewhere."""
+    left = spark.createDataFrame(
+        [("a", t, t) for t in range(0, 1000, 7)], "k string, t long, ev long"
+    )
+    right = spark.createDataFrame(
+        [("a", t, t) for t in range(0, 1000, 13)], "k string, rt long, rid long"
+    )
+    kw = dict(on="k", left_ts="t", right_ts="rt", tiebreak="rid")
+    routed = asof_join(left, right, tolerance=100, **kw)
+    plain = asof_join(left, right, tolerance=100, bucketed=False, **kw)
+    assert "_asof_bucket" in routed._jdf.queryExecution().analyzed().toString()
+    assert "_asof_bucket" not in plain._jdf.queryExecution().analyzed().toString()
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_asof_bucketed_true_requires_tolerance(spark):
+    left = spark.createDataFrame([("a", 1, 1)], "k string, t long, ev long")
+    right = spark.createDataFrame([("a", 1, 1)], "k string, rt long, rid long")
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt", bucketed=True
+        )
+
+
+def test_asof_max_rows_per_key_guard(spark):
+    from storage_spark.operators.temporal import AsofSkewError
+
+    left = spark.createDataFrame(
+        [("hot", t, t) for t in range(200)] + [("cold", 1, 1)],
+        "k string, t long, ev long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 5, 1), ("cold", 5, 2)], "k string, rt long, rid long"
+    )
+    kw = dict(on="k", left_ts="t", right_ts="rt", tiebreak="rid")
+    with pytest.raises(AsofSkewError, match="201 rows"):
+        asof_join(left, right, max_rows_per_key=100, **kw)
+    # budget >= hottest key → runs fine
+    assert asof_join(left, right, max_rows_per_key=201, **kw).count() == 201
+
+
+def test_asof_reserved_column_names_raise(spark):
+    right = spark.createDataFrame([("a", 1, 1)], "k string, rt long, rid long")
+    for bad in ("_asof_bucket", "_r_pack", "_m", "_l_x"):
+        left = spark.createDataFrame(
+            [("a", 1, 1)], f"k string, t long, `{bad}` long"
+        )
+        with pytest.raises(ValueError, match="reserve"):
+            asof_join(left, right, on="k", left_ts="t", right_ts="rt")
+    from storage_spark.operators.temporal import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [("a", 1, 1)], "k string, t long, `_asof_bucket` long"
+    )
+    with pytest.raises(ValueError, match="reserve"):
+        asof_join_bucketed(
+            left, right, on="k", left_ts="t", right_ts="rt", tolerance=10
+        )
+
+
+def test_interval_join_corrupt_interval_costs_nothing(spark):
+    """end < start would make sequence() step -1 and explode a huge
+    descending bin array; the guard drops the row at the explode instead.
+    start == epoch-ms magnitude so an unguarded explode would be ~850k
+    rows — the fast return IS the assertion."""
+    points = spark.createDataFrame([(50,), (0,)], "t long")
+    intervals = spark.createDataFrame(
+        [(0, 100, "ok"), (3_000_000_000_000, 0, "corrupt")],
+        "s long, e long, iv string",
+    )
+    out = interval_join(
+        points, intervals, point_ts="t", start_col="s", end_col="e",
+        bin_width=3_600_000,
+    )
+    assert sorted(r["iv"] for r in out.collect()) == ["ok", "ok"]

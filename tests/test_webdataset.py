@@ -114,3 +114,25 @@ def test_listing_layout_bloom_filters(spark, sf_dir, tmp_path):
         .count()
     )
     assert got == objects.where(F.col("id") == some_id).count()
+
+
+def test_out_dir_created_per_task_and_uri_raises(spark, tmp_path):
+    """Shard tasks create a missing out_dir themselves; object-store URIs
+    fail up front with a legible message instead of tarfile's OSError."""
+    import pytest
+
+    from storage_spark.sources.webdataset import write_webdataset_shards
+
+    df = spark.createDataFrame(
+        [("k1", b"x"), ("k2", b"y")], "key string, payload binary"
+    )
+    missing = str(tmp_path / "not" / "yet" / "there")
+    man = write_webdataset_shards(
+        df, missing, key_col="key", payload_cols=["payload"], n_shards=1
+    ).collect()
+    assert len(man) == 1 and man[0]["n_samples"] == 2
+    with pytest.raises(Exception, match="POSIX"):
+        write_webdataset_shards(
+            df, "s3a://bucket/prefix", key_col="key",
+            payload_cols=["payload"], n_shards=1,
+        ).collect()
