@@ -16,11 +16,18 @@ the engine actually needs, with Spark doing all data movement:
   CommitFailedException) and retries against the new snapshot. This is
   what makes the reference's advisory locks (pg.ts:1255-1423) obsolete:
   serialization happens at the pointer swap, not around row groups.
-- **Partition-pruned copy-on-write.** A mutation batch rewrites only the
-  partitions its keys touch; untouched partitions' files are CARRIED
-  FORWARD by reference in the new manifest (zero IO — strictly better
-  than PartitionedParquetTable's dynamic overwrite, which still relies
-  on directory swap semantics).
+- **File-granularity copy-on-write.** A mutation batch rewrites only the
+  FILES whose key ranges its keys touch: the manifest stores per-file
+  column min/max (harvested from the parquet footers at write time, the
+  same stats a table format keeps in its manifests), and a merge prunes
+  each touched partition's file list to the files whose range on the
+  non-partition merge key(s) intersects the batch's key bounds. Sibling
+  files in the SAME partition — and all untouched partitions — are
+  carried forward by reference (zero IO). Pair with ``compact(sort_by=
+  [key])`` so sibling files hold DISJOINT key ranges and a point update
+  rewrites exactly one file instead of the whole 10-GB hot partition.
+  Files from manifests written before stats existed (or whose stats are
+  unavailable for a merge key) are conservatively treated as affected.
 - **Snapshot-isolated reads + time travel.** A reader resolves a
   manifest once and scans an immutable file set; ``read(version=N)``
   reads any retained snapshot.
@@ -43,6 +50,43 @@ from pyspark.sql import functions as F
 class CommitConflictError(Exception):
     """Another writer committed the next version first — re-read and retry
     (the optimistic-concurrency loser path)."""
+
+
+def _file_column_stats(path: str) -> dict[str, list]:
+    """Per-column [min, max] for one parquet file, from its footer row-group
+    statistics (metadata-only read — no data pages). Only JSON-safe scalar
+    types (int/float/str) are kept; a column missing stats in ANY row group
+    is omitted, which downstream treats as "unknown → affected". Parquet's
+    truncated binary stats stay safe: truncation preserves bound direction
+    (min-prefix ≤ min, incremented max-prefix ≥ max) by spec."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for ci in range(md.num_columns):
+        col = md.schema.column(ci).path
+        if "." in col:  # nested leaves can't be pruned on top-level keys
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if not (
+                isinstance(mn, (int, float, str))
+                and isinstance(mx, (int, float, str))
+                and not isinstance(mn, bool)
+            ):
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            out[col] = [lo, hi]
+    return out
 
 
 class SnapshotTable:
@@ -111,11 +155,13 @@ class SnapshotTable:
         df: DataFrame,
         fanout: int | None = None,
         sort_by: list[str] | None = None,
-    ) -> dict[str, list[str]]:
+    ) -> tuple[dict[str, list[str]], dict[str, dict]]:
         """Write df's rows as immutable files under a fresh commit dir,
         one subdirectory per partition value (ONE Spark job via
         partitionBy; the partition column is duplicated into the data so
-        a manifest-driven file read keeps every column).
+        a manifest-driven file read keeps every column). Returns
+        ``(files_per_partition, per_file_column_stats)`` — the stats land
+        in the manifest and drive file-granularity merge pruning.
 
         ``fanout`` > 1 spreads each partition value over up to that many
         writer tasks — via a deterministic row-hash salt, or, when
@@ -175,10 +221,16 @@ class SnapshotTable:
                 for f in os.listdir(pdir)
                 if f.endswith(".parquet")
             )
-        return files
+        # footer harvest: metadata-only, one read per NEW file (at real
+        # scale this folds into the writer tasks; the driver-side loop is
+        # the local[n] shape of the same O(new files) work)
+        stats = {
+            f: _file_column_stats(f) for fs in files.values() for f in fs
+        }
+        return files, stats
 
     def create(self, df: DataFrame) -> int:
-        files = self._write_data_files(df)
+        files, stats = self._write_data_files(df)
         return self._commit_manifest(
             {
                 "version": 1,
@@ -186,6 +238,7 @@ class SnapshotTable:
                 "columns": list(df.columns),
                 "schema_json": df.schema.json(),
                 "files": files,
+                "stats": stats,
             }
         )
 
@@ -199,7 +252,13 @@ class SnapshotTable:
         if partitions is not None:
             wanted = {str(p) for p in partitions}
             parts = {p: fs for p, fs in parts.items() if p in wanted}
-        paths = [f for fs in parts.values() for f in fs]
+        return self._read_files(
+            m, [f for fs in parts.values() for f in fs]
+        )
+
+    def _read_files(self, m: dict, paths: list[str]) -> DataFrame:
+        """Scan an explicit file subset of a resolved manifest (the
+        file-pruned merge scope); schema comes from the manifest."""
         cols = m["columns"]
         if not paths:
             from pyspark.sql.types import StructType
@@ -229,19 +288,71 @@ class SnapshotTable:
 
     # ------------------------------------------------------ merge commits
 
+    def _prune_affected_files(
+        self, m: dict, batch: DataFrame, touched: list[str], keys: list[str]
+    ) -> tuple[list[str], dict[str, list[str]]]:
+        """Split the touched partitions' files into (affected, carried):
+        a file is AFFECTED iff, for EVERY non-partition merge key, its
+        footer [min, max] intersects the batch's per-partition key bounds
+        — any row equal to a batch key on all keys must live in such a
+        file, so carrying the rest by reference is sound. Files without
+        stats (pre-stats manifests, unstatted column types) are affected
+        conservatively. No non-partition keys → whole partitions rewrite
+        (the delete-all-in-partition shape has no key bounds to prune on).
+        """
+        prune_cols = [k for k in keys if k != self.partition_col]
+        stats = m.get("stats", {})
+        if not prune_cols or not stats:
+            aff = [f for p in touched for f in m["files"].get(p, [])]
+            return aff, {p: [] for p in touched}
+        aggs = []
+        for c in prune_cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        bounds = {
+            str(r[self.partition_col]): r
+            for r in batch.groupBy(self.partition_col).agg(*aggs).collect()
+        }
+        affected: list[str] = []
+        carried: dict[str, list[str]] = {}
+        for p in touched:
+            carried[p] = []
+            b = bounds.get(p)
+            for f in m["files"].get(p, []):
+                fstats = stats.get(f)
+                hit = True
+                if b is not None and fstats is not None:
+                    for c in prune_cols:
+                        rng = fstats.get(c)
+                        lo, hi = b[f"_lo_{c}"], b[f"_hi_{c}"]
+                        if rng is None or lo is None:
+                            break  # unknown → affected
+                        if rng[0] > hi or rng[1] < lo:
+                            hit = False  # disjoint on this key → safe
+                            break
+                if hit:
+                    affected.append(f)
+                else:
+                    carried[p].append(f)
+        return affected, carried
+
     def _merge_commit(
-        self, batch: DataFrame, merge_fn, evolve_schema: bool = False
+        self,
+        batch: DataFrame,
+        merge_fn,
+        keys: list[str],
+        evolve_schema: bool = False,
     ) -> int:
-        """Shared copy-on-write commit: prune to touched partitions,
-        merge, write replacement files, carry untouched files forward by
-        reference, commit the pointer.
+        """Shared copy-on-write commit: prune to touched partitions, then
+        to the affected FILES within them (footer min/max vs the batch's
+        key bounds), merge, write replacement files, carry everything
+        else forward by reference, commit the pointer.
 
         ``evolve_schema=True`` admits batches carrying columns the table
-        does not have yet (table-format ADD COLUMN semantics): touched
-        partitions rewrite with the new column populated, untouched
-        files stay as-is and read the column as NULL, and the manifest
-        schema appends the new fields. Without the flag an unknown
-        column raises — silent drift is worse than a failed commit."""
+        does not have yet (table-format ADD COLUMN semantics): affected
+        files rewrite with the new column populated, carried files stay
+        as-is and read the column as NULL, and the manifest schema
+        appends the new fields. Without the flag an unknown column
+        raises — silent drift is worse than a failed commit."""
         from pyspark.sql.types import StructType
 
         touched = [
@@ -249,7 +360,10 @@ class SnapshotTable:
             for r in batch.select(self.partition_col).distinct().collect()
         ]
         m = self._manifest()
-        scoped = self.read(partitions=touched)
+        affected, carried = self._prune_affected_files(
+            m, batch, touched, keys
+        )
+        scoped = self._read_files(m, affected)
         extra = [
             f for f in batch.schema.fields if f.name not in scoped.columns
         ]
@@ -268,13 +382,24 @@ class SnapshotTable:
                 columns.append(f.name)
             schema = StructType(list(schema.fields) + list(extra))
         merged = merge_fn(scoped).localCheckpoint(eager=True)
-        new_files = (
-            self._write_data_files(merged) if merged.take(1) else {}
+        new_files, new_stats = (
+            self._write_data_files(merged) if merged.take(1) else ({}, {})
         )
         files = {
             p: fs for p, fs in m["files"].items() if p not in set(touched)
         }
-        files.update(new_files)
+        for p in touched:
+            # carried siblings (by reference) + this merge's replacements;
+            # a partition emptied by the merge (no survivors either way)
+            # must disappear, not linger as an empty list
+            fs = carried.get(p, []) + new_files.pop(p, [])
+            if fs:
+                files[p] = fs
+        files.update(new_files)  # partitions new in this batch
+        old_stats = m.get("stats", {})
+        live = {f for fs in files.values() for f in fs}
+        stats = {f: s for f, s in old_stats.items() if f in live}
+        stats.update(new_stats)
         return self._commit_manifest(
             {
                 "version": m["version"] + 1,
@@ -282,6 +407,7 @@ class SnapshotTable:
                 "columns": columns,
                 "schema_json": schema.json(),
                 "files": files,
+                "stats": stats,
             }
         )
 
@@ -297,6 +423,7 @@ class SnapshotTable:
         return self._merge_commit(
             updates,
             lambda scoped: merge_upsert(scoped, updates, keys),
+            keys=keys,
             evolve_schema=evolve_schema,
         )
 
@@ -311,6 +438,7 @@ class SnapshotTable:
             lambda scoped: merge_update_columns(
                 scoped, updates, keys, update_cols
             ),
+            keys=keys,
         )
 
     def merge_delete(self, probe: DataFrame, keys: list[str]) -> int:
@@ -318,7 +446,9 @@ class SnapshotTable:
 
         self._require_key(keys)
         return self._merge_commit(
-            probe, lambda scoped: merge_delete(scoped, probe, keys)[0]
+            probe,
+            lambda scoped: merge_delete(scoped, probe, keys)[0],
+            keys=keys,
         )
 
     def _require_key(self, keys: list[str]) -> None:
@@ -436,13 +566,17 @@ class SnapshotTable:
                 ),
             )
             sort_by = ["__z"]
-        new_files = self._write_data_files(
+        new_files, new_stats = self._write_data_files(
             scoped, fanout=target_fanout, sort_by=sort_by
         )
         files = {
             p: fs for p, fs in m["files"].items() if p not in set(crowded)
         }
         files.update(new_files)
+        old_stats = m.get("stats", {})
+        live = {f for fs in files.values() for f in fs}
+        stats = {f: s for f, s in old_stats.items() if f in live}
+        stats.update(new_stats)
         return self._commit_manifest(
             {
                 "version": m["version"] + 1,
@@ -450,6 +584,7 @@ class SnapshotTable:
                 "columns": m["columns"],
                 "schema_json": m["schema_json"],
                 "files": files,
+                "stats": stats,
                 "compacted_partitions": sorted(crowded),
             }
         )

@@ -413,7 +413,7 @@ def test_compact_conflicts_with_concurrent_commit(spark, tmp_path):
     # a compactor that resolved the old manifest must lose the race
     m = t._manifest(1)
     scoped = t.read(version=1)
-    new_files = t._write_data_files(scoped, fanout=1)
+    new_files, _stats = t._write_data_files(scoped, fanout=1)
     files = dict(new_files)
     with pytest.raises(CommitConflictError):
         t._commit_manifest(
@@ -688,3 +688,105 @@ def test_zorder_constant_column_degrades_gracefully(spark, tmp_path):
     v = t.compact(target_fanout=4, zorder_by=["x", "y"])  # x constant
     assert v == 2
     assert t.read().count() == 200
+
+
+# --------------------------------------------------------------------------
+# file-granularity copy-on-write within a touched partition
+# --------------------------------------------------------------------------
+
+
+def _md5s(paths):
+    import hashlib
+
+    return {
+        p: hashlib.md5(open(p, "rb").read()).hexdigest() for p in paths
+    }
+
+
+def _cluster_one_partition(spark, tmp_path, name):
+    """400 rows, one partition, clustered on `name` → several files with
+    pairwise-disjoint name ranges (the layout file-pruning relies on)."""
+    t = SnapshotTable(spark, str(tmp_path / name), write_fanout=4)
+    rows = [("b1", f"k{i:04d}", f"v{i}", i) for i in range(400)]
+    t.create(
+        spark.createDataFrame(
+            rows, "bucket_id string, name string, payload string, size long"
+        )
+    )
+    t.compact(target_fanout=4, sort_by=["name"])
+    files = t._manifest()["files"]["b1"]
+    assert len(files) > 2
+    return t, files
+
+
+def test_merge_rewrites_only_key_intersecting_files(spark, tmp_path):
+    """A 1-row upsert into a clustered partition rewrites exactly the ONE
+    file whose name range holds the key; every sibling file in the SAME
+    partition is carried by reference — identical path, identical bytes.
+    This is the write-amplification bound a table format's file-level
+    copy-on-write buys (reference MERGE semantics: pg.ts:905-961)."""
+    t, files = _cluster_one_partition(spark, tmp_path, "fg")
+    before = _md5s(files)
+    v = t.merge_upsert(
+        spark.createDataFrame(
+            [("b1", "k0042", "PATCHED", 999)],
+            "bucket_id string, name string, payload string, size long",
+        ),
+        ["bucket_id", "name"],
+    )
+    after_files = t._manifest(v)["files"]["b1"]
+    carried = [f for f in files if f in set(after_files)]
+    replaced = [f for f in files if f not in set(after_files)]
+    fresh = [f for f in after_files if f not in set(files)]
+    assert len(replaced) == 1  # exactly one file held k0042
+    assert len(carried) == len(files) - 1
+    assert _md5s(carried) == {p: before[p] for p in carried}  # same bytes
+    # replacement writes honor write_fanout (4 here) — small batch may
+    # leave some salted writer tasks empty
+    assert 1 <= len(fresh) <= 4
+    got = t.read()
+    assert got.count() == 400
+    assert got.filter(F.col("name") == "k0042").first()["payload"] == "PATCHED"
+    # the replaced file's other rows survived into the fresh file
+    assert got.filter(F.col("payload").startswith("v")).count() == 399
+
+
+def test_merge_delete_prunes_files_and_stats_follow(spark, tmp_path):
+    t, files = _cluster_one_partition(spark, tmp_path, "fgdel")
+    v = t.merge_delete(
+        spark.createDataFrame([("b1", "k0399")], "bucket_id string, name string"),
+        ["bucket_id", "name"],
+    )
+    m = t._manifest(v)
+    after_files = m["files"]["b1"]
+    assert len([f for f in files if f in set(after_files)]) == len(files) - 1
+    assert t.read().count() == 399
+    # manifest stats track exactly the live file set (no leaks, no gaps)
+    live = {f for fs in m["files"].values() for f in fs}
+    assert set(m["stats"]) == live
+
+
+def test_pre_stats_manifest_falls_back_to_partition_rewrite(spark, tmp_path):
+    """Manifests written before per-file stats existed have no pruning
+    metadata: every file in a touched partition is conservatively
+    affected, and the merge is still correct."""
+    import json as _json
+    import os as _os
+
+    t, files = _cluster_one_partition(spark, tmp_path, "fgold")
+    mpath = _os.path.join(t._commits_dir, sorted(_os.listdir(t._commits_dir))[-1])
+    m = _json.load(open(mpath))
+    del m["stats"]
+    _json.dump(m, open(mpath, "w"))
+    v = t.merge_upsert(
+        spark.createDataFrame(
+            [("b1", "k0042", "PATCHED", 999)],
+            "bucket_id string, name string, payload string, size long",
+        ),
+        ["bucket_id", "name"],
+    )
+    after_files = t._manifest(v)["files"]["b1"]
+    assert not set(files) & set(after_files)  # full partition rewrite
+    got = t.read()
+    assert got.count() == 400
+    assert got.filter(F.col("name") == "k0042").first()["payload"] == "PATCHED"
