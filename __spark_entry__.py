@@ -1140,6 +1140,37 @@ def q_vector_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query against the PERSISTED ANN index (sources/annindex.py — the
+    pgvector analogue where the index is a table maintained across
+    queries, pgvector/index.ts:458-475): the corpus-side LSH encode is
+    built once on disk; this query pays only the probe join + exact
+    ranking. Persisted-vs-recompute equality is asserted per kind in
+    tests/test_annindex.py; the oracle replays the whole pipeline via
+    the Hamming-ball formulation (probing radius-r buckets admits
+    exactly the pairs whose signatures differ in <= r bits)."""
+    import os
+    import tempfile
+
+    from storage_spark.sources.annindex import ann_index_search, build_ann_index
+
+    v = _vectors(spark, sf_dir).select("key", "embedding")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "ann_index_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    build_ann_index(v, path, kind="lsh", dim=64, n_planes=5, n_tables=1)
+    queries = v.filter(F.col("key").cast("bigint") < 15).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    out = ann_index_search(spark, path, queries, k=3, probe_radius=1)
+    return out.select(
+        "q_key", "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_vector_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., TPAMI 2011): the corpus is
     stored as 8 one-byte codes per vector (32x compression at dim 64) and
@@ -2768,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     rotation; local parity covers everything that slips;
     # (4) the r3-proven block in its prior order.
     return {
+        "ann_index_query": q_ann_index_query,
         # (1) new in round 4 — zero driver rows until this round records:
         "pack_sequences": q_pack_sequences,
         "asof_latest_object": q_asof_latest_object,
@@ -4335,6 +4367,9 @@ WHERE CAST(vec_id AS STRING) IN ('3', '7', '11', '250', '9999999')
         "vector_lsh_ann": _oracle_lsh_ann(n_planes=6, k=3, max_q_vec_id=20),
         "vector_multiprobe_ann": _oracle_lsh_multiprobe(
             n_planes=6, k=3, max_q_vec_id=20, radius=1
+        ),
+        "ann_index_query": _oracle_lsh_multiprobe(
+            n_planes=5, k=3, max_q_vec_id=15, radius=1
         ),
         "vector_pq_topk": _oracle_pq_topk(
             m=8, k=16, k_top=5, max_vec_id=300, max_q_vec_id=4

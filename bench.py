@@ -228,6 +228,36 @@ def main() -> None:
             probe_radius=1, n_tables=4,
         ).count()
 
+    _ann_idx: dict = {"path": None}
+
+    def ann_index_query():
+        # the SAME operating point as ann_multiprobe, but against the
+        # PERSISTED index (sources/annindex.py): the corpus-side encode
+        # is built once (first repeat; min-of-N reports the steady-state
+        # query-only cost) — the pair quantifies what persistence
+        # amortizes away per query
+        import tempfile
+
+        from storage_spark.sources.annindex import (
+            ann_index_search,
+            build_ann_index,
+        )
+
+        if _ann_idx["path"] is None:
+            d = tempfile.mkdtemp(prefix="bench_annidx_") + "/idx"
+            build_ann_index(
+                vectors, d, kind="lsh", dim=64, n_planes=4, n_tables=4
+            )
+            _ann_idx["path"] = d
+        queries = (
+            vectors.orderBy("key")
+            .limit(50)
+            .select(F.col("key").alias("q_key"), F.col("embedding").alias("q_vec"))
+        )
+        return ann_index_search(
+            spark, _ann_idx["path"], queries, k=10, probe_radius=1
+        ).count()
+
     def snapshot_commit():
         # table-format commit path: create v1 from the object catalog,
         # copy-on-write upsert one bucket into v2 (untouched partitions
@@ -393,6 +423,7 @@ def main() -> None:
         "skewed_distinct_plain": skewed_distinct_plain,
         "skewed_distinct_salted": skewed_distinct_salted,
         "ann_multiprobe": ann_multiprobe,
+        "ann_index_query": ann_index_query,
         "pq_rerank": pq_rerank,
         "snapshot_commit": snapshot_commit,
         "sessionization": sessionization,
@@ -442,6 +473,8 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(mat_dir, ignore_errors=True)  # don't leak a full copy per run
+    if _ann_idx["path"]:
+        shutil.rmtree(os.path.dirname(_ann_idx["path"]), ignore_errors=True)
     out = {
         "metric": "storage_spark headline suite wall time",
         "value": round(sum(timings.values()), 3),

@@ -492,16 +492,70 @@ def lsh_ann_join(
     - ``n_tables`` (classic multi-table LSH): L independent plane sets;
       candidates match in ANY table. Recall 1-(1-p^b)^L; the corpus side
       explodes ×L, so spend probe_radius first, tables second.
+
+    The corpus side (``lsh_corpus_postings``) is a pure function of the
+    corpus + (dim, n_planes, n_tables) — persist it once with
+    ``sources.annindex.build_ann_index`` and repeated queries skip the
+    corpus encode entirely (the pgvector analogue: the index IS a table).
     """
-    probes = max(1, n_tables)
+    c = lsh_corpus_postings(
+        corpus, dim, n_planes, n_tables, corpus_vec=corpus_vec
+    )
+    return _lsh_rank_against_postings(
+        c, queries, k, dim, n_planes,
+        metric=metric, query_key=query_key, query_vec=query_vec,
+        corpus_key=corpus_key, corpus_vec=corpus_vec,
+        arrow=arrow, probe_radius=probe_radius, n_tables=n_tables,
+    )
+
+
+def lsh_corpus_postings(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """The persistable LSH posting table: corpus rows exploded to one row
+    per (table, row) with the table-prefixed bucket signature ``_sig``
+    and the precomputed norm ``_cn``. ``lsh_ann_join`` builds this
+    inline; ``sources.annindex`` stores it so queries probe without
+    re-encoding. Carrying the vector in the posting row duplicates it
+    ×n_tables — the standard multi-table space trade; it buys a
+    join-free probe."""
     c = corpus.withColumn("_cn", norm(F.col(corpus_vec)))
-    q = queries.withColumn("_qn", norm(F.col(query_vec)))
-    c_sigs, q_sigs = [], []
-    for tbl in range(probes):
+    c_sigs = []
+    for tbl in range(max(1, n_tables)):
         planes = hyperplanes(dim, n_planes, seed=42 + 1_000_003 * tbl)
         sig_c = lsh_signature(F.col(corpus_vec), planes)
-        sig_q = lsh_signature(F.col(query_vec), planes)
         c_sigs.append(F.concat(F.lit(f"{tbl}:"), sig_c))
+    return c.withColumn("_sig", F.explode(F.array(*c_sigs)))
+
+
+def _lsh_rank_against_postings(
+    c: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int,
+    metric: str = "cosine",
+    query_key: str = "q_key",
+    query_vec: str = "q_vec",
+    corpus_key: str = "key",
+    corpus_vec: str = "embedding",
+    arrow: bool = False,
+    probe_radius: int = 0,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Query side of the LSH join, against an (inline or persisted)
+    posting table: expand each query to its probed buckets, equi-join on
+    signature, dedupe candidate identities, exact-rank."""
+    probes = max(1, n_tables)
+    q = queries.withColumn("_qn", norm(F.col(query_vec)))
+    q_sigs = []
+    for tbl in range(probes):
+        planes = hyperplanes(dim, n_planes, seed=42 + 1_000_003 * tbl)
+        sig_q = lsh_signature(F.col(query_vec), planes)
         if probe_radius > 0:
             q_sigs.append(
                 F.transform(
@@ -511,7 +565,6 @@ def lsh_ann_join(
             )
         else:
             q_sigs.append(F.array(F.concat(F.lit(f"{tbl}:"), sig_q)))
-    c = c.withColumn("_sig", F.explode(F.array(*c_sigs)))
     q = q.withColumn("_sig", F.explode(F.flatten(F.array(*q_sigs))))
     joined = c.join(q, "_sig").filter(F.col(query_key) != F.col(corpus_key))
     if probes > 1 or probe_radius > 0:
@@ -690,6 +743,7 @@ def pq_codebooks_kmeans(
     iterations: int = 2,
     seed: int = 42,
     vector_col: str = "embedding",
+    dim: int | None = None,
 ) -> list[list[list[float]]]:
     """Lloyd-refine the deterministic codebooks on data — the recall
     lever (random codebooks waste centroids where the data isn't). One
@@ -697,9 +751,14 @@ def pq_codebooks_kmeans(
     the current books, explode to (s, code, pos, val), partial-aggregated
     means, collect the m×k refined centroids (bounded driver transfer —
     the same m×k rows any PQ implementation must hold). Empty code cells
-    keep their previous centroid."""
-    first = corpus.select(F.col(vector_col).alias("e")).first()
-    dim = len(first["e"])
+    keep their previous centroid.
+
+    Pass ``dim`` explicitly to skip the one-row probe job (same escape
+    ``embedding_near_dup_pairs`` grew for its lazy dim guard); the probe
+    stays as the convenience fallback."""
+    if dim is None:
+        first = corpus.select(F.col(vector_col).alias("e")).first()
+        dim = len(first["e"])
     ds = dim // m
     books = pq_codebooks(dim, m, k, seed)
     for _ in range(iterations):

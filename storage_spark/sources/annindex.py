@@ -1,0 +1,175 @@
+"""Persistent ANN index — build once, query many times.
+
+Every ANN path in ``functions.vectors`` splits into a corpus-side encode
+(signatures / cell assignments / PQ codes — one full scan) and a query-side
+probe (tiny). Without persistence each query call re-runs the encode; the
+reference's vector surface keeps its index PERSISTENT (pgvector: the index
+is a table maintained across queries, src/storage/vector/adapters/
+pgvector/index.ts:458-475 — queries only probe). This module is that
+analogue, in the same shape as the MinHash band index
+(``operators.dedup.minhash_band_index``): the index is parquet + a JSON
+config, and queries run the identical ranking code against the stored
+tables, so persisted-vs-recomputed results are EQUAL by construction
+(asserted in tests/test_annindex.py).
+
+Layout under ``path/``:
+
+- ``config.json`` — kind + the exact build parameters (and the learned
+  centroids / codebooks, which are the bounded driver-side objects any
+  implementation must hold).
+- ``postings/``  (lsh)  — (key, embedding, _cn, _sig), the exploded
+  multi-table posting rows of ``lsh_corpus_postings``.
+- ``assigned/``  (ivf)  — (key, embedding, cell), partitioned by cell so
+  a probe reads only its cells' files (partition pruning = the inverted
+  list seek).
+- ``codes/``     (pq)   — (key, codes array<int>), m bytes/vector.
+- ``vectors/``   (pq)   — (key, embedding) full-precision rows for the
+  rerank stage (only fetched for refine_factor*k candidates per query).
+
+At 100 TB the build is the one full-corpus job (exactly the scan any
+single query would have paid); incremental maintenance appends new rows'
+postings/codes the same way ``minhash_band_index`` ingests batches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    kind: str,
+    dim: int,
+    key_col: str = "key",
+    vector_col: str = "embedding",
+    # lsh
+    n_planes: int = 8,
+    n_tables: int = 1,
+    # ivf
+    n_cells: int = 16,
+    kmeans_iterations: int = 2,
+    metric: str = "cosine",
+    # pq
+    m: int = 8,
+    k_codes: int = 16,
+) -> dict:
+    """One corpus scan → a persisted index at ``path``. Returns the
+    config dict (also written to ``path/config.json``)."""
+    from storage_spark.functions import vectors as V
+
+    if kind not in ("lsh", "ivf", "pq"):
+        raise ValueError(f"kind must be lsh|ivf|pq, got {kind!r}")
+    cfg: dict = {
+        "kind": kind,
+        "dim": dim,
+        "key_col": key_col,
+        "vector_col": vector_col,
+        "metric": metric,
+    }
+    src = corpus.select(
+        F.col(key_col).alias("key"), F.col(vector_col).alias("embedding")
+    )
+    if kind == "lsh":
+        cfg.update(n_planes=n_planes, n_tables=n_tables)
+        V.lsh_corpus_postings(
+            src, dim, n_planes, n_tables
+        ).write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    elif kind == "ivf":
+        cfg.update(n_cells=n_cells, kmeans_iterations=kmeans_iterations)
+        cents = V.ivf_centroids_kmeans(
+            src, n_cells, iterations=kmeans_iterations, metric=metric
+        )
+        cfg["centroids"] = [
+            [float(x) for x in r["centroid"]]
+            for r in sorted(cents.collect(), key=lambda r: r["cell"])
+        ]
+        (
+            V.ivf_assign(src, cents, metric)
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "assigned"))
+        )
+    else:  # pq
+        cfg.update(m=m, k_codes=k_codes, kmeans_iterations=kmeans_iterations)
+        books = V.pq_codebooks_kmeans(
+            src, m=m, k=k_codes, iterations=kmeans_iterations, dim=dim
+        )
+        cfg["codebooks"] = books  # floats JSON-roundtrip exactly (repr)
+        V.pq_encode(src, books).write.mode("overwrite").parquet(
+            os.path.join(path, "codes")
+        )
+        src.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as fh:
+        json.dump(cfg, fh)
+    return cfg
+
+
+def load_config(path: str) -> dict:
+    with open(os.path.join(path, "config.json")) as fh:
+        return json.load(fh)
+
+
+def ann_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    query_key: str = "q_key",
+    query_vec: str = "q_vec",
+    probe_radius: int = 0,
+    n_probe: int = 2,
+    refine_factor: int | None = None,
+    arrow: bool = False,
+) -> DataFrame:
+    """Top-k against a persisted index — the query-only cost: no corpus
+    encode, just the probe join + exact ranking. Returns the same
+    ``(q_key, key, distance|score, rank)`` frame the recompute path
+    produces, row-for-row (same ranking code, same stored parameters).
+
+    - lsh: ``probe_radius`` composes with the stored n_tables.
+    - ivf: ``n_probe`` cells per query; the cell-partitioned layout makes
+      the probe a partition-pruned read.
+    - pq: raw ADC top-k, or exact rerank of ``refine_factor * k``
+      candidates when ``refine_factor`` is given.
+    """
+    from storage_spark.functions import vectors as V
+
+    cfg = load_config(path)
+    kind = cfg["kind"]
+    if kind == "lsh":
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        return V._lsh_rank_against_postings(
+            postings, queries, k, cfg["dim"], cfg["n_planes"],
+            metric=cfg["metric"], query_key=query_key, query_vec=query_vec,
+            arrow=arrow, probe_radius=probe_radius,
+            n_tables=cfg["n_tables"],
+        )
+    if kind == "ivf":
+        assigned = spark.read.parquet(os.path.join(path, "assigned"))
+        cents = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cfg["centroids"])],
+            "cell int, centroid array<float>",
+        )
+        return V.ivf_search(
+            queries, assigned, cents, k, n_probe=n_probe,
+            metric=cfg["metric"], query_key=query_key, query_vec=query_vec,
+            arrow=arrow,
+        )
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    books = cfg["codebooks"]
+    if refine_factor is None:
+        return V.pq_adc_topk(
+            queries, codes, books, k,
+            query_key=query_key, query_vec=query_vec, arrow=arrow,
+        )
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    return V.pq_search_rerank(
+        queries, codes, vectors, books, k, refine_factor=refine_factor,
+        metric="l2", query_key=query_key, query_vec=query_vec, arrow=arrow,
+    )

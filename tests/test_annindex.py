@@ -1,0 +1,126 @@
+"""Persistent ANN index (storage_spark/sources/annindex.py): a query
+against the persisted index must equal the full recompute, per kind —
+the index is the corpus-side encode stored, nothing else."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from storage_spark.sources.annindex import (
+    ann_index_search,
+    build_ann_index,
+    load_config,
+)
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").cast("string").alias("key"),
+            F.col("embedding"),
+        )
+        .filter(F.col("vec_id") < 300)
+    )
+    df = df.localCheckpoint(eager=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return (
+        corpus.filter(F.col("key").cast("bigint") < 10)
+        .select(F.col("key").alias("q_key"), F.col("embedding").alias("q_vec"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r[0], r[1], round(float(r[2]), 9), r[3]) for r in df.collect()
+    )
+
+
+def test_lsh_index_query_equals_recompute(spark, corpus, queries, tmp_path):
+    from storage_spark.functions.vectors import lsh_ann_join
+
+    path = str(tmp_path / "lsh_idx")
+    cfg = build_ann_index(
+        corpus, path, kind="lsh", dim=DIM, n_planes=4, n_tables=2
+    )
+    assert load_config(path) == cfg
+    got = ann_index_search(spark, path, queries, k=5, probe_radius=1)
+    want = lsh_ann_join(
+        queries, corpus, k=5, dim=DIM, n_planes=4, n_tables=2,
+        probe_radius=1,
+    )
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
+
+
+def test_ivf_index_query_equals_recompute(spark, corpus, queries, tmp_path):
+    from storage_spark.functions.vectors import (
+        ivf_assign,
+        ivf_centroids_kmeans,
+        ivf_search,
+    )
+
+    path = str(tmp_path / "ivf_idx")
+    build_ann_index(
+        corpus, path, kind="ivf", dim=DIM, n_cells=4, kmeans_iterations=1
+    )
+    got = ann_index_search(spark, path, queries, k=5, n_probe=2)
+    cents = ivf_centroids_kmeans(corpus, 4, iterations=1)
+    want = ivf_search(queries, ivf_assign(corpus, cents), cents, 5, n_probe=2)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) == 50  # 10 queries x k
+
+
+def test_ivf_probe_is_partition_pruned(spark, corpus, queries, tmp_path):
+    """The assigned table is partitioned by cell, so a probe's scan reads
+    only the probed cells' files — the inverted-list seek as partition
+    pruning (visible as a partition filter count in the scan node)."""
+    path = str(tmp_path / "ivf_prune")
+    build_ann_index(
+        corpus, path, kind="ivf", dim=DIM, n_cells=4, kmeans_iterations=1
+    )
+    plan = (
+        ann_index_search(spark, path, queries.limit(2), k=3, n_probe=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+
+def test_pq_index_query_equals_recompute(spark, corpus, queries, tmp_path):
+    from storage_spark.functions.vectors import (
+        pq_adc_topk,
+        pq_codebooks_kmeans,
+        pq_encode,
+        pq_search_rerank,
+    )
+
+    path = str(tmp_path / "pq_idx")
+    cfg = build_ann_index(
+        corpus, path, kind="pq", dim=DIM, m=8, k_codes=16,
+        kmeans_iterations=1,
+    )
+    books = pq_codebooks_kmeans(corpus, m=8, k=16, iterations=1, dim=DIM)
+    assert cfg["codebooks"] == books  # JSON float round-trip is exact
+    codes = pq_encode(corpus, books)
+    got_adc = ann_index_search(spark, path, queries, k=5)
+    want_adc = pq_adc_topk(queries, codes, books, 5)
+    assert _rows(got_adc) == _rows(want_adc)
+    got_rr = ann_index_search(spark, path, queries, k=5, refine_factor=4)
+    want_rr = pq_search_rerank(queries, codes, corpus, books, 5, refine_factor=4)
+    assert _rows(got_rr) == _rows(want_rr)
+
+
+def test_bad_kind_raises(spark, corpus, tmp_path):
+    with pytest.raises(ValueError, match="kind"):
+        build_ann_index(corpus, str(tmp_path / "x"), kind="hnsw", dim=DIM)

@@ -137,7 +137,7 @@ for m, kc, iters, rf in [
     books = (
         pq_codebooks(DIM, m, kc)
         if iters == 0
-        else pq_codebooks_kmeans(corpus, m=m, k=kc, iterations=iters)
+        else pq_codebooks_kmeans(corpus, m=m, k=kc, iterations=iters, dim=DIM)
     )
     codes = pq_encode(corpus, books).cache()
     codes.count()
@@ -160,7 +160,7 @@ from storage_spark.functions.vectors import ivfpq_search  # noqa: E402
 
 cents_l2 = ivf_centroids_kmeans(corpus, 16, iterations=3, metric="l2").localCheckpoint()
 assigned_l2 = ivf_assign(corpus, cents_l2, metric="l2").localCheckpoint()
-books32 = pq_codebooks_kmeans(corpus, m=32, k=16, iterations=2)
+books32 = pq_codebooks_kmeans(corpus, m=32, k=16, iterations=2, dim=DIM)
 coded32 = (
     pq_encode(corpus, books32)
     .join(assigned_l2.select("key", "cell"), "key")
