@@ -1055,21 +1055,64 @@ def q_vector_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sign_many(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sign-many route surface: batch HS256 signed URLs (rows-only — the
-    oracle has no HMAC; round-trip verification lives in tests/test_signing)."""
+    """sign-many route surface: batch HS256 signed URLs. The oracle
+    replays every DETERMINISTIC token field in SQL — the url, the expiry,
+    and the full signing input (constant header + base64url of the
+    canonical sorted-key JSON payload, rebuilt byte-for-byte in DuckDB).
+    The HMAC signature itself has no SQL form; its correctness is the
+    round-trip verify in tests/test_signing.py, and its SHAPE is pinned
+    here (32-byte SHA-256 -> exactly 43 base64url chars, no padding)."""
     from storage_spark.operators.signing import sign_many
 
     t = _t(spark, sf_dir)
     docs = t["objects"].filter(F.col("bucket_id") == "Brand#13")
-    return sign_many(docs, secret="url-signing-key", expires_in_s=3600,
-                     issued_at_s=1704067200)
+    out = sign_many(docs, secret="url-signing-key", expires_in_s=3600,
+                    issued_at_s=1704067200)
+    return out.select(
+        "url",
+        F.col("expires_at_s").cast("bigint").alias("expires_at_s"),
+        F.substring_index(F.col("token"), ".", 2).alias("signing_input"),
+        F.length(F.element_at(F.split(F.col("token"), "\\."), 3))
+        .cast("int")
+        .alias("sig_len"),
+    )
+
+
+def _backend_list_stage_path() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "backend_list_oracle.parquet")
 
 
 def q_backend_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: distributed backend (blob-store) listing over the sf directory
-    itself — rows-only (the oracle has no filesystem surface)."""
+    itself. The oracle reads an INDEPENDENT ground truth: plain
+    os.scandir + os.stat staged as parquet at query-build time (eager
+    Python, not part of the Spark plan), so the comparison is Spark's
+    binaryFile scan vs the OS's own metadata — two implementations of
+    "list the store" (adapter.ts:383-430's ListObjectsV2 surface)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from storage_spark.sources.binary import list_blobs
 
+    names = sorted(
+        f for f in os.listdir(sf_dir) if f.endswith(".parquet")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "key": names,
+                "size": [
+                    os.path.getsize(os.path.join(sf_dir, f)) for f in names
+                ],
+            }
+        ),
+        _backend_list_stage_path(),
+    )
     return list_blobs(spark, sf_dir, glob="*.parquet").select("key", "size").orderBy(
         "key"
     )
@@ -4363,6 +4406,30 @@ ORDER BY name LIMIT 100
 SELECT CAST(vec_id AS STRING) AS key, CAST(len(embedding) AS INT) AS dim
 FROM embeddings
 WHERE CAST(vec_id AS STRING) IN ('3', '7', '11', '250', '9999999')
+"""),
+        # backend_list: the staged file is plain-Python os.stat ground
+        # truth written eagerly by q_backend_list before the Spark scan
+        # runs — the oracle compares Spark's binaryFile listing against
+        # the OS's own metadata, not against itself
+        "backend_list": (
+            "SELECT key, CAST(size AS BIGINT) AS size "
+            f"FROM read_parquet('{_backend_list_stage_path()}') ORDER BY key"
+        ),
+        # sign_many: deterministic JWT fields replayed byte-for-byte —
+        # constant HS256 header + base64url(canonical sorted-key JSON
+        # payload); the HMAC signature has no SQL form (round-trip
+        # verified in tests/test_signing.py) but its length is pinned
+        "sign_many": _o("""
+SELECT
+  bucket_id || '/' || name AS url,
+  CAST(1704067200 + 3600 AS BIGINT) AS expires_at_s,
+  'eyJhbGciOiJIUzI1NiIsInR5cCI6IkpXVCJ9' || '.' ||
+    rtrim(replace(replace(base64(encode(
+      '{"exp":' || CAST(1704067200 + 3600 AS VARCHAR) ||
+      ',"url":"' || bucket_id || '/' || name || '"}'
+    )), '+', '-'), '/', '_'), '=') AS signing_input,
+  CAST(43 AS INT) AS sig_len
+FROM objects WHERE bucket_id = 'Brand#13'
 """),
         "vector_lsh_ann": _oracle_lsh_ann(n_planes=6, k=3, max_q_vec_id=20),
         "vector_multiprobe_ann": _oracle_lsh_multiprobe(

@@ -276,7 +276,7 @@ def run_config_invalidation(
 def run_delete_all_before_consumer(
     requests_stream: DataFrame,
     objects_table,
-    events_sink: list,
+    events_sink,
     checkpoint_dir: str,
 ) -> None:
     """T4 end-to-end: a stream of admin delete-all-before requests
@@ -288,7 +288,13 @@ def run_delete_all_before_consumer(
     (object-admin-delete-all-before.ts:35-125) with singletonKey dedup
     (:27-33); here each micro-batch applies every distinct request as one
     anti-join commit — no self-requeue needed because the pass is complete.
-    """
+
+    ``events_sink``: a PATH (production shape) appends the lifecycle rows
+    as a DataFrame to that events table — executor-side write, NO driver
+    collect of the deleted set, the same shape as the webhook sink's
+    executor-side default. A ``list`` keeps the driver-collected test
+    mode. The only driver transfer either way is the per-batch distinct
+    (bucket, cutoff) request fold, which is bounded by the request rate."""
     from storage_spark.operators.mutations import delete_all_before
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -303,13 +309,19 @@ def run_delete_all_before_consumer(
             remaining, deleted = delete_all_before(
                 current, r["before_ms"], bucket_id=r["bucket_id"]
             )
-            removed = [
-                {"bucket_id": d["bucket_id"], "name": d["name"],
-                 "event_type": "ObjectRemoved"}
-                for d in deleted.collect()
-            ]
+            removed_df = deleted.select(
+                "bucket_id", "name",
+                F.lit("ObjectRemoved").alias("event_type"),
+            )
+            if isinstance(events_sink, list):
+                events_sink.extend(
+                    row.asDict() for row in removed_df.collect()
+                )
+            else:
+                # materializes the deleted set BEFORE the commit below
+                # replaces the files it reads from
+                removed_df.write.mode("append").parquet(events_sink)
             objects_table.commit(remaining)
-            events_sink.extend(removed)
 
     q = (
         requests_stream.writeStream.foreachBatch(_apply)

@@ -196,3 +196,43 @@ def test_delete_all_before_consumer(spark, tmp_path):
     assert left == {("b1", "new.txt"), ("b2", "old3.txt")}  # b2 untouched
     assert {e["name"] for e in emitted} == {"old1.txt", "old2.txt"}
     assert all(e["event_type"] == "ObjectRemoved" for e in emitted)
+
+
+def test_delete_all_before_consumer_appends_events_table(spark, tmp_path):
+    """Production sink shape: lifecycle rows land in an events TABLE via
+    an executor-side DataFrame append — no driver collect of the deleted
+    set (the list sink stays as the test mode above)."""
+    from storage_spark.operators.mutations import ParquetTable
+    from storage_spark.streaming.events import run_delete_all_before_consumer
+
+    objects = spark.createDataFrame(
+        [
+            ("b1", "old1.txt", 100),
+            ("b1", "old2.txt", 200),
+            ("b1", "new.txt", 9000),
+            ("b2", "old3.txt", 150),
+        ],
+        "bucket_id string, name string, created_at_ms long",
+    )
+    table_path = str(tmp_path / "objects")
+    objects.write.parquet(table_path)
+    table = ParquetTable(spark, table_path)
+
+    req_dir = str(tmp_path / "requests")
+    spark.createDataFrame(
+        [("b1", 1000, "t/b1")],
+        "bucket_id string, before_ms long, singleton_key string",
+    ).write.parquet(req_dir)
+    stream = spark.readStream.schema(
+        "bucket_id string, before_ms long, singleton_key string"
+    ).parquet(req_dir)
+
+    events_path = str(tmp_path / "events_table")
+    run_delete_all_before_consumer(
+        stream, table, events_path, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    left = {(r.bucket_id, r.name) for r in table.read().collect()}
+    assert left == {("b1", "new.txt"), ("b2", "old3.txt")}
+    ev = spark.read.parquet(events_path).collect()
+    assert {e["name"] for e in ev} == {"old1.txt", "old2.txt"}
+    assert all(e["event_type"] == "ObjectRemoved" for e in ev)
