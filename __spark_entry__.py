@@ -579,7 +579,8 @@ FROM (
 
 
 def _oracle_lsh_multiprobe(
-    n_planes: int, k: int, max_q_vec_id: int, radius: int
+    n_planes: int, k: int, max_q_vec_id: int, radius: int,
+    corpus_where: str = "TRUE",
 ) -> str:
     """Multi-probe LSH replay: probing every bucket within Hamming
     distance r of the query signature admits EXACTLY the pairs whose
@@ -598,7 +599,7 @@ def _oracle_lsh_multiprobe(
 , sigv AS (
   SELECT CAST(vec_id AS STRING) AS key, vec_id, embedding,
       {sig} AS sig
-  FROM embeddings
+  FROM embeddings WHERE {corpus_where}
 )
 SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank
 FROM (
@@ -1204,6 +1205,46 @@ def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build_ann_index(v, path, kind="lsh", dim=64, n_planes=5, n_tables=1)
     queries = v.filter(F.col("key").cast("bigint") < 15).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    out = ann_index_search(spark, path, queries, k=3, probe_radius=1)
+    return out.select(
+        "q_key", "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (the pgvector-analogue upsert path,
+    pgvector/index.ts:458-475 keeps the index current as vectors land):
+    build the persisted LSH index on the first 200 vectors, APPEND the
+    next 100 as a batch (only the batch is encoded — the corpus is never
+    rescanned), then query. The oracle replays the whole unioned corpus:
+    append ≡ rebuild because the LSH encode is row-local (asserted
+    directly in tests/test_annindex.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from storage_spark.sources.annindex import (
+        ann_index_append,
+        ann_index_search,
+        build_ann_index,
+    )
+
+    v = _vectors(spark, sf_dir).select("key", "embedding")
+    vid = F.col("key").cast("bigint")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "ann_index_app_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(path, ignore_errors=True)  # append must not accumulate
+    build_ann_index(
+        v.filter(vid < 200), path, kind="lsh", dim=64, n_planes=5
+    )
+    ann_index_append(v.filter((vid >= 200) & (vid < 300)), path)
+    queries = v.filter(vid < 15).select(
         F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
     )
     out = ann_index_search(spark, path, queries, k=3, probe_radius=1)
@@ -2672,6 +2713,21 @@ def q_sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_k_per_group(docs, "lang", 20).orderBy("lang", "doc_id")
 
 
+def q_proportional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shrink with the language mix preserved EXACTLY: largest-
+    remainder (Hamilton) apportionment of 150 slots by per-language doc
+    counts — all integer arithmetic — then the deterministic md5 draw
+    fills each quota. The oracle replays the allocation and the draw
+    verbatim (floor division, remainder ranking, tie rules)."""
+    from storage_spark.operators.pipeline import proportional_sample
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang")
+    return proportional_sample(docs, "lang", total_k=150).orderBy(
+        "lang", "doc_id"
+    )
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding outlier sweep: top-5 vectors by
     distance-to-centroid under integer-exact arithmetic (quantized
@@ -2843,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (4) the r3-proven block in its prior order.
     return {
         "ann_index_query": q_ann_index_query,
+        "ann_index_append": q_ann_index_append,
         # (1) new in round 4 — zero driver rows until this round records:
         "pack_sequences": q_pack_sequences,
         "asof_latest_object": q_asof_latest_object,
@@ -2855,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_histogram": q_size_histogram,
         "term_cooc": q_term_cooc,
         "sample_k_per_lang": q_sample_k_per_lang,
+        "proportional_sample": q_proportional_sample,
         "embedding_outliers": q_embedding_outliers,
         "event_gaps": q_event_gaps,
         "unshipped_orders": q_unshipped_orders,
@@ -3576,6 +3634,29 @@ FROM (
     ORDER BY dist2_scaled DESC, vec_id ASC) AS rk
   FROM sc
 ) WHERE rk <= 5 ORDER BY label, rk
+"""),
+        "proportional_sample": _o("""
+, counts AS (
+  SELECT lang, count(*) AS gn FROM documents GROUP BY lang
+),
+quotas AS (
+  SELECT lang,
+    (150 * gn) // (SELECT sum(gn) FROM counts)
+      + CASE WHEN row_number() OVER (
+            ORDER BY (150 * gn) % (SELECT sum(gn) FROM counts) DESC,
+                     lang ASC)
+          <= 150 - (SELECT sum((150 * gn2.gn) // (SELECT sum(gn) FROM counts)) FROM counts gn2)
+        THEN 1 ELSE 0 END AS quota
+  FROM counts
+)
+SELECT doc_id, d.lang AS lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5('prop-v1:' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+) d JOIN quotas q ON d.lang = q.lang
+WHERE d.rk <= q.quota ORDER BY lang, doc_id
 """),
         "sample_k_per_lang": _o("""
 SELECT doc_id, lang FROM (
@@ -4437,6 +4518,10 @@ FROM objects WHERE bucket_id = 'Brand#13'
         ),
         "ann_index_query": _oracle_lsh_multiprobe(
             n_planes=5, k=3, max_q_vec_id=15, radius=1
+        ),
+        "ann_index_append": _oracle_lsh_multiprobe(
+            n_planes=5, k=3, max_q_vec_id=15, radius=1,
+            corpus_where="vec_id < 300",
         ),
         "vector_pq_topk": _oracle_pq_topk(
             m=8, k=16, k_top=5, max_vec_id=300, max_q_vec_id=4

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -917,3 +917,86 @@ def sample_k_per_group(
         rank_col="_rk",
     )
     return out.drop("_rk")
+
+
+def proportional_sample(
+    docs: DataFrame,
+    group_col: str,
+    total_k: int,
+    key_col: str = "doc_id",
+    seed: str = "prop-v1",
+) -> DataFrame:
+    """Downsample to EXACTLY ``total_k`` rows while preserving the group
+    mix (language/source proportions) — the corpus-shrink a training run
+    does when the token budget is a fraction of the corpus.
+
+    Per-group quotas are largest-remainder apportionment (Hamilton's
+    method) of ``total_k`` by group size: ``floor(k·n_g / N)`` each, the
+    short-fall slots going to the largest integer remainders
+    ``(k·n_g) mod N`` (ties → group asc). ALL integer arithmetic — no
+    float proportions, so the oracle replays the allocation exactly.
+    Within each group the quota is filled by the ``md5(seed:key)`` rank
+    (the engine-portable draw every sampler here uses). Requires
+    ``total_k <= N``; quotas then never exceed group sizes.
+
+    Plan: the quota table is one tiny aggregate over #groups rows
+    (broadcast back); the data pays ONE shuffle on the group key with
+    the same WindowGroupLimit cap as ``sample_k_per_group`` (the global
+    max quota bounds every partition's forward volume; the exact
+    per-group quota filters after).
+    """
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("_gn"))
+    # the quota table is #groups rows; the single-partition windows here
+    # (total, short-fall, remainder rank) are bounded by the group count,
+    # never the data — and avoid a scalar-subquery nested-loop join
+    counts = counts.withColumn(
+        "_tot", F.sum("_gn").over(Window.partitionBy(F.lit(1)))
+    )
+    counts = counts.withColumn(
+        # integer DIV, not double-divide-then-truncate: k*n_g must floor
+        # EXACTLY even past 2^53 where doubles lose unit precision
+        "_base", F.expr(f"({total_k} * _gn) DIV _tot")
+    ).withColumn(
+        "_rem", (F.lit(total_k) * F.col("_gn")) % F.col("_tot")
+    )
+    # short-fall = k - Σfloor: distribute one slot each to the top
+    # remainders. #groups rows — the single-partition window is bounded
+    # by the group count, not the data.
+    short = F.lit(total_k) - F.sum("_base").over(
+        Window.partitionBy(F.lit(1))
+    )
+    wr = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("_rem").desc(), F.col(group_col).asc()
+    )
+    quotas = (
+        counts.withColumn("_short", short)
+        .withColumn("_pos", F.row_number().over(wr))
+        .withColumn(
+            "quota",
+            # the assert_true wrap is the lazy over-budget guard: folded
+            # INTO the quota expression (a dropped side column would be
+            # pruned unevaluated) — an over-budget request would
+            # otherwise silently under-deliver. assert_true is NULL on
+            # success, so the when() always takes the otherwise-free
+            # branch after the check passes.
+            F.when(
+                F.assert_true(
+                    F.lit(total_k) <= F.col("_tot"),
+                    F.lit("proportional_sample: total_k exceeds corpus size"),
+                ).isNull(),
+                F.col("_base")
+                + F.when(F.col("_pos") <= F.col("_short"), 1).otherwise(0),
+            ),
+        )
+        .select(group_col, "quota")
+    )
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        docs.join(F.broadcast(quotas), group_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("quota"))
+        .drop("_rk", "quota")
+    )

@@ -115,6 +115,47 @@ def load_config(path: str) -> dict:
         return json.load(fh)
 
 
+def ann_index_append(batch: DataFrame, path: str) -> None:
+    """Incremental maintenance: encode ONLY the batch with the index's
+    stored parameters and append its rows — the corpus is never
+    re-encoded (the same monotonic-ingest shape as the MinHash band
+    index). For lsh/pq, append-then-query EQUALS a full rebuild over the
+    unioned corpus (the encode is row-local; asserted in tests). For ivf
+    the batch is assigned to the EXISTING centroids — cell boundaries do
+    not move, the standard staleness trade of every IVF build; re-run
+    ``build_ann_index`` when drift accumulates (the analogue of
+    REINDEX)."""
+    from storage_spark.functions import vectors as V
+
+    cfg = load_config(path)
+    src = batch.select(
+        F.col(cfg["key_col"]).alias("key"),
+        F.col(cfg["vector_col"]).alias("embedding"),
+    )
+    kind = cfg["kind"]
+    if kind == "lsh":
+        V.lsh_corpus_postings(
+            src, cfg["dim"], cfg["n_planes"], cfg["n_tables"]
+        ).write.mode("append").parquet(os.path.join(path, "postings"))
+    elif kind == "ivf":
+        spark = batch.sparkSession
+        cents = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cfg["centroids"])],
+            "cell int, centroid array<float>",
+        )
+        (
+            V.ivf_assign(src, cents, cfg["metric"])
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "assigned"))
+        )
+    else:  # pq: codebooks stay fixed — codes are row-local
+        V.pq_encode(src, cfg["codebooks"]).write.mode("append").parquet(
+            os.path.join(path, "codes")
+        )
+        src.write.mode("append").parquet(os.path.join(path, "vectors"))
+
+
 def ann_index_search(
     spark: SparkSession,
     path: str,

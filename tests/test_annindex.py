@@ -124,3 +124,66 @@ def test_pq_index_query_equals_recompute(spark, corpus, queries, tmp_path):
 def test_bad_kind_raises(spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="kind"):
         build_ann_index(corpus, str(tmp_path / "x"), kind="hnsw", dim=DIM)
+
+
+def test_lsh_append_equals_rebuild(spark, corpus, queries, tmp_path):
+    """Monotonic ingest: encode only the batch, append its postings —
+    query results equal a full rebuild over the unioned corpus (the LSH
+    encode is row-local, so append ≡ rebuild exactly)."""
+    from storage_spark.sources.annindex import ann_index_append
+
+    old = corpus.filter(F.col("key").cast("bigint") < 200)
+    new = corpus.filter(F.col("key").cast("bigint") >= 200)
+    path = str(tmp_path / "lsh_app")
+    build_ann_index(old, path, kind="lsh", dim=DIM, n_planes=4, n_tables=2)
+    ann_index_append(new, path)
+    full = str(tmp_path / "lsh_full")
+    build_ann_index(corpus, full, kind="lsh", dim=DIM, n_planes=4, n_tables=2)
+    got = ann_index_search(spark, path, queries, k=5, probe_radius=1)
+    want = ann_index_search(spark, full, queries, k=5, probe_radius=1)
+    assert _rows(got) == _rows(want)
+
+
+def test_pq_append_equals_rebuild_with_same_codebooks(
+    spark, corpus, queries, tmp_path
+):
+    """PQ append keeps the trained codebooks fixed (codes are row-local),
+    so append == encoding the union with the ORIGINAL books. A rebuild
+    would also retrain the books — that's the REINDEX path, not append."""
+    from storage_spark.functions.vectors import pq_adc_topk, pq_encode
+    from storage_spark.sources.annindex import ann_index_append, load_config
+
+    old = corpus.filter(F.col("key").cast("bigint") < 200)
+    new = corpus.filter(F.col("key").cast("bigint") >= 200)
+    path = str(tmp_path / "pq_app")
+    build_ann_index(
+        old, path, kind="pq", dim=DIM, m=8, k_codes=16, kmeans_iterations=1
+    )
+    ann_index_append(new, path)
+    books = load_config(path)["codebooks"]
+    got = ann_index_search(spark, path, queries, k=5)
+    want = pq_adc_topk(queries, pq_encode(corpus, books), books, 5)
+    assert _rows(got) == _rows(want)
+
+
+def test_ivf_append_assigns_to_existing_centroids(
+    spark, corpus, queries, tmp_path
+):
+    from storage_spark.functions.vectors import ivf_assign, ivf_search
+    from storage_spark.sources.annindex import ann_index_append, load_config
+
+    old = corpus.filter(F.col("key").cast("bigint") < 200)
+    new = corpus.filter(F.col("key").cast("bigint") >= 200)
+    path = str(tmp_path / "ivf_app")
+    build_ann_index(
+        old, path, kind="ivf", dim=DIM, n_cells=4, kmeans_iterations=1
+    )
+    cfg = load_config(path)
+    ann_index_append(new, path)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cfg["centroids"])],
+        "cell int, centroid array<float>",
+    )
+    got = ann_index_search(spark, path, queries, k=5, n_probe=2)
+    want = ivf_search(queries, ivf_assign(corpus, cents), cents, 5, n_probe=2)
+    assert _rows(got) == _rows(want)

@@ -315,3 +315,51 @@ def test_sample_k_per_group_exact_k_and_deterministic(spark):
         for r in sample_k_per_group(docs, "grp", 5, seed="other").collect()
     )
     assert a != c  # seeded redraw
+
+
+def test_proportional_sample_exact_total_and_mix(spark):
+    """Largest-remainder apportionment: exactly total_k rows out, per-group
+    counts within 1 of exact proportionality, deterministic across calls."""
+    from storage_spark.operators.pipeline import proportional_sample
+
+    rows = (
+        [(i, "en") for i in range(600)]
+        + [(i + 1000, "de") for i in range(250)]
+        + [(i + 2000, "fr") for i in range(150)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = proportional_sample(docs, "lang", total_k=100, key_col="doc_id")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert sum(got.values()) == 100
+    assert got == {"en": 60, "de": 25, "fr": 15}
+    # remainder slots: k=7 over (600, 250, 150): floors (4,1,1)=6, one
+    # short-fall slot goes to the largest remainder (en: 4200%1000=200,
+    # de: 750, fr: 50 → de wins)
+    out7 = proportional_sample(docs, "lang", total_k=7, key_col="doc_id")
+    got7 = {r["lang"]: r["n"] for r in out7.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert got7 == {"en": 4, "de": 2, "fr": 1}
+    # deterministic redraw
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in proportional_sample(
+            docs, "lang", total_k=100, key_col="doc_id"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_proportional_sample_over_budget_raises(spark):
+    from storage_spark.operators.pipeline import proportional_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(5)], "doc_id long, lang string"
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="total_k exceeds"):
+        proportional_sample(docs, "lang", total_k=9).collect()
