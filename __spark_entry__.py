@@ -2883,90 +2883,40 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver evaluates in dict order under a wall-clock
     # budget and records the FIRST ~50 entries.
-    # Rotation policy (round 4, final continuation state):
-    # (1) every query added THIS round (no driver evidence exists yet) —
-    #     pack_sequences first (round 3's one red row), then the
-    #     temporal/pipeline/OLAP additions; asof_next_object is the one
-    #     deliberate exception, trimmed below the cap as a near-duplicate
-    #     of asof_latest (same plan, negated) and asof_nearest (same
-    #     oracle family);
-    # (2) r3-proven queries whose OPERATORS changed this round (hyperplane
-    #     fix, copy tiebreak, literal-sep escape, NO_SUCH_UPLOAD class);
-    # (3) stalest-evidence entries, keyset_events* first (their events
-    #     loader changed in r3) — this round's 50 slots are fully taken
-    #     by zero-evidence new queries, so block (3) queues for the next
-    #     rotation; local parity covers everything that slips;
-    # (4) the r3-proven block in its prior order.
+    # Rotation policy (round 5): an entry may not go two rounds past the
+    # recording cap. This round's 50-slot window =
+    # (a) operators CHANGED in r4/r5 after their last driver row, plus the
+    #     three queries new this round (ann_index_query/append,
+    #     proportional_sample) and the re-oracled backend_list/sign_many;
+    # (b) the full r2-evidence block (stalest driver rows in the registry,
+    #     keyset_events* first);
+    # (c) the oldest r3-evidence entries to fill the window.
+    # Everything past slot 50 is driver-green in r3/r4 on code unchanged
+    # since, and the local parity replica (tests/test_queries_parity.py)
+    # re-proves the whole registry on current code every session.
     return {
+        # (a) operators changed since their last driver row + new:
+        "remove_boilerplate": q_remove_boilerplate,
+        "multipart_part_copy": q_multipart_part_copy,
+        "backend_list": q_backend_list,
+        "sign_many": q_sign_many,
         "ann_index_query": q_ann_index_query,
         "ann_index_append": q_ann_index_append,
-        # (1) new in round 4 — zero driver rows until this round records:
-        "pack_sequences": q_pack_sequences,
+        "proportional_sample": q_proportional_sample,
         "asof_latest_object": q_asof_latest_object,
         "asof_nearest_object": q_asof_nearest_object,
+        "asof_next_object": q_asof_next_object,
         "interval_upload_contention": q_interval_upload_contention,
-        "top_terms": q_top_terms,
-        "group_split": q_group_split,
-        "webdataset_export": q_webdataset_export,
-        "corpus_mixture": q_corpus_mixture,
-        "size_histogram": q_size_histogram,
-        "term_cooc": q_term_cooc,
-        "sample_k_per_lang": q_sample_k_per_lang,
-        "proportional_sample": q_proportional_sample,
-        "embedding_outliers": q_embedding_outliers,
-        "event_gaps": q_event_gaps,
-        "unshipped_orders": q_unshipped_orders,
-        "region_revenue": q_region_revenue,
-        "pricing_summary": q_pricing_summary,
-        "orders_above_avg": q_orders_above_avg,
-        "table_stats": q_table_stats,
-        "cohort_retention": q_cohort_retention,
-        "events_hopping": q_events_hopping,
-        "funnel": q_funnel,
-        "global_ids": q_global_ids,
-        "top_objects_per_bucket": q_top_objects_per_bucket,
-        "token_percentiles": q_token_percentiles,
-        "incremental_minhash": q_incremental_minhash,
-        "packing_efficiency": q_packing_efficiency,
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
         "snapshot_compact": q_snapshot_compact,
         "usage_incremental": q_usage_incremental,
-        "dedup_resolve": q_dedup_resolve,
-        "dedup_incremental": q_dedup_incremental,
-        "redact_pii": q_redact_pii,
-        "quality_quantile": q_quality_quantile,
-        "sessionize_events": q_sessionize_events,
-        "session_stats": q_session_stats,
-        "url_blocklist": q_url_blocklist,
-        "token_budget": q_token_budget,
-        "constraint_audit": q_constraint_audit,
-        "ndjson_roundtrip": q_ndjson_roundtrip,
-        "chunk_documents": q_chunk_documents,
-        "repetition_signals": q_repetition_signals,
-        "salted_distinct": q_salted_distinct,
-        "vector_multiprobe_ann": q_vector_multiprobe_ann,
-        "vector_pq_topk": q_vector_pq_topk,
-        "vector_pq_rerank": q_vector_pq_rerank,
-        "vector_ivfpq": q_vector_ivfpq,
-        "simhash_wide": q_simhash_wide,
-        # (2) r3-proven, operator changed in round 4:
+        "webdataset_export": q_webdataset_export,
         "vector_lsh_ann": q_vector_lsh_ann,
-        "copy_objects_bulk": q_copy_objects_bulk,
-        "remove_boilerplate": q_remove_boilerplate,
-        "multipart_part_copy": q_multipart_part_copy,
-        # (3) r2-evidence rotated block:
-        # keyset_events* lead block (3) (stalest driver evidence — their
-        # events loader changed in r3); the round's 50 recording slots are
-        # fully consumed by zero-evidence new queries, so they queue first
-        # for the NEXT rotation, covered meanwhile by local parity
+        "vector_multiprobe_ann": q_vector_multiprobe_ann,
+        # (b) r2-evidence rotated block (stalest driver rows):
         "keyset_events": q_keyset_events,
         "keyset_events_desc": q_keyset_events_desc,
-        # asof_next_object: the forward-direction variant — same plan as
-        # asof_latest (negated) and same oracle family as asof_nearest;
-        # trimmed below the 50-row cap per the near-duplicate rule, local
-        # parity still covers it every round
-        "asof_next_object": q_asof_next_object,
         "capped_count": q_capped_count,
         "owner_rollup": q_owner_rollup,
         "orphans_s3": q_orphans_s3,
@@ -2990,7 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buckets_search": q_buckets_search,
         "mime_validation": q_mime_validation,
         "key_validation": q_key_validation,
-        # (4) driver-green in r3 on current code:
+        # (c) oldest r3 evidence fills the 50-slot window:
         "simhash_near_pairs": q_simhash_near_pairs,
         "search_by_timestamp": q_search_by_timestamp,
         "salted_usage": q_salted_usage,
@@ -2998,6 +2948,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "move_objects": q_move_objects,
         "usage_cube": q_usage_cube,
         "delete_returning": q_delete_returning,
+        # ---- past the recording cap: r3/r4-proven on unchanged code ----
+        "pack_sequences": q_pack_sequences,
+        "top_terms": q_top_terms,
+        "group_split": q_group_split,
+        "corpus_mixture": q_corpus_mixture,
+        "size_histogram": q_size_histogram,
+        "term_cooc": q_term_cooc,
+        "sample_k_per_lang": q_sample_k_per_lang,
+        "embedding_outliers": q_embedding_outliers,
+        "event_gaps": q_event_gaps,
+        "unshipped_orders": q_unshipped_orders,
+        "region_revenue": q_region_revenue,
+        "pricing_summary": q_pricing_summary,
+        "orders_above_avg": q_orders_above_avg,
+        "table_stats": q_table_stats,
+        "cohort_retention": q_cohort_retention,
+        "events_hopping": q_events_hopping,
+        "funnel": q_funnel,
+        "global_ids": q_global_ids,
+        "top_objects_per_bucket": q_top_objects_per_bucket,
+        "token_percentiles": q_token_percentiles,
+        "incremental_minhash": q_incremental_minhash,
+        "packing_efficiency": q_packing_efficiency,
+        "dedup_resolve": q_dedup_resolve,
+        "dedup_incremental": q_dedup_incremental,
+        "redact_pii": q_redact_pii,
+        "quality_quantile": q_quality_quantile,
+        "sessionize_events": q_sessionize_events,
+        "session_stats": q_session_stats,
+        "url_blocklist": q_url_blocklist,
+        "token_budget": q_token_budget,
+        "constraint_audit": q_constraint_audit,
+        "ndjson_roundtrip": q_ndjson_roundtrip,
+        "chunk_documents": q_chunk_documents,
+        "repetition_signals": q_repetition_signals,
+        "salted_distinct": q_salted_distinct,
+        "vector_pq_topk": q_vector_pq_topk,
+        "vector_pq_rerank": q_vector_pq_rerank,
+        "vector_ivfpq": q_vector_ivfpq,
+        "simhash_wide": q_simhash_wide,
+        "copy_objects_bulk": q_copy_objects_bulk,
         "events_hourly": q_events_hourly,
         "curate_corpus": q_curate_corpus,
         "text_stats": q_text_stats,
@@ -3008,8 +2999,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "backend_list": q_backend_list,
-        "sign_many": q_sign_many,
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
         "vector_cosine_topk": q_vector_cosine_topk,
@@ -3037,7 +3026,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_merge": q_topk_merge,
         "bucket_usage": q_bucket_usage,
     }
-
 
 def _oracle_sql_literal() -> dict[str, str]:
     return {
