@@ -97,7 +97,11 @@ def main() -> None:
 
     def simhash_pairs():
         # banded pigeonhole pairing over the whole documents table —
-        # the plan that replaced the O(N^2) crossJoin this round
+        # the plan that replaced the O(N^2) crossJoin. 16-bit signatures
+        # are sized for THIS corpus (~5k docs at sf0.1); at larger scales
+        # size the signature from the corpus (dedup.sig_bits_for — the
+        # sf1 probe measured 391 s at 16 bits vs 6.5 s at 48 bits on 50k
+        # docs, NOTES_r5)
         from storage_spark.operators.dedup import simhash16, simhash_near_pairs
 
         sim = simhash16(t["documents"])

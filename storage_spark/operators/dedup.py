@@ -398,6 +398,26 @@ def simhash16(
     return simhash(df, text_col, id_col, n_bits=16)
 
 
+def sig_bits_for(n_docs: int, max_hamming: int = 3, target_bucket: int = 16) -> int:
+    """Signature width that keeps the banded join's buckets bounded: with
+    ``b = max_hamming + 1`` pigeonhole bands, each band carries
+    ``bits // b`` bits, so a (band, value) bucket holds on average
+    ``n_docs / 2^(bits // b)`` docs — candidate pairs grow with its
+    SQUARE. Solve for average occupancy <= ``target_bucket`` and round
+    up to whole bands, capped at the 60-bit BIGINT packing limit.
+
+    This is the knob the sf1 probe quantified (NOTES_r5): at 50k docs,
+    16-bit signatures (16 values per 4-bit band) ran the banded join in
+    391 s; this function returns 48, which ran in 6.5 s — same operator,
+    right width. Size from the CORPUS, not the sample you tested on.
+    """
+    import math
+
+    b = max_hamming + 1
+    per_band = max(1, math.ceil(math.log2(max(2, n_docs // max(1, target_bucket)))))
+    return min(60, max(16, per_band * b))
+
+
 def _band_bounds(width: int, n_bands: int) -> list[tuple[int, int]]:
     """Split ``width`` bits into ``n_bands`` contiguous (offset, width)
     chunks whose sizes differ by at most one."""

@@ -73,3 +73,17 @@ def test_salted_distinct_equals_plain(spark):
         assert salted == plain
     # hot bucket = even ids; even id % 50_000 stays even -> 25_000 values
     assert plain["hot"] == 25_000
+
+
+def test_sig_bits_for_sizing_rule():
+    """Width scales with corpus so banded-join buckets stay bounded —
+    the sf1-probe cliff (NOTES_r5) encoded as a function."""
+    from storage_spark.operators.dedup import sig_bits_for
+
+    assert sig_bits_for(1_000) == 24
+    assert sig_bits_for(50_000) == 48           # the probe's fix
+    assert sig_bits_for(10**9) == 60            # BIGINT packing cap
+    # bucket target: 50k docs / 2^(48/4 = 12 bits per band) ≈ 12 ≤ 16
+    assert 50_000 / 2 ** (48 // 4) <= 16
+    # more permitted hamming distance → more (narrower) bands → wider sig
+    assert sig_bits_for(50_000, max_hamming=5) >= sig_bits_for(50_000, max_hamming=3)
