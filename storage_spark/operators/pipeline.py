@@ -937,7 +937,10 @@ def proportional_sample(
     float proportions, so the oracle replays the allocation exactly.
     Within each group the quota is filled by the ``md5(seed:key)`` rank
     (the engine-portable draw every sampler here uses). Requires
-    ``total_k <= N``; quotas then never exceed group sizes.
+    ``total_k <= N``; quotas then never exceed group sizes. Rows with a
+    NULL group value are excluded up front (they could never reach a
+    quota) — group ungrouped rows under an explicit sentinel first if
+    they should participate.
 
     Plan: the quota table is one tiny aggregate over #groups rows
     (broadcast back); the data pays ONE shuffle on the group key with
@@ -945,6 +948,10 @@ def proportional_sample(
     max quota bounds every partition's forward volume; the exact
     per-group quota filters after).
     """
+    # null group values cannot join back to their quota row — they would
+    # inflate the totals while their slots stay unreachable, silently
+    # under-delivering. Exclude them from BOTH sides and say so.
+    docs = docs.filter(F.col(group_col).isNotNull())
     counts = docs.groupBy(group_col).agg(F.count("*").alias("_gn"))
     # the quota table is #groups rows; the single-partition windows here
     # (total, short-fall, remainder rank) are bounded by the group count,

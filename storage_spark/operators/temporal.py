@@ -211,6 +211,19 @@ def asof_join(
         c: (c + suffix if c in left.columns else c) for c in right_cols
     }
     matched_ts = right_ts + suffix if right_ts in left.columns else right_ts
+    # a left column that already carries a suffixed output name would
+    # duplicate it in the result — ambiguous downstream; raise instead
+    clashes = [
+        o
+        for o in [matched_ts, *out_name.values()]
+        if o.endswith(suffix) and o in left.columns
+    ]
+    if clashes:
+        raise ValueError(
+            f"left columns {sorted(set(clashes))} collide with the "
+            f"suffixed output names; pass a different suffix than "
+            f"{suffix!r} or rename them"
+        )
 
     t = "_asof_t"
     tag = "_asof_tag"  # right=0 sorts before left=1 at equal t → inclusive

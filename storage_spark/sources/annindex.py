@@ -95,6 +95,7 @@ def build_ann_index(
             .parquet(os.path.join(path, "assigned"))
         )
     else:  # pq
+        cfg["metric"] = "l2"  # PQ/ADC scores squared-L2 throughout
         cfg.update(m=m, k_codes=k_codes, kmeans_iterations=kmeans_iterations)
         books = V.pq_codebooks_kmeans(
             src, m=m, k=k_codes, iterations=kmeans_iterations, dim=dim

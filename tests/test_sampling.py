@@ -363,3 +363,23 @@ def test_proportional_sample_over_budget_raises(spark):
 
     with pytest.raises(Exception, match="total_k exceeds"):
         proportional_sample(docs, "lang", total_k=9).collect()
+
+
+def test_proportional_sample_null_group_excluded_not_underdelivered(spark):
+    """NULL group rows can't reach a quota (null keys don't join); they
+    must be excluded from the totals too, or the sampler silently
+    under-delivers total_k."""
+    from storage_spark.operators.pipeline import proportional_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(80)]
+        + [(i + 100, "de") for i in range(20)]
+        + [(i + 200, None) for i in range(50)],
+        "doc_id long, lang string",
+    )
+    out = proportional_sample(docs, "lang", total_k=10).collect()
+    assert len(out) == 10  # exactly, despite 50 null-group rows
+    got = {}
+    for r in out:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    assert got == {"en": 8, "de": 2}

@@ -368,3 +368,15 @@ def test_interval_join_corrupt_interval_costs_nothing(spark):
         bin_width=3_600_000,
     )
     assert sorted(r["iv"] for r in out.collect()) == ["ok", "ok"]
+
+
+def test_asof_suffixed_output_name_collision_raises(spark):
+    """left has both 'rt' and 'rt_right': the matched-timestamp output
+    name would duplicate the carried left column — raise, don't emit an
+    ambiguous frame."""
+    left = spark.createDataFrame(
+        [("a", 1, 5, 6)], "k string, t long, rt long, rt_right long"
+    )
+    right = spark.createDataFrame([("a", 1, 1)], "k string, rt long, rid long")
+    with pytest.raises(ValueError, match="suffix"):
+        asof_join(left, right, on="k", left_ts="t", right_ts="rt")
