@@ -1080,6 +1080,12 @@ def q_sign_many(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _backend_list_stage_path() -> str:
+    # ONE fixed path: the oracle SQL is a static string built before any
+    # sf_dir is known, so it cannot vary per scale. Safe because a
+    # harness process runs stage -> spark -> oracle sequentially within
+    # one query evaluation; two processes racing at DIFFERENT scales
+    # could only cross-write listings whose file sizes differ, so the
+    # failure mode is a loud hash mismatch, never a false green.
     import os
     import tempfile
 
@@ -3625,7 +3631,10 @@ FROM (
 """),
         "proportional_sample": _o("""
 , counts AS (
-  SELECT lang, count(*) AS gn FROM documents GROUP BY lang
+  -- NULL-group rows are excluded on BOTH sides (the operator filters
+  -- them up front: a null key can never join back to its quota row)
+  SELECT lang, count(*) AS gn FROM documents WHERE lang IS NOT NULL
+  GROUP BY lang
 ),
 quotas AS (
   SELECT lang,
@@ -3642,7 +3651,7 @@ SELECT doc_id, d.lang AS lang FROM (
          row_number() OVER (PARTITION BY lang
            ORDER BY md5('prop-v1:' || CAST(doc_id AS VARCHAR)) ASC,
                     doc_id ASC) AS rk
-  FROM documents
+  FROM documents WHERE lang IS NOT NULL
 ) d JOIN quotas q ON d.lang = q.lang
 WHERE d.rk <= q.quota ORDER BY lang, doc_id
 """),

@@ -943,10 +943,13 @@ def proportional_sample(
     they should participate.
 
     Plan: the quota table is one tiny aggregate over #groups rows
-    (broadcast back); the data pays ONE shuffle on the group key with
-    the same WindowGroupLimit cap as ``sample_k_per_group`` (the global
-    max quota bounds every partition's forward volume; the exact
-    per-group quota filters after).
+    (broadcast back); the data pays ONE shuffle on the group key, with a
+    foldable ``rank <= total_k`` bound that WindowGroupLimit pushes
+    below the shuffle (plan-asserted) — the exact per-group quota
+    column filters after. An empty input (or one whose every group
+    value is NULL) returns empty without tripping the over-budget
+    guard: the lazy check lives on the quota rows, and there are none
+    to evaluate.
     """
     # null group values cannot join back to their quota row — they would
     # inflate the totals while their slots stay unreachable, silently
@@ -1004,6 +1007,12 @@ def proportional_sample(
     return (
         docs.join(F.broadcast(quotas), group_col)
         .withColumn("_rk", F.row_number().over(w))
+        # literal bound FIRST: no quota exceeds total_k, and a foldable
+        # rank filter is what InferWindowGroupLimit pushes below the
+        # shuffle (each map task forwards at most total_k rows per
+        # group) — the joined-column quota filter alone is not foldable
+        # and would rank every row of a 10^9-row corpus
+        .filter(F.col("_rk") <= F.lit(int(total_k)))
         .filter(F.col("_rk") <= F.col("quota"))
         .drop("_rk", "quota")
     )

@@ -145,9 +145,13 @@ def asof_join(
         )
     if not _internal:
         _check_reserved(left, right)
-    if bucketed is True and tolerance is None:
-        raise ValueError("bucketed=True requires a tolerance (bucket width)")
-    if tolerance is not None and bucketed is not False:
+    if bucketed is True and not tolerance:
+        raise ValueError(
+            "bucketed=True requires a positive tolerance (bucket width)"
+        )
+    # tolerance=0 is a valid exact-timestamp-only match but defines no
+    # bucket width — it stays on the plain plan
+    if tolerance and bucketed is not False:
         return asof_join_bucketed(
             left,
             right,

@@ -86,6 +86,15 @@ def write_webdataset_shards(
     ``tarfile``. Object-store URIs raise up front; route those through a
     staging mount (or extend the writer with the Hadoop FS API).
     """
+    # driver-side fail-fast: out_dir is a plain string — rejecting an
+    # object-store URI here beats n_shards identical Py4J task failures
+    # after the prefix-sum shuffle has already run
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        raise ValueError(
+            f"write_webdataset_shards needs a shared POSIX path, got "
+            f"{out_dir!r} — stage to a mounted filesystem (or extend "
+            "the writer through the Hadoop FS API for object stores)"
+        )
     order = order_by or [F.col(key_col)]
     sharded = assign_shards(df, order, n_shards, group_col=group_col)
     cols = [key_col, "global_id", *payload_cols]

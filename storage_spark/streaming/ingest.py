@@ -95,6 +95,8 @@ def dedup_ingest_batch(
     stream runs."""
     from storage_spark.operators.dedup import incremental_minhash_pairs
 
+    from pyspark.errors import AnalysisException
+
     spark = batch.sparkSession
     batch = batch.dropDuplicates([id_col])
     index = _read_index(spark, index_path, exclude_epoch=int(epoch_id))
@@ -102,11 +104,26 @@ def dedup_ingest_batch(
     # incremental_minhash_pairs drops index-vs-batch pairs with EQUAL ids,
     # so an id-reusing near-duplicate would silently bypass the gate and
     # append a second band-row set under the same doc id. Raise instead.
-    # (The current epoch is excluded above, so a replayed batch does NOT
-    # trip this on its own previous partial write.)
+    # (The current epoch is excluded, so a replayed batch does NOT trip
+    # this on its own previous partial write.) The probe reads the
+    # ACCEPTED table's id column — one value per doc, column-pruned —
+    # not the band index (n_bands rows per doc, and probing it whole
+    # would defeat the read-only-your-band-partitions scaling story).
+    try:
+        seen = spark.read.parquet(accepted_path)
+        if "epoch" in seen.columns:
+            seen = seen.filter(F.col("epoch") != int(epoch_id))
+        seen = seen.select(F.col(id_col).alias("doc"))
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex):
+            seen = spark.createDataFrame(
+                [], batch.select(F.col(id_col).alias("doc")).schema
+            )
+        else:
+            raise
     clash = (
         batch.select(F.col(id_col).alias("doc"))
-        .join(index.select("doc"), "doc", "left_semi")
+        .join(seen, "doc", "left_semi")
         .limit(5)
         .collect()
     )

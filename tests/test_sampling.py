@@ -383,3 +383,19 @@ def test_proportional_sample_null_group_excluded_not_underdelivered(spark):
     for r in out:
         got[r["lang"]] = got.get(r["lang"], 0) + 1
     assert got == {"en": 8, "de": 2}
+
+
+def test_proportional_sample_plan_has_window_group_limit(spark):
+    """The foldable rank bound must push a WindowGroupLimit below the
+    shuffle — without it every row of the corpus is sorted and ranked."""
+    from storage_spark.operators.pipeline import proportional_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    plan = (
+        proportional_sample(docs, "lang", total_k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan

@@ -380,3 +380,23 @@ def test_asof_suffixed_output_name_collision_raises(spark):
     right = spark.createDataFrame([("a", 1, 1)], "k string, rt long, rid long")
     with pytest.raises(ValueError, match="suffix"):
         asof_join(left, right, on="k", left_ts="t", right_ts="rt")
+
+
+def test_asof_tolerance_zero_stays_plain_and_matches_exact_only(spark):
+    """tolerance=0 = exact-timestamp-only matching; it defines no bucket
+    width, so it must run the plain plan, not raise through the router."""
+    left = spark.createDataFrame(
+        [("a", 100, "e1"), ("a", 150, "e2")], "k string, t long, ev string"
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 1, "x"), ("a", 140, 2, "y")],
+        "k string, rt long, rid long, payload string",
+    )
+    out = {
+        r["ev"]: r["payload"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="rt",
+            tiebreak="rid", tolerance=0,
+        ).collect()
+    }
+    assert out == {"e1": "x", "e2": None}
