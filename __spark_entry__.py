@@ -1794,6 +1794,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment dedup: |sh(in) ∩ sh(out)| / |sh(in)| —
+    the quote-stuffed / boilerplate-wrapped repost case symmetric
+    Jaccard dilutes away (a short doc inside a long one). Same
+    inverted-index candidate join as dedup_ngram_jaccard; the oracle
+    replays both ordered directions from one intersection table."""
+    from storage_spark.operators.dedup import containment_pairs
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 200)
+    out = containment_pairs(docs, n=3, min_containment=0.02)
+    return out.select(
+        "doc_in", "doc_out",
+        F.round(F.col("containment") * 10000).cast("bigint").alias("c_1e4"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval overlap scrub: docs sharing >=1 distinct word trigram
     with the benchmark subset (doc_id % 37 == 0) are flagged, with the
@@ -2909,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_query": q_ann_index_query,
         "ann_index_append": q_ann_index_append,
         "proportional_sample": q_proportional_sample,
+        "containment_pairs": q_containment_pairs,
         "asof_latest_object": q_asof_latest_object,
         "asof_nearest_object": q_asof_nearest_object,
         "asof_next_object": q_asof_next_object,
@@ -2953,8 +2971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "move_objects": q_move_objects,
         "usage_cube": q_usage_cube,
-        "delete_returning": q_delete_returning,
         # ---- past the recording cap: r3/r4-proven on unchanged code ----
+        # (delete_returning slid out when containment_pairs entered the
+        # window; its r3 row + local parity cover it, it leads r6)
+        "delete_returning": q_delete_returning,
         "pack_sequences": q_pack_sequences,
         "top_terms": q_top_terms,
         "group_split": q_group_split,
@@ -4313,6 +4333,27 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.005
+"""),
+        "containment_pairs": _o(f"""
+, toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE doc_id < 200
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM toks WHERE len(tk) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_in, b.doc_id AS doc_out, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_in, doc_out,
+       CAST(round(i * 1.0 / sa.n * 10000) AS BIGINT) AS c_1e4
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_in
+WHERE i * 1.0 / sa.n >= 0.02
 """),
         "dedup_minhash_lsh": _o(f"""
 , toks AS (

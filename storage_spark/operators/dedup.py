@@ -152,6 +152,56 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_containment: float = 0.5,
+    max_shingle_df: int | None = None,
+    materialize: bool = False,
+) -> DataFrame:
+    """Asymmetric near-containment: ordered pairs where
+    ``|shingles(in) ∩ shingles(out)| / |shingles(in)|`` >= the threshold
+    — "doc_in is (nearly) contained in doc_out".
+
+    This is the dedup case symmetric Jaccard MISSES: a 200-word doc
+    quoted whole inside a 20,000-word doc has J ≈ 0.01 (diluted by the
+    long side) but containment ≈ 1.0 — exactly the boilerplate-wrapped
+    repost / quote-stuffed aggregation shape a training corpus needs
+    scrubbed. Same inverted-index plan as ``ngram_jaccard_pairs`` (the
+    candidate join IS the intersection count — no new shuffle shape);
+    both directions come from the one intersection table, so a mutual
+    near-containment (≈ exact dup) emits both ordered rows.
+    """
+    idx = _materialize(
+        _doc_shingles(df, text_col, id_col, n, max_shingle_df), materialize
+    )
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = idx.select(F.col("doc").alias("doc_in"), "sh")
+    b = idx.select(F.col("doc").alias("doc_out"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_in") != F.col("doc_out"))
+        .groupBy("doc_in", "doc_out")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc").alias("doc_in"), F.col("n_sh").alias("n_in")
+            ),
+            "doc_in",
+        )
+        .withColumn(
+            "containment",
+            F.col("i").cast("double") / F.col("n_in").cast("double"),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("doc_in", "doc_out", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

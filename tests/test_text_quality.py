@@ -153,3 +153,25 @@ def test_quality_quantile_filter_approx_mode_runs(spark):
     # score-downward-closed set (kept min >= dropped max fails only on ties)
     assert approx.count() > 0
     assert exact.count() > 0
+
+
+def test_containment_pairs_catches_what_jaccard_dilutes(spark):
+    """A short doc quoted whole inside a long one: containment ~1.0 while
+    symmetric Jaccard is tiny — the asymmetric operator exists for
+    exactly this pair."""
+    from storage_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler[::-1].lower())],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["doc_in"], r["doc_out"]): r["containment"]
+        for r in containment_pairs(docs, n=3, min_containment=0.5).collect()
+    }
+    assert cont.get((1, 2), 0) == 1.0  # every shingle of 1 appears in 2
+    assert (2, 1) not in cont  # asymmetric: the long doc is NOT contained
+    jac = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.0).collect()
+    assert all(r["jaccard"] < 0.05 for r in jac)  # Jaccard dilutes it away
