@@ -1823,6 +1823,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=3, min_hits=1).orderBy("doc_id")
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auditable half of decontamination: WHICH benchmark trigrams
+    hit each flagged doc (first 5, deterministic shingle order) — the
+    evidence a release review reads before dropping training docs."""
+    from storage_spark.operators.pipeline import decontaminate_spans
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 400)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate_spans(docs, bench, n=3, top_k=5).orderBy(
+        "doc_id", "hit_rank"
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: per-language keep rates applied via
     the engine-portable md5-threshold cut (reproducible on any cluster
@@ -2927,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_append": q_ann_index_append,
         "proportional_sample": q_proportional_sample,
         "containment_pairs": q_containment_pairs,
+        "decontaminate_spans": q_decontaminate_spans,
         "asof_latest_object": q_asof_latest_object,
         "asof_nearest_object": q_asof_nearest_object,
         "asof_next_object": q_asof_next_object,
@@ -2970,8 +2985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_usage": q_salted_usage,
         "merge_upsert": q_merge_upsert,
         "move_objects": q_move_objects,
-        "usage_cube": q_usage_cube,
         # ---- past the recording cap: r3/r4-proven on unchanged code ----
+        # (usage_cube + delete_returning slid out as new queries entered
+        # the window; their r3 rows + local parity cover them, they lead r6)
+        "usage_cube": q_usage_cube,
         # (delete_returning slid out when containment_pairs entered the
         # window; its r3 row + local parity cover it, it leads r6)
         "delete_returning": q_delete_returning,
@@ -4193,6 +4210,26 @@ SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
        COALESCE(h.n_hits, 0) >= 1 AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
 ORDER BY d.doc_id
+"""),
+        "decontaminate_spans": _o(f"""
+, toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE doc_id < 400
+),
+doc_sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(tk) - 1),
+                          i -> array_to_string(tk[i:i+2], ' '))) AS sh
+  FROM toks WHERE len(tk) >= 3
+),
+bench_sh AS (SELECT DISTINCT sh FROM doc_sh WHERE doc_id % 37 = 0),
+ranked AS (
+  SELECT doc_id, sh,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sh ASC) AS INT)
+           AS hit_rank
+  FROM doc_sh JOIN bench_sh USING (sh)
+)
+SELECT doc_id, hit_rank, sh AS shingle
+FROM ranked WHERE hit_rank <= 5 ORDER BY doc_id, hit_rank
 """),
         "remove_boilerplate": _o(f"""
 , toks AS (

@@ -1016,3 +1016,49 @@ def proportional_sample(
         .filter(F.col("_rk") <= F.col("quota"))
         .drop("_rk", "quota")
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    top_k: int = 5,
+    max_shingle_df: int | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The auditable half of ``decontaminate``: for each contaminated doc,
+    WHICH benchmark n-grams hit — the evidence a release review reads
+    before dropping training documents (a bare flag is unactionable; the
+    overlapping spans are the decision input).
+
+    Returns ``(doc_id, hit_rank, shingle)`` — the first ``top_k``
+    contaminating shingles per doc in deterministic (shingle asc) order,
+    so output is reproducible and the oracle replays it exactly. Plan:
+    the same broadcast benchmark-shingle join as ``decontaminate``; the
+    per-doc cap is a WindowGroupLimit-pushed rank (each map task
+    forwards at most top_k rows per doc it sees).
+    """
+    from storage_spark.functions.text import word_shingles
+    from storage_spark.operators.dedup import _doc_shingles
+    from storage_spark.operators.ordering import top_n_per_group
+
+    bench_sh = benchmark.select(
+        F.explode(
+            F.array_distinct(word_shingles(F.col(bench_text_col), n))
+        ).alias("sh")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = _doc_shingles(docs, text_col, id_col, n, max_shingle_df)
+    hits = doc_sh.join(bench_sh, "sh")
+    ranked = top_n_per_group(
+        hits, ["doc"], [F.col("sh").asc()], top_k, rank_col="hit_rank"
+    )
+    return ranked.select(
+        F.col("doc").alias(id_col),
+        F.col("hit_rank").cast("int").alias("hit_rank"),
+        F.col("sh").alias("shingle"),
+    )

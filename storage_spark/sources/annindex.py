@@ -215,3 +215,34 @@ def ann_index_search(
         queries, codes, vectors, books, k, refine_factor=refine_factor,
         metric="l2", query_key=query_key, query_vec=query_vec, arrow=arrow,
     )
+
+
+def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Operational staleness/skew diagnostic for an ivf index: per-cell
+    row count and mean distance-to-centroid. Appends assign to the
+    EXISTING centroids, so drift shows up here first — hot cells
+    (occupancy ≫ N/n_cells) waste probe IO, and a rising mean distance
+    says the centroids no longer fit the data. When either degrades,
+    rebuild (``build_ann_index`` — the REINDEX motion). One aggregate
+    over the assigned table; no collect beyond the n_cells result."""
+    from storage_spark.functions.vectors import _metric_distance
+
+    cfg = load_config(path)
+    if cfg["kind"] != "ivf":
+        raise ValueError(f"ivf_cell_stats needs an ivf index, got {cfg['kind']}")
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cfg["centroids"])],
+        "cell int, centroid array<float>",
+    )
+    d = _metric_distance(cfg["metric"], F.col("embedding"), F.col("centroid"))
+    return (
+        assigned.join(F.broadcast(cents), "cell")
+        .withColumn("_d", d)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.avg("_d").alias("mean_distance"),
+        )
+        .orderBy("cell")
+    )

@@ -187,3 +187,24 @@ def test_ivf_append_assigns_to_existing_centroids(
     got = ann_index_search(spark, path, queries, k=5, n_probe=2)
     want = ivf_search(queries, ivf_assign(corpus, cents), cents, 5, n_probe=2)
     assert _rows(got) == _rows(want)
+
+
+def test_ivf_cell_stats_flags_growth(spark, corpus, tmp_path):
+    from storage_spark.sources.annindex import ann_index_append, ivf_cell_stats
+
+    old = corpus.filter(F.col("key").cast("bigint") < 200)
+    new = corpus.filter(F.col("key").cast("bigint") >= 200)
+    path = str(tmp_path / "ivf_stats")
+    build_ann_index(old, path, kind="ivf", dim=DIM, n_cells=4,
+                    kmeans_iterations=1)
+    before = {r["cell"]: r["n_vectors"]
+              for r in ivf_cell_stats(spark, path).collect()}
+    assert sum(before.values()) == 200
+    ann_index_append(new, path)
+    after = {r["cell"]: r["n_vectors"]
+             for r in ivf_cell_stats(spark, path).collect()}
+    assert sum(after.values()) == 300  # appended rows visible per cell
+    with pytest.raises(ValueError, match="ivf"):
+        lsh_path = str(tmp_path / "lsh_for_stats")
+        build_ann_index(old, lsh_path, kind="lsh", dim=DIM, n_planes=4)
+        ivf_cell_stats(spark, lsh_path)

@@ -175,3 +175,22 @@ def test_containment_pairs_catches_what_jaccard_dilutes(spark):
     assert (2, 1) not in cont  # asymmetric: the long doc is NOT contained
     jac = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.0).collect()
     assert all(r["jaccard"] < 0.05 for r in jac)  # Jaccard dilutes it away
+
+
+def test_decontaminate_spans_reports_hit_shingles(spark):
+    from storage_spark.operators.pipeline import decontaminate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "totally unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "quick brown fox story")], "doc_id long, text string"
+    )
+    out = decontaminate_spans(docs, bench, n=3, top_k=5).collect()
+    assert [(r["doc_id"], r["hit_rank"], r["shingle"]) for r in out] == [
+        (1, 1, "quick brown fox")
+    ]
