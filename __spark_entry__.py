@@ -2569,6 +2569,45 @@ def q_asof_next_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_asof_tolerance_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of WITH a staleness tolerance — this is the query that
+    exercises the skew-safe BUCKETED plan through the driver gate: a
+    tolerance auto-routes asof_join through (key, time-bucket) windows
+    (temporal.py routing policy), so this row hash-checks the routed
+    plan against an independent SQL formulation (candidates restricted
+    to [t - T, t]; for backward as-of that is equivalent to match-then-
+    null-if-stale). The plain-plan equivalence is property-tested in
+    tests/test_temporal.py."""
+    from storage_spark.operators.temporal import asof_join
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("event_id") % 20 == 11).select(
+        "event_id",
+        F.concat(
+            F.lit("user-"), (F.col("user_id") % 10).cast("string")
+        ).alias("owner"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    obj = t["objects"].select(
+        F.col("owner_id").alias("owner"),
+        "created_at_ms",
+        F.col("id").alias("obj_id"),
+    )
+    out = asof_join(
+        ev,
+        obj,
+        on="owner",
+        left_ts="ts_ms",
+        right_ts="created_at_ms",
+        right_cols=["obj_id"],
+        tiebreak="obj_id",
+        tolerance=3_600_000,
+    )
+    return out.select(
+        "event_id", "owner", "ts_ms", "created_at_ms", "obj_id"
+    ).orderBy("event_id")
+
+
 def q_asof_nearest_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-direction as-of: closest object timestamp either side of
     each sampled event, |Δt| ties to the backward side. Both fills come
@@ -2943,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "decontaminate_spans": q_decontaminate_spans,
         "asof_latest_object": q_asof_latest_object,
+        "asof_tolerance_object": q_asof_tolerance_object,
         "asof_nearest_object": q_asof_nearest_object,
         "asof_next_object": q_asof_next_object,
         "interval_upload_contention": q_interval_upload_contention,
@@ -2984,10 +3024,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_by_timestamp": q_search_by_timestamp,
         "salted_usage": q_salted_usage,
         "merge_upsert": q_merge_upsert,
-        "move_objects": q_move_objects,
         # ---- past the recording cap: r3/r4-proven on unchanged code ----
-        # (usage_cube + delete_returning slid out as new queries entered
-        # the window; their r3 rows + local parity cover them, they lead r6)
+        # (move_objects, usage_cube + delete_returning slid out as new
+        # queries entered the window; their r3 rows + local parity cover
+        # them, they lead r6)
+        "move_objects": q_move_objects,
         "usage_cube": q_usage_cube,
         # (delete_returning slid out when containment_pairs entered the
         # window; its r3 row + local parity cover it, it leads r6)
@@ -3470,6 +3511,28 @@ WHERE EXISTS (
 SELECT b.event_id, b.owner, b.ts_ms, b.created_at_ms,
        max(o.id) AS obj_id,
        arg_max(o.name, o.id) AS obj_name
+FROM best b
+LEFT JOIN objects o
+  ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
+GROUP BY b.event_id, b.owner, b.ts_ms, b.created_at_ms
+ORDER BY b.event_id
+"""),
+        "asof_tolerance_object": _o("""
+, ev AS (
+  SELECT event_id,
+         'user-' || CAST(user_id % 10 AS VARCHAR) AS owner,
+         epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_id % 20 = 11
+)
+, best AS (
+  SELECT e.event_id, e.owner, e.ts_ms, max(o.created_at_ms) AS created_at_ms
+  FROM ev e LEFT JOIN objects o
+    ON o.owner_id = e.owner AND o.created_at_ms <= e.ts_ms
+   AND o.created_at_ms >= e.ts_ms - 3600000
+  GROUP BY e.event_id, e.owner, e.ts_ms
+)
+SELECT b.event_id, b.owner, b.ts_ms, b.created_at_ms,
+       max(o.id) AS obj_id
 FROM best b
 LEFT JOIN objects o
   ON o.owner_id = b.owner AND o.created_at_ms = b.created_at_ms
