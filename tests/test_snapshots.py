@@ -790,3 +790,28 @@ def test_pre_stats_manifest_falls_back_to_partition_rewrite(spark, tmp_path):
     got = t.read()
     assert got.count() == 400
     assert got.filter(F.col("name") == "k0042").first()["payload"] == "PATCHED"
+
+
+def test_file_pruned_merge_composes_with_schema_evolution(spark, tmp_path):
+    """evolve_schema=True + file pruning together: the ONE key-intersecting
+    file rewrites carrying the new column, siblings stay by reference and
+    read it as NULL through the manifest-schema fill."""
+    t, files = _cluster_one_partition(spark, tmp_path, "fgevo")
+    v = t.merge_upsert(
+        spark.createDataFrame(
+            [("b1", "k0042", "PATCHED", 999, "gold")],
+            "bucket_id string, name string, payload string, size long,"
+            " tier string",
+        ),
+        ["bucket_id", "name"],
+        evolve_schema=True,
+    )
+    after_files = t._manifest(v)["files"]["b1"]
+    carried = [f for f in files if f in set(after_files)]
+    assert len(carried) == len(files) - 1  # pruning still file-granular
+    got = t.read()
+    assert got.columns[-1] == "tier"
+    assert got.filter(F.col("name") == "k0042").first()["tier"] == "gold"
+    # rows from carried (pre-evolution) files read the new column as NULL
+    assert got.filter(F.col("tier").isNull()).count() == 399
+    assert got.count() == 400
