@@ -2196,7 +2196,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = t["embeddings"].filter(F.col("vec_id") < 150).select(
         F.col("vec_id").cast("string").alias("key"), "embedding"
     )
-    out = embedding_near_dup_pairs(v, max_distance=0.65)
+    # config pinned to match the static SQL oracle (the operator default
+    # now derives geometry from the corpus via embedding_planes_for; for
+    # this 150-vector corpus the rule derives this same (8, 4))
+    out = embedding_near_dup_pairs(v, max_distance=0.65, n_planes=8, band_size=4)
     return out.select(
         "key_a",
         "key_b",

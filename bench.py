@@ -97,21 +97,26 @@ def main() -> None:
 
     def simhash_pairs():
         # banded pigeonhole pairing over the whole documents table —
-        # the plan that replaced the O(N^2) crossJoin. 16-bit signatures
-        # are sized for THIS corpus (~5k docs at sf0.1); at larger scales
-        # size the signature from the corpus (dedup.sig_bits_for — the
-        # sf1 probe measured 391 s at 16 bits vs 6.5 s at 48 bits on 50k
-        # docs, NOTES_r5)
+        # the plan that replaced the O(N^2) crossJoin. simhash16 PINS the
+        # 16-bit width to stay r2-comparable; the operator DEFAULT
+        # (simhash(df), n_bits=None) now sizes the signature from the
+        # corpus via sig_bits_for — at 50k docs it picks 48 bits (6.5 s)
+        # where this pinned 16-bit config measured 391 s (NOTES_r5).
         from storage_spark.operators.dedup import simhash16, simhash_near_pairs
 
         sim = simhash16(t["documents"])
         return simhash_near_pairs(sim, max_hamming=3, materialize=True).count()
 
     def embedding_neardup():
-        # banded hyperplane-LSH near-dup over the full embeddings table.
-        # arrow=False (the default JVM expression path) since the r4
-        # hyperplane fix: candidate volume dropped 5x and at this volume
-        # Arrow batch transfer costs more than it saves (NOTES_r4 §6).
+        # banded hyperplane-LSH near-dup over the full embeddings table,
+        # on the operator's DEFAULT path: geometry derives from the
+        # corpus (embedding_planes_for) — ~2k vectors at sf0.1 derive the
+        # r2-comparable (8 planes, 4-bit bands); at sf1's 20k vectors the
+        # rule widens to (14, 7) instead of the 244 s static-default
+        # cliff NOTES_r5 measured. arrow=False (the default JVM
+        # expression path) since the r4 hyperplane fix: candidate volume
+        # dropped 5x and at this volume Arrow batch transfer costs more
+        # than it saves (NOTES_r4 §6).
         from storage_spark.operators.dedup import embedding_near_dup_pairs
 
         return embedding_near_dup_pairs(

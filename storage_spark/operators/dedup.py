@@ -397,22 +397,45 @@ def simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_bits: int = 16,
+    n_bits: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
-    """``n_bits``-bit SimHash over whitespace tokens: per bit, majority
-    vote of md5(token) bits (+1/-1), packed little-endian into a BIGINT.
+    """SimHash over whitespace tokens: per bit, majority vote of
+    md5(token) bits (+1/-1), packed little-endian into a BIGINT.
 
     Plan: explode tokens → n_bits/4 hex digits → per-bit sign sums per
     doc → pack. One shuffle (groupBy doc), all expression-level.
 
-    Size the signature to the corpus: 16 bits = 65,536 distinct values,
-    so beyond ~10⁶ docs unrelated documents collide constantly and the
-    banded join's buckets blow up — at 10⁹ docs use 32–60 bits so the
-    (band, value) key space stays far larger than the corpus (60 max:
-    the packed value must fit a signed BIGINT).
+    Signature width is CORPUS-SIZED by default: with ``n_bits=None`` the
+    width comes from ``sig_bits_for(n_docs)`` (``n_docs`` given, or one
+    cheap column-pruned ``df.count()`` when omitted). This is the knob
+    the sf1 probe measured (NOTES_r5): a 16-bit signature on a 50k-doc
+    corpus ran the banded join in 391 s because candidate pairs grow
+    with the SQUARE of bucket occupancy; the sized 48-bit width ran the
+    same operator in 6.5 s. Small corpora (≤ ~1k docs) derive the old
+    16-bit default, so explicit sizing is only needed to reproduce a
+    fixed configuration. An explicit ``n_bits`` more than 2× under the
+    rule (checkable only when ``n_docs`` is also passed) warns.
+
+    The chosen width is recorded as metadata on the ``simhash`` column,
+    so ``simhash_near_pairs`` bands the signature correctly without the
+    caller re-stating it.
     """
     from storage_spark.functions.text import normalized_text, tokens
 
+    if n_bits is None:
+        if n_docs is None:
+            n_docs = df.count()
+        n_bits = min(60, ((sig_bits_for(n_docs) + 3) // 4) * 4)
+    elif n_docs is not None and sig_bits_for(n_docs) > 2 * n_bits:
+        import warnings
+
+        warnings.warn(
+            f"simhash n_bits={n_bits} is >2x under the sizing rule for "
+            f"n_docs={n_docs} (rule: {sig_bits_for(n_docs)} bits); the "
+            "banded join's buckets will blow up — see dedup.sig_bits_for",
+            stacklevel=2,
+        )
     if not 4 <= n_bits <= 60 or n_bits % 4:
         raise ValueError("n_bits must be a multiple of 4 in [4, 60]")
     toked = _spread(df).select(
@@ -437,7 +460,10 @@ def simhash(
     for k in range(n_bits):
         term = F.when(F.col(f"s{k}") > 0, F.lit(2**k)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
-    return sums.select("doc", packed.cast("bigint").alias("simhash"))
+    return sums.select(
+        "doc",
+        packed.cast("bigint").alias("simhash", metadata={"sig_bits": n_bits}),
+    )
 
 
 def simhash16(
@@ -468,6 +494,26 @@ def sig_bits_for(n_docs: int, max_hamming: int = 3, target_bucket: int = 16) -> 
     return min(60, max(16, per_band * b))
 
 
+def embedding_planes_for(
+    n_docs: int, n_bands: int = 2, target_bucket: int = 200
+) -> tuple[int, int]:
+    """(n_planes, band_size) for banded hyperplane LSH, sized so the
+    average (band, value) bucket holds ≤ ``target_bucket`` vectors:
+    ``band_size = log2(n_docs / target_bucket)`` clamped to [4, 16],
+    ``n_planes = n_bands * band_size``. Same square-law rationale as
+    ``sig_bits_for``; per-pair cost here is one dot product so buckets
+    can run larger than simhash's. The sf1 probe measured the anchor
+    points (NOTES_r5): at 50k docs the old static default (8 planes /
+    4-bit bands) ran 244 s; this rule returns (16, 8), which ran 18.7 s
+    recalling 89,998 of 90,000 planted near-dup pairs. Small corpora
+    (≤ ~3k docs) derive the old (8, 4) default."""
+    import math
+
+    band = math.ceil(math.log2(max(2, n_docs // max(1, target_bucket))))
+    band = min(16, max(4, band))
+    return n_bands * band, band
+
+
 def _band_bounds(width: int, n_bands: int) -> list[tuple[int, int]]:
     """Split ``width`` bits into ``n_bands`` contiguous (offset, width)
     chunks whose sizes differ by at most one."""
@@ -485,7 +531,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     doc_col: str = "doc",
     sim_col: str = "simhash",
-    sig_bits: int = 16,
+    sig_bits: int | None = None,
     materialize: bool = False,
     max_band_df: int | None = None,
 ) -> DataFrame:
@@ -497,7 +543,22 @@ def simhash_near_pairs(
     bit_count(xor) filter then keeps only true hits. Output is identical to
     the naive crossJoin (banding only prunes pairs the hamming filter would
     reject); the shuffle is content-distributed by band value, same scale
-    story as the MinHash bands above."""
+    story as the MinHash bands above.
+
+    ``sig_bits=None`` (default) reads the width ``simhash`` recorded as
+    column metadata, so the default path bands exactly the corpus-sized
+    signature — banding a wide signature as 16 bits would silently put
+    every doc's low 16 bits in the same key space (the measured cliff).
+    A signature column without that metadata requires an explicit
+    ``sig_bits``."""
+    if sig_bits is None:
+        meta = sim.schema[sim_col].metadata or {}
+        sig_bits = meta.get("sig_bits")
+        if sig_bits is None:
+            raise ValueError(
+                f"column {sim_col!r} carries no sig_bits metadata (not "
+                "produced by dedup.simhash?) — pass sig_bits explicitly"
+            )
     n_bands = max_hamming + 1
     assert n_bands <= sig_bits, "need at least one bit per band"
     s = sim.select(F.col(doc_col).alias("doc"), F.col(sim_col).alias("h"))
@@ -693,12 +754,13 @@ def embedding_near_dup_pairs(
     vector_col: str = "embedding",
     max_distance: float = 0.2,
     dim: int | None = 64,
-    n_planes: int = 8,
-    band_size: int = 4,
+    n_planes: int | None = None,
+    band_size: int | None = None,
     exact: bool = False,
     materialize: bool = False,
     arrow: bool = False,
     max_band_df: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs under a distance threshold.
 
@@ -711,6 +773,15 @@ def embedding_near_dup_pairs(
     never an all-pairs product. Recall < 1 is the LSH trade (tuned by
     n_planes / band_size); ``exact=True`` keeps the exhaustive crossJoin as
     the small-input / recall-measurement baseline.
+
+    Signature geometry is CORPUS-SIZED by default: with
+    ``n_planes=band_size=None`` both come from
+    ``embedding_planes_for(n_docs)`` (``n_docs`` given, or one cheap
+    column-pruned count when omitted) — the static 8-plane/4-bit-band
+    config the sf1 probe measured at 244 s on 50k docs derives only for
+    small corpora; 50k docs derive the measured (16, 8) = 18.7 s config.
+    Pass both explicitly to pin a configuration (an explicit band_size
+    2× under the rule warns when ``n_docs`` is also known).
     """
     from storage_spark.functions.vectors import (
         cosine_distance,
@@ -730,6 +801,27 @@ def embedding_near_dup_pairs(
             .filter(F.col("distance") < max_distance)
             .select("key_a", "key_b", "distance")
         )
+    if (n_planes is None) != (band_size is None):
+        raise ValueError(
+            "pass BOTH n_planes and band_size (a pinned config) or "
+            "NEITHER (corpus-sized via embedding_planes_for)"
+        )
+    if n_planes is None:
+        if n_docs is None:
+            n_docs = vectors.count()
+        n_planes, band_size = embedding_planes_for(n_docs)
+    elif n_docs is not None:
+        rule_band = embedding_planes_for(n_docs)[1]
+        if rule_band >= 2 * band_size:
+            import warnings
+
+            warnings.warn(
+                f"band_size={band_size} is >=2x under the sizing rule for "
+                f"n_docs={n_docs} (rule: {rule_band}-bit bands); candidate "
+                "pairs grow with the square of bucket occupancy — see "
+                "dedup.embedding_planes_for",
+                stacklevel=2,
+            )
     assert n_planes % band_size == 0
     n_bands = n_planes // band_size
     # A dim/plane-length mismatch silently zero-collapses every signature

@@ -53,17 +53,30 @@ def build_ann_index(
     # ivf
     n_cells: int = 16,
     kmeans_iterations: int = 2,
-    metric: str = "cosine",
+    metric: str | None = None,
     # pq
     m: int = 8,
     k_codes: int = 16,
 ) -> dict:
     """One corpus scan → a persisted index at ``path``. Returns the
-    config dict (also written to ``path/config.json``)."""
+    config dict (also written to ``path/config.json``).
+
+    ``metric`` defaults per kind: cosine for lsh/ivf, l2 for pq (PQ/ADC
+    scores squared-L2 throughout — an explicit non-l2 metric with
+    kind='pq' RAISES rather than silently ranking by l2)."""
     from storage_spark.functions import vectors as V
 
     if kind not in ("lsh", "ivf", "pq"):
         raise ValueError(f"kind must be lsh|ivf|pq, got {kind!r}")
+    if kind == "pq":
+        if metric not in (None, "l2"):
+            raise ValueError(
+                f"kind='pq' ranks by squared-L2 (ADC); metric={metric!r} "
+                "is not supported — build an lsh/ivf index for cosine"
+            )
+        metric = "l2"
+    elif metric is None:
+        metric = "cosine"
     cfg: dict = {
         "kind": kind,
         "dim": dim,
@@ -83,6 +96,15 @@ def build_ann_index(
         cfg.update(n_cells=n_cells, kmeans_iterations=kmeans_iterations)
         cents = V.ivf_centroids_kmeans(
             src, n_cells, iterations=kmeans_iterations, metric=metric
+        )
+        # Pin centroids to float32 BEFORE the build-time assignment: the
+        # persisted config reloads them as array<float>, and an
+        # empty-cell centroid (kept as a raw corpus vector) or an
+        # iterations=0 build on a double-typed corpus would otherwise be
+        # double here but float on reload — assignments near cell
+        # boundaries would diverge, breaking persisted ≡ recomputed.
+        cents = cents.select(
+            "cell", F.col("centroid").cast("array<float>").alias("centroid")
         )
         cfg["centroids"] = [
             [float(x) for x in r["centroid"]]

@@ -88,11 +88,21 @@ def dedup_ingest_batch(
     n: int = 3,
     n_hashes: int = 8,
     band_size: int = 2,
+    on_id_reuse: str = "raise",
 ) -> None:
     """One micro-batch tick: gate ``batch`` against the persistent index,
     append survivors + their band rows (per-epoch overwrite, replay-safe).
     Exposed standalone so batch jobs and tests drive the exact code the
-    stream runs."""
+    stream runs.
+
+    ``on_id_reuse`` decides what a doc id already accepted in a PRIOR
+    epoch means: ``"raise"`` (default) kills the batch — right when the
+    source is exactly-once upstream, where a reused id is corruption.
+    ``"skip_exact"`` drops redeliveries whose ``text_col`` is IDENTICAL
+    to the accepted row (the at-least-once upstream shape: the same doc
+    arriving again under a new epoch is idempotently skipped) and raises
+    only when the content differs — that is still a real id collision.
+    """
     from storage_spark.operators.dedup import incremental_minhash_pairs
 
     from pyspark.errors import AnalysisException
@@ -109,18 +119,31 @@ def dedup_ingest_batch(
     # ACCEPTED table's id column — one value per doc, column-pruned —
     # not the band index (n_bands rows per doc, and probing it whole
     # would defeat the read-only-your-band-partitions scaling story).
+    if on_id_reuse not in ("raise", "skip_exact"):
+        raise ValueError(
+            f"on_id_reuse must be 'raise' or 'skip_exact', got {on_id_reuse!r}"
+        )
     try:
-        seen = spark.read.parquet(accepted_path)
-        if "epoch" in seen.columns:
-            seen = seen.filter(F.col("epoch") != int(epoch_id))
-        seen = seen.select(F.col(id_col).alias("doc"))
+        seen_full = spark.read.parquet(accepted_path)
+        if "epoch" in seen_full.columns:
+            seen_full = seen_full.filter(F.col("epoch") != int(epoch_id))
+        seen = seen_full.select(F.col(id_col).alias("doc"))
     except AnalysisException as ex:
         if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex):
             seen = spark.createDataFrame(
                 [], batch.select(F.col(id_col).alias("doc")).schema
             )
+            seen_full = None
         else:
             raise
+    if on_id_reuse == "skip_exact" and seen_full is not None:
+        # At-least-once upstream: an already-accepted (id, text) pair
+        # arriving again is a redelivery, not a collision — drop it
+        # before the clash probe so only content-differing reuse raises.
+        prior = seen_full.select(
+            F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+        )
+        batch = batch.join(prior, [id_col, text_col], "left_anti")
     clash = (
         batch.select(F.col(id_col).alias("doc"))
         .join(seen, "doc", "left_semi")
@@ -131,7 +154,13 @@ def dedup_ingest_batch(
         raise ValueError(
             f"batch reuses doc id(s) already in the index: "
             f"{sorted(r['doc'] for r in clash)} — ids must be unique "
-            "across the corpus (mint new ids upstream)"
+            "across the corpus (mint new ids upstream"
+            + (
+                ", or the redelivered content differs from the accepted row"
+                if on_id_reuse == "skip_exact"
+                else "; at-least-once sources can pass on_id_reuse='skip_exact'"
+            )
+            + ")"
         )
     pairs, batch_bands = incremental_minhash_pairs(
         index,
@@ -184,10 +213,13 @@ def stream_dedup_ingest(
     n_hashes: int = 8,
     band_size: int = 2,
     trigger_available_now: bool = True,
+    on_id_reuse: str = "raise",
 ):
     """Wire the gate into a streaming query. ``trigger_available_now=True``
     drains everything pending then stops (backfill / test mode); flip it
-    off for a continuous processing-time trigger."""
+    off for a continuous processing-time trigger. ``on_id_reuse`` as in
+    ``dedup_ingest_batch`` — pass ``"skip_exact"`` for at-least-once
+    sources that may redeliver accepted documents across epochs."""
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         dedup_ingest_batch(
@@ -200,6 +232,7 @@ def stream_dedup_ingest(
             n=n,
             n_hashes=n_hashes,
             band_size=band_size,
+            on_id_reuse=on_id_reuse,
         )
 
     writer = stream.writeStream.foreachBatch(_apply).option(

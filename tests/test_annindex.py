@@ -208,3 +208,57 @@ def test_ivf_cell_stats_flags_growth(spark, corpus, tmp_path):
         lsh_path = str(tmp_path / "lsh_for_stats")
         build_ann_index(old, lsh_path, kind="lsh", dim=DIM, n_planes=4)
         ivf_cell_stats(spark, lsh_path)
+
+
+def test_ivf_iterations0_double_corpus_persisted_equals_recomputed(
+    spark, tmp_path
+):
+    """ADVICE r5: with kmeans_iterations=0 the centroids are raw corpus
+    vectors — on a DOUBLE-typed corpus those were doubles at build time
+    but float32 after the config.json round-trip, so assignments near
+    cell boundaries could diverge between build and append/search. The
+    build now pins centroids to float32 BEFORE the build-time assign:
+    re-assigning the same rows with the reloaded centroids must land in
+    the same cells the build recorded."""
+    from storage_spark.functions.vectors import ivf_assign
+    from storage_spark.sources.annindex import load_config
+
+    # doubles with no exact float32 representation, near-tied cells
+    rows = [
+        (str(i), [0.1 + i * 1e-9, 0.2, 0.3, 0.4 + (i % 2) * 1e-9])
+        for i in range(50)
+    ]
+    corpus = spark.createDataFrame(rows, "key string, embedding array<double>")
+    path = str(tmp_path / "ivf_d0")
+    build_ann_index(corpus, path, kind="ivf", dim=4, n_cells=3,
+                    kmeans_iterations=0)
+    cfg = load_config(path)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cfg["centroids"])],
+        "cell int, centroid array<float>",
+    )
+    stored = {
+        r["key"]: r["cell"]
+        for r in spark.read.parquet(f"{path}/assigned").collect()
+    }
+    recomputed = {
+        r["key"]: r["cell"]
+        for r in ivf_assign(corpus, cents, cfg["metric"]).collect()
+    }
+    assert stored == recomputed
+
+
+def test_pq_explicit_non_l2_metric_raises(spark, tmp_path):
+    """ADVICE r5: kind='pq' silently pinned metric='l2'; an explicit
+    cosine request must fail loudly instead of ranking by squared-L2."""
+    corpus = spark.createDataFrame(
+        [(str(i), [float(i), 1.0]) for i in range(4)],
+        "key string, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="pq"):
+        build_ann_index(corpus, str(tmp_path / "pqm"), kind="pq", dim=2,
+                        metric="cosine")
+    # the per-kind defaults still resolve
+    cfg = build_ann_index(corpus, str(tmp_path / "pq_ok"), kind="pq", dim=2,
+                          m=2, k_codes=2, kmeans_iterations=1)
+    assert cfg["metric"] == "l2"

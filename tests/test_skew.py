@@ -87,3 +87,72 @@ def test_sig_bits_for_sizing_rule():
     assert 50_000 / 2 ** (48 // 4) <= 16
     # more permitted hamming distance → more (narrower) bands → wider sig
     assert sig_bits_for(50_000, max_hamming=5) >= sig_bits_for(50_000, max_hamming=3)
+
+
+def test_simhash_default_path_is_corpus_sized(spark):
+    """The DEFAULT path (no n_bits) sizes the signature from the corpus —
+    the verdict-r5 closure: a 50k-doc corpus must pick >= 48 bits, and
+    simhash_near_pairs must band at that width without being told."""
+    import pytest
+
+    from storage_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    # n_docs supplied: no count job, width from the rule
+    sim = simhash(docs, n_docs=50_000)
+    assert sim.schema["simhash"].metadata["sig_bits"] == 48
+    # near_pairs reads the width off the column metadata
+    pairs = simhash_near_pairs(sim, max_hamming=3)
+    assert pairs.columns == ["doc_a", "doc_b", "hamming"]
+    pairs.collect()  # plan executes at the derived width
+
+    # n_docs omitted: one cheap count derives the floor width for 6 docs
+    sim_small = simhash(docs)
+    assert sim_small.schema["simhash"].metadata["sig_bits"] == 16
+
+    # a hand-built signature column has no width metadata -> explicit only
+    bare = sim.select("doc", F.col("simhash").cast("bigint").alias("simhash"))
+    with pytest.raises(ValueError, match="sig_bits"):
+        simhash_near_pairs(bare)
+    simhash_near_pairs(bare, sig_bits=48).collect()
+
+    # pinning a width >2x under the rule warns (the measured cliff config)
+    with pytest.warns(UserWarning, match="sizing rule"):
+        simhash(docs, n_bits=16, n_docs=50_000)
+
+
+def test_embedding_default_path_is_corpus_sized(spark):
+    """embedding_near_dup_pairs' default geometry derives from the corpus:
+    small corpora reproduce the old (8, 4); 50k docs pick the measured
+    (16, 8); explicit cliff configs warn; half-pinned configs raise."""
+    import pytest
+
+    from storage_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_planes_for,
+    )
+
+    assert embedding_planes_for(150) == (8, 4)      # old default shape
+    assert embedding_planes_for(50_000) == (16, 8)  # the probe's fix
+    assert embedding_planes_for(10**9) == (32, 16)  # clamp
+
+    v = spark.createDataFrame(
+        [(str(i), [float(i), 1.0, 0.5, float(i % 3)]) for i in range(40)],
+        "key string, embedding array<double>",
+    )
+    derived = embedding_near_dup_pairs(v, max_distance=0.3, dim=4)
+    pinned = embedding_near_dup_pairs(
+        v, max_distance=0.3, dim=4, n_planes=8, band_size=4
+    )
+    assert sorted(map(tuple, derived.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )
+    with pytest.raises(ValueError, match="BOTH"):
+        embedding_near_dup_pairs(v, dim=4, n_planes=8)
+    with pytest.warns(UserWarning, match="sizing rule"):
+        embedding_near_dup_pairs(
+            v, dim=4, n_planes=8, band_size=4, n_docs=50_000
+        )

@@ -114,3 +114,31 @@ def test_id_reuse_across_epochs_raises(spark, tmp_path):
     # same ids, SAME epoch (replay) → fine
     dedup_ingest_batch(_docs_df(spark, DOCS[0:3]), 0, idx, acc, **KW)
     assert _accepted_ids(spark, acc) == {0, 2}
+
+
+def test_skip_exact_mode_tolerates_at_least_once_redelivery(spark, tmp_path):
+    """ADVICE r5: an at-least-once upstream may redeliver an ALREADY
+    ACCEPTED document verbatim under a new epoch. on_id_reuse='skip_exact'
+    drops the exact (id, text) redelivery idempotently and still raises
+    when the content under a reused id actually differs."""
+    import pytest
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    dedup_ingest_batch(_docs_df(spark, DOCS[0:3]), 0, idx, acc, **KW)
+    assert _accepted_ids(spark, acc) == {0, 2}
+    # identical doc 0 redelivered in a NEW epoch alongside a fresh doc:
+    # redelivery skipped, fresh doc gated normally, no raise
+    redeliver = [DOCS[0], (30, "brand new unique words for epoch one")]
+    dedup_ingest_batch(
+        _docs_df(spark, redeliver), 1, idx, acc, on_id_reuse="skip_exact", **KW
+    )
+    assert _accepted_ids(spark, acc) == {0, 2, 30}
+    # same id, DIFFERENT content → still a real collision → raise
+    with pytest.raises(ValueError, match="reuses doc id"):
+        dedup_ingest_batch(
+            _docs_df(spark, [(0, "mutated content under a reused id")]),
+            2, idx, acc, on_id_reuse="skip_exact", **KW,
+        )
+    # default mode unchanged: exact redelivery in a new epoch raises
+    with pytest.raises(ValueError, match="reuses doc id"):
+        dedup_ingest_batch(_docs_df(spark, [DOCS[0]]), 3, idx, acc, **KW)
