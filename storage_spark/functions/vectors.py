@@ -515,6 +515,8 @@ def lsh_corpus_postings(
     n_planes: int = 8,
     n_tables: int = 1,
     corpus_vec: str = "embedding",
+    store_vectors: bool = True,
+    corpus_key: str = "key",
 ) -> DataFrame:
     """The persistable LSH posting table: corpus rows exploded to one row
     per (table, row) with the table-prefixed bucket signature ``_sig``
@@ -522,14 +524,22 @@ def lsh_corpus_postings(
     inline; ``sources.annindex`` stores it so queries probe without
     re-encoding. Carrying the vector in the posting row duplicates it
     ×n_tables — the standard multi-table space trade; it buys a
-    join-free probe."""
+    join-free probe. ``store_vectors=False`` emits KEYS-ONLY posting
+    rows (key, _cn, _sig — the norm is one float, kept so ranking never
+    recomputes it): ×n_tables duplication of an 8-byte key instead of
+    the embedding, for fat embeddings where posting-row storage
+    dominates; ranking then pays one extra equi-join against the
+    vectors table (``_lsh_rank_against_postings(corpus_vectors=...)``)."""
     c = corpus.withColumn("_cn", norm(F.col(corpus_vec)))
     c_sigs = []
     for tbl in range(max(1, n_tables)):
         planes = hyperplanes(dim, n_planes, seed=42 + 1_000_003 * tbl)
         sig_c = lsh_signature(F.col(corpus_vec), planes)
         c_sigs.append(F.concat(F.lit(f"{tbl}:"), sig_c))
-    return c.withColumn("_sig", F.explode(F.array(*c_sigs)))
+    c = c.withColumn("_sig", F.explode(F.array(*c_sigs)))
+    if not store_vectors:
+        c = c.select(corpus_key, "_cn", "_sig")
+    return c
 
 
 def _lsh_rank_against_postings(
@@ -546,10 +556,14 @@ def _lsh_rank_against_postings(
     arrow: bool = False,
     probe_radius: int = 0,
     n_tables: int = 1,
+    corpus_vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Query side of the LSH join, against an (inline or persisted)
     posting table: expand each query to its probed buckets, equi-join on
-    signature, dedupe candidate identities, exact-rank."""
+    signature, dedupe candidate identities, exact-rank. A KEYS-ONLY
+    posting table (``lsh_corpus_postings(store_vectors=False)``) needs
+    ``corpus_vectors`` — a (corpus_key, corpus_vec) table joined once
+    per DEDUPED candidate, after the bucket join shrank the row set."""
     probes = max(1, n_tables)
     q = queries.withColumn("_qn", norm(F.col(query_vec)))
     q_sigs = []
@@ -566,14 +580,25 @@ def _lsh_rank_against_postings(
         else:
             q_sigs.append(F.array(F.concat(F.lit(f"{tbl}:"), sig_q)))
     q = q.withColumn("_sig", F.explode(F.flatten(F.array(*q_sigs))))
+    have_vec = corpus_vec in c.columns
+    if not have_vec and corpus_vectors is None:
+        raise ValueError(
+            "keys-only posting table (no vector column) needs "
+            "corpus_vectors to rank against"
+        )
     joined = c.join(q, "_sig").filter(F.col(query_key) != F.col(corpus_key))
     if probes > 1 or probe_radius > 0:
         # a (query, corpus) pair can meet in several probed buckets /
         # tables — dedupe candidate IDENTITIES before the distance math;
         # single-probe single-table mode skips the extra shuffle
         joined = joined.select(
-            query_key, query_vec, "_qn", corpus_key, corpus_vec, "_cn"
+            query_key, query_vec, "_qn", corpus_key, "_cn",
+            *([corpus_vec] if have_vec else []),
         ).dropDuplicates([query_key, corpus_key])
+    if not have_vec:
+        joined = joined.join(
+            corpus_vectors.select(corpus_key, corpus_vec), corpus_key
+        )
     joined = joined.withColumn(
         "distance",
         _pair_distance(

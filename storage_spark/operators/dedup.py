@@ -62,13 +62,40 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(parallelism)
 
 
-def _materialize(df: DataFrame, flag: bool) -> DataFrame:
+def _materialize(df: DataFrame, flag) -> DataFrame:
     """Self-join inputs are planned TWICE by Catalyst (no ReusedExchange
     across the two sides), so the expensive signature/index subplan pays
-    double. ``flag=True`` checkpoints the shared intermediate once —
-    at scale this halves the dominant stage; default False keeps the
-    operator a pure lazy transform."""
-    return df.localCheckpoint(eager=True) if flag else df
+    double. Strategies (``flag``):
+
+    - ``False`` — pure lazy transform (the shared subplan recomputes per
+      consumer; right when the subplan is cheaper than materializing it);
+    - ``True`` / ``"checkpoint"`` — eager ``localCheckpoint``: runs the
+      subplan NOW as its own job and truncates lineage. Strongest
+      isolation, but the materialization job is serial with everything
+      downstream — the r5 sf1 probe measured it dominating curate_corpus
+      (98 s at 50k docs);
+    - ``"cache"`` / ``"disk"`` — lazy ``persist`` (MEMORY_AND_DISK /
+      DISK_ONLY): the first consumer fills the cache as a side effect of
+      its own job (no extra serial job), later consumers read
+      InMemoryTableScan. Preferred at scale when the intermediate fits
+      the chosen storage tier; lineage stays intact (no truncation)."""
+    if flag is True or flag == "checkpoint":
+        return df.localCheckpoint(eager=True)
+    if flag in ("cache", "disk"):
+        from pyspark import StorageLevel
+
+        level = (
+            StorageLevel.MEMORY_AND_DISK
+            if flag == "cache"
+            else StorageLevel.DISK_ONLY
+        )
+        return df.persist(level)
+    if flag is not False:
+        raise ValueError(
+            f"materialize must be False|True|'checkpoint'|'cache'|'disk', "
+            f"got {flag!r}"
+        )
+    return df
 
 
 def _cap_band_buckets(

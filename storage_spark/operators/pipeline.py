@@ -99,7 +99,7 @@ def curate_corpus(
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
     max_shingle_df: int | None = None,
-    materialize: bool = False,
+    materialize: bool | str = False,
     resolution: str = "greedy",
 ) -> DataFrame:
     """Returns the kept rows (id + quality score, scaled integral).
@@ -118,11 +118,14 @@ def curate_corpus(
         (dedup.resolve_canonical). Guarantees one survivor per
         connected near-dup family.
 
-    ``materialize=True`` checkpoints the scored/exact-kept stage and the
-    shingle index: they feed several subplans each (keeper agg, semi-join,
-    index a/b sides, final anti-join), and Catalyst re-plans shared
-    subtrees per consumer — at scale the scan+scoring+shingling would
-    otherwise run several times.
+    ``materialize`` picks how the scored/exact-kept stage and the shingle
+    index — each feeding several subplans (keeper agg, semi-join, index
+    a/b sides, final anti-join) — are shared across consumers, since
+    Catalyst re-plans shared subtrees per consumer: ``False`` recomputes,
+    ``True``/``"checkpoint"`` eagerly localCheckpoints (an extra SERIAL
+    job per stage — measured dominating at 50k docs, NOTES_r5), and
+    ``"cache"``/``"disk"`` lazily persist so the first consumer fills the
+    cache inside its own job (see dedup._materialize for the trade).
     """
     from storage_spark.operators.dedup import _materialize
 

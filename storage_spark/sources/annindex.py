@@ -50,6 +50,7 @@ def build_ann_index(
     # lsh
     n_planes: int = 8,
     n_tables: int = 1,
+    store_vectors: bool = True,
     # ivf
     n_cells: int = 16,
     kmeans_iterations: int = 2,
@@ -88,10 +89,15 @@ def build_ann_index(
         F.col(key_col).alias("key"), F.col(vector_col).alias("embedding")
     )
     if kind == "lsh":
-        cfg.update(n_planes=n_planes, n_tables=n_tables)
+        cfg.update(
+            n_planes=n_planes, n_tables=n_tables, store_vectors=store_vectors
+        )
         V.lsh_corpus_postings(
-            src, dim, n_planes, n_tables
+            src, dim, n_planes, n_tables, store_vectors=store_vectors
         ).write.mode("overwrite").parquet(os.path.join(path, "postings"))
+        if not store_vectors:
+            # one full-precision copy (not xn_tables) for rank-time fetch
+            src.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
     elif kind == "ivf":
         cfg.update(n_cells=n_cells, kmeans_iterations=kmeans_iterations)
         cents = V.ivf_centroids_kmeans(
@@ -115,6 +121,26 @@ def build_ann_index(
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(os.path.join(path, "assigned"))
+        )
+        # build-time fit quality: the drift baseline ivf_reindex_policy
+        # compares against (one agg over the just-written table)
+        from storage_spark.functions.vectors import _metric_distance
+
+        assigned = corpus.sparkSession.read.parquet(
+            os.path.join(path, "assigned")
+        )
+        row = (
+            assigned.join(F.broadcast(cents), "cell")
+            .select(
+                _metric_distance(
+                    metric, F.col("embedding"), F.col("centroid")
+                ).alias("_d")
+            )
+            .agg(F.avg("_d"))
+            .first()
+        )
+        cfg["build_mean_distance"] = (
+            float(row[0]) if row and row[0] is not None else None
         )
     else:  # pq
         cfg["metric"] = "l2"  # PQ/ADC scores squared-L2 throughout
@@ -158,8 +184,11 @@ def ann_index_append(batch: DataFrame, path: str) -> None:
     kind = cfg["kind"]
     if kind == "lsh":
         V.lsh_corpus_postings(
-            src, cfg["dim"], cfg["n_planes"], cfg["n_tables"]
+            src, cfg["dim"], cfg["n_planes"], cfg["n_tables"],
+            store_vectors=cfg.get("store_vectors", True),
         ).write.mode("append").parquet(os.path.join(path, "postings"))
+        if not cfg.get("store_vectors", True):
+            src.write.mode("append").parquet(os.path.join(path, "vectors"))
     elif kind == "ivf":
         spark = batch.sparkSession
         cents = spark.createDataFrame(
@@ -208,11 +237,16 @@ def ann_index_search(
     kind = cfg["kind"]
     if kind == "lsh":
         postings = spark.read.parquet(os.path.join(path, "postings"))
+        corpus_vectors = (
+            None
+            if cfg.get("store_vectors", True)
+            else spark.read.parquet(os.path.join(path, "vectors"))
+        )
         return V._lsh_rank_against_postings(
             postings, queries, k, cfg["dim"], cfg["n_planes"],
             metric=cfg["metric"], query_key=query_key, query_vec=query_vec,
             arrow=arrow, probe_radius=probe_radius,
-            n_tables=cfg["n_tables"],
+            n_tables=cfg["n_tables"], corpus_vectors=corpus_vectors,
         )
     if kind == "ivf":
         assigned = spark.read.parquet(os.path.join(path, "assigned"))
@@ -237,6 +271,160 @@ def ann_index_search(
         queries, codes, vectors, books, k, refine_factor=refine_factor,
         metric="l2", query_key=query_key, query_vec=query_vec, arrow=arrow,
     )
+
+
+_INDEX_TABLES = {
+    "lsh": [("postings", None)],
+    "ivf": [("assigned", "cell")],
+    "pq": [("codes", None), ("vectors", None)],
+}
+
+
+def ann_index_compact(
+    spark: SparkSession, path: str, n_files: int | None = None
+) -> dict:
+    """Re-pack the small files ``ann_index_append`` accumulates (one-plus
+    per appended batch) into a clean layout: partitioned tables (ivf's
+    cell-partitioned assignments) keep their partition layout — one file
+    per cell by default, so probes stay partition-pruned single-file
+    reads; flat tables re-pack to ``n_files`` (default: the session's
+    parallelism). ROW-preserving by construction (read → repartition →
+    write, no projection or filter), so query results are unchanged —
+    asserted byte-for-byte in tests. Swap is write-aside + rename; the
+    reference analogue is vacuuming the pgvector index's pages
+    (src/storage/vector/adapters/pgvector/index.ts:458-475 keeps its
+    index compact on insert; the parquet shape compacts out-of-band).
+
+    Returns ``{table: {"files_before": n, "files_after": m}}``."""
+    import shutil
+
+    cfg = load_config(path)
+    tables = list(_INDEX_TABLES[cfg["kind"]])
+    if cfg["kind"] == "lsh" and not cfg.get("store_vectors", True):
+        tables.append(("vectors", None))
+    report: dict = {}
+    for name, part_col in tables:
+        src = os.path.join(path, name)
+
+        def _count(d: str) -> int:
+            return sum(
+                1
+                for root, _dirs, fs in os.walk(d)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        before = _count(src)
+        df = spark.read.parquet(src)
+        tmp = src + "__compacting"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # a crashed prior compaction; live dir intact
+        if part_col is not None:
+            (
+                df.repartition(F.col(part_col))
+                .write.partitionBy(part_col)
+                .parquet(tmp)
+            )
+        else:
+            n = n_files or spark.sparkContext.defaultParallelism
+            df.repartition(n).write.parquet(tmp)
+        bak = src + "__old"
+        os.rename(src, bak)
+        os.rename(tmp, src)
+        shutil.rmtree(bak)
+        report[name] = {"files_before": before, "files_after": _count(src)}
+    return report
+
+
+def ivf_reindex_policy(
+    cell_stats: list,
+    n_cells: int,
+    build_mean_distance: float | None = None,
+    max_occupancy_factor: float = 4.0,
+    drift_factor: float = 1.5,
+) -> dict:
+    """REINDEX decision for an appended ivf index, from ``ivf_cell_stats``
+    rows: rebuild when (a) the hottest cell holds more than
+    ``max_occupancy_factor`` x the balanced share N/n_cells — probes into
+    it scan that multiple of their fair share — or (b) the corpus-wide
+    mean distance-to-centroid has drifted past ``drift_factor`` x its
+    build-time value (stored in config at build), i.e. the centroids no
+    longer describe the data. Pure function so the policy is unit-testable
+    without an index on disk."""
+    rows = [(int(r["n_vectors"]), float(r["mean_distance"])) for r in cell_stats]
+    total = sum(n for n, _ in rows)
+    if total == 0:
+        return {"rebuild": False, "reason": "empty index"}
+    hot = max(n for n, _ in rows)
+    share = total / max(1, n_cells)
+    if hot > max_occupancy_factor * share:
+        return {
+            "rebuild": True,
+            "reason": f"hot cell holds {hot} vectors > "
+            f"{max_occupancy_factor}x balanced share {share:.1f}",
+        }
+    mean_d = sum(n * d for n, d in rows) / total
+    if (
+        build_mean_distance is not None
+        and build_mean_distance > 0
+        and mean_d > drift_factor * build_mean_distance
+    ):
+        return {
+            "rebuild": True,
+            "reason": f"mean distance {mean_d:.4f} > {drift_factor}x "
+            f"build-time {build_mean_distance:.4f}",
+        }
+    return {"rebuild": False, "reason": "within policy"}
+
+
+def ann_index_maintain(
+    spark: SparkSession,
+    path: str,
+    max_occupancy_factor: float = 4.0,
+    drift_factor: float = 1.5,
+    n_files: int | None = None,
+) -> dict:
+    """One maintenance tick: for an ivf index, evaluate the REINDEX
+    policy and REBUILD (re-run ``build_ann_index`` over the indexed rows
+    with the stored parameters — fresh centroids) when it trips;
+    otherwise compact the appended files. lsh/pq appends are row-local
+    (append ≡ rebuild), so their maintenance is compaction only. Returns
+    ``{"action": "rebuilt"|"compacted", "policy": ..., "compaction": ...}``."""
+    cfg = load_config(path)
+    if cfg["kind"] == "ivf":
+        stats = ivf_cell_stats(spark, path).collect()
+        decision = ivf_reindex_policy(
+            stats,
+            cfg["n_cells"],
+            build_mean_distance=cfg.get("build_mean_distance"),
+            max_occupancy_factor=max_occupancy_factor,
+            drift_factor=drift_factor,
+        )
+        if decision["rebuild"]:
+            corpus = spark.read.parquet(os.path.join(path, "assigned")).select(
+                F.col("key").alias(cfg["key_col"]),
+                F.col("embedding").alias(cfg["vector_col"]),
+            )
+            # localCheckpoint: the rebuild overwrites the files this
+            # plan reads — materialize the rows first
+            corpus = corpus.localCheckpoint(eager=True)
+            build_ann_index(
+                corpus,
+                path,
+                kind="ivf",
+                dim=cfg["dim"],
+                key_col=cfg["key_col"],
+                vector_col=cfg["vector_col"],
+                n_cells=cfg["n_cells"],
+                kmeans_iterations=cfg["kmeans_iterations"],
+                metric=cfg["metric"],
+            )
+            return {"action": "rebuilt", "policy": decision}
+        compaction = ann_index_compact(spark, path, n_files=n_files)
+        return {"action": "compacted", "policy": decision,
+                "compaction": compaction}
+    compaction = ann_index_compact(spark, path, n_files=n_files)
+    return {"action": "compacted", "compaction": compaction}
 
 
 def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:

@@ -399,3 +399,34 @@ def test_proportional_sample_plan_has_window_group_limit(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_materialize_strategies_agree(spark, sf_dir):
+    """VERDICT r5 #8: materialization strategy is a parameter — every
+    strategy must produce identical curation results; 'cache'/'disk'
+    persist lazily instead of paying the eager checkpoint job."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.pipeline import curate_corpus
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 120)
+    )
+    want = sorted(
+        map(tuple, curate_corpus(docs, min_quality=0.4, min_jaccard=0.02).collect())
+    )
+    for strategy in (True, "checkpoint", "cache", "disk"):
+        got = sorted(
+            map(
+                tuple,
+                curate_corpus(
+                    docs, min_quality=0.4, min_jaccard=0.02,
+                    materialize=strategy,
+                ).collect(),
+            )
+        )
+        assert got == want, strategy
+    with pytest.raises(ValueError, match="materialize"):
+        curate_corpus(docs, materialize="ram")

@@ -400,3 +400,42 @@ def test_asof_tolerance_zero_stays_plain_and_matches_exact_only(spark):
         ).collect()
     }
     assert out == {"e1": "x", "e2": None}
+
+
+def test_asof_nearest_no_tiebreak_single_window_single_sort(spark):
+    """VERDICT r5 #7: without a tiebreak the forward fill shares the
+    backward fill's window spec (same partitioning AND same sort), so
+    the whole nearest plan is ONE Window operator over one
+    per-partition sort — the second sort only exists to elect the
+    highest-tiebreak winner among equal-t' rights. Semantics are
+    unchanged: equal-t rights leave the forward frame but win through
+    the backward frame at delta=0 (ties go backward)."""
+    left = spark.createDataFrame(
+        [("a", 100, "e1"), ("a", 205, "e2"), ("b", 50, "e4")],
+        "k string, t long, ev string",
+    )
+    right = spark.createDataFrame(
+        [("a", 100, "exact"), ("a", 200, "back"), ("a", 250, "fwd"),
+         ("b", 60, "after")],
+        "k string, rt long, payload string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="rt", direction="nearest"
+    )
+    # inspect the plan BEFORE collect: post-execution AQE plan strings
+    # repeat the exchange (query-stage + exchange node)
+    plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    rows = {r["ev"]: (r["payload"], r["rt"]) for r in out.collect()}
+    assert rows["e1"] == ("exact", 100)   # equal-t right wins via backward
+    assert rows["e2"] == ("back", 200)    # d5 beats d45
+    assert rows["e4"] == ("after", 60)    # forward-only
+    assert plan.count("hashpartitioning") == 1
+    # one Window node (both fills inside), one sort feeding it
+    assert plan.count("Window [") == 1
+    assert plan.count("Sort [") == 1
+    # the tiebreak path still pays its documented second sort
+    plan_tb = (
+        _asof(spark, tiebreak="rid", direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_tb.count("Window [") == 2
