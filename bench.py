@@ -267,6 +267,39 @@ def main() -> None:
             spark, _ann_idx["path"], queries, k=10, probe_radius=1
         ).count()
 
+    _ann_idx_ko: dict = {"path": None}
+
+    def ann_index_keysonly():
+        # the bench pair for store_vectors=False (VERDICT r5 #5): same
+        # operating point as ann_index_query, but posting rows carry
+        # (key, norm, sig) instead of duplicating the embedding
+        # xn_tables (4x here) — the probe pays one extra equi-join
+        # against the single full-precision vectors table per DEDUPED
+        # candidate. The entry quantifies that storage-for-join trade on
+        # the query side; storage shrink is n_tables x vector bytes.
+        import tempfile
+
+        from storage_spark.sources.annindex import (
+            ann_index_search,
+            build_ann_index,
+        )
+
+        if _ann_idx_ko["path"] is None:
+            d = tempfile.mkdtemp(prefix="bench_annidx_ko_") + "/idx"
+            build_ann_index(
+                vectors, d, kind="lsh", dim=64, n_planes=4, n_tables=4,
+                store_vectors=False,
+            )
+            _ann_idx_ko["path"] = d
+        queries = (
+            vectors.orderBy("key")
+            .limit(50)
+            .select(F.col("key").alias("q_key"), F.col("embedding").alias("q_vec"))
+        )
+        return ann_index_search(
+            spark, _ann_idx_ko["path"], queries, k=10, probe_radius=1
+        ).count()
+
     def snapshot_commit():
         # table-format commit path: create v1 from the object catalog,
         # copy-on-write upsert one bucket into v2 (untouched partitions
@@ -433,6 +466,7 @@ def main() -> None:
         "skewed_distinct_salted": skewed_distinct_salted,
         "ann_multiprobe": ann_multiprobe,
         "ann_index_query": ann_index_query,
+        "ann_index_keysonly": ann_index_keysonly,
         "pq_rerank": pq_rerank,
         "snapshot_commit": snapshot_commit,
         "sessionization": sessionization,
