@@ -78,14 +78,17 @@ def probe_asof_nearest(spark):
     from storage_spark.operators.temporal import asof_join
 
     print("probe 2: asof nearest single-window at sf1", flush=True)
-    ev = spark.read.parquet(f"{SF1}/events.parquet").select(
+    raw = spark.read.parquet(f"{SF1}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev = raw.select(
         "event_id",
         F.concat(F.lit("user-"), (F.col("user_id") % 10).cast("string")).alias(
             "owner"
         ),
         F.unix_millis(F.col("ts")).alias("ts_ms"),
     )
-    obj = spark.read.parquet(f"{SF1}/events.parquet").select(
+    obj = raw.select(
         F.concat(F.lit("user-"), (F.col("user_id") % 10).cast("string")).alias(
             "owner"
         ),
