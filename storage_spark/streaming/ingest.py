@@ -26,8 +26,9 @@ semantics are required).
 
 At 100 TB: the index lives partitioned by `band`, so a batch probe reads
 only the band partitions it hashes into; per-epoch partitions are
-compacted away periodically (sources/snapshots.compact is the same
-motion).
+compacted away periodically with ``compact_ingest_tables`` (replay of a
+compacted epoch fails loudly — the same boundary checkpoint retention
+already imposes; sources/snapshots.compact is the same motion).
 """
 
 from __future__ import annotations
@@ -241,3 +242,79 @@ def stream_dedup_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_ingest_tables(
+    spark: SparkSession,
+    index_path: str,
+    accepted_path: str,
+    before_epoch: int,
+    compacted_epoch: int = -1,
+) -> dict:
+    """Consolidate the per-epoch partitions both ingest sinks accumulate
+    (one partition per micro-batch, forever) into a single
+    ``epoch=compacted_epoch`` partition per table — the streaming
+    analogue of ``annindex.ann_index_compact`` / ``snapshots.compact``.
+    Row-preserving: the gate's reads (band probe, accepted-id probe) see
+    the identical row set before and after, asserted in tests.
+
+    REPLAY SAFETY — the one real contract: only compact epochs the
+    stream's checkpoint can no longer replay (epochs at or below the
+    last committed batch; ``before_epoch`` is EXCLUSIVE and must not
+    exceed current_epoch, which a replay could still rewrite). Per-epoch
+    overwrite is what makes replays idempotent, so a replay of an
+    already-COMPACTED epoch cannot be idempotent anymore — it fails
+    LOUDLY instead: its rows now live in the consolidated partition,
+    which the replay's own-epoch exclusion does not exclude, so the
+    id-reuse gate raises on the replayed ids (tested). That is the
+    honest boundary, the same one checkpoint retention already imposes
+    upstream.
+
+    Crash-safety: the consolidated partition is written (dynamic
+    per-partition overwrite of ``epoch=compacted_epoch``) BEFORE the old
+    epoch directories are removed. A crash between the two leaves
+    duplicate rows — semantically harmless to the gate (the band probe
+    and id probe are set-membership reads) — and RE-RUNNING the
+    compaction heals it exactly (idempotent: it re-reads everything
+    below ``before_epoch`` including the consolidated partition and
+    leftovers, rewrites, re-deletes). At cluster scale the
+    localCheckpoint staging step becomes a temp-table write; the motion
+    is identical.
+
+    Returns ``{table: {"epochs_removed": [...], "rows": n}}``.
+    """
+    import os
+    import shutil
+
+    if compacted_epoch >= 0:
+        raise ValueError(
+            "compacted_epoch must be negative (real epochs are >= 0), "
+            f"got {compacted_epoch}"
+        )
+    report: dict = {}
+    for name, path in (("index", index_path), ("accepted", accepted_path)):
+        df = spark.read.parquet(path)
+        if "epoch" not in df.columns:
+            raise ValueError(f"{path} is not epoch-partitioned")
+        old = df.filter(F.col("epoch") < before_epoch).drop("epoch")
+        # materialize BEFORE overwriting the consolidated partition the
+        # plan reads from
+        old = old.localCheckpoint(eager=True)
+        n = old.count()
+        (
+            old.withColumn("epoch", F.lit(int(compacted_epoch)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+        removed = []
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith("epoch="):
+                continue
+            ep = int(entry.split("=", 1)[1])
+            if 0 <= ep < before_epoch:
+                shutil.rmtree(os.path.join(path, entry))
+                removed.append(ep)
+        report[name] = {"epochs_removed": removed, "rows": n}
+    return report

@@ -142,3 +142,63 @@ def test_skip_exact_mode_tolerates_at_least_once_redelivery(spark, tmp_path):
     # default mode unchanged: exact redelivery in a new epoch raises
     with pytest.raises(ValueError, match="reuses doc id"):
         dedup_ingest_batch(_docs_df(spark, [DOCS[0]]), 3, idx, acc, **KW)
+
+
+def test_compact_ingest_tables_preserves_gate_and_fails_replay_loudly(
+    spark, tmp_path
+):
+    """Epoch compaction (the streaming analogue of ann_index_compact):
+    consolidating epochs < before_epoch into one negative partition must
+    leave the gate's view identical — same accepted ids, same band-row
+    set, same decisions on the next batch — while removing the per-epoch
+    partitions. A replay of a COMPACTED epoch cannot be idempotent any
+    more, so it must fail loudly (id-reuse gate). Re-running compaction
+    is idempotent."""
+    import glob as _glob
+
+    import pytest
+
+    from storage_spark.streaming.ingest import compact_ingest_tables
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    idx2, acc2 = str(tmp_path / "idx2"), str(tmp_path / "acc2")
+    batches = [DOCS[0:3], DOCS[3:5], DOCS[5:7]]
+    for e, rows in enumerate(batches):
+        dedup_ingest_batch(_docs_df(spark, rows), e, idx, acc, **KW)
+        dedup_ingest_batch(_docs_df(spark, rows), e, idx2, acc2, **KW)
+    assert _accepted_ids(spark, acc) == EXPECTED
+    before_bands = sorted(
+        map(tuple, spark.read.parquet(idx).drop("epoch").collect())
+    )
+    report = compact_ingest_tables(spark, idx, acc, before_epoch=2)
+    assert report["index"]["epochs_removed"] == [0, 1]
+    assert report["accepted"]["epochs_removed"] == [0, 1]
+    # partitions: consolidated + the uncompacted epoch 2 only
+    eps = sorted(
+        int(d.split("=")[1]) for d in
+        (p.split("/")[-1] for p in _glob.glob(idx + "/epoch=*"))
+    )
+    assert eps == [-1, 2]
+    # gate view identical
+    assert _accepted_ids(spark, acc) == EXPECTED
+    assert sorted(
+        map(tuple, spark.read.parquet(idx).drop("epoch").collect())
+    ) == before_bands
+    # next batch gates identically vs the uncompacted clone
+    nxt = [(30, "alpha beta gamma delta epsilon zeta"),  # dup of doc 0
+           (31, "completely fresh words nineteen twenty twentyone")]
+    dedup_ingest_batch(_docs_df(spark, nxt), 3, idx, acc, **KW)
+    dedup_ingest_batch(_docs_df(spark, nxt), 3, idx2, acc2, **KW)
+    assert _accepted_ids(spark, acc) == _accepted_ids(spark, acc2)
+    assert 31 in _accepted_ids(spark, acc) and 30 not in _accepted_ids(spark, acc)
+    # replay of a compacted epoch -> loud failure, not silent duplication
+    with pytest.raises(ValueError, match="reuses doc id"):
+        dedup_ingest_batch(_docs_df(spark, batches[0]), 0, idx, acc, **KW)
+    # replay of the NOT-compacted epoch 2 stays idempotent
+    dedup_ingest_batch(_docs_df(spark, batches[2]), 2, idx, acc, **KW)
+    # idempotent re-run (heals a hypothetical crash between write+delete)
+    again = compact_ingest_tables(spark, idx, acc, before_epoch=2)
+    assert again["index"]["epochs_removed"] == []
+    assert _accepted_ids(spark, acc) == _accepted_ids(spark, acc2)
+    with pytest.raises(ValueError, match="negative"):
+        compact_ingest_tables(spark, idx, acc, before_epoch=2, compacted_epoch=0)
