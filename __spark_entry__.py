@@ -1311,6 +1311,39 @@ def q_ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF probe: build the cell-partitioned index once
+    (kmeans_iterations=0 → deterministic first-n centroids, the exact
+    quantizer the SQL oracle replays), then answer with
+    ann_index_search — a partition-pruned read of the probed cells
+    (plan-asserted in test_annindex). Results must equal the full
+    recompute (q_vector_ivf_ann's plan), so the SAME oracle grades
+    both: persisted ≡ recomputed ≡ SQL-replayed."""
+    import os
+    import shutil
+    import tempfile
+
+    from storage_spark.sources.annindex import ann_index_search, build_ann_index
+
+    v = _vectors(spark, sf_dir).select("key", "embedding")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "ann_index_ivf_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    build_ann_index(v, path, kind="ivf", dim=64, n_cells=8,
+                    kmeans_iterations=0)
+    queries = v.filter(F.col("key").cast("bigint") < 20).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    out = ann_index_search(spark, path, queries, k=3, n_probe=3)
+    return out.select(
+        "q_key", "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_vector_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., TPAMI 2011): the corpus is
     stored as 8 one-byte codes per vector (32x compression at dim 64) and
@@ -1905,6 +1938,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.005)
     return out.select(
         "doc_a", "doc_b", F.round(F.col("jaccard") * 10000).cast("bigint").alias("j_1e4")
+    )
+
+
+def q_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: a NAIVE md5 per-document split
+    (deliberately not leakage-free) over the near-dup corpus, then
+    split_overlap_report surfaces every Jaccard pair that straddles the
+    boundary — the train/test leakage the eval would silently absorb.
+    Oracle replays the shingle-intersection Jaccard AND the same md5
+    split cut."""
+    from storage_spark.operators.pipeline import split_overlap_report
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 60)
+    naive = docs.select(
+        "doc_id",
+        F.when(
+            F.md5(F.concat(F.lit("naive:"), F.col("doc_id").cast("string")))
+            < "8",
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    out = split_overlap_report(docs, naive, min_jaccard=0.005)
+    return out.select(
+        "doc_a", "split_a", "doc_b", "split_b",
+        F.round(F.col("jaccard") * 10000).cast("bigint").alias("j_1e4"),
     )
 
 
@@ -3134,12 +3195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_get_keys": q_vector_get_keys,
         "vector_ivf_ann": q_vector_ivf_ann,
         "vector_filtered_ivf": q_vector_filtered_ivf,
-        # (b) net-new this round:
+        # (b) net-new this round (3 of the ~11 cap):
         "ann_index_maintain": q_ann_index_maintain,
+        "ann_index_ivf_query": q_ann_index_ivf_query,
+        "split_overlap": q_split_overlap,
         # (c) changed after their last driver row:
         "simhash_near_pairs": q_simhash_near_pairs,
-        "simhash_wide": q_simhash_wide,
-        "dedup_resolve": q_dedup_resolve,
         "asof_nearest_object": q_asof_nearest_object,
         "asof_tolerance_object": q_asof_tolerance_object,
         "pack_sequences": q_pack_sequences,
@@ -3148,6 +3209,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_query": q_ann_index_query,
         "ann_index_append": q_ann_index_append,
         # ---- past the recording cap ----
+        # (simhash_wide + dedup_resolve slid out for the two net-new
+        # rows above: their only change this round is the simhash
+        # column-metadata plumbing, value-identical — r4 driver rows +
+        # the full local parity gate cover them; they lead r7)
+        "simhash_wide": q_simhash_wide,
+        "dedup_resolve": q_dedup_resolve,
         # r4-evidence block (fills r7's window first):
         "chunk_documents": q_chunk_documents,
         "cohort_retention": q_cohort_retention,
@@ -4561,6 +4628,41 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.005
 """),
+        "split_overlap": _o(f"""
+, toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE doc_id < 60
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM toks WHERE len(tk) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jp AS (
+  SELECT doc_a, doc_b,
+         CAST(round(i * 1.0 / (sa.n + sb.n - i) * 10000) AS BIGINT) AS j_1e4
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.005
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN md5('naive:' || CAST(doc_id AS VARCHAR)) < '8'
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents WHERE doc_id < 60
+)
+SELECT jp.doc_a, a.split AS split_a, jp.doc_b, b.split AS split_b, jp.j_1e4
+FROM jp
+JOIN sp a ON a.doc_id = jp.doc_a
+JOIN sp b ON b.doc_id = jp.doc_b
+WHERE a.split <> b.split
+"""),
         "containment_pairs": _o(f"""
 , toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE doc_id < 200
@@ -4806,6 +4908,11 @@ FROM objects WHERE bucket_id = 'Brand#13'
             refine_factor=10, max_vec_id=300, max_q_vec_id=4,
         ),
         "vector_ivf_ann": _oracle_ivf_ann(
+            n_cells=8, k=3, n_probe=3, max_q_vec_id=20
+        ),
+        # persisted-IVF index row: same operating point, same oracle —
+        # persistence must be invisible to results
+        "ann_index_ivf_query": _oracle_ivf_ann(
             n_cells=8, k=3, n_probe=3, max_q_vec_id=20
         ),
         "vector_filtered_ivf": _oracle_ivf_ann(

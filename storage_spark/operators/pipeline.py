@@ -776,6 +776,54 @@ def leakage_free_split(
     )
 
 
+def split_overlap_report(
+    docs: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_shingle_df: int | None = None,
+    materialize: bool | str = False,
+) -> DataFrame:
+    """Cross-split contamination audit: the near-duplicate pairs
+    (n-gram Jaccard >= ``min_jaccard``) whose two documents landed in
+    DIFFERENT splits — exactly the leakage a naive per-document split
+    produces, and the evidence behind ``leakage_free_split``'s
+    guarantee (on its output this report is EMPTY for the pairs it
+    split on, tested). Run it after ANY split — including one inherited
+    from upstream — before trusting the eval numbers.
+
+    Returns ``(doc_a, split_a, doc_b, split_b, jaccard)``, doc_a <
+    doc_b. Plan: the same inverted-index shingle equi-join as
+    ``ngram_jaccard_pairs`` (never all-pairs), then two equi-joins
+    against the assignment table on the doc id and a split-inequality
+    filter — nothing here is new shuffle shape at 100 TB.
+    """
+    pairs = ngram_jaccard_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        min_jaccard=min_jaccard,
+        max_shingle_df=max_shingle_df,
+        materialize=materialize,
+    )
+    a = assignments.select(
+        F.col(id_col).alias("doc_a"), F.col(split_col).alias("split_a")
+    )
+    b = assignments.select(
+        F.col(id_col).alias("doc_b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+    )
+
+
 def mix_corpora(
     docs: DataFrame,
     weights: dict[str, int],

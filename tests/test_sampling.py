@@ -430,3 +430,39 @@ def test_materialize_strategies_agree(spark, sf_dir):
         assert got == want, strategy
     with pytest.raises(ValueError, match="materialize"):
         curate_corpus(docs, materialize="ram")
+
+
+def test_split_overlap_report_empty_on_leakage_free_split(spark, sf_dir):
+    """The audit and the guarantee, closed loop: a NAIVE per-doc split
+    over a near-dup corpus shows cross-split pairs; leakage_free_split
+    over the SAME pair graph shows none (whole components share a
+    split)."""
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.dedup import ngram_jaccard_pairs
+    from storage_spark.operators.pipeline import (
+        leakage_free_split,
+        split_overlap_report,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.005)
+    assert pairs.count() > 0  # the corpus has near-dups to leak
+    naive = docs.select(
+        "doc_id",
+        F.when(F.md5(F.col("doc_id").cast("string")) < "8", F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    leaked = split_overlap_report(docs, naive, min_jaccard=0.005)
+    assert leaked.count() > 0  # naive split leaks
+    safe = leakage_free_split(docs, pairs, train=0.5, val=0.25).select(
+        "doc_id", "split"
+    )
+    assert (
+        split_overlap_report(docs, safe, min_jaccard=0.005).count() == 0
+    )  # the guarantee, audited by the audit itself
