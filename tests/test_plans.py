@@ -82,6 +82,7 @@ def test_topk_lowering(spark, objects_parquet):
 _BNLJ_ALLOWED = {
     "vector_knn_join",
     "vector_ivf_ann",
+    "ann_index_ivf_query",  # same broadcast centroid ranking, persisted index
     "vector_filtered_ivf",
     "key_validation",
     # PQ ADC intentionally scans every CODE word per query (that scan of
