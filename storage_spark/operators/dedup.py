@@ -78,7 +78,14 @@ def _materialize(df: DataFrame, flag) -> DataFrame:
       DISK_ONLY): the first consumer fills the cache as a side effect of
       its own job (no extra serial job), later consumers read
       InMemoryTableScan. Preferred at scale when the intermediate fits
-      the chosen storage tier; lineage stays intact (no truncation)."""
+      the chosen storage tier; lineage stays intact (no truncation).
+
+    Lifetime note for the persist strategies: the pinned blocks live
+    until the session ends or ``spark.catalog.clearCache()`` — the
+    handle is internal, so a LOOP calling a persisting operator per
+    batch accumulates pinned storage. For unbounded batch loops use
+    ``"checkpoint"`` (blocks are owned by the lineage and GC'd with the
+    DataFrame) or clear the cache between iterations."""
     if flag is True or flag == "checkpoint":
         return df.localCheckpoint(eager=True)
     if flag in ("cache", "disk"):

@@ -290,7 +290,10 @@ def ann_index_compact(
     reads; flat tables re-pack to ``n_files`` (default: the session's
     parallelism). ROW-preserving by construction (read → repartition →
     write, no projection or filter), so query results are unchanged —
-    asserted byte-for-byte in tests. Swap is write-aside + rename; the
+    asserted byte-for-byte in tests. Swap is write-aside + two renames
+    with explicit crash recovery at entry (a crash in any window leaves
+    either the live dir or its ``__old`` sibling complete; the next
+    call restores and cleans — tested); the
     reference analogue is vacuuming the pgvector index's pages
     (src/storage/vector/adapters/pgvector/index.ts:458-475 keeps its
     index compact on insert; the parquet shape compacts out-of-band).
@@ -314,11 +317,24 @@ def ann_index_compact(
                 if f.endswith(".parquet")
             )
 
+        tmp = src + "__compacting"
+        bak = src + "__old"
+        # crash recovery BEFORE touching anything, covering every
+        # window of the two-rename swap below:
+        # - src missing + bak present: died between the renames — the
+        #   bak IS the live table; restore it (tmp, if complete, is
+        #   discarded: re-compacting is cheaper than proving it whole)
+        # - src present + bak present: died after the swap before the
+        #   cleanup — bak is the superseded copy; drop it
+        # - tmp leftover: incomplete write; live dir intact; drop it
+        if not os.path.isdir(src) and os.path.isdir(bak):
+            os.rename(bak, src)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
         before = _count(src)
         df = spark.read.parquet(src)
-        tmp = src + "__compacting"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)  # a crashed prior compaction; live dir intact
         if part_col is not None:
             (
                 df.repartition(F.col(part_col))
@@ -328,7 +344,6 @@ def ann_index_compact(
         else:
             n = n_files or spark.sparkContext.defaultParallelism
             df.repartition(n).write.parquet(tmp)
-        bak = src + "__old"
         os.rename(src, bak)
         os.rename(tmp, src)
         shutil.rmtree(bak)

@@ -272,14 +272,16 @@ def compact_ingest_tables(
 
     Crash-safety: the consolidated partition is written (dynamic
     per-partition overwrite of ``epoch=compacted_epoch``) BEFORE the old
-    epoch directories are removed. A crash between the two leaves
-    duplicate rows — semantically harmless to the gate (the band probe
-    and id probe are set-membership reads) — and RE-RUNNING the
-    compaction heals it exactly (idempotent: it re-reads everything
-    below ``before_epoch`` including the consolidated partition and
-    leftovers, rewrites, re-deletes). At cluster scale the
-    localCheckpoint staging step becomes a temp-table write; the motion
-    is identical.
+    epoch directories are removed. A crash between the two leaves each
+    leftover epoch's rows present TWICE (consolidated + original) —
+    harmless to the gate meanwhile (its probes are set-membership
+    reads) — and re-running the compaction heals it exactly BECAUSE the
+    re-read deduplicates whole rows before rewriting: a leftover
+    epoch's rows are byte-identical to their consolidated copies (both
+    came from the same per-epoch overwrite), so ``dropDuplicates()``
+    restores the exact pre-crash row set rather than baking the
+    duplicates in. At cluster scale the localCheckpoint staging step
+    becomes a temp-table write; the motion is identical.
 
     Returns ``{table: {"epochs_removed": [...], "rows": n}}``.
     """
@@ -297,6 +299,11 @@ def compact_ingest_tables(
         if "epoch" not in df.columns:
             raise ValueError(f"{path} is not epoch-partitioned")
         old = df.filter(F.col("epoch") < before_epoch).drop("epoch")
+        # whole-row dedupe: after a crash between write and delete, a
+        # leftover epoch's rows exist both consolidated and in their
+        # original partition (byte-identical copies) — without this the
+        # "re-run to heal" path would permanently double them
+        old = old.dropDuplicates()
         # materialize BEFORE overwriting the consolidated partition the
         # plan reads from
         old = old.localCheckpoint(eager=True)

@@ -432,3 +432,30 @@ def test_keys_only_lsh_index_equals_inline_mode(spark, corpus, queries, tmp_path
     assert _rows(
         ann_index_search(spark, keys, queries, k=5, probe_radius=1)
     ) == want_full
+
+
+def test_compact_crash_windows_recover(spark, corpus, queries, tmp_path):
+    """Review-r6: the two-rename swap must self-recover from BOTH crash
+    windows on the next call — (a) died between renames: live dir
+    missing, __old holds the table; (b) died after the swap: stale
+    __old sibling blocks the next rename. Results identical either
+    way."""
+    import os
+    import shutil
+
+    from storage_spark.sources.annindex import ann_index_compact
+
+    path = str(tmp_path / "lsh_crash")
+    build_ann_index(corpus, path, kind="lsh", dim=DIM, n_planes=4, n_tables=2)
+    want = _rows(ann_index_search(spark, path, queries, k=5, probe_radius=1))
+    src = os.path.join(path, "postings")
+    # (a) crash between renames: src gone, __old is the live table
+    os.rename(src, src + "__old")
+    ann_index_compact(spark, path, n_files=2)
+    assert _rows(ann_index_search(spark, path, queries, k=5, probe_radius=1)) == want
+    assert not os.path.isdir(src + "__old")
+    # (b) crash after swap: stale __old sibling present alongside src
+    shutil.copytree(src, src + "__old")
+    ann_index_compact(spark, path, n_files=2)
+    assert _rows(ann_index_search(spark, path, queries, k=5, probe_radius=1)) == want
+    assert not os.path.isdir(src + "__old")

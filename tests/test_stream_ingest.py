@@ -202,3 +202,28 @@ def test_compact_ingest_tables_preserves_gate_and_fails_replay_loudly(
     assert _accepted_ids(spark, acc) == _accepted_ids(spark, acc2)
     with pytest.raises(ValueError, match="negative"):
         compact_ingest_tables(spark, idx, acc, before_epoch=2, compacted_epoch=0)
+
+
+def test_compact_crash_leftover_heals_without_duplicates(spark, tmp_path):
+    """Review-r6: a crash between the consolidated write and the epoch
+    deletes leaves leftover epoch dirs whose rows ALSO live in the
+    consolidated partition. Re-running compaction must restore the
+    exact row multiset (whole-row dedupe), not bake the duplicates in."""
+    import shutil
+
+    from storage_spark.streaming.ingest import compact_ingest_tables
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    for e, rows in enumerate([DOCS[0:3], DOCS[3:5], DOCS[5:7]]):
+        dedup_ingest_batch(_docs_df(spark, rows), e, idx, acc, **KW)
+    compact_ingest_tables(spark, idx, acc, before_epoch=2)
+    acc_rows = sorted(map(tuple, spark.read.parquet(acc).drop("epoch").collect()))
+    idx_rows = sorted(map(tuple, spark.read.parquet(idx).drop("epoch").collect()))
+    # simulate the crash: a leftover epoch dir holding byte-identical
+    # copies of consolidated rows
+    shutil.copytree(acc + "/epoch=-1", acc + "/epoch=0")
+    shutil.copytree(idx + "/epoch=-1", idx + "/epoch=0")
+    assert len(spark.read.parquet(acc).collect()) > len(acc_rows)  # duplicated now
+    compact_ingest_tables(spark, idx, acc, before_epoch=2)
+    assert sorted(map(tuple, spark.read.parquet(acc).drop("epoch").collect())) == acc_rows
+    assert sorted(map(tuple, spark.read.parquet(idx).drop("epoch").collect())) == idx_rows
