@@ -156,3 +156,36 @@ def test_embedding_default_path_is_corpus_sized(spark):
         embedding_near_dup_pairs(
             v, dim=4, n_planes=8, band_size=4, n_docs=50_000
         )
+
+
+def test_sizing_rules_properties():
+    """Property sweep over the two corpus-sizing rules: monotone in
+    corpus size, bucket-occupancy bound holds whenever the rule is not
+    clamped, and the clamps are exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from storage_spark.operators.dedup import embedding_planes_for, sig_bits_for
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=1, max_value=10**12))
+    def check_sig(n):
+        bits = sig_bits_for(n)
+        assert 16 <= bits <= 60 and bits % 4 == 0
+        assert sig_bits_for(n + max(1, n // 7)) >= bits  # monotone
+        if bits < 60:  # not clamped -> occupancy bound holds
+            # floor division in the rule (n // target) admits up to
+            # target + (target-1)/quotient slack -> bound is 2x target
+            assert n / 2 ** (bits // 4) <= 2 * 16 or bits == 16
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=1, max_value=10**12))
+    def check_planes(n):
+        planes, band = embedding_planes_for(n)
+        assert planes == 2 * band and 4 <= band <= 16
+        assert embedding_planes_for(n + max(1, n // 7))[1] >= band
+        if band < 16:  # not clamped -> occupancy bound holds
+            assert n / 2**band <= 2 * 200 or band == 4
+
+    check_sig()
+    check_planes()
