@@ -17,14 +17,17 @@ Layout under ``path/``:
 - ``config.json`` — kind + the exact build parameters (and the learned
   centroids / codebooks, which are the bounded driver-side objects any
   implementation must hold).
-- ``postings/``  (lsh)  — (key, embedding, _cn, _sig), the exploded
-  multi-table posting rows of ``lsh_corpus_postings``.
+- ``postings/``  (lsh)  — the exploded multi-table posting rows of
+  ``lsh_corpus_postings``: (key, embedding, _cn, _sig) inline, or
+  (key, _cn, _sig) in keys-only mode (``store_vectors=False`` — for
+  fat embeddings where the ×n_tables vector duplication dominates).
 - ``assigned/``  (ivf)  — (key, embedding, cell), partitioned by cell so
   a probe reads only its cells' files (partition pruning = the inverted
   list seek).
 - ``codes/``     (pq)   — (key, codes array<int>), m bytes/vector.
-- ``vectors/``   (pq)   — (key, embedding) full-precision rows for the
-  rerank stage (only fetched for refine_factor*k candidates per query).
+- ``vectors/``   (pq, and lsh keys-only) — (key, embedding)
+  full-precision rows, fetched per deduped candidate at rank time (pq:
+  only refine_factor*k candidates per query).
 
 At 100 TB the build is the one full-corpus job (exactly the scan any
 single query would have paid); incremental maintenance appends new rows'
@@ -116,6 +119,15 @@ def build_ann_index(
             [float(x) for x in r["centroid"]]
             for r in sorted(cents.collect(), key=lambda r: r["cell"])
         ]
+        # Rebuild the centroid frame FROM the collected config: the
+        # kmeans plan runs exactly once (the collect above) instead of
+        # re-executing for the assignment write and the drift agg below,
+        # and build-time assignment provably uses the very values every
+        # later reload will — not merely cast-equal ones.
+        cents = corpus.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cfg["centroids"])],
+            "cell int, centroid array<float>",
+        )
         (
             V.ivf_assign(src, cents, metric)
             .write.mode("overwrite")
