@@ -1306,7 +1306,8 @@ def q_ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_index_append(v.filter((vid >= 200) & (vid < 250)), path)
     ann_index_append(v.filter((vid >= 250) & (vid < 300)), path)
     out_m = ann_index_maintain(spark, path)
-    assert out_m["action"] == "compacted"
+    if out_m["action"] != "compacted":  # lsh maintenance is compaction
+        raise RuntimeError(f"unexpected maintain action: {out_m['action']}")
     queries = v.filter(vid < 15).select(
         F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
     )
