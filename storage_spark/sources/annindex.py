@@ -124,10 +124,7 @@ def build_ann_index(
         # re-executing for the assignment write and the drift agg below,
         # and build-time assignment provably uses the very values every
         # later reload will — not merely cast-equal ones.
-        cents = corpus.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(cfg["centroids"])],
-            "cell int, centroid array<float>",
-        )
+        cents = _centroids_df(corpus.sparkSession, cfg)
         (
             V.ivf_assign(src, cents, metric)
             .write.mode("overwrite")
@@ -136,15 +133,13 @@ def build_ann_index(
         )
         # build-time fit quality: the drift baseline ivf_reindex_policy
         # compares against (one agg over the just-written table)
-        from storage_spark.functions.vectors import _metric_distance
-
         assigned = corpus.sparkSession.read.parquet(
             os.path.join(path, "assigned")
         )
         row = (
             assigned.join(F.broadcast(cents), "cell")
             .select(
-                _metric_distance(
+                V._metric_distance(
                     metric, F.col("embedding"), F.col("centroid")
                 ).alias("_d")
             )
@@ -154,8 +149,7 @@ def build_ann_index(
         cfg["build_mean_distance"] = (
             float(row[0]) if row and row[0] is not None else None
         )
-    else:  # pq
-        cfg["metric"] = "l2"  # PQ/ADC scores squared-L2 throughout
+    else:  # pq (metric already resolved to 'l2' above)
         cfg.update(m=m, k_codes=k_codes, kmeans_iterations=kmeans_iterations)
         books = V.pq_codebooks_kmeans(
             src, m=m, k=k_codes, iterations=kmeans_iterations, dim=dim
@@ -174,6 +168,16 @@ def build_ann_index(
 def load_config(path: str) -> dict:
     with open(os.path.join(path, "config.json")) as fh:
         return json.load(fh)
+
+
+def _centroids_df(spark: SparkSession, cfg: dict) -> DataFrame:
+    """The stored ivf centroids as the (cell, centroid) frame every
+    consumer (build-time assign, append, search, stats) ranks against —
+    one definition so they are bit-identical by construction."""
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cfg["centroids"])],
+        "cell int, centroid array<float>",
+    )
 
 
 def ann_index_append(batch: DataFrame, path: str) -> None:
@@ -202,11 +206,7 @@ def ann_index_append(batch: DataFrame, path: str) -> None:
         if not cfg.get("store_vectors", True):
             src.write.mode("append").parquet(os.path.join(path, "vectors"))
     elif kind == "ivf":
-        spark = batch.sparkSession
-        cents = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cfg["centroids"])],
-            "cell int, centroid array<float>",
-        )
+        cents = _centroids_df(batch.sparkSession, cfg)
         (
             V.ivf_assign(src, cents, cfg["metric"])
             .write.mode("append")
@@ -262,10 +262,7 @@ def ann_index_search(
         )
     if kind == "ivf":
         assigned = spark.read.parquet(os.path.join(path, "assigned"))
-        cents = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cfg["centroids"])],
-            "cell int, centroid array<float>",
-        )
+        cents = _centroids_df(spark, cfg)
         return V.ivf_search(
             queries, assigned, cents, k, n_probe=n_probe,
             metric=cfg["metric"], query_key=query_key, query_vec=query_vec,
@@ -317,18 +314,17 @@ def ann_index_compact(
     tables = list(_INDEX_TABLES[cfg["kind"]])
     if cfg["kind"] == "lsh" and not cfg.get("store_vectors", True):
         tables.append(("vectors", None))
+    def _count(d: str) -> int:
+        return sum(
+            1
+            for _root, _dirs, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
     report: dict = {}
     for name, part_col in tables:
         src = os.path.join(path, name)
-
-        def _count(d: str) -> int:
-            return sum(
-                1
-                for root, _dirs, fs in os.walk(d)
-                for f in fs
-                if f.endswith(".parquet")
-            )
-
         tmp = src + "__compacting"
         bak = src + "__old"
         # crash recovery BEFORE touching anything, covering every
@@ -447,11 +443,14 @@ def ann_index_maintain(
                 metric=cfg["metric"],
             )
             return {"action": "rebuilt", "policy": decision}
-        compaction = ann_index_compact(spark, path, n_files=n_files)
-        return {"action": "compacted", "policy": decision,
-                "compaction": compaction}
-    compaction = ann_index_compact(spark, path, n_files=n_files)
-    return {"action": "compacted", "compaction": compaction}
+        out = {"policy": decision}
+    else:
+        out = {}
+    out.update(
+        action="compacted",
+        compaction=ann_index_compact(spark, path, n_files=n_files),
+    )
+    return out
 
 
 def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -468,10 +467,7 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     if cfg["kind"] != "ivf":
         raise ValueError(f"ivf_cell_stats needs an ivf index, got {cfg['kind']}")
     assigned = spark.read.parquet(os.path.join(path, "assigned"))
-    cents = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cfg["centroids"])],
-        "cell int, centroid array<float>",
-    )
+    cents = _centroids_df(spark, cfg)
     d = _metric_distance(cfg["metric"], F.col("embedding"), F.col("centroid"))
     return (
         assigned.join(F.broadcast(cents), "cell")

@@ -308,13 +308,7 @@ def compact_ingest_tables(
         # plan reads from
         old = old.localCheckpoint(eager=True)
         n = old.count()
-        (
-            old.withColumn("epoch", F.lit(int(compacted_epoch)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(path)
-        )
+        _overwrite_epoch(old, path, compacted_epoch)
         removed = []
         for entry in sorted(os.listdir(path)):
             if not entry.startswith("epoch="):
