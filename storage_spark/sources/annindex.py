@@ -37,10 +37,78 @@ postings/codes the same way ``minhash_band_index`` ingests batches.
 from __future__ import annotations
 
 import json
+import math
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------------------
+# Corpus-sized geometry (the same discipline as dedup.sig_bits_for /
+# embedding_planes_for: static defaults are the measured scale cliff —
+# NOTES_r5 quantified 391 s vs 6.5 s for the simhash analogue — so the
+# DEFAULT derives from the corpus and explicit under-sizing warns).
+# ----------------------------------------------------------------------
+
+def lsh_planes_for(n_vectors: int, target_bucket: int = 64) -> int:
+    """Posting-table signature width that keeps the average bucket
+    bounded: occupancy is ``n / 2^n_planes``, so
+    ``n_planes = log2(n / target_bucket)``, clamped to [4, 24].
+    Per-query candidate work is ``bucket x n_tables`` distance evals
+    (LINEAR in bucket size — unlike the banded dedup joins' square-law
+    pair counts), so 64 keeps a top-10 probe's candidate set comfortably
+    above k yet one codegen batch wide. The static ``n_planes=8`` this
+    replaces put 2^-8 of the corpus in EVERY bucket — ~4M candidates per
+    query at 10^9 vectors."""
+    return min(24, max(4, math.ceil(math.log2(max(2, n_vectors // max(1, target_bucket))))))
+
+
+def lsh_tables_for(n_planes: int) -> int:
+    """Recall compensation for a finer signature: a near neighbor must
+    match ALL ``n_planes`` bits of one table, so single-table recall
+    falls as the width grows. One extra table per 8 bits of width
+    (capped at 4) holds recall roughly flat; query-time
+    ``probe_radius>=1`` composes on top."""
+    return min(4, max(1, math.ceil(n_planes / 8)))
+
+
+def ivf_cells_for(n_vectors: int) -> int:
+    """IVF cell count ``~ sqrt(n)`` (the standard balance point: probe
+    cost ``n_probe * n/n_cells`` vs centroid-scan cost ``n_cells``),
+    clamped to [16, 4096]. The 4096 cap bounds the config.json centroid
+    payload (4096 x dim floats); past ~16M vectors move the centroid
+    store to parquet before raising it."""
+    return min(4096, max(16, math.ceil(math.sqrt(max(1, n_vectors)))))
+
+
+def ivf_probe_for(n_cells: int) -> int:
+    """Suggested ``n_probe`` for a cell count: ``~ sqrt(n_cells)/2``
+    (recall tracks the probed fraction; as cells grow, a constant probe
+    count covers a vanishing fraction). Recorded in config.json at build
+    so ``ann_index_search`` defaults to the width the geometry was sized
+    for."""
+    return max(2, round(math.sqrt(n_cells) / 2))
+
+
+def pq_m_for(dim: int) -> int:
+    """Subquantizer count from the dimension: prefer 8-dim subvectors
+    (the common operating point), falling back through widths that
+    divide ``dim`` evenly — m must divide dim exactly."""
+    for sub in (8, 4, 16, 2, 1):
+        if dim % sub == 0:
+            return max(1, dim // sub)
+    return dim
+
+
+def pq_codes_for(n_vectors: int) -> int:
+    """Codebook size per subquantizer: largest power of two with ~39
+    training vectors per centroid (the standard k-means training floor),
+    clamped to [16, 256] (256 = byte codes, the PQ ceiling)."""
+    if n_vectors <= 39 * 16:
+        return 16
+    return min(256, 1 << int(math.log2(n_vectors / 39)))
 
 
 def build_ann_index(
@@ -51,19 +119,29 @@ def build_ann_index(
     key_col: str = "key",
     vector_col: str = "embedding",
     # lsh
-    n_planes: int = 8,
-    n_tables: int = 1,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     store_vectors: bool = True,
     # ivf
-    n_cells: int = 16,
+    n_cells: int | None = None,
     kmeans_iterations: int = 2,
     metric: str | None = None,
     # pq
-    m: int = 8,
-    k_codes: int = 16,
+    m: int | None = None,
+    k_codes: int | None = None,
+    n_vectors: int | None = None,
 ) -> dict:
     """One corpus scan → a persisted index at ``path``. Returns the
     config dict (also written to ``path/config.json``).
+
+    Geometry defaults are CORPUS-SIZED: omitted ``n_planes``/``n_tables``
+    /``n_cells``/``m``/``k_codes`` derive from the corpus size via the
+    ``*_for`` rules above (``n_vectors`` given, or one count — the build
+    already scans the corpus, so the count is noise next to the encode).
+    The derivation is recorded in config.json (``n_vectors_at_build``,
+    ``derived_geometry``, and for ivf ``suggested_n_probe``) so later
+    maintenance can re-derive as the corpus grows; an explicit value more
+    than 2x under its rule warns (checkable when the count is known).
 
     ``metric`` defaults per kind: cosine for lsh/ivf, l2 for pq (PQ/ADC
     scores squared-L2 throughout — an explicit non-l2 metric with
@@ -81,6 +159,42 @@ def build_ann_index(
         metric = "l2"
     elif metric is None:
         metric = "cosine"
+    omitted = {
+        "lsh": {"n_planes": n_planes, "n_tables": n_tables},
+        "ivf": {"n_cells": n_cells},
+        "pq": {"m": m, "k_codes": k_codes},
+    }[kind]
+    derived = sorted(k for k, v in omitted.items() if v is None)
+    if derived and n_vectors is None:
+        n_vectors = corpus.count()
+    if kind == "lsh":
+        if n_planes is None:
+            n_planes = lsh_planes_for(n_vectors)
+        elif n_vectors is not None and lsh_planes_for(n_vectors) > 2 * n_planes:
+            warnings.warn(
+                f"n_planes={n_planes} is >2x under the sizing rule for "
+                f"n_vectors={n_vectors} (rule: {lsh_planes_for(n_vectors)}); "
+                "posting buckets will blow up — see annindex.lsh_planes_for",
+                stacklevel=2,
+            )
+        if n_tables is None:
+            n_tables = lsh_tables_for(n_planes)
+    elif kind == "ivf":
+        if n_cells is None:
+            n_cells = ivf_cells_for(n_vectors)
+        elif n_vectors is not None and ivf_cells_for(n_vectors) > 2 * n_cells:
+            warnings.warn(
+                f"n_cells={n_cells} is >2x under the sizing rule for "
+                f"n_vectors={n_vectors} (rule: {ivf_cells_for(n_vectors)}); "
+                "every probe scans n/n_cells vectors — see "
+                "annindex.ivf_cells_for",
+                stacklevel=2,
+            )
+    else:
+        if m is None:
+            m = pq_m_for(dim)
+        if k_codes is None:
+            k_codes = pq_codes_for(n_vectors)
     cfg: dict = {
         "kind": kind,
         "dim": dim,
@@ -88,6 +202,10 @@ def build_ann_index(
         "vector_col": vector_col,
         "metric": metric,
     }
+    if n_vectors is not None:
+        cfg["n_vectors_at_build"] = n_vectors
+    if derived:
+        cfg["derived_geometry"] = derived
     src = corpus.select(
         F.col(key_col).alias("key"), F.col(vector_col).alias("embedding")
     )
@@ -102,7 +220,11 @@ def build_ann_index(
             # one full-precision copy (not xn_tables) for rank-time fetch
             src.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
     elif kind == "ivf":
-        cfg.update(n_cells=n_cells, kmeans_iterations=kmeans_iterations)
+        cfg.update(
+            n_cells=n_cells,
+            kmeans_iterations=kmeans_iterations,
+            suggested_n_probe=ivf_probe_for(n_cells),
+        )
         cents = V.ivf_centroids_kmeans(
             src, n_cells, iterations=kmeans_iterations, metric=metric
         )
@@ -228,7 +350,7 @@ def ann_index_search(
     query_key: str = "q_key",
     query_vec: str = "q_vec",
     probe_radius: int = 0,
-    n_probe: int = 2,
+    n_probe: int | None = None,
     refine_factor: int | None = None,
     arrow: bool = False,
 ) -> DataFrame:
@@ -238,8 +360,10 @@ def ann_index_search(
     produces, row-for-row (same ranking code, same stored parameters).
 
     - lsh: ``probe_radius`` composes with the stored n_tables.
-    - ivf: ``n_probe`` cells per query; the cell-partitioned layout makes
-      the probe a partition-pruned read.
+    - ivf: ``n_probe`` cells per query (default: the build-time
+      ``suggested_n_probe`` sized for the index's cell count, falling
+      back to 2 on configs that predate the sizing rules); the
+      cell-partitioned layout makes the probe a partition-pruned read.
     - pq: raw ADC top-k, or exact rerank of ``refine_factor * k``
       candidates when ``refine_factor`` is given.
     """
@@ -263,6 +387,8 @@ def ann_index_search(
     if kind == "ivf":
         assigned = spark.read.parquet(os.path.join(path, "assigned"))
         cents = _centroids_df(spark, cfg)
+        if n_probe is None:
+            n_probe = cfg.get("suggested_n_probe", 2)
         return V.ivf_search(
             queries, assigned, cents, k, n_probe=n_probe,
             metric=cfg["metric"], query_key=query_key, query_vec=query_vec,
@@ -431,6 +557,11 @@ def ann_index_maintain(
             # localCheckpoint: the rebuild overwrites the files this
             # plan reads — materialize the rows first
             corpus = corpus.localCheckpoint(eager=True)
+            # Geometry derived at build re-derives here: the corpus has
+            # grown since (that's usually WHY the policy tripped), so a
+            # rebuild pinned to the old n_cells would re-create the
+            # under-sized index. Explicit build geometry stays explicit.
+            rederive = "n_cells" in cfg.get("derived_geometry", [])
             build_ann_index(
                 corpus,
                 path,
@@ -438,7 +569,7 @@ def ann_index_maintain(
                 dim=cfg["dim"],
                 key_col=cfg["key_col"],
                 vector_col=cfg["vector_col"],
-                n_cells=cfg["n_cells"],
+                n_cells=None if rederive else cfg["n_cells"],
                 kmeans_iterations=cfg["kmeans_iterations"],
                 metric=cfg["metric"],
             )

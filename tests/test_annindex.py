@@ -434,6 +434,155 @@ def test_keys_only_lsh_index_equals_inline_mode(spark, corpus, queries, tmp_path
     ) == want_full
 
 
+def test_geometry_sizing_rules():
+    """VERDICT r6 #1: the sizing rules behind the corpus-sized defaults —
+    monotone in corpus size, exact clamps, and at 20k vectors every
+    derived knob exceeds the old static default (n_planes=8/n_tables=1/
+    n_cells=16/k_codes=16 — the exact pattern that produced the r5 dedup
+    cliff)."""
+    from storage_spark.sources.annindex import (
+        ivf_cells_for,
+        ivf_probe_for,
+        lsh_planes_for,
+        lsh_tables_for,
+        pq_codes_for,
+        pq_m_for,
+    )
+
+    # monotone + clamps
+    prev = 0
+    for n in (10, 1_000, 20_000, 10**6, 10**9, 10**12):
+        p, c, k = lsh_planes_for(n), ivf_cells_for(n), pq_codes_for(n)
+        assert p >= prev
+        prev = p
+        assert 4 <= p <= 24
+        assert 16 <= c <= 4096
+        assert 16 <= k <= 256
+    assert lsh_planes_for(10**12) == 24
+    assert ivf_cells_for(10**12) == 4096
+    assert pq_codes_for(10**12) == 256
+    # 20k vectors: derived > static, per VERDICT's done-criterion
+    assert lsh_planes_for(20_000) > 8
+    assert lsh_tables_for(lsh_planes_for(20_000)) > 1
+    assert ivf_cells_for(20_000) > 16
+    assert pq_codes_for(20_000) > 16
+    # ivf probe guidance scales with cell count
+    assert ivf_probe_for(16) == 2
+    assert ivf_probe_for(4096) > ivf_probe_for(256) > 2
+    # pq m divides dim exactly, prefers 8-dim subvectors
+    for dim in (64, 768, 100, 6):
+        assert dim % pq_m_for(dim) == 0
+    assert pq_m_for(64) == 8
+    assert pq_m_for(768) == 96
+
+
+def test_default_build_derives_and_records_geometry(spark, corpus, tmp_path):
+    """Omitted geometry derives from the corpus (n_vectors passed here to
+    pin the claimed size without an extra count) and the derivation is
+    recorded in config.json so maintenance can re-derive later."""
+    from storage_spark.sources.annindex import ivf_probe_for, lsh_planes_for
+
+    lsh_path = str(tmp_path / "lsh_derived")
+    cfg = build_ann_index(
+        corpus, lsh_path, kind="lsh", dim=DIM, n_vectors=20_000
+    )
+    assert cfg["n_planes"] == lsh_planes_for(20_000) > 8
+    assert cfg["n_tables"] > 1
+    assert cfg["n_vectors_at_build"] == 20_000
+    assert sorted(cfg["derived_geometry"]) == ["n_planes", "n_tables"]
+    ivf_path = str(tmp_path / "ivf_derived")
+    cfg2 = build_ann_index(
+        corpus, ivf_path, kind="ivf", dim=DIM, kmeans_iterations=0,
+        n_vectors=20_000,
+    )
+    assert cfg2["n_cells"] > 16
+    assert cfg2["suggested_n_probe"] == ivf_probe_for(cfg2["n_cells"])
+    # without n_vectors the build counts the corpus itself
+    cfg3 = build_ann_index(
+        corpus.limit(50), str(tmp_path / "pq_derived"), kind="pq", dim=DIM,
+        kmeans_iterations=0,
+    )
+    assert cfg3["n_vectors_at_build"] == 50
+    assert cfg3["m"] == 8 and cfg3["k_codes"] == 16
+    assert DIM % cfg3["m"] == 0
+
+
+def test_undersized_explicit_geometry_warns(spark, corpus, tmp_path):
+    """An explicit width >2x under the rule warns (same contract as
+    dedup.simhash); adequately-sized explicit geometry stays silent."""
+    import warnings as _w
+
+    with pytest.warns(UserWarning, match="sizing rule"):
+        build_ann_index(
+            corpus, str(tmp_path / "u1"), kind="lsh", dim=DIM,
+            n_planes=4, n_tables=1, n_vectors=10**6,
+        )
+    with pytest.warns(UserWarning, match="sizing rule"):
+        build_ann_index(
+            corpus, str(tmp_path / "u2"), kind="ivf", dim=DIM,
+            kmeans_iterations=0, n_cells=16, n_vectors=10**6,
+        )
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        build_ann_index(
+            corpus, str(tmp_path / "u3"), kind="lsh", dim=DIM,
+            n_planes=12, n_tables=2, n_vectors=10**6,
+        )
+
+
+def test_search_defaults_to_suggested_n_probe(spark, corpus, queries, tmp_path):
+    """ann_index_search with n_probe=None reads the build-time
+    suggested_n_probe; configs that predate the rule fall back to 2."""
+    import json
+    import os
+
+    path = str(tmp_path / "ivf_probe_default")
+    cfg = build_ann_index(
+        corpus, path, kind="ivf", dim=DIM, kmeans_iterations=0,
+    )
+    want = _rows(
+        ann_index_search(spark, path, queries, k=5,
+                         n_probe=cfg["suggested_n_probe"])
+    )
+    assert _rows(ann_index_search(spark, path, queries, k=5)) == want
+    # legacy config: drop the suggestion -> default 2
+    del cfg["suggested_n_probe"]
+    with open(os.path.join(path, "config.json"), "w") as fh:
+        json.dump(cfg, fh)
+    assert _rows(ann_index_search(spark, path, queries, k=5)) == _rows(
+        ann_index_search(spark, path, queries, k=5, n_probe=2)
+    )
+
+
+def test_maintain_rebuild_rederives_derived_geometry(spark, corpus, tmp_path):
+    """A rebuild triggered on an index whose geometry was DERIVED at
+    build re-derives from the grown corpus — pinning the old n_cells
+    would re-create the under-sized index the policy just flagged.
+    (Explicit geometry stays explicit: covered by
+    test_ann_index_maintain_compacts_then_rebuilds_on_skew.)"""
+    from storage_spark.sources.annindex import (
+        ann_index_append,
+        ann_index_maintain,
+        ivf_cells_for,
+    )
+
+    path = str(tmp_path / "ivf_rederive")
+    old = corpus.filter(F.col("key").cast("bigint") < 200)
+    build_ann_index(old, path, kind="ivf", dim=DIM, kmeans_iterations=0)
+    assert load_config(path)["n_cells"] == ivf_cells_for(200)
+    one = corpus.filter(F.col("key") == "0").select("embedding").first()
+    bomb = spark.createDataFrame(
+        [(str(10_000 + i), one["embedding"]) for i in range(800)],
+        "key string, embedding array<float>",
+    )
+    ann_index_append(bomb, path)
+    out = ann_index_maintain(spark, path, max_occupancy_factor=1.5)
+    assert out["action"] == "rebuilt"
+    cfg = load_config(path)
+    assert cfg["n_cells"] == ivf_cells_for(1000)  # 200 + 800, re-derived
+    assert cfg["n_vectors_at_build"] == 1000
+
+
 def test_compact_crash_windows_recover(spark, corpus, queries, tmp_path):
     """Review-r6: the two-rename swap must self-recover from BOTH crash
     windows on the next call — (a) died between renames: live dir
