@@ -21,6 +21,7 @@ Output conventions (so value-hash comparison is exact across engines):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1079,6 +1080,7 @@ def q_sign_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=1)
 def _backend_list_stage_path() -> str:
     # PID-keyed: the oracle SQL is a static string built before any
     # sf_dir is known (so it cannot vary per scale), but both the stage
@@ -1097,7 +1099,10 @@ def _backend_list_stage_path() -> str:
     # one stage file per harness process: remove it on exit so short-
     # lived CI processes don't accumulate orphans (and a reused pid
     # can't resurrect a dead process's file — though the eager rewrite
-    # at query-build time already overwrites before any oracle read)
+    # at query-build time already overwrites before any oracle read).
+    # lru_cache on this function keeps the registration to exactly one
+    # handler per process (ADVICE r6: per-invocation registration grew
+    # the atexit registry unboundedly in long-lived harnesses).
     atexit.register(lambda p=path: os.path.exists(p) and os.unlink(p))
     return path
 

@@ -20,6 +20,9 @@ engine-portable and seed-stable; no RNG state.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -80,12 +83,16 @@ def _materialize(df: DataFrame, flag) -> DataFrame:
       InMemoryTableScan. Preferred at scale when the intermediate fits
       the chosen storage tier; lineage stays intact (no truncation).
 
-    Lifetime note for the persist strategies: the pinned blocks live
-    until the session ends or ``spark.catalog.clearCache()`` — the
-    handle is internal, so a LOOP calling a persisting operator per
-    batch accumulates pinned storage. For unbounded batch loops use
-    ``"checkpoint"`` (blocks are owned by the lineage and GC'd with the
-    DataFrame) or clear the cache between iterations."""
+    Lifetime of the persist strategies: the pinned blocks live until the
+    session ends, ``spark.catalog.clearCache()`` (which also drops
+    UNRELATED caches), or — the supported per-batch form — the enclosing
+    ``materialize_scope()`` exits: every frame persisted inside the
+    scope is unpersisted on exit, so a LOOP calling a persisting
+    operator per batch frees each iteration's blocks
+    (``with materialize_scope(): kept = curate_corpus(...,
+    materialize="disk"); kept.collect()``). Without a scope, prefer
+    ``"checkpoint"`` for unbounded loops (blocks are owned by the
+    lineage and GC'd with the DataFrame)."""
     if flag is True or flag == "checkpoint":
         return df.localCheckpoint(eager=True)
     if flag in ("cache", "disk"):
@@ -96,13 +103,43 @@ def _materialize(df: DataFrame, flag) -> DataFrame:
             if flag == "cache"
             else StorageLevel.DISK_ONLY
         )
-        return df.persist(level)
+        df = df.persist(level)
+        stack = getattr(_SCOPE_STACK, "frames", None)
+        if stack:
+            stack[-1].append(df)
+        return df
     if flag is not False:
         raise ValueError(
             f"materialize must be False|True|'checkpoint'|'cache'|'disk', "
             f"got {flag!r}"
         )
     return df
+
+
+_SCOPE_STACK = threading.local()
+
+
+@contextlib.contextmanager
+def materialize_scope():
+    """Bounds the lifetime of ``materialize='cache'/'disk'`` blocks
+    (ADVICE r6: the persisted handles were internal, so per-batch
+    callers could only ``spark.catalog.clearCache()``, dropping
+    unrelated caches too). Every frame a persist strategy pins inside
+    the ``with`` block is registered here and unpersisted on exit —
+    consume the results (collect/write) INSIDE the block; afterwards the
+    lineage recomputes from source. Scopes nest (innermost owns); the
+    registry is thread-local, matching Spark's one-driver-thread-per-
+    job-group usage. Yields the list of pinned frames (diagnostics)."""
+    frames: list[DataFrame] = []
+    if not hasattr(_SCOPE_STACK, "frames"):
+        _SCOPE_STACK.frames = []
+    _SCOPE_STACK.frames.append(frames)
+    try:
+        yield frames
+    finally:
+        _SCOPE_STACK.frames.pop()
+        for df in frames:
+            df.unpersist()
 
 
 def _cap_band_buckets(
@@ -442,7 +479,10 @@ def simhash(
 
     Signature width is CORPUS-SIZED by default: with ``n_bits=None`` the
     width comes from ``sig_bits_for(n_docs)`` (``n_docs`` given, or one
-    cheap column-pruned ``df.count()`` when omitted). This is the knob
+    column-pruned ``df.count()`` when omitted — NOTE this count is an
+    EAGER job that re-executes the full upstream lineage on every call;
+    when ``df`` is an expensive plan, pass ``n_docs`` or count a
+    materialized input once yourself). This is the knob
     the sf1 probe measured (NOTES_r5): a 16-bit signature on a 50k-doc
     corpus ran the banded join in 391 s because candidate pairs grow
     with the SQUARE of bucket occupancy; the sized 48-bit width ran the
@@ -810,8 +850,10 @@ def embedding_near_dup_pairs(
 
     Signature geometry is CORPUS-SIZED by default: with
     ``n_planes=band_size=None`` both come from
-    ``embedding_planes_for(n_docs)`` (``n_docs`` given, or one cheap
-    column-pruned count when omitted) — the static 8-plane/4-bit-band
+    ``embedding_planes_for(n_docs)`` (``n_docs`` given, or one
+    column-pruned count when omitted — NOTE that count is an EAGER job
+    re-executing the full upstream lineage per call; pass ``n_docs``
+    when ``vectors`` is an expensive plan) — the static 8-plane/4-bit-band
     config the sf1 probe measured at 244 s on 50k docs derives only for
     small corpora; 50k docs derive the measured (16, 8) = 18.7 s config.
     Pass both explicitly to pin a configuration (an explicit band_size
@@ -856,7 +898,11 @@ def embedding_near_dup_pairs(
                 "dedup.embedding_planes_for",
                 stacklevel=2,
             )
-    assert n_planes % band_size == 0
+    if n_planes % band_size:
+        raise ValueError(
+            f"n_planes={n_planes} must be a multiple of band_size="
+            f"{band_size} (bands split the signature evenly)"
+        )
     n_bands = n_planes // band_size
     # A dim/plane-length mismatch silently zero-collapses every signature
     # (zip_with null-pads → dot folds NULL → every bit '0' → one giant

@@ -129,6 +129,9 @@ def curate_corpus(
     Measured at 50k docs (sf1 A/B, NOTES_r6): disk 38.7 s < checkpoint
     43.3 s < cache 53.0 s < off 60.0 s — ``"disk"`` is the recommended
     at-scale setting; the default stays ``False`` (pure transform).
+    Per-batch callers: wrap the call AND its consuming action in
+    ``dedup.materialize_scope()`` so the pinned blocks are released on
+    exit instead of accumulating for the session.
     """
     from storage_spark.operators.dedup import _materialize
 

@@ -109,7 +109,22 @@ def dedup_ingest_batch(
     from pyspark.errors import AnalysisException
 
     spark = batch.sparkSession
-    batch = batch.dropDuplicates([id_col])
+    # Intra-batch id discipline (ADVICE r6): exact (id, text) repeats
+    # inside one batch collapse idempotently, but the same id carrying
+    # DIFFERENT text is a real collision — the near-dup gate cannot see
+    # it (pair canonicalization needs distinct ids), and silently picking
+    # one row would ingest an arbitrary winner. One tiny agg over the
+    # batch only (map-side combinable, bounded by batch size).
+    batch = batch.dropDuplicates([id_col, text_col])
+    clash = (
+        batch.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if clash:
+        raise ValueError(
+            f"batch epoch={epoch_id} carries the same {id_col} with "
+            "differing text — an intra-batch id collision the near-dup "
+            "gate cannot canonicalize; fix the source ids"
+        )
     index = _read_index(spark, index_path, exclude_epoch=int(epoch_id))
     # Id uniqueness is the invariant the pair canonicalization relies on:
     # incremental_minhash_pairs drops index-vs-batch pairs with EQUAL ids,

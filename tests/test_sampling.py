@@ -432,6 +432,48 @@ def test_materialize_strategies_agree(spark, sf_dir):
         curate_corpus(docs, materialize="ram")
 
 
+def test_materialize_scope_releases_pinned_blocks(spark, sf_dir):
+    """ADVICE r6: persist-strategy blocks were pinned for the session
+    with no handle. materialize_scope() registers every frame an
+    operator persists inside it and unpersists them on exit — results
+    computed inside stay correct, and the persistent-RDD registry
+    returns to its baseline afterwards (per-batch loops stop
+    accumulating pinned storage)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.dedup import materialize_scope
+    from storage_spark.operators.pipeline import curate_corpus
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 120)
+    )
+    want = sorted(
+        map(tuple, curate_corpus(docs, min_quality=0.4, min_jaccard=0.02).collect())
+    )
+    with materialize_scope() as pinned:
+        got = sorted(
+            map(
+                tuple,
+                curate_corpus(
+                    docs, min_quality=0.4, min_jaccard=0.02,
+                    materialize="disk",
+                ).collect(),
+            )
+        )
+        assert got == want
+        assert len(pinned) > 0  # the operator's persists were captured
+        assert all(
+            df.storageLevel != StorageLevel.NONE for df in pinned
+        )
+    assert all(df.storageLevel == StorageLevel.NONE for df in pinned)
+    # outside any scope, persists are NOT captured (old behavior intact)
+    with materialize_scope() as outer:
+        pass
+    assert outer == []
+
+
 def test_split_overlap_report_empty_on_leakage_free_split(spark, sf_dir):
     """The audit and the guarantee, closed loop: a NAIVE per-doc split
     over a near-dup corpus shows cross-split pairs; leakage_free_split

@@ -98,6 +98,26 @@ def test_stream_matches_sequential_recompute(spark, tmp_path):
     assert {t.split()[0] for t in texts} == {"alpha", "one", "seven", "thirteen"}
 
 
+def test_intra_batch_id_discipline(spark, tmp_path):
+    """ADVICE r6: within ONE batch, exact (id, text) repeats collapse
+    idempotently (accepted exactly once — the row-preserving guarantee
+    compaction relies on), but the same id with DIFFERENT text is a
+    collision the near-dup gate cannot canonicalize → raise."""
+    import pytest
+
+    idx, acc = str(tmp_path / "idx"), str(tmp_path / "acc")
+    # exact repeat of doc 2 inside the batch: accepted once, no raise
+    repeats = [DOCS[0], DOCS[2], DOCS[2]]
+    dedup_ingest_batch(_docs_df(spark, repeats), 0, idx, acc, **KW)
+    assert _accepted_ids(spark, acc) == {0, 2}
+    counts = spark.read.parquet(acc).groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in counts)
+    # same id, different text, same batch → collision → raise
+    clash = [(40, "first version of the text"), (40, "second disagreeing text")]
+    with pytest.raises(ValueError, match="intra-batch id collision"):
+        dedup_ingest_batch(_docs_df(spark, clash), 1, idx, acc, **KW)
+
+
 def test_id_reuse_across_epochs_raises(spark, tmp_path):
     """An id already in the index is the one thing the gate cannot judge
     (same-id index-vs-batch pairs are canonicalization-filtered), so it
