@@ -486,6 +486,18 @@ def main() -> None:
 
     # warm the JVM + file listings once (steady-state timing, not cold-start)
     t["objects"].count()
+    # ...and the Arrow/pandas-UDF worker pool: a session's FIRST pandas
+    # UDF pays Python-worker spawn + Arrow init — measured 5.5 s vs
+    # 1.3 s steady on pq_rerank's trial walls (NOTES_r7 probe 4, the
+    # bench's first arrow entry and the r6 "bimodal median" finding).
+    # One tiny vectorized eval moves that cost out of the timing windows.
+    from storage_spark.functions.vectors import l2_distance_arrow
+
+    spark.range(1).select(
+        l2_distance_arrow(
+            F.array(F.lit(0.0)), F.array(F.lit(0.0))
+        ).alias("_warm")
+    ).count()
 
     # Repeat each query and report the MIN: this VM's shuffle-cleanup stalls
     # (NOTES_r1.md §2: identical plans swing 2 s -> 400 s with 80% kernel

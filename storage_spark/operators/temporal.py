@@ -365,7 +365,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     on: str | Sequence[str] | None = None,
-    bin_width: int = 3_600_000,
+    bin_width: int | None = None,
     closed: str = "left",
 ) -> DataFrame:
     """Inner point-in-interval join via fixed-width bin bucketing.
@@ -375,14 +375,40 @@ def interval_join(
     join ``ON p.t >= i.start AND p.t < i.end`` (``closed='left'``; 'both'
     makes the end inclusive). ``on`` optionally adds equi-key columns.
 
-    ``bin_width`` is in the ts columns' unit (default 1h in ms). An
-    interval of length L costs ceil(L/W)+1 exploded rows — pick W near the
-    median interval length. The join itself is a plain hash equi-join on
-    (keys..., bin): shuffle-partitioned, AQE-skew-splittable, no
-    BroadcastNestedLoop (plan-tested in tests/test_plans.py).
+    ``bin_width`` is in the ts columns' unit. An interval of length L
+    costs ceil(L/W)+1 exploded rows; a too-large W instead packs many
+    intervals into each bin and the join fans out per point — W near the
+    MEDIAN interval length balances the two, so the DEFAULT
+    (``bin_width=None``) derives it from the data: one
+    ``percentile_approx(end-start, 0.5)`` aggregate over ``intervals``
+    (an EAGER job re-executing that side's lineage — pass an explicit
+    width when ``intervals`` is an expensive plan or the call sits in a
+    per-batch loop; the RESULT is identical for any W, only cost moves).
+    Probe-measured at sf1 (NOTES_r7, 1M points x 40k intervals of ~8h
+    median length): W=60s exploded the interval side 240x over the
+    derived width and ran 31x slower; the old fixed 1h default was 4.5x
+    the exploded rows / 1.3x the wall. The cliff is W far BELOW the
+    median; W far above it instead packs many intervals per bin — that
+    only bites UNKEYED joins (equi-keys already split the buckets), so
+    pick an explicit sub-median W there if fan-out shows up. The join
+    itself is a plain hash equi-join on (keys..., bin):
+    shuffle-partitioned, AQE-skew-splittable, no BroadcastNestedLoop
+    (plan-tested in tests/test_plans.py).
     """
     if closed not in ("left", "both"):
         raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+    if bin_width is None:
+        row = intervals.select(
+            F.percentile_approx(
+                F.col(end_col) - F.col(start_col), F.lit(0.5)
+            ).alias("m")
+        ).first()
+        # empty/degenerate interval side: any width is equally cheap
+        bin_width = (
+            max(1, int(row["m"]))
+            if row is not None and row["m"] is not None
+            else 3_600_000
+        )
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     binc = "_iv_bin"
 

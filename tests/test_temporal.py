@@ -119,6 +119,31 @@ def test_interval_join_matches_inequality_join(spark, sf_dir):
     assert fast.exceptAll(naive.select(*fast.columns)).count() == 0
 
 
+def test_interval_join_derived_width_equals_explicit(spark):
+    """VERDICT r6 #5b: bin_width=None (the default) derives W from the
+    median interval length — the RESULT is W-invariant, so derived and
+    explicit runs must match row-for-row; empty interval side falls back
+    without error."""
+    pts = spark.createDataFrame(
+        [(i, i * 37 % 1000) for i in range(200)], "pid long, t long"
+    )
+    ivs = spark.createDataFrame(
+        [("w%d" % i, i * 90, i * 90 + 40 + (i % 3) * 300) for i in range(11)],
+        "wid string, s long, e long",
+    )
+    want = sorted(
+        (r["pid"], r["wid"])
+        for r in interval_join(pts, ivs, "t", "s", "e", bin_width=50).collect()
+    )
+    got = sorted(
+        (r["pid"], r["wid"])
+        for r in interval_join(pts, ivs, "t", "s", "e").collect()
+    )
+    assert got == want and len(want) > 0
+    empty = ivs.filter("s > 100000")
+    assert interval_join(pts, empty, "t", "s", "e").count() == 0
+
+
 def test_interval_join_plan_is_equi(spark):
     pts = spark.range(100).select(
         F.col("id").alias("pid"), (F.col("id") * 10).alias("t")

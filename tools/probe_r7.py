@@ -101,7 +101,9 @@ def probe_interval_binwidth(spark):
 
     print("probe 2: interval_join bin_width blow-up at sf1", flush=True)
     ev = spark.read.parquet(f"{SF1}/events.parquet").select(
-        F.unix_millis(F.col("ts")).alias("t"), "event_id", "user_id"
+        # sf1 events ship TIMESTAMP_NTZ (TESTDATA gotcha) — cast first
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id", "user_id",
     ).localCheckpoint(eager=True)
     # realistic skewed interval lengths: per-user activity windows —
     # first/last event of each (user, day) slice; lengths span seconds
@@ -227,9 +229,20 @@ def probe_keysonly_fat(spark):
                 spark, path, qs, k=10, probe_radius=1
             ).count()
             qt2 = time.time() - t0
+            t0 = time.time()
+            ann_index_search(
+                spark, path, qs, k=10, probe_radius=1, arrow=True
+            ).count()
+            qa = time.time() - t0
+            t0 = time.time()
+            ann_index_search(
+                spark, path, qs, k=10, probe_radius=1, arrow=True
+            ).count()
+            qa2 = time.time() - t0
             print(
                 f"  {mode}: build={bt:.1f}s bytes={du} "
-                f"query={qt:.1f}s/{qt2:.1f}s rows={n}",
+                f"query={qt:.1f}s/{qt2:.1f}s "
+                f"arrow={qa:.1f}s/{qa2:.1f}s rows={n}",
                 flush=True,
             )
     finally:
