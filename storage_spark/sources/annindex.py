@@ -17,6 +17,9 @@ Layout under ``path/``:
 - ``config.json`` — kind + the exact build parameters (and the learned
   centroids / codebooks, which are the bounded driver-side objects any
   implementation must hold).
+- ``centroids/`` (ivf, only when ``n_cells > _CENTROIDS_INLINE_MAX``) —
+  the quantizer as a (cell, centroid float32) parquet table: a 65536-cell
+  quantizer is data, not config.json payload.
 - ``postings/``  (lsh)  — the exploded multi-table posting rows of
   ``lsh_corpus_postings``: (key, embedding, _cn, _sig) inline, or
   (key, _cn, _sig) in keys-only mode (``store_vectors=False`` — for
@@ -77,10 +80,11 @@ def lsh_tables_for(n_planes: int) -> int:
 def ivf_cells_for(n_vectors: int) -> int:
     """IVF cell count ``~ sqrt(n)`` (the standard balance point: probe
     cost ``n_probe * n/n_cells`` vs centroid-scan cost ``n_cells``),
-    clamped to [16, 4096]. The 4096 cap bounds the config.json centroid
-    payload (4096 x dim floats); past ~16M vectors move the centroid
-    store to parquet before raising it."""
-    return min(4096, max(16, math.ceil(math.sqrt(max(1, n_vectors)))))
+    clamped to [16, 65536]. Above ``_CENTROIDS_INLINE_MAX`` cells the
+    centroids live in a parquet side table instead of config.json, so
+    the cap is the practical ceiling of a broadcastable quantizer
+    (65536 x 768 floats = 200 MB), not a serialization limit."""
+    return min(65536, max(16, math.ceil(math.sqrt(max(1, n_vectors)))))
 
 
 def ivf_probe_for(n_cells: int) -> int:
@@ -229,7 +233,7 @@ def build_ann_index(
             src, n_cells, iterations=kmeans_iterations, metric=metric
         )
         # Pin centroids to float32 BEFORE the build-time assignment: the
-        # persisted config reloads them as array<float>, and an
+        # persisted store reloads them as array<float>, and an
         # empty-cell centroid (kept as a raw corpus vector) or an
         # iterations=0 build on a double-typed corpus would otherwise be
         # double here but float on reload — assignments near cell
@@ -237,16 +241,26 @@ def build_ann_index(
         cents = cents.select(
             "cell", F.col("centroid").cast("array<float>").alias("centroid")
         )
-        cfg["centroids"] = [
-            [float(x) for x in r["centroid"]]
-            for r in sorted(cents.collect(), key=lambda r: r["cell"])
-        ]
-        # Rebuild the centroid frame FROM the collected config: the
-        # kmeans plan runs exactly once (the collect above) instead of
+        if n_cells > _CENTROIDS_INLINE_MAX:
+            # big quantizer: centroids live in a parquet side table, not
+            # config.json (65536 x dim floats is data, not config). The
+            # write below materializes the kmeans plan exactly once.
+            cfg["centroids_store"] = "parquet"
+            cents.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(path, "centroids")
+            )
+        else:
+            cfg["centroids"] = [
+                [float(x) for x in r["centroid"]]
+                for r in sorted(cents.collect(), key=lambda r: r["cell"])
+            ]
+        # Rebuild the centroid frame FROM the persisted store (collected
+        # config values / the just-written parquet): the kmeans plan runs
+        # exactly once (the collect or write above) instead of
         # re-executing for the assignment write and the drift agg below,
         # and build-time assignment provably uses the very values every
         # later reload will — not merely cast-equal ones.
-        cents = _centroids_df(corpus.sparkSession, cfg)
+        cents = _centroids_df(corpus.sparkSession, cfg, path)
         (
             V.ivf_assign(src, cents, metric)
             .write.mode("overwrite")
@@ -292,10 +306,20 @@ def load_config(path: str) -> dict:
         return json.load(fh)
 
 
-def _centroids_df(spark: SparkSession, cfg: dict) -> DataFrame:
+_CENTROIDS_INLINE_MAX = 1024
+
+
+def _centroids_df(spark: SparkSession, cfg: dict, path: str) -> DataFrame:
     """The stored ivf centroids as the (cell, centroid) frame every
     consumer (build-time assign, append, search, stats) ranks against —
-    one definition so they are bit-identical by construction."""
+    one definition so they are bit-identical by construction. Small
+    quantizers inline in config.json; above ``_CENTROIDS_INLINE_MAX``
+    cells they live in ``path/centroids`` parquet (float32 round-trips
+    exactly either way)."""
+    if cfg.get("centroids_store") == "parquet":
+        return spark.read.parquet(os.path.join(path, "centroids")).select(
+            "cell", F.col("centroid").cast("array<float>").alias("centroid")
+        )
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(cfg["centroids"])],
         "cell int, centroid array<float>",
@@ -328,7 +352,7 @@ def ann_index_append(batch: DataFrame, path: str) -> None:
         if not cfg.get("store_vectors", True):
             src.write.mode("append").parquet(os.path.join(path, "vectors"))
     elif kind == "ivf":
-        cents = _centroids_df(batch.sparkSession, cfg)
+        cents = _centroids_df(batch.sparkSession, cfg, path)
         (
             V.ivf_assign(src, cents, cfg["metric"])
             .write.mode("append")
@@ -386,7 +410,7 @@ def ann_index_search(
         )
     if kind == "ivf":
         assigned = spark.read.parquet(os.path.join(path, "assigned"))
-        cents = _centroids_df(spark, cfg)
+        cents = _centroids_df(spark, cfg, path)
         if n_probe is None:
             n_probe = cfg.get("suggested_n_probe", 2)
         return V.ivf_search(
@@ -598,7 +622,7 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     if cfg["kind"] != "ivf":
         raise ValueError(f"ivf_cell_stats needs an ivf index, got {cfg['kind']}")
     assigned = spark.read.parquet(os.path.join(path, "assigned"))
-    cents = _centroids_df(spark, cfg)
+    cents = _centroids_df(spark, cfg, path)
     d = _metric_distance(cfg["metric"], F.col("embedding"), F.col("centroid"))
     return (
         assigned.join(F.broadcast(cents), "cell")
