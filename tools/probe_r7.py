@@ -64,7 +64,8 @@ def probe_minhash_banding(spark):
     )
     print("probe 1: minhash banding occupancy/blow-up at sf1", flush=True)
     for n_docs in (12_500, 25_000, 50_000):
-        sub = docs.filter(F.col("doc_id") < n_docs).localCheckpoint(eager=True)
+        # sf1 doc_ids are SPARSE (0..905k over 50k rows): subset by rank
+        sub = docs.orderBy("doc_id").limit(n_docs).localCheckpoint(eager=True)
         for n_hashes, band_size in ((8, 2), (24, 3), (64, 4)):
             t = band_threshold(n_hashes, band_size)
             bands = minhash_band_index(
