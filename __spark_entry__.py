@@ -21,7 +21,6 @@ Output conventions (so value-hash comparison is exact across engines):
 
 from __future__ import annotations
 
-import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1080,31 +1079,63 @@ def q_sign_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@functools.lru_cache(maxsize=1)
+_TMP_CLEANUP_REGISTERED = False
+
+
+def _cleanup_pid_tmp() -> None:
+    """Remove THIS process's pid-keyed scratch artifacts (the stage file
+    plus the stream_acc_/ann_index_drv_ trees). The pid is read at EXIT
+    time, so the single registration survives fork() correctly: a forked
+    child inherits the handler and cleans its OWN pid's files, never the
+    parent's."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    pid = os.getpid()
+    tmp = tempfile.gettempdir()
+    p = os.path.join(tmp, f"backend_list_oracle_{pid}.parquet")
+    if os.path.exists(p):
+        os.unlink(p)
+    for pattern in (f"stream_acc_{pid}_*", f"ann_index_drv_{pid}_*"):
+        for d in glob.glob(os.path.join(tmp, pattern)):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _register_tmp_cleanup() -> None:
+    # exactly one handler per process (ADVICE r6: per-invocation
+    # registration grew the atexit registry unboundedly); the flag is
+    # inherited by fork, but that is harmless because the inherited
+    # HANDLER derives all paths from the pid at exit time (review r7:
+    # the previous lru_cache on the path function survived fork and
+    # handed the child its parent's stage path — the cross-process race
+    # the pid keying exists to prevent)
+    global _TMP_CLEANUP_REGISTERED
+    if not _TMP_CLEANUP_REGISTERED:
+        import atexit
+
+        atexit.register(_cleanup_pid_tmp)
+        _TMP_CLEANUP_REGISTERED = True
+
+
 def _backend_list_stage_path() -> str:
     # PID-keyed: the oracle SQL is a static string built before any
     # sf_dir is known (so it cannot vary per scale), but both the stage
     # write and the oracle read happen inside ONE harness process — the
     # pid keys them together. Two harness processes racing at different
-    # scales (the ADVICE-r5 flake) now each stage their own file; within
+    # scales (the ADVICE-r5 flake) each stage their own file; within
     # a process, the stage is rewritten eagerly at query-build time
     # before the oracle reads it, so sf switches stay consistent.
-    import atexit
+    # Computed FRESH each call (never cached): after a fork() the child
+    # must derive its own pid's path.
     import os
     import tempfile
 
-    path = os.path.join(
+    _register_tmp_cleanup()
+    return os.path.join(
         tempfile.gettempdir(), f"backend_list_oracle_{os.getpid()}.parquet"
     )
-    # one stage file per harness process: remove it on exit so short-
-    # lived CI processes don't accumulate orphans (and a reused pid
-    # can't resurrect a dead process's file — though the eager rewrite
-    # at query-build time already overwrites before any oracle read).
-    # lru_cache on this function keeps the registration to exactly one
-    # handler per process (ADVICE r6: per-invocation registration grew
-    # the atexit registry unboundedly in long-lived harnesses).
-    atexit.register(lambda p=path: os.path.exists(p) and os.unlink(p))
-    return path
 
 
 def q_backend_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1382,6 +1413,7 @@ def q_ann_index_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir).select("key", "embedding").filter(
         F.col("key").cast("bigint") < 400
     )
+    _register_tmp_cleanup()  # pid-keyed tree: removed at process exit
     path = os.path.join(
         tempfile.gettempdir(),
         f"ann_index_drv_{os.getpid()}_"
@@ -2758,6 +2790,7 @@ def q_stream_accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         t["documents"].filter(F.col("doc_id") < 150).select("doc_id", "text")
     )
+    _register_tmp_cleanup()  # pid-keyed tree: removed at process exit
     base = os.path.join(
         tempfile.gettempdir(),
         f"stream_acc_{os.getpid()}_"

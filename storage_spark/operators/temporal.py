@@ -398,17 +398,20 @@ def interval_join(
     if closed not in ("left", "both"):
         raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
     if bin_width is None:
-        row = intervals.select(
+        # median over STRICTLY POSITIVE lengths only: instantaneous
+        # (end==start) or corrupt (end<start) rows — which the join
+        # itself tolerates — must not drag the median to <=0 and derive
+        # millisecond bins that explode every real interval (review r7:
+        # an hour-long interval at W=1 is 3.6M exploded rows)
+        row = intervals.filter(F.col(end_col) > F.col(start_col)).select(
             F.percentile_approx(
                 F.col(end_col) - F.col(start_col), F.lit(0.5)
             ).alias("m")
         ).first()
-        # empty/degenerate interval side: any width is equally cheap
-        bin_width = (
-            max(1, int(row["m"]))
-            if row is not None and row["m"] is not None
-            else 3_600_000
-        )
+        m = row["m"] if row is not None else None
+        # no measurable lengths: any width is equally cheap — keep the
+        # old fixed default
+        bin_width = int(m) if m is not None and m > 0 else 3_600_000
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     binc = "_iv_bin"
 

@@ -113,18 +113,31 @@ def dedup_ingest_batch(
     # inside one batch collapse idempotently, but the same id carrying
     # DIFFERENT text is a real collision — the near-dup gate cannot see
     # it (pair canonicalization needs distinct ids), and silently picking
-    # one row would ingest an arbitrary winner. One tiny agg over the
-    # batch only (map-side combinable, bounded by batch size).
-    batch = batch.dropDuplicates([id_col, text_col])
-    clash = (
-        batch.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).count()
+    # one row would ingest an arbitrary winner. ONE probe job over the
+    # raw batch (map-side combinable countDistinct); the collapse itself
+    # stays a lazy dropDuplicates in the main lineage, so no second
+    # re-execution of an expensive batch source per tick (review r7).
+    collided = (
+        batch.groupBy(id_col)
+        .agg(
+            # countDistinct ignores NULLs: count a null-text variant as
+            # one more distinct value so (null, "x") under one id raises
+            (
+                F.countDistinct(text_col)
+                + F.max(F.when(F.col(text_col).isNull(), 1).otherwise(0))
+            ).alias("_nt")
+        )
+        .filter(F.col("_nt") > 1)
+        .limit(1)
+        .count()
     )
-    if clash:
+    if collided:
         raise ValueError(
             f"batch epoch={epoch_id} carries the same {id_col} with "
             "differing text — an intra-batch id collision the near-dup "
             "gate cannot canonicalize; fix the source ids"
         )
+    batch = batch.dropDuplicates([id_col, text_col])
     index = _read_index(spark, index_path, exclude_epoch=int(epoch_id))
     # Id uniqueness is the invariant the pair canonicalization relies on:
     # incremental_minhash_pairs drops index-vs-batch pairs with EQUAL ids,
