@@ -467,7 +467,7 @@ def lsh_ann_join(
     corpus: DataFrame,
     k: int,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     metric: str = "cosine",
     query_key: str = "q_key",
     query_vec: str = "q_vec",
@@ -475,7 +475,8 @@ def lsh_ann_join(
     corpus_vec: str = "embedding",
     arrow: bool = False,
     probe_radius: int = 0,
-    n_tables: int = 1,
+    n_tables: int | None = None,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """ANN via hyperplane-bucket equi-join: candidates share a bucket
     signature, then exact distance + window rank within candidates.
@@ -497,7 +498,34 @@ def lsh_ann_join(
     corpus + (dim, n_planes, n_tables) — persist it once with
     ``sources.annindex.build_ann_index`` and repeated queries skip the
     corpus encode entirely (the pgvector analogue: the index IS a table).
+
+    Geometry is CORPUS-SIZED by default (r7, the same discipline as the
+    persistent index): ``n_planes=None`` derives via
+    ``annindex.lsh_planes_for(n_corpus)`` — ``n_corpus`` given, or one
+    column-pruned EAGER count of the corpus (pass ``n_corpus`` when the
+    corpus is an expensive plan); ``n_tables=None`` derives via
+    ``lsh_tables_for``. The static 8-plane default this replaces put
+    2^-8 of the corpus in every bucket — ~4M candidates per query at
+    10^9 vectors. An explicit ``n_planes`` >2x under the rule warns
+    when ``n_corpus`` is known.
     """
+    from storage_spark.sources.annindex import lsh_planes_for, lsh_tables_for
+
+    if n_planes is None:
+        if n_corpus is None:
+            n_corpus = corpus.count()
+        n_planes = lsh_planes_for(n_corpus)
+    elif n_corpus is not None and lsh_planes_for(n_corpus) > 2 * n_planes:
+        import warnings
+
+        warnings.warn(
+            f"n_planes={n_planes} is >2x under the sizing rule for "
+            f"n_corpus={n_corpus} (rule: {lsh_planes_for(n_corpus)}); "
+            "buckets will blow up — see annindex.lsh_planes_for",
+            stacklevel=2,
+        )
+    if n_tables is None:
+        n_tables = lsh_tables_for(n_planes)
     c = lsh_corpus_postings(
         corpus, dim, n_planes, n_tables, corpus_vec=corpus_vec
     )

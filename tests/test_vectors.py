@@ -37,6 +37,44 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall > 0.05, f"LSH recall suspiciously low: {recall:.2f}"
 
 
+def test_lsh_ann_join_default_geometry_derives(spark, sf_dir):
+    """r7: the ad-hoc join's geometry is corpus-sized by default, same
+    discipline as the persistent index — omitted n_planes/n_tables
+    derive from the corpus count (or the n_corpus hint), and the derived
+    run equals an explicit run at the same operating point."""
+    from storage_spark.sources.annindex import lsh_planes_for, lsh_tables_for
+
+    v = _vectors(spark, sf_dir).cache()
+    queries = v.filter(F.col("key").cast("bigint") < 10).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    n = v.count()
+    p, t = lsh_planes_for(n), lsh_tables_for(lsh_planes_for(n))
+    want = sorted(
+        (r.q_key, r.key, r.rank)
+        for r in lsh_ann_join(
+            queries, v, k=3, dim=64, n_planes=p, n_tables=t
+        ).collect()
+    )
+    got = sorted(
+        (r.q_key, r.key, r.rank)
+        for r in lsh_ann_join(queries, v, k=3, dim=64).collect()
+    )
+    assert got == want
+    # n_corpus hint skips the count and pins the same derivation
+    hinted = sorted(
+        (r.q_key, r.key, r.rank)
+        for r in lsh_ann_join(queries, v, k=3, dim=64, n_corpus=n).collect()
+    )
+    assert hinted == want
+    import pytest
+
+    with pytest.warns(UserWarning, match="sizing rule"):
+        lsh_ann_join(
+            queries, v, k=3, dim=64, n_planes=4, n_corpus=10**6
+        )
+
+
 def test_multiprobe_and_multitable_strictly_widen_candidates(spark, sf_dir):
     """Each recall lever must dominate the baseline: the probe-radius-1
     candidate set contains the exact-bucket set, and 4 tables contain
