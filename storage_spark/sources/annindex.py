@@ -169,16 +169,11 @@ def build_ann_index(
         "pq": {"m": m, "k_codes": k_codes},
     }[kind]
     derived = sorted(k for k, v in omitted.items() if v is None)
-    # Count the corpus ONLY for the knobs that need it: n_tables derives
-    # from n_planes and pq's m from dim, so e.g. kind='pq' with explicit
+    # Count the corpus ONLY for the knobs that need it (n_tables derives
+    # from n_planes and pq's m from dim), so e.g. kind='pq' with explicit
     # k_codes must not eagerly re-execute an expensive corpus plan just
     # to record n_vectors_at_build (review r7).
-    needs_count = {
-        "lsh": n_planes is None,
-        "ivf": n_cells is None,
-        "pq": k_codes is None,
-    }[kind]
-    if needs_count and n_vectors is None:
+    if {"n_planes", "n_cells", "k_codes"} & set(derived) and n_vectors is None:
         n_vectors = corpus.count()
     if kind == "lsh":
         if n_planes is None:
