@@ -282,11 +282,159 @@ def probe_pq_bimodal(spark):
     print(f"  trials: {walls}", flush=True)
 
 
+def probe_derived_geometry_sf1(spark):
+    """VERDICT r6 #1 done-criterion: measured sf1 before/after for the
+    ANN index default path — old static geometry vs the corpus-derived
+    one at 20k vectors, query wall AND recall vs brute force."""
+    import shutil
+    import tempfile
+
+    from storage_spark.functions.vectors import knn_join
+    from storage_spark.sources.annindex import (
+        ann_index_search,
+        build_ann_index,
+        ivf_probe_for,
+    )
+
+    print("probe 5: static vs derived index geometry at sf1 (20k vectors)",
+          flush=True)
+    v = (
+        spark.read.parquet(f"{SF1}/embeddings.parquet")
+        .select(F.col("vec_id").cast("string").alias("key"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    qs = v.filter(F.col("key").cast("bigint") < 50).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    ).localCheckpoint(eager=True)
+    truth = {
+        (r["q_key"], r["key"])
+        for r in knn_join(qs, v, k=10).select("q_key", "key").collect()
+    }
+    base = tempfile.mkdtemp(prefix="probe_geo_")
+
+    def run(tag, build_kw, search_kw):
+        path = f"{base}/{tag}"
+        t0 = time.time()
+        cfg = build_ann_index(v, path, **build_kw)
+        bt = time.time() - t0
+        for _ in range(2):  # second run = steady state
+            t0 = time.time()
+            got = ann_index_search(spark, path, qs, k=10, **search_kw)
+            rows = got.select("q_key", "key").collect()
+            qt = time.time() - t0
+        rec = len({(r["q_key"], r["key"]) for r in rows} & truth) / len(truth)
+        geo = {k: cfg.get(k) for k in
+               ("n_planes", "n_tables", "n_cells", "suggested_n_probe")
+               if cfg.get(k) is not None}
+        print(f"  {tag}: {geo} build={bt:.1f}s query={qt:.1f}s "
+              f"recall@10={rec:.3f}", flush=True)
+
+    try:
+        run("lsh-static-r6", dict(kind="lsh", dim=64, n_planes=8, n_tables=1),
+            dict(probe_radius=1))
+        run("lsh-derived", dict(kind="lsh", dim=64), dict(probe_radius=1))
+        run("ivf-static-r6",
+            dict(kind="ivf", dim=64, n_cells=16, kmeans_iterations=2),
+            dict(n_probe=2))
+        run("ivf-derived", dict(kind="ivf", dim=64, kmeans_iterations=2),
+            dict())  # n_probe=None -> suggested_n_probe
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def probe_lsh_cliff_1m(spark):
+    """The LSH static-default cliff at the scale AND regime it bites: 1M
+    dim-64 vectors, 2000 planted-neighbor queries (each query = an
+    indexed vector, lightly perturbed — true neighbor known by
+    construction, no brute-force truth needed). The per-QUERY cost is
+    probes x tables x bucket-size distance evals, so static (8,1)
+    buckets of n/256 ≈ 3.9k vectors mean ~35k candidates/query — at
+    2000 queries that is ~70M distance evals vs the derived geometry's
+    ~4M. The 20-query variant of this probe is scan-dominated and shows
+    the OPPOSITE ordering — recorded in NOTES_r7 as the honest regime
+    boundary (indexes amortize over many queries; that is why they
+    exist)."""
+    import shutil
+    import tempfile
+
+    from storage_spark.sources.annindex import (
+        ann_index_search,
+        build_ann_index,
+        lsh_planes_for,
+        lsh_tables_for,
+    )
+
+    print("probe 6: lsh static-vs-derived, 1M vectors dim 64, 2000 planted "
+          "queries", flush=True)
+    dim, n_vec, n_q = 64, 1_000_000, 200
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("id"), i), F.lit(2_000_000))
+            / 1_000_000.0
+            - 1.0
+        ).cast("float"),
+    )
+    v = (
+        spark.range(n_vec)
+        .select(F.col("id").cast("string").alias("key"), emb.alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+    # planted queries: indexed vector i nudged by +2% on coordinate 0 —
+    # cosine-near its source, so the source IS the expected hit
+    # query ids offset from the source ids: the ranker excludes
+    # key == q_key (self-search convention), so the planted hit must
+    # carry a DIFFERENT id than its source vector
+    qs = (
+        spark.range(n_q)
+        .select(
+            (F.col("id") + 10_000_000).cast("string").alias("q_key"),
+            F.transform(
+                emb, lambda x, i: F.when(i == 0, x + F.lit(0.02)).otherwise(x)
+            ).alias("q_vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    p = lsh_planes_for(n_vec)
+    base = tempfile.mkdtemp(prefix="probe_cliff_")
+    try:
+        for tag, planes, tables in (
+            ("static-r6", 8, 1),
+            ("derived", p, lsh_tables_for(p)),
+        ):
+            path = f"{base}/{tag}"
+            t0 = time.time()
+            build_ann_index(
+                v, path, kind="lsh", dim=dim, n_planes=planes,
+                n_tables=tables, n_vectors=n_vec,
+            )
+            bt = time.time() - t0
+            t0 = time.time()
+            rows = ann_index_search(
+                spark, path, qs, k=10, probe_radius=1
+            ).select("q_key", "key").collect()
+            qt = time.time() - t0
+            hits = {
+                r["q_key"]
+                for r in rows
+                if int(r["q_key"]) - 10_000_000 == int(r["key"])
+            }
+            print(
+                f"  {tag} ({planes},{tables}): build={bt:.1f}s "
+                f"query({n_q})={qt:.1f}s planted-recall={len(hits) / n_q:.3f}",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 PROBES = {
     "1": probe_minhash_banding,
     "2": probe_interval_binwidth,
     "3": probe_keysonly_fat,
     "4": probe_pq_bimodal,
+    "5": probe_derived_geometry_sf1,
+    "6": probe_lsh_cliff_1m,
 }
 
 if __name__ == "__main__":
