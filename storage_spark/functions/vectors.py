@@ -315,6 +315,7 @@ def ivf_centroids_kmeans(
     metric: str = "cosine",
     key_col: str = "key",
     vector_col: str = "embedding",
+    train_sample_per_cell: int | None = 256,
 ) -> DataFrame:
     """Lloyd-refined coarse quantizer: start from the deterministic
     first-n centroids, then ``iterations`` rounds of assign → elementwise
@@ -323,10 +324,31 @@ def ivf_centroids_kmeans(
     shuffles per round, rows×dim exploded once). Empty cells keep their
     previous centroid. Balanced cells cut IVF probe cost: with random
     first-n seeds a hot cell can hold most of the corpus; a few Lloyd
-    rounds spread it (recall per probe rises accordingly)."""
+    rounds spread it (recall per probe rises accordingly).
+
+    Training is SAMPLED by default (the standard quantizer practice —
+    ~256 training vectors per centroid suffice): each Lloyd round costs
+    ``|train| x n_cells`` distance evals, so refining on the full corpus
+    is ``iterations x n / (256 x n_cells)`` times more work for
+    centroids of the same quality — at 10^9 vectors and sqrt(n) cells
+    that is a ~100x overpay. The sample is a deterministic hash-order
+    take (one TakeOrdered pass, no full shuffle, stable across runs and
+    engines); corpora at or below the sample size train on the whole
+    set (``train_sample_per_cell=None`` forces full-corpus training with
+    the corpus's own partitioning — same centroids up to float-sum
+    order). The FINAL corpus-wide cell assignment —
+    one ``n x n_cells`` pass, the irreducible IVF build cost — is the
+    caller's ``ivf_assign``, unchanged."""
     cents = ivf_centroids(corpus, n_cells, key_col, vector_col)
+    train = corpus
+    if iterations > 0 and train_sample_per_cell is not None:
+        train = (
+            corpus.orderBy(F.xxhash64(F.col(key_col)))
+            .limit(n_cells * train_sample_per_cell)
+            .localCheckpoint(eager=True)  # reused every Lloyd round
+        )
     for _ in range(iterations):
-        assigned = ivf_assign(corpus, cents, metric, key_col, vector_col)
+        assigned = ivf_assign(train, cents, metric, key_col, vector_col)
         dim_means = (
             assigned.select("cell", F.posexplode(F.col(vector_col)).alias("pos", "val"))
             .groupBy("cell", "pos")
@@ -361,15 +383,25 @@ def ivf_assign(
     key_col: str = "key",
     vector_col: str = "embedding",
 ) -> DataFrame:
-    """Assign every corpus vector to its nearest centroid cell (broadcast
-    the tiny centroid table, window-min per key). One pass, one shuffle."""
+    """Assign every corpus vector to its nearest centroid cell: broadcast
+    the centroid table, then a ``min_by`` aggregation per key — the
+    argmin ties break to the LOWEST cell id (struct ordering on
+    (distance, cell)), identical to the window-min plan this replaces.
+    The aggregation form matters at scale (r7): the broadcast crossJoin
+    materializes n x n_cells rows each carrying the full embedding, and
+    a per-key WINDOW would shuffle ALL of them (n x n_cells x dim bytes);
+    the aggregation partial-combines map-side — every key's n_cells
+    candidate rows sit in ONE input partition, so the shuffle carries n
+    rows, n_cells-fold less."""
     d = _metric_distance(metric, F.col(vector_col), F.col("centroid"))
-    w = Window.partitionBy(key_col).orderBy(F.col("_cd").asc(), F.col("cell").asc())
     return (
         corpus.crossJoin(F.broadcast(centroids))
         .withColumn("_cd", d)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .groupBy(key_col)
+        .agg(
+            F.first(vector_col).alias(vector_col),
+            F.min_by("cell", F.struct(F.col("_cd"), F.col("cell"))).alias("cell"),
+        )
         .select(key_col, vector_col, "cell")
     )
 
