@@ -1009,6 +1009,28 @@ def q_vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ranking — the compressed-storage tier
+    (pgvector halfvec analogue, pgvector/index.ts:760-785): encode to
+    int8 codes + per-vector scale, rank queries against the
+    RECONSTRUCTIONS (1 byte/coordinate scanned). Graded on the
+    reconstruction distances so the quantization math itself is under
+    the oracle, not recovered by the exact rerank stage."""
+    from storage_spark.functions.vectors import sq_encode, sq_topk
+
+    v = _vectors(spark, sf_dir)
+    queries = v.filter(F.col("key").cast("bigint") < 10).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    out = sq_topk(queries, sq_encode(v), k=3, metric="cosine")
+    return out.select(
+        "q_key",
+        "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        "rank",
+    )
+
+
 def q_vector_index_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """listIndexes over the vector_indexes metadata table
     (src/storage/protocols/vector/pg.ts:231-266): name-ordered, prefix
@@ -3355,6 +3377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "curate_corpus": q_curate_corpus,
         # ---- past the recording cap ----
+        # vector_sq8 is net-new late in r7 AFTER the window filled (the
+        # 2-entry net-new cap was spent); it debuts at the head of r8's
+        # window and is proven this round by the local parity gate:
+        "vector_sq8": q_vector_sq8,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5155,6 +5181,46 @@ FROM (
   FROM (SELECT CAST(vec_id AS STRING) AS key, embedding FROM embeddings) c,
        (SELECT CAST(vec_id AS STRING) AS q_key, embedding AS q_vec
         FROM embeddings WHERE vec_id < 20) q
+  WHERE q.q_key <> c.key
+) WHERE rank <= 3
+"""),
+        # SQ8 replay: per-vector max-abs scale, half-away-from-zero
+        # rounding (identical in Spark and DuckDB), cosine over the
+        # dequantized reconstructions
+        "vector_sq8": _o("""
+, sq AS (
+  SELECT CAST(vec_id AS STRING) AS key,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         embedding
+  FROM embeddings
+),
+dq AS (
+  SELECT key,
+         list_transform(
+           list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+             ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / scale) AS INT) END),
+           c -> c * scale / 127.0
+         ) AS dvec
+  FROM sq
+)
+SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank
+FROM (
+  SELECT q.q_key, c.key,
+         1.0 - list_sum(list_transform(list_zip(c.dvec, q.q_vec),
+                 t -> t[1] * CAST(t[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(c.dvec, x -> x * x)))
+                * sqrt(list_sum(list_transform(q.q_vec,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS distance,
+         CAST(row_number() OVER (PARTITION BY q.q_key ORDER BY
+           1.0 - list_sum(list_transform(list_zip(c.dvec, q.q_vec),
+                   t -> t[1] * CAST(t[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.dvec, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.q_vec,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) ASC,
+           c.key ASC) AS INT) AS rank
+  FROM dq c,
+       (SELECT CAST(vec_id AS STRING) AS q_key, embedding AS q_vec
+        FROM embeddings WHERE vec_id < 10) q
   WHERE q.q_key <> c.key
 ) WHERE rank <= 3
 """),

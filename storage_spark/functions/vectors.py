@@ -829,6 +829,7 @@ def pq_codebooks_kmeans(
     seed: int = 42,
     vector_col: str = "embedding",
     dim: int | None = None,
+    train_sample_per_code: int | None = 256,
 ) -> list[list[list[float]]]:
     """Lloyd-refine the deterministic codebooks on data — the recall
     lever (random codebooks waste centroids where the data isn't). One
@@ -838,6 +839,21 @@ def pq_codebooks_kmeans(
     the same m×k rows any PQ implementation must hold). Empty code cells
     keep their previous centroid.
 
+    Training is SAMPLED by default, same rule as ``ivf_centroids_kmeans``
+    (~256 training vectors per centroid): every subspace has ``k`` code
+    cells and all subspaces train on the same rows, so the sample is
+    ``k x train_sample_per_code`` vectors taken in deterministic hash
+    order (ties broken by the vector itself — a total order on the
+    multiset, so the sample is stable across runs without needing a key
+    column). Each Lloyd round costs ``|train| x m x k`` subspace distance
+    evals plus an ``|train| x dim`` explode, so full-corpus refinement
+    overpays by ``n / (k x 256)`` for codebooks of the same quality —
+    ~250x at 10^6 vectors with k=16. Corpora at or below the sample size
+    train on the whole set; ``train_sample_per_code=None`` restores
+    full-corpus training with the corpus's own partitioning (same books
+    up to float-sum order). The corpus-wide ``pq_encode`` pass — the
+    irreducible cost — is the caller's, unchanged.
+
     Pass ``dim`` explicitly to skip the one-row probe job (same escape
     ``embedding_near_dup_pairs`` grew for its lazy dim guard); the probe
     stays as the convenience fallback."""
@@ -846,8 +862,16 @@ def pq_codebooks_kmeans(
         dim = len(first["e"])
     ds = dim // m
     books = pq_codebooks(dim, m, k, seed)
+    train = corpus
+    if iterations > 0 and train_sample_per_code is not None:
+        train = (
+            corpus.select(F.col(vector_col))
+            .orderBy(F.xxhash64(F.col(vector_col)), F.col(vector_col))
+            .limit(k * train_sample_per_code)
+            .localCheckpoint(eager=True)  # reused every Lloyd round
+        )
     for _ in range(iterations):
-        src = corpus.select(
+        src = train.select(
             F.col(vector_col).alias("e"),
             _pq_code_exprs(F.col(vector_col), books).alias("codes"),
         )
@@ -1135,4 +1159,139 @@ def embedding_outliers(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
+    )
+
+
+# ----------------------------------------------------------------------
+# Scalar quantization (SQ8) — the compressed-storage tier
+# ----------------------------------------------------------------------
+
+
+def sq_encode(
+    corpus: DataFrame,
+    bits: int = 8,
+    key_col: str = "key",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantize every vector to ``bits``-bit signed codes with a
+    per-vector symmetric max-abs scale: ``code = round(x * qmax / scale)``
+    where ``qmax = 2^(bits-1) - 1`` and ``scale = max(|x|)`` — the
+    engine's analogue of the reference's compressed vector storage
+    (pgvector ``halfvec(N)`` casts embeddings to half precision before
+    indexing, pgvector/index.ts:760-785 / 0045-vector-buckets.sql); SQ8
+    halves halfvec again: 1 byte/coordinate + one float scale per row.
+
+    Output: ``(key, codes array<tinyint-range int>, scale double)``.
+    Map-only column math — no shuffle, no training pass (the per-vector
+    scale needs no corpus statistics, so encode composes with any
+    upstream filter and the DuckDB oracle replays it row-locally).
+    All-zero vectors keep ``scale = 0`` and decode to zeros. Rounding is
+    half-away-from-zero in BOTH Spark and DuckDB — codes replay exactly.
+
+    At 100 TB the win is scan bytes: a dim-768 float32 corpus is 3 TB of
+    vector payload per billion rows; SQ8 reads 0.77 TB for the same
+    ranking pass, and ``sq_search_rerank`` confines full-precision reads
+    to refine_factor*k rows per query. Parquet stores the codes as
+    INT32-physical with bit-packed encoding, so on-disk bytes land near
+    1/byte-per-coordinate without a custom format."""
+    if not 2 <= bits <= 8:
+        raise ValueError(f"bits must be in [2, 8], got {bits}")
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vector_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    codes = F.transform(
+        v,
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
+        .otherwise(F.round(x.cast("double") * F.lit(qmax) / F.col("scale")))
+        .cast("int"),
+    )
+    return (
+        corpus.withColumn("scale", scale)
+        .withColumn("codes", codes)
+        .select(F.col(key_col).alias("key"), "codes", "scale")
+    )
+
+
+def sq_decode_expr(codes: Column, scale: Column, bits: int = 8) -> Column:
+    """Dequantize: ``code * scale / qmax`` per coordinate, double
+    precision. The reconstruction error is at most ``scale / (2 * qmax)``
+    per coordinate (half a quantization step)."""
+    qmax = float(2 ** (bits - 1) - 1)
+    return F.transform(
+        codes, lambda c: c.cast("double") * scale / F.lit(qmax)
+    )
+
+
+def sq_topk(
+    queries: DataFrame,
+    sq_corpus: DataFrame,
+    k: int,
+    bits: int = 8,
+    metric: str = "cosine",
+    query_key: str = "q_key",
+    query_vec: str = "q_vec",
+    corpus_key: str = "key",
+    exclude_self: bool = True,
+    arrow: bool = False,
+) -> DataFrame:
+    """Exact top-k over the DEQUANTIZED codes — the full-precision
+    ranking plan (knn_join) applied to the compressed table. Distances
+    are computed on reconstructions, so ordering can differ from
+    full-precision ranking within the quantization error; wrap with
+    ``sq_search_rerank`` when exact ordering matters."""
+    dq = sq_corpus.withColumn(
+        "_dq", sq_decode_expr(F.col("codes"), F.col("scale"), bits)
+    )
+    return knn_join(
+        queries, dq, k, metric=metric,
+        query_key=query_key, query_vec=query_vec,
+        corpus_key=corpus_key, corpus_vec="_dq",
+        exclude_self=exclude_self, arrow=arrow,
+    )
+
+
+def sq_search_rerank(
+    queries: DataFrame,
+    sq_corpus: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    refine_factor: int = 4,
+    bits: int = 8,
+    metric: str = "cosine",
+    query_key: str = "q_key",
+    query_vec: str = "q_vec",
+    corpus_key: str = "key",
+    corpus_vec: str = "embedding",
+    arrow: bool = False,
+) -> DataFrame:
+    """Two-stage SQ search, same shape as ``pq_search_rerank``: rank the
+    dequantized codes for ``refine_factor * k`` candidates per query
+    (the only full-corpus pass — 1 byte/coordinate), then fetch ONLY the
+    candidates' full-precision vectors for exact re-ranking. SQ8
+    reconstructions sit much closer to the true vectors than PQ codes
+    (per-coordinate error <= scale/254 vs a shared m-subspace codebook),
+    so the default refine_factor is 4, not 10."""
+    cands = sq_topk(
+        queries, sq_corpus, k * refine_factor, bits=bits, metric=metric,
+        query_key=query_key, query_vec=query_vec, corpus_key=corpus_key,
+        arrow=arrow,
+    ).select(query_key, corpus_key)
+    enriched = cands.join(
+        corpus.select(F.col(corpus_key), F.col(corpus_vec).alias("_cv")),
+        corpus_key,
+    ).join(
+        F.broadcast(
+            queries.select(F.col(query_key), F.col(query_vec).alias("_qv"))
+        ),
+        query_key,
+    )
+    dist = _metric_distance(metric, F.col("_cv"), F.col("_qv"))
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("distance").asc(), F.col(corpus_key).asc()
+    )
+    return (
+        enriched.withColumn("distance", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, corpus_key, "distance", "rank")
     )

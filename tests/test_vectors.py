@@ -252,42 +252,62 @@ def test_pq_codes_bounded_and_deterministic(spark, sf_dir):
     assert again == first
 
 
+def _pq_mean_sq_error(v, books):
+    from storage_spark.functions.vectors import _lit_vec, _pq_code_exprs
+
+    m, ds = len(books), len(books[0][0])
+    vec = F.col("embedding")
+    codes = _pq_code_exprs(vec, books)
+    terms = []
+    for s in range(m):
+        book = F.array(*[_lit_vec(row) for row in books[s]])
+        cent = F.element_at(book, F.element_at(codes, s + 1) + 1)
+        sub = F.slice(vec, s * ds + 1, ds)
+        terms.append(
+            F.aggregate(
+                F.zip_with(
+                    sub, cent,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        )
+    err = sum(terms[1:], terms[0])
+    return v.select(F.avg(err).alias("e")).collect()[0]["e"]
+
+
 def test_pq_kmeans_refinement_reduces_quantization_error(spark, sf_dir):
-    from storage_spark.functions.vectors import (
-        _lit_vec,
-        _pq_code_exprs,
-        pq_codebooks,
-        pq_codebooks_kmeans,
-    )
+    from storage_spark.functions.vectors import pq_codebooks, pq_codebooks_kmeans
 
     v = _vectors(spark, sf_dir).limit(400).cache()
-
-    def mean_sq_error(books):
-        m, ds = len(books), len(books[0][0])
-        vec = F.col("embedding")
-        codes = _pq_code_exprs(vec, books)
-        terms = []
-        for s in range(m):
-            book = F.array(*[_lit_vec(row) for row in books[s]])
-            cent = F.element_at(book, F.element_at(codes, s + 1) + 1)
-            sub = F.slice(vec, s * ds + 1, ds)
-            terms.append(
-                F.aggregate(
-                    F.zip_with(
-                        sub, cent,
-                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda a, b: a + b,
-                )
-            )
-        err = sum(terms[1:], terms[0])
-        return v.select(F.avg(err).alias("e")).collect()[0]["e"]
-
     random_books = pq_codebooks(64, 8, 16)
     refined = pq_codebooks_kmeans(v, m=8, k=16, iterations=2)
-    e0, e1 = mean_sq_error(random_books), mean_sq_error(refined)
+    e0, e1 = _pq_mean_sq_error(v, random_books), _pq_mean_sq_error(v, refined)
     assert e1 < e0 * 0.7, (e0, e1)  # Lloyd rounds must pay for themselves
+
+
+def test_pq_kmeans_sampled_training(spark, sf_dir):
+    """r7: the default training path SAMPLES (k x train_sample_per_code
+    vectors in deterministic hash order). A genuine sub-sample (128 of
+    400 rows) must still pay for the Lloyd rounds on the FULL corpus's
+    quantization error, and two sampled runs must produce bit-identical
+    codebooks (the hash order totally orders the vector multiset)."""
+    from storage_spark.functions.vectors import pq_codebooks, pq_codebooks_kmeans
+
+    v = _vectors(spark, sf_dir).limit(400).cache()
+    kw = dict(m=8, k=16, iterations=2, dim=64, train_sample_per_code=8)
+    sampled = pq_codebooks_kmeans(v, **kw)
+    again = pq_codebooks_kmeans(v, **kw)
+    assert sampled == again
+    e0 = _pq_mean_sq_error(v, pq_codebooks(64, 8, 16))
+    e1 = _pq_mean_sq_error(v, sampled)
+    assert e1 < e0 * 0.7, (e0, e1)
+    # None restores full-corpus training — distinct code path, still sane
+    full = pq_codebooks_kmeans(
+        v, m=8, k=16, iterations=1, dim=64, train_sample_per_code=None
+    )
+    assert _pq_mean_sq_error(v, full) < e0
 
 
 def test_pq_adc_arrow_bitwise_matches_expression(spark, sf_dir):
@@ -388,3 +408,85 @@ def test_embedding_outliers_score_is_scaled_distance(spark):
     for i in q:
         expect = sum((q[i][d] * cnt - sums[d]) ** 2 for d in range(2))
         assert got[i] == expect
+
+
+def test_sq8_roundtrip_error_bound_and_map_only_plan(spark, sf_dir):
+    """SQ8 reconstruction error is bounded by half a quantization step
+    per coordinate (scale / (2*qmax)); encode is a map-only scan — no
+    exchange in the plan."""
+    from storage_spark.functions.vectors import sq_decode_expr, sq_encode
+
+    v = _vectors(spark, sf_dir).limit(300)
+    sq = sq_encode(v, bits=8)
+    plan = sq._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    joined = v.join(sq, "key").withColumn(
+        "_dq", sq_decode_expr(F.col("codes"), F.col("scale"), 8)
+    )
+    worst = joined.select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    F.col("embedding"), F.col("_dq"),
+                    lambda a, b: F.abs(a.cast("double") - b)
+                    - F.col("scale") / F.lit(254.0),
+                )
+            )
+        ).alias("w")
+    ).first()["w"]
+    assert worst <= 1e-9, worst
+
+
+def test_sq8_zero_vector_and_bits_validation(spark):
+    from storage_spark.functions.vectors import sq_decode_expr, sq_encode
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", [0.0, 0.0, 0.0]), ("b", [1.0, -2.0, 0.5])],
+        "key string, embedding array<float>",
+    )
+    rows = {r["key"]: r for r in sq_encode(df).collect()}
+    assert rows["a"]["scale"] == 0.0 and list(rows["a"]["codes"]) == [0, 0, 0]
+    assert rows["b"]["scale"] == 2.0 and rows["b"]["codes"][1] == -127
+    dec = (
+        sq_encode(df)
+        .select(sq_decode_expr(F.col("codes"), F.col("scale")).alias("d"))
+        .collect()
+    )
+    assert all(abs(x) < 1e-12 for x in dec[0]["d"]) or all(
+        abs(x) < 1e-12 for x in dec[1]["d"]
+    )
+    with pytest.raises(ValueError):
+        sq_encode(df, bits=16)
+
+
+def test_sq8_rerank_recovers_exact_topk(spark, sf_dir):
+    """sq_topk ranks on reconstructions (near-exact); sq_search_rerank
+    with the default refine factor must reproduce full-precision
+    knn_join EXACTLY — same neighbor sets, same ranks, same distances."""
+    from storage_spark.functions.vectors import (
+        sq_encode,
+        sq_search_rerank,
+        sq_topk,
+    )
+
+    v = _vectors(spark, sf_dir).limit(500).cache()
+    queries = v.filter(F.col("key").cast("bigint") < 10).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r.q_key, r.key, r.rank): r.distance
+        for r in knn_join(queries, v, k=5).collect()
+    }
+    sq = sq_encode(v).localCheckpoint(eager=True)
+    approx = {
+        (r.q_key, r.key) for r in sq_topk(queries, sq, k=5).collect()
+    }
+    # reconstruction ranking alone is already a strong approximation
+    assert len(approx & {(q, c) for q, c, _ in exact}) >= 0.8 * len(exact)
+    rr = {
+        (r.q_key, r.key, r.rank): r.distance
+        for r in sq_search_rerank(queries, sq, v, k=5).collect()
+    }
+    assert rr == exact

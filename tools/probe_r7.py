@@ -428,6 +428,48 @@ def probe_lsh_cliff_1m(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def probe_pq_sampled_training(spark):
+    """PQ codebook training cost, sampled (default, k x 256 = 4096 rows)
+    vs full-corpus, at 500k dim-64 vectors / m=8 / k=16 / 2 Lloyd rounds
+    — the same shape as the r7 IVF quantizer measurement. Also records
+    the resulting codebooks' quantization MSE over a fixed 20k-row
+    holdout so the speedup is shown NOT to cost quality."""
+    print("probe 7: pq sampled-vs-full training, 500k vectors dim 64", flush=True)
+    from storage_spark.functions.vectors import pq_codebooks, pq_codebooks_kmeans
+
+    dim, n_vec = 64, 500_000
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("id"), i), F.lit(2_000_000))
+            / 1_000_000.0
+            - 1.0
+        ).cast("float"),
+    )
+    v = (
+        spark.range(n_vec)
+        .select(F.col("id").cast("string").alias("key"), emb.alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+    holdout = v.limit(20_000).localCheckpoint(eager=True)
+
+    import importlib
+
+    tv = importlib.import_module("tests.test_vectors")
+    results = {}
+    for tag, sample in (("sampled-256/code", 256), ("full", None)):
+        t0 = time.time()
+        books = pq_codebooks_kmeans(
+            v, m=8, k=16, iterations=2, dim=dim, train_sample_per_code=sample
+        )
+        dt = time.time() - t0
+        mse = tv._pq_mean_sq_error(holdout, books)
+        results[tag] = (dt, mse)
+        print(f"  {tag}: train={dt:.1f}s holdout-mse={mse:.5f}", flush=True)
+    base_mse = tv._pq_mean_sq_error(holdout, pq_codebooks(dim, 8, 16))
+    print(f"  unrefined deterministic books: holdout-mse={base_mse:.5f}", flush=True)
+
+
 PROBES = {
     "1": probe_minhash_banding,
     "2": probe_interval_binwidth,
@@ -435,6 +477,7 @@ PROBES = {
     "4": probe_pq_bimodal,
     "5": probe_derived_geometry_sf1,
     "6": probe_lsh_cliff_1m,
+    "7": probe_pq_sampled_training,
 }
 
 if __name__ == "__main__":
