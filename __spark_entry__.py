@@ -658,6 +658,77 @@ FROM (
 """)
 
 
+def _oracle_ivfsq_ann(
+    n_cells: int, k: int, n_probe: int, refine_factor: int,
+    max_vec_id: int, max_q_vec_id: int,
+) -> str:
+    """IVF x SQ8 replay: the IVF cents/assigned/probes CTEs of
+    _oracle_ivf_ann, candidate ranking over SQ8 RECONSTRUCTIONS (codes
+    and scales replay exactly — integer codes, float32 scales), then the
+    exact full-precision rerank."""
+    d_bc = _duck_cos("b.embedding", "c.centroid")
+    d_dq = _duck_cos("d.dvec", "p.q_emb")
+    d_aq = _duck_cos("bb.embedding", "cn.q_emb")
+    return _o(f"""
+, base AS (
+  SELECT CAST(vec_id AS STRING) AS key, vec_id, embedding
+  FROM embeddings WHERE vec_id < {max_vec_id}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY key) AS INT) - 1 AS cell,
+         embedding AS centroid
+  FROM (SELECT key, embedding FROM base ORDER BY key LIMIT {n_cells})
+),
+assigned AS (
+  SELECT key, embedding, cell FROM (
+    SELECT b.key, b.embedding, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY b.key
+        ORDER BY {d_bc} ASC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_key, q_emb, cell FROM (
+    SELECT b.key AS q_key, b.embedding AS q_emb, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY b.key
+        ORDER BY {d_bc} ASC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN cents c
+    WHERE b.vec_id < {max_q_vec_id}
+  ) WHERE rn <= {n_probe}
+),
+dq AS (
+  SELECT key,
+         list_transform(
+           list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+             ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / scale) AS INT) END),
+           cc -> cc * scale / 127.0
+         ) AS dvec
+  FROM (
+    SELECT key, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+    FROM base
+  )
+),
+cands AS (
+  SELECT q_key, key, q_emb FROM (
+    SELECT p.q_key, a.key, p.q_emb,
+      ROW_NUMBER() OVER (PARTITION BY p.q_key
+        ORDER BY {d_dq} ASC, a.key ASC) AS crn
+    FROM probes p
+    JOIN assigned a ON a.cell = p.cell AND p.q_key <> a.key
+    JOIN dq d ON d.key = a.key
+  ) WHERE crn <= {k * refine_factor}
+)
+SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank
+FROM (
+  SELECT cn.q_key, cn.key, {d_aq} AS distance,
+    CAST(ROW_NUMBER() OVER (PARTITION BY cn.q_key
+      ORDER BY {d_aq} ASC, cn.key ASC) AS INT) AS rank
+  FROM cands cn JOIN base bb ON bb.key = cn.key
+) WHERE rank <= {k}
+""")
+
+
 def _pq_lit_book(books, s: int) -> str:
     return (
         "["
@@ -1023,6 +1094,40 @@ def q_vector_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
     )
     out = sq_topk(queries, sq_encode(v), k=3, metric="cosine")
+    return out.select(
+        "q_key",
+        "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        "rank",
+    )
+
+
+def q_vector_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x SQ8 composite (FAISS IndexIVFScalarQuantizer shape): coarse
+    cells prune to n_probe, SQ8 reconstructions rank the probed rows,
+    exact rerank of k*refine candidates. Cell assignment, quantization,
+    candidate selection, and the final full-precision ranking all replay
+    in the oracle."""
+    from storage_spark.functions.vectors import (
+        ivf_assign,
+        ivf_centroids,
+        ivfsq_search,
+        sq_encode,
+    )
+
+    v = _vectors(spark, sf_dir).filter(F.col("key").cast("bigint") < 300)
+    cents = ivf_centroids(v, n_cells=8)
+    sq_assigned = (
+        ivf_assign(v, cents)
+        .join(sq_encode(v), "key")
+        .select("key", "cell", "codes", "scale")
+    )
+    queries = v.filter(F.col("key").cast("bigint") < 10).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    out = ivfsq_search(
+        queries, sq_assigned, cents, v, k=3, n_probe=3, refine_factor=4
+    )
     return out.select(
         "q_key",
         "key",
@@ -3381,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2-entry net-new cap was spent); it debuts at the head of r8's
         # window and is proven this round by the local parity gate:
         "vector_sq8": q_vector_sq8,
+        "vector_ivfsq": q_vector_ivfsq,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5170,6 +5276,10 @@ FROM objects WHERE bucket_id = 'Brand#13'
         "vector_filtered_ivf": _oracle_ivf_ann(
             n_cells=8, k=3, n_probe=3, max_q_vec_id=10,
             corpus_where="label IN (0, 1, 2)",
+        ),
+        "vector_ivfsq": _oracle_ivfsq_ann(
+            n_cells=8, k=3, n_probe=3, refine_factor=4,
+            max_vec_id=300, max_q_vec_id=10,
         ),
         "vector_knn_join": _o(f"""
 SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank

@@ -932,6 +932,28 @@ def pq_search_rerank(
         queries, codes, codebooks, k * refine_factor,
         query_key=query_key, query_vec=query_vec, arrow=arrow,
     ).select(query_key, corpus_key)
+    return _exact_rerank(
+        cands, queries, corpus, k, metric,
+        query_key, query_vec, corpus_key, corpus_vec,
+    )
+
+
+def _exact_rerank(
+    cands: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    metric: str,
+    query_key: str,
+    query_vec: str,
+    corpus_key: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """The shared refine stage of every two-stage search (PQ / SQ /
+    IVFPQ / IVFSQ): fetch ONLY the candidate rows' full-precision
+    vectors (equi-join on the candidate ids), broadcast the query
+    vectors back in, exact-rank to the final k. Returns
+    ``(q_key, key, distance, rank)`` with full-precision distances."""
     enriched = cands.join(
         corpus.select(
             F.col(corpus_key), F.col(corpus_vec).alias("_cv")
@@ -1055,24 +1077,9 @@ def ivfpq_search(
         .filter(F.col("_crn") <= k * refine_factor)
         .select(query_key, corpus_key)
     )
-    enriched = cands.join(
-        corpus.select(F.col(corpus_key), F.col(corpus_vec).alias("_cv")),
-        corpus_key,
-    ).join(
-        F.broadcast(
-            queries.select(F.col(query_key), F.col(query_vec).alias("_qv"))
-        ),
-        query_key,
-    )
-    dist = _metric_distance(metric, F.col("_cv"), F.col("_qv"))
-    w = Window.partitionBy(query_key).orderBy(
-        F.col("distance").asc(), F.col(corpus_key).asc()
-    )
-    return (
-        enriched.withColumn("distance", dist)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_key, corpus_key, "distance", "rank")
+    return _exact_rerank(
+        cands, queries, corpus, k, metric,
+        query_key, query_vec, corpus_key, corpus_vec,
     )
 
 
@@ -1276,22 +1283,78 @@ def sq_search_rerank(
         query_key=query_key, query_vec=query_vec, corpus_key=corpus_key,
         arrow=arrow,
     ).select(query_key, corpus_key)
-    enriched = cands.join(
-        corpus.select(F.col(corpus_key), F.col(corpus_vec).alias("_cv")),
-        corpus_key,
-    ).join(
-        F.broadcast(
-            queries.select(F.col(query_key), F.col(query_vec).alias("_qv"))
-        ),
-        query_key,
+    return _exact_rerank(
+        cands, queries, corpus, k, metric,
+        query_key, query_vec, corpus_key, corpus_vec,
     )
-    dist = _metric_distance(metric, F.col("_cv"), F.col("_qv"))
-    w = Window.partitionBy(query_key).orderBy(
-        F.col("distance").asc(), F.col(corpus_key).asc()
+
+
+def ivfsq_search(
+    queries: DataFrame,
+    sq_assigned: DataFrame,
+    centroids: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    refine_factor: int = 4,
+    bits: int = 8,
+    metric: str = "cosine",
+    query_key: str = "q_key",
+    query_vec: str = "q_vec",
+    corpus_key: str = "key",
+    corpus_vec: str = "embedding",
+    arrow: bool = False,
+) -> DataFrame:
+    """IVF x SQ composite (FAISS's IndexIVFScalarQuantizer): the coarse
+    quantizer prunes to ``n_probe`` cells, SQ reconstructions rank ONLY
+    the probed cells' rows, and the top ``k * refine_factor`` candidates
+    rerank exactly. ``sq_assigned`` is ``(key, cell, codes, scale)`` —
+    ``ivf_assign`` composed with ``sq_encode``, materialized
+    cell-partitioned so the probe join prunes partitions.
+
+    vs IVFPQ: SQ codes are dim bytes/vector (not m), so the probed-cell
+    scan is fatter — but reconstructions are per-coordinate exact to
+    scale/254, so the candidate ordering is near-exact and
+    refine_factor stays at 4 (PQ needs 10+ on concentrated corpora),
+    and there is NO codebook training step. The right half of the
+    quantization trade: IVFSQ when scan bytes are ~4x reducible and
+    recall matters most; IVFPQ when you need the full 32x."""
+    qd = _metric_distance(metric, F.col(query_vec), F.col("centroid"))
+    wq = Window.partitionBy(query_key).orderBy(
+        F.col("_qd").asc(), F.col("cell").asc()
     )
-    return (
-        enriched.withColumn("distance", dist)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_key, corpus_key, "distance", "rank")
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_qd", qd)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_key, query_vec, "cell")
+        .withColumn("_qn", norm(F.col(query_vec)))
+    )
+    joined = (
+        probes.join(sq_assigned, "cell")
+        .filter(F.col(query_key) != F.col(corpus_key))
+        .withColumn(
+            "_dq", sq_decode_expr(F.col("codes"), F.col("scale"), bits)
+        )
+        .withColumn("_cn", norm(F.col("_dq")))
+        .withColumn(
+            "_score",
+            _pair_distance(
+                metric, F.col("_dq"), F.col(query_vec),
+                F.col("_cn"), F.col("_qn"), arrow,
+            ),
+        )
+    )
+    wc = Window.partitionBy(query_key).orderBy(
+        F.col("_score").asc(), F.col(corpus_key).asc()
+    )
+    cands = (
+        joined.withColumn("_crn", F.row_number().over(wc))
+        .filter(F.col("_crn") <= k * refine_factor)
+        .select(query_key, corpus_key)
+    )
+    return _exact_rerank(
+        cands, queries, corpus, k, metric,
+        query_key, query_vec, corpus_key, corpus_vec,
     )

@@ -490,3 +490,47 @@ def test_sq8_rerank_recovers_exact_topk(spark, sf_dir):
         for r in sq_search_rerank(queries, sq, v, k=5).collect()
     }
     assert rr == exact
+
+
+def test_ivfsq_lossless_degeneration_and_recall(spark, sf_dir):
+    """IVF x SQ composite: with every cell probed and a wide refine it
+    must equal full-precision knn_join exactly (the same lossless-
+    degeneration contract as IVFPQ); at a pruning operating point the
+    recall stays useful."""
+    from storage_spark.functions.vectors import (
+        ivf_assign,
+        ivf_centroids,
+        ivfsq_search,
+        sq_encode,
+    )
+
+    v = _vectors(spark, sf_dir).limit(500).cache()
+    cents = ivf_centroids(v, n_cells=8).cache()
+    sq_assigned = (
+        ivf_assign(v, cents)
+        .join(sq_encode(v), "key")
+        .select("key", "cell", "codes", "scale")
+        .localCheckpoint(eager=True)
+    )
+    queries = v.filter(F.col("key").cast("bigint") < 10).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r.q_key, r.key, r.rank): r.distance
+        for r in knn_join(queries, v, k=5).collect()
+    }
+    lossless = {
+        (r.q_key, r.key, r.rank): r.distance
+        for r in ivfsq_search(
+            queries, sq_assigned, cents, v, k=5, n_probe=8, refine_factor=8
+        ).collect()
+    }
+    assert lossless == exact
+    pruned = {
+        (r.q_key, r.key)
+        for r in ivfsq_search(
+            queries, sq_assigned, cents, v, k=5, n_probe=3
+        ).collect()
+    }
+    recall = len(pruned & {(q, c) for q, c, _ in exact}) / len(exact)
+    assert recall > 0.3, recall
