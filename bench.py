@@ -349,6 +349,26 @@ def main() -> None:
             refine_factor=20, arrow=True,
         ).count()
 
+    # SQ8 index (same one-time-build/hot-query split as PQ above): the
+    # bench pair {pq_rerank, sq8_rerank} contrasts the two compressed
+    # tiers at the same query shape — PQ scans m=8 bytes/vector with a
+    # 20x refine, SQ8 scans dim bytes/vector with a 4x refine (its
+    # reconstructions rank near-exactly). Locally both are CPU-bound on
+    # the candidate math; the at-scale difference is scan bytes.
+    from storage_spark.functions.vectors import sq_encode, sq_search_rerank
+
+    sq_codes = sq_encode(vectors).localCheckpoint(eager=True)
+
+    def sq8_rerank():
+        queries_df = (
+            vectors.orderBy("key")
+            .limit(50)
+            .select(F.col("key").alias("q_key"), F.col("embedding").alias("q_vec"))
+        )
+        return sq_search_rerank(
+            queries_df, sq_codes, vectors, k=10, refine_factor=4
+        ).count()
+
     def sessionization():
         from storage_spark.operators.sessions import session_stats
 
@@ -468,6 +488,7 @@ def main() -> None:
         "ann_index_query": ann_index_query,
         "ann_index_keysonly": ann_index_keysonly,
         "pq_rerank": pq_rerank,
+        "sq8_rerank": sq8_rerank,
         "snapshot_commit": snapshot_commit,
         "sessionization": sessionization,
         "global_ids_10m": global_ids_10m,

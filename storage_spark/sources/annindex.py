@@ -28,6 +28,9 @@ Layout under ``path/``:
   a probe reads only its cells' files (partition pruning = the inverted
   list seek).
 - ``codes/``     (pq)   — (key, codes array<int>), m bytes/vector.
+- ``codes/``     (sq8)  — (key, codes array<int>, scale), dim
+  bytes/vector + one float scale (per-row symmetric max-abs SQ — the
+  pgvector halfvec compressed-storage analogue; no training pass).
 - ``vectors/``   (pq, and lsh keys-only) — (key, embedding)
   full-precision rows, fetched per deduped candidate at rank time (pq:
   only refine_factor*k candidates per query).
@@ -133,6 +136,8 @@ def build_ann_index(
     # pq
     m: int | None = None,
     k_codes: int | None = None,
+    # sq8
+    bits: int = 8,
     n_vectors: int | None = None,
 ) -> dict:
     """One corpus scan → a persisted index at ``path``. Returns the
@@ -147,13 +152,18 @@ def build_ann_index(
     maintenance can re-derive as the corpus grows; an explicit value more
     than 2x under its rule warns (checkable when the count is known).
 
-    ``metric`` defaults per kind: cosine for lsh/ivf, l2 for pq (PQ/ADC
-    scores squared-L2 throughout — an explicit non-l2 metric with
-    kind='pq' RAISES rather than silently ranking by l2)."""
+    ``metric`` defaults per kind: cosine for lsh/ivf/sq8, l2 for pq
+    (PQ/ADC scores squared-L2 throughout — an explicit non-l2 metric
+    with kind='pq' RAISES rather than silently ranking by l2).
+
+    ``kind='sq8'`` is the scalar-quantized flat tier (pgvector halfvec
+    analogue): int8 codes + per-vector scale, no training pass and no
+    geometry to derive — searches rank the reconstructions (1
+    byte/coordinate scanned) and optionally exact-rerank."""
     from storage_spark.functions import vectors as V
 
-    if kind not in ("lsh", "ivf", "pq"):
-        raise ValueError(f"kind must be lsh|ivf|pq, got {kind!r}")
+    if kind not in ("lsh", "ivf", "pq", "sq8"):
+        raise ValueError(f"kind must be lsh|ivf|pq|sq8, got {kind!r}")
     if kind == "pq":
         if metric not in (None, "l2"):
             raise ValueError(
@@ -167,6 +177,7 @@ def build_ann_index(
         "lsh": {"n_planes": n_planes, "n_tables": n_tables},
         "ivf": {"n_cells": n_cells},
         "pq": {"m": m, "k_codes": k_codes},
+        "sq8": {},  # nothing corpus-sized: codes are per-row exact
     }[kind]
     derived = sorted(k for k, v in omitted.items() if v is None)
     # Count the corpus ONLY for the knobs that need it (n_tables derives
@@ -198,11 +209,13 @@ def build_ann_index(
                 "annindex.ivf_cells_for",
                 stacklevel=2,
             )
-    else:
+    elif kind == "pq":
         if m is None:
             m = pq_m_for(dim)
         if k_codes is None:
             k_codes = pq_codes_for(n_vectors)
+    elif not 2 <= bits <= 8:  # sq8
+        raise ValueError(f"bits must be in [2, 8], got {bits}")
     cfg: dict = {
         "kind": kind,
         "dim": dim,
@@ -289,13 +302,19 @@ def build_ann_index(
         cfg["build_mean_distance"] = (
             float(row[0]) if row and row[0] is not None else None
         )
-    else:  # pq (metric already resolved to 'l2' above)
+    elif kind == "pq":  # metric already resolved to 'l2' above
         cfg.update(m=m, k_codes=k_codes, kmeans_iterations=kmeans_iterations)
         books = V.pq_codebooks_kmeans(
             src, m=m, k=k_codes, iterations=kmeans_iterations, dim=dim
         )
         cfg["codebooks"] = books  # floats JSON-roundtrip exactly (repr)
         V.pq_encode(src, books).write.mode("overwrite").parquet(
+            os.path.join(path, "codes")
+        )
+        src.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+    else:  # sq8: row-local encode, no learned state beyond the codes
+        cfg.update(bits=bits)
+        V.sq_encode(src, bits=bits).write.mode("overwrite").parquet(
             os.path.join(path, "codes")
         )
         src.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
@@ -363,10 +382,15 @@ def ann_index_append(batch: DataFrame, path: str) -> None:
             .partitionBy("cell")
             .parquet(os.path.join(path, "assigned"))
         )
-    else:  # pq: codebooks stay fixed — codes are row-local
+    elif kind == "pq":  # codebooks stay fixed — codes are row-local
         V.pq_encode(src, cfg["codebooks"]).write.mode("append").parquet(
             os.path.join(path, "codes")
         )
+        src.write.mode("append").parquet(os.path.join(path, "vectors"))
+    else:  # sq8: per-row scale — encode is row-local by construction
+        V.sq_encode(src, bits=cfg.get("bits", 8)).write.mode(
+            "append"
+        ).parquet(os.path.join(path, "codes"))
         src.write.mode("append").parquet(os.path.join(path, "vectors"))
 
 
@@ -394,6 +418,9 @@ def ann_index_search(
       cell-partitioned layout makes the probe a partition-pruned read.
     - pq: raw ADC top-k, or exact rerank of ``refine_factor * k``
       candidates when ``refine_factor`` is given.
+    - sq8: reconstruction-ranked top-k, or exact rerank when
+      ``refine_factor`` is given (4x suffices — reconstructions are
+      per-coordinate exact to scale/254).
     """
     from storage_spark.functions import vectors as V
 
@@ -423,6 +450,19 @@ def ann_index_search(
             arrow=arrow,
         )
     codes = spark.read.parquet(os.path.join(path, "codes"))
+    if kind == "sq8":
+        bits = cfg.get("bits", 8)
+        if refine_factor is None:
+            return V.sq_topk(
+                queries, codes, k, bits=bits, metric=cfg["metric"],
+                query_key=query_key, query_vec=query_vec, arrow=arrow,
+            )
+        vectors = spark.read.parquet(os.path.join(path, "vectors"))
+        return V.sq_search_rerank(
+            queries, codes, vectors, k, refine_factor=refine_factor,
+            bits=bits, metric=cfg["metric"],
+            query_key=query_key, query_vec=query_vec, arrow=arrow,
+        )
     books = cfg["codebooks"]
     if refine_factor is None:
         return V.pq_adc_topk(
@@ -440,6 +480,7 @@ _INDEX_TABLES = {
     "lsh": [("postings", None)],
     "ivf": [("assigned", "cell")],
     "pq": [("codes", None), ("vectors", None)],
+    "sq8": [("codes", None), ("vectors", None)],
 }
 
 
@@ -564,8 +605,9 @@ def ann_index_maintain(
     """One maintenance tick: for an ivf index, evaluate the REINDEX
     policy and REBUILD (re-run ``build_ann_index`` over the indexed rows
     with the stored parameters — fresh centroids) when it trips;
-    otherwise compact the appended files. lsh/pq appends are row-local
-    (append ≡ rebuild), so their maintenance is compaction only. Returns
+    otherwise compact the appended files. lsh/pq/sq8 appends are
+    row-local (append ≡ rebuild), so their maintenance is compaction
+    only. Returns
     ``{"action": "rebuilt"|"compacted", "policy": ..., "compaction": ...}``."""
     cfg = load_config(path)
     if cfg["kind"] == "ivf":

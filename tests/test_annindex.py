@@ -649,3 +649,44 @@ def test_compact_crash_windows_recover(spark, corpus, queries, tmp_path):
     ann_index_compact(spark, path, n_files=2)
     assert _rows(ann_index_search(spark, path, queries, k=5, probe_radius=1)) == want
     assert not os.path.isdir(src + "__old")
+
+
+def test_sq8_index_query_equals_recompute_and_append(
+    spark, corpus, queries, tmp_path
+):
+    """kind='sq8': persisted reconstruction ranking equals the direct
+    sq_topk recompute; with refine_factor it equals sq_search_rerank —
+    which equals full-precision knn_join at the default refine; and
+    append ≡ rebuild (the per-row-scale encode is row-local)."""
+    from storage_spark.functions.vectors import (
+        knn_join,
+        sq_encode,
+        sq_search_rerank,
+        sq_topk,
+    )
+    from storage_spark.sources.annindex import ann_index_append
+
+    path = str(tmp_path / "sq_idx")
+    cfg = build_ann_index(corpus, path, kind="sq8", dim=DIM)
+    assert cfg["bits"] == 8 and cfg["metric"] == "cosine"
+    sq = sq_encode(corpus)
+    got = ann_index_search(spark, path, queries, k=5)
+    want = sq_topk(queries, sq, k=5)
+    assert _rows(got) == _rows(want)
+    got_rr = ann_index_search(spark, path, queries, k=5, refine_factor=4)
+    want_rr = sq_search_rerank(queries, sq, corpus, k=5, refine_factor=4)
+    assert _rows(got_rr) == _rows(want_rr)
+    # the SQ8 rerank recovers exact full-precision top-k
+    assert _rows(got_rr) == _rows(knn_join(queries, corpus, k=5))
+    # append ≡ rebuild
+    old = corpus.filter(F.col("key").cast("bigint") < 200)
+    new = corpus.filter(F.col("key").cast("bigint") >= 200)
+    app = str(tmp_path / "sq_app")
+    build_ann_index(old, app, kind="sq8", dim=DIM)
+    ann_index_append(new, app)
+    assert _rows(ann_index_search(spark, app, queries, k=5)) == _rows(want)
+
+
+def test_sq8_bad_bits_raises(spark, corpus, tmp_path):
+    with pytest.raises(ValueError, match="bits"):
+        build_ann_index(corpus, str(tmp_path / "xb"), kind="sq8", dim=DIM, bits=16)
