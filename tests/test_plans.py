@@ -91,6 +91,12 @@ _BNLJ_ALLOWED = {
     "vector_pq_topk",
     "vector_pq_rerank",
     "vector_ivfpq",  # broadcast centroid ranking, like vector_ivf_ann
+    # SQ8 reconstruction ranking is the same exact-knn broadcast shape
+    # as vector_knn_join (1 byte/coordinate scanned instead of 4 — the
+    # compression changes the bytes, not the join); ivfsq adds the
+    # broadcast centroid ranking like vector_ivf_ann
+    "vector_sq8",
+    "vector_ivfsq",
 }
 
 

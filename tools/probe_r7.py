@@ -470,6 +470,73 @@ def probe_pq_sampled_training(spark):
     print(f"  unrefined deterministic books: holdout-mse={base_mse:.5f}", flush=True)
 
 
+def probe_sq8_sf1(spark):
+    """SQ8 tier at sf1 (20k dim-64 embeddings): index bytes on disk
+    (codes vs pq codes vs raw vectors), recall@10 of the RAW
+    reconstruction ranking (no rerank) vs brute force over 50 real
+    queries, and steady-state query wall for sq8 vs pq at the same
+    shape — grounding the 'reconstructions rank near-exactly' claim
+    with measured recall."""
+    import shutil
+    import tempfile
+
+    from storage_spark.functions.vectors import knn_join
+    from storage_spark.sources.annindex import ann_index_search, build_ann_index
+
+    print("probe 8: sq8 at sf1 (20k vectors dim 64)", flush=True)
+    v = (
+        spark.read.parquet(f"{SF1}/embeddings.parquet")
+        .select(F.col("vec_id").cast("string").alias("key"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    n = v.count()
+    qs = (
+        v.filter(F.col("key").cast("bigint") < 50)
+        .select(F.col("key").alias("q_key"), F.col("embedding").alias("q_vec"))
+        .localCheckpoint(eager=True)
+    )
+    exact = {
+        (r.q_key, r.key)
+        for r in knn_join(qs, v, k=10).select("q_key", "key").collect()
+    }
+    base = tempfile.mkdtemp(prefix="probe_sq8_")
+
+    def _bytes(d):
+        t = 0
+        for root, _, files in os.walk(d):
+            t += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return t
+
+    try:
+        for kind, kw, skw in (
+            ("sq8", {}, dict(refine_factor=None)),
+            ("pq", dict(kmeans_iterations=0), dict(refine_factor=None)),
+        ):
+            p = os.path.join(base, kind)
+            t0 = time.time()
+            build_ann_index(v, p, kind=kind, dim=64, n_vectors=n, **kw)
+            bt = time.time() - t0
+            cb = _bytes(os.path.join(p, "codes"))
+            vb = _bytes(os.path.join(p, "vectors"))
+            # steady state: run twice, report the second
+            for _ in range(2):
+                t0 = time.time()
+                got = ann_index_search(spark, p, qs, k=10, **skw)
+                hits = {
+                    (r[0], r[1]) for r in got.select("q_key", "key").collect()
+                }
+                qt = time.time() - t0
+            rec = len(hits & exact) / len(exact)
+            print(
+                f"  {kind}: build={bt:.1f}s codes={cb/1e6:.1f}MB "
+                f"vectors={vb/1e6:.1f}MB raw-rank query={qt:.1f}s "
+                f"recall@10(no rerank)={rec:.3f}",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 PROBES = {
     "1": probe_minhash_banding,
     "2": probe_interval_binwidth,
@@ -478,6 +545,7 @@ PROBES = {
     "5": probe_derived_geometry_sf1,
     "6": probe_lsh_cliff_1m,
     "7": probe_pq_sampled_training,
+    "8": probe_sq8_sf1,
 }
 
 if __name__ == "__main__":
