@@ -1010,6 +1010,48 @@ WHERE distance < 0.65
 """)
 
 
+def _oracle_semantic_dedup(n_clusters: int, eps: float) -> str:
+    """SQL mirror of dedup.semantic_dedup (rank resolution, deterministic
+    first-n quantizer): centroids → argmin-cosine assignment (tie: lowest
+    cell) → cdist-desc/key-asc priority ranks per cell → a doc drops iff
+    a higher-priority same-cell doc sits within eps. Every distance is
+    the same left-folded double as the Spark expression path."""
+    d_bc = _duck_cos("b.embedding", "c.centroid")
+    d_pair = _duck_cos("hi.embedding", "lo.embedding")
+    return _o(f"""
+, base AS (
+  SELECT CAST(vec_id AS STRING) AS key, embedding FROM embeddings
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY key) AS INT) - 1 AS cell,
+         embedding AS centroid
+  FROM (SELECT key, embedding FROM base ORDER BY key LIMIT {n_clusters})
+),
+assigned AS (
+  SELECT key, embedding, cell, cdist FROM (
+    SELECT b.key, b.embedding, c.cell, {d_bc} AS cdist,
+      ROW_NUMBER() OVER (PARTITION BY b.key
+        ORDER BY {d_bc} ASC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT key, embedding, cell,
+    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+      ORDER BY cdist DESC, key ASC) AS INT) AS cent_rank
+  FROM assigned
+),
+rm AS (
+  SELECT DISTINCT lo.key
+  FROM ranked hi JOIN ranked lo
+    ON lo.cell = hi.cell AND hi.cent_rank < lo.cent_rank
+  WHERE {d_pair} < {eps}
+)
+SELECT r.key AS doc, r.cell, r.cent_rank, (rm.key IS NULL) AS kept
+FROM ranked r LEFT JOIN rm ON rm.key = r.key
+""")
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     return t["embeddings"].select(
@@ -2609,6 +2651,25 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped semantic dedup (SemDeDup, arXiv:2303.09540): IVF
+    coarse cells bound the pair work, within-cell cosine pairs under eps,
+    keep-farthest-from-centroid priority, rank resolution. The oracle
+    replays the ENTIRE pipeline — first-n centroids, argmin assignment,
+    cdist-desc priority ranks, the pair predicate, and the drop rule —
+    so every kept/dropped decision is hash-graded, not just counted."""
+    from storage_spark.operators.dedup import semantic_dedup
+
+    v = _vectors(spark, sf_dir).select("key", "embedding")
+    out = semantic_dedup(v, eps=0.65, n_clusters=8)
+    return out.select(
+        "doc",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("cent_rank").cast("int").alias("cent_rank"),
+        "kept",
+    )
+
+
 def _oracle_simhash_sums(n_bits: int = 16) -> str:
     """Generate the per-bit sign sums + packed value (doc_id < 40)."""
     digits = ",\n       ".join(
@@ -3487,6 +3548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window and is proven this round by the local parity gate:
         "vector_sq8": q_vector_sq8,
         "vector_ivfsq": q_vector_ivfsq,
+        "semantic_dedup": q_semantic_dedup,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5164,6 +5226,7 @@ LEFT JOIN idx i ON i.fp = f.fp
 WHERE i.fp IS NULL ORDER BY doc_id
 """),
         "dedup_embedding": _oracle_embedding_neardup(),
+        "semantic_dedup": _oracle_semantic_dedup(n_clusters=8, eps=0.65),
         "vector_cosine_topk": _o(f"""
 SELECT key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4
 FROM (

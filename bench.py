@@ -123,6 +123,23 @@ def main() -> None:
             vectors, max_distance=0.2, materialize=True
         ).count()
 
+    # counted once at setup: semdedup's n_docs hint (the corpus-size
+    # derivation input, not part of the operator's measured work)
+    n_vectors = vectors.count()
+
+    def semdedup():
+        # cluster-scoped semantic dedup over the full embeddings table on
+        # the DEFAULT corpus-sized cluster count (semantic_cells_for:
+        # ~2k vectors at sf0.1 derive 16 cells; pair work stays linear at
+        # the 128-doc target occupancy).
+        from storage_spark.operators.dedup import semantic_dedup
+
+        return (
+            semantic_dedup(vectors, eps=0.65, n_docs=n_vectors)
+            .filter(~F.col("kept"))
+            .count()
+        )
+
     def events_rollup():
         return (
             t["events"]
@@ -500,6 +517,7 @@ def main() -> None:
         "minhash_sweep": minhash_sweep,
         "simhash_pairs": simhash_pairs,
         "embedding_neardup": embedding_neardup,
+        "semdedup": semdedup,
         "events_rollup": events_rollup,
         "meta_filter": meta_filter,
         "lineitem_agg": lineitem_agg,

@@ -1071,3 +1071,251 @@ def incremental_exact_dedup(
     )
     kept = batch.join(fresh.select(id_col), id_col, "left_semi")
     return kept, fresh.select(fp_col, F.col(id_col).alias("first_" + id_col))
+
+
+def semantic_cells_for(n_docs: int, target_cell: int = 128) -> int:
+    """Cluster count that keeps semantic dedup's within-cluster pairing
+    bounded: each cluster of size ``c`` contributes ``c(c-1)/2`` candidate
+    pairs (full pairwise cosine inside the cluster is the POINT of
+    cluster-scoped dedup), so total pair work is ``~n * target_cell / 2``
+    when clusters average ``target_cell`` members — linear in the corpus,
+    unlike the global n² product. ``ceil(n / target_cell)`` clusters,
+    capped at 65536 (the centroid-broadcast ceiling shared with the ANN
+    index geometry). Same size-from-the-CORPUS discipline as
+    ``sig_bits_for`` / ``embedding_planes_for``: a cluster count tuned on
+    a 50k sample silently goes quadratic on the 50M corpus."""
+    import math
+
+    return min(65536, max(1, math.ceil(n_docs / max(1, target_cell))))
+
+
+def _semantic_assigned(
+    vectors: DataFrame,
+    key_col: str,
+    vector_col: str,
+    n_clusters: int | None,
+    kmeans_iterations: int,
+    n_docs: int | None,
+) -> DataFrame:
+    """Shared first stage of the semantic-dedup family: cluster the corpus
+    with the IVF coarse quantizer and return one row per doc —
+    ``(doc, vec, nrm, cell, cdist)`` where ``cdist`` is the cosine distance
+    to the doc's OWN centroid (the SemDeDup keep-priority signal).
+
+    ``n_clusters=None`` derives via ``semantic_cells_for`` (NOTE: when
+    ``n_docs`` is also omitted that derivation is an EAGER count
+    re-executing the full upstream lineage — pass ``n_docs`` when
+    ``vectors`` is an expensive plan). An explicit cluster count ≥2×
+    under the rule warns: too few clusters is the square-law hazard.
+    """
+    from storage_spark.functions.vectors import (
+        cosine_distance,
+        ivf_assign,
+        ivf_centroids,
+        ivf_centroids_kmeans,
+        norm,
+    )
+
+    if n_clusters is None:
+        if n_docs is None:
+            n_docs = vectors.count()
+        n_clusters = semantic_cells_for(n_docs)
+    elif n_docs is not None:
+        rule = semantic_cells_for(n_docs)
+        if rule >= 2 * n_clusters:
+            import warnings
+
+            warnings.warn(
+                f"n_clusters={n_clusters} is >=2x under the sizing rule for "
+                f"n_docs={n_docs} (rule: {rule} clusters); within-cluster "
+                "pair work grows with the SQUARE of cluster size — see "
+                "dedup.semantic_cells_for",
+                stacklevel=3,
+            )
+    base = vectors.select(key_col, vector_col)
+    if kmeans_iterations > 0:
+        cents = ivf_centroids_kmeans(
+            base, n_clusters, iterations=kmeans_iterations,
+            key_col=key_col, vector_col=vector_col,
+        )
+    else:
+        cents = ivf_centroids(base, n_clusters, key_col, vector_col)
+    assigned = ivf_assign(base, cents, "cosine", key_col, vector_col)
+    a = assigned.join(F.broadcast(cents), "cell").select(
+        F.col(key_col).alias("doc"),
+        F.col(vector_col).alias("vec"),
+        norm(F.col(vector_col)).alias("nrm"),
+        F.col("cell"),
+        cosine_distance(F.col(vector_col), F.col("centroid")).alias("cdist"),
+    )
+    return a
+
+
+def semantic_cluster_pairs(
+    vectors: DataFrame,
+    key_col: str = "key",
+    vector_col: str = "embedding",
+    eps: float = 0.07,
+    n_clusters: int | None = None,
+    kmeans_iterations: int = 0,
+    max_cell_size: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Within-cluster semantic near-dup pairs (SemDeDup candidate stage,
+    Abbas et al. 2023, arXiv:2303.09540): cluster embeddings with the IVF
+    coarse quantizer, then full pairwise cosine INSIDE each cluster —
+    pairs at distance < ``eps`` are semantic duplicates. Returns
+    ``(doc_a, doc_b, cell, distance)`` with ``doc_a < doc_b``.
+
+    Scale shape: the corpus shuffles ONCE by ``cell`` and the self-join is
+    an equi-join on it — pair work is Σ c(c-1)/2 over cluster sizes, kept
+    linear-in-n by ``semantic_cells_for``'s target occupancy (plus the
+    ``max_cell_size`` guard for degenerate hot clusters). The recall trade
+    vs ``embedding_near_dup_pairs``' banded LSH: a near-dup pair SPLIT
+    ACROSS a cluster boundary is never considered — that miss is inherent
+    to cluster-scoped dedup (SemDeDup accepts it; quantify it with the
+    LSH operator when it matters). What clustering buys over LSH bands:
+    candidate quality — members of a cluster are ALL mutually comparable,
+    so the pair stage wastes no distance evals on hash collisions, and
+    the clusters themselves are reusable corpus structure (mixing,
+    analysis, IVF search share the same quantizer).
+
+    Determinism: ``kmeans_iterations=0`` (default) uses the first-n
+    deterministic quantizer — fully replayable in plain SQL; Lloyd rounds
+    refine cluster balance at the cost of that replay (results remain
+    deterministic, just not closed-form).
+    """
+    from storage_spark.functions.vectors import dot
+
+    a = _semantic_assigned(
+        vectors, key_col, vector_col, n_clusters, kmeans_iterations, n_docs,
+    )
+    # the hot-cell guard scopes the PAIR join only — a capped cluster's
+    # docs simply form no pairs (they stay in semantic_dedup's output as
+    # kept=true, the documented recall trade; silently dropping the DOCS
+    # would break the one-row-per-doc contract downstream)
+    a = _cap_band_buckets(a, ["cell"], max_cell_size)
+    lhs = a.select(
+        F.col("doc").alias("doc_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), "cell",
+    )
+    rhs = a.select(
+        F.col("doc").alias("doc_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
+    )
+    # norms precomputed once per ROW (same bit-identical dot/(na*nb)
+    # factoring as embedding_near_dup_pairs)
+    dist = F.lit(1.0) - dot(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
+    return (
+        lhs.join(rhs, "cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("distance", dist)
+        .filter(F.col("distance") < eps)
+        .select("doc_a", "doc_b", "cell", "distance")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    key_col: str = "key",
+    vector_col: str = "embedding",
+    eps: float = 0.07,
+    n_clusters: int | None = None,
+    kmeans_iterations: int = 0,
+    resolution: str = "rank",
+    max_cell_size: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup-style: cluster the
+    corpus, find within-cluster pairs at cosine distance < ``eps``, keep
+    one representative per duplicate group. Returns one row per doc:
+    ``(doc, cell, cent_rank, kept)``.
+
+    Keep priority follows the paper: the member FARTHEST from its
+    centroid survives (low centroid-similarity examples carry the most
+    marginal information; the cluster core is what's redundant).
+    ``cent_rank`` is that priority — rank 1 = farthest, ties by doc id.
+
+    Two resolution strategies:
+
+    - ``"rank"`` (default): a doc is dropped iff SOME higher-priority doc
+      in its cluster sits within ``eps``. One windowed rank per cluster +
+      the pair equi-join + an anti-join — no iteration. This is the
+      common production form (e.g. NVIDIA NeMo Curator's semantic dedup).
+      Relative to transitive grouping it UNDER-drops: a doc whose only
+      eps-neighbor is a lower-priority (itself-dropped) doc survives,
+      where the strict transitive reading folds the whole chain into one
+      group. Every rank-dropped doc is also components-dropped (a doc
+      with a higher-priority eps-neighbor is never its component's
+      maximum), so "rank" is the conservative, iteration-free choice.
+    - ``"components"``: transitive closure over the pair graph
+      (``dedup_components``) + highest-``cdist`` canonical election
+      (``resolve_canonical``) — exactly one survivor per CONNECTED group,
+      the strict reading of the paper, at the cost of the iterative
+      closure.
+
+    Scale shape = ``semantic_cluster_pairs`` (one shuffle by cell,
+    linear pair work at the derived cluster count) plus, for "rank", a
+    per-cell window (bounded by cluster size, never corpus size).
+    """
+    from pyspark.sql import Window
+
+    from storage_spark.functions.vectors import dot
+
+    a = _semantic_assigned(
+        vectors, key_col, vector_col, n_clusters, kmeans_iterations, n_docs,
+    )
+    if resolution not in ("rank", "components"):
+        raise ValueError(
+            f"unknown resolution {resolution!r}; use 'rank' or 'components'"
+        )
+    w = Window.partitionBy("cell").orderBy(F.col("cdist").desc(), F.col("doc").asc())
+    ranked = a.withColumn("cent_rank", F.row_number().over(w))
+    # hot-cell guard: capped clusters form no pairs, so their members all
+    # come back kept=true (recall trade, never a dropped doc)
+    pairable = _cap_band_buckets(ranked, ["cell"], max_cell_size)
+    # ONE rank-ordered pair join serves both resolutions: ranks are
+    # distinct within a cell, so ra < rb enumerates each unordered pair
+    # exactly once, with doc_hi the higher-priority (kept-first) side
+    lhs = pairable.select(
+        F.col("doc").alias("doc_hi"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), F.col("cent_rank").alias("ra"), "cell",
+    )
+    rhs = pairable.select(
+        F.col("doc").alias("doc_lo"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("cent_rank").alias("rb"), "cell",
+    )
+    dist = F.lit(1.0) - dot(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
+    pairs = (
+        lhs.join(rhs, "cell")
+        .filter(F.col("ra") < F.col("rb"))
+        .filter(dist < eps)
+        .select("doc_hi", "doc_lo")
+    )
+    if resolution == "rank":
+        removed = (
+            pairs.select(F.col("doc_lo").alias("doc"))
+            .distinct()
+            .withColumn("_rm", F.lit(True))
+        )
+        return (
+            ranked.join(removed, "doc", "left")
+            .select(
+                "doc", "cell", "cent_rank",
+                F.col("_rm").isNull().alias("kept"),
+            )
+        )
+    # components: edge direction is irrelevant (dedup_components
+    # symmetrizes), so the rank-ordered pairs double as the edge list
+    res = resolve_canonical(
+        ranked.select("doc", "cdist"), pairs, id_col="doc",
+        prefer=F.col("cdist"), doc_a="doc_hi", doc_b="doc_lo",
+    )
+    return (
+        res.join(ranked.select("doc", "cell", "cent_rank"), "doc")
+        .select("doc", "cell", "cent_rank", F.col("is_canonical").alias("kept"))
+    )

@@ -97,6 +97,10 @@ _BNLJ_ALLOWED = {
     # broadcast centroid ranking like vector_ivf_ann
     "vector_sq8",
     "vector_ivfsq",
+    # semantic dedup's cell assignment is the same broadcast centroid
+    # ranking as vector_ivf_ann; the pair stage itself is an equi-join
+    # on cell, never a product
+    "semantic_dedup",
 }
 
 
