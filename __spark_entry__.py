@@ -864,24 +864,38 @@ FROM (
     )
 
 
+def _duck_residual(a: str, b: str) -> str:
+    """Elementwise double subtraction a - b (the DuckDB twin of
+    vectors.ivf_residuals' zip_with)."""
+    return (
+        f"list_transform(list_zip({a}, {b}),"
+        " t -> CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))"
+    )
+
+
 def _oracle_ivfpq(
     m: int, kc: int, n_cells: int, n_probe: int, k_top: int,
     refine_factor: int, max_vec_id: int, max_q_vec_id: int,
+    by_residual: bool = False,
 ) -> str:
     """IVFPQ replay: first-n-by-key centroids → nearest-cell assignment →
     per-query probes → PQ-ADC scoring restricted to probed cells →
     candidate cut → exact sqrt-L2 rerank. Cell ordering uses the squared
     fold (same order as sqrt); reranked distances take the sqrt exactly
-    like vectors.l2_distance."""
+    like vectors.l2_distance. ``by_residual`` replays the FAISS-default
+    residual form: corpus codes quantize v - centroid[cell], the query
+    side scores q - centroid[probed cell] — the same exact-double
+    subtractions as vectors.ivf_residuals / ivfpq_search(by_residual)."""
     from storage_spark.functions.vectors import pq_codebooks
 
     dim = 64
     ds = dim // m
     books = pq_codebooks(dim, m, kc)
+    enc_src = "rvec" if by_residual else "embedding"
     d_defs = ",\n    ".join(
         f"list_transform(range(1, {kc + 1}), j -> "
         + _duck_sq(
-            f"embedding[{s * ds + 1}:{(s + 1) * ds}]",
+            f"{enc_src}[{s * ds + 1}:{(s + 1) * ds}]",
             f"({_pq_lit_book(books, s)})[j]",
         )
         + f") AS d{s}"
@@ -891,13 +905,41 @@ def _oracle_ivfpq(
         f"CAST(list_indexof(d{s}, list_min(d{s})) - 1 AS INT)"
         for s in range(m)
     )
+    q_src = "p.qres" if by_residual else "p.q_emb"
     terms = ", ".join(
         _duck_sq(
-            f"p.q_emb[{s * ds + 1}:{(s + 1) * ds}]",
+            f"{q_src}[{s * ds + 1}:{(s + 1) * ds}]",
             f"({_pq_lit_book(books, s)})[c.codes[{s + 1}] + 1]",
         )
         for s in range(m)
     )
+    if by_residual:
+        enc_cte = f"""
+resid AS (
+  SELECT a.key,
+    {_duck_residual("b.embedding", "c.centroid")} AS rvec
+  FROM assigned a
+  JOIN base b ON b.key = a.key
+  JOIN cents c ON c.cell = a.cell
+),
+dists AS (
+  SELECT key,
+    {d_defs}
+  FROM resid
+),"""
+        probe_src = f"""(
+  SELECT q_key, cell,
+    {_duck_residual("q_emb", "centroid")} AS qres
+  FROM probes
+) p"""
+    else:
+        enc_cte = f"""
+dists AS (
+  SELECT key,
+    {d_defs}
+  FROM base
+),"""
+        probe_src = "probes p"
     return _o(f"""
 , base AS (
   SELECT CAST(vec_id AS STRING) AS key, embedding
@@ -921,24 +963,19 @@ assigned AS (
   ) WHERE rn = 1
 ),
 probes AS (
-  SELECT q_key, q_emb, cell FROM (
-    SELECT b.q_key, b.q_emb, c.cell,
+  SELECT q_key, q_emb, cell, centroid FROM (
+    SELECT b.q_key, b.q_emb, c.cell, c.centroid,
       ROW_NUMBER() OVER (PARTITION BY b.q_key
         ORDER BY {_duck_sq("b.q_emb", "c.centroid")} ASC, c.cell ASC) AS rn
     FROM q b CROSS JOIN cents c
   ) WHERE rn <= {n_probe}
-),
-dists AS (
-  SELECT key,
-    {d_defs}
-  FROM base
-),
+),{enc_cte}
 codes AS (
   SELECT key, [{code_list}] AS codes FROM dists
 ),
 cand_scored AS (
   SELECT p.q_key, c.key, list_sum([{terms}]) AS score
-  FROM probes p
+  FROM {probe_src}
   JOIN assigned a ON a.cell = p.cell
   JOIN codes c ON c.key = a.key
   WHERE p.q_key <> c.key
@@ -1690,6 +1727,46 @@ def q_vector_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivfpq_search(
         queries, coded, cents, books, corpus,
         k=5, n_probe=2, refine_factor=10, metric="l2",
+    )
+    return out.select(
+        "q_key",
+        "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_vector_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ in FAISS's default RESIDUAL form: PQ codes quantize
+    v - centroid[cell] (ivf_residuals), the query side scores
+    q - centroid[probed cell] — same code bytes, the codebook's
+    resolution spent near zero where residuals live. The oracle replays
+    the residual subtractions, encoding, probe-scoped ADC, and the exact
+    rerank end-to-end."""
+    from storage_spark.functions.vectors import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_residuals,
+        ivfpq_search,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    v = _vectors(spark, sf_dir)
+    corpus = v.filter(F.col("key").cast("bigint") < 300)
+    queries = v.filter(F.col("key").cast("bigint") < 4).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    cents = ivf_centroids(corpus, 8)
+    assigned = ivf_assign(corpus, cents, metric="l2")
+    books = pq_codebooks(dim=64, m=8, k=16)
+    res = ivf_residuals(assigned, cents)
+    coded = pq_encode(res, books, vector_col="residual").join(
+        assigned.select("key", "cell"), "key"
+    )
+    out = ivfpq_search(
+        queries, coded, cents, books, corpus,
+        k=5, n_probe=2, refine_factor=10, metric="l2", by_residual=True,
     )
     return out.select(
         "q_key",
@@ -3549,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_sq8": q_vector_sq8,
         "vector_ivfsq": q_vector_ivfsq,
         "semantic_dedup": q_semantic_dedup,
+        "vector_ivfpq_residual": q_vector_ivfpq_residual,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5327,6 +5405,11 @@ FROM objects WHERE bucket_id = 'Brand#13'
         "vector_ivfpq": _oracle_ivfpq(
             m=8, kc=16, n_cells=8, n_probe=2, k_top=5,
             refine_factor=10, max_vec_id=300, max_q_vec_id=4,
+        ),
+        "vector_ivfpq_residual": _oracle_ivfpq(
+            m=8, kc=16, n_cells=8, n_probe=2, k_top=5,
+            refine_factor=10, max_vec_id=300, max_q_vec_id=4,
+            by_residual=True,
         ),
         "vector_ivf_ann": _oracle_ivf_ann(
             n_cells=8, k=3, n_probe=3, max_q_vec_id=20

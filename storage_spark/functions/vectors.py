@@ -1009,6 +1009,36 @@ def pq_adc_scores_arrow(
     return _score(qv, codes)
 
 
+def ivf_residuals(
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    key_col: str = "key",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Per-row residual against the assigned cell's centroid:
+    ``(key, cell, residual)`` with ``residual = v - centroid[cell]`` as
+    exact doubles. This is the encode-side half of FAISS's default
+    ``by_residual`` IVFPQ: residuals concentrate near zero (the coarse
+    quantizer has already absorbed the between-cell variance), so a PQ
+    codebook of the same (m, k) budget spends its centroids on the fine
+    structure instead of re-describing cell locations — higher ADC
+    fidelity at identical code bytes. Train the codebooks ON the
+    residual frame (``pq_codebooks_kmeans(res, vector_col="residual")``)
+    and encode with ``pq_encode(res, books, vector_col="residual")``.
+
+    Map-only: one broadcast join on ``cell`` + a ``zip_with``
+    subtraction — no shuffle of the corpus."""
+    return assigned_corpus.join(F.broadcast(centroids), "cell").select(
+        F.col(key_col).alias("key"),
+        "cell",
+        F.zip_with(
+            F.col(vector_col),
+            F.col("centroid"),
+            lambda x, c: x.cast("double") - c.cast("double"),
+        ).alias("residual"),
+    )
+
+
 def ivfpq_search(
     queries: DataFrame,
     coded_corpus: DataFrame,
@@ -1024,6 +1054,7 @@ def ivfpq_search(
     corpus_key: str = "key",
     corpus_vec: str = "embedding",
     arrow: bool = False,
+    by_residual: bool = False,
 ) -> DataFrame:
     """The full IVFPQ architecture (FAISS's default at billion scale):
     coarse quantizer prunes to ``n_probe`` cells, PQ codes score ONLY
@@ -1041,24 +1072,50 @@ def ivfpq_search(
     refine_factor*k full vectors. Recall = product of the probe recall
     (did the true neighbor's cell get probed?) and the ADC candidate
     recall (did rerank see it?) — tune n_probe first, refine second
-    (NOTES_r4 recall table)."""
+    (NOTES_r4 recall table).
+
+    ``by_residual=True`` (FAISS's default posture) scores the query's
+    RESIDUAL against each probed cell's centroid; ``coded_corpus`` must
+    then hold codes computed on ``ivf_residuals`` output (same codebooks
+    both sides). The approximated quantity is unchanged, since
+    ``||q - v||^2 == ||(q - c) - (v - c)||^2`` for the shared cell
+    centroid ``c``, but both operands now live near zero where the
+    codebook's resolution is spent. L2 only (that identity is an L2
+    fact; residual cosine is not a thing); the exact rerank stage is
+    untouched either way."""
+    if by_residual and metric != "l2":
+        raise ValueError(
+            f"by_residual requires metric='l2' (got {metric!r}): the "
+            "residual identity ||q-v|| == ||(q-c)-(v-c)|| holds for L2 "
+            "distance only"
+        )
     m = len(codebooks)
     ds = len(codebooks[0][0])
     qd = _metric_distance(metric, F.col(query_vec), F.col("centroid"))
     wq = Window.partitionBy(query_key).orderBy(
         F.col("_qd").asc(), F.col("cell").asc()
     )
+    probe_cols = [query_key, query_vec, "cell"]
+    if by_residual:
+        probe_cols.append("centroid")
     probes = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("_qd", qd)
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= n_probe)
-        .select(query_key, query_vec, "cell")
+        .select(*probe_cols)
     )
     joined = probes.join(coded_corpus, "cell").filter(
         F.col(query_key) != F.col(corpus_key)
     )
-    qv = F.col(query_vec)
+    if by_residual:
+        qv = F.zip_with(
+            F.col(query_vec),
+            F.col("centroid"),
+            lambda x, c: x.cast("double") - c.cast("double"),
+        )
+    else:
+        qv = F.col(query_vec)
     if arrow:
         score = pq_adc_scores_arrow(qv, F.col("codes"), codebooks)
     else:

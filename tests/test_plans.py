@@ -91,6 +91,7 @@ _BNLJ_ALLOWED = {
     "vector_pq_topk",
     "vector_pq_rerank",
     "vector_ivfpq",  # broadcast centroid ranking, like vector_ivf_ann
+    "vector_ivfpq_residual",  # same shape; codes/query on residuals
     # SQ8 reconstruction ranking is the same exact-knn broadcast shape
     # as vector_knn_join (1 byte/coordinate scanned instead of 4 — the
     # compression changes the bytes, not the join); ivfsq adds the

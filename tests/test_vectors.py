@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from storage_spark.functions.vectors import knn_join, list_vectors, lsh_ann_join
@@ -364,6 +365,127 @@ def test_ivfpq_full_probe_wide_refine_equals_exact(spark, sf_dir):
     g = {(r["q_key"], r["rank"]): r["key"] for r in got.collect()}
     e = {(r["q_key"], r["rank"]): r["key"] for r in exact.collect()}
     assert g == e
+
+
+def _off_origin_clusters(spark, n: int = 200, dim: int = 16):
+    """Clusters FAR from the origin with small intra-cluster spread —
+    the corpus shape where raw-vector PQ against the [-1, 1) codebooks
+    is hopeless and residual encoding shines (residuals live in the
+    codebook's range; raw vectors don't)."""
+    import random
+
+    rng = random.Random(7)
+    centers = [
+        [rng.uniform(-10, 10) for _ in range(dim)] for _ in range(4)
+    ]
+    rows = []
+    for i in range(n):
+        c = centers[i % 4]
+        rows.append(
+            (f"{i:03d}", [c[j] + rng.uniform(-0.5, 0.5) for j in range(dim)])
+        )
+    return spark.createDataFrame(rows, "key string, embedding array<float>")
+
+
+def _residual_setup(spark):
+    from storage_spark.functions.vectors import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_residuals,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    v = _off_origin_clusters(spark)
+    cents = ivf_centroids(v, 4)
+    assigned = ivf_assign(v, cents, metric="l2")
+    books = pq_codebooks(dim=16, m=4, k=16)
+    res = ivf_residuals(assigned, cents)
+    coded_res = pq_encode(res, books, vector_col="residual").join(
+        assigned.select("key", "cell"), "key"
+    )
+    coded_raw = pq_encode(v, books).join(assigned.select("key", "cell"), "key")
+    queries = v.filter(F.col("key").cast("int") < 10).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    return v, cents, books, coded_res, coded_raw, queries
+
+
+def test_ivfpq_residual_full_probe_wide_refine_equals_exact(spark):
+    """The residual form keeps the lossless-degeneration property: every
+    cell probed + corpus-wide refine == exact knn (the rerank stage sees
+    the full candidate set regardless of ADC ordering)."""
+    from storage_spark.functions.vectors import ivfpq_search
+
+    v, cents, books, coded_res, _, queries = _residual_setup(spark)
+    got = ivfpq_search(
+        queries, coded_res, cents, books, v,
+        k=5, n_probe=4, refine_factor=1000, metric="l2", by_residual=True,
+    )
+    exact = knn_join(queries, v, k=5, metric="l2")
+    g = {(r["q_key"], r["rank"]): r["key"] for r in got.collect()}
+    e = {(r["q_key"], r["rank"]): r["key"] for r in exact.collect()}
+    assert g == e
+
+
+def test_ivfpq_residual_beats_raw_off_origin(spark):
+    """The point of by_residual: on off-origin clusters at a TIGHT
+    refine window, residual codes rank candidates far better than raw
+    codes against the same [-1, 1) codebooks (measured in this corpus:
+    0.62 vs 0.20 recall@5)."""
+    from storage_spark.functions.vectors import ivfpq_search
+
+    v, cents, books, coded_res, coded_raw, queries = _residual_setup(spark)
+    gt = {
+        (r["q_key"], r["key"])
+        for r in knn_join(queries, v, k=5, metric="l2").collect()
+    }
+
+    def recall(coded, by_residual):
+        out = ivfpq_search(
+            queries, coded, cents, books, v,
+            k=5, n_probe=2, refine_factor=2, metric="l2",
+            by_residual=by_residual,
+        )
+        hits = {(r["q_key"], r["key"]) for r in out.collect()}
+        return len(hits & gt) / len(gt)
+
+    r_res = recall(coded_res, True)
+    r_raw = recall(coded_raw, False)
+    assert r_res > r_raw + 0.2, (r_res, r_raw)
+    assert r_res >= 0.5
+
+
+def test_ivfpq_residual_requires_l2(spark):
+    from storage_spark.functions.vectors import ivfpq_search
+
+    v, cents, books, coded_res, _, queries = _residual_setup(spark)
+    with pytest.raises(ValueError, match="by_residual requires"):
+        ivfpq_search(
+            queries, coded_res, cents, books, v,
+            k=5, metric="cosine", by_residual=True,
+        )
+
+
+def test_ivf_residuals_exact_subtraction(spark):
+    """residual == v - centroid[cell] elementwise in exact doubles."""
+    from storage_spark.functions.vectors import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_residuals,
+    )
+
+    v = _off_origin_clusters(spark, n=40)
+    cents = ivf_centroids(v, 4)
+    assigned = ivf_assign(v, cents, metric="l2")
+    res = {r["key"]: (r["cell"], r["residual"])
+           for r in ivf_residuals(assigned, cents).collect()}
+    cent_by_cell = {r["cell"]: r["centroid"] for r in cents.collect()}
+    vecs = {r["key"]: r["embedding"] for r in v.collect()}
+    assert len(res) == 40
+    for k, (cell, rvec) in res.items():
+        want = [float(x) - float(c) for x, c in zip(vecs[k], cent_by_cell[cell])]
+        assert rvec == want
 
 
 def test_embedding_outliers_finds_planted_outlier(spark):
