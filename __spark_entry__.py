@@ -3387,6 +3387,22 @@ def q_proportional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted mix (n^(1/T) smoothing, Conneau & Lample
+    2019): T=2 lifts the rare languages' quotas above their raw
+    proportions. One cross-engine pow, quantized to an integer weight
+    before the Hamilton apportionment — the oracle replays the weight
+    rounding, floor division, remainder ranking, the size cap, and the
+    md5 draw verbatim."""
+    from storage_spark.operators.pipeline import temperature_sample
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "lang")
+    return temperature_sample(
+        docs, "lang", total_k=150, temperature=2.0
+    ).orderBy("lang", "doc_id")
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding outlier sweep: top-5 vectors by
     distance-to-centroid under integer-exact arithmetic (quantized
@@ -3627,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_ivfsq": q_vector_ivfsq,
         "semantic_dedup": q_semantic_dedup,
         "vector_ivfpq_residual": q_vector_ivfpq_residual,
+        "temperature_sample": q_temperature_sample,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -4357,6 +4374,39 @@ SELECT doc_id, d.lang AS lang FROM (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang
            ORDER BY md5('prop-v1:' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC) AS rk
+  FROM documents WHERE lang IS NOT NULL
+) d JOIN quotas q ON d.lang = q.lang
+WHERE d.rk <= q.quota ORDER BY lang, doc_id
+"""),
+        "temperature_sample": _o("""
+, counts AS (
+  SELECT lang, count(*) AS gn FROM documents WHERE lang IS NOT NULL
+  GROUP BY lang
+),
+wts AS (
+  -- the ONE cross-engine float op, quantized to an integer weight:
+  -- round(n^(1/T) * 1e6) with T=2
+  SELECT lang, gn,
+         CAST(round(pow(CAST(gn AS DOUBLE), 0.5) * 1000000.0) AS BIGINT) AS wgt
+  FROM counts
+),
+quotas AS (
+  SELECT lang,
+    least(
+      (150 * wgt) // (SELECT sum(wgt) FROM wts)
+      + CASE WHEN row_number() OVER (
+            ORDER BY (150 * wgt) % (SELECT sum(wgt) FROM wts) DESC,
+                     lang ASC)
+          <= 150 - (SELECT sum((150 * w2.wgt) // (SELECT sum(wgt) FROM wts)) FROM wts w2)
+        THEN 1 ELSE 0 END,
+      gn) AS quota
+  FROM wts
+)
+SELECT doc_id, d.lang AS lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5('temp-v1:' || CAST(doc_id AS VARCHAR)) ASC,
                     doc_id ASC) AS rk
   FROM documents WHERE lang IS NOT NULL
 ) d JOIN quotas q ON d.lang = q.lang

@@ -976,6 +976,69 @@ def sample_k_per_group(
     return out.drop("_rk")
 
 
+def _largest_remainder_quotas(
+    counts: DataFrame,
+    group_col: str,
+    total_k: int,
+    weight_col: str,
+    size_col: str,
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of ``total_k`` slots
+    over groups, proportional to ``weight_col``, capped at ``size_col``
+    (a group can never owe more rows than it has): ``floor(k·w_g / W)``
+    each, short-fall slots to the largest remainders (ties → group asc).
+    ALL integer arithmetic on the weights — callers quantize any float
+    weighting into integers first, so the oracle replays the allocation
+    exactly. The lazy assert guards ``total_k <= Σ size`` (over-budget
+    would silently under-deliver). Every window here is over #groups
+    rows, never data rows.
+
+    For weights == sizes the cap is a mathematical no-op
+    (``floor(k·n/N) + 1 <= n`` whenever ``k <= N``); for boosted weights
+    (``temperature_sample``) a saturated group returns whole and the
+    short-fall is NOT redistributed — see that operator's contract.
+    """
+    counts = counts.withColumn(
+        "_wtot", F.sum(weight_col).over(Window.partitionBy(F.lit(1)))
+    ).withColumn(
+        "_tot", F.sum(size_col).over(Window.partitionBy(F.lit(1)))
+    )
+    counts = counts.withColumn(
+        # integer DIV, not double-divide-then-truncate: k*w_g must floor
+        # EXACTLY even past 2^53 where doubles lose unit precision
+        "_base", F.expr(f"({total_k} * {weight_col}) DIV _wtot")
+    ).withColumn(
+        "_rem", (F.lit(total_k) * F.col(weight_col)) % F.col("_wtot")
+    )
+    short = F.lit(total_k) - F.sum("_base").over(Window.partitionBy(F.lit(1)))
+    wr = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("_rem").desc(), F.col(group_col).asc()
+    )
+    return (
+        counts.withColumn("_short", short)
+        .withColumn("_pos", F.row_number().over(wr))
+        .withColumn(
+            "quota",
+            # the assert_true wrap is the lazy over-budget guard: folded
+            # INTO the quota expression (a dropped side column would be
+            # pruned unevaluated). assert_true is NULL on success, so the
+            # when() always takes the otherwise-free branch after it.
+            F.when(
+                F.assert_true(
+                    F.lit(total_k) <= F.col("_tot"),
+                    F.lit("sample quota: total_k exceeds corpus size"),
+                ).isNull(),
+                F.least(
+                    F.col("_base")
+                    + F.when(F.col("_pos") <= F.col("_short"), 1).otherwise(0),
+                    F.col(size_col),
+                ),
+            ),
+        )
+        .select(group_col, "quota")
+    )
+
+
 def proportional_sample(
     docs: DataFrame,
     group_col: str,
@@ -1013,50 +1076,28 @@ def proportional_sample(
     # under-delivering. Exclude them from BOTH sides and say so.
     docs = docs.filter(F.col(group_col).isNotNull())
     counts = docs.groupBy(group_col).agg(F.count("*").alias("_gn"))
-    # the quota table is #groups rows; the single-partition windows here
-    # (total, short-fall, remainder rank) are bounded by the group count,
-    # never the data — and avoid a scalar-subquery nested-loop join
-    counts = counts.withColumn(
-        "_tot", F.sum("_gn").over(Window.partitionBy(F.lit(1)))
+    # the quota table is #groups rows; its single-partition windows are
+    # bounded by the group count, never the data (helper docstring)
+    quotas = _largest_remainder_quotas(
+        counts, group_col, total_k, weight_col="_gn", size_col="_gn"
     )
-    counts = counts.withColumn(
-        # integer DIV, not double-divide-then-truncate: k*n_g must floor
-        # EXACTLY even past 2^53 where doubles lose unit precision
-        "_base", F.expr(f"({total_k} * _gn) DIV _tot")
-    ).withColumn(
-        "_rem", (F.lit(total_k) * F.col("_gn")) % F.col("_tot")
-    )
-    # short-fall = k - Σfloor: distribute one slot each to the top
-    # remainders. #groups rows — the single-partition window is bounded
-    # by the group count, not the data.
-    short = F.lit(total_k) - F.sum("_base").over(
-        Window.partitionBy(F.lit(1))
-    )
-    wr = Window.partitionBy(F.lit(1)).orderBy(
-        F.col("_rem").desc(), F.col(group_col).asc()
-    )
-    quotas = (
-        counts.withColumn("_short", short)
-        .withColumn("_pos", F.row_number().over(wr))
-        .withColumn(
-            "quota",
-            # the assert_true wrap is the lazy over-budget guard: folded
-            # INTO the quota expression (a dropped side column would be
-            # pruned unevaluated) — an over-budget request would
-            # otherwise silently under-deliver. assert_true is NULL on
-            # success, so the when() always takes the otherwise-free
-            # branch after the check passes.
-            F.when(
-                F.assert_true(
-                    F.lit(total_k) <= F.col("_tot"),
-                    F.lit("proportional_sample: total_k exceeds corpus size"),
-                ).isNull(),
-                F.col("_base")
-                + F.when(F.col("_pos") <= F.col("_short"), 1).otherwise(0),
-            ),
-        )
-        .select(group_col, "quota")
-    )
+    return _fill_group_quotas(docs, quotas, group_col, total_k, key_col, seed)
+
+
+def _fill_group_quotas(
+    docs: DataFrame,
+    quotas: DataFrame,
+    group_col: str,
+    total_k: int,
+    key_col: str,
+    seed: str,
+) -> DataFrame:
+    """Fill per-group quotas by the engine-portable ``md5(seed:key)``
+    rank. The literal ``total_k`` bound comes FIRST: no quota exceeds
+    it, and a foldable rank filter is what InferWindowGroupLimit pushes
+    below the shuffle (each map task forwards at most total_k rows per
+    group) — the joined-column quota filter alone is not foldable and
+    would rank every row of a 10^9-row corpus."""
     h = F.md5(
         F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string"))
     )
@@ -1064,15 +1105,67 @@ def proportional_sample(
     return (
         docs.join(F.broadcast(quotas), group_col)
         .withColumn("_rk", F.row_number().over(w))
-        # literal bound FIRST: no quota exceeds total_k, and a foldable
-        # rank filter is what InferWindowGroupLimit pushes below the
-        # shuffle (each map task forwards at most total_k rows per
-        # group) — the joined-column quota filter alone is not foldable
-        # and would rank every row of a 10^9-row corpus
         .filter(F.col("_rk") <= F.lit(int(total_k)))
         .filter(F.col("_rk") <= F.col("quota"))
         .drop("_rk", "quota")
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    group_col: str,
+    total_k: int,
+    temperature: float = 2.0,
+    key_col: str = "doc_id",
+    seed: str = "temp-v1",
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-reweighted downsample to ``total_k`` rows: group
+    quotas are apportioned proportional to ``n_g^(1/temperature)`` — the
+    standard multilingual/data-mixing reweighting (Conneau & Lample
+    2019's smoothed sampling; T5 / XLM-R style). ``temperature=1``
+    degenerates to ``proportional_sample`` exactly (asserted in tests);
+    larger T flattens the mix toward uniform (``float('inf')`` gives
+    equal quotas); T < 1 sharpens toward the head. Rare groups gain
+    share, dominant groups shed it — without the head group drowning
+    the tail the way raw proportions do.
+
+    Exactness contract: the float weight ``n^(1/T)`` is quantized ONCE
+    to an integer (``round(w * weight_scale)``) and everything after is
+    the integer Hamilton apportionment — the only cross-engine float op
+    is one ``pow`` whose sub-ulp variation is absorbed by the rounding
+    (a flip needs the scaled weight within 1 ulp of a .5 boundary).
+    Headroom: ``total_k * Σ(scaled weights)`` must fit int64 — at the
+    default scale that is ~9e18 / (1e6·Σ n^(1/T)), generous for any real
+    mix; lower ``weight_scale`` if a billion-group corpus ever hits it.
+
+    Saturation: a boosted quota is capped at the group's actual size
+    (the group returns whole) and the short-fall is NOT redistributed —
+    redistribution is iterative water-filling, and silent re-boosting of
+    the next-rarest group is usually NOT what a mixing recipe wants.
+    Callers comparing ``count()`` to ``total_k`` see the deficit; raise
+    ``temperature`` toward 1 (or lower total_k) to clear it.
+
+    Plan shape: identical to ``proportional_sample`` — a #groups-row
+    quota table broadcast back, ONE data shuffle on the group key with
+    the WindowGroupLimit-foldable rank bound.
+    """
+    if not temperature > 0:
+        raise ValueError(f"temperature must be > 0 (got {temperature})")
+    inv_t = 1.0 / temperature
+    docs = docs.filter(F.col(group_col).isNotNull())
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("_gn"))
+    counts = counts.withColumn(
+        "_wgt",
+        F.round(
+            F.pow(F.col("_gn").cast("double"), F.lit(inv_t))
+            * F.lit(float(weight_scale))
+        ).cast("long"),
+    )
+    quotas = _largest_remainder_quotas(
+        counts, group_col, total_k, weight_col="_wgt", size_col="_gn"
+    )
+    return _fill_group_quotas(docs, quotas, group_col, total_k, key_col, seed)
 
 
 def decontaminate_spans(

@@ -508,3 +508,116 @@ def test_split_overlap_report_empty_on_leakage_free_split(spark, sf_dir):
     assert (
         split_overlap_report(docs, safe, min_jaccard=0.005).count() == 0
     )  # the guarantee, audited by the audit itself
+
+
+def _lang_corpus(spark, sizes: dict[str, int]):
+    rows = []
+    i = 0
+    for g, n in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_temperature_one_equals_proportional(spark):
+    from storage_spark.operators.pipeline import (
+        proportional_sample,
+        temperature_sample,
+    )
+
+    docs = _lang_corpus(spark, {"en": 218, "zh": 75, "es": 73, "de": 70, "fr": 64})
+    p = sorted(map(tuple, proportional_sample(docs, "lang", 150).collect()))
+    t = sorted(
+        map(
+            tuple,
+            temperature_sample(
+                docs, "lang", 150, temperature=1.0, seed="prop-v1"
+            ).collect(),
+        )
+    )
+    assert p == t  # T=1: weights == sizes, identical apportionment + draw
+
+
+def test_temperature_inf_equal_quotas(spark):
+    from storage_spark.operators.pipeline import temperature_sample
+
+    docs = _lang_corpus(spark, {"a": 500, "b": 60, "c": 60, "d": 60})
+    out = temperature_sample(docs, "lang", 120, temperature=float("inf"))
+    by_g = {
+        r["lang"]: r["cnt"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_g == {"a": 30, "b": 30, "c": 30, "d": 30}
+
+
+def test_temperature_flattens_monotonically(spark):
+    from storage_spark.operators.pipeline import temperature_sample
+
+    docs = _lang_corpus(spark, {"head": 800, "mid": 100, "tail": 40})
+    shares = []
+    for T in (1.0, 2.0, 4.0, 16.0):
+        out = temperature_sample(docs, "lang", 100, temperature=T)
+        cnt = {
+            r["lang"]: r["cnt"]
+            for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert sum(cnt.values()) == 100  # no saturation at these sizes
+        shares.append((cnt["head"], cnt.get("tail", 0)))
+    heads = [h for h, _ in shares]
+    tails = [t for _, t in shares]
+    assert heads == sorted(heads, reverse=True) and heads[0] > heads[-1]
+    assert tails == sorted(tails) and tails[0] < tails[-1]
+
+
+def test_temperature_saturation_caps_at_group_size(spark):
+    from storage_spark.operators.pipeline import temperature_sample
+
+    docs = _lang_corpus(spark, {"big": 100, "tiny": 2})
+    # T=inf wants 40/40; tiny holds only 2 — it returns WHOLE and the
+    # short-fall is NOT redistributed (documented contract)
+    out = temperature_sample(docs, "lang", 80, temperature=float("inf"))
+    cnt = {
+        r["lang"]: r["cnt"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert cnt == {"big": 40, "tiny": 2}
+
+
+def test_temperature_matches_integer_hamilton_reference(spark):
+    """Python replication of the full quota pipeline: rounded pow
+    weights -> integer Hamilton -> size cap. Per-group delivered counts
+    must match exactly."""
+    from storage_spark.operators.pipeline import temperature_sample
+
+    sizes = {"en": 218, "zh": 75, "es": 73, "de": 70, "fr": 64, "xx": 3}
+    total_k, T, scale = 150, 2.0, 1_000_000
+    docs = _lang_corpus(spark, sizes)
+
+    wgt = {g: round((n ** (1.0 / T)) * scale) for g, n in sizes.items()}
+    wtot = sum(wgt.values())
+    base = {g: (total_k * w) // wtot for g, w in wgt.items()}
+    rem = {g: (total_k * w) % wtot for g, w in wgt.items()}
+    short = total_k - sum(base.values())
+    order = sorted(sizes, key=lambda g: (-rem[g], g))
+    want = {
+        g: min(base[g] + (1 if order.index(g) < short else 0), sizes[g])
+        for g in sizes
+    }
+
+    out = temperature_sample(docs, "lang", total_k, temperature=T)
+    got = {
+        r["lang"]: r["cnt"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == {g: q for g, q in want.items() if q > 0}
+
+
+def test_temperature_invalid_raises(spark):
+    from storage_spark.operators.pipeline import temperature_sample
+
+    docs = _lang_corpus(spark, {"a": 5})
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_sample(docs, "lang", 3, temperature=0.0)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_sample(docs, "lang", 3, temperature=-1.0)
