@@ -129,9 +129,10 @@ def main() -> None:
 
     def semdedup():
         # cluster-scoped semantic dedup over the full embeddings table on
-        # the DEFAULT corpus-sized cluster count (semantic_cells_for:
-        # ~2k vectors at sf0.1 derive 16 cells; pair work stays linear at
-        # the 128-doc target occupancy).
+        # the DEFAULT corpus-sized cluster count (semantic_cells_for's
+        # balanced sqrt(n/2) rule: ~2k vectors at sf0.1 derive 32 cells,
+        # splitting cost evenly between the n x cells assignment scan and
+        # the within-cell pairing — the r7 sf1 probe's operating point).
         from storage_spark.operators.dedup import semantic_dedup
 
         return (

@@ -1073,20 +1073,44 @@ def incremental_exact_dedup(
     return kept, fresh.select(fp_col, F.col(id_col).alias("first_" + id_col))
 
 
-def semantic_cells_for(n_docs: int, target_cell: int = 128) -> int:
-    """Cluster count that keeps semantic dedup's within-cluster pairing
-    bounded: each cluster of size ``c`` contributes ``c(c-1)/2`` candidate
-    pairs (full pairwise cosine inside the cluster is the POINT of
-    cluster-scoped dedup), so total pair work is ``~n * target_cell / 2``
-    when clusters average ``target_cell`` members — linear in the corpus,
-    unlike the global n² product. ``ceil(n / target_cell)`` clusters,
-    capped at 65536 (the centroid-broadcast ceiling shared with the ANN
-    index geometry). Same size-from-the-CORPUS discipline as
-    ``sig_bits_for`` / ``embedding_planes_for``: a cluster count tuned on
-    a 50k sample silently goes quadratic on the 50M corpus."""
+def semantic_cells_for(n_docs: int, target_cell: int | None = None) -> int:
+    """Cluster count balancing semantic dedup's TWO per-doc cost terms:
+    the cell ASSIGNMENT scans every centroid (``n x cells`` distance
+    evals) while the within-cell pairing scans every cell-mate
+    (``n x occupancy / 2``). Total ≈ ``n²/occupancy + n·occupancy/2``,
+    minimized at occupancy ``≈ sqrt(2n)`` — i.e. ``cells = ceil(
+    sqrt(n/2))``, the same sqrt shape as IVF practice (and the
+    SemDeDup paper's ~11k clusters at 100M docs). Capped at 65536 (the
+    centroid-broadcast ceiling shared with the ANN index geometry; it
+    binds only past ~8.6e9 docs).
+
+    The r7 sf1 probe measured why a FIXED target occupancy is the wrong
+    rule here (NOTES_r7) — at 20k docs, eps=0.55, local[32]:
+
+    ====================  =====  ======
+    rule                  cells  wall
+    ====================  =====  ======
+    occupancy 32            625  309 s   (assignment-dominated)
+    occupancy 128           157   85 s
+    sqrt(n/2) (this rule)   100   59 s
+    occupancy 512            40   36 s   (box constants favor fewer)
+    occupancy 2048            10   57 s   (pair-dominated)
+    ====================  =====  ======
+
+    The sqrt rule is within ~1.6x of the measured optimum across the
+    sweep and — unlike any fixed occupancy — stays near-optimal as n
+    grows 1000x (a fixed 128 would be 50x off at 10^9 docs, with the
+    assignment term paying the difference). ``target_cell`` overrides
+    with a fixed occupancy (``ceil(n/target_cell)`` cells) for callers
+    tuning recall: larger cells = fewer boundary-split misses.
+    Same size-from-the-CORPUS discipline as ``sig_bits_for`` /
+    ``embedding_planes_for``: a cluster count tuned on a 50k sample is
+    quadratically wrong on the 50M corpus."""
     import math
 
-    return min(65536, max(1, math.ceil(n_docs / max(1, target_cell))))
+    if target_cell is not None:
+        return min(65536, max(1, math.ceil(n_docs / max(1, target_cell))))
+    return min(65536, max(1, math.ceil(math.sqrt(max(0, n_docs) / 2))))
 
 
 def _semantic_assigned(
@@ -1168,9 +1192,10 @@ def semantic_cluster_pairs(
     ``(doc_a, doc_b, cell, distance)`` with ``doc_a < doc_b``.
 
     Scale shape: the corpus shuffles ONCE by ``cell`` and the self-join is
-    an equi-join on it — pair work is Σ c(c-1)/2 over cluster sizes, kept
-    linear-in-n by ``semantic_cells_for``'s target occupancy (plus the
-    ``max_cell_size`` guard for degenerate hot clusters). The recall trade
+    an equi-join on it — pair work is Σ c(c-1)/2 over cluster sizes,
+    balanced against the n×cells assignment scan by
+    ``semantic_cells_for``'s sqrt(n/2) rule (plus the ``max_cell_size``
+    guard for degenerate hot clusters). The recall trade
     vs ``embedding_near_dup_pairs``' banded LSH: a near-dup pair SPLIT
     ACROSS a cluster boundary is never considered — that miss is inherent
     to cluster-scoped dedup (SemDeDup accepts it; quantify it with the
@@ -1257,8 +1282,9 @@ def semantic_dedup(
       closure.
 
     Scale shape = ``semantic_cluster_pairs`` (one shuffle by cell,
-    linear pair work at the derived cluster count) plus, for "rank", a
-    per-cell window (bounded by cluster size, never corpus size).
+    assignment/pairing balanced by the derived sqrt-rule cluster count)
+    plus, for "rank", a per-cell window (bounded by cluster size, never
+    corpus size).
     """
     from pyspark.sql import Window
 

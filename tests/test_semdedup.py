@@ -207,12 +207,19 @@ def test_rank_dropped_subset_of_components_dropped(spark):
 
 
 def test_cells_for_rule():
-    # linear in n at the target occupancy
-    assert semantic_cells_for(128) == 1
-    assert semantic_cells_for(1280) == 10
-    assert semantic_cells_for(10**6) == 7813
-    # broadcastability ceiling
-    assert semantic_cells_for(10**9) == 65536
+    import math
+
+    # balanced sqrt rule: cells = ceil(sqrt(n/2)) — minimizes the
+    # n*cells assignment scan + n*occupancy/2 pairing sum (r7 probe)
+    assert semantic_cells_for(2) == 1
+    assert semantic_cells_for(20_000) == 100
+    assert semantic_cells_for(10**6) == 708
+    assert semantic_cells_for(10**9) == math.ceil(math.sqrt(5 * 10**8))
+    # broadcastability ceiling binds only past ~8.6e9 docs
+    assert semantic_cells_for(10**10) == 65536
+    # fixed-occupancy override for recall tuning
+    assert semantic_cells_for(1280, target_cell=128) == 10
+    assert semantic_cells_for(10**10, target_cell=128) == 65536
     # monotonic
     prev = 0
     for n in (1, 10, 10**3, 10**5, 10**7, 10**9):
