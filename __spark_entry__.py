@@ -1047,6 +1047,61 @@ WHERE distance < 0.65
 """)
 
 
+def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection (Achlioptas 2003) — the fat-
+    embedding reducer: out_dim left-folded dots against the deterministic
+    md5 ±1 planes, scaled by a shared double literal. The oracle
+    recomputes every projected coordinate from the same plane literals,
+    so the projection math itself is hash-graded."""
+    from storage_spark.functions.vectors import project_embeddings
+
+    v = _vectors(spark, sf_dir).select("key", "embedding")
+    out = project_embeddings(v, out_dim=16, dim=64)
+    # scalar rows, not an array column: the driver's canonical compare
+    # treats arrays engine-specifically (numpy repr vs python list), so
+    # one (key, pos, value) row per coordinate keeps the grade exact
+    return out.select(
+        "key",
+        F.posexplode(
+            F.transform(
+                F.col("projected"),
+                lambda x: F.round(x * 10000).cast("bigint"),
+            )
+        ).alias("pos", "proj_1e4"),
+    ).select("key", F.col("pos").cast("int").alias("pos"), "proj_1e4")
+
+
+def _oracle_project_embeddings(out_dim: int, dim: int) -> str:
+    """SQL mirror of vectors.project_embeddings: per coordinate, the
+    left-folded dot against the inlined ±1 plane times the identical
+    Python-computed scale literal, then the same x10000 rounding."""
+    import math
+
+    from storage_spark.functions.vectors import hyperplanes
+
+    planes = hyperplanes(dim, out_dim)
+    scale = repr(1.0 / math.sqrt(out_dim))
+
+    def _coord(p: list[float]) -> str:
+        lit = "[" + ", ".join(f"{x:.1f}" for x in p) + "]"
+        d = (
+            f"list_sum(list_transform(list_zip(embedding, {lit}),"
+            " t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+        )
+        return f"CAST(round(({d} * {scale}) * 10000) AS BIGINT)"
+
+    coords = ",\n    ".join(_coord(p) for p in planes)
+    return _o(f"""
+, proj AS (
+  SELECT CAST(vec_id AS STRING) AS key,
+    [{coords}] AS coords
+  FROM embeddings
+)
+SELECT key, CAST(j - 1 AS INT) AS pos, coords[CAST(j AS INT)] AS proj_1e4
+FROM proj, range(1, {out_dim + 1}) t(j)
+""")
+
+
 def _oracle_semantic_dedup(n_clusters: int, eps: float) -> str:
     """SQL mirror of dedup.semantic_dedup (rank resolution, deterministic
     first-n quantizer): centroids → argmin-cosine assignment (tie: lowest
@@ -3644,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "vector_ivfpq_residual": q_vector_ivfpq_residual,
         "temperature_sample": q_temperature_sample,
+        "project_embeddings": q_project_embeddings,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5355,6 +5411,7 @@ WHERE i.fp IS NULL ORDER BY doc_id
 """),
         "dedup_embedding": _oracle_embedding_neardup(),
         "semantic_dedup": _oracle_semantic_dedup(n_clusters=8, eps=0.65),
+        "project_embeddings": _oracle_project_embeddings(out_dim=16, dim=64),
         "vector_cosine_topk": _o(f"""
 SELECT key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4
 FROM (

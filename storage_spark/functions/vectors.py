@@ -252,6 +252,55 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int,
+    dim: int,
+    vector_col: str = "embedding",
+    out_col: str = "projected",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection (Achlioptas 2003): project
+    each vector to ``out_dim`` coordinates via the deterministic ±1
+    hyperplane matrix scaled by ``1/sqrt(out_dim)`` — pairwise L2
+    distances are preserved within the JL distortion bound, so the
+    projected space is a drop-in input for the ANN / embedding-dedup
+    operators at ``dim/out_dim``-fold less distance math and storage.
+    This is the 100 TB lever for fat embeddings: project 768 -> 64
+    ONCE (map-only, fused into the scan), build the LSH/IVF index on
+    the projection, exact-rerank survivors against the originals.
+
+    Determinism contract: signs come from the md5 ``hyperplanes``
+    generator and the scale is a Python-computed double literal, so the
+    projection replays bit-for-bit in any engine (same left-folded dot
+    as every distance here). A row whose vector length != ``dim`` fails
+    LOUDLY via a lazily-fused assert (zip_with would otherwise null-pad
+    and silently zero the tail). All other columns pass through.
+    """
+    import math
+
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1 (got {out_dim})")
+    planes = hyperplanes(dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    vec = F.col(vector_col)
+    coords = [
+        dot(vec, F.array(*[F.lit(x) for x in p])) * F.lit(scale)
+        for p in planes
+    ]
+    proj = F.array(*coords)
+    # fuse the dim guard INTO the projection expression (a dropped side
+    # column would be pruned away and never evaluate)
+    proj = F.when(
+        F.assert_true(
+            F.size(vec) == dim,
+            F.lit(f"project_embeddings: vector length != dim={dim}"),
+        ).isNull(),
+        proj,
+    )
+    return df.withColumn(out_col, proj)
+
+
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Bit-sign signature: one bit per hyperplane (dot-product sign),
     packed into a string bucket id."""
