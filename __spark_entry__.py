@@ -1047,6 +1047,27 @@ WHERE distance < 0.65
 """)
 
 
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monotonic-ingest form of semantic dedup: a 100-doc batch
+    gated against a 400-doc settled index under the index's own stored
+    quantizer — index neighbors always win, batch-internal ties resolve
+    by the farthest-from-centroid rank. The oracle replays centroids,
+    both assignments, the priority ranks, both drop rules, and the
+    surviving append rows."""
+    from storage_spark.functions.vectors import ivf_assign, ivf_centroids
+    from storage_spark.operators.dedup import incremental_semantic_dedup
+
+    v = _vectors(spark, sf_dir).select("key", "embedding")
+    ixv = v.filter(F.col("key").cast("bigint") < 400)
+    batch = v.filter(F.col("key").cast("bigint") >= 400)
+    cents = ivf_centroids(ixv, 8)
+    index = ivf_assign(ixv, cents)
+    _, new_rows = incremental_semantic_dedup(batch, index, cents, eps=0.65)
+    return new_rows.select(
+        F.col("key").alias("doc"), F.col("cell").cast("int").alias("cell")
+    )
+
+
 def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss sign projection (Achlioptas 2003) — the fat-
     embedding reducer: out_dim left-folded dots against the deterministic
@@ -1099,6 +1120,68 @@ def _oracle_project_embeddings(out_dim: int, dim: int) -> str:
 )
 SELECT key, CAST(j - 1 AS INT) AS pos, coords[CAST(j AS INT)] AS proj_1e4
 FROM proj, range(1, {out_dim + 1}) t(j)
+""")
+
+
+def _oracle_semantic_dedup_incremental(
+    n_clusters: int, eps: float, split_vec_id: int
+) -> str:
+    """SQL mirror of dedup.incremental_semantic_dedup over an
+    index/batch split of the embeddings table: first-n centroids from
+    the INDEX, argmin assignment of both sides, batch priority ranks
+    (cdist desc, key asc), drop on any same-cell index neighbor within
+    eps OR a higher-priority same-cell batch doc within eps; surviving
+    (doc, cell) rows are the index-append set."""
+    d_bc = _duck_cos("b.embedding", "c.centroid")
+    d_ix = _duck_cos("a.embedding", "b.embedding")
+    d_bb = _duck_cos("hi.embedding", "lo.embedding")
+    return _o(f"""
+, ixb AS (
+  SELECT CAST(vec_id AS STRING) AS key, embedding
+  FROM embeddings WHERE vec_id < {split_vec_id}
+),
+bat AS (
+  SELECT CAST(vec_id AS STRING) AS key, embedding
+  FROM embeddings WHERE vec_id >= {split_vec_id}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY key) AS INT) - 1 AS cell,
+         embedding AS centroid
+  FROM (SELECT key, embedding FROM ixb ORDER BY key LIMIT {n_clusters})
+),
+ixa AS (
+  SELECT key, embedding, cell FROM (
+    SELECT b.key, b.embedding, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY b.key
+        ORDER BY {d_bc} ASC, c.cell ASC) AS rn
+    FROM ixb b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+ba AS (
+  SELECT key, embedding, cell, cdist FROM (
+    SELECT b.key, b.embedding, c.cell, {d_bc} AS cdist,
+      ROW_NUMBER() OVER (PARTITION BY b.key
+        ORDER BY {d_bc} ASC, c.cell ASC) AS rn
+    FROM bat b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT key, embedding, cell,
+    ROW_NUMBER() OVER (PARTITION BY cell
+      ORDER BY cdist DESC, key ASC) AS cent_rank
+  FROM ba
+),
+rm AS (
+  SELECT b.key FROM ranked b JOIN ixa a ON a.cell = b.cell
+  WHERE {d_ix} < {eps}
+  UNION
+  SELECT lo.key FROM ranked hi JOIN ranked lo
+    ON lo.cell = hi.cell AND hi.cent_rank < lo.cent_rank
+  WHERE {d_bb} < {eps}
+)
+SELECT b.key AS doc, b.cell
+FROM ba b LEFT JOIN rm ON rm.key = b.key
+WHERE rm.key IS NULL
 """)
 
 
@@ -3700,6 +3783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_ivfpq_residual": q_vector_ivfpq_residual,
         "temperature_sample": q_temperature_sample,
         "project_embeddings": q_project_embeddings,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5412,6 +5496,9 @@ WHERE i.fp IS NULL ORDER BY doc_id
         "dedup_embedding": _oracle_embedding_neardup(),
         "semantic_dedup": _oracle_semantic_dedup(n_clusters=8, eps=0.65),
         "project_embeddings": _oracle_project_embeddings(out_dim=16, dim=64),
+        "semantic_dedup_incremental": _oracle_semantic_dedup_incremental(
+            n_clusters=8, eps=0.65, split_vec_id=400
+        ),
         "vector_cosine_topk": _o(f"""
 SELECT key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4
 FROM (

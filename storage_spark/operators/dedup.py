@@ -1345,3 +1345,100 @@ def semantic_dedup(
         res.join(ranked.select("doc", "cell", "cent_rank"), "doc")
         .select("doc", "cell", "cent_rank", F.col("is_canonical").alias("kept"))
     )
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    index_vectors: DataFrame,
+    centroids: DataFrame,
+    key_col: str = "key",
+    vector_col: str = "embedding",
+    eps: float = 0.07,
+    max_cell_size: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Semantic-dedup an ingest BATCH against an already-indexed corpus —
+    the monotonic-ingest form of ``semantic_dedup``, same contract shape
+    as ``incremental_exact_dedup`` / ``incremental_minhash_pairs``.
+
+    ``index_vectors`` is the stored per-cell corpus ``(key, embedding,
+    cell)`` (a prior ``ivf_assign`` output, kept partitioned by ``cell``
+    at scale so the probe join prunes partitions); ``centroids`` is the
+    quantizer the index was built with — the batch is assigned with the
+    STORED centroids, never a re-derivation (re-deriving would shift
+    cell boundaries under the existing postings and silently miss index
+    neighbors).
+
+    Drop rules (both set-oriented, one equi-join on ``cell`` each):
+    - batch-vs-index: a batch doc within ``eps`` of ANY index doc in its
+      cell drops — the index is settled, it always wins;
+    - batch-internal: the ``semantic_dedup`` rank rule among batch docs
+      sharing a cell (farthest-from-centroid priority, ties by key).
+
+    Returns ``(kept, new_index_rows)``: ``kept`` preserves every batch
+    column (left-semi on the surviving keys); ``new_index_rows`` is
+    exactly the ``(key, embedding, cell)`` rows to APPEND to the index.
+    Cost scales with the BATCH times cell occupancy, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    from storage_spark.functions.vectors import (
+        cosine_distance,
+        dot,
+        ivf_assign,
+        norm,
+    )
+
+    assigned = ivf_assign(
+        batch.select(key_col, vector_col), centroids, "cosine",
+        key_col, vector_col,
+    )
+    b = assigned.join(F.broadcast(centroids), "cell").select(
+        F.col(key_col).alias("doc"),
+        F.col(vector_col).alias("vec"),
+        norm(F.col(vector_col)).alias("nrm"),
+        "cell",
+        cosine_distance(F.col(vector_col), F.col("centroid")).alias("cdist"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("cdist").desc(), F.col("doc").asc())
+    ranked = b.withColumn("cent_rank", F.row_number().over(w))
+    pairable = _cap_band_buckets(ranked, ["cell"], max_cell_size)
+    dist = F.lit(1.0) - dot(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
+    # batch-vs-index: the index row is 'a' (always wins)
+    ix = index_vectors.select(
+        F.col(key_col).alias("ix_key"), F.col(vector_col).alias("va"),
+        norm(F.col(vector_col)).alias("na"), "cell",
+    )
+    vs_index = (
+        ix.join(
+            pairable.select(
+                F.col("doc").alias("doc_lo"), F.col("vec").alias("vb"),
+                F.col("nrm").alias("nb"), "cell",
+            ),
+            "cell",
+        )
+        .filter(dist < eps)
+        .select("doc_lo")
+    )
+    # batch-internal: higher cent-rank priority wins (semantic_dedup rule)
+    lhs = pairable.select(
+        F.col("vec").alias("va"), F.col("nrm").alias("na"),
+        F.col("cent_rank").alias("ra"), "cell",
+    )
+    rhs = pairable.select(
+        F.col("doc").alias("doc_lo"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("cent_rank").alias("rb"), "cell",
+    )
+    internal = (
+        lhs.join(rhs, "cell")
+        .filter(F.col("ra") < F.col("rb"))
+        .filter(dist < eps)
+        .select("doc_lo")
+    )
+    removed = vs_index.unionByName(internal).distinct().select(
+        F.col("doc_lo").alias(key_col)
+    )
+    survivors = assigned.join(removed, key_col, "left_anti")
+    kept = batch.join(survivors.select(key_col), key_col, "left_semi")
+    return kept, survivors.select(key_col, vector_col, "cell")

@@ -102,6 +102,7 @@ _BNLJ_ALLOWED = {
     # ranking as vector_ivf_ann; the pair stage itself is an equi-join
     # on cell, never a product
     "semantic_dedup",
+    "semantic_dedup_incremental",
 }
 
 

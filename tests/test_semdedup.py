@@ -297,3 +297,107 @@ def test_kmeans_refined_clusters_still_dedup(spark):
     # members AND every doc appears exactly once
     assert sum(not r["kept"] for r in out) >= 2
     assert by_doc["30"]["kept"]
+
+
+def _inc_setup(spark):
+    from storage_spark.functions.vectors import ivf_assign, ivf_centroids
+
+    # index: 4 seeds + settled docs; batch arrives later
+    rows = [
+        ("i0", _unit(0)),
+        ("i1", _unit(1)),
+        ("i2", _unit(2)),
+        ("i3", _unit(3)),
+        ("i4", _unit(0, nudge=0.5, coord=4)),  # settled, off the seed
+    ]
+    ixv = spark.createDataFrame(rows, "key string, embedding array<float>")
+    cents = ivf_centroids(ixv, 4)
+    index = ivf_assign(ixv, cents)
+    return ixv, cents, index
+
+
+def test_incremental_semantic_index_always_wins(spark):
+    from storage_spark.operators.dedup import incremental_semantic_dedup
+
+    _, cents, index = _inc_setup(spark)
+    batch = spark.createDataFrame(
+        [
+            ("b0", _unit(0, nudge=0.01, coord=5)),  # near index seed i0 -> drop
+            ("b1", _unit(5)),                       # novel direction -> keep
+        ],
+        "key string, embedding array<float>",
+    )
+    kept, newrows = incremental_semantic_dedup(batch, index, cents, eps=0.01)
+    assert {r["key"] for r in kept.collect()} == {"b1"}
+    nr = newrows.collect()
+    assert [(r["key"],) for r in nr] == [("b1",)]
+    assert set(newrows.columns) == {"key", "embedding", "cell"}
+
+
+def test_incremental_semantic_batch_internal_rank_rule(spark):
+    """Two batch near-dups sharing a cell: the farther-from-centroid
+    member survives (the semantic_dedup priority), independent of id."""
+    from storage_spark.operators.dedup import incremental_semantic_dedup
+
+    _, cents, index = _inc_setup(spark)
+    batch = spark.createDataFrame(
+        [
+            # both near seed-1's cell, b9 CLOSER to the centroid than ba
+            ("b9", _unit(1, nudge=0.20, coord=5)),
+            ("ba", _unit(1, nudge=0.23, coord=5)),
+        ],
+        "key string, embedding array<float>",
+    )
+    kept, _ = incremental_semantic_dedup(batch, index, cents, eps=0.01)
+    assert {r["key"] for r in kept.collect()} == {"ba"}
+
+
+def test_incremental_semantic_reingest_is_idempotent(spark):
+    from storage_spark.operators.dedup import incremental_semantic_dedup
+
+    _, cents, index = _inc_setup(spark)
+    rows = [(f"b{i}", _unit(i, nudge=0.3, coord=(i + 3) % 8)) for i in range(6)]
+    batch = spark.createDataFrame(rows, "key string, embedding array<float>")
+    kept, newrows = incremental_semantic_dedup(batch, index, cents, eps=0.05)
+    index2 = index.unionByName(newrows)
+    kept2, new2 = incremental_semantic_dedup(
+        kept.select("key", "embedding"), index2, cents, eps=0.05
+    )
+    assert kept2.count() == 0 and new2.count() == 0
+
+
+def test_incremental_semantic_preserves_batch_columns(spark):
+    from storage_spark.operators.dedup import incremental_semantic_dedup
+
+    _, cents, index = _inc_setup(spark)
+    batch = spark.createDataFrame(
+        [("b1", _unit(5), "hello", 7)],
+        "key string, embedding array<float>, text string, n int",
+    )
+    kept, _ = incremental_semantic_dedup(batch, index, cents, eps=0.01)
+    row = kept.collect()[0]
+    assert (row["text"], row["n"]) == ("hello", 7)
+
+
+def test_incremental_empty_index_equals_batch_semantic_dedup(spark):
+    """With an EMPTY index and the corpus's own first-n quantizer, the
+    incremental gate reproduces semantic_dedup's rank decisions."""
+    from storage_spark.functions.vectors import ivf_centroids
+    from storage_spark.operators.dedup import (
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+
+    rows = _rand_corpus()
+    df = spark.createDataFrame(rows, "key string, embedding array<float>")
+    cents = ivf_centroids(df, 6)
+    empty = df.filter(F.lit(False)).select(
+        "key", "embedding", F.lit(0).alias("cell")
+    )
+    kept, _ = incremental_semantic_dedup(df, empty, cents, eps=0.05)
+    want = {
+        r["doc"]
+        for r in semantic_dedup(df, eps=0.05, n_clusters=6).collect()
+        if r["kept"]
+    }
+    assert {r["key"] for r in kept.collect()} == want
