@@ -1047,6 +1047,32 @@ WHERE distance < 0.65
 """)
 
 
+def q_mean_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→doc embedding pooling as per-label centroids: an ORDERED
+    left fold (sort by vec_id, sum elementwise in double, divide by the
+    weight sum) so the result is bit-reproducible across partition
+    layouts AND engines — the oracle replays the identical fold via
+    list_reduce over the identically-ordered list."""
+    from storage_spark.functions.vectors import mean_pool_embeddings
+
+    t = _t(spark, sf_dir)
+    v = t["embeddings"].select("vec_id", "embedding", "label")
+    out = mean_pool_embeddings(
+        v, group_col="label", order_col="vec_id", dim=64
+    )
+    return out.select(
+        "label",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.posexplode(
+            F.transform(
+                F.col("pooled"), lambda x: F.round(x * 10000).cast("bigint")
+            )
+        ).alias("pos", "mean_1e4"),
+    ).select(
+        "label", "n_chunks", F.col("pos").cast("int").alias("pos"), "mean_1e4"
+    )
+
+
 def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The monotonic-ingest form of semantic dedup: a 100-doc batch
     gated against a 400-doc settled index under the index's own stored
@@ -1120,6 +1146,30 @@ def _oracle_project_embeddings(out_dim: int, dim: int) -> str:
 )
 SELECT key, CAST(j - 1 AS INT) AS pos, coords[CAST(j AS INT)] AS proj_1e4
 FROM proj, range(1, {out_dim + 1}) t(j)
+""")
+
+
+def _oracle_mean_pool(dim: int) -> str:
+    """SQL mirror of vectors.mean_pool_embeddings' ordered fold: prepend
+    a zero accumulator to the vec_id-ordered list and list_reduce with
+    the same elementwise double addition; divide by the count (== the
+    unweighted fold's weight sum exactly)."""
+    zero = "[" + ", ".join("0.0" for _ in range(dim)) + "]"
+    return _o(f"""
+, pooled AS (
+  SELECT label, count(*) AS n_chunks,
+    list_reduce(
+      list_prepend({zero}, list(embedding ORDER BY vec_id)),
+      (a, b) -> list_transform(list_zip(a, b),
+                               t -> t[1] + CAST(t[2] AS DOUBLE))
+    ) AS s
+  FROM embeddings GROUP BY label
+)
+SELECT label, CAST(n_chunks AS BIGINT) AS n_chunks,
+  CAST(j - 1 AS INT) AS pos,
+  CAST(round((s[CAST(j AS INT)] / CAST(n_chunks AS DOUBLE)) * 10000) AS BIGINT)
+    AS mean_1e4
+FROM pooled, range(1, {dim + 1}) t(j)
 """)
 
 
@@ -3784,6 +3834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "project_embeddings": q_project_embeddings,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "mean_pool_embeddings": q_mean_pool_embeddings,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5499,6 +5550,7 @@ WHERE i.fp IS NULL ORDER BY doc_id
         "semantic_dedup_incremental": _oracle_semantic_dedup_incremental(
             n_clusters=8, eps=0.65, split_vec_id=400
         ),
+        "mean_pool_embeddings": _oracle_mean_pool(dim=64),
         "vector_cosine_topk": _o(f"""
 SELECT key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4
 FROM (

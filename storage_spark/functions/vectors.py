@@ -301,6 +301,73 @@ def project_embeddings(
     return df.withColumn(out_col, proj)
 
 
+def mean_pool_embeddings(
+    chunks: DataFrame,
+    group_col: str = "doc_id",
+    vector_col: str = "embedding",
+    order_col: str = "chunk_id",
+    dim: int = 64,
+    weight_col: str | None = None,
+    normalize: bool = False,
+) -> DataFrame:
+    """Pool many vectors per group into one mean vector — the chunk→doc
+    (or doc→class-centroid) aggregation every embedding pipeline needs:
+    embed bounded chunks, pool to a document vector for retrieval /
+    dedup / clustering. ``weight_col`` makes it a weighted mean (e.g.
+    token counts, so long chunks dominate proportionally);
+    ``normalize=True`` L2-normalizes the result (the usual form before
+    cosine retrieval).
+
+    Determinism contract: floating-point addition is not associative,
+    so a plain ``avg`` would vary with partition merge order. Pooling
+    here is an ORDERED left fold — chunk vectors are collected sorted by
+    ``(order_col, vector)`` per group and summed elementwise in that
+    order — bit-for-bit reproducible across runs, cluster layouts, and
+    engines. The cost of that contract: per-group vectors pass through
+    one ``collect_list`` (fine for chunks-per-doc in the hundreds; a
+    group so large its vectors don't fit an executor's row buffer
+    should be pooled hierarchically — pool chunk ranges first).
+
+    Scale shape: ONE map-side-combinable shuffle on ``group_col``
+    (collect_list partials combine); no posexplode row blow-up, no
+    per-dimension shuffle. Returns ``(group_col, n_chunks, pooled)``.
+    """
+    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    item = F.struct(
+        F.col(order_col).alias("o"),
+        F.col(vector_col).alias("v"),
+        w.alias("w"),
+    )
+    # fused dim guard (zip_with would silently null-pad a short vector)
+    item = F.when(
+        F.assert_true(
+            F.size(F.col(vector_col)) == dim,
+            F.lit(f"mean_pool_embeddings: vector length != dim={dim}"),
+        ).isNull(),
+        item,
+    )
+    pooled = chunks.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.array_sort(F.collect_list(item)).alias("_items"),
+    )
+    acc_sum = F.aggregate(
+        F.col("_items"),
+        zero,
+        lambda acc, it: F.zip_with(
+            acc, it["v"], lambda a, x: a + x.cast("double") * it["w"]
+        ),
+    )
+    wsum = F.aggregate(
+        F.col("_items"), F.lit(0.0), lambda acc, it: acc + it["w"]
+    )
+    vec = F.zip_with(acc_sum, zero, lambda s, _: s / wsum)
+    if normalize:
+        nrm = norm(vec)
+        vec = F.zip_with(vec, zero, lambda x, _: x / nrm)
+    return pooled.select(group_col, "n_chunks", vec.alias("pooled"))
+
+
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Bit-sign signature: one bit per hyperplane (dot-product sign),
     packed into a string bucket id."""

@@ -791,3 +791,101 @@ def test_project_embeddings_dim_mismatch_raises(spark):
         project_embeddings(v, out_dim=4, dim=8).collect()
     with pytest.raises(ValueError, match="out_dim"):
         project_embeddings(v, out_dim=0, dim=3)
+
+
+def test_mean_pool_exact_ordered_fold(spark, sf_dir):
+    """Pooled values replay the ORDERED left fold exactly: sort chunks by
+    order key, sum elementwise in double, divide by the weight sum —
+    replicated operation-for-operation in Python floats."""
+    from storage_spark.functions.vectors import mean_pool_embeddings
+
+    t = load_all(spark, sf_dir)
+    v = t["embeddings"].select("vec_id", "embedding", "label")
+    out = {
+        r["label"]: (r["n_chunks"], r["pooled"])
+        for r in mean_pool_embeddings(
+            v, group_col="label", order_col="vec_id", dim=64
+        ).collect()
+    }
+    rows = v.collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["label"], []).append((r["vec_id"], r["embedding"]))
+    for label, members in groups.items():
+        members.sort(key=lambda m: m[0])
+        acc = [0.0] * 64
+        wsum = 0.0
+        for _, emb in members:
+            acc = [a + float(x) * 1.0 for a, x in zip(acc, emb)]
+            wsum = wsum + 1.0
+        want = [a / wsum for a in acc]
+        n, got = out[label]
+        assert n == len(members)
+        assert got == want
+
+
+def test_mean_pool_weighted_and_normalized(spark):
+    import math
+
+    from storage_spark.functions.vectors import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [
+            ("d1", 0, [1.0, 2.0, 3.0, 4.0], 2),
+            ("d1", 1, [3.0, 0.0, 1.0, 0.0], 1),
+            ("d2", 0, [2.0, 0.0, 0.0, 0.0], 5),
+        ],
+        "doc_id string, chunk_id int, embedding array<float>, tokens int",
+    )
+    w = {
+        r["doc_id"]: r["pooled"]
+        for r in mean_pool_embeddings(df, dim=4, weight_col="tokens").collect()
+    }
+    assert w["d1"] == [5 / 3, 4 / 3, 7 / 3, 8 / 3]
+    assert w["d2"] == [2.0, 0.0, 0.0, 0.0]
+    n = {
+        r["doc_id"]: r["pooled"]
+        for r in mean_pool_embeddings(df, dim=4, normalize=True).collect()
+    }
+    for vec in n.values():
+        assert abs(math.sqrt(sum(x * x for x in vec)) - 1.0) < 1e-12
+
+
+def test_mean_pool_partition_layout_invariant(spark):
+    """The determinism contract: identical pooled doubles regardless of
+    how the chunk rows are partitioned."""
+    import random
+
+    from storage_spark.functions.vectors import mean_pool_embeddings
+
+    rng = random.Random(3)
+    rows = [
+        (f"d{i % 7}", i, [rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, chunk_id int, embedding array<float>")
+    a = sorted(
+        map(tuple, mean_pool_embeddings(df.repartition(1), dim=16).collect())
+    )
+    b = sorted(
+        map(tuple, mean_pool_embeddings(df.repartition(32), dim=16).collect())
+    )
+    c = sorted(
+        map(
+            tuple,
+            mean_pool_embeddings(
+                df.orderBy(F.col("chunk_id").desc()).repartition(5), dim=16
+            ).collect(),
+        )
+    )
+    assert a == b == c
+
+
+def test_mean_pool_dim_mismatch_raises(spark):
+    from storage_spark.functions.vectors import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [("a", 0, [1.0, 2.0])], "doc_id string, chunk_id int, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="vector length"):
+        mean_pool_embeddings(df, dim=4).collect()
