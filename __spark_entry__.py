@@ -2431,6 +2431,23 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-quality proxy (CCNet, Wenzek et al. 2020): per-doc mean
+    negative log-prob under the corpus's own add-one unigram LM. The
+    oracle refits the model (same normalized tokenization), replays the
+    smoothing arithmetic, and sums each doc's token log-probs in the
+    identical position order via list_reduce."""
+    from storage_spark.operators.pipeline import unigram_logprob
+
+    t = _t(spark, sf_dir)
+    out = unigram_logprob(t["documents"])
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("avg_nll") * 10000).cast("bigint").alias("nll_1e4"),
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.functions.text import lang_id
 
@@ -3835,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project_embeddings": q_project_embeddings,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "mean_pool_embeddings": q_mean_pool_embeddings,
+        "unigram_logprob": q_unigram_logprob,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5551,6 +5569,29 @@ WHERE i.fp IS NULL ORDER BY doc_id
             n_clusters=8, eps=0.65, split_vec_id=400
         ),
         "mean_pool_embeddings": _oracle_mean_pool(dim=64),
+        "unigram_logprob": _o(f"""
+, toks AS (
+  SELECT doc_id, u.pos, u.tok FROM (
+    SELECT doc_id,
+      unnest(list_transform({_DUCK_TOKENS},
+                            (x, i) -> {{'pos': i - 1, 'tok': x}})) AS u
+    FROM documents
+  )
+),
+freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM freq),
+scored AS (
+  SELECT t.doc_id, t.pos,
+    ln((COALESCE(f.cnt, 0) + 1.0) / (tot.n + 1.0 * tot.v)) AS lp
+  FROM toks t LEFT JOIN freq f ON f.tok = t.tok CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(round(
+    -(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                  (a, b) -> a + b)
+      / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS nll_1e4
+FROM scored GROUP BY doc_id
+"""),
         "vector_cosine_topk": _o(f"""
 SELECT key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4
 FROM (

@@ -589,6 +589,95 @@ def quality_quantile_filter(
     )
 
 
+def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fit a unigram LM on a corpus: one ``(tok, cnt)`` row per distinct
+    normalized-whitespace token. This is the (tiny, vocabulary-sized)
+    model table ``unigram_logprob`` scores against — fit it on TRAIN,
+    persist it, score everything else under it (the CCNet recipe with a
+    unigram proxy in place of the KenLM 5-gram). One map-side-combined
+    shuffle on token."""
+    from storage_spark.functions.text import normalized_text
+
+    return (
+        docs.select(
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-doc mean negative log-probability under an add-``smoothing``
+    unigram LM — the SQL-replayable proxy for the LM-perplexity quality
+    signal (CCNet, Wenzek et al. 2020: rank corpus by LM score, keep
+    the fluent head / inspect the tail). High ``avg_nll`` = improbable
+    token mix (gibberish, boilerplate soup, wrong-language shards);
+    low = fluent, in-distribution text. Feed the score to
+    ``quality_quantile_filter``-style gating or curriculum ordering.
+
+    ``model=None`` fits on ``docs`` itself (self-perplexity — the
+    within-corpus outlier detector); pass a ``unigram_model(train)``
+    table to score under a held-out distribution. Unseen tokens get the
+    smoothed floor ``a / (N + a*V)``.
+
+    Determinism contract: per-doc summation is the ORDERED fold over
+    token positions (floating addition is not associative), so scores
+    are bit-stable across partition layouts; ``ln`` is the one
+    cross-engine libm call, absorbed by driver-row rounding (same
+    acceptance as ``temperature_sample``'s pow).
+
+    Scale shape: explode + ONE equi-join on token against the
+    vocabulary-sized model (broadcast-able to ~10M vocab; hot tokens
+    like 'the' are broadcast-join map-side, no skewed shuffle), then a
+    map-side-combinable collect per doc. Returns
+    ``(id_col, n_tokens, avg_nll)``.
+    """
+    from storage_spark.functions.text import normalized_text
+
+    if model is None:
+        model = unigram_model(docs, text_col)
+    totals = model.agg(
+        F.sum("cnt").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    a = F.lit(float(smoothing))
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    scored = (
+        toks.join(F.broadcast(model), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            "pos",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + a)
+                / (F.col("_n") + a * F.col("_v"))
+            ).alias("lp"),
+        )
+    )
+    items = F.array_sort(
+        F.collect_list(F.struct(F.col("pos").alias("p"), F.col("lp").alias("l")))
+    )
+    fold = F.aggregate(items, F.lit(0.0), lambda acc, it: acc + it["l"])
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-(fold / F.count(F.lit(1)))).alias("avg_nll"),
+        )
+    )
+
+
 #: Scheme-qualified URL host extractor — Java∩RE2 dialect so the SQL
 #: oracle replays it verbatim (group 1 = the host).
 URL_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"

@@ -194,3 +194,82 @@ def test_decontaminate_spans_reports_hit_shingles(spark):
     assert [(r["doc_id"], r["hit_rank"], r["shingle"]) for r in out] == [
         (1, 1, "quick brown fox")
     ]
+
+
+def test_unigram_logprob_exact_python_replication(spark):
+    """avg_nll replays the ordered per-token fold exactly: same counts,
+    same smoothing arithmetic, same left-fold summation order."""
+    import math
+    from collections import Counter
+
+    from storage_spark.operators.pipeline import unigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the the"),
+        (3, "zqx vbn plm qwe rty uio"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll"])
+        for r in unigram_logprob(docs).collect()
+    }
+    toks = {i: t.lower().split() for i, t in rows}
+    cnt = Counter(tok for ts in toks.values() for tok in ts)
+    n_total, v = sum(cnt.values()), len(cnt)
+    for i, ts in toks.items():
+        acc = 0.0
+        for t in ts:
+            acc = acc + math.log((cnt[t] + 1.0) / (n_total + 1.0 * v))
+        assert got[i] == (len(ts), -(acc / len(ts)))
+
+
+def test_unigram_logprob_ranks_gibberish_highest(spark):
+    from storage_spark.operators.pipeline import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog sat too"),
+            (2, "the cat and the dog sat on the mat again"),
+            (3, "zqx vbn plm qwe rty uio asd fgh jkl"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["avg_nll"] for r in unigram_logprob(docs).collect()}
+    assert out[3] == max(out.values())  # all-hapax gibberish is least probable
+
+
+def test_unigram_logprob_under_train_model(spark):
+    """CCNet shape: fit on train, score eval; unseen tokens get the
+    smoothed floor so all-unseen docs score the maximal (flat) nll."""
+    import math
+
+    from storage_spark.operators.pipeline import unigram_logprob, unigram_model
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat")], "doc_id long, text string"
+    )
+    m = unigram_model(train)
+    eval_docs = spark.createDataFrame(
+        [(9, "the cat"), (10, "zz yy xx")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["avg_nll"] for r in unigram_logprob(eval_docs, model=m).collect()}
+    # train counts: the=2, cat=1, sat=2, dog=1 -> N=6, V=4
+    lp_the = math.log((2 + 1.0) / (6 + 4.0))
+    lp_cat = math.log((1 + 1.0) / (6 + 4.0))
+    lp_unseen = math.log(1.0 / (6 + 4.0))
+    assert out[9] == -((0.0 + lp_the + lp_cat) / 2)
+    assert out[10] == -((0.0 + lp_unseen + lp_unseen + lp_unseen) / 3)
+    assert out[10] > out[9]
+
+
+def test_unigram_logprob_partition_invariant(spark):
+    from storage_spark.operators.pipeline import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 3} common word here") for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, unigram_logprob(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, unigram_logprob(docs.repartition(16)).collect()))
+    assert a == b
