@@ -2431,6 +2431,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) as a per-rule audit:
+    every metric is one division of integer token/line/char counts, so
+    the oracle replays metrics AND verdicts exactly — no float-order
+    hazard anywhere."""
+    from storage_spark.operators.pipeline import gopher_rules
+
+    t = _t(spark, sf_dir)
+    return gopher_rules(t["documents"])
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-quality proxy (CCNet, Wenzek et al. 2020): per-doc mean
     negative log-prob under the corpus's own add-one unigram LM. The
@@ -3853,6 +3864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "mean_pool_embeddings": q_mean_pool_embeddings,
         "unigram_logprob": q_unigram_logprob,
+        "gopher_rules": q_gopher_rules,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5569,6 +5581,54 @@ WHERE i.fp IS NULL ORDER BY doc_id
             n_clusters=8, eps=0.65, split_vec_id=400
         ),
         "mean_pool_embeddings": _oracle_mean_pool(dim=64),
+        "gopher_rules": _o(r"""
+, m AS (
+  SELECT doc_id,
+    len(tk) AS nw,
+    CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+      / CAST(len(tk) AS DOUBLE) AS mean_wl,
+    ((length(raw) - length(replace(raw, '#', '')))
+     + ((length(raw) - length(replace(raw, '...', ''))) / 3
+        + (length(raw) - length(replace(raw, '…', '')))))
+      / CAST(len(tk) AS DOUBLE) AS symbol_ratio,
+    CAST(len(list_filter(lines,
+           ln -> regexp_matches(ltrim(ln), '^[-*•]'))) AS DOUBLE)
+      / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
+    CAST(len(list_filter(lines,
+           ln -> regexp_matches(rtrim(ln), '(\.\.\.|…)$'))) AS DOUBLE)
+      / CAST(len(lines) AS DOUBLE) AS ellipsis_ratio,
+    CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+      / CAST(len(tk) AS DOUBLE) AS alpha_fraction,
+    len(list_intersect(list_transform(tk, t -> lower(t)),
+        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS stop_hits
+  FROM (
+    SELECT doc_id, trim(text) AS raw,
+      regexp_split_to_array(trim(text), '\s+') AS tk,
+      regexp_split_to_array(text, '\n') AS lines
+    FROM documents
+  )
+)
+SELECT doc_id,
+  CAST(nw AS BIGINT) AS n_words,
+  CAST(round(mean_wl * 10000) AS BIGINT) AS mean_word_len_1e4,
+  CAST(round(symbol_ratio * 10000) AS BIGINT) AS symbol_ratio_1e4,
+  CAST(round(bullet_ratio * 10000) AS BIGINT) AS bullet_ratio_1e4,
+  CAST(round(ellipsis_ratio * 10000) AS BIGINT) AS ellipsis_ratio_1e4,
+  CAST(round(alpha_fraction * 10000) AS BIGINT) AS alpha_fraction_1e4,
+  CAST(stop_hits AS INT) AS stop_hits,
+  (nw >= 50 AND nw <= 100000) AS r_word_count,
+  (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r_mean_word_len,
+  (symbol_ratio <= 0.1) AS r_symbol_ratio,
+  (bullet_ratio <= 0.9) AS r_bullet_ratio,
+  (ellipsis_ratio <= 0.3) AS r_ellipsis_ratio,
+  (alpha_fraction >= 0.8) AS r_alpha_fraction,
+  (stop_hits >= 2) AS r_stopwords,
+  ((nw >= 50 AND nw <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+   AND (symbol_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+   AND (ellipsis_ratio <= 0.3) AND (alpha_fraction >= 0.8)
+   AND (stop_hits >= 2)) AS passes
+FROM m
+"""),
         "unigram_logprob": _o(f"""
 , toks AS (
   SELECT doc_id, u.pos, u.tok FROM (

@@ -589,6 +589,107 @@ def quality_quantile_filter(
     )
 
 
+#: The Gopher stopword-presence list (Rae et al. 2021 §A1.1): a doc
+#: must contain at least min_stop_hits of these to look like prose.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_fraction: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) as a per-rule AUDIT:
+    one row per doc with every metric, every named rule verdict, and the
+    conjunction ``passes`` — so curation can both filter AND explain why
+    a doc fell (the composite ``quality_score`` can't say which rule
+    fired). Defaults are the paper's published thresholds.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; '#'/'…'-to-word symbol ratio ≤ 0.1; ≤ 90% of lines
+    bullet-led; ≤ 30% of lines ellipsis-terminated; ≥ 80% of words
+    containing an alphabetic character; ≥ 2 distinct hits from the
+    8-word stop list.
+
+    Determinism: every metric is a single division of INTEGER counts
+    (token/line/char tallies) — no float summation order anywhere, so
+    the audit replays exactly in any engine. Map-only: one scan, no
+    shuffle, fused with whatever projection follows.
+    """
+    raw = F.trim(F.col(text_col))
+    toks = F.split(raw, r"\s+")
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = total_chars.cast("double") / nw
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_ell = n_ell + (
+        F.length(raw) - F.length(F.replace(raw, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = (n_hash + n_ell).cast("double") / nw
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.ltrim(ln).rlike(r"^[-*•]"),
+        )
+    )
+    ellipsis_ln = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"),
+        )
+    )
+    bullet_ratio = bullet.cast("double") / n_lines.cast("double")
+    ellipsis_ratio = ellipsis_ln.cast("double") / n_lines.cast("double")
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_fraction = alpha.cast("double") / nw
+    low = F.transform(toks, lambda t: F.lower(t))
+    stop_hits = F.size(
+        F.array_intersect(low, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "r_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "r_bullet_ratio": bullet_ratio <= max_bullet_ratio,
+        "r_ellipsis_ratio": ellipsis_ratio <= max_ellipsis_ratio,
+        "r_alpha_fraction": alpha_fraction >= min_alpha_fraction,
+        "r_stopwords": stop_hits >= min_stop_hits,
+    }
+    passes = None
+    for expr in rules.values():
+        passes = expr if passes is None else (passes & expr)
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl * 10000).cast("bigint").alias("mean_word_len_1e4"),
+        F.round(symbol_ratio * 10000).cast("bigint").alias("symbol_ratio_1e4"),
+        F.round(bullet_ratio * 10000).cast("bigint").alias("bullet_ratio_1e4"),
+        F.round(ellipsis_ratio * 10000).cast("bigint").alias("ellipsis_ratio_1e4"),
+        F.round(alpha_fraction * 10000).cast("bigint").alias("alpha_fraction_1e4"),
+        stop_hits.cast("int").alias("stop_hits"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        passes.alias("passes"),
+    )
+
+
 def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Fit a unigram LM on a corpus: one ``(tok, cnt)`` row per distinct
     normalized-whitespace token. This is the (tiny, vocabulary-sized)

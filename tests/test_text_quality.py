@@ -273,3 +273,66 @@ def test_unigram_logprob_partition_invariant(spark):
     a = sorted(map(tuple, unigram_logprob(docs.repartition(1)).collect()))
     b = sorted(map(tuple, unigram_logprob(docs.repartition(16)).collect()))
     assert a == b
+
+
+def _gopher_docs(spark):
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs to town "
+        "with great joy. " * 5
+    )
+    bullets = "\n".join(f"- item {i} here" for i in range(20))
+    symbols = "#tag " * 60
+    short = "too short"
+    ellipses = "\n".join(f"line {i} trails off..." for i in range(10))
+    return spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, short), (5, ellipses)],
+        "doc_id long, text string",
+    )
+
+
+def test_gopher_rules_planted_pathologies(spark):
+    """Each planted pathology trips exactly its named rule; clean prose
+    passes everything."""
+    from storage_spark.operators.pipeline import gopher_rules
+
+    out = {r["doc_id"]: r for r in gopher_rules(_gopher_docs(spark)).collect()}
+    assert out[1]["passes"] and all(
+        out[1][c] for c in out[1].asDict() if c.startswith("r_")
+    )
+    assert not out[2]["r_bullet_ratio"]          # bullet-led lines
+    assert not out[3]["r_symbol_ratio"]          # '#' soup
+    assert not out[4]["r_word_count"]            # too short
+    assert not out[5]["r_ellipsis_ratio"]        # trailing '...'
+    assert all(not out[i]["passes"] for i in (2, 3, 4, 5))
+
+
+def test_gopher_rules_integer_exact_metrics(spark):
+    """Metrics replay from plain Python string math — every ratio is a
+    single division of integer counts."""
+    from storage_spark.operators.pipeline import GOPHER_STOPWORDS, gopher_rules
+
+    text = "The cat... sat on the #mat\n- point one\nplain line here"
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    r = gopher_rules(docs).collect()[0]
+    toks = text.split()
+    assert r["n_words"] == len(toks)
+    mean_wl = sum(len(t) for t in toks) / len(toks)
+    assert r["mean_word_len_1e4"] == round(mean_wl * 10000)
+    n_hash = text.count("#")
+    n_ell = text.count("...")
+    assert r["symbol_ratio_1e4"] == round((n_hash + n_ell) / len(toks) * 10000)
+    lines = text.split("\n")
+    assert r["bullet_ratio_1e4"] == round(1 / len(lines) * 10000)
+    assert r["ellipsis_ratio_1e4"] == 0  # '...' mid-line, no line ENDS with it
+    hits = {t.lower() for t in toks} & set(GOPHER_STOPWORDS)
+    assert r["stop_hits"] == len(hits)
+
+
+def test_gopher_rules_thresholds_are_parameters(spark):
+    from storage_spark.operators.pipeline import gopher_rules
+
+    docs = spark.createDataFrame([(1, "five words right here now")], "doc_id long, text string")
+    strict = gopher_rules(docs).collect()[0]
+    lax = gopher_rules(docs, min_words=3, min_stop_hits=0).collect()[0]
+    assert not strict["r_word_count"] and lax["r_word_count"]
+    assert not strict["r_stopwords"] and lax["r_stopwords"]
