@@ -714,6 +714,8 @@ def unigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     smoothing: float = 1.0,
+    model_join: str = "broadcast",
+    head_size: int = 10_000,
 ) -> DataFrame:
     """Per-doc mean negative log-probability under an add-``smoothing``
     unigram LM — the SQL-replayable proxy for the LM-perplexity quality
@@ -735,13 +737,30 @@ def unigram_logprob(
     acceptance as ``temperature_sample``'s pow).
 
     Scale shape: explode + ONE equi-join on token against the
-    vocabulary-sized model (broadcast-able to ~10M vocab; hot tokens
-    like 'the' are broadcast-join map-side, no skewed shuffle), then a
-    map-side-combinable collect per doc. Returns
-    ``(id_col, n_tokens, avg_nll)``.
+    vocabulary-sized model, then a map-side-combinable collect per doc.
+    ``model_join`` picks the join strategy for the model's size:
+
+    - ``"broadcast"`` (default): right for vocabularies up to ~10M rows.
+      Hot tokens ('the' is ~7% of English instances) are handled
+      map-side — no skewed shuffle exists at all.
+    - ``"skew_split"``: the 100 TB path when the vocabulary itself is
+      too big to broadcast (web-scale corpora reach 10^8-10^9 distinct
+      tokens with typos/URLs). A plain shuffle join on token would be
+      exactly the skewed-key hazard; instead the model splits by
+      frequency — the ``head_size`` most frequent tokens (which carry
+      ~all the skew AND most of the instance volume, by Zipf) join
+      broadcast, and the rare tail joins via shuffle, which is
+      skew-FREE by construction (a tail token is rare on both sides).
+      Results are identical (tested); only the physical plan changes.
+
+    Returns ``(id_col, n_tokens, avg_nll)``.
     """
     from storage_spark.functions.text import normalized_text
 
+    if model_join not in ("broadcast", "skew_split"):
+        raise ValueError(
+            f"model_join must be 'broadcast' or 'skew_split' (got {model_join!r})"
+        )
     if model is None:
         model = unigram_model(docs, text_col)
     totals = model.agg(
@@ -754,8 +773,24 @@ def unigram_logprob(
             "pos", "tok"
         ),
     )
+    if model_join == "broadcast":
+        joined = toks.join(F.broadcast(model), "tok", "left")
+    else:
+        # frequency split: TakeOrdered the head (deterministic ties by
+        # token), broadcast it; everything not in the head shuffles
+        # against the tail — rare keys, so the shuffle has no hot
+        # partitions to salt
+        head = model.orderBy(
+            F.col("cnt").desc(), F.col("tok").asc()
+        ).limit(head_size)
+        tail = model.join(F.broadcast(head.select("tok")), "tok", "left_anti")
+        hot = toks.join(F.broadcast(head), "tok")
+        cold = toks.join(
+            F.broadcast(head.select("tok")), "tok", "left_anti"
+        ).join(tail, "tok", "left")
+        joined = hot.unionByName(cold)
     scored = (
-        toks.join(F.broadcast(model), "tok", "left")
+        joined
         .crossJoin(F.broadcast(totals))
         .select(
             id_col,

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from storage_spark.functions.text import (
@@ -336,3 +337,31 @@ def test_gopher_rules_thresholds_are_parameters(spark):
     lax = gopher_rules(docs, min_words=3, min_stop_hits=0).collect()[0]
     assert not strict["r_word_count"] and lax["r_word_count"]
     assert not strict["r_stopwords"] and lax["r_stopwords"]
+
+
+def test_unigram_skew_split_join_identical_results(spark):
+    """The 100 TB join strategy (head broadcast + skew-free tail
+    shuffle) must change only the physical plan: scores identical to
+    the broadcast path, including docs that mix head, tail, and unseen
+    tokens; plan carries one SortMergeJoin (tail) while the broadcast
+    path has none."""
+    from storage_spark.operators.pipeline import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, f"the common tok{i % 17} rare{i} mix of words") for i in range(80)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, unigram_logprob(docs).collect()))
+    b_df = unigram_logprob(docs, model_join="skew_split", head_size=3)
+    b = sorted(map(tuple, b_df.collect()))
+    assert a == b
+    plan = b_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_unigram_bad_model_join_raises(spark):
+    from storage_spark.operators.pipeline import unigram_logprob
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="model_join"):
+        unigram_logprob(docs, model_join="hash")
