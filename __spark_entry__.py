@@ -1073,6 +1073,17 @@ def q_mean_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-structure report per quantizer cell: occupancy +
+    centroid-distance shape, quantized to integers BEFORE aggregation
+    so sums/maxes/medians are order-free integer math (the doubled
+    median dodges the .5 cast divergence between engines)."""
+    from storage_spark.operators.dedup import semantic_cluster_stats
+
+    v = _vectors(spark, sf_dir).select("key", "embedding")
+    return semantic_cluster_stats(v, n_clusters=8)
+
+
 def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The monotonic-ingest form of semantic dedup: a 100-doc batch
     gated against a 400-doc settled index under the index's own stored
@@ -3865,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_pool_embeddings": q_mean_pool_embeddings,
         "unigram_logprob": q_unigram_logprob,
         "gopher_rules": q_gopher_rules,
+        "semantic_cluster_stats": q_semantic_cluster_stats,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5576,6 +5588,30 @@ WHERE i.fp IS NULL ORDER BY doc_id
 """),
         "dedup_embedding": _oracle_embedding_neardup(),
         "semantic_dedup": _oracle_semantic_dedup(n_clusters=8, eps=0.65),
+        "semantic_cluster_stats": _o(f"""
+, base AS (
+  SELECT CAST(vec_id AS STRING) AS key, embedding FROM embeddings
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY key) AS INT) - 1 AS cell,
+         embedding AS centroid
+  FROM (SELECT key, embedding FROM base ORDER BY key LIMIT 8)
+),
+q AS (
+  SELECT cell, CAST(round(cdist * 10000) AS BIGINT) AS cd FROM (
+    SELECT b.key, c.cell, {_duck_cos("b.embedding", "c.centroid")} AS cdist,
+      ROW_NUMBER() OVER (PARTITION BY b.key
+        ORDER BY {_duck_cos("b.embedding", "c.centroid")} ASC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(round(CAST(sum(cd) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT)
+    AS mean_cdist_1e4,
+  max(cd) AS max_cdist_1e4,
+  CAST(2 * median(cd) AS BIGINT) AS p50x2_cdist_1e4
+FROM q GROUP BY cell
+"""),
         "project_embeddings": _oracle_project_embeddings(out_dim=16, dim=64),
         "semantic_dedup_incremental": _oracle_semantic_dedup_incremental(
             n_clusters=8, eps=0.65, split_vec_id=400

@@ -1347,6 +1347,51 @@ def semantic_dedup(
     )
 
 
+def semantic_cluster_stats(
+    vectors: DataFrame,
+    key_col: str = "key",
+    vector_col: str = "embedding",
+    n_clusters: int | None = None,
+    kmeans_iterations: int = 0,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Corpus-structure report over the semantic quantizer's cells: one
+    row per cell with occupancy and centroid-distance shape —
+    ``(cell, n_docs, mean_cdist_1e4, max_cdist_1e4, p50x2_cdist_1e4)``
+    (the median is stored DOUBLED — twice a median of integers is
+    always integral, so the value casts exactly in every engine, where
+    a bare ``.5`` median would truncate in one and round in another).
+    The diagnostic read before semantic dedup / mixing / IVF tuning:
+    hot cells (skewed occupancy) say the quantizer needs more cells or
+    a Lloyd refinement; a large mean radius says the cell is a grab-bag
+    (eps inside it means little); near-zero radius says a template
+    flood.
+
+    Exactness: each doc's centroid distance is quantized to an integer
+    (``round(cdist * 1e4)``) BEFORE aggregation, so the per-cell sums /
+    maxes / medians are integer math — order-free, engine-exact —
+    without the ordered-fold machinery ``mean_pool_embeddings`` needs
+    for full-precision means. One broadcast assign + one
+    map-side-combined shuffle on ``cell``.
+    """
+    a = _semantic_assigned(
+        vectors, key_col, vector_col, n_clusters, kmeans_iterations, n_docs,
+    )
+    q = a.select(
+        "cell", F.round(F.col("cdist") * 10000).cast("bigint").alias("_cd"),
+    )
+    return (
+        q.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("_cd") / F.count(F.lit(1))).cast("bigint")
+            .alias("mean_cdist_1e4"),
+            F.max("_cd").alias("max_cdist_1e4"),
+            F.expr("CAST(2 * median(_cd) AS BIGINT)").alias("p50x2_cdist_1e4"),
+        )
+    )
+
+
 def incremental_semantic_dedup(
     batch: DataFrame,
     index_vectors: DataFrame,

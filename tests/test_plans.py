@@ -103,6 +103,7 @@ _BNLJ_ALLOWED = {
     # on cell, never a product
     "semantic_dedup",
     "semantic_dedup_incremental",
+    "semantic_cluster_stats",
 }
 
 

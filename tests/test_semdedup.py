@@ -401,3 +401,48 @@ def test_incremental_empty_index_equals_batch_semantic_dedup(spark):
         if r["kept"]
     }
     assert {r["key"] for r in kept.collect()} == want
+
+
+def test_cluster_stats_integer_exact_replication(spark):
+    """Per-cell stats replay from the brute-force assignment: quantized
+    distances aggregated in integer math (sum/max/doubled-median)."""
+    from storage_spark.operators.dedup import semantic_cluster_stats
+
+    rows = _rand_corpus()
+    df = spark.createDataFrame(rows, "key string, embedding array<float>")
+    got = {
+        r["cell"]: (
+            r["n_docs"], r["mean_cdist_1e4"], r["max_cdist_1e4"],
+            r["p50x2_cdist_1e4"],
+        )
+        for r in semantic_cluster_stats(df, n_clusters=6).collect()
+    }
+    import numpy as np
+
+    keys = [k for k, _ in rows]
+    vecs = {k: np.asarray(v, dtype=np.float32).astype(np.float64) for k, v in rows}
+
+    def cdist(a, b):
+        return 1.0 - float(np.dot(a, b)) / (
+            math.sqrt(float(np.dot(a, a))) * math.sqrt(float(np.dot(b, b)))
+        )
+
+    cents = [vecs[k] for k in sorted(keys)[:6]]
+    per_cell: dict[int, list[int]] = {}
+    for k in keys:
+        ds = [cdist(vecs[k], c) for c in cents]
+        cell = min(range(6), key=lambda i: (ds[i], i))
+        # python round is half-even; the engines round half away from
+        # zero — replicate via floor(x + 0.5) for non-negative values
+        per_cell.setdefault(cell, []).append(
+            int(math.floor(ds[cell] * 10000 + 0.5))
+        )
+    want = {}
+    for cell, cds in per_cell.items():
+        cds.sort()
+        n = len(cds)
+        mean = int(math.floor(sum(cds) / n + 0.5))
+        med2 = cds[n // 2] * 2 if n % 2 else cds[n // 2 - 1] + cds[n // 2]
+        want[cell] = (n, mean, max(cds), med2)
+    assert got == want
+    assert sum(n for n, _, _, _ in got.values()) == len(rows)
