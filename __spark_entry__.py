@@ -3863,9 +3863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "curate_corpus": q_curate_corpus,
         # ---- past the recording cap ----
-        # vector_sq8 is net-new late in r7 AFTER the window filled (the
-        # 2-entry net-new cap was spent); it debuts at the head of r8's
-        # window and is proven this round by the local parity gate:
+        # Net-new late in r7 AFTER the window filled (the 2-entry
+        # net-new cap was spent). Each is proven this round by the
+        # local parity gate at sf0.001/0.01/0.1 (most also at sf1 via
+        # tools/drive.py); they debut at the head of r8's recording
+        # window, ordered oldest-evidence-first per the rotation rule:
         "vector_sq8": q_vector_sq8,
         "vector_ivfsq": q_vector_ivfsq,
         "semantic_dedup": q_semantic_dedup,
