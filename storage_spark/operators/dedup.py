@@ -1146,11 +1146,15 @@ def _semantic_assigned(
         n_clusters = semantic_cells_for(n_docs)
     elif n_docs is not None:
         rule = semantic_cells_for(n_docs)
-        if rule >= 2 * n_clusters:
+        # 4x, not the 2x the other sizing rules use: the r7 probe showed
+        # the cost basin around the sqrt rule is FLAT (2.5x-under beat
+        # the rule at 20k docs — box constants favor fewer cells); the
+        # square-law pairing term only dominates well past 4x under
+        if rule >= 4 * n_clusters:
             import warnings
 
             warnings.warn(
-                f"n_clusters={n_clusters} is >=2x under the sizing rule for "
+                f"n_clusters={n_clusters} is >=4x under the sizing rule for "
                 f"n_docs={n_docs} (rule: {rule} clusters); within-cluster "
                 "pair work grows with the SQUARE of cluster size — see "
                 "dedup.semantic_cells_for",

@@ -104,6 +104,10 @@ _BNLJ_ALLOWED = {
     "semantic_dedup",
     "semantic_dedup_incremental",
     "semantic_cluster_stats",
+    # the (N, V) totals table is ONE row crossJoined broadcast onto the
+    # scored tokens — the 1-row scalar-combine BNLJ class, like
+    # key_validation; the vocabulary join itself is an equi-join
+    "unigram_logprob",
 }
 
 
