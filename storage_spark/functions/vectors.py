@@ -361,9 +361,28 @@ def mean_pool_embeddings(
     wsum = F.aggregate(
         F.col("_items"), F.lit(0.0), lambda acc, it: acc + it["w"]
     )
+    # fail-loud guards, same posture as the dim assert: a zero weight
+    # sum (all-zero weight_col) or a zero-norm pooled vector under
+    # normalize would otherwise emit silent NULL/NaN components that
+    # poison downstream cosine math
+    wsum = F.when(
+        F.assert_true(
+            wsum != 0.0,
+            F.lit("mean_pool_embeddings: group weight sum is zero"),
+        ).isNull(),
+        wsum,
+    )
     vec = F.zip_with(acc_sum, zero, lambda s, _: s / wsum)
     if normalize:
         nrm = norm(vec)
+        nrm = F.when(
+            F.assert_true(
+                nrm != 0.0,
+                F.lit("mean_pool_embeddings: normalize=True on a "
+                      "zero-norm pooled vector"),
+            ).isNull(),
+            nrm,
+        )
         vec = F.zip_with(vec, zero, lambda x, _: x / nrm)
     return pooled.select(group_col, "n_chunks", vec.alias("pooled"))
 
@@ -1139,8 +1158,9 @@ def ivf_residuals(
     codebook of the same (m, k) budget spends its centroids on the fine
     structure instead of re-describing cell locations — higher ADC
     fidelity at identical code bytes. Train the codebooks ON the
-    residual frame (``pq_codebooks_kmeans(res, vector_col="residual")``)
-    and encode with ``pq_encode(res, books, vector_col="residual")``.
+    residual frame (``pq_codebooks_kmeans(res, m=8,
+    vector_col="residual")``) and encode with
+    ``pq_encode(res, books, vector_col="residual")``.
 
     Map-only: one broadcast join on ``cell`` + a ``zip_with``
     subtraction — no shuffle of the corpus."""
@@ -1213,7 +1233,17 @@ def ivfpq_search(
     )
     probe_cols = [query_key, query_vec, "cell"]
     if by_residual:
-        probe_cols.append("centroid")
+        # residual PROJECTED ONCE per (query, probed cell) row — the
+        # scoring loop below slices it m times, and an inline zip_with
+        # there would recompute the dim-length subtraction per term
+        # on every scored candidate (the hottest path of the search)
+        probe_cols.append(
+            F.zip_with(
+                F.col(query_vec),
+                F.col("centroid"),
+                lambda x, c: x.cast("double") - c.cast("double"),
+            ).alias("_qres")
+        )
     probes = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("_qd", qd)
@@ -1224,14 +1254,7 @@ def ivfpq_search(
     joined = probes.join(coded_corpus, "cell").filter(
         F.col(query_key) != F.col(corpus_key)
     )
-    if by_residual:
-        qv = F.zip_with(
-            F.col(query_vec),
-            F.col("centroid"),
-            lambda x, c: x.cast("double") - c.cast("double"),
-        )
-    else:
-        qv = F.col(query_vec)
+    qv = F.col("_qres") if by_residual else F.col(query_vec)
     if arrow:
         score = pq_adc_scores_arrow(qv, F.col("codes"), codebooks)
     else:

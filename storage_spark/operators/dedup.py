@@ -1179,6 +1179,19 @@ def _semantic_assigned(
     return a
 
 
+def _factored_pair_cosine() -> Column:
+    """The shared pair-distance expression of the semantic family:
+    ``1 - dot(va, vb) / (na * nb)`` over per-ROW precomputed norms —
+    bit-identical to ``cosine_distance``'s dot/(norm*norm) (same
+    left-folded doubles, same operation order), kept in ONE place so
+    the three pair joins and their DuckDB oracles can never diverge."""
+    from storage_spark.functions.vectors import dot
+
+    return F.lit(1.0) - dot(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
+
+
 def semantic_cluster_pairs(
     vectors: DataFrame,
     key_col: str = "key",
@@ -1214,8 +1227,6 @@ def semantic_cluster_pairs(
     refine cluster balance at the cost of that replay (results remain
     deterministic, just not closed-form).
     """
-    from storage_spark.functions.vectors import dot
-
     a = _semantic_assigned(
         vectors, key_col, vector_col, n_clusters, kmeans_iterations, n_docs,
     )
@@ -1232,11 +1243,7 @@ def semantic_cluster_pairs(
         F.col("doc").alias("doc_b"), F.col("vec").alias("vb"),
         F.col("nrm").alias("nb"), "cell",
     )
-    # norms precomputed once per ROW (same bit-identical dot/(na*nb)
-    # factoring as embedding_near_dup_pairs)
-    dist = F.lit(1.0) - dot(F.col("va"), F.col("vb")) / (
-        F.col("na") * F.col("nb")
-    )
+    dist = _factored_pair_cosine()
     return (
         lhs.join(rhs, "cell")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -1292,15 +1299,15 @@ def semantic_dedup(
     """
     from pyspark.sql import Window
 
-    from storage_spark.functions.vectors import dot
-
-    a = _semantic_assigned(
-        vectors, key_col, vector_col, n_clusters, kmeans_iterations, n_docs,
-    )
+    # validate the cheap string BEFORE _semantic_assigned, whose
+    # derived-cluster path may run an eager full-corpus count
     if resolution not in ("rank", "components"):
         raise ValueError(
             f"unknown resolution {resolution!r}; use 'rank' or 'components'"
         )
+    a = _semantic_assigned(
+        vectors, key_col, vector_col, n_clusters, kmeans_iterations, n_docs,
+    )
     w = Window.partitionBy("cell").orderBy(F.col("cdist").desc(), F.col("doc").asc())
     ranked = a.withColumn("cent_rank", F.row_number().over(w))
     # hot-cell guard: capped clusters form no pairs, so their members all
@@ -1317,13 +1324,10 @@ def semantic_dedup(
         F.col("doc").alias("doc_lo"), F.col("vec").alias("vb"),
         F.col("nrm").alias("nb"), F.col("cent_rank").alias("rb"), "cell",
     )
-    dist = F.lit(1.0) - dot(F.col("va"), F.col("vb")) / (
-        F.col("na") * F.col("nb")
-    )
     pairs = (
         lhs.join(rhs, "cell")
         .filter(F.col("ra") < F.col("rb"))
-        .filter(dist < eps)
+        .filter(_factored_pair_cosine() < eps)
         .select("doc_hi", "doc_lo")
     )
     if resolution == "rank":
@@ -1427,12 +1431,17 @@ def incremental_semantic_dedup(
     column (left-semi on the surviving keys); ``new_index_rows`` is
     exactly the ``(key, embedding, cell)`` rows to APPEND to the index.
     Cost scales with the BATCH times cell occupancy, never the corpus.
+
+    ``max_cell_size`` caps only the batch-INTERNAL pairing (a batch
+    flooding one cell); the vs-index gate is never skipped — capping it
+    would re-append already-indexed docs on every re-ingest. A hot
+    INDEX cell is a quantizer-sizing problem (``semantic_cells_for``,
+    Lloyd rounds at build), not one this guard can mask.
     """
     from pyspark.sql import Window
 
     from storage_spark.functions.vectors import (
         cosine_distance,
-        dot,
         ivf_assign,
         norm,
     )
@@ -1450,10 +1459,14 @@ def incremental_semantic_dedup(
     )
     w = Window.partitionBy("cell").orderBy(F.col("cdist").desc(), F.col("doc").asc())
     ranked = b.withColumn("cent_rank", F.row_number().over(w))
+    # the hot-cell cap scopes the BATCH-INTERNAL pairing only: the
+    # vs-index gate must see EVERY batch doc, or a capped cell would
+    # skip the "index always wins" check and re-append duplicates on
+    # every re-ingest (breaking the documented idempotency). A hot
+    # INDEX cell is a quantizer-sizing problem, fixed at index build
+    # (semantic_cells_for / Lloyd rounds), not maskable here.
     pairable = _cap_band_buckets(ranked, ["cell"], max_cell_size)
-    dist = F.lit(1.0) - dot(F.col("va"), F.col("vb")) / (
-        F.col("na") * F.col("nb")
-    )
+    dist = _factored_pair_cosine()
     # batch-vs-index: the index row is 'a' (always wins)
     ix = index_vectors.select(
         F.col(key_col).alias("ix_key"), F.col(vector_col).alias("va"),
@@ -1461,7 +1474,7 @@ def incremental_semantic_dedup(
     )
     vs_index = (
         ix.join(
-            pairable.select(
+            ranked.select(
                 F.col("doc").alias("doc_lo"), F.col("vec").alias("vb"),
                 F.col("nrm").alias("nb"), "cell",
             ),

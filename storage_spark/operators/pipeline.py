@@ -1362,7 +1362,11 @@ def temperature_sample(
     (a flip needs the scaled weight within 1 ulp of a .5 boundary).
     Headroom: ``total_k * Σ(scaled weights)`` must fit int64 — at the
     default scale that is ~9e18 / (1e6·Σ n^(1/T)), generous for any real
-    mix; lower ``weight_scale`` if a billion-group corpus ever hits it.
+    mix; lower ``weight_scale`` if a billion-group corpus (or a
+    sharpening T << 1 on a huge head group) ever hits it. Exceeding it
+    fails LOUDLY — the engine runs ANSI mode, so the weight cast and
+    the ``total_k * w`` product raise ArithmeticException rather than
+    wrap (an ANSI-off deployment would need an explicit guard here).
 
     Saturation: a boosted quota is capped at the group's actual size
     (the group returns whole) and the short-fall is NOT redistributed —

@@ -446,3 +446,34 @@ def test_cluster_stats_integer_exact_replication(spark):
         want[cell] = (n, mean, max(cds), med2)
     assert got == want
     assert sum(n for n, _, _, _ in got.values()) == len(rows)
+
+
+def test_incremental_cap_never_skips_index_gate(spark):
+    """Review-r7 regression: max_cell_size scopes the batch-INTERNAL
+    pairing only — a capped hot cell must still be gated against the
+    index, or re-ingest would re-append already-indexed docs."""
+    from storage_spark.operators.dedup import incremental_semantic_dedup
+
+    _, cents, index = _inc_setup(spark)
+    # 3 batch docs flood seed-0's cell; one is a near-dup of index i0
+    batch = spark.createDataFrame(
+        [
+            ("b0", _unit(0, nudge=0.005, coord=5)),  # ~i0 -> must drop
+            ("b1", _unit(0, nudge=0.40, coord=6)),
+            ("b2", _unit(0, nudge=0.40, coord=7)),
+        ],
+        "key string, embedding array<float>",
+    )
+    kept, newrows = incremental_semantic_dedup(
+        batch, index, cents, eps=0.01, max_cell_size=1
+    )
+    kept_keys = {r["key"] for r in kept.collect()}
+    assert "b0" not in kept_keys  # index always wins, even capped
+    assert kept_keys == {"b1", "b2"}  # internal pairing capped away
+    # idempotency survives the cap: re-ingest drops everything
+    index2 = index.unionByName(newrows)
+    kept2, _ = incremental_semantic_dedup(
+        kept.select("key", "embedding"), index2, cents,
+        eps=0.01, max_cell_size=1,
+    )
+    assert kept2.count() == 0

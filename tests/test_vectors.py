@@ -889,3 +889,27 @@ def test_mean_pool_dim_mismatch_raises(spark):
     )
     with pytest.raises(Exception, match="vector length"):
         mean_pool_embeddings(df, dim=4).collect()
+
+
+def test_mean_pool_zero_weight_sum_raises(spark):
+    from storage_spark.functions.vectors import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [("a", 0, [1.0, 2.0], 0), ("a", 1, [2.0, 1.0], 0)],
+        "doc_id string, chunk_id int, embedding array<float>, w int",
+    )
+    with pytest.raises(Exception, match="weight sum is zero"):
+        mean_pool_embeddings(df, dim=2, weight_col="w").collect()
+
+
+def test_mean_pool_zero_norm_normalize_raises(spark):
+    from storage_spark.functions.vectors import mean_pool_embeddings
+
+    df = spark.createDataFrame(
+        [("a", 0, [1.0, -1.0]), ("a", 1, [-1.0, 1.0])],
+        "doc_id string, chunk_id int, embedding array<float>",
+    )
+    # unnormalized pooling of a zero-sum group is fine (the zero vector)
+    assert mean_pool_embeddings(df, dim=2).collect()[0]["pooled"] == [0.0, 0.0]
+    with pytest.raises(Exception, match="zero-norm"):
+        mean_pool_embeddings(df, dim=2, normalize=True).collect()
