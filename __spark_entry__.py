@@ -2470,6 +2470,23 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-fluency LM score: per-doc mean NLL under the corpus's
+    own add-one BIGRAM model (first token under the unigram). The oracle
+    refits both models from the same toks CTE (non-null-prev rows ARE
+    the pair counts), replays the smoothing and the positional CASE, and
+    folds each doc's log-probs in the identical order."""
+    from storage_spark.operators.pipeline import bigram_logprob
+
+    t = _t(spark, sf_dir)
+    out = bigram_logprob(t["documents"])
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("avg_nll") * 10000).cast("bigint").alias("nll_1e4"),
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.functions.text import lang_id
 
@@ -3879,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "gopher_rules": q_gopher_rules,
         "semantic_cluster_stats": q_semantic_cluster_stats,
+        "bigram_logprob": q_bigram_logprob,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5682,6 +5700,42 @@ scored AS (
   SELECT t.doc_id, t.pos,
     ln((COALESCE(f.cnt, 0) + 1.0) / (tot.n + 1.0 * tot.v)) AS lp
   FROM toks t LEFT JOIN freq f ON f.tok = t.tok CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(round(
+    -(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                  (a, b) -> a + b)
+      / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS nll_1e4
+FROM scored GROUP BY doc_id
+"""),
+        "bigram_logprob": _o(f"""
+, toks AS (
+  SELECT doc_id, u.pos, u.tok,
+    CASE WHEN u.pos > 0 THEN tk[u.pos] END AS prev
+  FROM (
+    SELECT doc_id, tk,
+      unnest(list_transform(tk, (x, i) -> {{'pos': i - 1, 'tok': x}})) AS u
+    FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents)
+  )
+),
+uni AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+bi AS (
+  SELECT prev, tok, count(*) AS cnt FROM toks
+  WHERE prev IS NOT NULL GROUP BY prev, tok
+),
+tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM uni),
+scored AS (
+  SELECT t.doc_id, t.pos,
+    CASE WHEN t.pos = 0 THEN
+      ln((COALESCE(u.cnt, 0) + 1.0) / (tot.n + 1.0 * tot.v))
+    ELSE
+      ln((COALESCE(b.cnt, 0) + 1.0) / (COALESCE(p.cnt, 0) + 1.0 * tot.v))
+    END AS lp
+  FROM toks t
+  LEFT JOIN bi b ON b.prev = t.prev AND b.tok = t.tok
+  LEFT JOIN uni p ON p.tok = t.prev
+  LEFT JOIN uni u ON u.tok = t.tok
+  CROSS JOIN tot
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
   CAST(round(

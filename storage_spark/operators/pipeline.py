@@ -814,6 +814,124 @@ def unigram_logprob(
     )
 
 
+def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fit a bigram LM: one ``(prev, tok, cnt)`` row per distinct
+    adjacent normalized-token pair. Pairs come straight off each doc's
+    token ARRAY (``tok[i-1], tok[i]``) — no self-join, no shuffle beyond
+    the one map-side-combined count. Companion to ``unigram_model``;
+    ``bigram_logprob`` needs BOTH (the unigram supplies context counts
+    and the first-token distribution)."""
+    from storage_spark.functions.text import normalized_text
+
+    tk = F.split(normalized_text(F.col(text_col)), " ")
+    pairs = F.filter(
+        F.transform(
+            tk,
+            lambda t, i: F.struct(
+                F.when(i > 0, F.element_at(tk, i)).alias("prev"),
+                t.alias("tok"),
+            ),
+        ),
+        lambda s: s["prev"].isNotNull(),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
+        .groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    bigrams: DataFrame | None = None,
+    unigrams: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-doc mean negative log-probability under an add-``smoothing``
+    BIGRAM LM — the conditional-fluency upgrade over
+    ``unigram_logprob``: word salad built from individually-common
+    tokens ("the of and the to be") passes a unigram gate but scores
+    terribly here, because every CONDITIONAL ``p(tok | prev) =
+    (c(prev,tok) + a) / (c(prev) + a·V)`` is near the smoothed floor.
+    The first token is scored under the unigram distribution (no BOS
+    sentinel is injected into the vocabulary). Fit both models on TRAIN
+    (``bigram_model`` / ``unigram_model``) and score everything under
+    them; ``None`` fits on ``docs`` itself.
+
+    Determinism contract as ``unigram_logprob``: ordered per-token fold,
+    one ``ln`` per token absorbed by driver-row rounding. Scale shape:
+    explode + THREE broadcast joins (bigram pairs on (prev, tok),
+    context counts on prev, first-token counts on tok) + the totals
+    cross — the bigram table is the big one (pair vocabulary); a corpus
+    whose pair table outgrows broadcast needs the ``skew_split``
+    treatment generalized to the pair key, which is deliberately NOT
+    built until a corpus demands it. Returns
+    ``(id_col, n_tokens, avg_nll)``.
+    """
+    from storage_spark.functions.text import normalized_text
+
+    if unigrams is None:
+        unigrams = unigram_model(docs, text_col)
+    if bigrams is None:
+        bigrams = bigram_model(docs, text_col)
+    totals = unigrams.agg(
+        F.sum("cnt").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    a = F.lit(float(smoothing))
+    tk = F.split(normalized_text(F.col(text_col)), " ")
+    # two selects: posexplode's `pos` only exists after the first, and
+    # `prev` needs it (element_at is 1-indexed, so for 0-based pos the
+    # previous token is element_at(tk, pos); pos 0 has none)
+    toks = docs.select(
+        F.col(id_col), tk.alias("_tk"), F.posexplode(tk).alias("pos", "tok")
+    ).select(
+        id_col, "pos", "tok",
+        F.when(F.col("pos") > 0, F.element_at(F.col("_tk"), F.col("pos")))
+        .alias("prev"),
+    )
+    bi = bigrams.select("prev", "tok", F.col("cnt").alias("_bc"))
+    ctx = unigrams.select(F.col("tok").alias("prev"), F.col("cnt").alias("_pc"))
+    uni = unigrams.select("tok", F.col("cnt").alias("_uc"))
+    scored = (
+        toks.join(F.broadcast(bi), ["prev", "tok"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .join(F.broadcast(uni), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            "pos",
+            F.when(
+                F.col("pos") == 0,
+                F.log(
+                    (F.coalesce(F.col("_uc"), F.lit(0)) + a)
+                    / (F.col("_n") + a * F.col("_v"))
+                ),
+            )
+            .otherwise(
+                F.log(
+                    (F.coalesce(F.col("_bc"), F.lit(0)) + a)
+                    / (F.coalesce(F.col("_pc"), F.lit(0)) + a * F.col("_v"))
+                )
+            )
+            .alias("lp"),
+        )
+    )
+    items = F.array_sort(
+        F.collect_list(F.struct(F.col("pos").alias("p"), F.col("lp").alias("l")))
+    )
+    fold = F.aggregate(items, F.lit(0.0), lambda acc, it: acc + it["l"])
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-(fold / F.count(F.lit(1)))).alias("avg_nll"),
+        )
+    )
+
+
 #: Scheme-qualified URL host extractor — Java∩RE2 dialect so the SQL
 #: oracle replays it verbatim (group 1 = the host).
 URL_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"

@@ -365,3 +365,77 @@ def test_unigram_bad_model_join_raises(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="model_join"):
         unigram_logprob(docs, model_join="hash")
+
+
+def test_bigram_logprob_exact_python_replication(spark):
+    import math
+    from collections import Counter
+
+    from storage_spark.operators.pipeline import bigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "mat the on sat cat the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll"])
+        for r in bigram_logprob(docs).collect()
+    }
+    toks = {i: t.lower().split() for i, t in rows}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    bi = Counter(
+        (ts[j - 1], ts[j]) for ts in toks.values() for j in range(1, len(ts))
+    )
+    n_tot, v, a = sum(uni.values()), len(uni), 1.0
+    for i, ts in toks.items():
+        acc = 0.0
+        for j, t in enumerate(ts):
+            if j == 0:
+                acc += math.log((uni[t] + a) / (n_tot + a * v))
+            else:
+                acc += math.log((bi[(ts[j - 1], t)] + a) / (uni[ts[j - 1]] + a * v))
+        assert got[i] == (len(ts), -(acc / len(ts)))
+
+
+def test_bigram_catches_word_salad_unigram_cannot(spark):
+    """The upgrade over unigram: a permutation of the SAME tokens has
+    the IDENTICAL unigram score but a strictly worse bigram score."""
+    from storage_spark.operators.pipeline import bigram_logprob, unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (3, "mat the on sat cat the"),  # same multiset, shuffled
+        ],
+        "doc_id long, text string",
+    )
+    u = {r["doc_id"]: r["avg_nll"] for r in unigram_logprob(docs).collect()}
+    b = {r["doc_id"]: r["avg_nll"] for r in bigram_logprob(docs).collect()}
+    assert u[1] == u[3]          # unigram is blind to order
+    assert b[3] > b[1]           # bigram is not
+
+
+def test_bigram_under_train_model_unseen_context(spark):
+    """Unseen (prev, tok) pairs and unseen contexts both hit the
+    smoothed floors; scoring under a train model never errors."""
+    from storage_spark.operators.pipeline import (
+        bigram_logprob,
+        bigram_model,
+        unigram_model,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat")], "doc_id long, text string"
+    )
+    bm, um = bigram_model(train), unigram_model(train)
+    out = bigram_logprob(
+        spark.createDataFrame(
+            [(9, "cat the zz"), (10, "the cat sat")], "doc_id long, text string"
+        ),
+        bigrams=bm, unigrams=um,
+    ).collect()
+    scores = {r["doc_id"]: r["avg_nll"] for r in out}
+    assert scores[9] > scores[10]  # novel transitions score worse
+    assert all(r["n_tokens"] == 3 for r in out)
