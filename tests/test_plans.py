@@ -106,8 +106,9 @@ _BNLJ_ALLOWED = {
     "semantic_cluster_stats",
     # the (N, V) totals table is ONE row crossJoined broadcast onto the
     # scored tokens — the 1-row scalar-combine BNLJ class, like
-    # key_validation; the vocabulary join itself is an equi-join
+    # key_validation; the vocabulary/pair joins themselves are equi-joins
     "unigram_logprob",
+    "bigram_logprob",
 }
 
 
