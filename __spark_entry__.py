@@ -1246,6 +1246,100 @@ WHERE rm.key IS NULL
 """)
 
 
+def q_vector_projected_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JL projection's production composition: candidates ranked in
+    16-dim projected space (4x less distance math and scan bytes),
+    exact rerank of the 6x window against the original 64-dim vectors.
+    The oracle recomputes the projection from the same plane literals,
+    replays the projected-space candidate ranking, and the exact
+    rerank."""
+    from storage_spark.functions.vectors import (
+        _exact_rerank,
+        knn_join,
+        project_embeddings,
+    )
+
+    v = _vectors(spark, sf_dir).select("key", "embedding")
+    queries = v.filter(F.col("key").cast("bigint") < 5).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    pv = project_embeddings(v, out_dim=16, dim=64).select(
+        "key", F.col("projected").alias("embedding")
+    )
+    pq = project_embeddings(
+        queries, out_dim=16, dim=64, vector_col="q_vec", out_col="qp"
+    ).select("q_key", F.col("qp").alias("q_vec"))
+    cands = knn_join(pq, pv, k=30, metric="l2").select("q_key", "key")
+    out = _exact_rerank(
+        cands, queries, v, 5, "l2", "q_key", "q_vec", "key", "embedding"
+    )
+    return out.select(
+        "q_key",
+        "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _oracle_projected_rerank(
+    out_dim: int, dim: int, k_cand: int, k_top: int, max_q_vec_id: int
+) -> str:
+    """SQL mirror of q_vector_projected_rerank: projection from the
+    inlined plane literals, sqrt-L2 candidate ranking in projected
+    space (self excluded, ties by key), k_cand cut, exact sqrt-L2
+    rerank on the originals."""
+    import math
+
+    from storage_spark.functions.vectors import hyperplanes
+
+    planes = hyperplanes(dim, out_dim)
+    scale = repr(1.0 / math.sqrt(out_dim))
+
+    def _coord(p: list[float]) -> str:
+        lit = "[" + ", ".join(f"{x:.1f}" for x in p) + "]"
+        d = (
+            f"list_sum(list_transform(list_zip(embedding, {lit}),"
+            " t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+        )
+        return f"{d} * {scale}"
+
+    coords = ",\n    ".join(_coord(p) for p in planes)
+    d_pp = (
+        "sqrt(list_sum(list_transform(list_zip(a.proj, q.proj),"
+        " t -> (t[1] - t[2]) * (t[1] - t[2]))))"
+    )
+    d_exact = (
+        "sqrt(list_sum(list_transform(list_zip(b.embedding, qq.embedding),"
+        " t -> (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE))"
+        " * (CAST(t[1] AS DOUBLE) - CAST(t[2] AS DOUBLE)))))"
+    )
+    return _o(f"""
+, proj AS (
+  SELECT CAST(vec_id AS STRING) AS key, vec_id, embedding,
+    [{coords}] AS proj
+  FROM embeddings
+),
+cands AS (
+  SELECT q_key, key FROM (
+    SELECT q.key AS q_key, a.key,
+      ROW_NUMBER() OVER (PARTITION BY q.key
+        ORDER BY {d_pp} ASC, a.key ASC) AS rn
+    FROM proj q JOIN proj a ON q.key <> a.key
+    WHERE q.vec_id < {max_q_vec_id}
+  ) WHERE rn <= {k_cand}
+)
+SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank
+FROM (
+  SELECT c.q_key, c.key, {d_exact} AS distance,
+    CAST(ROW_NUMBER() OVER (PARTITION BY c.q_key
+      ORDER BY {d_exact} ASC, c.key ASC) AS INT) AS rank
+  FROM cands c
+  JOIN proj b ON b.key = c.key
+  JOIN proj qq ON qq.key = c.q_key
+) WHERE rank <= {k_top}
+""")
+
+
 def _oracle_semantic_dedup(n_clusters: int, eps: float) -> str:
     """SQL mirror of dedup.semantic_dedup (rank resolution, deterministic
     first-n quantizer): centroids → argmin-cosine assignment (tie: lowest
@@ -3897,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "semantic_cluster_stats": q_semantic_cluster_stats,
         "bigram_logprob": q_bigram_logprob,
+        "vector_projected_rerank": q_vector_projected_rerank,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5633,6 +5728,9 @@ SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
 FROM q GROUP BY cell
 """),
         "project_embeddings": _oracle_project_embeddings(out_dim=16, dim=64),
+        "vector_projected_rerank": _oracle_projected_rerank(
+            out_dim=16, dim=64, k_cand=30, k_top=5, max_q_vec_id=5
+        ),
         "semantic_dedup_incremental": _oracle_semantic_dedup_incremental(
             n_clusters=8, eps=0.65, split_vec_id=400
         ),

@@ -81,6 +81,7 @@ def test_topk_lowering(spark, objects_parquet):
 #: alternatives for scale) or a 1-row x 1-row scalar combine.
 _BNLJ_ALLOWED = {
     "vector_knn_join",
+    "vector_projected_rerank",  # knn_join over the 16-dim projection
     "vector_ivf_ann",
     "ann_index_ivf_query",  # same broadcast centroid ranking, persisted index
     "vector_filtered_ivf",
