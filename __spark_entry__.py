@@ -1340,6 +1340,95 @@ FROM (
 """)
 
 
+def q_semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup's STRICT resolution under the oracle: transitive
+    closure over the within-cell pairs (dedup_components) + highest-
+    centroid-distance canonical election (resolve_canonical). The
+    oracle replays the closure as a recursive CTE and the election as
+    a per-component window — every kept/dropped bit depends on both."""
+    from storage_spark.operators.dedup import semantic_dedup
+
+    v = _vectors(spark, sf_dir).select("key", "embedding").filter(
+        F.col("key").cast("bigint") < 200
+    )
+    out = semantic_dedup(
+        v, eps=0.6, n_clusters=8, resolution="components"
+    )
+    return out.select(
+        "doc",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("cent_rank").cast("int").alias("cent_rank"),
+        "kept",
+    )
+
+
+def _oracle_semantic_components(
+    n_clusters: int, eps: float, max_vec_id: int
+) -> str:
+    """Recursive-CTE mirror of semantic_dedup(resolution='components'):
+    the _oracle_semantic_dedup CTEs up to the ranked frame, undirected
+    within-cell pair edges, min-reachable-key closure (string keys —
+    lexicographic min, matching the Spark component contract), then the
+    max-cdist / min-key canonical election."""
+    d_bc = _duck_cos("b.embedding", "c.centroid")
+    d_ab = _duck_cos("a.embedding", "b.embedding")
+    sql = _o(f"""
+, base AS (
+  SELECT CAST(vec_id AS STRING) AS key, embedding FROM embeddings
+  WHERE vec_id < {max_vec_id}
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY key) AS INT) - 1 AS cell,
+         embedding AS centroid
+  FROM (SELECT key, embedding FROM base ORDER BY key LIMIT {n_clusters})
+),
+assigned AS (
+  SELECT key, embedding, cell, cdist FROM (
+    SELECT b.key, b.embedding, c.cell, {d_bc} AS cdist,
+      ROW_NUMBER() OVER (PARTITION BY b.key
+        ORDER BY {d_bc} ASC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT key, embedding, cell, cdist,
+    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+      ORDER BY cdist DESC, key ASC) AS INT) AS cent_rank
+  FROM assigned
+),
+prs AS (
+  SELECT a.key AS doc_a, b.key AS doc_b
+  FROM ranked a JOIN ranked b
+    ON b.cell = a.cell AND a.key < b.key
+  WHERE {d_ab} < {eps}
+),
+edges AS (
+  SELECT doc_a AS ea, doc_b AS eb FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+reach AS (
+  SELECT key AS doc, key AS label FROM ranked
+  UNION
+  SELECT e.eb AS doc, r.label FROM reach r JOIN edges e ON e.ea = r.doc
+),
+comp AS (
+  SELECT doc, min(label) AS component FROM reach GROUP BY doc
+),
+winners AS (
+  SELECT doc, component,
+    ROW_NUMBER() OVER (PARTITION BY component
+      ORDER BY cdist DESC, doc ASC) AS wrn
+  FROM (SELECT c.doc, c.component, r.cdist
+        FROM comp c JOIN ranked r ON r.key = c.doc)
+)
+SELECT r.key AS doc, r.cell, r.cent_rank, (w.wrn = 1) AS kept
+FROM ranked r JOIN winners w ON w.doc = r.key
+""")
+    # any recursive CTE requires the whole WITH clause to be RECURSIVE
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
 def _oracle_semantic_dedup(n_clusters: int, eps: float) -> str:
     """SQL mirror of dedup.semantic_dedup (rank resolution, deterministic
     first-n quantizer): centroids → argmin-cosine assignment (tie: lowest
@@ -3992,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_cluster_stats": q_semantic_cluster_stats,
         "bigram_logprob": q_bigram_logprob,
         "vector_projected_rerank": q_vector_projected_rerank,
+        "semantic_dedup_components": q_semantic_dedup_components,
         # r5-evidence block (fills r8's window first):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5703,6 +5793,9 @@ WHERE i.fp IS NULL ORDER BY doc_id
 """),
         "dedup_embedding": _oracle_embedding_neardup(),
         "semantic_dedup": _oracle_semantic_dedup(n_clusters=8, eps=0.65),
+        "semantic_dedup_components": _oracle_semantic_components(
+            n_clusters=8, eps=0.6, max_vec_id=200
+        ),
         "semantic_cluster_stats": _o(f"""
 , base AS (
   SELECT CAST(vec_id AS STRING) AS key, embedding FROM embeddings

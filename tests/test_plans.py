@@ -103,6 +103,7 @@ _BNLJ_ALLOWED = {
     # ranking as vector_ivf_ann; the pair stage itself is an equi-join
     # on cell, never a product
     "semantic_dedup",
+    "semantic_dedup_components",
     "semantic_dedup_incremental",
     "semantic_cluster_stats",
     # the (N, V) totals table is ONE row crossJoined broadcast onto the
