@@ -309,6 +309,7 @@ def mean_pool_embeddings(
     dim: int = 64,
     weight_col: str | None = None,
     normalize: bool = False,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Pool many vectors per group into one mean vector — the chunk→doc
     (or doc→class-centroid) aggregation every embedding pipeline needs:
@@ -324,13 +325,22 @@ def mean_pool_embeddings(
     ``(order_col, vector)`` per group and summed elementwise in that
     order — bit-for-bit reproducible across runs, cluster layouts, and
     engines. The cost of that contract: per-group vectors pass through
-    one ``collect_list`` (fine for chunks-per-doc in the hundreds; a
-    group so large its vectors don't fit an executor's row buffer
-    should be pooled hierarchically — pool chunk ranges first).
+    one ``collect_list`` (fine for chunks-per-doc in the hundreds).
+
+    ``fanout=N`` is the scale path for groups too large for one row
+    buffer (a class centroid over millions of members): chunks bucket
+    by a deterministic hash of ``order_col`` into N partials, each an
+    ordered fold; the partial SUMS (vector sum + weight sum — means
+    would not compose) then fold in bucket order and divide once. The
+    weighted mean decomposes EXACTLY this way, so the result differs
+    from the flat path only in float addition grouping (low-order
+    bits); it is still bit-stable across runs and layouts for a fixed
+    N. Per-bucket rows are ~group/N — pick N so that fits a buffer.
 
     Scale shape: ONE map-side-combinable shuffle on ``group_col``
-    (collect_list partials combine); no posexplode row blow-up, no
-    per-dimension shuffle. Returns ``(group_col, n_chunks, pooled)``.
+    (two with ``fanout``, the first keyed (group, bucket)); no
+    posexplode row blow-up, no per-dimension shuffle. Returns
+    ``(group_col, n_chunks, pooled)``.
     """
     zero = F.array(*[F.lit(0.0) for _ in range(dim)])
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
@@ -347,20 +357,63 @@ def mean_pool_embeddings(
         ).isNull(),
         item,
     )
-    pooled = chunks.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.array_sort(F.collect_list(item)).alias("_items"),
-    )
-    acc_sum = F.aggregate(
-        F.col("_items"),
+    vsum_of = lambda items: F.aggregate(  # noqa: E731 — shared fold shape
+        items,
         zero,
         lambda acc, it: F.zip_with(
             acc, it["v"], lambda a, x: a + x.cast("double") * it["w"]
         ),
     )
-    wsum = F.aggregate(
-        F.col("_items"), F.lit(0.0), lambda acc, it: acc + it["w"]
-    )
+    if fanout is not None and fanout > 1:
+        bucket = F.pmod(
+            F.xxhash64(F.col(order_col).cast("string")), F.lit(int(fanout))
+        )
+        parts = (
+            chunks.withColumn("_bkt", bucket)
+            .groupBy(group_col, "_bkt")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.array_sort(F.collect_list(item)).alias("_items"),
+            )
+            .select(
+                group_col,
+                "_bkt",
+                "_n",
+                vsum_of(F.col("_items")).alias("_vs"),
+                F.aggregate(
+                    F.col("_items"), F.lit(0.0), lambda acc, it: acc + it["w"]
+                ).alias("_ws"),
+            )
+        )
+        pooled = parts.groupBy(group_col).agg(
+            F.sum("_n").alias("n_chunks"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_bkt").alias("b"),
+                        F.col("_vs").alias("vs"),
+                        F.col("_ws").alias("ws"),
+                    )
+                )
+            ).alias("_p"),
+        )
+        acc_sum = F.aggregate(
+            F.col("_p"),
+            zero,
+            lambda acc, it: F.zip_with(acc, it["vs"], lambda a, x: a + x),
+        )
+        wsum = F.aggregate(
+            F.col("_p"), F.lit(0.0), lambda acc, it: acc + it["ws"]
+        )
+    else:
+        pooled = chunks.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.array_sort(F.collect_list(item)).alias("_items"),
+        )
+        acc_sum = vsum_of(F.col("_items"))
+        wsum = F.aggregate(
+            F.col("_items"), F.lit(0.0), lambda acc, it: acc + it["w"]
+        )
     # fail-loud guards, same posture as the dim assert: a zero weight
     # sum (all-zero weight_col) or a zero-norm pooled vector under
     # normalize would otherwise emit silent NULL/NaN components that

@@ -913,3 +913,44 @@ def test_mean_pool_zero_norm_normalize_raises(spark):
     assert mean_pool_embeddings(df, dim=2).collect()[0]["pooled"] == [0.0, 0.0]
     with pytest.raises(Exception, match="zero-norm"):
         mean_pool_embeddings(df, dim=2, normalize=True).collect()
+
+
+def test_mean_pool_fanout_decomposes_exactly(spark):
+    """Hierarchical pooling: partial SUMS compose — fanout results match
+    the flat path to float-regrouping precision, counts and weights
+    exactly, and are themselves partition-layout-invariant."""
+    import random
+
+    from storage_spark.functions.vectors import mean_pool_embeddings
+
+    rng = random.Random(9)
+    rows = [
+        (f"d{i % 3}", i, [rng.uniform(-1, 1) for _ in range(16)], 1 + i % 4)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, chunk_id int, embedding array<float>, w int"
+    )
+    flat = {
+        r["doc_id"]: (r["n_chunks"], r["pooled"])
+        for r in mean_pool_embeddings(df, dim=16, weight_col="w").collect()
+    }
+    fan = {
+        r["doc_id"]: (r["n_chunks"], r["pooled"])
+        for r in mean_pool_embeddings(
+            df, dim=16, weight_col="w", fanout=8
+        ).collect()
+    }
+    assert set(flat) == set(fan)
+    for k in flat:
+        assert fan[k][0] == flat[k][0]  # counts exact
+        for a, b in zip(fan[k][1], flat[k][1]):
+            assert abs(a - b) < 1e-12  # only float regrouping differs
+    # fanout path is itself layout-deterministic
+    fan2 = {
+        r["doc_id"]: tuple(r["pooled"])
+        for r in mean_pool_embeddings(
+            df.repartition(32), dim=16, weight_col="w", fanout=8
+        ).collect()
+    }
+    assert fan2 == {k: tuple(v) for k, (_, v) in fan.items()}
