@@ -252,6 +252,28 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
+def jl_dim_for(n_docs: int, eps: float = 0.25, max_dim: int = 512) -> int:
+    """Johnson-Lindenstrauss target dimension for ``n_docs`` points at
+    relative distance distortion ``eps``: the standard bound
+    ``k >= 4 ln n / (eps^2/2 - eps^3/3)`` (the form NumPy/sklearn's
+    ``johnson_lindenstrauss_min_dim`` uses), capped at ``max_dim``
+    (past which projecting buys nothing over the original). Same
+    size-from-the-corpus discipline as ``sig_bits_for`` /
+    ``semantic_cells_for`` — the JL guarantee depends on ln(n), so an
+    out_dim tuned on a sample silently loses its distortion bound on
+    the full corpus (though only logarithmically, unlike the square-law
+    dedup cliffs). For top-k retrieval the bound is conservative: the
+    rerank composition (candidates in projected space, exact rerank on
+    originals) tolerates much smaller out_dim — see
+    ``project_embeddings``'s measured recall notes."""
+    import math
+
+    if not 0 < eps < 1:
+        raise ValueError(f"eps must be in (0, 1) (got {eps})")
+    k = 4.0 * math.log(max(2, n_docs)) / (eps ** 2 / 2.0 - eps ** 3 / 3.0)
+    return min(max_dim, max(1, math.ceil(k)))
+
+
 def project_embeddings(
     df: DataFrame,
     out_dim: int,

@@ -954,3 +954,26 @@ def test_mean_pool_fanout_decomposes_exactly(spark):
         ).collect()
     }
     assert fan2 == {k: tuple(v) for k, (_, v) in fan.items()}
+
+
+def test_jl_dim_rule():
+    from storage_spark.functions.vectors import jl_dim_for
+
+    import math
+
+    # the standard bound: 4 ln n / (eps^2/2 - eps^3/3); at loose eps it
+    # sits under the cap and must match exactly
+    n = 100_000
+    want = math.ceil(4 * math.log(n) / (0.9**2 / 2 - 0.9**3 / 3))
+    assert want < 512
+    assert jl_dim_for(n, eps=0.9) == want
+    # tighter eps quickly exceeds any useful projection dim — the cap
+    # (and the rerank-composition note) is the honest answer there
+    assert jl_dim_for(n, eps=0.25) == 512
+    # monotone in n, anti-monotone in eps (both under the cap)
+    assert jl_dim_for(10**9, eps=0.9) >= jl_dim_for(10**3, eps=0.9)
+    assert jl_dim_for(100, eps=0.9) < jl_dim_for(100, eps=0.5)
+    import pytest
+
+    with pytest.raises(ValueError, match="eps"):
+        jl_dim_for(100, eps=1.5)
