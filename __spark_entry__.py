@@ -5834,10 +5834,11 @@ FROM q GROUP BY cell
     len(tk) AS nw,
     CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
       / CAST(len(tk) AS DOUBLE) AS mean_wl,
-    ((length(raw) - length(replace(raw, '#', '')))
-     + ((length(raw) - length(replace(raw, '...', ''))) / 3
-        + (length(raw) - length(replace(raw, '…', '')))))
-      / CAST(len(tk) AS DOUBLE) AS symbol_ratio,
+    (length(raw) - length(replace(raw, '#', '')))
+      / CAST(len(tk) AS DOUBLE) AS hash_ratio,
+    ((length(raw) - length(replace(raw, '...', ''))) / 3
+     + (length(raw) - length(replace(raw, '…', ''))))
+      / CAST(len(tk) AS DOUBLE) AS ell_sym_ratio,
     CAST(len(list_filter(lines,
            ln -> regexp_matches(ltrim(ln), '^[-*•]'))) AS DOUBLE)
       / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
@@ -5858,20 +5859,23 @@ FROM q GROUP BY cell
 SELECT doc_id,
   CAST(nw AS BIGINT) AS n_words,
   CAST(round(mean_wl * 10000) AS BIGINT) AS mean_word_len_1e4,
-  CAST(round(symbol_ratio * 10000) AS BIGINT) AS symbol_ratio_1e4,
+  CAST(round(hash_ratio * 10000) AS BIGINT) AS hash_ratio_1e4,
+  CAST(round(ell_sym_ratio * 10000) AS BIGINT) AS ellipsis_sym_ratio_1e4,
   CAST(round(bullet_ratio * 10000) AS BIGINT) AS bullet_ratio_1e4,
   CAST(round(ellipsis_ratio * 10000) AS BIGINT) AS ellipsis_ratio_1e4,
   CAST(round(alpha_fraction * 10000) AS BIGINT) AS alpha_fraction_1e4,
   CAST(stop_hits AS INT) AS stop_hits,
   (nw >= 50 AND nw <= 100000) AS r_word_count,
   (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r_mean_word_len,
-  (symbol_ratio <= 0.1) AS r_symbol_ratio,
+  (hash_ratio <= 0.1) AS r_hash_ratio,
+  (ell_sym_ratio <= 0.1) AS r_ellipsis_sym_ratio,
   (bullet_ratio <= 0.9) AS r_bullet_ratio,
   (ellipsis_ratio <= 0.3) AS r_ellipsis_ratio,
   (alpha_fraction >= 0.8) AS r_alpha_fraction,
   (stop_hits >= 2) AS r_stopwords,
   ((nw >= 50 AND nw <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
-   AND (symbol_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+   AND (hash_ratio <= 0.1) AND (ell_sym_ratio <= 0.1)
+   AND (bullet_ratio <= 0.9)
    AND (ellipsis_ratio <= 0.3) AND (alpha_fraction >= 0.8)
    AND (stop_hits >= 2)) AS passes
 FROM m

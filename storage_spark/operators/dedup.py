@@ -1129,8 +1129,10 @@ def _semantic_assigned(
     ``n_clusters=None`` derives via ``semantic_cells_for`` (NOTE: when
     ``n_docs`` is also omitted that derivation is an EAGER count
     re-executing the full upstream lineage — pass ``n_docs`` when
-    ``vectors`` is an expensive plan). An explicit cluster count ≥2×
-    under the rule warns: too few clusters is the square-law hazard.
+    ``vectors`` is an expensive plan). An explicit cluster count ≥4×
+    under the rule warns (4×, not the 2× the other sizing rules use —
+    the cost basin around the sqrt rule is flat; see the inline note):
+    too few clusters is the square-law hazard.
     """
     from storage_spark.functions.vectors import (
         cosine_distance,

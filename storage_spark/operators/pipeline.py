@@ -615,10 +615,12 @@ def gopher_rules(
     fired). Defaults are the paper's published thresholds.
 
     Rules: word count in [min_words, max_words]; mean word length in
-    [3, 10]; '#'/'…'-to-word symbol ratio ≤ 0.1; ≤ 90% of lines
-    bullet-led; ≤ 30% of lines ellipsis-terminated; ≥ 80% of words
-    containing an alphabetic character; ≥ 2 distinct hits from the
-    8-word stop list.
+    [3, 10]; symbol-to-word ratio ≤ 0.1 for EITHER symbol separately —
+    '#' (``r_hash_ratio``) and ellipsis (``r_ellipsis_sym_ratio``),
+    per the paper's wording ("either the hash symbol or the
+    ellipsis"), not their sum; ≤ 90% of lines bullet-led; ≤ 30% of
+    lines ellipsis-terminated; ≥ 80% of words containing an alphabetic
+    character; ≥ 2 distinct hits from the 8-word stop list.
 
     Determinism: every metric is a single division of INTEGER counts
     (token/line/char tallies) — no float summation order anywhere, so
@@ -640,7 +642,8 @@ def gopher_rules(
     n_ell = n_ell + (
         F.length(raw) - F.length(F.replace(raw, F.lit("…"), F.lit("")))
     )
-    symbol_ratio = (n_hash + n_ell).cast("double") / nw
+    hash_ratio = n_hash.cast("double") / nw
+    ell_sym_ratio = n_ell.cast("double") / nw
     lines = F.split(F.col(text_col), "\n")
     n_lines = F.size(lines)
     bullet = F.size(
@@ -667,7 +670,8 @@ def gopher_rules(
         "r_word_count": (n_words >= min_words) & (n_words <= max_words),
         "r_mean_word_len": (mean_wl >= min_mean_word_len)
         & (mean_wl <= max_mean_word_len),
-        "r_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "r_hash_ratio": hash_ratio <= max_symbol_ratio,
+        "r_ellipsis_sym_ratio": ell_sym_ratio <= max_symbol_ratio,
         "r_bullet_ratio": bullet_ratio <= max_bullet_ratio,
         "r_ellipsis_ratio": ellipsis_ratio <= max_ellipsis_ratio,
         "r_alpha_fraction": alpha_fraction >= min_alpha_fraction,
@@ -680,7 +684,8 @@ def gopher_rules(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
         F.round(mean_wl * 10000).cast("bigint").alias("mean_word_len_1e4"),
-        F.round(symbol_ratio * 10000).cast("bigint").alias("symbol_ratio_1e4"),
+        F.round(hash_ratio * 10000).cast("bigint").alias("hash_ratio_1e4"),
+        F.round(ell_sym_ratio * 10000).cast("bigint").alias("ellipsis_sym_ratio_1e4"),
         F.round(bullet_ratio * 10000).cast("bigint").alias("bullet_ratio_1e4"),
         F.round(ellipsis_ratio * 10000).cast("bigint").alias("ellipsis_ratio_1e4"),
         F.round(alpha_fraction * 10000).cast("bigint").alias("alpha_fraction_1e4"),
@@ -753,6 +758,13 @@ def unigram_logprob(
       skew-FREE by construction (a tail token is rare on both sides).
       Results are identical (tested); only the physical plan changes.
 
+    Row contract: docs whose text is NULL (or tokenizes to an empty
+    array) produce NO output row — ``posexplode`` eliminates them —
+    so the score table can have fewer rows than the input, unlike
+    ``gopher_rules`` which emits one row per doc. Audits composing
+    the two should anti-join on ``id_col`` to surface unscored docs
+    rather than expect equal counts.
+
     Returns ``(id_col, n_tokens, avg_nll)``.
     """
     from storage_spark.functions.text import normalized_text
@@ -776,19 +788,9 @@ def unigram_logprob(
     if model_join == "broadcast":
         joined = toks.join(F.broadcast(model), "tok", "left")
     else:
-        # frequency split: TakeOrdered the head (deterministic ties by
-        # token), broadcast it; everything not in the head shuffles
-        # against the tail — rare keys, so the shuffle has no hot
-        # partitions to salt
-        head = model.orderBy(
-            F.col("cnt").desc(), F.col("tok").asc()
-        ).limit(head_size)
-        tail = model.join(F.broadcast(head.select("tok")), "tok", "left_anti")
-        hot = toks.join(F.broadcast(head), "tok")
-        cold = toks.join(
-            F.broadcast(head.select("tok")), "tok", "left_anti"
-        ).join(tail, "tok", "left")
-        joined = hot.unionByName(cold)
+        # frequency split via the shared helper: TakeOrdered head
+        # broadcast, rare tail shuffled — no hot partitions to salt
+        joined = _skew_split_left_join(toks, model, ["tok"], "cnt", head_size)
     scored = (
         joined
         .crossJoin(F.broadcast(totals))
@@ -842,6 +844,32 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _skew_split_left_join(
+    left: DataFrame,
+    model: DataFrame,
+    keys: list[str],
+    cnt_col: str,
+    head_size: int,
+) -> DataFrame:
+    """Left-join ``left`` against a frequency-keyed ``model`` without
+    ever shuffling a hot key: the ``head_size`` most frequent model
+    rows (deterministic ties by key) join broadcast — absorbing the
+    Zipf head that would skew a shuffle — and the rare tail joins via
+    shuffle, skew-free by construction (a tail key is rare on both
+    sides). Result rows are identical to ``left.join(model, keys,
+    "left")``; only the physical plan differs. Shared by
+    ``unigram_logprob`` and ``bigram_logprob``'s pair join."""
+    head = model.orderBy(
+        F.col(cnt_col).desc(), *[F.col(k).asc() for k in keys]
+    ).limit(head_size)
+    tail = model.join(F.broadcast(head.select(*keys)), keys, "left_anti")
+    hot = left.join(F.broadcast(head), keys)
+    cold = left.join(
+        F.broadcast(head.select(*keys)), keys, "left_anti"
+    ).join(tail, keys, "left")
+    return hot.unionByName(cold)
+
+
 def bigram_logprob(
     docs: DataFrame,
     bigrams: DataFrame | None = None,
@@ -849,6 +877,8 @@ def bigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     smoothing: float = 1.0,
+    model_join: str = "broadcast",
+    head_size: int = 10_000,
 ) -> DataFrame:
     """Per-doc mean negative log-probability under an add-``smoothing``
     BIGRAM LM — the conditional-fluency upgrade over
@@ -862,17 +892,40 @@ def bigram_logprob(
     them; ``None`` fits on ``docs`` itself.
 
     Determinism contract as ``unigram_logprob``: ordered per-token fold,
-    one ``ln`` per token absorbed by driver-row rounding. Scale shape:
-    explode + THREE broadcast joins (bigram pairs on (prev, tok),
-    context counts on prev, first-token counts on tok) + the totals
-    cross — the bigram table is the big one (pair vocabulary); a corpus
-    whose pair table outgrows broadcast needs the ``skew_split``
-    treatment generalized to the pair key, which is deliberately NOT
-    built until a corpus demands it. Returns
-    ``(id_col, n_tokens, avg_nll)``.
+    one ``ln`` per token absorbed by driver-row rounding. Row contract
+    as ``unigram_logprob`` too: NULL/empty-text docs produce no output
+    row (``posexplode`` drops them) — anti-join against the input to
+    surface unscored docs.
+
+    Scale shape: explode + THREE model joins (bigram pairs on
+    (prev, tok), context counts on prev, first-token counts on tok) +
+    the totals cross. ``model_join`` picks the PAIR join's strategy:
+
+    - ``"broadcast"`` (default): all three joins broadcast — right
+      while the pair table fits (~10M rows).
+    - ``"skew_split"``: the 100 TB path. The pair vocabulary is the
+      one that explodes (10^9+ distinct pairs on a web corpus vs 10^8
+      tokens), and a plain shuffle on (prev, tok) skews exactly on
+      stop-word-prefixed pairs ('the *' is ~7% of all pair
+      instances). The ``head_size`` most frequent pairs join
+      broadcast; the rare tail shuffles skew-free (same head/tail
+      construction as ``unigram_logprob`` — shared helper
+      ``_skew_split_left_join``). The context/first-token joins stay
+      broadcast: the unigram vocabulary is orders smaller than the
+      pair table, and broadcasting it is precisely what keeps the hot
+      ``prev`` keys (stopwords) off any shuffle; a corpus whose
+      UNIGRAM vocab also outgrows broadcast applies the same split to
+      those two joins. Results identical (tested: head/tail/unseen
+      mixes); only the physical plan changes.
+
+    Returns ``(id_col, n_tokens, avg_nll)``.
     """
     from storage_spark.functions.text import normalized_text
 
+    if model_join not in ("broadcast", "skew_split"):
+        raise ValueError(
+            f"model_join must be 'broadcast' or 'skew_split' (got {model_join!r})"
+        )
     if unigrams is None:
         unigrams = unigram_model(docs, text_col)
     if bigrams is None:
@@ -895,8 +948,14 @@ def bigram_logprob(
     bi = bigrams.select("prev", "tok", F.col("cnt").alias("_bc"))
     ctx = unigrams.select(F.col("tok").alias("prev"), F.col("cnt").alias("_pc"))
     uni = unigrams.select("tok", F.col("cnt").alias("_uc"))
+    if model_join == "broadcast":
+        pair_joined = toks.join(F.broadcast(bi), ["prev", "tok"], "left")
+    else:
+        pair_joined = _skew_split_left_join(
+            toks, bi, ["prev", "tok"], "_bc", head_size
+        )
     scored = (
-        toks.join(F.broadcast(bi), ["prev", "tok"], "left")
+        pair_joined
         .join(F.broadcast(ctx), "prev", "left")
         .join(F.broadcast(uni), "tok", "left")
         .crossJoin(F.broadcast(totals))

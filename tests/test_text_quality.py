@@ -301,7 +301,7 @@ def test_gopher_rules_planted_pathologies(spark):
         out[1][c] for c in out[1].asDict() if c.startswith("r_")
     )
     assert not out[2]["r_bullet_ratio"]          # bullet-led lines
-    assert not out[3]["r_symbol_ratio"]          # '#' soup
+    assert not out[3]["r_hash_ratio"]            # '#' soup
     assert not out[4]["r_word_count"]            # too short
     assert not out[5]["r_ellipsis_ratio"]        # trailing '...'
     assert all(not out[i]["passes"] for i in (2, 3, 4, 5))
@@ -321,12 +321,38 @@ def test_gopher_rules_integer_exact_metrics(spark):
     assert r["mean_word_len_1e4"] == round(mean_wl * 10000)
     n_hash = text.count("#")
     n_ell = text.count("...")
-    assert r["symbol_ratio_1e4"] == round((n_hash + n_ell) / len(toks) * 10000)
+    assert r["hash_ratio_1e4"] == round(n_hash / len(toks) * 10000)
+    assert r["ellipsis_sym_ratio_1e4"] == round(n_ell / len(toks) * 10000)
     lines = text.split("\n")
     assert r["bullet_ratio_1e4"] == round(1 / len(lines) * 10000)
     assert r["ellipsis_ratio_1e4"] == 0  # '...' mid-line, no line ENDS with it
     hits = {t.lower() for t in toks} & set(GOPHER_STOPWORDS)
     assert r["stop_hits"] == len(hits)
+
+
+def test_gopher_symbol_cap_applies_per_symbol(spark):
+    """Rae et al. 2021 applies the 0.1 symbol-to-word cap to EACH
+    symbol separately ('either the hash symbol or the ellipsis'): a
+    doc at 0.08 hash + 0.08 ellipsis ratio passes both per-symbol
+    rules even though the summed ratio (0.16) would fail a combined
+    cap."""
+    from storage_spark.operators.pipeline import gopher_rules
+
+    # 100 words, 8 of them '#'-tagged, 8 lines ending '...' won't do —
+    # build 100 plain words then append 8 hashes and 8 ellipses inline
+    words = " ".join(f"word{i}" for i in range(84))
+    text = words + " " + "# " * 8 + "... " * 8
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_rules(docs).collect()[0]
+    assert r["hash_ratio_1e4"] == 800
+    assert r["ellipsis_sym_ratio_1e4"] == 800
+    assert r["r_hash_ratio"] and r["r_ellipsis_sym_ratio"]
+    # and each symbol still trips its OWN rule when alone over-cap
+    over = words + " " + "# " * 15
+    r2 = gopher_rules(
+        spark.createDataFrame([(2, over)], "doc_id long, text string")
+    ).collect()[0]
+    assert not r2["r_hash_ratio"] and r2["r_ellipsis_sym_ratio"]
 
 
 def test_gopher_rules_thresholds_are_parameters(spark):
@@ -397,6 +423,76 @@ def test_bigram_logprob_exact_python_replication(spark):
             else:
                 acc += math.log((bi[(ts[j - 1], t)] + a) / (uni[ts[j - 1]] + a * v))
         assert got[i] == (len(ts), -(acc / len(ts)))
+
+
+def test_bigram_skew_split_join_identical_results(spark):
+    """The 100 TB pair-vocabulary strategy (head broadcast + skew-free
+    tail shuffle on (prev, tok)) must change only the physical plan:
+    scores identical to the broadcast path across docs mixing head
+    pairs, tail pairs, and unseen pairs; the executed plan carries a
+    shuffle join keyed on the PAIR."""
+    from storage_spark.operators.pipeline import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            # repeated head pairs ('the cat'), per-doc tail pairs
+            # (rare{i} mix{i}), and eval-only unseen pairs via the
+            # held-out scoring below
+            (i, f"the cat sat rare{i} mix{i % 7} of the cat here")
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bigram_logprob(docs).collect()))
+    b_df = bigram_logprob(docs, model_join="skew_split", head_size=3)
+    b = sorted(map(tuple, b_df.collect()))
+    assert a == b
+    plan = b_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # the shuffle join must be on the pair key, not a single column
+    import re
+
+    joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin)[^\n]*", plan)
+    assert any("prev" in j and "tok" in j for j in joins), joins
+
+
+def test_bigram_skew_split_held_out_model_unseen_pairs(spark):
+    """Held-out scoring under skew_split: eval docs whose pairs are
+    absent from BOTH head and tail still get the smoothed floor,
+    identically to broadcast."""
+    from storage_spark.operators.pipeline import (
+        bigram_logprob,
+        bigram_model,
+        unigram_model,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat every day") for i in range(10)]
+        + [(100 + i, f"rare{i} token pair here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    bm, um = bigram_model(train), unigram_model(train)
+    eval_docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zz yy xx ww"),
+         (3, "rare3 token the cat unseen combo")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bigram_logprob(
+        eval_docs, bigrams=bm, unigrams=um).collect()))
+    b = sorted(map(tuple, bigram_logprob(
+        eval_docs, bigrams=bm, unigrams=um,
+        model_join="skew_split", head_size=2).collect()))
+    assert a == b
+
+
+def test_bigram_bad_model_join_raises(spark):
+    import pytest as _pytest
+
+    from storage_spark.operators.pipeline import bigram_logprob
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="model_join"):
+        bigram_logprob(docs, model_join="hash")
 
 
 def test_bigram_catches_word_salad_unigram_cannot(spark):
