@@ -535,3 +535,110 @@ def test_bigram_under_train_model_unseen_context(spark):
     scores = {r["doc_id"]: r["avg_nll"] for r in out}
     assert scores[9] > scores[10]  # novel transitions score worse
     assert all(r["n_tokens"] == 3 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Prose-corpus behavior (VERDICT r7 #4): the published Gopher thresholds
+# and LM separations are only meaningful on fluent text — the synthetic
+# keyword-soup testdata scores 0% on the stopword rule (NOTES_r7 probe
+# 10), so these fixtures supply original fluent paragraphs and planted
+# pathologies to exercise the FILTER semantics, not just the metrics.
+
+_PROSE_PARAGRAPHS = [
+    "The river ran slowly through the valley and the town that had "
+    "grown beside it for a hundred years. People would walk along the "
+    "bank in the evening, watching the light change on the water, and "
+    "the old bridge carried carts and travelers from one side to the "
+    "other. It was said that the town owed everything it had to the "
+    "patience of that river, which never hurried and never stopped.",
+    "She opened the letter with steady hands, though her heart was "
+    "beating quickly. The words inside were simple and kind, and they "
+    "told her that the long winter of waiting was over. Outside the "
+    "window the snow had begun to melt, and small green shoots were "
+    "showing through the dark earth of the garden she had planted with "
+    "her mother many years before the war came to the valley.",
+    "A good tool should be quiet about its own cleverness. The best "
+    "engines that we have built do their work without asking to be "
+    "admired, and the people who rely on them think mostly about the "
+    "task and rarely about the machine. That is the standard to hold a "
+    "design to: it should disappear into the work it makes possible, "
+    "and it should fail loudly on the rare day that it cannot serve.",
+    "In the morning the fishermen would push their boats out past the "
+    "breakwater and set their nets in the cold gray water. By noon the "
+    "quay was loud with gulls and the shouting of buyers, and the "
+    "smell of salt and tar hung over everything. The old men who no "
+    "longer sailed would sit by the harbor wall and judge the catch, "
+    "and they were seldom wrong about the weather or the fish.",
+]
+
+
+def _prose_docs(spark, n=20):
+    rows = []
+    for i in range(n):
+        base = _PROSE_PARAGRAPHS[i % len(_PROSE_PARAGRAPHS)]
+        # vary docs deterministically without breaking fluency
+        rows.append((i, base if i < len(_PROSE_PARAGRAPHS) else base + " " + _PROSE_PARAGRAPHS[(i + 1) % len(_PROSE_PARAGRAPHS)]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_passes_fluent_prose_at_sane_rate(spark):
+    """Fluent paragraphs must clear the published thresholds (>50% —
+    here all of them), while planted pathologies in the SAME corpus
+    still trip exactly their named rules."""
+    from storage_spark.operators.pipeline import gopher_rules
+
+    prose = _prose_docs(spark)
+    out = gopher_rules(prose).collect()
+    pass_rate = sum(1 for r in out if r["passes"]) / len(out)
+    assert pass_rate > 0.5, f"prose pass rate {pass_rate}"
+    assert pass_rate == 1.0  # these paragraphs are clean prose
+
+    # planted pathologies alongside the prose
+    bad = spark.createDataFrame(
+        [
+            (100, "link click here buy now " * 20),       # no stopword hits
+            (101, "# " * 30 + "the be to of and that have with words here "
+             + "more plain words " * 10),                  # hash soup
+            (102, "\n".join("- the item here of note" for _ in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    b = {r["doc_id"]: r for r in gopher_rules(bad).collect()}
+    assert not b[100]["r_stopwords"] and not b[100]["passes"]
+    assert not b[101]["r_hash_ratio"] and not b[101]["passes"]
+    assert not b[102]["r_bullet_ratio"] and not b[102]["passes"]
+
+
+def test_lm_scores_separate_prose_from_shuffled_prose(spark):
+    """Fit on fluent prose, score prose vs a deterministic token
+    shuffle of the same text: the bigram gate separates them doc by
+    doc (the unigram gate is blind by construction)."""
+    from storage_spark.operators.pipeline import (
+        bigram_logprob,
+        bigram_model,
+        unigram_logprob,
+        unigram_model,
+    )
+
+    train = _prose_docs(spark)
+    bm, um = bigram_model(train), unigram_model(train)
+
+    def _shuffle(text, seed):
+        toks = text.lower().split()
+        # deterministic LCG permutation — no RNG state dependence
+        order = sorted(range(len(toks)), key=lambda i: (i * 48271 + seed) % 65537)
+        return " ".join(toks[i] for i in order)
+
+    rows = []
+    for i, para in enumerate(_PROSE_PARAGRAPHS):
+        rows.append((i, para))                     # fluent
+        rows.append((100 + i, _shuffle(para, i)))  # salad of SAME tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    b = {r["doc_id"]: r["avg_nll"] for r in bigram_logprob(
+        docs, bigrams=bm, unigrams=um).collect()}
+    u = {r["doc_id"]: r["avg_nll"] for r in unigram_logprob(
+        docs, model=um).collect()}
+    for i in range(len(_PROSE_PARAGRAPHS)):
+        assert b[100 + i] > b[i], f"bigram failed to separate doc {i}"
+        # same token multiset -> identical unigram score
+        assert abs(u[100 + i] - u[i]) < 1e-9
