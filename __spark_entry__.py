@@ -1340,6 +1340,77 @@ FROM (
 """)
 
 
+def _oracle_jl_lsh_index(
+    out_dim: int, dim: int, n_planes: int, k: int, refine_factor: int,
+    radius: int, max_q_vec_id: int, jl_seed: int,
+) -> str:
+    """SQL mirror of the jl_lsh index search: JL projection from the
+    inlined ±1 plane literals (seed = the index's jl_seed), LSH
+    signatures over the PROJECTION (table-0 planes, seed 42),
+    Hamming-ball admission (radius-r probing admits exactly the pairs
+    whose signatures differ in <= r bits), projected-L2 candidate cut
+    at refine_factor*k (ties by key), exact cosine rerank on the
+    originals."""
+    import math
+
+    from storage_spark.functions.vectors import hyperplanes
+
+    planes = hyperplanes(dim, out_dim, seed=jl_seed)
+    scale = repr(1.0 / math.sqrt(out_dim))
+
+    def _coord(p: list[float]) -> str:
+        lit = "[" + ", ".join(f"{x:.1f}" for x in p) + "]"
+        d = (
+            f"list_sum(list_transform(list_zip(embedding, {lit}),"
+            " t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+        )
+        return f"{d} * {scale}"
+
+    coords = ",\n    ".join(_coord(p) for p in planes)
+    sig = _duck_sig_expr(hyperplanes(out_dim, n_planes, seed=42), emb="proj")
+    ham = " + ".join(
+        f"(CASE WHEN substr(a.sig,{i},1) <> substr(q.sig,{i},1) "
+        "THEN 1 ELSE 0 END)"
+        for i in range(1, n_planes + 1)
+    )
+    d_pp = (
+        "sqrt(list_sum(list_transform(list_zip(a.proj, q.proj),"
+        " t -> (t[1] - t[2]) * (t[1] - t[2]))))"
+    )
+    d_exact = _duck_cos("b.embedding", "qq.embedding")
+    return _o(f"""
+, proj AS (
+  SELECT CAST(vec_id AS STRING) AS key, vec_id, embedding,
+    [{coords}] AS proj
+  FROM embeddings
+),
+sigv AS (
+  SELECT key, vec_id, embedding, proj,
+      {sig} AS sig
+  FROM proj
+),
+cands AS (
+  SELECT q_key, key FROM (
+    SELECT q.key AS q_key, a.key,
+      ROW_NUMBER() OVER (PARTITION BY q.key
+        ORDER BY {d_pp} ASC, a.key ASC) AS rn
+    FROM sigv a JOIN sigv q
+      ON ({ham}) <= {radius} AND q.vec_id < {max_q_vec_id}
+     AND q.key <> a.key
+  ) WHERE rn <= {refine_factor * k}
+)
+SELECT q_key, key, CAST(round(distance * 10000) AS BIGINT) AS dist_1e4, rank
+FROM (
+  SELECT c.q_key, c.key, {d_exact} AS distance,
+    CAST(ROW_NUMBER() OVER (PARTITION BY c.q_key
+      ORDER BY {d_exact} ASC, c.key ASC) AS INT) AS rank
+  FROM cands c
+  JOIN proj b ON b.key = c.key
+  JOIN proj qq ON qq.key = c.q_key
+) WHERE rank <= {k}
+""")
+
+
 def q_semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup's STRICT resolution under the oracle: transitive
     closure over the within-cell pairs (dedup_components) + highest-
@@ -1848,6 +1919,45 @@ def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
     )
     out = ann_index_search(spark, path, queries, k=3, probe_radius=1)
+    return out.select(
+        "q_key", "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_ann_index_jl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fat-embedding recipe as a MANAGED index (VERDICT r7 #5,
+    kind='jl_lsh'): vectors JL-project to 16 dims at build, LSH
+    postings live in projected space (posting rows carry the small
+    projection), search probes the radius-1 Hamming ball, ranks
+    candidates by projected L2, cuts to refine_factor*k, and
+    exact-reranks the originals under cosine. The oracle replays the
+    ENTIRE pipeline: projection from the inlined plane literals,
+    signature + Hamming-ball admission, the projected-L2 candidate cut
+    with its tie-break, and the exact rerank — every persisted byte is
+    thus under the oracle (same contract as the other index rows)."""
+    import os
+    import shutil
+    import tempfile
+
+    from storage_spark.sources.annindex import ann_index_search, build_ann_index
+
+    v = _vectors(spark, sf_dir).select("key", "embedding")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "ann_index_jl_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    build_ann_index(
+        v, path, kind="jl_lsh", dim=64, out_dim=16, n_planes=5, n_tables=1
+    )
+    queries = v.filter(F.col("key").cast("bigint") < 15).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    out = ann_index_search(
+        spark, path, queries, k=3, probe_radius=1, refine_factor=6
+    )
     return out.select(
         "q_key", "key",
         F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
@@ -4017,7 +4127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "vector_projected_rerank": q_vector_projected_rerank,
         "semantic_dedup_components": q_semantic_dedup_components,
-        # ---- r8 net-new entries insert here ----
+        # ---- r8 net-new entries ----
+        "ann_index_jl_query": q_ann_index_jl_query,
         # r5-evidence block (stalest first; truncation remainder leads r9):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -6015,6 +6126,10 @@ FROM objects WHERE bucket_id = 'Brand#13'
         "ann_index_derived": _oracle_lsh_multiprobe(
             n_planes=4, k=3, max_q_vec_id=15, radius=1,
             corpus_where="vec_id < 400",
+        ),
+        "ann_index_jl_query": _oracle_jl_lsh_index(
+            out_dim=16, dim=64, n_planes=5, k=3, refine_factor=6,
+            radius=1, max_q_vec_id=15, jl_seed=271_828_182,
         ),
         "vector_pq_topk": _oracle_pq_topk(
             m=8, k=16, k_top=5, max_vec_id=300, max_q_vec_id=4

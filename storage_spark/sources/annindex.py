@@ -118,6 +118,23 @@ def pq_codes_for(n_vectors: int) -> int:
     return min(256, 1 << int(math.log2(n_vectors / 39)))
 
 
+def jl_out_dim_for(dim: int, n_vectors: int) -> int:
+    """Projected dimension for a ``jl_lsh`` index: at least a 4×
+    reduction of the original dim (the projection must pay for itself
+    in scan bytes and distance math — below that, index the original),
+    never above the corpus's JL distortion bound ``jl_dim_for(n)``
+    (past which extra coordinates buy no fidelity the bound can
+    certify), floor 8. For top-k retrieval the JL bound is conservative
+    — the exact rerank on the originals restores recall lost to much
+    smaller projections (NOTES_r7 keys-only probe: at dim 768 the
+    distance math dominates; the 16/64 projection in the r7 composite
+    ran recall-clean under a 6× rerank window) — so the dim/4 term is
+    what usually binds."""
+    from storage_spark.functions.vectors import jl_dim_for
+
+    return max(8, min(jl_dim_for(n_vectors), dim // 4))
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,
@@ -138,6 +155,9 @@ def build_ann_index(
     k_codes: int | None = None,
     # sq8
     bits: int = 8,
+    # jl_lsh
+    out_dim: int | None = None,
+    jl_seed: int = 271_828_182,
     n_vectors: int | None = None,
 ) -> dict:
     """One corpus scan → a persisted index at ``path``. Returns the
@@ -159,11 +179,27 @@ def build_ann_index(
     ``kind='sq8'`` is the scalar-quantized flat tier (pgvector halfvec
     analogue): int8 codes + per-vector scale, no training pass and no
     geometry to derive — searches rank the reconstructions (1
-    byte/coordinate scanned) and optionally exact-rerank."""
+    byte/coordinate scanned) and optionally exact-rerank.
+
+    ``kind='jl_lsh'`` is the fat-embedding recipe as a managed index
+    (VERDICT r7 #5): vectors JL-project to ``out_dim`` coordinates at
+    build (``jl_out_dim_for`` when omitted — corpus-sized like the
+    rest), the LSH posting table is built ON THE PROJECTION (posting
+    rows carry the small projected vector — the ×n_tables duplication
+    that made keys-only necessary for fat embeddings shrinks
+    out_dim/dim-fold instead), and one full-precision copy lands in
+    ``path/vectors`` for the exact rerank every search ends with.
+    Candidate ranking runs in projected L2 (what JL preserves);
+    ``metric`` is the RERANK metric. ``jl_seed`` defaults away from
+    the LSH table seeds (42 + 1_000_003·t) so projection planes and
+    bucket planes stay independent — the md5 generator keys on
+    (seed, plane, coord) only, and a shared seed would make bucket
+    plane t's signs a prefix of projection plane t's (the correlated-
+    generator lesson, NOTES_r4)."""
     from storage_spark.functions import vectors as V
 
-    if kind not in ("lsh", "ivf", "pq", "sq8"):
-        raise ValueError(f"kind must be lsh|ivf|pq|sq8, got {kind!r}")
+    if kind not in ("lsh", "ivf", "pq", "sq8", "jl_lsh"):
+        raise ValueError(f"kind must be lsh|ivf|pq|sq8|jl_lsh, got {kind!r}")
     if kind == "pq":
         if metric not in (None, "l2"):
             raise ValueError(
@@ -178,14 +214,36 @@ def build_ann_index(
         "ivf": {"n_cells": n_cells},
         "pq": {"m": m, "k_codes": k_codes},
         "sq8": {},  # nothing corpus-sized: codes are per-row exact
+        "jl_lsh": {
+            "out_dim": out_dim, "n_planes": n_planes, "n_tables": n_tables
+        },
     }[kind]
     derived = sorted(k for k, v in omitted.items() if v is None)
     # Count the corpus ONLY for the knobs that need it (n_tables derives
     # from n_planes and pq's m from dim), so e.g. kind='pq' with explicit
     # k_codes must not eagerly re-execute an expensive corpus plan just
     # to record n_vectors_at_build (review r7).
-    if {"n_planes", "n_cells", "k_codes"} & set(derived) and n_vectors is None:
+    if {"n_planes", "n_cells", "k_codes", "out_dim"} & set(derived) and n_vectors is None:
         n_vectors = corpus.count()
+    if kind == "jl_lsh":
+        if out_dim is None:
+            out_dim = jl_out_dim_for(dim, n_vectors)
+        elif n_vectors is not None and jl_out_dim_for(dim, n_vectors) > 2 * out_dim:
+            warnings.warn(
+                f"out_dim={out_dim} is >2x under the sizing rule for "
+                f"dim={dim}, n_vectors={n_vectors} (rule: "
+                f"{jl_out_dim_for(dim, n_vectors)}); projected distances "
+                "lose the JL fidelity the candidate ranking relies on — "
+                "see annindex.jl_out_dim_for",
+                stacklevel=2,
+            )
+        # bucket geometry sizes exactly like a plain lsh index — the
+        # postings live in projected space but bucket occupancy is
+        # corpus-sized, not dimension-sized
+        if n_planes is None:
+            n_planes = lsh_planes_for(n_vectors)
+        if n_tables is None:
+            n_tables = lsh_tables_for(n_planes)
     if kind == "lsh":
         if n_planes is None:
             n_planes = lsh_planes_for(n_vectors)
@@ -214,7 +272,7 @@ def build_ann_index(
             m = pq_m_for(dim)
         if k_codes is None:
             k_codes = pq_codes_for(n_vectors)
-    elif not 2 <= bits <= 8:  # sq8
+    elif kind == "sq8" and not 2 <= bits <= 8:
         raise ValueError(f"bits must be in [2, 8], got {bits}")
     cfg: dict = {
         "kind": kind,
@@ -312,6 +370,22 @@ def build_ann_index(
             os.path.join(path, "codes")
         )
         src.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+    elif kind == "jl_lsh":
+        cfg.update(
+            out_dim=out_dim, n_planes=n_planes, n_tables=n_tables,
+            jl_seed=jl_seed,
+        )
+        proj = V.project_embeddings(
+            src, out_dim, dim, vector_col="embedding", out_col="_proj",
+            seed=jl_seed,
+        ).select("key", F.col("_proj").alias("embedding"))
+        # postings carry the PROJECTED vector inline: ×n_tables
+        # duplication of out_dim floats, not dim — the join-free probe
+        # at the small-vector price
+        V.lsh_corpus_postings(
+            proj, out_dim, n_planes, n_tables, store_vectors=True
+        ).write.mode("overwrite").parquet(os.path.join(path, "postings"))
+        src.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
     else:  # sq8: row-local encode, no learned state beyond the codes
         cfg.update(bits=bits)
         V.sq_encode(src, bits=bits).write.mode("overwrite").parquet(
@@ -353,8 +427,9 @@ def ann_index_append(batch: DataFrame, path: str) -> None:
     """Incremental maintenance: encode ONLY the batch with the index's
     stored parameters and append its rows — the corpus is never
     re-encoded (the same monotonic-ingest shape as the MinHash band
-    index). For lsh/pq, append-then-query EQUALS a full rebuild over the
-    unioned corpus (the encode is row-local; asserted in tests). For ivf
+    index). For lsh/pq/sq8/jl_lsh, append-then-query EQUALS a full
+    rebuild over the unioned corpus (projection and encode are
+    row-local; asserted in tests). For ivf
     the batch is assigned to the EXISTING centroids — cell boundaries do
     not move, the standard staleness trade of every IVF build; re-run
     ``build_ann_index`` when drift accumulates (the analogue of
@@ -386,6 +461,17 @@ def ann_index_append(batch: DataFrame, path: str) -> None:
         V.pq_encode(src, cfg["codebooks"]).write.mode("append").parquet(
             os.path.join(path, "codes")
         )
+        src.write.mode("append").parquet(os.path.join(path, "vectors"))
+    elif kind == "jl_lsh":  # projection + encode both row-local:
+        # append ≡ rebuild, same guarantee as lsh (asserted in tests)
+        proj = V.project_embeddings(
+            src, cfg["out_dim"], cfg["dim"], vector_col="embedding",
+            out_col="_proj", seed=cfg["jl_seed"],
+        ).select("key", F.col("_proj").alias("embedding"))
+        V.lsh_corpus_postings(
+            proj, cfg["out_dim"], cfg["n_planes"], cfg["n_tables"],
+            store_vectors=True,
+        ).write.mode("append").parquet(os.path.join(path, "postings"))
         src.write.mode("append").parquet(os.path.join(path, "vectors"))
     else:  # sq8: per-row scale — encode is row-local by construction
         V.sq_encode(src, bits=cfg.get("bits", 8)).write.mode(
@@ -421,6 +507,13 @@ def ann_index_search(
     - sq8: reconstruction-ranked top-k, or exact rerank when
       ``refine_factor`` is given (4x suffices — reconstructions are
       per-coordinate exact to scale/254).
+    - jl_lsh: queries project with the stored planes, probe the
+      projected-space postings (``probe_radius`` composes as for lsh),
+      candidates rank by projected L2, and the top ``refine_factor*k``
+      (default 6 — the r7 composite's measured window) exact-rerank
+      against the full-precision vectors under the stored metric. The
+      search ALWAYS ends in the exact rerank: projected distances are
+      JL approximations and are never returned.
     """
     from storage_spark.functions import vectors as V
 
@@ -438,6 +531,25 @@ def ann_index_search(
             metric=cfg["metric"], query_key=query_key, query_vec=query_vec,
             arrow=arrow, probe_radius=probe_radius,
             n_tables=cfg["n_tables"], corpus_vectors=corpus_vectors,
+        )
+    if kind == "jl_lsh":
+        postings = spark.read.parquet(os.path.join(path, "postings"))
+        vectors = spark.read.parquet(os.path.join(path, "vectors"))
+        projq = V.project_embeddings(
+            queries.select(query_key, query_vec),
+            cfg["out_dim"], cfg["dim"], vector_col=query_vec,
+            out_col="_pq", seed=cfg["jl_seed"],
+        ).select(query_key, F.col("_pq").alias(query_vec))
+        rf = 6 if refine_factor is None else refine_factor
+        cands = V._lsh_rank_against_postings(
+            postings, projq, rf * k, cfg["out_dim"], cfg["n_planes"],
+            metric="l2", query_key=query_key, query_vec=query_vec,
+            arrow=arrow, probe_radius=probe_radius,
+            n_tables=cfg["n_tables"],
+        ).select(query_key, "key")
+        return V._exact_rerank(
+            cands, queries, vectors, k, cfg["metric"],
+            query_key, query_vec, "key", "embedding",
         )
     if kind == "ivf":
         assigned = spark.read.parquet(os.path.join(path, "assigned"))
@@ -481,6 +593,7 @@ _INDEX_TABLES = {
     "ivf": [("assigned", "cell")],
     "pq": [("codes", None), ("vectors", None)],
     "sq8": [("codes", None), ("vectors", None)],
+    "jl_lsh": [("postings", None), ("vectors", None)],
 }
 
 
@@ -605,9 +718,9 @@ def ann_index_maintain(
     """One maintenance tick: for an ivf index, evaluate the REINDEX
     policy and REBUILD (re-run ``build_ann_index`` over the indexed rows
     with the stored parameters — fresh centroids) when it trips;
-    otherwise compact the appended files. lsh/pq/sq8 appends are
-    row-local (append ≡ rebuild), so their maintenance is compaction
-    only. Returns
+    otherwise compact the appended files. lsh/pq/sq8/jl_lsh appends
+    are row-local (append ≡ rebuild), so their maintenance is
+    compaction only. Returns
     ``{"action": "rebuilt"|"compacted", "policy": ..., "compaction": ...}``."""
     cfg = load_config(path)
     if cfg["kind"] == "ivf":

@@ -690,3 +690,143 @@ def test_sq8_index_query_equals_recompute_and_append(
 def test_sq8_bad_bits_raises(spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="bits"):
         build_ann_index(corpus, str(tmp_path / "xb"), kind="sq8", dim=DIM, bits=16)
+
+
+def _jl_recompute(corpus, queries, cfg, k, refine_factor=6, probe_radius=0):
+    """The hand-composed fat-embedding recipe the jl_lsh index manages:
+    project both sides with the stored planes, LSH-rank in projected L2,
+    exact-rerank originals under the stored metric."""
+    from storage_spark.functions.vectors import (
+        _exact_rerank,
+        _lsh_rank_against_postings,
+        lsh_corpus_postings,
+        project_embeddings,
+    )
+
+    proj = project_embeddings(
+        corpus, cfg["out_dim"], cfg["dim"], vector_col="embedding",
+        out_col="_proj", seed=cfg["jl_seed"],
+    ).select("key", F.col("_proj").alias("embedding"))
+    postings = lsh_corpus_postings(
+        proj, cfg["out_dim"], cfg["n_planes"], cfg["n_tables"],
+        store_vectors=True,
+    )
+    projq = project_embeddings(
+        queries.select("q_key", "q_vec"), cfg["out_dim"], cfg["dim"],
+        vector_col="q_vec", out_col="_pq", seed=cfg["jl_seed"],
+    ).select("q_key", F.col("_pq").alias("q_vec"))
+    cands = _lsh_rank_against_postings(
+        postings, projq, refine_factor * k, cfg["out_dim"],
+        cfg["n_planes"], metric="l2", probe_radius=probe_radius,
+        n_tables=cfg["n_tables"],
+    ).select("q_key", "key")
+    return _exact_rerank(
+        cands, queries, corpus, k, cfg["metric"],
+        "q_key", "q_vec", "key", "embedding",
+    )
+
+
+def test_jl_lsh_index_query_equals_recompute(spark, corpus, queries, tmp_path):
+    """kind='jl_lsh' (VERDICT r7 #5): persisted ≡ the hand-composed
+    project → LSH-candidate → exact-rerank recipe, at radius 0 and 1."""
+    path = str(tmp_path / "jl_idx")
+    cfg = build_ann_index(
+        corpus, path, kind="jl_lsh", dim=DIM, out_dim=16, n_planes=4,
+        n_tables=2,
+    )
+    assert cfg["metric"] == "cosine" and cfg["out_dim"] == 16
+    for radius in (0, 1):
+        got = ann_index_search(spark, path, queries, k=5, probe_radius=radius)
+        want = _jl_recompute(corpus, queries, cfg, k=5, probe_radius=radius)
+        assert _rows(got) == _rows(want)
+    # final distances are FULL-precision: every returned pair's distance
+    # equals the exact metric on the originals (never the projected one)
+    from storage_spark.functions.vectors import cosine_distance
+
+    got = ann_index_search(spark, path, queries, k=5, probe_radius=1)
+    joined = (
+        got.join(corpus, "key")
+        .join(
+            queries.select("q_key", "q_vec"), "q_key"
+        )
+        .select(
+            (F.abs(
+                F.col("distance")
+                - cosine_distance(F.col("embedding"), F.col("q_vec"))
+            ) < 1e-12).alias("ok")
+        )
+    )
+    assert all(r["ok"] for r in joined.collect())
+
+
+def test_jl_lsh_append_equals_rebuild(spark, corpus, queries, tmp_path):
+    """Projection and LSH encode are both row-local: append ≡ rebuild."""
+    from storage_spark.sources.annindex import ann_index_append
+
+    old = corpus.filter(F.col("key").cast("bigint") < 200)
+    new = corpus.filter(F.col("key").cast("bigint") >= 200)
+    full = str(tmp_path / "jl_full")
+    app = str(tmp_path / "jl_app")
+    build_ann_index(
+        corpus, full, kind="jl_lsh", dim=DIM, out_dim=16, n_planes=4
+    )
+    build_ann_index(
+        old, app, kind="jl_lsh", dim=DIM, out_dim=16, n_planes=4
+    )
+    ann_index_append(new, app)
+    a = ann_index_search(spark, full, queries, k=5, probe_radius=1)
+    b = ann_index_search(spark, app, queries, k=5, probe_radius=1)
+    assert _rows(a) == _rows(b)
+
+
+def test_jl_lsh_derives_geometry_and_warns_undersized(
+    spark, corpus, tmp_path
+):
+    """Omitted out_dim/n_planes/n_tables derive from the corpus
+    (jl_out_dim_for binds at dim/4 here) and are recorded; an explicit
+    out_dim >2x under the rule warns."""
+    import warnings as _w
+
+    from storage_spark.sources.annindex import jl_out_dim_for
+
+    path = str(tmp_path / "jl_derived")
+    cfg = build_ann_index(corpus, path, kind="jl_lsh", dim=DIM)
+    assert cfg["derived_geometry"] == ["n_planes", "n_tables", "out_dim"]
+    assert cfg["out_dim"] == jl_out_dim_for(DIM, cfg["n_vectors_at_build"])
+    assert cfg["out_dim"] == DIM // 4  # 300 vectors: the dim/4 term binds
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        build_ann_index(
+            corpus, str(tmp_path / "jl_small"), kind="jl_lsh", dim=DIM,
+            out_dim=4, n_planes=4, n_tables=1, n_vectors=300,
+        )
+    assert any("out_dim" in str(w.message) for w in rec)
+
+
+def test_jl_lsh_compact_and_maintain_preserve_results(
+    spark, corpus, queries, tmp_path
+):
+    from storage_spark.sources.annindex import (
+        ann_index_append,
+        ann_index_maintain,
+    )
+
+    path = str(tmp_path / "jl_cmp")
+    build_ann_index(
+        corpus.filter(F.col("key").cast("bigint") < 200), path,
+        kind="jl_lsh", dim=DIM, out_dim=16, n_planes=4,
+    )
+    for lo in (200, 250):
+        ann_index_append(
+            corpus.filter(
+                (F.col("key").cast("bigint") >= lo)
+                & (F.col("key").cast("bigint") < lo + 50)
+            ),
+            path,
+        )
+    before = _rows(ann_index_search(spark, path, queries, k=5, probe_radius=1))
+    out = ann_index_maintain(spark, path)
+    assert out["action"] == "compacted"
+    assert set(out["compaction"]) == {"postings", "vectors"}
+    after = _rows(ann_index_search(spark, path, queries, k=5, probe_radius=1))
+    assert before == after
