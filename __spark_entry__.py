@@ -3571,6 +3571,133 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
+def q_queue_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The queue layer's driver row (VERDICT r7 #7 — the last
+    local-only streaming surface): three synchronous worker ticks of
+    the EXACT per-trigger transform the streaming queue runs
+    (streaming/queue.py — pg-boss semantics, reference
+    src/internal/queue/queue.ts:74,264-352): claim the oldest 40 DUE
+    jobs (exponential backoff stamps gate eligibility), apply
+    deterministic outcomes (job jid succeeds at tick t iff jid%5 < t),
+    bump/complete/dead-letter under retry_limit=1 with
+    retry_delay=1500ms backoff. Jobs seed from events (event_id < 60).
+    Output: one row per job — terminal status + attempts + the tick it
+    finished (0 = still pending). The oracle replays all three ticks
+    as chained CTEs: claim eligibility, the LIMIT-40 oldest-first cut,
+    the attempt bump, the backoff stamp arithmetic, and the retry-limit
+    dead-letter rule are all under the hash."""
+    from storage_spark.streaming.queue import (
+        apply_outcomes,
+        claim_batch,
+        due_jobs,
+    )
+
+    t = _t(spark, sf_dir)
+    pending = t["events"].filter(F.col("event_id") < 60).select(
+        F.col("event_id").cast("string").alias("job_id"),
+        F.lit("default").alias("queue"),
+        F.unix_millis(F.date_trunc("millisecond", F.col("ts"))).alias(
+            "created_at_ms"
+        ),
+        F.lit(0).alias("attempts"),
+    )
+    parts = []
+    for tick, now in ((1, 1000), (2, 2000), (3, 3000)):
+        claim = claim_batch(
+            due_jobs(pending, now), "default", 40, singleton_dedup=False
+        )
+        outcomes = claim.select(
+            "job_id",
+            ((F.col("job_id").cast("bigint") % 5) < F.lit(tick)).alias("ok"),
+        )
+        pending, completed, dead = apply_outcomes(
+            pending, outcomes, retry_limit=1, now_ms=now, retry_delay_ms=1500
+        )
+        pending = pending.localCheckpoint(eager=True)
+        parts.append(
+            completed.select("job_id", "attempts")
+            .withColumn("status", F.lit("completed"))
+            .withColumn("done_tick", F.lit(tick))
+        )
+        parts.append(
+            dead.select("job_id", "attempts")
+            .withColumn("status", F.lit("dead_letter"))
+            .withColumn("done_tick", F.lit(tick))
+        )
+    parts.append(
+        pending.select("job_id", "attempts")
+        .withColumn("status", F.lit("pending"))
+        .withColumn("done_tick", F.lit(0))
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "job_id",
+        F.col("attempts").cast("int").alias("attempts"),
+        "status",
+        F.col("done_tick").cast("int").alias("done_tick"),
+    )
+
+
+def _oracle_queue_replay(
+    ticks: tuple = ((1, 1000), (2, 2000), (3, 3000)),
+    batch: int = 40,
+    retry_limit: int = 1,
+    retry_delay_ms: int = 1500,
+) -> str:
+    """Chained-CTE replay of the queue state machine: per tick, the
+    due-gate + oldest-first LIMIT claim, the jid%5 < t outcome rule,
+    the attempt bump, the exponential-backoff stamp (now + delay *
+    2^(attempts-1), post-bump attempts), and the retry-limit
+    dead-letter rule — the exact apply_outcomes/claim_batch/due_jobs
+    semantics (streaming/queue.py)."""
+    sql = """
+, s0 AS (
+  SELECT CAST(event_id AS STRING) AS job_id, event_id AS jid,
+         epoch_ms(date_trunc('milliseconds', ts)) AS created_at_ms,
+         0 AS attempts, CAST(NULL AS BIGINT) AS next_ms,
+         'pending' AS status, 0 AS done_tick
+  FROM events WHERE event_id < 60
+)"""
+    prev = "s0"
+    for tick, now in ticks:
+        sql += f""",
+claim{tick} AS (
+  SELECT job_id FROM {prev}
+  WHERE status = 'pending' AND (next_ms IS NULL OR next_ms <= {now})
+  ORDER BY created_at_ms, job_id LIMIT {batch}
+),
+s{tick} AS (
+  SELECT j.job_id, j.jid, j.created_at_ms,
+    CASE WHEN j.status <> 'pending' OR c.job_id IS NULL THEN j.attempts
+         WHEN j.jid % 5 < {tick} THEN j.attempts
+         ELSE j.attempts + 1 END AS attempts,
+    CASE WHEN j.status = 'pending' AND c.job_id IS NOT NULL
+              AND NOT (j.jid % 5 < {tick})
+         THEN {now} + {retry_delay_ms}
+              * CAST(pow(2.0, j.attempts) AS BIGINT)
+         ELSE j.next_ms END AS next_ms,
+    CASE WHEN j.status <> 'pending' THEN j.status
+         WHEN c.job_id IS NOT NULL AND j.jid % 5 < {tick} THEN 'completed'
+         WHEN c.job_id IS NOT NULL AND j.attempts + 1 > {retry_limit}
+           THEN 'dead_letter'
+         ELSE 'pending' END AS status,
+    CASE WHEN j.status <> 'pending' THEN j.done_tick
+         WHEN c.job_id IS NOT NULL
+              AND (j.jid % 5 < {tick} OR j.attempts + 1 > {retry_limit})
+         THEN {tick} ELSE 0 END AS done_tick
+  FROM {prev} j LEFT JOIN claim{tick} c USING (job_id)
+)"""
+        prev = f"s{tick}"
+    sql += f"""
+SELECT job_id, CAST(attempts AS INT) AS attempts, status,
+       CAST(done_tick AS INT) AS done_tick
+FROM {prev}
+"""
+    return _o(sql)
+
+
 def q_stream_accepted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming ingest gate's OUTPUT as driver evidence (VERDICT r6
     #6): three sequential micro-batch ticks of ``dedup_ingest_batch``
@@ -4129,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_components": q_semantic_dedup_components,
         # ---- r8 net-new entries ----
         "ann_index_jl_query": q_ann_index_jl_query,
+        "queue_replay": q_queue_replay,
         # r5-evidence block (stalest first; truncation remainder leads r9):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -5802,6 +5930,7 @@ SELECT DISTINCT doc_a, doc_b FROM (
         # band shared with a lower-id same-batch doc (greedy) or with
         # any previously ACCEPTED doc (the index holds accepted bands
         # only), then accept the remainder. Epoch k = doc_id // 50.
+        "queue_replay": _oracle_queue_replay(),
         "stream_accepted": _o(f"""
 , toks AS (
   SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents WHERE doc_id < 150
