@@ -141,6 +141,141 @@ def main() -> None:
             .count()
         )
 
+    def gopher_rules():
+        # Gopher quality audit over the full documents table (VERDICT r7
+        # #8: the text-quality stack enters the suite) — map-only, one
+        # scan; the filter on `passes` forces every rule column
+        from storage_spark.operators.pipeline import gopher_rules as _gr
+
+        return _gr(t["documents"]).filter(F.col("passes")).count()
+
+    def lm_unigram():
+        # CCNet-style LM scoring, broadcast vocab join (the default
+        # path); the agg over avg_nll forces the ordered per-doc fold
+        from storage_spark.operators.pipeline import unigram_logprob
+
+        return (
+            unigram_logprob(t["documents"])
+            .agg(F.sum("avg_nll"), F.sum("n_tokens"))
+            .collect()[0][0]
+        )
+
+    def lm_bigram():
+        # conditional-fluency upgrade, pair vocabulary broadcast
+        from storage_spark.operators.pipeline import bigram_logprob
+
+        return (
+            bigram_logprob(t["documents"])
+            .agg(F.sum("avg_nll"), F.sum("n_tokens"))
+            .collect()[0][0]
+        )
+
+    def lm_bigram_skew():
+        # the 100 TB pair-vocabulary path (r8: skew_split on the
+        # (prev, tok) key): head_size 1000 forces a REAL tail shuffle at
+        # this sf — the broadcast/skew pair quantifies the strategy cost
+        # when the pair table is small enough that broadcast still wins
+        from storage_spark.operators.pipeline import bigram_logprob
+
+        return (
+            bigram_logprob(
+                t["documents"], model_join="skew_split", head_size=1000
+            )
+            .agg(F.sum("avg_nll"), F.sum("n_tokens"))
+            .collect()[0][0]
+        )
+
+    # -- fat-embedding (dim-768) index pair: jl_lsh vs keys-only lsh --
+    _fat: dict = {"df": None, "jl": None, "ko": None}
+
+    def _fat_vectors():
+        # deterministic 768-dim pseudorandom corpus (uncompressible, the
+        # r7 keys-only probe's shape at bench-friendly n)
+        if _fat["df"] is None:
+            n = 4096
+            _fat["df"] = (
+                spark.range(n)
+                .select(
+                    F.col("id").cast("string").alias("key"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(767)),
+                        lambda i: (
+                            F.pmod(
+                                F.xxhash64(
+                                    F.concat_ws(
+                                        ":",
+                                        F.col("id").cast("string"),
+                                        i.cast("string"),
+                                    )
+                                ),
+                                F.lit(1000),
+                            ).cast("double")
+                            / 500.0
+                            - 1.0
+                        ),
+                    ).alias("embedding"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return _fat["df"]
+
+    def _fat_queries():
+        return (
+            _fat_vectors()
+            .filter(F.col("key").cast("bigint") < 50)
+            .select(
+                F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+            )
+        )
+
+    def fat_jl_index_query():
+        # the managed jl_lsh index (r8) at dim 768: postings live in the
+        # 64-dim projection (the VERDICT recipe), candidates rank there,
+        # exact rerank on originals — per-candidate distance math and
+        # posting scan bytes both shrink 12x vs raw dim
+        import tempfile
+
+        from storage_spark.sources.annindex import (
+            ann_index_search,
+            build_ann_index,
+        )
+
+        if _fat["jl"] is None:
+            d = tempfile.mkdtemp(prefix="bench_jlidx_") + "/idx"
+            # encode_arrow: bitwise-identical projection, vectorized —
+            # 59 s -> ~5 s build at this shape (the expression fold is
+            # out_dim x dim interpreted steps per row; NOTES_r8)
+            build_ann_index(
+                _fat_vectors(), d, kind="jl_lsh", dim=768, out_dim=64,
+                n_vectors=4096, encode_arrow=True,
+            )
+            _fat["jl"] = d
+        return ann_index_search(
+            spark, _fat["jl"], _fat_queries(), k=10, probe_radius=1
+        ).count()
+
+    def fat_lsh_keysonly_query():
+        # the r7 alternative for fat embeddings: keys-only postings at
+        # FULL dim — candidate ranking pays 768-dim distance math (the
+        # r7 probe: at this dim the distance math dominates query wall)
+        import tempfile
+
+        from storage_spark.sources.annindex import (
+            ann_index_search,
+            build_ann_index,
+        )
+
+        if _fat["ko"] is None:
+            d = tempfile.mkdtemp(prefix="bench_jlko_") + "/idx"
+            build_ann_index(
+                _fat_vectors(), d, kind="lsh", dim=768,
+                store_vectors=False, n_vectors=4096,
+            )
+            _fat["ko"] = d
+        return ann_index_search(
+            spark, _fat["ko"], _fat_queries(), k=10, probe_radius=1
+        ).count()
+
     def events_rollup():
         return (
             t["events"]
@@ -522,6 +657,12 @@ def main() -> None:
         "events_rollup": events_rollup,
         "meta_filter": meta_filter,
         "lineitem_agg": lineitem_agg,
+        "gopher_rules": gopher_rules,
+        "lm_unigram": lm_unigram,
+        "lm_bigram": lm_bigram,
+        "lm_bigram_skew": lm_bigram_skew,
+        "fat_jl_index_query": fat_jl_index_query,
+        "fat_lsh_keysonly_query": fat_lsh_keysonly_query,
     }
 
     # warm the JVM + file listings once (steady-state timing, not cold-start)
@@ -570,6 +711,11 @@ def main() -> None:
     shutil.rmtree(mat_dir, ignore_errors=True)  # don't leak a full copy per run
     if _ann_idx["path"]:
         shutil.rmtree(os.path.dirname(_ann_idx["path"]), ignore_errors=True)
+    if _ann_idx_ko["path"]:
+        shutil.rmtree(os.path.dirname(_ann_idx_ko["path"]), ignore_errors=True)
+    for _k in ("jl", "ko"):
+        if _fat[_k]:
+            shutil.rmtree(os.path.dirname(_fat[_k]), ignore_errors=True)
     out = {
         "metric": "storage_spark headline suite wall time",
         "value": round(sum(timings.values()), 3),

@@ -281,6 +281,7 @@ def project_embeddings(
     vector_col: str = "embedding",
     out_col: str = "projected",
     seed: int = 42,
+    arrow: bool = False,
 ) -> DataFrame:
     """Johnson-Lindenstrauss sign projection (Achlioptas 2003): project
     each vector to ``out_dim`` coordinates via the deterministic ±1
@@ -298,6 +299,20 @@ def project_embeddings(
     as every distance here). A row whose vector length != ``dim`` fails
     LOUDLY via a lazily-fused assert (zip_with would otherwise null-pad
     and silently zero the tail). All other columns pass through.
+
+    ``arrow=True`` is the throughput path for fat inputs: one
+    Arrow-batched pandas UDF whose per-plane dot is
+    ``np.add.accumulate`` over the products — the SAME strict
+    left-to-right double accumulation as the expression fold (the
+    ``pq_adc_scores_arrow`` pattern), so the two paths are
+    BITWISE-identical (tested) and the SQL oracle replay holds for
+    either. The expression path evaluates out_dim x dim interpreted
+    fold steps per row (~3.5M element-ops/s/32 cores measured at dim
+    768 — 59 s for 4k rows x 64 coords); the Arrow path runs the same
+    arithmetic vectorized (~50x). At 10^9 x 768 the expression encode
+    is days, the Arrow encode is hours: default stays expression (zero
+    Python dependency in the plan), switch on ``arrow`` for fat
+    corpora.
     """
     import math
 
@@ -305,6 +320,30 @@ def project_embeddings(
         raise ValueError(f"out_dim must be >= 1 (got {out_dim})")
     planes = hyperplanes(dim, out_dim, seed)
     scale = 1.0 / math.sqrt(out_dim)
+    if arrow:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        planes_np = np.array(planes, dtype=np.float64)  # (out_dim, dim)
+
+        @pandas_udf("array<double>")
+        def _proj(v: pd.Series) -> pd.Series:
+            out = []
+            for vec_row in v:
+                a = np.asarray(vec_row, dtype=np.float64)
+                if a.shape[0] != dim:
+                    raise ValueError(
+                        f"project_embeddings: vector length != dim={dim}"
+                    )
+                prod = planes_np * a[None, :]  # (out_dim, dim) products
+                # strict left fold per plane: 0.0 + p0 + p1 + ... ==
+                # accumulate's last column (0 + x is exact in IEEE)
+                acc = np.add.accumulate(prod, axis=1)[:, -1]
+                out.append(acc * scale)
+            return pd.Series(out)
+
+        return df.withColumn(out_col, _proj(F.col(vector_col)))
     vec = F.col(vector_col)
     coords = [
         dot(vec, F.array(*[F.lit(x) for x in p])) * F.lit(scale)

@@ -158,6 +158,7 @@ def build_ann_index(
     # jl_lsh
     out_dim: int | None = None,
     jl_seed: int = 271_828_182,
+    encode_arrow: bool = False,
     n_vectors: int | None = None,
 ) -> dict:
     """One corpus scan → a persisted index at ``path``. Returns the
@@ -371,13 +372,16 @@ def build_ann_index(
         )
         src.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
     elif kind == "jl_lsh":
+        # encode_arrow: the Arrow-batched projection (bitwise-identical
+        # to the expression fold — see project_embeddings) — recorded in
+        # config so appends inherit the same encode throughput choice
         cfg.update(
             out_dim=out_dim, n_planes=n_planes, n_tables=n_tables,
-            jl_seed=jl_seed,
+            jl_seed=jl_seed, encode_arrow=bool(encode_arrow),
         )
         proj = V.project_embeddings(
             src, out_dim, dim, vector_col="embedding", out_col="_proj",
-            seed=jl_seed,
+            seed=jl_seed, arrow=encode_arrow,
         ).select("key", F.col("_proj").alias("embedding"))
         # postings carry the PROJECTED vector inline: ×n_tables
         # duplication of out_dim floats, not dim — the join-free probe
@@ -467,6 +471,7 @@ def ann_index_append(batch: DataFrame, path: str) -> None:
         proj = V.project_embeddings(
             src, cfg["out_dim"], cfg["dim"], vector_col="embedding",
             out_col="_proj", seed=cfg["jl_seed"],
+            arrow=cfg.get("encode_arrow", False),
         ).select("key", F.col("_proj").alias("embedding"))
         V.lsh_corpus_postings(
             proj, cfg["out_dim"], cfg["n_planes"], cfg["n_tables"],
@@ -535,10 +540,16 @@ def ann_index_search(
     if kind == "jl_lsh":
         postings = spark.read.parquet(os.path.join(path, "postings"))
         vectors = spark.read.parquet(os.path.join(path, "vectors"))
+        # query projection follows the index's encode choice: at fat
+        # dim the EXPRESSION projection's plan alone (out_dim arrays of
+        # dim literals each) costs tens of seconds to compile per query
+        # job — measured 30 s vs 7 s query wall at dim 768 (NOTES_r8);
+        # the Arrow path is bitwise-identical so results don't change
         projq = V.project_embeddings(
             queries.select(query_key, query_vec),
             cfg["out_dim"], cfg["dim"], vector_col=query_vec,
             out_col="_pq", seed=cfg["jl_seed"],
+            arrow=cfg.get("encode_arrow", False),
         ).select(query_key, F.col("_pq").alias(query_vec))
         rf = 6 if refine_factor is None else refine_factor
         cands = V._lsh_rank_against_postings(

@@ -977,3 +977,76 @@ def test_jl_dim_rule():
 
     with pytest.raises(ValueError, match="eps"):
         jl_dim_for(100, eps=1.5)
+
+
+def test_project_embeddings_arrow_bitwise_equals_expression(spark, sf_dir):
+    """arrow=True runs the identical strict left-fold arithmetic
+    vectorized (np.add.accumulate — the pq_adc_scores_arrow pattern):
+    BITWISE equality with the expression path, on real float32
+    embeddings, so the SQL oracle replay holds for either path."""
+    from storage_spark.functions.vectors import project_embeddings
+
+    v = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").cast("string").alias("key"), "embedding")
+        .filter(F.col("vec_id") < 200)
+    )
+    a = {
+        r["key"]: r["projected"]
+        for r in project_embeddings(v, 16, 64).collect()
+    }
+    b = {
+        r["key"]: r["projected"]
+        for r in project_embeddings(v, 16, 64, arrow=True).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]  # exact, not approx
+
+
+def test_project_embeddings_arrow_dim_mismatch_raises(spark):
+    from storage_spark.functions.vectors import project_embeddings
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0, 3.0])], "key string, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector length"):
+        project_embeddings(df, 4, 8, arrow=True).collect()
+
+
+def test_jl_lsh_encode_arrow_builds_identical_index(spark, sf_dir, tmp_path):
+    """build_ann_index(kind='jl_lsh', encode_arrow=True) produces the
+    same search results as the expression build (bitwise-equal
+    projections => identical postings), and appends inherit the
+    recorded choice."""
+    from storage_spark.sources.annindex import (
+        ann_index_search,
+        build_ann_index,
+        load_config,
+    )
+
+    v = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").cast("string").alias("key"), "embedding")
+        .filter(F.col("vec_id") < 300)
+    )
+    q = v.filter(F.col("key").cast("bigint") < 10).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    p1 = str(tmp_path / "jl_expr")
+    p2 = str(tmp_path / "jl_arrow")
+    build_ann_index(v, p1, kind="jl_lsh", dim=64, out_dim=16, n_planes=4)
+    build_ann_index(
+        v, p2, kind="jl_lsh", dim=64, out_dim=16, n_planes=4,
+        encode_arrow=True,
+    )
+    assert load_config(p2)["encode_arrow"] is True
+    a = sorted(
+        (r[0], r[1], round(float(r[2]), 9), r[3])
+        for r in ann_index_search(spark, p1, q, k=5, probe_radius=1).collect()
+    )
+    b = sorted(
+        (r[0], r[1], round(float(r[2]), 9), r[3])
+        for r in ann_index_search(spark, p2, q, k=5, probe_radius=1).collect()
+    )
+    assert a == b
