@@ -48,9 +48,15 @@ def probe_incremental_minhash(spark):
         minhash_lsh_pairs,
     )
 
+    from pyspark.sql import Window
+
+    # sf1 ids are SPARSE (0..905k for 50k docs) — batch by rank, not id
     docs = (
         spark.read.parquet(f"{SF1}/documents.parquet")
         .select("doc_id", "text")
+        .withColumn(
+            "_rk", F.row_number().over(Window.orderBy("doc_id")) - 1
+        )
         .localCheckpoint(eager=True)
     )
     n_total = docs.count()
@@ -61,8 +67,8 @@ def probe_incremental_minhash(spark):
     for b in range(n_total // batch_sz):
         lo, hi = b * batch_sz, (b + 1) * batch_sz
         batch = docs.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        )
+            (F.col("_rk") >= lo) & (F.col("_rk") < hi)
+        ).drop("_rk")
         t0 = time.time()
         if index is None:
             # epoch 0: nothing to probe — the batch indexes itself
@@ -97,9 +103,17 @@ def probe_incremental_semantic(spark):
         semantic_dedup,
     )
 
+    from pyspark.sql import Window
+
+    # sf1 vec_ids are sparse (0..92k for 20k rows) — batch by rank
     vecs = (
         spark.read.parquet(f"{SF1}/embeddings.parquet")
         .select(F.col("vec_id").cast("string").alias("key"), "embedding")
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.orderBy(F.col("key").cast("bigint")))
+            - 1,
+        )
         .localCheckpoint(eager=True)
     )
     n_total = vecs.count()
@@ -119,9 +133,8 @@ def probe_incremental_semantic(spark):
     for b in range(n_total // batch_sz):
         lo, hi = b * batch_sz, (b + 1) * batch_sz
         batch = vecs.filter(
-            (F.col("key").cast("bigint") >= lo)
-            & (F.col("key").cast("bigint") < hi)
-        )
+            (F.col("_rk") >= lo) & (F.col("_rk") < hi)
+        ).drop("_rk")
         t0 = time.time()
         if index is None:
             new_rows = ivf_assign(batch, cents, "cosine")
