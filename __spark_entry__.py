@@ -2746,6 +2746,30 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(t["documents"])
 
 
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality filter (r8): fit the NB log-odds model on
+    a deterministic pseudo-label split of the corpus (even doc_ids =
+    positive class, odd = negative), score a deterministic subset
+    (doc_id % 7 < 2) under it. The oracle refits the ENTIRE model in
+    SQL (two class counts, full outer join, joint-vocabulary smoothing)
+    and replays the mean-pooled ordered fold — the whole classifier,
+    training included, is under the hash."""
+    from storage_spark.operators.pipeline import classifier_score, nb_quality_model
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    model = nb_quality_model(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    out = classifier_score(docs.filter(F.col("doc_id") % 7 < 2), model)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("logit") * 10000).cast("bigint").alias("logit_1e4"),
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-quality proxy (CCNet, Wenzek et al. 2020): per-doc mean
     negative log-prob under the corpus's own add-one unigram LM. The
@@ -4257,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- r8 net-new entries ----
         "ann_index_jl_query": q_ann_index_jl_query,
         "queue_replay": q_queue_replay,
+        "classifier_score": q_classifier_score,
         # r5-evidence block (stalest first; truncation remainder leads r9):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -6106,6 +6131,47 @@ SELECT doc_id,
    AND (ellipsis_ratio <= 0.3) AND (alpha_fraction >= 0.8)
    AND (stop_hits >= 2)) AS passes
 FROM m
+"""),
+        "classifier_score": _o(f"""
+, ptoks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents WHERE doc_id % 2 = 0
+),
+ntoks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents WHERE doc_id % 2 = 1
+),
+cp AS (SELECT tok, count(*) AS c FROM ptoks GROUP BY tok),
+cn AS (SELECT tok, count(*) AS c FROM ntoks GROUP BY tok),
+joint AS (
+  SELECT COALESCE(cp.tok, cn.tok) AS tok,
+         COALESCE(cp.c, 0) AS cpos, COALESCE(cn.c, 0) AS cneg
+  FROM cp FULL OUTER JOIN cn ON cp.tok = cn.tok
+),
+tot AS (
+  SELECT sum(cpos) AS np, sum(cneg) AS nn, count(*) AS v FROM joint
+),
+model AS (
+  SELECT tok,
+    ln((cpos + 1.0) / (np + 1.0 * v)) - ln((cneg + 1.0) / (nn + 1.0 * v)) AS w
+  FROM joint CROSS JOIN tot
+),
+toks AS (
+  SELECT doc_id, u.pos, u.tok FROM (
+    SELECT doc_id,
+      unnest(list_transform({_DUCK_TOKENS},
+                            (x, i) -> {{'pos': i - 1, 'tok': x}})) AS u
+    FROM documents WHERE doc_id % 7 < 2
+  )
+),
+scored AS (
+  SELECT t.doc_id, t.pos, COALESCE(m.w, 0.0) AS w
+  FROM toks t LEFT JOIN model m ON m.tok = t.tok
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(round(
+    (0.0 + list_reduce(list_prepend(0.0, list(w ORDER BY pos)),
+                       (a, b) -> a + b)
+     / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS logit_1e4
+FROM scored GROUP BY doc_id
 """),
         "unigram_logprob": _o(f"""
 , toks AS (

@@ -1618,3 +1618,146 @@ def decontaminate_spans(
         F.col("hit_rank").cast("int").alias("hit_rank"),
         F.col("sh").alias("shingle"),
     )
+
+
+def nb_quality_model(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Fit a Naive-Bayes log-odds quality classifier in ONE aggregation
+    pass per class — the trainable stage of the fastText-style quality
+    filter every large LLM pipeline runs (Joulin et al. 2016,
+    arXiv:1607.01759, as deployed in the GPT-3/CCNet-style "classify
+    against a high-quality reference corpus" recipe; the NB log-count
+    ratio form is Wang & Manning 2012's NBSVM feature). Unlike
+    iterative logistic regression, the NB fit is a closed form over
+    token counts, so training is two map-side-combined groupBys + one
+    full outer join — and the ENTIRE fit replays in SQL, keeping the
+    classifier under the same oracle bar as every other operator.
+
+    Returns one ``(tok, w)`` row per token in the JOINT vocabulary:
+    ``w = ln((c_pos+a)/(N_pos+a·V)) − ln((c_neg+a)/(N_neg+a·V))`` with
+    ``V`` the joint vocabulary size — positive weights vote
+    high-quality. Persist it like ``unigram_model``: fit once on
+    labeled reference corpora, score everything under it with
+    ``classifier_score``. A token absent from one class gets the
+    smoothed floor on that side (never -inf)."""
+    from storage_spark.functions.text import normalized_text
+
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.split(normalized_text(F.col(text_col)), " ")
+                ).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    cp = _counts(pos, "_cp")
+    cn = _counts(neg, "_cn")
+    joint = cp.join(cn, "tok", "full_outer").select(
+        "tok",
+        F.coalesce(F.col("_cp"), F.lit(0)).alias("_cp"),
+        F.coalesce(F.col("_cn"), F.lit(0)).alias("_cn"),
+    )
+    totals = joint.agg(
+        F.sum("_cp").alias("_np"),
+        F.sum("_cn").alias("_nn"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    a = F.lit(float(smoothing))
+    return (
+        joint.crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            (
+                F.log((F.col("_cp") + a) / (F.col("_np") + a * F.col("_v")))
+                - F.log((F.col("_cn") + a) / (F.col("_nn") + a * F.col("_v")))
+            ).alias("w"),
+        )
+    )
+
+
+def classifier_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    model_join: str = "broadcast",
+    head_size: int = 10_000,
+) -> DataFrame:
+    """Score documents under a linear bag-of-words model ``(tok, w)`` —
+    the scoring half of the fastText-style quality filter:
+    ``logit = bias + (Σ w_tok) / n_tokens`` (mean pooling, fastText's
+    form; the sigmoid is monotone so gates threshold the logit
+    directly and the oracle never replays ``exp``). Unseen tokens
+    contribute 0 (coalesce), the standard open-vocabulary treatment.
+
+    Determinism contract as ``unigram_logprob``: the per-doc sum is the
+    ORDERED fold over token positions, bit-stable across partition
+    layouts and engines; NULL/empty-text docs produce no output row
+    (``posexplode`` drops them — anti-join the input to find them).
+
+    Scale shape: explode + ONE equi-join on token against the
+    vocabulary-sized model. ``model_join='skew_split'`` is the
+    too-big-to-broadcast path — but unlike the LM scorers, a weight
+    table carries no frequencies (weight magnitude says nothing about
+    hotness: 'the' is the hottest key and its weight is ~0), so the
+    head is derived from the SCORED CORPUS itself: one
+    map-side-combined count per distinct token (cheap next to the
+    scoring join) picks the ``head_size`` hottest keys, those join
+    broadcast, and the rare tail shuffles skew-free. Results identical
+    (tested); only the physical plan changes.
+    Returns ``(id_col, n_tokens, logit)``."""
+    from storage_spark.functions.text import normalized_text
+
+    if model_join not in ("broadcast", "skew_split"):
+        raise ValueError(
+            f"model_join must be 'broadcast' or 'skew_split' (got {model_join!r})"
+        )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    m = model.select("tok", F.col("w").alias("_w"))
+    if model_join == "broadcast":
+        joined = toks.join(F.broadcast(m), "tok", "left")
+    else:
+        # head = the corpus's hottest tokens (frequency lives in the
+        # DATA here, not the model); hot keys join broadcast — LEFT,
+        # since a hot token may be unseen by the model — and the tail
+        # shuffles on rare keys only
+        head_keys = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .orderBy(F.col("_f").desc(), F.col("tok").asc())
+            .limit(head_size)
+            .select("tok")
+        )
+        head = m.join(F.broadcast(head_keys), "tok")
+        tail = m.join(F.broadcast(head_keys), "tok", "left_anti")
+        hot = toks.join(F.broadcast(head_keys), "tok").join(
+            F.broadcast(head), "tok", "left"
+        )
+        cold = toks.join(F.broadcast(head_keys), "tok", "left_anti").join(
+            tail, "tok", "left"
+        )
+        joined = hot.unionByName(cold)
+    scored = joined.select(
+        id_col, "pos", F.coalesce(F.col("_w"), F.lit(0.0)).alias("_w")
+    )
+    items = F.array_sort(
+        F.collect_list(F.struct(F.col("pos").alias("p"), F.col("_w").alias("v")))
+    )
+    fold = F.aggregate(items, F.lit(0.0), lambda acc, it: acc + it["v"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.lit(float(bias)) + fold / F.count(F.lit(1))).alias("logit"),
+    )

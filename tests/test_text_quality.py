@@ -642,3 +642,111 @@ def test_lm_scores_separate_prose_from_shuffled_prose(spark):
         assert b[100 + i] > b[i], f"bigram failed to separate doc {i}"
         # same token multiset -> identical unigram score
         assert abs(u[100 + i] - u[i]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# NB log-odds quality classifier (fastText-style filter, r8)
+
+
+def test_nb_quality_model_exact_python_replication(spark):
+    """Every weight replays from plain Python count math: the NB
+    log-count-ratio over the joint vocabulary with add-a smoothing."""
+    import math
+    from collections import Counter
+
+    from storage_spark.operators.pipeline import nb_quality_model
+
+    pos_rows = ["the clear well written text", "the fine prose here"]
+    neg_rows = ["buy now click spam spam", "click the link now"]
+    pos = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pos_rows)], "doc_id long, text string"
+    )
+    neg = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(neg_rows)], "doc_id long, text string"
+    )
+    got = {r["tok"]: r["w"] for r in nb_quality_model(pos, neg).collect()}
+    cp = Counter(t for s in pos_rows for t in s.split())
+    cn = Counter(t for s in neg_rows for t in s.split())
+    vocab = set(cp) | set(cn)
+    np_, nn, v, a = sum(cp.values()), sum(cn.values()), len(vocab), 1.0
+    assert set(got) == vocab
+    for tok in vocab:
+        want = math.log((cp[tok] + a) / (np_ + a * v)) - math.log(
+            (cn[tok] + a) / (nn + a * v)
+        )
+        # ln is the one cross-engine libm call (JVM Math.log vs CPython
+        # libm can differ in the last ulp — the same caveat the LM
+        # scorers document); everything else is exact
+        assert abs(got[tok] - want) < 1e-12, tok
+    # discriminative tokens point the right way; shared ones are small
+    assert got["spam"] < 0 < got["prose"]
+    assert abs(got["the"]) < abs(got["spam"])
+
+
+def test_classifier_score_exact_and_separates(spark):
+    """logit = bias + mean token weight (ordered fold); a model fit on
+    prose-vs-spam separates held-out prose from held-out spam."""
+    from storage_spark.operators.pipeline import (
+        classifier_score,
+        nb_quality_model,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, "the careful well written essay text here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, "click now buy spam link free offer") for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = nb_quality_model(pos, neg)
+    w = {r["tok"]: r["w"] for r in model.collect()}
+    eval_docs = spark.createDataFrame(
+        [
+            (1, "a careful essay text"),          # prose-ish + unseen 'a'
+            (2, "click spam link unseen2"),       # spam-ish + unseen
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logit"])
+        for r in classifier_score(eval_docs, model, bias=0.25).collect()
+    }
+    s1 = 0.25 + (0.0 + w["careful"] + w["essay"] + w["text"]) / 4
+    s2 = 0.25 + (w["click"] + w["spam"] + w["link"] + 0.0) / 4
+    assert got[1] == (4, s1)
+    assert got[2] == (4, s2)
+    assert got[1][1] > got[2][1]
+
+
+def test_classifier_score_skew_split_identical(spark):
+    from storage_spark.operators.pipeline import (
+        classifier_score,
+        nb_quality_model,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, f"the common good{i % 7} fine text here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, f"the spam bad{i % 5} click now") for i in range(40)],
+        "doc_id long, text string",
+    )
+    model = nb_quality_model(pos, neg)
+    docs = pos.unionByName(neg.selectExpr("doc_id + 1000 AS doc_id", "text"))
+    a = sorted(map(tuple, classifier_score(docs, model).collect()))
+    b_df = classifier_score(docs, model, model_join="skew_split", head_size=3)
+    b = sorted(map(tuple, b_df.collect()))
+    assert a == b
+    plan = b_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_classifier_bad_model_join_raises(spark):
+    from storage_spark.operators.pipeline import classifier_score
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    model = spark.createDataFrame([("a", 0.5)], "tok string, w double")
+    with pytest.raises(ValueError, match="model_join"):
+        classifier_score(docs, model, model_join="hash")
