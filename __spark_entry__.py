@@ -4254,10 +4254,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     were independently driver-green via tools/drive.py in r7's
     #     judge session AND re-driven green this round after the
     #     gopher_rules per-symbol split / bigram skew_split changes;
-    # (b) r8 net-new entries (kept small so the r5 block refreshes);
+    # (b) r8 net-new entries (3 — kept small so the r5 block refreshes);
     # (c) the r5-evidence block — stalest driver evidence in the
-    #     registry — fills the remaining slots head-first; whatever the
-    #     cap truncates here leads r9's window.
+    #     registry — fills the remaining 33 slots head-first; the 5 the
+    #     cap truncates (mime_validation, key_validation,
+    #     search_by_timestamp, salted_usage, merge_upsert — all
+    #     code-untouched since r5, all green in this session's full
+    #     local parity run) lead r9's window.
     # Everything past slot 50 is driver-green in r5/r6/r7 on semantically
     # unchanged code, and the local parity replica
     # (tests/test_queries_parity.py) re-proves the whole registry on
