@@ -2770,6 +2770,113 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169, r8):
+    hashed-n-gram importance resampling — fit bucket models on a
+    deterministic target/raw split of the corpus (doc_id % 5 == 0 =
+    target), weight raw docs by Σ(ln p_t − ln p_r) over their hashed
+    unigram+bigram features, select k=25 by the Gumbel-top-k trick
+    with the md5-uniform noise. The oracle replays EVERYTHING in SQL:
+    the per-term md5 bucket hash (digit-by-digit hex math), both model
+    fits, the smoothing, the ordered per-doc fold, the Gumbel
+    arithmetic, and the top-k cut."""
+    from storage_spark.operators.pipeline import dsir_sample
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    out = dsir_sample(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        k=25,
+        num_buckets=1000,
+        seed=7,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_features").cast("bigint").alias("n_features"),
+        F.round(F.col("log_w") * 10000).cast("bigint").alias("logw_1e4"),
+        F.round(F.col("gumbel_key") * 10000).cast("bigint").alias("gkey_1e4"),
+    )
+
+
+def _oracle_dsir_select(
+    num_buckets: int, k: int, seed: int, smoothing: float = 1.0
+) -> str:
+    """SQL mirror of q_dsir_select: hashed buckets via per-digit hex
+    math, target/raw model fits over the fixed bucket space, ordered
+    per-doc fold, md5-uniform Gumbel keys, top-k."""
+
+    def _hexval(expr: str, ndigits: int) -> str:
+        terms = [
+            f"(instr('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (ndigits - 1 - i)}"
+            for i in range(ndigits)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    bucket = (
+        _hexval("md5('dsir:' || term)", 6) + f" % {num_buckets}"
+    )
+    gmd5 = f"md5('dsir-gumbel:{seed}:' || CAST(doc_id AS STRING))"
+    u = f"({_hexval(gmd5, 12)} + 1.0) / {float(16 ** 12 + 1)!r}"
+    a = float(smoothing)
+    return _o(f"""
+, base AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+terms AS (
+  SELECT doc_id, u.pos, u.term FROM (
+    SELECT doc_id, unnest(list_transform(
+      list_concat(
+        tk,
+        list_transform(list_slice(tk, 2, len(tk)),
+                       (x, i) -> tk[i] || ' ' || x)
+      ),
+      (x, i) -> {{'pos': i - 1, 'term': x}})) AS u
+    FROM base
+  )
+),
+feats AS (SELECT doc_id, pos, {bucket} AS b FROM terms),
+mt AS (
+  SELECT b, count(*) AS ct FROM feats WHERE doc_id % 5 = 0 GROUP BY b
+),
+mr AS (
+  SELECT b, count(*) AS cr FROM feats WHERE doc_id % 5 <> 0 GROUP BY b
+),
+model AS (
+  SELECT COALESCE(mt.b, mr.b) AS b,
+         COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+  FROM mt FULL OUTER JOIN mr ON mt.b = mr.b
+),
+tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+wtab AS (
+  SELECT b,
+    ln((ct + {a}) / (nt + {a} * {num_buckets}))
+    - ln((cr + {a}) / (nr + {a} * {num_buckets})) AS lw
+  FROM model CROSS JOIN tot
+),
+scored AS (
+  SELECT f.doc_id, f.pos, w.lw
+  FROM feats f JOIN wtab w ON w.b = f.b
+  WHERE f.doc_id % 5 <> 0
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+    (0.0 + list_reduce(list_prepend(0.0, list(lw ORDER BY pos)),
+                       (acc, x) -> acc + x)) AS log_w
+  FROM scored GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, n_features, log_w,
+         log_w + (-ln(-ln({u}))) AS gumbel_key
+  FROM perdoc
+)
+SELECT doc_id, n_features,
+  CAST(round(log_w * 10000) AS BIGINT) AS logw_1e4,
+  CAST(round(gumbel_key * 10000) AS BIGINT) AS gkey_1e4
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id ASC LIMIT {k}
+""")
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-quality proxy (CCNet, Wenzek et al. 2020): per-doc mean
     negative log-prob under the corpus's own add-one unigram LM. The
@@ -4254,13 +4361,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     were independently driver-green via tools/drive.py in r7's
     #     judge session AND re-driven green this round after the
     #     gopher_rules per-symbol split / bigram skew_split changes;
-    # (b) r8 net-new entries (3 — kept small so the r5 block refreshes);
+    # (b) r8 net-new entries (4 — kept small so the r5 block refreshes);
     # (c) the r5-evidence block — stalest driver evidence in the
-    #     registry — fills the remaining 33 slots head-first; the 5 the
-    #     cap truncates (mime_validation, key_validation,
-    #     search_by_timestamp, salted_usage, merge_upsert — all
-    #     code-untouched since r5, all green in this session's full
-    #     local parity run) lead r9's window.
+    #     registry — fills the remaining 32 slots head-first; the 6 the
+    #     cap truncates (buckets_search, mime_validation,
+    #     key_validation, search_by_timestamp, salted_usage,
+    #     merge_upsert — all code-untouched since r5, all green in this
+    #     session's full local parity run) lead r9's window.
     # Everything past slot 50 is driver-green in r5/r6/r7 on semantically
     # unchanged code, and the local parity replica
     # (tests/test_queries_parity.py) re-proves the whole registry on
@@ -4285,6 +4392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_jl_query": q_ann_index_jl_query,
         "queue_replay": q_queue_replay,
         "classifier_score": q_classifier_score,
+        "dsir_select": q_dsir_select,
         # r5-evidence block (stalest first; truncation remainder leads r9):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -6135,6 +6243,7 @@ SELECT doc_id,
    AND (stop_hits >= 2)) AS passes
 FROM m
 """),
+        "dsir_select": _oracle_dsir_select(num_buckets=1000, k=25, seed=7),
         "classifier_score": _o(f"""
 , ptoks AS (
   SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents WHERE doc_id % 2 = 0

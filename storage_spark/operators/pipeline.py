@@ -1761,3 +1761,161 @@ def classifier_score(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.lit(float(bias)) + fold / F.count(F.lit(1))).alias("logit"),
     )
+
+
+def hashed_ngram_buckets(
+    text: Column,
+    num_buckets: int = 10_000,
+    use_bigrams: bool = True,
+    seed: str = "dsir",
+) -> Column:
+    """Hashed n-gram feature buckets for a document (DSIR, Xie et al.
+    2023, arXiv:2302.03169 §2: unigrams + bigrams hashed into a FIXED
+    number of buckets). Returns the array of bucket ids in token order
+    (unigram buckets first, then bigram buckets — a deterministic
+    layout so downstream ordered folds are reproducible). The hash is
+    the engine-portable md5-hex form every sampler here uses: the
+    first 6 hex digits of ``md5(seed:term)`` mod ``num_buckets`` —
+    replayable digit-by-digit in any engine with md5 + string ops.
+
+    The bucket-hashing is what makes DSIR scale-clean: the feature
+    space is ``num_buckets`` REGARDLESS of corpus vocabulary, so the
+    fitted models are always broadcastable — no skew_split escape
+    hatch needed, by construction."""
+    from storage_spark.functions.text import normalized_text
+
+    tk = F.split(normalized_text(text), " ")
+
+    def _bucket(term: Column) -> Column:
+        h = F.md5(F.concat(F.lit(f"{seed}:"), term))
+        return F.pmod(
+            F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint"),
+            F.lit(int(num_buckets)),
+        ).cast("int")
+
+    uni = F.transform(tk, _bucket)
+    if not use_bigrams:
+        return uni
+    pairs = F.filter(
+        F.transform(
+            tk,
+            lambda t, i: F.when(
+                i > 0, F.concat(F.element_at(tk, i), F.lit(" "), t)
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return F.concat(uni, F.transform(pairs, _bucket))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 10_000,
+    use_bigrams: bool = True,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-doc DSIR importance log-weight: fit hashed-n-gram unigram
+    models on the TARGET distribution (the high-quality reference) and
+    the RAW distribution (the corpus being selected from), then
+    ``log w(doc) = Σ_features (ln p_target[b] − ln p_raw[b])`` — docs
+    whose feature profile looks more target-like than raw-like score
+    high (Xie et al. 2023: importance resampling corrects the raw
+    corpus TOWARD the target distribution, where a discriminative
+    filter like ``classifier_score`` merely ranks). Add-``smoothing``
+    on both models over the fixed ``num_buckets`` space.
+
+    Determinism: per-doc summation is the ORDERED fold over the
+    deterministic bucket-array layout; both model fits are exact
+    integer counts. Scale shape: explode + two map-side-combined
+    groupBys (each ≤ num_buckets rows) + ONE broadcast join of the
+    merged model against the raw corpus's exploded buckets — the model
+    is bounded by construction, so this operator has no
+    too-big-to-broadcast regime at any corpus size.
+
+    Returns ``(id_col, n_features, log_w)``; NULL/empty-text docs
+    produce no row (same contract as the LM scorers)."""
+    buckets = hashed_ngram_buckets(
+        F.col(text_col), num_buckets=num_buckets, use_bigrams=use_bigrams
+    )
+
+    def _model(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(buckets).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    mt = _model(target, "_ct")
+    mr = _model(raw, "_cr")
+    model = mt.join(mr, "b", "full_outer").select(
+        "b",
+        F.coalesce(F.col("_ct"), F.lit(0)).alias("_ct"),
+        F.coalesce(F.col("_cr"), F.lit(0)).alias("_cr"),
+    )
+    totals = model.agg(
+        F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr")
+    )
+    a = F.lit(float(smoothing))
+    v = F.lit(int(num_buckets))
+    weighted = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("_ct") + a) / (F.col("_nt") + a * v))
+            - F.log((F.col("_cr") + a) / (F.col("_nr") + a * v))
+        ).alias("_lw"),
+    )
+    feats = raw.select(
+        F.col(id_col), F.posexplode(buckets).alias("pos", "b")
+    )
+    scored = feats.join(F.broadcast(weighted), "b", "left").select(
+        id_col, "pos", F.col("_lw").alias("_lw")
+    )
+    items = F.array_sort(
+        F.collect_list(F.struct(F.col("pos").alias("p"), F.col("_lw").alias("v")))
+    )
+    fold = F.aggregate(items, F.lit(0.0), lambda acc, it: acc + it["v"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_features"),
+        fold.alias("log_w"),
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 10_000,
+    use_bigrams: bool = True,
+    smoothing: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """DSIR selection: ``k`` docs sampled without replacement with
+    probability ∝ importance weight, via the Gumbel-top-k trick —
+    ``key = log_w + Gumbel(md5-uniform)`` and take the k largest
+    (Gumbel-max is the standard exact reduction of weighted sampling
+    to a top-k; the noise is the DETERMINISTIC md5 uniform every
+    sampler here uses, so selection replays in any engine — no RNG
+    state). Ties (measure-zero but md5 is discrete) break by id.
+
+    One TakeOrdered over the weighted table — no shuffle beyond
+    ``dsir_weights``'s own. Returns the selected
+    ``(id_col, n_features, log_w, gumbel_key)`` rows."""
+    w = dsir_weights(
+        raw, target, id_col, text_col, num_buckets, use_bigrams, smoothing
+    )
+    # md5-uniform in (0,1): 12 hex digits / 16^12, +1 to dodge exact 0
+    h = F.md5(F.concat(F.lit(f"dsir-gumbel:{seed}:"), F.col(id_col).cast("string")))
+    u = (F.conv(F.substring(h, 1, 12), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(16 ** 12 + 1)
+    )
+    g = -F.log(-F.log(u))
+    return (
+        w.withColumn("gumbel_key", F.col("log_w") + g)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )

@@ -750,3 +750,103 @@ def test_classifier_bad_model_join_raises(spark):
     model = spark.createDataFrame([("a", 0.5)], "tok string, w double")
     with pytest.raises(ValueError, match="model_join"):
         classifier_score(docs, model, model_join="hash")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (hashed n-grams, r8)
+
+
+def _py_bucket(term, num_buckets, seed="dsir"):
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{term}".encode()).hexdigest()
+    return int(h[:6], 16) % num_buckets
+
+
+def test_hashed_ngram_buckets_layout_and_values(spark):
+    """Bucket array = unigram buckets in token order, then bigram
+    buckets in pair order; every value replays from Python md5 math."""
+    from storage_spark.operators.pipeline import hashed_ngram_buckets
+
+    df = spark.createDataFrame([(1, "The cat sat")], "doc_id long, text string")
+    got = df.select(
+        hashed_ngram_buckets(F.col("text"), num_buckets=97).alias("b")
+    ).collect()[0]["b"]
+    toks = ["the", "cat", "sat"]
+    want = [_py_bucket(t, 97) for t in toks] + [
+        _py_bucket("the cat", 97),
+        _py_bucket("cat sat", 97),
+    ]
+    assert got == want
+
+
+def test_dsir_weights_exact_python_replication(spark):
+    import math
+    from collections import Counter
+
+    from storage_spark.operators.pipeline import dsir_weights
+
+    B, a = 53, 1.0
+    raw_rows = [(1, "the cat sat"), (2, "spam click now"), (3, "the fine cat")]
+    tgt_rows = [(10, "the cat purred"), (11, "a fine cat sat")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_features"], r["log_w"])
+        for r in dsir_weights(raw, tgt, num_buckets=B).collect()
+    }
+
+    def feats(text):
+        t = text.lower().split()
+        return [_py_bucket(x, B) for x in t] + [
+            _py_bucket(f"{t[i - 1]} {t[i]}", B) for i in range(1, len(t))
+        ]
+
+    ct = Counter(b for _, s in tgt_rows for b in feats(s))
+    cr = Counter(b for _, s in raw_rows for b in feats(s))
+    nt, nr = sum(ct.values()), sum(cr.values())
+    for i, s in raw_rows:
+        fs = feats(s)
+        acc = 0.0
+        for b in fs:
+            acc += math.log((ct[b] + a) / (nt + a * B)) - math.log(
+                (cr[b] + a) / (nr + a * B)
+            )
+        n, lw = got[i]
+        assert n == len(fs)
+        assert abs(lw - acc) < 1e-10  # ln is the one libm call
+    # target-like docs outweigh spam
+    assert got[1][1] > got[2][1] and got[3][1] > got[2][1]
+
+
+def test_dsir_sample_gumbel_topk_replays(spark):
+    """Selection = top-k by log_w + Gumbel(md5-uniform), ties by id —
+    the exact cut replays from Python."""
+    import hashlib
+    import math
+
+    from storage_spark.operators.pipeline import dsir_sample, dsir_weights
+
+    raw = spark.createDataFrame(
+        [(i, f"the cat doc{i} sat here") for i in range(20)]
+        + [(100 + i, "spam click now buy") for i in range(10)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(0, "the cat sat on the mat here")], "doc_id long, text string"
+    )
+    B, seed, k = 101, 7, 6
+    w = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir_weights(raw, tgt, num_buckets=B).collect()
+    }
+    keys = {}
+    for i, lw in w.items():
+        h = hashlib.md5(f"dsir-gumbel:{seed}:{i}".encode()).hexdigest()
+        u = (int(h[:12], 16) + 1.0) / (16**12 + 1)
+        keys[i] = lw + (-math.log(-math.log(u)))
+    want = sorted(keys, key=lambda i: (-keys[i], i))[:k]
+    got = dsir_sample(raw, tgt, k=k, num_buckets=B, seed=seed).collect()
+    assert [r["doc_id"] for r in got] == want
+    for r in got:
+        assert abs(r["gumbel_key"] - keys[r["doc_id"]]) < 1e-9
