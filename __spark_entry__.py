@@ -2770,6 +2770,20 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail labeling (r8): exact tertile thresholds
+    over the INTEGER-quantized unigram NLL (quantization before the
+    percentile absorbs ln's cross-engine ulps — the
+    quality_quantile_filter trick), label each doc. The oracle replays
+    the LM refit, the fold, the quantization, quantile_cont (matches
+    Spark's exact interpolated percentile bit-for-bit on integers —
+    proven by token_percentiles), and the CASE."""
+    from storage_spark.operators.pipeline import perplexity_buckets
+
+    t = _t(spark, sf_dir)
+    return perplexity_buckets(t["documents"])
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169, r8):
     hashed-n-gram importance resampling — fit bucket models on a
@@ -4393,6 +4407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_replay": q_queue_replay,
         "classifier_score": q_classifier_score,
         "dsir_select": q_dsir_select,
+        "perplexity_buckets": q_perplexity_buckets,
         # r5-evidence block (stalest first; truncation remainder leads r9):
         "remove_boilerplate": q_remove_boilerplate,
         "multipart_part_copy": q_multipart_part_copy,
@@ -6244,6 +6259,41 @@ SELECT doc_id,
 FROM m
 """),
         "dsir_select": _oracle_dsir_select(num_buckets=1000, k=25, seed=7),
+        "perplexity_buckets": _o(f"""
+, toks AS (
+  SELECT doc_id, u.pos, u.tok FROM (
+    SELECT doc_id,
+      unnest(list_transform({_DUCK_TOKENS},
+                            (x, i) -> {{'pos': i - 1, 'tok': x}})) AS u
+    FROM documents
+  )
+),
+freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM freq),
+scored AS (
+  SELECT t.doc_id, t.pos,
+    ln((COALESCE(f.cnt, 0) + 1.0) / (tot.n + 1.0 * tot.v)) AS lp
+  FROM toks t LEFT JOIN freq f ON f.tok = t.tok CROSS JOIN tot
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(round(
+      -(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                    (a, b) -> a + b)
+        / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS nll_1e4
+  FROM scored GROUP BY doc_id
+),
+thr AS (
+  SELECT quantile_cont(nll_1e4, 1.0/3.0) AS t1,
+         quantile_cont(nll_1e4, 2.0/3.0) AS t2
+  FROM perdoc
+)
+SELECT doc_id, n_tokens, nll_1e4,
+  CASE WHEN nll_1e4 <= t1 THEN 'head'
+       WHEN nll_1e4 <= t2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM perdoc CROSS JOIN thr
+"""),
         "classifier_score": _o(f"""
 , ptoks AS (
   SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents WHERE doc_id % 2 = 0

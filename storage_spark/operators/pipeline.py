@@ -1919,3 +1919,50 @@ def dsir_sample(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
         .limit(int(k))
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bounds: tuple = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §3: rank the
+    corpus by LM score, cut at percentiles — train mostly on the head,
+    inspect the tail): label every doc ``head`` (most fluent, lowest
+    avg NLL), ``middle``, or ``tail`` by exact percentile thresholds of
+    the ``unigram_logprob`` score. Feed a ``bounds``-tuned split to
+    ``mix_corpora`` / samplers for quality-curriculum mixing.
+
+    Cross-engine exactness: thresholds are computed on the INTEGER
+    quantization ``round(avg_nll·1e4)`` (the quality_quantile_filter
+    trick) — ``ln``'s last-ulp engine differences are absorbed before
+    the percentile, so bucket membership never flips at the boundary.
+    Scale shape: the scoring plan + one 1-row threshold aggregate
+    broadcast back (no sort, no window). Returns
+    ``(id_col, n_tokens, nll_1e4, bucket)``."""
+    lo, hi = float(bounds[0]), float(bounds[1])
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"bounds must satisfy 0 < lo < hi < 1 (got {bounds})")
+    s = unigram_logprob(docs, model, id_col, text_col).select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("avg_nll") * 10000).cast("bigint").alias("nll_1e4"),
+    )
+    thr = s.agg(
+        F.percentile("nll_1e4", lo).alias("_t1"),
+        F.percentile("nll_1e4", hi).alias("_t2"),
+    )
+    return (
+        s.crossJoin(F.broadcast(thr))
+        .select(
+            id_col,
+            "n_tokens",
+            "nll_1e4",
+            F.when(F.col("nll_1e4") <= F.col("_t1"), F.lit("head"))
+            .when(F.col("nll_1e4") <= F.col("_t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

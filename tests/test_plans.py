@@ -111,6 +111,11 @@ _BNLJ_ALLOWED = {
     # key_validation; the vocabulary/pair joins themselves are equi-joins
     "unigram_logprob",
     "bigram_logprob",
+    # same 1-row totals crossJoin (NB class totals / DSIR model totals);
+    # the model joins are equi-joins on tok / bucket
+    "classifier_score",
+    "dsir_select",
+    "perplexity_buckets",  # totals + 1-row threshold crossJoins
 }
 
 

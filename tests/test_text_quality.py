@@ -850,3 +850,43 @@ def test_dsir_sample_gumbel_topk_replays(spark):
     assert [r["doc_id"] for r in got] == want
     for r in got:
         assert abs(r["gumbel_key"] - keys[r["doc_id"]]) < 1e-9
+
+
+def test_perplexity_buckets_tertiles_and_exactness(spark):
+    """head < middle < tail in score; tertile sizes balanced on a
+    spread corpus; labels replay from the quantized scores."""
+    from storage_spark.operators.pipeline import (
+        perplexity_buckets,
+        unigram_logprob,
+    )
+
+    # 9 docs with clearly spread self-perplexities: repeated common
+    # tokens (fluent) through unique-token soup (improbable)
+    rows = [(i, " ".join(["common"] * (9 - i) + [f"rare{i}x{j}" for j in range(i)])) for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in perplexity_buckets(docs).collect()}
+    assert len(out) == 9
+    scores = {r["doc_id"]: r["nll_1e4"] for r in out.values()}
+    buckets = {r["doc_id"]: r["bucket"] for r in out.values()}
+    for i in out:
+        for j in out:
+            if scores[i] < scores[j]:
+                order = {"head": 0, "middle": 1, "tail": 2}
+                assert order[buckets[i]] <= order[buckets[j]]
+    assert set(buckets.values()) == {"head", "middle", "tail"}
+    # quantized scores match unigram_logprob's rounding exactly
+    u = {
+        r["doc_id"]: round(r["avg_nll"] * 10000)
+        for r in unigram_logprob(docs).collect()
+    }
+    assert {i: scores[i] for i in scores} == u
+
+
+def test_perplexity_buckets_bad_bounds_raise(spark):
+    import pytest as _pytest
+
+    from storage_spark.operators.pipeline import perplexity_buckets
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bounds"):
+        perplexity_buckets(docs, bounds=(0.7, 0.3))
