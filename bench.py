@@ -185,6 +185,21 @@ def main() -> None:
             .collect()[0][0]
         )
 
+    def dsir_select():
+        # hashed-n-gram importance resampling (r8): two bucket-model
+        # fits + the per-doc fold + Gumbel-top-k cut, on the documents
+        # table's deterministic target/raw split — the model is bounded
+        # by num_buckets at any corpus size (the op's scale property)
+        from storage_spark.operators.pipeline import dsir_sample
+
+        docs = t["documents"]
+        return dsir_sample(
+            docs.filter(F.col("doc_id") % 5 != 0),
+            docs.filter(F.col("doc_id") % 5 == 0),
+            k=100,
+            num_buckets=10_000,
+        ).count()
+
     # -- fat-embedding (dim-768) index pair: jl_lsh vs keys-only lsh --
     _fat: dict = {"df": None, "jl": None, "ko": None}
 
@@ -661,6 +676,7 @@ def main() -> None:
         "lm_unigram": lm_unigram,
         "lm_bigram": lm_bigram,
         "lm_bigram_skew": lm_bigram_skew,
+        "dsir_select": dsir_select,
         "fat_jl_index_query": fat_jl_index_query,
         "fat_lsh_keysonly_query": fat_lsh_keysonly_query,
     }
