@@ -1927,6 +1927,7 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     bounds: tuple = (1.0 / 3.0, 2.0 / 3.0),
+    per_language: bool = False,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020 §3: rank the
     corpus by LM score, cut at percentiles — train mostly on the head,
@@ -1935,13 +1936,22 @@ def perplexity_buckets(
     the ``unigram_logprob`` score. Feed a ``bounds``-tuned split to
     ``mix_corpora`` / samplers for quality-curriculum mixing.
 
+    ``per_language=True`` is the paper's actual form: thresholds are
+    computed WITHIN each ``lang_id`` group (a small language never
+    lands wholesale in the tail just because its tokens are rare under
+    a mixed-corpus LM); the threshold table is #languages rows,
+    broadcast back like ``quality_quantile_filter``'s. The default
+    stays global (one corpus, one LM — the self-perplexity shape the
+    driver row grades).
+
     Cross-engine exactness: thresholds are computed on the INTEGER
     quantization ``round(avg_nll·1e4)`` (the quality_quantile_filter
     trick) — ``ln``'s last-ulp engine differences are absorbed before
     the percentile, so bucket membership never flips at the boundary.
-    Scale shape: the scoring plan + one 1-row threshold aggregate
-    broadcast back (no sort, no window). Returns
-    ``(id_col, n_tokens, nll_1e4, bucket)``."""
+    Scale shape: the scoring plan + one tiny threshold aggregate
+    (1 row, or #languages rows) broadcast back (no sort, no window).
+    Returns ``(id_col, n_tokens, nll_1e4, bucket)`` (+ ``lang`` when
+    per-language)."""
     lo, hi = float(bounds[0]), float(bounds[1])
     if not 0.0 < lo < hi < 1.0:
         raise ValueError(f"bounds must satisfy 0 < lo < hi < 1 (got {bounds})")
@@ -1950,19 +1960,30 @@ def perplexity_buckets(
         "n_tokens",
         F.round(F.col("avg_nll") * 10000).cast("bigint").alias("nll_1e4"),
     )
+    label = (
+        F.when(F.col("nll_1e4") <= F.col("_t1"), F.lit("head"))
+        .when(F.col("nll_1e4") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket")
+    )
+    if per_language:
+        from storage_spark.functions.text import lang_id
+
+        langs = docs.select(
+            F.col(id_col), lang_id(F.col(text_col)).alias("lang")
+        )
+        s = s.join(langs, id_col)
+        thr = s.groupBy("lang").agg(
+            F.percentile("nll_1e4", lo).alias("_t1"),
+            F.percentile("nll_1e4", hi).alias("_t2"),
+        )
+        return s.join(F.broadcast(thr), "lang").select(
+            id_col, "lang", "n_tokens", "nll_1e4", label
+        )
     thr = s.agg(
         F.percentile("nll_1e4", lo).alias("_t1"),
         F.percentile("nll_1e4", hi).alias("_t2"),
     )
-    return (
-        s.crossJoin(F.broadcast(thr))
-        .select(
-            id_col,
-            "n_tokens",
-            "nll_1e4",
-            F.when(F.col("nll_1e4") <= F.col("_t1"), F.lit("head"))
-            .when(F.col("nll_1e4") <= F.col("_t2"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("bucket"),
-        )
+    return s.crossJoin(F.broadcast(thr)).select(
+        id_col, "n_tokens", "nll_1e4", label
     )

@@ -890,3 +890,37 @@ def test_perplexity_buckets_bad_bounds_raise(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="bounds"):
         perplexity_buckets(docs, bounds=(0.7, 0.3))
+
+
+def test_perplexity_buckets_per_language_isolates_small_language(spark):
+    """CCNet's per-language form: a minority language whose tokens are
+    rare under the mixed corpus LM still gets its own head/middle/tail
+    split instead of landing wholesale in the global tail."""
+    from storage_spark.operators.pipeline import perplexity_buckets
+
+    # 12 english docs with spread fluency + 6 german docs (rare tokens
+    # under the mixed LM -> globally high NLL)
+    rows = [(i, "the of and to a word " * (i % 4 + 1) + f"uniq{i}" * (i % 3))
+            for i in range(12)]
+    rows += [(100 + i, "der die das und zu " * (i % 3 + 1) + f"sel{i}" * (i % 2))
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(docs, per_language=True).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["bucket"])
+    assert set(by_lang) == {"en", "de"}
+    # each language gets its own head (the global split would push all
+    # german rows toward the tail)
+    assert "head" in by_lang["de"]
+    assert "head" in by_lang["en"]
+    # within each language, ordering still holds
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], []).append((r["nll_1e4"], r["bucket"]))
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, pairs in per.items():
+        for a, ab in pairs:
+            for b, bb in pairs:
+                if a < b:
+                    assert order[ab] <= order[bb]
