@@ -471,14 +471,31 @@ def q_meta_filter_in_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: Edge-case path names the synthetic objects table (every name ends
+#: '.txt') cannot exercise: dot-less filename (extension() returns the WHOLE
+#: filename per 0060:4-20), trailing dot, leading-dot, multi-dot. Unioned as
+#: literal rows into the path_functions driver row so the oracle gate covers
+#: the reference-parity edge cases, not just the happy path.
+_PATH_EDGE_NAMES = [
+    "README",
+    "docs/README",
+    "notes.",
+    ".gitignore",
+    "a/archive.tar.gz",
+]
+
+
 def q_path_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.functions import paths
 
     t = _t(spark, sf_dir)
+    edge = spark.createDataFrame([(n,) for n in _PATH_EDGE_NAMES], "name string")
     n = F.col("name")
     return (
         t["objects"]
         .filter(F.col("bucket_id") == "Brand#13")
+        .select("name")
+        .unionByName(edge)
         .select(
             "name",
             paths.foldername(n).alias("folder"),
@@ -4663,14 +4680,21 @@ WHERE json_extract_string(props, '$.k') IN ('1', '2', '3', '4', '5')
 ORDER BY event_id
 """),
         "path_functions": _o("""
+, names AS (
+  SELECT name FROM objects WHERE bucket_id = 'Brand#13'
+  UNION ALL
+  SELECT * FROM (VALUES ('README'), ('docs/README'), ('notes.'),
+                        ('.gitignore'), ('a/archive.tar.gz')) AS edge(name)
+)
 SELECT name,
        CASE WHEN instr(name, '/') = 0 THEN ''
             ELSE regexp_replace(name, '/[^/]*$', '') END AS folder,
        regexp_extract(name, '[^/]*$') AS file,
-       CASE WHEN instr(regexp_extract(name, '[^/]*$'), '.') > 0
-            THEN regexp_extract(name, '[^.]*$') ELSE '' END AS ext,
+       -- the reference's own formula, 0060-optimize-existing-functions-again
+       -- .sql:4-20: dot-less filenames return the WHOLE filename
+       reverse(split_part(reverse(regexp_extract(name, '[^/]*$')), '.', 1)) AS ext,
        len(str_split(name, '/')) AS level
-FROM objects WHERE bucket_id = 'Brand#13'
+FROM names
 """),
         "prefix_derivation": _o("""
 SELECT DISTINCT array_to_string(list_slice(str_split(name, '/'), 1, lvl), '/') AS prefix

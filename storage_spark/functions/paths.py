@@ -1,7 +1,9 @@
 """Path algebra — Column-expression ports of the reference's plpgsql helpers.
 
 Reference sites (all under /root/reference/migrations/tenant/):
-- foldername/filename/extension  0002-storage-schema.sql:85-123
+- foldername/filename/extension  0002-storage-schema.sql:85-123 (current
+  forms re-stated by 0060-optimize-existing-functions-again.sql:4-55 and
+  0061-mark-filename-immutable.sql — same semantics, IMMUTABLE markers)
 - get_level                      0026-objects-prefixes.sql:6
 - get_prefixes (ancestor paths)  0026-objects-prefixes.sql:37-57
 - get_common_prefix              0050-search-v2-optimised.sql:31-42
@@ -41,10 +43,15 @@ def filename(name: Column) -> Column:
 
 
 def extension(name: Column) -> Column:
-    """Substring after the last '.' of the filename; '' if none
-    (0002-storage-schema.sql:85-92)."""
-    fn = filename(name)
-    return F.when(fn.contains("."), F.substring_index(fn, ".", -1)).otherwise(F.lit(""))
+    """Substring after the last '.' of the filename — the WHOLE filename when
+    it has no dot, '' for a trailing dot. Matches the reference's
+    ``reverse(split_part(reverse(filename), '.', 1))`` exactly
+    (0002-storage-schema.sql:109-122; re-affirmed by
+    0060-optimize-existing-functions-again.sql:4-20): ``extension('README')
+    = 'README'``, ``extension('a.') = ''``, ``extension('.gitignore') =
+    'gitignore'``. ``substring_index(fn, '.', -1)`` has identical semantics
+    (returns the whole string when the delimiter is absent)."""
+    return F.substring_index(filename(name), ".", -1)
 
 
 def get_prefixes(name: Column) -> Column:

@@ -28,8 +28,9 @@ def py_filename(name):
 
 
 def py_extension(name):
-    fn = py_filename(name)
-    return fn.rsplit(".", 1)[-1] if "." in fn else ""
+    # reference semantics (0060:4-20): reverse/split_part/reverse — the whole
+    # filename when there is no dot, '' for a trailing dot
+    return py_filename(name).rsplit(".", 1)[-1]
 
 
 def py_prefixes(name):
