@@ -157,6 +157,45 @@ def q_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_merge([a, b], [F.col("name").asc()], 20)
 
 
+def q_search_v1_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy search-v1 (0056-fix-optimized-search-function.sql): merged
+    folder+file page at the bucket root, offset pagination over the merged
+    traversal-order stream."""
+    from storage_spark.operators.listing import search_objects_v1
+
+    t = _t(spark, sf_dir)
+    return search_objects_v1(
+        t["objects"], bucket_id="Brand#13", levels=1, limit=30, offset=5
+    )
+
+
+def q_search_v1_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search-v1's case-INSENSITIVE ``search`` parameter (0056:61-62,86,102;
+    index 0051): a lowercase search term matches the uppercase p_type
+    segments, and the returned folder names preserve the ORIGINAL case (the
+    0056 header's case-preservation fix)."""
+    from storage_spark.operators.listing import search_objects_v1
+
+    t = _t(spark, sf_dir)
+    return search_objects_v1(
+        t["objects"], bucket_id="Brand#13", prefix="", search="promo",
+        levels=1, limit=100,
+    )
+
+
+def q_search_v1_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search-v1's non-name sort fallback (0056:82-110): folders block
+    (DISTINCT segment, name-ordered) first, then files ordered by the sort
+    column, LIMIT over the concatenation."""
+    from storage_spark.operators.listing import search_objects_v1
+
+    t = _t(spark, sf_dir)
+    return search_objects_v1(
+        t["objects"], bucket_id="Brand#13", levels=1, limit=40,
+        sort_column="updated_at_ms", sort_desc=True,
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregations (A1, A2, A6, A8) and joins (J2, J3, J5)
 # --------------------------------------------------------------------------
@@ -4404,6 +4443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_queries_parity.py) re-proves the whole registry on
     # current code every session.
     return {
+        # ---- r9 net-new entries (never recorded — lead the window) ----
+        "search_v1_hybrid": q_search_v1_hybrid,
+        "search_v1_ci": q_search_v1_ci,
+        "search_v1_sorted": q_search_v1_sorted,
         # never-driver-recorded queue (r7 over-cap debut, 14 rows):
         "vector_sq8": q_vector_sq8,
         "vector_ivfsq": q_vector_ivfsq,
@@ -4594,6 +4637,91 @@ SELECT name FROM (
     SELECT name FROM objects WHERE bucket_id = 'Brand#22' ORDER BY name LIMIT 20
   )
 ) ORDER BY name LIMIT 20
+"""),
+        "search_v1_hybrid": _o("""
+, src AS (
+  SELECT name, id, size, created_at_ms, updated_at_ms, mimetype,
+         lower(name) AS lname
+  FROM objects WHERE bucket_id = 'Brand#13'
+),
+tagged AS (
+  SELECT *, CASE WHEN instr(lname, '/') > 0
+                 THEN substr(lname, 1, instr(lname, '/')) END AS cp
+  FROM src
+),
+folders AS (
+  SELECT split_part(rtrim(substr((list(name ORDER BY lname, name))[1],
+                                 1, length(cp)), '/'), '/', 1) AS name,
+         CAST(NULL AS STRING) AS id, CAST(NULL AS BIGINT) AS size,
+         CAST(NULL AS BIGINT) AS created_at_ms,
+         CAST(NULL AS BIGINT) AS updated_at_ms,
+         CAST(NULL AS STRING) AS mimetype,
+         cp AS skey, '' AS tie
+  FROM tagged WHERE cp IS NOT NULL GROUP BY cp
+),
+files AS (
+  SELECT split_part(name, '/', 1) AS name, id, size, created_at_ms,
+         updated_at_ms, mimetype, lname AS skey, name AS tie
+  FROM tagged WHERE cp IS NULL
+)
+SELECT name, id, size, created_at_ms, updated_at_ms, mimetype
+FROM (SELECT * FROM folders UNION ALL SELECT * FROM files)
+ORDER BY skey, tie LIMIT 30 OFFSET 5
+"""),
+        "search_v1_ci": _o("""
+, src AS (
+  SELECT name, id, size, created_at_ms, updated_at_ms, mimetype,
+         lower(name) AS lname
+  FROM objects
+  WHERE bucket_id = 'Brand#13' AND lower(name) LIKE 'promo%'
+),
+tagged AS (
+  SELECT *, CASE WHEN instr(substr(lname, 6), '/') > 0
+                 THEN substr(lname, 1, 5 + instr(substr(lname, 6), '/')) END AS cp
+  FROM src
+),
+folders AS (
+  SELECT split_part(rtrim(substr((list(name ORDER BY lname, name))[1],
+                                 1, length(cp)), '/'), '/', 1) AS name,
+         CAST(NULL AS STRING) AS id, CAST(NULL AS BIGINT) AS size,
+         CAST(NULL AS BIGINT) AS created_at_ms,
+         CAST(NULL AS BIGINT) AS updated_at_ms,
+         CAST(NULL AS STRING) AS mimetype,
+         cp AS skey, '' AS tie
+  FROM tagged WHERE cp IS NOT NULL GROUP BY cp
+),
+files AS (
+  SELECT split_part(name, '/', 1) AS name, id, size, created_at_ms,
+         updated_at_ms, mimetype, lname AS skey, name AS tie
+  FROM tagged WHERE cp IS NULL
+)
+SELECT name, id, size, created_at_ms, updated_at_ms, mimetype
+FROM (SELECT * FROM folders UNION ALL SELECT * FROM files)
+ORDER BY skey, tie LIMIT 100
+"""),
+        "search_v1_sorted": _o("""
+, src AS (
+  SELECT name, id, size, created_at_ms, updated_at_ms, mimetype,
+         str_split(name, '/') AS t
+  FROM objects WHERE bucket_id = 'Brand#13'
+),
+folders AS (
+  SELECT DISTINCT t[1] AS name, CAST(NULL AS STRING) AS id,
+         CAST(NULL AS BIGINT) AS size, CAST(NULL AS BIGINT) AS created_at_ms,
+         CAST(NULL AS BIGINT) AS updated_at_ms, CAST(NULL AS STRING) AS mimetype,
+         0 AS branch, t[1] AS k1, CAST(NULL AS BIGINT) AS k2,
+         CAST(NULL AS STRING) AS tie
+  FROM src WHERE len(t) <> 1
+),
+files AS (
+  SELECT t[1] AS name, id, size, created_at_ms, updated_at_ms, mimetype,
+         1 AS branch, CAST(NULL AS STRING) AS k1,
+         coalesce(updated_at_ms, 0) AS k2, name AS tie
+  FROM src WHERE len(t) = 1
+)
+SELECT name, id, size, created_at_ms, updated_at_ms, mimetype
+FROM (SELECT * FROM folders UNION ALL SELECT * FROM files)
+ORDER BY branch ASC, k1 DESC, k2 DESC, tie DESC LIMIT 40
 """),
         "bucket_usage": _o("""
 SELECT bucket_id, CAST(sum(size) AS BIGINT) AS total_size, count(*) AS n_objects

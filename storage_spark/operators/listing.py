@@ -219,6 +219,141 @@ def search_by_timestamp(
     return out
 
 
+def search_objects_v1(
+    objects: DataFrame,
+    bucket_id: str | None,
+    prefix: str = "",
+    search: str = "",
+    levels: int = 1,
+    delimiter: str = "/",
+    limit: int | None = 100,
+    offset: int = 0,
+    sort_column: str = "name",
+    sort_desc: bool = False,
+) -> DataFrame:
+    """Legacy search-v1 with the **case-insensitive ``search`` continuation
+    parameter** — the dashboard search box (0056-fix-optimized-search-
+    function.sql; index 0051-index-backward-compatible-search.sql:4-5).
+
+    Reference semantics, name sort (0056:61-62,86,102 + main loop):
+    ``search`` is appended to ``prefix`` and the combined string matches
+    case-INSENSITIVELY (``objects.name ILIKE prefix||search||'%'``, executed
+    as a ``lower(name) COLLATE "C"`` range). Folder grouping runs over
+    ``lower(name)``, but the DISPLAYED folder keeps the ORIGINAL case of the
+    first object encountered in traversal order (the 0056 header's
+    case-preservation fix: ``get_common_prefix(v_peek_name, v_prefix)``).
+    Both folders and files emit path segment #``levels`` via ``split_part``;
+    folder rows carry NULL metadata. LIMIT is capped at 1500 (0056:60);
+    OFFSET skips merged folder+file rows in traversal order.
+
+    The reference's hybrid peek/batch skip-scan loop exists to serve one
+    page from a B-tree; its *result* is this one declarative plan: filter →
+    lowercase common prefix → folders groupBy (min/max-by picks the
+    case-preserving representative) → union files → sort by lowercase key.
+
+    Non-name sorts use the reference's path_tokens fallback (0056:82-110):
+    folders = DISTINCT segment #levels of deeper rows ordered by name, files
+    = rows at exactly ``levels`` ordered by ``sort_column``, folders block
+    first, LIMIT/OFFSET over the concatenation.
+    """
+    import re
+
+    full = (prefix or "") + (search or "")
+    fl = full.lower()
+    if limit is not None:
+        limit = min(limit, 1500)
+    df = objects
+    if bucket_id is not None:
+        df = df.filter(F.col("bucket_id") == bucket_id)
+    if fl:
+        # ILIKE fl||'%' as a sargable range over lower(name) — same rewrite
+        # the reference's 0051 expression index serves
+        df = df.filter(prefix_range_filter(F.lower(F.col("name")), fl))
+
+    if sort_column != "name":
+        # path_tokens fallback: PG's path_tokens[$1] yields NULL past the
+        # array end — F.get (0-based) has the same contract
+        toks = F.split(F.col("name"), re.escape(delimiter))
+        depth = F.size(toks)
+        seg = F.get(toks, levels - 1)
+        null_meta = [
+            F.lit(None).cast("string").alias("id"),
+            F.lit(None).cast("bigint").alias("size"),
+            F.lit(None).cast("bigint").alias("created_at_ms"),
+            F.lit(None).cast("bigint").alias("updated_at_ms"),
+            F.lit(None).cast("string").alias("mimetype"),
+        ]
+        folders = (
+            df.filter(depth != levels)
+            .select(seg.alias("name"))
+            .distinct()
+            .select("name", *null_meta, F.lit(0).alias("_branch"))
+        )
+        key = F.coalesce(F.col(sort_column), F.lit(0))
+        files = df.filter(depth == levels).select(
+            seg.alias("name"), "id", "size", "created_at_ms",
+            "updated_at_ms", "mimetype", F.lit(1).alias("_branch"),
+        )
+        out = folders.unionByName(files)
+        # folders block first (0056:93-108's UNION ALL order), each block
+        # internally ordered by its own key; constant-within-block keys make
+        # one composite sort equivalent to the two block sorts
+        k_folder = F.when(F.col("_branch") == 0, F.col("name"))
+        k_file = F.when(F.col("_branch") == 1, key)
+        tie = F.when(F.col("_branch") == 1, F.col("name"))
+        order = [F.col("_branch").asc()] + [
+            c.desc() if sort_desc else c.asc() for c in (k_folder, k_file, tie)
+        ]
+        out = out.orderBy(*order).drop("_branch")
+    else:
+        lname = F.lower(F.col("name"))
+        loc = F.locate(delimiter, lname, len(fl) + 1)
+        cp = F.when(loc > 0, F.substring(lname, 1, loc + len(delimiter) - 1))
+        tagged = df.select(
+            "name", "id", "size", "created_at_ms", "updated_at_ms", "mimetype",
+            lname.alias("_lname"), cp.alias("_cp"),
+        )
+        # case-preserving representative: the first row of the folder range
+        # in traversal order (ASC: min lower-name; DESC: the top-end peek)
+        rep_agg = (F.max if sort_desc else F.min)(F.struct("_lname", "name"))
+        disp = F.substring(F.col("_rep.name"), 1, F.length(F.col("_cp")))
+        folder_name = F.split_part(
+            F.regexp_replace(disp, re.escape(delimiter) + "+$", ""),
+            F.lit(delimiter), F.lit(levels),
+        )
+        folders = (
+            tagged.filter(F.col("_cp").isNotNull())
+            .groupBy("_cp")
+            .agg(rep_agg.alias("_rep"))
+            .select(
+                folder_name.alias("name"),
+                F.lit(None).cast("string").alias("id"),
+                F.lit(None).cast("bigint").alias("size"),
+                F.lit(None).cast("bigint").alias("created_at_ms"),
+                F.lit(None).cast("bigint").alias("updated_at_ms"),
+                F.lit(None).cast("string").alias("mimetype"),
+                F.col("_cp").alias("_key"),
+                F.lit("").alias("_tie"),
+            )
+        )
+        files = tagged.filter(F.col("_cp").isNull()).select(
+            F.split_part(F.col("name"), F.lit(delimiter), F.lit(levels)).alias("name"),
+            "id", "size", "created_at_ms", "updated_at_ms", "mimetype",
+            F.col("_lname").alias("_key"), F.col("name").alias("_tie"),
+        )
+        out = folders.unionByName(files)
+        order = [
+            F.col("_key").desc() if sort_desc else F.col("_key").asc(),
+            F.col("_tie").desc() if sort_desc else F.col("_tie").asc(),
+        ]
+        out = out.orderBy(*order).drop("_key", "_tie")
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
 def top_k_merge(branches: list[DataFrame], order: list[Column], k: int) -> DataFrame:
     """O3 sorted-merge top-k: per-branch LIMIT k, UNION ALL, global top-k —
     search_v2's two-branch plan (0027-search-v2.sql:20-57). Catalyst lowers
