@@ -457,6 +457,48 @@ def q_rls_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rls_operation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operation-aware RLS (0058-operation-ergonomics.sql:4-57 +
+    0024-operation-function.sql): policies gate on the per-request
+    ``storage.operation`` GUC via allow_only/any_operation, with the
+    'storage.' prefix normalized on BOTH sides. Two request contexts are
+    evaluated — a prefixed current op against unprefixed expected ops
+    (select under 'storage.object.list') and an unprefixed current op
+    against a prefixed expected ('object.delete' vs
+    allow_only_operation('storage.object.delete'))."""
+    from storage_spark.operators.rls import Claims, Policy, apply_policies
+
+    t = _t(spark, sf_dir)
+    policies = [
+        Policy(name="own", table="objects", roles=("authenticated",),
+               permissions=("select", "delete"), using="owner_id = '{{uid}}'"),
+        Policy(name="png_on_list", table="objects", roles=("authenticated",),
+               permissions=("select",),
+               using="mimetype = 'image/png'"
+                     " AND allow_any_operation('object.list', 'object.get')"),
+        Policy(name="delete_via_api", table="objects", roles=("authenticated",),
+               permissions=("delete",),
+               using="bucket_id = 'Brand#22'"
+                     " AND allow_only_operation('storage.object.delete')"),
+    ]
+    sel = apply_policies(
+        t["objects"], policies,
+        Claims(sub="user-3", role="authenticated", operation="storage.object.list"),
+        "objects", "select",
+    )
+    dele = apply_policies(
+        t["objects"], policies,
+        Claims(sub="user-3", role="authenticated", operation="object.delete"),
+        "objects", "delete",
+    )
+    agg = lambda df, mode: (  # noqa: E731
+        df.groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(mode).alias("mode"), "bucket_id", "n")
+    )
+    return agg(sel, "select_list").unionByName(agg(dele, "delete_api"))
+
+
 # --------------------------------------------------------------------------
 # jsonb metadata filter DSL (F9) — compiled to Column over events.props
 # --------------------------------------------------------------------------
@@ -4447,6 +4489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_v1_hybrid": q_search_v1_hybrid,
         "search_v1_ci": q_search_v1_ci,
         "search_v1_sorted": q_search_v1_sorted,
+        "rls_operation": q_rls_operation,
         # never-driver-recorded queue (r7 over-cap debut, 14 rows):
         "vector_sq8": q_vector_sq8,
         "vector_ivfsq": q_vector_ivfsq,
@@ -4974,6 +5017,31 @@ SELECT o.bucket_id, count(*) AS n
 FROM objects o JOIN buckets b ON b.id = o.bucket_id
 WHERE b.public OR o.owner_id = 'user-3'
 GROUP BY o.bucket_id
+"""),
+        "rls_operation": _o("""
+, modes AS (
+  SELECT 'select_list' AS mode, 'storage.object.list' AS raw_op
+  UNION ALL SELECT 'delete_api', 'object.delete'
+),
+norm AS (
+  -- 0058:13-22 normalization, replayed in SQL: strip a leading 'storage.'
+  -- from the CURRENT operation; expected literals normalize the same way
+  SELECT mode, CASE WHEN raw_op LIKE 'storage.%' THEN substr(raw_op, 9)
+                    ELSE raw_op END AS cur
+  FROM modes
+),
+vis AS (
+  SELECT n.mode, o.bucket_id
+  FROM objects o CROSS JOIN norm n
+  WHERE o.owner_id = 'user-3'
+     OR (n.mode = 'select_list' AND o.mimetype = 'image/png'
+         AND n.cur IN ('object.list', 'object.get'))
+     OR (n.mode = 'delete_api' AND o.bucket_id = 'Brand#22'
+         AND n.cur = CASE WHEN 'storage.object.delete' LIKE 'storage.%'
+                          THEN substr('storage.object.delete', 9)
+                          ELSE 'storage.object.delete' END)
+)
+SELECT mode, bucket_id, count(*) AS n FROM vis GROUP BY mode, bucket_id
 """),
         "catalog_backfill": _o("""
 SELECT CAST(o.id AS STRING) AS table_id, o.bucket_id AS bucket_name,

@@ -10,6 +10,7 @@ before any operator runs. Semantically identical, trivially testable.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -18,10 +19,15 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Claims:
-    """The subset of JWT claims the reference's policies consult."""
+    """The subset of per-request context the reference's policies consult:
+    JWT claims plus the transaction-local ``storage.operation`` GUC the API
+    sets on every request (src/internal/database/pg-connection.ts:65-74,
+    ``set_config('storage.operation', $9, true)``; read back by
+    storage.operation(), 0024-operation-function.sql:1-6)."""
 
     sub: str | None = None
     role: str = "anon"  # anon | authenticated | service_role
+    operation: str | None = None  # e.g. 'storage.object.delete'
 
 
 def apply_rls_objects(
@@ -68,9 +74,61 @@ def _sql_quote(v: str) -> str:
     return v.replace("\\", "\\\\").replace("'", "''")
 
 
+def _normalize_operation(op: str | None) -> str | None:
+    """0058-operation-ergonomics.sql:13-22: a leading ``storage.`` prefix is
+    stripped from BOTH sides before comparison, so policies may name the
+    operation either way ('storage.object.delete' ≡ 'object.delete')."""
+    if op is not None and op.startswith("storage."):
+        return op[len("storage."):]
+    return op
+
+
+def allow_only_operation(expected: str | None, claims: Claims) -> bool:
+    """Port of storage.allow_only_operation (0058:4-29): FALSE for a
+    NULL/empty expected operation; otherwise prefix-normalized equality with
+    the current operation, NULL-safe (no current operation → FALSE)."""
+    if not expected:
+        return False
+    cur = _normalize_operation(claims.operation)
+    return cur is not None and cur == _normalize_operation(expected)
+
+
+def allow_any_operation(expected: list[str | None], claims: Claims) -> bool:
+    """Port of storage.allow_any_operation (0058:31-57): TRUE iff the
+    current operation prefix-normalizes equal to ANY non-empty entry."""
+    return any(allow_only_operation(e, claims) for e in expected)
+
+
+_ONLY_OP_RE = re.compile(r"allow_only_operation\(\s*'([^']*)'\s*\)")
+_ANY_OP_RE = re.compile(r"allow_any_operation\(\s*((?:'[^']*'\s*,\s*)*'[^']*')\s*\)")
+
+
 def _compile(template: str, claims: Claims):
+    """Bind per-request context into a policy predicate. Like the reference,
+    the operation is constant for the whole request (a transaction-local
+    GUC), so ``storage.operation()`` and the 0058 helpers fold to literals
+    at compile time — Catalyst would constant-fold them anyway; folding here
+    keeps the residual predicate sargable."""
     uid = _sql_quote(claims.sub or "")
     sql = template.replace("{{uid}}", uid).replace("auth.uid()", f"'{uid}'")
+    if "operation" in sql:
+        sql = _ONLY_OP_RE.sub(
+            lambda m: "TRUE" if allow_only_operation(m.group(1), claims) else "FALSE",
+            sql,
+        )
+
+        def _any(m) -> str:
+            ops = re.findall(r"'([^']*)'", m.group(1))
+            return "TRUE" if allow_any_operation(list(ops), claims) else "FALSE"
+
+        sql = _ANY_OP_RE.sub(_any, sql)
+        op_lit = (
+            "'" + _sql_quote(claims.operation) + "'"
+            if claims.operation is not None
+            else "CAST(NULL AS STRING)"
+        )
+        # storage.operation() returns the RAW GUC (0024:1-6), unnormalized
+        sql = sql.replace("storage.operation()", op_lit)
     return F.expr(sql)
 
 

@@ -132,3 +132,105 @@ def test_anon_cannot_insert(spark, obj_rows):
         obj_rows, POLICIES, Claims(sub=None, role="anon"), "objects"
     )
     assert allowed.count() == 0 and rejected.count() == 4
+
+
+# --------------------------------------------------------------------------
+# Operation-aware policies (0058-operation-ergonomics.sql +
+# 0024-operation-function.sql: the API sets storage.operation per request,
+# pg-connection.ts:65-74; policies gate on it)
+# --------------------------------------------------------------------------
+
+OP_POLICIES = POLICIES + [
+    Policy(
+        name="delete_own_via_api_only",
+        table="objects",
+        roles=("authenticated",),
+        permissions=("delete",),
+        using="owner_id = '{{uid}}' AND allow_only_operation('storage.object.delete')",
+    ),
+    Policy(
+        name="upload_ops_see_public",
+        table="objects",
+        roles=("authenticated",),
+        permissions=("select",),
+        using="public = true AND allow_any_operation('object.upload', 'storage.object.copy')",
+    ),
+    Policy(
+        name="raw_operation_probe",
+        table="objects",
+        roles=("authenticated",),
+        permissions=("probe",),
+        using="storage.operation() = 'storage.object.list'",
+    ),
+]
+
+
+def test_operation_gated_delete(spark, obj_rows):
+    # matching operation (prefix-normalized both ways, 0058:13-22)
+    for op in ("storage.object.delete", "object.delete"):
+        out = apply_policies(
+            obj_rows, OP_POLICIES,
+            Claims(sub="u1", role="authenticated", operation=op),
+            "objects", "delete",
+        )
+        assert {r.name for r in out.collect()} == {"o1", "o2"}, op
+    # wrong or missing operation -> default deny
+    for op in ("storage.object.upload", None):
+        out = apply_policies(
+            obj_rows, OP_POLICIES,
+            Claims(sub="u1", role="authenticated", operation=op),
+            "objects", "delete",
+        )
+        assert out.count() == 0, op
+
+
+def test_allow_any_operation_list(spark, obj_rows):
+    base = {"o1", "o2", "o4"}  # own + public from the non-op policies
+    for op, extra in (
+        ("storage.object.upload", {"o2", "o4"}),
+        ("object.copy", {"o2", "o4"}),
+        ("storage.object.delete", set()),
+    ):
+        out = apply_policies(
+            obj_rows, OP_POLICIES,
+            Claims(sub="u1", role="authenticated", operation=op),
+            "objects", "select",
+        )
+        assert {r.name for r in out.collect()} == base | extra, op
+
+
+def test_raw_operation_function_is_unnormalized(spark, obj_rows):
+    # storage.operation() returns the RAW GUC (0024:1-6): the short form
+    # does NOT match a policy comparing against the 'storage.'-prefixed raw
+    hit = apply_policies(
+        obj_rows, OP_POLICIES,
+        Claims(sub="u1", role="authenticated", operation="storage.object.list"),
+        "objects", "probe",
+    )
+    assert hit.count() == 4
+    miss = apply_policies(
+        obj_rows, OP_POLICIES,
+        Claims(sub="u1", role="authenticated", operation="object.list"),
+        "objects", "probe",
+    )
+    assert miss.count() == 0
+
+
+def test_empty_expected_operation_is_false(spark, obj_rows):
+    pol = [Policy(name="p", table="objects", roles=("authenticated",),
+                  permissions=("select",), using="allow_only_operation('')")]
+    out = apply_policies(
+        obj_rows, pol,
+        Claims(sub="u1", role="authenticated", operation="x"),
+        "objects", "select",
+    )
+    assert out.count() == 0  # 0058:24-25: NULL/empty expected -> FALSE
+
+
+def test_operation_in_claims_cannot_inject(spark, obj_rows):
+    out = apply_policies(
+        obj_rows, OP_POLICIES,
+        Claims(sub="u1", role="authenticated", operation="x' OR '1'='1"),
+        "objects", "probe",
+    )
+    assert out.count() == 0
