@@ -393,7 +393,11 @@ def q_multipart_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, _, assembled = complete_multipart_upload(
         t["multipart_uploads"], t["multipart_parts"], t["objects"], "up-100"
     )
-    return assembled.select("upload_id", "name", "size", "n_parts", "etag")
+    # metadata: the 0057 upload-scoped jsonb, read back at complete time
+    # (s3-handler.ts:500-508) — up-100 (orderkey 100 ≡ 0 mod 100) carries one
+    return assembled.select(
+        "upload_id", "name", "size", "n_parts", "etag", "metadata"
+    )
 
 
 def q_multipart_part_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4963,10 +4967,11 @@ ORDER BY u.id LIMIT 200
 SELECT u.id AS upload_id, u.key AS name, CAST(sum(p.size) AS BIGINT) AS size,
        count(*) AS n_parts,
        md5(string_agg(p.etag, '' ORDER BY p.part_number))
-         || '-' || CAST(count(*) AS STRING) AS etag
+         || '-' || CAST(count(*) AS STRING) AS etag,
+       u.metadata
 FROM multipart_uploads u JOIN multipart_parts p ON p.upload_id = u.id
 WHERE u.id = 'up-100'
-GROUP BY u.id, u.key
+GROUP BY u.id, u.key, u.metadata
 """),
         "multipart_part_copy": _o("""
 , resolved AS (

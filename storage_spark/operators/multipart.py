@@ -88,17 +88,25 @@ def create_multipart_upload(
     version: str = "v1",
     owner_id: str | None = None,
     created_at_ms: int = 0,
+    metadata: str | None = None,
 ) -> DataFrame:
     """CreateMultipartUpload (pg.ts:1455-1495): INSERT with
-    in_progress_size = 0; id collision is an error (PRIMARY KEY)."""
+    in_progress_size = 0; id collision is an error (PRIMARY KEY).
+    ``metadata`` is the upload-scoped jsonb added by
+    0057-s3-multipart-uploads-metadata.sql (NULL allowed), stored on the
+    upload row and read back at complete time (s3-handler.ts:500-508)."""
     from storage_spark.operators.mutations import create_rows
 
     spark = uploads.sparkSession
     row = spark.createDataFrame(
-        [(upload_id, bucket_id, key, version, 0, owner_id, created_at_ms)],
+        [(upload_id, bucket_id, key, version, 0, owner_id, created_at_ms,
+          metadata)],
         "id string, bucket_id string, key string, version string,"
-        " in_progress_size bigint, owner_id string, created_at_ms bigint",
+        " in_progress_size bigint, owner_id string, created_at_ms bigint,"
+        " metadata string",
     )
+    # select(*uploads.columns) keeps this compatible with pre-0057 upload
+    # tables that lack the metadata column
     return create_rows(uploads, row.select(*uploads.columns), ["id"])
 
 
@@ -332,6 +340,10 @@ def complete_multipart_upload(
                 F.col("id").alias("upload_id"), "bucket_id",
                 F.col("key").alias("name"), "version", "owner_id",
                 "created_at_ms",
+                # 0057 upload-scoped metadata rides along to the RETURNING
+                # row (findMultipartUpload('…,metadata') at complete time,
+                # s3-handler.ts:500-508); absent on pre-0057 tables
+                *(["metadata"] if "metadata" in uploads.columns else []),
             ),
             "upload_id",
         )

@@ -36,6 +36,16 @@ class NoSuchKeyError(Exception):
     """Source row absent where the reference raises NoSuchKey."""
 
 
+class DirectDeleteError(Exception):
+    """Engine analogue of 0055-prevent-direct-deletes.sql: the reference's
+    protect_delete() trigger raises 42501 on any DELETE unless the
+    transaction-local ``storage.allow_delete_query`` GUC is 'true' — which
+    the API sets on every request (pg-connection.ts scopeConfigSetters).
+    Here the flag is the ``api_mediated`` parameter: operator callers (the
+    API path) leave it True; ad-hoc jobs deleting rows directly must assert
+    it explicitly, making accidental bulk deletes a deliberate act."""
+
+
 def merge_upsert(
     target: DataFrame, updates: DataFrame, keys: list[str]
 ) -> DataFrame:
@@ -73,11 +83,18 @@ def create_rows(target: DataFrame, new_rows: DataFrame, keys: list[str]) -> Data
 
 
 def merge_delete(
-    target: DataFrame, probe: DataFrame, keys: list[str]
+    target: DataFrame, probe: DataFrame, keys: list[str],
+    api_mediated: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """M4/M5: returns ``(remaining, deleted)``. ``deleted`` is the
     RETURNING-parity set (semi-join), computed from the same snapshot as the
-    anti-join remainder."""
+    anti-join remainder. ``api_mediated=False`` raises DirectDeleteError —
+    the 0055 protect_delete() trigger's guard against direct deletes."""
+    if not api_mediated:
+        raise DirectDeleteError(
+            "Direct deletion from storage tables is not allowed."
+            " Use the Storage API instead."
+        )
     deleted = target.join(probe.select(*keys), keys, "left_semi")
     remaining = target.join(probe.select(*keys), keys, "left_anti")
     return remaining, deleted

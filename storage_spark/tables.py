@@ -97,7 +97,10 @@ SELECT
   'v1' AS version,
   CAST(round(o_totalprice * 100) AS BIGINT) AS in_progress_size,
   'user-' || CAST(o_custkey % 10 AS STRING) AS owner_id,
-  1704067200000 + o_orderkey * 1000 AS created_at_ms
+  1704067200000 + o_orderkey * 1000 AS created_at_ms,
+  CASE WHEN o_orderkey % 100 = 0
+       THEN '{"client":"cli","trace":"' || CAST(o_orderkey AS STRING) || '"}'
+  END AS metadata
 FROM orders WHERE o_orderkey % 50 = 0
 """
 

@@ -284,3 +284,48 @@ def test_upload_part_copy_unknown_upload_is_no_such_upload(
     reasons = {r.part_number: r.reason for r in failed.collect()}
     assert reasons == {1: "NO_SUCH_UPLOAD", 2: "NO_SUCH_UPLOAD"}
     assert [r.part_number for r in parts2.collect()] == [3]
+
+
+# --------------------------------------------------------------------------
+# 0057 metadata column + 0055 direct-delete guard
+# --------------------------------------------------------------------------
+
+UPLOAD_SCHEMA_META = UPLOAD_SCHEMA + ", metadata string"
+
+
+def test_create_carries_metadata_and_complete_returns_it(spark):
+    uploads = spark.createDataFrame([], UPLOAD_SCHEMA_META)
+    parts = spark.createDataFrame([], PART_SCHEMA)
+    up1 = create_multipart_upload(
+        uploads, "up-m", "b1", "dir/m.bin", metadata='{"client":"cli"}'
+    )
+    assert up1.first()["metadata"] == '{"client":"cli"}'
+    batch = spark.createDataFrame([("up-m", 1, 10, "e1", 1001)], PART_SCHEMA)
+    up2, parts2, _ = upload_parts(up1, parts, batch, max_file_size=10000)
+    objects = spark.createDataFrame(
+        [],
+        "id string, bucket_id string, name string, size bigint,"
+        " created_at_ms bigint, updated_at_ms bigint, owner_id string,"
+        " version string, mimetype string",
+    )
+    _, _, _, assembled = complete_multipart_upload(up2, parts2, objects, "up-m")
+    assert assembled.first()["metadata"] == '{"client":"cli"}'
+
+
+def test_pre_0057_uploads_table_still_works(spark, uploads):
+    # metadata param silently dropped when the table lacks the column
+    out = create_multipart_upload(
+        uploads, "up-z", "b1", "z.bin", metadata='{"x":1}'
+    )
+    assert "metadata" not in out.columns and out.count() == 2
+
+
+def test_direct_delete_guard(spark):
+    from storage_spark.operators.mutations import DirectDeleteError, merge_delete
+
+    target = spark.createDataFrame([("b1", "n1")], "bucket_id string, name string")
+    probe = spark.createDataFrame([("b1", "n1")], "bucket_id string, name string")
+    remaining, deleted = merge_delete(target, probe, ["bucket_id", "name"])
+    assert remaining.count() == 0 and deleted.count() == 1
+    with pytest.raises(DirectDeleteError):
+        merge_delete(target, probe, ["bucket_id", "name"], api_mediated=False)
