@@ -3116,6 +3116,40 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022, arXiv:2107.06499): merged
+    per-doc spans of ≥10 tokens duplicated verbatim in ≥2 distinct docs —
+    rolling shingle inverted index + per-doc gaps-and-islands merge."""
+    from storage_spark.operators.dedup import exact_substring_spans
+
+    t = _t(spark, sf_dir)
+    return exact_substring_spans(t["documents"], k=10).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def q_substring_dedup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal pass: every copy of a duplicated run dropped,
+    survivors re-joined — audited as (doc, tokens removed, md5 of the
+    cleaned text) so the full reconstruction is under the hash gate."""
+    from storage_spark.operators.dedup import (
+        exact_substring_spans,
+        strip_duplicate_spans,
+    )
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    spans = exact_substring_spans(docs, k=10)
+    return (
+        strip_duplicate_spans(docs, spans)
+        .select(
+            "doc_id", "n_tokens_removed", F.md5(F.col("text")).alias("clean_md5")
+        )
+        .filter(F.col("n_tokens_removed") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval overlap scrub: docs sharing >=1 distinct word trigram
     with the benchmark subset (doc_id % 37 == 0) are flagged, with the
@@ -4494,6 +4528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_v1_ci": q_search_v1_ci,
         "search_v1_sorted": q_search_v1_sorted,
         "rls_operation": q_rls_operation,
+        "substring_dedup_spans": q_substring_dedup_spans,
+        "substring_dedup_strip": q_substring_dedup_strip,
         # never-driver-recorded queue (r7 over-cap debut, 14 rows):
         "vector_sq8": q_vector_sq8,
         "vector_ivfsq": q_vector_ivfsq,
@@ -6168,6 +6204,84 @@ FROM jp
 JOIN sp a ON a.doc_id = jp.doc_a
 JOIN sp b ON b.doc_id = jp.doc_b
 WHERE a.split <> b.split
+"""),
+        "substring_dedup_spans": _o("""
+, toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(t[u.i:u.i+9], chr(1))) AS h
+  FROM toks, LATERAL unnest(range(1, greatest(len(t) - 10 + 2, 1))) AS u(i)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dup)),
+flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos + 10) OVER w IS NULL OR pos > max(pos + 10) OVER w
+         THEN 1 ELSE 0 END AS newf
+  FROM m
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end
+FROM isl GROUP BY doc_id, g
+ORDER BY doc_id, span_start
+"""),
+        "substring_dedup_strip": _o("""
+, toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(t[u.i:u.i+9], chr(1))) AS h
+  FROM toks, LATERAL unnest(range(1, greatest(len(t) - 10 + 2, 1))) AS u(i)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dup)),
+flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos + 10) OVER w IS NULL OR pos > max(pos + 10) OVER w
+         THEN 1 ELSE 0 END AS newf
+  FROM m
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 10 AS e
+  FROM (SELECT doc_id, pos,
+               sum(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM flagged)
+  GROUP BY doc_id, g
+),
+positioned AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS tok
+  FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok
+  FROM positioned p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id AND p.pos >= s.s AND p.pos < s.e)
+),
+rebuilt AS (
+  SELECT doc_id,
+         coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS clean_text,
+         count(*) FILTER (WHERE tok IS NOT NULL) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+audited AS (
+  SELECT t.doc_id,
+         CAST(len(t.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+         md5(coalesce(r.clean_text, '')) AS clean_md5
+  FROM toks t
+  JOIN (SELECT DISTINCT doc_id FROM spans) d ON d.doc_id = t.doc_id
+  LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+)
+SELECT doc_id, n_tokens_removed, clean_md5 FROM audited
+WHERE n_tokens_removed > 0
+ORDER BY doc_id
 """),
         "containment_pairs": _o(f"""
 , toks AS (

@@ -200,6 +200,15 @@ def main() -> None:
             num_buckets=10_000,
         ).count()
 
+    def substring_spans():
+        # exact substring dedup (Lee et al. 2022, r9): rolling k=10
+        # shingle inverted index over the full documents table → cross-doc
+        # hash filter → per-doc span merge; one content-keyed shuffle +
+        # one per-doc window
+        from storage_spark.operators.dedup import exact_substring_spans
+
+        return exact_substring_spans(t["documents"], k=10).count()
+
     # -- fat-embedding (dim-768) index pair: jl_lsh vs keys-only lsh --
     _fat: dict = {"df": None, "jl": None, "ko": None}
 
@@ -677,6 +686,7 @@ def main() -> None:
         "lm_bigram": lm_bigram,
         "lm_bigram_skew": lm_bigram_skew,
         "dsir_select": dsir_select,
+        "substring_spans": substring_spans,
         "fat_jl_index_query": fat_jl_index_query,
         "fat_lsh_keysonly_query": fat_lsh_keysonly_query,
     }

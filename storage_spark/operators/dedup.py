@@ -1506,3 +1506,140 @@ def incremental_semantic_dedup(
     survivors = assigned.join(removed, key_col, "left_anti")
     kept = batch.join(survivors.select(key_col), key_col, "left_semi")
     return kept, survivors.select(key_col, vector_col, "cell")
+
+
+# --------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, arXiv:2107.06499 — "Deduplicating
+# Training Data Makes Language Models Better", the ExactSubstr operator).
+# The paper builds a suffix array over the concatenated corpus and reports
+# byte ranges duplicated verbatim across documents; the set-oriented
+# equivalent is a rolling k-token shingle inverted index — every length-≥k
+# verbatim repeat is exactly a maximal run of consecutive duplicated
+# k-shingles, so hash shingles → keep hashes seen in ≥2 distinct docs →
+# merge each doc's matched positions into spans (gaps-and-islands).
+# --------------------------------------------------------------------------
+
+#: Token separator inside a shingle hash — a byte that cannot appear in a
+#: whitespace-split token, so 'ab c'+'d' and 'ab'+'cd' hash differently.
+_SHINGLE_SEP = "\x01"
+
+
+def _positioned_shingles(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """One row per (doc, 1-based token position, md5 of the k tokens starting
+    there). Tokenization is a plain single-space split so any SQL engine
+    reproduces it bit-for-bit; plug a different tokenizer by pre-splitting
+    into a text column of space-joined tokens.
+
+    The token array is PROJECTED before the higher-order transform so the
+    lambda body only touches bound variables and column references — the
+    word_shingles lambda-capture hazard (re-evaluating the split per
+    element) does not apply.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_toks")
+    ).withColumn("_n", F.size("_toks") - F.lit(k) + 1)
+    hashes = F.when(
+        F.col("_n") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.col("_n"), F.lit(1))),
+            lambda i: F.md5(
+                F.array_join(F.slice(F.col("_toks"), i, k), _SHINGLE_SEP)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "doc_id", F.posexplode(hashes).alias("_p0", "h")
+    ).select("doc_id", (F.col("_p0") + 1).cast("long").alias("pos"), "h")
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_df: int = 2,
+) -> DataFrame:
+    """Cross-document verbatim spans of ≥k tokens: ``(doc_id, span_start,
+    span_end)`` with 1-based inclusive start / exclusive end token offsets.
+
+    Plan (all equi-joins + one per-doc window — no pairwise comparison):
+    positioned k-shingles → groupBy hash HAVING count(DISTINCT doc) >=
+    min_doc_df (map-side-combined; the duplicated-hash table is tiny next
+    to the corpus) → semi-join back → per-doc gaps-and-islands merge of the
+    matched positions (two spans merge when the next start is ≤ the running
+    end — touching runs are one contiguous duplicated range).
+
+    100 TB story: the shuffle key is the shingle hash (uniform by
+    construction); the only window is PARTITIONED BY doc, so no global
+    ordering exists anywhere. Zipf-head shingles are already length-k token
+    sequences — far rarer than single-token heads; a stopword-shingle cap is
+    unnecessary at k ≥ 8 (and would change results).
+    """
+    from pyspark.sql.window import Window
+
+    sh = _positioned_shingles(df, k, text_col, id_col)
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_doc_df)
+        .select("h")
+    )
+    matched = sh.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_span = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        matched.withColumn("_new", new_span)
+        .withColumn("_g", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "_g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every token covered by a span (ALL copies of a duplicated
+    run, the released ExactSubstr tool's behavior) and re-join the
+    survivors with single spaces. Within-row array math: the spans list is
+    collected per doc (bounded — spans are disjoint post-merge) and each
+    token index tests membership with ``exists`` in one projection."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (s["span_start"] <= i + 1) & (i + 1 < s["span_end"]),
+        ),
+    )
+    out_text = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+        F.array_join(kept, " ")
+    )
+    n_removed = F.when(F.col("_spans").isNull(), F.lit(0)).otherwise(
+        F.size(toks) - F.size(kept)
+    )
+    return (
+        df.join(per_doc, df[id_col] == per_doc["doc_id"], "left")
+        .drop(per_doc["doc_id"])
+        .select(
+            *[c for c in df.columns if c != text_col],
+            out_text.alias(text_col),
+            n_removed.cast("long").alias("n_tokens_removed"),
+        )
+    )
