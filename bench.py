@@ -200,6 +200,66 @@ def main() -> None:
             num_buckets=10_000,
         ).count()
 
+    # -- persisted-model scoring pair (r9): the production shape fits
+    # once and scores many times; these entries measure the SCORE side
+    # alone against the fit-included lm_bigram / dsir_select entries --
+    _tm: dict = {"dir": None, "bi": None, "uni": None, "dsir": None}
+
+    def _text_models():
+        if _tm["dir"] is None:
+            import tempfile
+
+            from storage_spark.operators.pipeline import (
+                bigram_model,
+                dsir_model,
+                unigram_model,
+            )
+            from storage_spark.sources.textmodels import (
+                load_text_model,
+                save_text_model,
+            )
+
+            d = tempfile.mkdtemp(prefix="bench_textmodels_")
+            docs = t["documents"]
+            save_text_model(unigram_model(docs), f"{d}/uni", "unigram")
+            save_text_model(bigram_model(docs), f"{d}/bi", "bigram")
+            save_text_model(
+                dsir_model(
+                    docs.filter(F.col("doc_id") % 5 != 0),
+                    docs.filter(F.col("doc_id") % 5 == 0),
+                    num_buckets=10_000,
+                ),
+                f"{d}/dsir", "dsir", {"num_buckets": 10_000},
+            )
+            _tm["dir"] = d
+            _tm["uni"] = load_text_model(spark, f"{d}/uni")[0]
+            _tm["bi"] = load_text_model(spark, f"{d}/bi")[0]
+            _tm["dsir"] = load_text_model(spark, f"{d}/dsir")[0]
+        return _tm
+
+    def lm_bigram_score():
+        # score-only wall under persisted models — the delta vs
+        # lm_bigram is what fit-once amortizes away per scoring job
+        from storage_spark.operators.pipeline import bigram_logprob
+
+        m = _text_models()
+        return (
+            bigram_logprob(t["documents"], m["bi"], m["uni"])
+            .agg(F.sum("avg_nll"), F.sum("n_tokens"))
+            .collect()[0][0]
+        )
+
+    def dsir_score():
+        # selection under a persisted (b, lw) table: one explode + one
+        # broadcast join + TakeOrdered — no fit anywhere in the window
+        from storage_spark.operators.pipeline import dsir_sample
+
+        m = _text_models()
+        return dsir_sample(
+            t["documents"].filter(F.col("doc_id") % 5 != 0),
+            None, k=100, num_buckets=10_000, model=m["dsir"],
+        ).count()
+
     def substring_spans():
         # exact substring dedup (Lee et al. 2022, r9): rolling k=10
         # shingle inverted index over the full documents table → cross-doc
@@ -686,6 +746,8 @@ def main() -> None:
         "lm_bigram": lm_bigram,
         "lm_bigram_skew": lm_bigram_skew,
         "dsir_select": dsir_select,
+        "lm_bigram_score": lm_bigram_score,
+        "dsir_score": dsir_score,
         "substring_spans": substring_spans,
         "fat_jl_index_query": fat_jl_index_query,
         "fat_lsh_keysonly_query": fat_lsh_keysonly_query,
@@ -742,6 +804,8 @@ def main() -> None:
     for _k in ("jl", "ko"):
         if _fat[_k]:
             shutil.rmtree(os.path.dirname(_fat[_k]), ignore_errors=True)
+    if _tm["dir"]:
+        shutil.rmtree(_tm["dir"], ignore_errors=True)
     out = {
         "metric": "storage_spark headline suite wall time",
         "value": round(sum(timings.values()), 3),

@@ -1808,14 +1808,62 @@ def hashed_ngram_buckets(
     return F.concat(uni, F.transform(pairs, _bucket))
 
 
-def dsir_weights(
+def dsir_model(
     raw: DataFrame,
     target: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 10_000,
+    use_bigrams: bool = True,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """The persistable half of DSIR: fit hashed-n-gram models on TARGET
+    and RAW and return the merged per-bucket log-weight table
+    ``(b, lw)`` — ≤ num_buckets rows at ANY corpus size, so it always
+    broadcasts. Persist with ``sources.textmodels.save_text_model(...,
+    kind='dsir', params={'num_buckets':…, 'use_bigrams':…})`` (the
+    scoring side must hash features with the SAME parameters) and feed
+    it back via ``dsir_weights(model=…)``."""
+    buckets = hashed_ngram_buckets(
+        F.col(text_col), num_buckets=num_buckets, use_bigrams=use_bigrams
+    )
+
+    def _fit(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(buckets).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    mt = _fit(target, "_ct")
+    mr = _fit(raw, "_cr")
+    merged = mt.join(mr, "b", "full_outer").select(
+        "b",
+        F.coalesce(F.col("_ct"), F.lit(0)).alias("_ct"),
+        F.coalesce(F.col("_cr"), F.lit(0)).alias("_cr"),
+    )
+    totals = merged.agg(
+        F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr")
+    )
+    a = F.lit(float(smoothing))
+    v = F.lit(int(num_buckets))
+    return merged.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("_ct") + a) / (F.col("_nt") + a * v))
+            - F.log((F.col("_cr") + a) / (F.col("_nr") + a * v))
+        ).alias("lw"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 10_000,
     use_bigrams: bool = True,
     smoothing: float = 1.0,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc DSIR importance log-weight: fit hashed-n-gram unigram
     models on the TARGET distribution (the high-quality reference) and
@@ -1836,37 +1884,23 @@ def dsir_weights(
     too-big-to-broadcast regime at any corpus size.
 
     Returns ``(id_col, n_features, log_w)``; NULL/empty-text docs
-    produce no row (same contract as the LM scorers)."""
+    produce no row (same contract as the LM scorers).
+
+    ``model=`` is the fit-once/score-many path: pass a persisted
+    ``dsir_model(...)`` table ``(b, lw)`` — ``num_buckets`` /
+    ``use_bigrams`` must match the fit (they shape the scoring side's
+    feature hash too; ``sources.textmodels`` round-trips them in the
+    model config)."""
     buckets = hashed_ngram_buckets(
         F.col(text_col), num_buckets=num_buckets, use_bigrams=use_bigrams
     )
-
-    def _model(df: DataFrame, out: str) -> DataFrame:
-        return (
-            df.select(F.explode(buckets).alias("b"))
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).alias(out))
+    if model is None:
+        if target is None:
+            raise ValueError("dsir_weights needs either target= or model=")
+        model = dsir_model(
+            raw, target, text_col, num_buckets, use_bigrams, smoothing
         )
-
-    mt = _model(target, "_ct")
-    mr = _model(raw, "_cr")
-    model = mt.join(mr, "b", "full_outer").select(
-        "b",
-        F.coalesce(F.col("_ct"), F.lit(0)).alias("_ct"),
-        F.coalesce(F.col("_cr"), F.lit(0)).alias("_cr"),
-    )
-    totals = model.agg(
-        F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr")
-    )
-    a = F.lit(float(smoothing))
-    v = F.lit(int(num_buckets))
-    weighted = model.crossJoin(F.broadcast(totals)).select(
-        "b",
-        (
-            F.log((F.col("_ct") + a) / (F.col("_nt") + a * v))
-            - F.log((F.col("_cr") + a) / (F.col("_nr") + a * v))
-        ).alias("_lw"),
-    )
+    weighted = model.select("b", F.col("lw").alias("_lw"))
     feats = raw.select(
         F.col(id_col), F.posexplode(buckets).alias("pos", "b")
     )
@@ -1885,7 +1919,7 @@ def dsir_weights(
 
 def dsir_sample(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1893,6 +1927,7 @@ def dsir_sample(
     use_bigrams: bool = True,
     smoothing: float = 1.0,
     seed: int = 42,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR selection: ``k`` docs sampled without replacement with
     probability ∝ importance weight, via the Gumbel-top-k trick —
@@ -1906,7 +1941,8 @@ def dsir_sample(
     ``dsir_weights``'s own. Returns the selected
     ``(id_col, n_features, log_w, gumbel_key)`` rows."""
     w = dsir_weights(
-        raw, target, id_col, text_col, num_buckets, use_bigrams, smoothing
+        raw, target, id_col, text_col, num_buckets, use_bigrams, smoothing,
+        model=model,
     )
     # md5-uniform in (0,1): 12 hex digits / 16^12, +1 to dodge exact 0
     h = F.md5(F.concat(F.lit(f"dsir-gumbel:{seed}:"), F.col(id_col).cast("string")))
