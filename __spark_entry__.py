@@ -1859,7 +1859,10 @@ def _cleanup_pid_tmp() -> None:
     p = os.path.join(tmp, f"backend_list_oracle_{pid}.parquet")
     if os.path.exists(p):
         os.unlink(p)
-    for pattern in (f"stream_acc_{pid}_*", f"ann_index_drv_{pid}_*"):
+    for pattern in (f"stream_acc_{pid}_*", f"ann_index_drv_{pid}_*",
+                    f"ann_index_{pid}_*", f"ann_index_jl_{pid}_*",
+                    f"ann_index_app_{pid}_*", f"ann_index_mnt_{pid}_*",
+                    f"ann_index_ivf_{pid}_*"):
         for d in glob.glob(os.path.join(tmp, pattern)):
             shutil.rmtree(d, ignore_errors=True)
 
@@ -2014,7 +2017,7 @@ def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir).select("key", "embedding")
     path = os.path.join(
         tempfile.gettempdir(),
-        "ann_index_" + os.path.basename(os.path.normpath(sf_dir)),
+        f"ann_index_{os.getpid()}_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     build_ann_index(v, path, kind="lsh", dim=64, n_planes=5, n_tables=1)
     queries = v.filter(F.col("key").cast("bigint") < 15).select(
@@ -2048,7 +2051,7 @@ def q_ann_index_jl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir).select("key", "embedding")
     path = os.path.join(
         tempfile.gettempdir(),
-        "ann_index_jl_" + os.path.basename(os.path.normpath(sf_dir)),
+        f"ann_index_jl_{os.getpid()}_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(path, ignore_errors=True)
     build_ann_index(
@@ -2089,7 +2092,7 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     vid = F.col("key").cast("bigint")
     path = os.path.join(
         tempfile.gettempdir(),
-        "ann_index_app_" + os.path.basename(os.path.normpath(sf_dir)),
+        f"ann_index_app_{os.getpid()}_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(path, ignore_errors=True)  # append must not accumulate
     build_ann_index(
@@ -2132,7 +2135,7 @@ def q_ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     vid = F.col("key").cast("bigint")
     path = os.path.join(
         tempfile.gettempdir(),
-        "ann_index_mnt_" + os.path.basename(os.path.normpath(sf_dir)),
+        f"ann_index_mnt_{os.getpid()}_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(path, ignore_errors=True)
     build_ann_index(
@@ -2172,7 +2175,7 @@ def q_ann_index_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir).select("key", "embedding")
     path = os.path.join(
         tempfile.gettempdir(),
-        "ann_index_ivf_" + os.path.basename(os.path.normpath(sf_dir)),
+        f"ann_index_ivf_{os.getpid()}_" + os.path.basename(os.path.normpath(sf_dir)),
     )
     shutil.rmtree(path, ignore_errors=True)
     build_ann_index(v, path, kind="ivf", dim=64, n_cells=8,

@@ -1700,8 +1700,10 @@ def classifier_score(
 
     Determinism contract as ``unigram_logprob``: the per-doc sum is the
     ORDERED fold over token positions, bit-stable across partition
-    layouts and engines; NULL/empty-text docs produce no output row
-    (``posexplode`` drops them — anti-join the input to find them).
+    layouts and engines. Only NULL text (or a genuinely empty token
+    array) produces no output row — an empty STRING tokenizes to the
+    single token ``''`` and scores one row (n_tokens=1, logit=bias):
+    audits anti-joining to find unscored docs see NULL-text docs only.
 
     Scale shape: explode + ONE equi-join on token against the
     vocabulary-sized model. ``model_join='skew_split'`` is the

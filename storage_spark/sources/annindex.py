@@ -129,9 +129,19 @@ def jl_out_dim_for(dim: int, n_vectors: int) -> int:
     smaller projections (NOTES_r7 keys-only probe: at dim 768 the
     distance math dominates; the 16/64 projection in the r7 composite
     ran recall-clean under a 6× rerank window) — so the dim/4 term is
-    what usually binds."""
+    what usually binds.
+
+    Raises for ``dim < 32``: the floor of 8 would otherwise meet or
+    exceed ``dim/4``'s intent (at dim 4 it would EXPAND the vector) —
+    below 32 a projection cannot pay for itself; index the original
+    (``kind='lsh'``)."""
     from storage_spark.functions.vectors import jl_dim_for
 
+    if dim < 32:
+        raise ValueError(
+            f"jl_lsh needs dim >= 32 to buy a >=4x reduction (got {dim});"
+            " use kind='lsh' on the original vectors instead"
+        )
     return max(8, min(jl_dim_for(n_vectors), dim // 4))
 
 
@@ -227,6 +237,11 @@ def build_ann_index(
     if {"n_planes", "n_cells", "k_codes", "out_dim"} & set(derived) and n_vectors is None:
         n_vectors = corpus.count()
     if kind == "jl_lsh":
+        if out_dim is not None and out_dim >= dim:
+            raise ValueError(
+                f"jl_lsh out_dim={out_dim} must be < dim={dim} — a projection"
+                " that does not reduce has no reason to exist (use kind='lsh')"
+            )
         if out_dim is None:
             out_dim = jl_out_dim_for(dim, n_vectors)
         elif n_vectors is not None and jl_out_dim_for(dim, n_vectors) > 2 * out_dim:
