@@ -3504,6 +3504,20 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization (Sennrich et al. 2016 family): vocabulary =
+    top-500 character 2-4-grams by occurrence + all single chars, then
+    greedy longest-prefix counts per doc. BOTH halves replay in SQL —
+    the vocabulary as two aggregations, the greedy matcher as a
+    recursive CTE walking each distinct word."""
+    from storage_spark.functions.bpe import bpe_tokenize, build_subword_vocab
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    vocab = build_subword_vocab(docs, max_size=500, max_len=4)
+    return bpe_tokenize(docs, vocab).orderBy("doc_id")
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass corpus health report: per-language docs / tokens /
     high-quality share over the documents table."""
@@ -4533,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rls_operation": q_rls_operation,
         "substring_dedup_spans": q_substring_dedup_spans,
         "substring_dedup_strip": q_substring_dedup_strip,
+        "bpe_tokenize": q_bpe_tokenize,
         # never-driver-recorded queue (r7 over-cap debut, 14 rows):
         "vector_sq8": q_vector_sq8,
         "vector_ivfsq": q_vector_ivfsq,
@@ -6082,6 +6097,53 @@ ORDER BY doc_id
         # the exact recurrence pack_sequences runs per Arrow group.
         "pack_sequences": _PACK_WALK_SQL + """
 SELECT lang, doc_id, n_tokens, bin FROM walk ORDER BY lang, doc_id
+""",
+        # Standalone WITH RECURSIVE (base `documents` view only): the
+        # vocabulary replays as two aggregations and the greedy
+        # longest-prefix matcher as a recursive walk over distinct words —
+        # each step consumes the longest vocab token prefixing the
+        # remainder (else 1 char), exactly functions/bpe.py's loop.
+        "bpe_tokenize": """
+WITH RECURSIVE
+docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+words AS (
+  SELECT doc_id, t[u.i] AS w
+  FROM docs, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+),
+nz AS (SELECT doc_id, w FROM words WHERE len(w) > 0),
+grams AS (
+  SELECT substr(w, p.i, l.l) AS tok
+  FROM nz, LATERAL unnest(range(2, 5)) AS l(l),
+       LATERAL unnest(range(1, greatest(len(w) - l.l + 2, 1))) AS p(i)
+),
+top AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM grams GROUP BY tok
+                   ORDER BY c DESC, tok LIMIT 500)
+),
+chars AS (
+  SELECT DISTINCT substr(w, p.i, 1) AS tok
+  FROM nz, LATERAL unnest(range(1, len(w) + 1)) AS p(i)
+),
+vocab AS (SELECT tok FROM top UNION ALL SELECT tok FROM chars),
+dw AS (SELECT DISTINCT w FROM nz),
+step(w, pos, n) AS (
+  SELECT w, 1, 0 FROM dw
+  UNION ALL
+  SELECT s.w,
+         s.pos + coalesce((SELECT max(len(v.tok)) FROM vocab v
+                           WHERE v.tok = substr(s.w, s.pos, len(v.tok))), 1),
+         s.n + 1
+  FROM step s WHERE s.pos <= len(s.w)
+),
+wtok AS (SELECT w, max(n) AS nt FROM step GROUP BY w),
+per_doc AS (
+  SELECT nz.doc_id, CAST(sum(wt.nt) AS BIGINT) AS n_bpe
+  FROM nz JOIN wtok wt ON wt.w = nz.w GROUP BY nz.doc_id
+)
+SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_words,
+       coalesce(p.n_bpe, 0) AS n_bpe_tokens
+FROM docs d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
 """,
         "repetition_signals": _o(f"""
 , tk AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),

@@ -1040,6 +1040,7 @@ def token_budget_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     per_lang: bool = True,
+    tokenizer: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-greedy selection under a token budget: per language, take
     documents in (quality desc, id asc) order while the RUNNING token
@@ -1055,13 +1056,24 @@ def token_budget_filter(
     Scale shape: one window (sort within each language partition;
     Spark's external sort spills — no driver state). At true 100 TB you
     first coarse-prune with quality_quantile_filter so the sorted set is
-    the plausible candidates, not the raw corpus."""
+    the plausible candidates, not the raw corpus.
+
+    ``tokenizer=`` budgets in SUBWORD units instead of regex tokens:
+    pass a ``functions.bpe.build_subword_vocab(...)`` table and
+    ``n_tokens`` becomes the greedy-BPE count — the unit a training run
+    actually spends (map-only pandas UDF, no extra shuffle)."""
     col = F.col(text_col)
+    if tokenizer is not None:
+        from storage_spark.functions.bpe import bpe_token_counter
+
+        n_tok = bpe_token_counter(tokenizer)(col)
+    else:
+        n_tok = token_count(col)
     scored = docs.select(
         F.col(id_col),
         (lang_id(col) if per_lang else F.lit("all")).alias("lang"),
         F.round(quality_score(col) * 1000).cast("bigint").alias("score_1e3"),
-        token_count(col).cast("bigint").alias("n_tokens"),
+        n_tok.cast("bigint").alias("n_tokens"),
     )
     from pyspark.sql import Window
 
