@@ -4521,26 +4521,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver evaluates in dict order under a wall-clock
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
-    # cap. Round 8's 50-slot window (VERDICT r7 #1):
-    # (a) the 14 registry rows that have never had a driver CORRECTNESS
-    #     record (the r7 over-cap debut queue, staged order preserved) go
-    #     FIRST so a budget truncation cannot strand them again — all 14
-    #     were independently driver-green via tools/drive.py in r7's
-    #     judge session AND re-driven green this round after the
-    #     gopher_rules per-symbol split / bigram skew_split changes;
-    # (b) r8 net-new entries (4 — kept small so the r5 block refreshes);
-    # (c) the r5-evidence block — stalest driver evidence in the
-    #     registry — fills the remaining 32 slots head-first; the 6 the
-    #     cap truncates (buckets_search, mime_validation,
-    #     key_validation, search_by_timestamp, salted_usage,
-    #     merge_upsert — all code-untouched since r5, all green in this
-    #     session's full local parity run) lead r9's window.
-    # Everything past slot 50 is driver-green in r5/r6/r7 on semantically
+    # cap. Round 9's 50-slot window:
+    # (a) the 7 r9 net-new rows (never recorded) lead;
+    # (b) 2 rows whose RESULTS changed this round and must re-record:
+    #     path_functions (extension() now matches the reference on
+    #     dot-less names + edge-case fixture rows) and multipart_complete
+    #     (0057 metadata column in the RETURNING row);
+    # (c) the 7 rows whose latest driver evidence is r5 (VERDICT r8 #6:
+    #     tenant_usage..merge_upsert — the r8 cap truncated them);
+    # (d) the r6-evidence block, stalest-first: ~34 fit this window, the
+    #     tail (~11 rows) leads round 10's.
+    # Everything past slot 50 is driver-green in r7/r8 on semantically
     # unchanged code, and the local parity replica
     # (tests/test_queries_parity.py) re-proves the whole registry on
     # current code every session.
     return {
-        # ---- r9 net-new entries (never recorded — lead the window) ----
+        # ---- r9 net-new (never recorded) ----
         "search_v1_hybrid": q_search_v1_hybrid,
         "search_v1_ci": q_search_v1_ci,
         "search_v1_sorted": q_search_v1_sorted,
@@ -4548,59 +4544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_spans": q_substring_dedup_spans,
         "substring_dedup_strip": q_substring_dedup_strip,
         "bpe_tokenize": q_bpe_tokenize,
-        # never-driver-recorded queue (r7 over-cap debut, 14 rows):
-        "vector_sq8": q_vector_sq8,
-        "vector_ivfsq": q_vector_ivfsq,
-        "semantic_dedup": q_semantic_dedup,
-        "vector_ivfpq_residual": q_vector_ivfpq_residual,
-        "temperature_sample": q_temperature_sample,
-        "project_embeddings": q_project_embeddings,
-        "semantic_dedup_incremental": q_semantic_dedup_incremental,
-        "mean_pool_embeddings": q_mean_pool_embeddings,
-        "unigram_logprob": q_unigram_logprob,
-        "gopher_rules": q_gopher_rules,
-        "semantic_cluster_stats": q_semantic_cluster_stats,
-        "bigram_logprob": q_bigram_logprob,
-        "vector_projected_rerank": q_vector_projected_rerank,
-        "semantic_dedup_components": q_semantic_dedup_components,
-        # ---- r8 net-new entries ----
-        "ann_index_jl_query": q_ann_index_jl_query,
-        "queue_replay": q_queue_replay,
-        "classifier_score": q_classifier_score,
-        "dsir_select": q_dsir_select,
-        "perplexity_buckets": q_perplexity_buckets,
-        # r5-evidence block (stalest first; truncation remainder leads r9):
-        "remove_boilerplate": q_remove_boilerplate,
-        "multipart_part_copy": q_multipart_part_copy,
-        "sign_many": q_sign_many,
-        "proportional_sample": q_proportional_sample,
-        "containment_pairs": q_containment_pairs,
-        "decontaminate_spans": q_decontaminate_spans,
-        "interval_upload_contention": q_interval_upload_contention,
-        "webdataset_export": q_webdataset_export,
-        "vector_lsh_ann": q_vector_lsh_ann,
-        "vector_multiprobe_ann": q_vector_multiprobe_ann,
-        "keyset_events": q_keyset_events,
-        "keyset_events_desc": q_keyset_events_desc,
-        "capped_count": q_capped_count,
-        "owner_rollup": q_owner_rollup,
-        "orphans_s3": q_orphans_s3,
-        "orphans_db": q_orphans_db,
-        "consistency_report": q_consistency_report,
-        "fk_join_usage": q_fk_join_usage,
-        "meta_filter_range": q_meta_filter_range,
-        "meta_filter_in_or": q_meta_filter_in_or,
+        # ---- r9 result-changed (re-record) ----
         "path_functions": q_path_functions,
-        "prefix_derivation": q_prefix_derivation,
-        "find_object_versions": q_find_object_versions,
-        "find_objects_by_id": q_find_objects_by_id,
-        "first_per_bucket": q_first_per_bucket,
-        "legacy_folder_join": q_legacy_folder_join,
-        "list_parts": q_list_parts,
-        "list_multipart_uploads": q_list_multipart_uploads,
-        "delete_before_preview": q_delete_before_preview,
-        "rls_owner": q_rls_owner,
-        "catalog_backfill": q_catalog_backfill,
+        "multipart_complete": q_multipart_complete,
+        # ---- r5-evidence refresh (VERDICT r8 #6) ----
         "tenant_usage": q_tenant_usage,
         "buckets_search": q_buckets_search,
         "mime_validation": q_mime_validation,
@@ -4608,7 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_by_timestamp": q_search_by_timestamp,
         "salted_usage": q_salted_usage,
         "merge_upsert": q_merge_upsert,
-        # r6-evidence block:
+        # ---- r6-evidence block (stalest-first; tail rolls to r10) ----
         "bucket_usage": q_bucket_usage,
         "list_root": q_list_root,
         "list_nested": q_list_nested,
@@ -4622,7 +4569,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usage_cube": q_usage_cube,
         "events_hourly": q_events_hourly,
         "multipart_progress": q_multipart_progress,
-        "multipart_complete": q_multipart_complete,
         "iceberg_table_ops": q_iceberg_table_ops,
         "sample_stratified": q_sample_stratified,
         "corpus_stats": q_corpus_stats,
@@ -4655,7 +4601,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "packing_efficiency": q_packing_efficiency,
         "backend_list": q_backend_list,
-        # r7-recorded block (freshest driver evidence):
+        # ---- r7/r8-recorded blocks (freshest driver evidence) ----
+        "vector_sq8": q_vector_sq8,
+        "vector_ivfsq": q_vector_ivfsq,
+        "semantic_dedup": q_semantic_dedup,
+        "vector_ivfpq_residual": q_vector_ivfpq_residual,
+        "temperature_sample": q_temperature_sample,
+        "project_embeddings": q_project_embeddings,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "mean_pool_embeddings": q_mean_pool_embeddings,
+        "unigram_logprob": q_unigram_logprob,
+        "gopher_rules": q_gopher_rules,
+        "semantic_cluster_stats": q_semantic_cluster_stats,
+        "bigram_logprob": q_bigram_logprob,
+        "vector_projected_rerank": q_vector_projected_rerank,
+        "semantic_dedup_components": q_semantic_dedup_components,
+        "ann_index_jl_query": q_ann_index_jl_query,
+        "queue_replay": q_queue_replay,
+        "classifier_score": q_classifier_score,
+        "dsir_select": q_dsir_select,
+        "perplexity_buckets": q_perplexity_buckets,
+        "remove_boilerplate": q_remove_boilerplate,
+        "multipart_part_copy": q_multipart_part_copy,
+        "sign_many": q_sign_many,
+        "proportional_sample": q_proportional_sample,
+        "containment_pairs": q_containment_pairs,
+        "decontaminate_spans": q_decontaminate_spans,
+        "interval_upload_contention": q_interval_upload_contention,
+        "webdataset_export": q_webdataset_export,
+        "vector_lsh_ann": q_vector_lsh_ann,
+        "vector_multiprobe_ann": q_vector_multiprobe_ann,
+        "keyset_events": q_keyset_events,
+        "keyset_events_desc": q_keyset_events_desc,
+        "capped_count": q_capped_count,
+        "owner_rollup": q_owner_rollup,
+        "orphans_s3": q_orphans_s3,
+        "orphans_db": q_orphans_db,
+        "consistency_report": q_consistency_report,
+        "fk_join_usage": q_fk_join_usage,
+        "meta_filter_range": q_meta_filter_range,
+        "meta_filter_in_or": q_meta_filter_in_or,
+        "prefix_derivation": q_prefix_derivation,
+        "find_object_versions": q_find_object_versions,
+        "find_objects_by_id": q_find_objects_by_id,
+        "first_per_bucket": q_first_per_bucket,
+        "legacy_folder_join": q_legacy_folder_join,
+        "list_parts": q_list_parts,
+        "list_multipart_uploads": q_list_multipart_uploads,
+        "delete_before_preview": q_delete_before_preview,
+        "rls_owner": q_rls_owner,
+        "catalog_backfill": q_catalog_backfill,
         "ann_index_query": q_ann_index_query,
         "ann_index_append": q_ann_index_append,
         "simhash_wide": q_simhash_wide,
