@@ -2816,6 +2816,26 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(t["documents"], min_quality=0.5, min_jaccard=0.01)
 
 
+def q_curate_corpus_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone with the trained gate (r9): NB classifier gate (model
+    REFIT under the oracle, logit quantized to 1e-4 before the
+    threshold) → heuristic quality gate → exact dedup → near-dup
+    removal, ONE declarative plan — the fastText-then-heuristics order
+    of the GPT-3/CCNet curation recipe."""
+    from storage_spark.operators.pipeline import curate_corpus, nb_quality_model
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    model = nb_quality_model(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    return curate_corpus(
+        docs, min_quality=0.5, min_jaccard=0.01,
+        classifier=model, min_logit_1e4=0,
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.functions import text as X
 
@@ -4544,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_spans": q_substring_dedup_spans,
         "substring_dedup_strip": q_substring_dedup_strip,
         "bpe_tokenize": q_bpe_tokenize,
+        "curate_corpus_gated": q_curate_corpus_gated,
         # ---- r9 result-changed (re-record) ----
         "path_functions": q_path_functions,
         "multipart_complete": q_multipart_complete,
@@ -5723,6 +5744,95 @@ FROM events GROUP BY epoch_ms(date_trunc('hour', ts)), event_type
       CAST(list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
         t -> CASE WHEN t IN {_EN_STOP} THEN 1 ELSE 0 END)) AS DOUBLE) AS ns
     FROM documents
+  )
+),
+gated AS (SELECT * FROM scored WHERE q >= 0.5),
+keepers AS (SELECT fp, min(doc) AS doc FROM gated GROUP BY fp),
+exact_kept AS (
+  SELECT g.* FROM gated g JOIN keepers k ON k.fp = g.fp AND k.doc = g.doc
+),
+toks AS (
+  SELECT doc, regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM exact_kept
+),
+sh AS (
+  SELECT DISTINCT doc,
+    unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS s
+  FROM toks WHERE len(tk) >= 3
+),
+sizes AS (SELECT doc, count(*) AS nsh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+losers AS (
+  SELECT DISTINCT doc_b AS doc
+  FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE i * 1.0 / (sa.nsh + sb.nsh - i) >= 0.01
+)
+SELECT doc AS doc_id, CAST(round(q * 1000) AS BIGINT) AS score_1e3
+FROM exact_kept WHERE doc NOT IN (SELECT doc FROM losers)
+"""),
+        "curate_corpus_gated": _o(f"""
+, ptoks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents WHERE doc_id % 2 = 0
+),
+ntoks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents WHERE doc_id % 2 = 1
+),
+cp AS (SELECT tok, count(*) AS c FROM ptoks GROUP BY tok),
+cn AS (SELECT tok, count(*) AS c FROM ntoks GROUP BY tok),
+joint AS (
+  SELECT COALESCE(cp.tok, cn.tok) AS tok,
+         COALESCE(cp.c, 0) AS cpos, COALESCE(cn.c, 0) AS cneg
+  FROM cp FULL OUTER JOIN cn ON cp.tok = cn.tok
+),
+tot AS (
+  SELECT sum(cpos) AS np, sum(cneg) AS nn, count(*) AS v FROM joint
+),
+model AS (
+  SELECT tok,
+    ln((cpos + 1.0) / (np + 1.0 * v)) - ln((cneg + 1.0) / (nn + 1.0 * v)) AS w
+  FROM joint CROSS JOIN tot
+),
+atoks AS (
+  SELECT doc_id, u.pos, u.tok FROM (
+    SELECT doc_id,
+      unnest(list_transform({_DUCK_TOKENS},
+                            (x, i) -> {{'pos': i - 1, 'tok': x}})) AS u
+    FROM documents
+  )
+),
+ascored AS (
+  SELECT t.doc_id, t.pos, COALESCE(m.w, 0.0) AS w
+  FROM atoks t LEFT JOIN model m ON m.tok = t.tok
+),
+gate AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      CAST(round(
+        (0.0 + list_reduce(list_prepend(0.0, list(w ORDER BY pos)),
+                           (a, b) -> a + b)
+         / CAST(count(*) AS DOUBLE)) * 10000) AS BIGINT) AS l4
+    FROM ascored GROUP BY doc_id
+  ) WHERE l4 >= 0
+),
+scored AS (
+  SELECT doc_id AS doc, text,
+    least(CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE n / 20.0 END, 1.0) * 0.4
+    + (nd / n) * 0.4
+    + least((ns / n) * 4.0, 1.0) * 0.2 AS q,
+    substr(md5({_DUCK_NORM_TEXT}), 1, 16) AS fp
+  FROM (
+    SELECT doc_id, text,
+      CAST(len({_DUCK_RAW_TOKENS}) AS DOUBLE) AS n,
+      CAST(len(list_distinct({_DUCK_RAW_TOKENS})) AS DOUBLE) AS nd,
+      CAST(list_sum(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        t -> CASE WHEN t IN {_EN_STOP} THEN 1 ELSE 0 END)) AS DOUBLE) AS ns
+    FROM documents WHERE doc_id IN (SELECT doc_id FROM gate)
   )
 ),
 gated AS (SELECT * FROM scored WHERE q >= 0.5),

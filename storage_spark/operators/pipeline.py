@@ -101,10 +101,19 @@ def curate_corpus(
     max_shingle_df: int | None = None,
     materialize: bool | str = False,
     resolution: str = "greedy",
+    classifier: DataFrame | None = None,
+    min_logit_1e4: int | None = None,
 ) -> DataFrame:
     """Returns the kept rows (id + quality score, scaled integral).
 
     Removal rules (deterministic):
+    - (optional, FIRST) trained-classifier gate: pass a
+      ``nb_quality_model``-shaped ``(tok, w)`` table as ``classifier``
+      and docs whose ``classifier_score`` logit — integer-quantized to
+      1e-4, the quality_quantile_filter trick that absorbs ln's
+      cross-engine ulps before the comparison — falls below
+      ``min_logit_1e4`` are dropped before the heuristic gate (the
+      fastText-then-heuristics order of the GPT-3/CCNet recipe);
     - quality_score < min_quality → dropped;
     - exact content duplicates (same normalized fingerprint) → keep the
       lowest doc_id of each group;
@@ -135,6 +144,18 @@ def curate_corpus(
     """
     from storage_spark.operators.dedup import _materialize
 
+    if classifier is not None:
+        if min_logit_1e4 is None:
+            raise ValueError("classifier= needs min_logit_1e4=")
+        ok = (
+            classifier_score(docs, classifier, id_col=id_col, text_col=text_col)
+            .filter(
+                F.round(F.col("logit") * 10000).cast("bigint")
+                >= int(min_logit_1e4)
+            )
+            .select(id_col)
+        )
+        docs = docs.join(ok, id_col, "left_semi")
     scored = docs.select(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("text"),

@@ -48,6 +48,22 @@ def test_prefix_range_pushdown(spark, objects_parquet):
     assert "PartitionFilters" in plan
 
 
+def test_search_v1_lower_range_reaches_filter(spark, objects_parquet):
+    """search-v1's case-insensitive match compiles to a sargable
+    lower(name) range (the 0051 expression-index rewrite), not a
+    per-row ILIKE — the range sits in the scan-side Filter so a layout
+    with a lower(name)-derived column (or Delta min/max on it) can
+    skip files; no regex/contains anywhere in the plan."""
+    from storage_spark.operators.listing import search_objects_v1
+
+    df = search_objects_v1(
+        objects_parquet, bucket_id="Brand#13", search="promo", levels=1
+    )
+    plan = plan_of(df)
+    assert "lower(name" in plan and ">= promo" in plan and "< promp" in plan
+    assert "RLike" not in plan and "Contains" not in plan
+
+
 def test_dimension_join_broadcasts(spark, sf_dir):
     t = load_all(spark, sf_dir)
     df = (
