@@ -145,6 +145,30 @@ def jl_out_dim_for(dim: int, n_vectors: int) -> int:
     return max(8, min(jl_dim_for(n_vectors), dim // 4))
 
 
+def jl_refine_for(
+    n_vectors: int,
+    k: int,
+    n_planes: int,
+    n_tables: int,
+    probe_radius: int,
+) -> int:
+    """Rerank-window factor for a jl_lsh search: size the projected-L2
+    cut to the EXPECTED admitted-candidate volume
+    ``n/2^planes × |Hamming ball| × tables`` so the cut acts as a
+    hot-bucket skew guard, not a ranking stage — projected distances
+    carry JL distortion, and cutting hard on them at scale silently
+    discards true neighbors the exact rerank would have kept. Measured
+    at 1M×768 (tools/probe_r9.py sweep, NOTES_r9): the constant 6 the
+    r8 default used gives recall@10 0.358; windows at ≥~55% of the
+    admitted volume plateau at 0.968 (= the bucket-admission ceiling;
+    keys-only lsh on the originals reads 0.972) with NO measurable
+    wall penalty even at 4× the plateau window. Floor 6 preserves the
+    r8 behavior for tiny corpora."""
+    ball = sum(math.comb(n_planes, i) for i in range(probe_radius + 1))
+    expected = n_vectors / (2 ** n_planes) * ball * n_tables
+    return max(6, math.ceil(expected / max(1, k)))
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,
@@ -566,7 +590,23 @@ def ann_index_search(
             out_col="_pq", seed=cfg["jl_seed"],
             arrow=cfg.get("encode_arrow", False),
         ).select(query_key, F.col("_pq").alias(query_vec))
-        rf = 6 if refine_factor is None else refine_factor
+        if refine_factor is not None:
+            rf = refine_factor
+        elif "n_vectors_at_build" in cfg:
+            rf = jl_refine_for(
+                cfg["n_vectors_at_build"], k, cfg["n_planes"],
+                cfg["n_tables"], probe_radius,
+            )
+        else:
+            # explicit-geometry build never counted the corpus; the r8
+            # constant stands but the caller should size it (NOTES_r9)
+            warnings.warn(
+                "jl_lsh index has no n_vectors_at_build; refine_factor"
+                " defaults to 6, which loses recall at scale — pass"
+                " refine_factor= (see annindex.jl_refine_for)",
+                stacklevel=2,
+            )
+            rf = 6
         cands = V._lsh_rank_against_postings(
             postings, projq, rf * k, cfg["out_dim"], cfg["n_planes"],
             metric="l2", query_key=query_key, query_vec=query_vec,
