@@ -130,6 +130,7 @@ _BNLJ_ALLOWED = {
     # same 1-row totals crossJoin (NB class totals / DSIR model totals);
     # the model joins are equi-joins on tok / bucket
     "classifier_score",
+    "curate_corpus_gated",  # same classifier 1-row totals crossJoin gate
     "dsir_select",
     "perplexity_buckets",  # totals + 1-row threshold crossJoins
 }
