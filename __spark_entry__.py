@@ -183,6 +183,20 @@ def q_search_v1_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_v1_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search-v1 DESC traversal (0056's desc branch): the merged stream
+    walks the lowercase key order backward, and the case-preserving
+    folder representative is the TOP-end peek (max lower-name row)
+    instead of the bottom-end one."""
+    from storage_spark.operators.listing import search_objects_v1
+
+    t = _t(spark, sf_dir)
+    return search_objects_v1(
+        t["objects"], bucket_id="Brand#13", levels=1, limit=25, offset=3,
+        sort_desc=True,
+    )
+
+
 def q_search_v1_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """search-v1's non-name sort fallback (0056:82-110): folders block
     (DISTINCT segment, name-ordered) first, then files ordered by the sort
@@ -4560,6 +4574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_v1_hybrid": q_search_v1_hybrid,
         "search_v1_ci": q_search_v1_ci,
         "search_v1_sorted": q_search_v1_sorted,
+        "search_v1_desc": q_search_v1_desc,
         "rls_operation": q_rls_operation,
         "substring_dedup_spans": q_substring_dedup_spans,
         "substring_dedup_strip": q_substring_dedup_strip,
@@ -4815,6 +4830,36 @@ files AS (
 SELECT name, id, size, created_at_ms, updated_at_ms, mimetype
 FROM (SELECT * FROM folders UNION ALL SELECT * FROM files)
 ORDER BY skey, tie LIMIT 100
+"""),
+        "search_v1_desc": _o("""
+, src AS (
+  SELECT name, id, size, created_at_ms, updated_at_ms, mimetype,
+         lower(name) AS lname
+  FROM objects WHERE bucket_id = 'Brand#13'
+),
+tagged AS (
+  SELECT *, CASE WHEN instr(lname, '/') > 0
+                 THEN substr(lname, 1, instr(lname, '/')) END AS cp
+  FROM src
+),
+folders AS (
+  SELECT split_part(rtrim(substr((list(name ORDER BY lname DESC, name DESC))[1],
+                                 1, length(cp)), '/'), '/', 1) AS name,
+         CAST(NULL AS STRING) AS id, CAST(NULL AS BIGINT) AS size,
+         CAST(NULL AS BIGINT) AS created_at_ms,
+         CAST(NULL AS BIGINT) AS updated_at_ms,
+         CAST(NULL AS STRING) AS mimetype,
+         cp AS skey, '' AS tie
+  FROM tagged WHERE cp IS NOT NULL GROUP BY cp
+),
+files AS (
+  SELECT split_part(name, '/', 1) AS name, id, size, created_at_ms,
+         updated_at_ms, mimetype, lname AS skey, name AS tie
+  FROM tagged WHERE cp IS NULL
+)
+SELECT name, id, size, created_at_ms, updated_at_ms, mimetype
+FROM (SELECT * FROM folders UNION ALL SELECT * FROM files)
+ORDER BY skey DESC, tie DESC LIMIT 25 OFFSET 3
 """),
         "search_v1_sorted": _o("""
 , src AS (
