@@ -782,11 +782,24 @@ def main() -> None:
 
     import statistics
 
+    # NOTES_r8 #2: the driver's bench budget is finite and the suite now
+    # carries 42 entries + index/model builds — per-entry repeat caps on
+    # the heavy LM/fat entries (>4 s steady, whose first repeat also
+    # absorbs a cached build) keep the wall inside the budget without
+    # removing coverage. 2 reps still yields one post-build steady run
+    # for the min.
+    heavy_reps = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPEATS", "2"))
+    _HEAVY = {
+        "lm_bigram", "lm_bigram_skew", "dsir_select", "lm_bigram_score",
+        "dsir_score", "fat_jl_index_query", "fat_lsh_keysonly_query",
+    }
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, fn in queries.items():
+        n_reps = min(repeats, heavy_reps) if name in _HEAVY else repeats
         runs: list[float] = []
-        for _ in range(max(1, repeats)):
+        for _ in range(max(1, n_reps)):
             t0 = time.time()
             fn()
             runs.append(time.time() - t0)
