@@ -830,3 +830,18 @@ def test_jl_lsh_compact_and_maintain_preserve_results(
     assert set(out["compaction"]) == {"postings", "vectors"}
     after = _rows(ann_index_search(spark, path, queries, k=5, probe_radius=1))
     assert before == after
+
+
+def test_jl_refine_for_sizes_to_admitted_volume():
+    """NOTES_r9 probe: the rerank window must cover the expected admitted
+    candidates (n/2^planes x Hamming ball x tables) / k — the 1M x 768
+    operating point (14 planes, 2 tables, radius 1) derives 184, where the
+    r8 constant 6 measured recall@10 0.358 vs the 0.968 admission ceiling."""
+    from storage_spark.sources.annindex import jl_refine_for
+
+    assert jl_refine_for(1_000_000, 10, 14, 2, 1) == 184
+    # floor preserves the r8 behavior for tiny corpora
+    assert jl_refine_for(300, 5, 4, 2, 1) == max(
+        6, -(-300 * 5 * 2 // (16 * 5))
+    )
+    assert jl_refine_for(10, 10, 10, 1, 0) == 6

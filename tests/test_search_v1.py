@@ -86,3 +86,12 @@ def test_non_name_sort_folders_block_first(spark):
     # file rows follow, ordered by updated_at_ms desc
     file_rows = [r for r in out if r.id is not None]
     assert [r.name for r in file_rows] == ["Index.html", "izzz.bin", "README"]
+
+
+def test_no_match_and_limit_zero_and_missing_bucket(spark):
+    # verify-skill probe classes: unmatched search, limit 0, wrong bucket
+    assert search_objects_v1(_df(spark), "b1", search="zzz").count() == 0
+    assert search_objects_v1(_df(spark), "b1", limit=0).count() == 0
+    assert search_objects_v1(_df(spark), "nope").count() == 0
+    # offset past the stream end
+    assert search_objects_v1(_df(spark), "b1", offset=10_000).count() == 0
