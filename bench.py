@@ -425,6 +425,33 @@ def main() -> None:
         )
         return list_objects_with_delimiter(big, prefix="").count()
 
+    def search_v1_10m():
+        # search-v1's case-insensitive hybrid page over the same 10M-row
+        # reference benchmark shape: lower(name) range filter + folder
+        # groupBy with case-preserving min-struct representative + merged
+        # offset page — the dashboard search box as ONE distributed job
+        # (names generated mixed-case so the lower() path is real work)
+        from storage_spark.operators.listing import search_objects_v1
+
+        big = spark.range(0, 10_000_000, 1, cpus * 4).select(
+            F.concat(
+                F.when(F.col("id") % 2 == 0, F.lit("F")).otherwise(F.lit("f")),
+                (F.col("id") % 1000).cast("string"),
+                F.lit("/Obj-"),
+                F.col("id").cast("string"),
+                F.lit(".bin"),
+            ).alias("name"),
+            F.col("id").cast("string").alias("id"),
+            (F.col("id") % 97_000).alias("size"),
+            (F.lit(1704067200000) + F.col("id")).alias("created_at_ms"),
+            (F.lit(1704067200000) + F.col("id")).alias("updated_at_ms"),
+            F.lit("application/octet-stream").alias("mimetype"),
+            F.lit("b").alias("bucket_id"),
+        )
+        return search_objects_v1(
+            big, "b", search="f1", levels=1, limit=100, offset=10
+        ).count()
+
     def _skewed_objects():
         # 10M rows, ONE bucket holding ~50% of them (hot-tenant shape):
         # the worst aggregation skew a storage namespace produces.
@@ -711,6 +738,7 @@ def main() -> None:
     queries = {
         "full_listing": full_listing,
         "listing_10m": listing_10m,
+        "search_v1_10m": search_v1_10m,
         "mat_prefix_listing": mat_prefix_listing,
         "mat_usage": mat_usage,
         "deep_listing": deep_listing,
