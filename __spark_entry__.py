@@ -3187,6 +3187,26 @@ def q_substring_dedup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup (r9): the corpus (doc_id%3!=0)
+    is represented ONLY by its three-valued shingle-stats index; the
+    batch (doc_id%3==0) probes it with one equi-join on its own hashes.
+    Result proven equal-by-construction to a full recompute restricted
+    to batch docs — which is exactly what the oracle replays."""
+    from storage_spark.operators.dedup import (
+        incremental_substring_spans,
+        substring_shingle_stats,
+    )
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    idx = substring_shingle_stats(docs.filter(F.col("doc_id") % 3 != 0), k=10)
+    spans, _ = incremental_substring_spans(
+        idx, docs.filter(F.col("doc_id") % 3 == 0), k=10
+    )
+    return spans.orderBy("doc_id", "span_start")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval overlap scrub: docs sharing >=1 distinct word trigram
     with the benchmark subset (doc_id % 37 == 0) are flagged, with the
@@ -4578,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rls_operation": q_rls_operation,
         "substring_dedup_spans": q_substring_dedup_spans,
         "substring_dedup_strip": q_substring_dedup_strip,
+        "substring_dedup_incremental": q_substring_dedup_incremental,
         "bpe_tokenize": q_bpe_tokenize,
         "curate_corpus_gated": q_curate_corpus_gated,
         # ---- r9 result-changed (re-record) ----
@@ -6429,6 +6450,33 @@ sh AS (
 ),
 dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
 m AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dup)),
+flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos + 10) OVER w IS NULL OR pos > max(pos + 10) OVER w
+         THEN 1 ELSE 0 END AS newf
+  FROM m
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end
+FROM isl GROUP BY doc_id, g
+ORDER BY doc_id, span_start
+"""),
+        "substring_dedup_incremental": _o("""
+, toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(t[u.i:u.i+9], chr(1))) AS h
+  FROM toks, LATERAL unnest(range(1, greatest(len(t) - 10 + 2, 1))) AS u(i)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT doc_id, pos FROM sh
+      WHERE doc_id % 3 = 0 AND h IN (SELECT h FROM dup)),
 flagged AS (
   SELECT doc_id, pos,
     CASE WHEN max(pos + 10) OVER w IS NULL OR pos > max(pos + 10) OVER w

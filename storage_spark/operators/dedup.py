@@ -1643,3 +1643,118 @@ def strip_duplicate_spans(
             n_removed.cast("long").alias("n_tokens_removed"),
         )
     )
+
+
+def substring_shingle_stats(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistable corpus state for incremental exact-substring dedup:
+    per k-shingle hash, the three-valued distinct-doc state ``(h, n_docs,
+    solo_doc)`` with ``n_docs`` CAPPED at 2 — cross-doc duplication only
+    distinguishes 0 / 1(who) / ≥2 distinct docs, so the capped state is
+    exact AND closed under merge (unlike a raw count, which double-counts
+    a doc re-contributing the same shingle). ``solo_doc`` is the one doc
+    when n_docs = 1, NULL otherwise. Row count ≤ distinct shingles —
+    smaller than the positioned postings, carries no positions (the batch
+    side supplies its own positions at probe time)."""
+    return (
+        _positioned_shingles(df, k, text_col, id_col)
+        .groupBy("h")
+        .agg(
+            F.least(F.count_distinct("doc_id"), F.lit(2)).cast("int").alias("n_docs"),
+            F.when(
+                F.count_distinct("doc_id") == 1, F.min("doc_id")
+            ).alias("solo_doc"),
+        )
+    )
+
+
+def merge_substring_stats(stats: DataFrame) -> DataFrame:
+    """Compact appended stats rows back to one row per hash (the epoch-
+    compaction step): ≥2 anywhere → ≥2; two solo rows naming DIFFERENT
+    docs → ≥2; all solo rows naming one doc → still that solo. Exact by
+    the three-valued-state argument in ``substring_shingle_stats``."""
+    return (
+        stats.groupBy("h")
+        .agg(
+            F.max("n_docs").alias("_mx"),
+            F.count_distinct("solo_doc").alias("_ns"),
+            F.min("solo_doc").alias("_solo"),
+        )
+        .select(
+            "h",
+            F.when((F.col("_mx") >= 2) | (F.col("_ns") >= 2), F.lit(2))
+            .otherwise(F.lit(1)).cast("int").alias("n_docs"),
+            F.when(
+                (F.col("_mx") == 1) & (F.col("_ns") == 1), F.col("_solo")
+            ).alias("solo_doc"),
+        )
+    )
+
+
+def incremental_substring_spans(
+    index: DataFrame,
+    batch: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-substring spans for a NEW batch against an existing corpus
+    WITHOUT re-shingling the corpus — the fourth member of the
+    incremental family (exact fingerprints, MinHash bands, semantic
+    cells, now substring shingles). ``index`` is a
+    ``substring_shingle_stats`` table (possibly with unmerged appended
+    rows — merged here, associatively).
+
+    A batch position is duplicated iff ≥2 distinct docs across
+    (corpus ∪ batch) carry its shingle — since the batch doc itself
+    always contributes 1, that is exactly "anyone else has it". The
+    merged three-valued state answers that with ONE equi-join on the
+    batch's own hashes; the corpus is touched only through the index.
+
+    Returns ``(spans, batch_stats)`` — spans in the same
+    ``(doc_id, span_start, span_end)`` shape as ``exact_substring_spans``
+    (and EQUAL to a full recompute restricted to batch docs — tested);
+    append ``batch_stats`` to the index table to absorb the batch,
+    compacting with ``merge_substring_stats`` on your epoch cadence.
+    """
+    from pyspark.sql.window import Window
+
+    bsh = _positioned_shingles(batch, k, text_col, id_col)
+    bstats = (
+        bsh.groupBy("h")
+        .agg(
+            F.least(F.count_distinct("doc_id"), F.lit(2)).cast("int").alias("n_docs"),
+            F.when(
+                F.count_distinct("doc_id") == 1, F.min("doc_id")
+            ).alias("solo_doc"),
+        )
+    )
+    merged = merge_substring_stats(
+        merge_substring_stats(index).unionByName(bstats)
+    )
+    dup = merged.filter(F.col("n_docs") >= 2).select("h")
+    matched = bsh.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_span = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = (
+        matched.withColumn("_new", new_span)
+        .withColumn(
+            "_g", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "_g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+    return spans, bstats

@@ -105,3 +105,74 @@ def test_strip_removes_all_copies_and_keeps_rest(spark):
 def test_short_docs_produce_no_shingles(spark):
     docs = _mk(spark, [(1, "one two"), (2, "one two")])
     assert exact_substring_spans(docs, k=5).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Incremental substring dedup (batch vs persisted shingle-stats index)
+# --------------------------------------------------------------------------
+
+from pyspark.sql import functions as F
+
+from storage_spark.operators.dedup import (
+    incremental_substring_spans,
+    merge_substring_stats,
+    substring_shingle_stats,
+)
+
+
+def _span_set(df):
+    return {(r.doc_id, r.span_start, r.span_end) for r in df.collect()}
+
+
+def test_incremental_equals_recompute_restricted_to_batch(spark):
+    shared = _words("dup", 8)
+    corpus = _mk(spark, [
+        (1, _words("a", 6) + " " + shared),
+        (2, _words("b", 12)),
+    ])
+    batch = _mk(spark, [
+        (10, shared + " " + _words("c", 4)),       # matches corpus doc 1
+        (11, _words("x", 9) + " " + _words("y", 3)),
+        (12, _words("x", 9)),                       # matches doc 11 within batch
+    ])
+    idx = substring_shingle_stats(corpus, k=5)
+    spans, bstats = incremental_substring_spans(idx, batch, k=5)
+    from storage_spark.operators.dedup import exact_substring_spans
+
+    full = exact_substring_spans(corpus.unionByName(batch), k=5).filter(
+        F.col("doc_id") >= 10
+    )
+    assert _span_set(spans) == _span_set(full)
+    # the batch stats absorb into the index: a SECOND batch re-matching
+    # batch-1 content sees it through the index alone
+    idx2 = merge_substring_stats(idx.unionByName(bstats))
+    batch2 = _mk(spark, [(20, _words("x", 9) + " tail0")])
+    spans2, _ = incremental_substring_spans(idx2, batch2, k=5)
+    full2 = exact_substring_spans(
+        corpus.unionByName(batch).unionByName(batch2), k=5
+    ).filter(F.col("doc_id") == 20)
+    assert _span_set(spans2) == _span_set(full2)
+
+
+def test_compaction_is_lossless_and_idempotent(spark):
+    docs = _mk(spark, [(1, _words("p", 7)), (2, _words("p", 7)), (3, _words("q", 6))])
+    a = substring_shingle_stats(docs.filter("doc_id <= 1"), k=5)
+    b = substring_shingle_stats(docs.filter("doc_id = 2"), k=5)
+    c = substring_shingle_stats(docs.filter("doc_id = 3"), k=5)
+    appended = a.unionByName(b).unionByName(c)
+    merged = merge_substring_stats(appended)
+    direct = substring_shingle_stats(docs, k=5)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    again = merge_substring_stats(merged)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_reingested_doc_does_not_self_match(spark):
+    doc = _mk(spark, [(1, _words("s", 9))])
+    idx = substring_shingle_stats(doc, k=5)
+    spans, _ = incremental_substring_spans(idx, doc, k=5)  # same doc_id
+    assert spans.count() == 0
+    # but a DIFFERENT doc with the same text does match
+    other = _mk(spark, [(2, _words("s", 9))])
+    spans2, _ = incremental_substring_spans(idx, other, k=5)
+    assert _span_set(spans2) == {(2, 1, 10)}
