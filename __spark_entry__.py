@@ -2952,12 +2952,41 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group DSIR (r9 — the paper's per-domain selection): k docs
+    PER LANGUAGE by the same Gumbel keys, so small languages get their
+    quota instead of drowning under the global cut. The oracle is the
+    full dsir_select replay with the top-k cut swapped for a
+    per-language row_number."""
+    from storage_spark.operators.pipeline import dsir_sample_per_group
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    out = dsir_sample_per_group(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        k=10,
+        group_col="lang",
+        num_buckets=1000,
+        seed=7,
+    )
+    return out.select(
+        "lang",
+        "doc_id",
+        F.col("n_features").cast("bigint").alias("n_features"),
+        F.round(F.col("log_w") * 10000).cast("bigint").alias("logw_1e4"),
+        F.round(F.col("gumbel_key") * 10000).cast("bigint").alias("gkey_1e4"),
+    )
+
+
 def _oracle_dsir_select(
-    num_buckets: int, k: int, seed: int, smoothing: float = 1.0
+    num_buckets: int, k: int, seed: int, smoothing: float = 1.0,
+    group_col: str | None = None,
 ) -> str:
     """SQL mirror of q_dsir_select: hashed buckets via per-digit hex
     math, target/raw model fits over the fixed bucket space, ordered
-    per-doc fold, md5-uniform Gumbel keys, top-k."""
+    per-doc fold, md5-uniform Gumbel keys, top-k. ``group_col`` swaps
+    the global cut for a per-group row_number (q_dsir_select_per_lang)."""
 
     def _hexval(expr: str, ndigits: int) -> str:
         terms = [
@@ -3022,12 +3051,26 @@ keyed AS (
          log_w + (-ln(-ln({u}))) AS gumbel_key
   FROM perdoc
 )
-SELECT doc_id, n_features,
+{_dsir_final_select(k, group_col)}
+""")
+
+
+def _dsir_final_select(k: int, group_col: str | None) -> str:
+    if group_col is None:
+        return f"""SELECT doc_id, n_features,
   CAST(round(log_w * 10000) AS BIGINT) AS logw_1e4,
   CAST(round(gumbel_key * 10000) AS BIGINT) AS gkey_1e4
 FROM keyed
-ORDER BY gumbel_key DESC, doc_id ASC LIMIT {k}
-""")
+ORDER BY gumbel_key DESC, doc_id ASC LIMIT {k}"""
+    return f"""SELECT {group_col}, doc_id, n_features,
+  CAST(round(log_w * 10000) AS BIGINT) AS logw_1e4,
+  CAST(round(gumbel_key * 10000) AS BIGINT) AS gkey_1e4
+FROM (
+  SELECT kk.*, d.{group_col},
+         row_number() OVER (PARTITION BY d.{group_col}
+                            ORDER BY kk.gumbel_key DESC, kk.doc_id ASC) AS rn
+  FROM keyed kk JOIN documents d ON d.doc_id = kk.doc_id
+) WHERE rn <= {k}"""
 
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4601,6 +4644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_incremental": q_substring_dedup_incremental,
         "bpe_tokenize": q_bpe_tokenize,
         "curate_corpus_gated": q_curate_corpus_gated,
+        "dsir_select_per_lang": q_dsir_select_per_lang,
         # ---- r9 result-changed (re-record) ----
         "path_functions": q_path_functions,
         "multipart_complete": q_multipart_complete,
@@ -6861,6 +6905,9 @@ SELECT doc_id,
 FROM m
 """),
         "dsir_select": _oracle_dsir_select(num_buckets=1000, k=25, seed=7),
+        "dsir_select_per_lang": _oracle_dsir_select(
+            num_buckets=1000, k=10, seed=7, group_col="lang"
+        ),
         "perplexity_buckets": _o(f"""
 , toks AS (
   SELECT doc_id, u.pos, u.tok FROM (

@@ -1992,6 +1992,53 @@ def dsir_sample(
     )
 
 
+def dsir_sample_per_group(
+    raw: DataFrame,
+    target: DataFrame | None,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 10_000,
+    use_bigrams: bool = True,
+    smoothing: float = 1.0,
+    seed: int = 42,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """DSIR selection with a PER-GROUP quota — the paper's per-domain
+    form (Xie et al. 2023 select within each source/domain so a small
+    domain is not drowned by the global cut; same motivation as
+    ``perplexity_buckets(per_language=True)``): ``k`` docs per
+    ``group_col`` value, sampled without replacement ∝ importance
+    weight via the identical md5-uniform Gumbel keys ``dsir_sample``
+    uses. One weights plan + one PER-GROUP window rank (groups
+    partition the window — no global ordering anywhere). Returns
+    ``(group_col, id_col, n_features, log_w, gumbel_key)``."""
+    from pyspark.sql.window import Window
+
+    w = dsir_weights(
+        raw, target, id_col, text_col, num_buckets, use_bigrams, smoothing,
+        model=model,
+    )
+    scored = w.join(raw.select(id_col, group_col), id_col)
+    h = F.md5(
+        F.concat(F.lit(f"dsir-gumbel:{seed}:"), F.col(id_col).cast("string"))
+    )
+    u = (F.conv(F.substring(h, 1, 12), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(16 ** 12 + 1)
+    )
+    g = -F.log(-F.log(u))
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("gumbel_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("gumbel_key", F.col("log_w") + g)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= int(k))
+        .select(group_col, id_col, "n_features", "log_w", "gumbel_key")
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     model: DataFrame | None = None,

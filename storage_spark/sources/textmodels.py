@@ -20,6 +20,8 @@ construction, asserted in tests):
 - ``bigram``:  ``(prev, tok, cnt)`` — ``pipeline.bigram_model``
 - ``nb``:      ``(tok, w)``         — ``pipeline.nb_quality_model``
 - ``dsir``:    ``(b, lw)``          — ``pipeline.dsir_model``
+- ``subword``: ``(tok)``            — ``functions.bpe.build_subword_vocab``
+  (budgets must count in the SAME vocabulary the packing ran under)
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ MODEL_COLUMNS: dict[str, set[str]] = {
     "bigram": {"prev", "tok", "cnt"},
     "nb": {"tok", "w"},
     "dsir": {"b", "lw"},
+    "subword": {"tok"},
 }
 
 _FORMAT_VERSION = 1

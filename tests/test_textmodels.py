@@ -115,5 +115,16 @@ def test_overwrite_replaces_model(spark, docs, tmp_path):
     assert loaded.count() == cfg["n_rows"] > 8
 
 
+def test_subword_vocab_roundtrip_counts_equal(spark, docs, tmp_path):
+    from storage_spark.functions.bpe import bpe_tokenize, build_subword_vocab
+
+    v = build_subword_vocab(docs, max_size=20)
+    save_text_model(v, str(tmp_path / "sw"), "subword",
+                    {"max_size": 20, "max_len": 4})
+    loaded, cfg = load_text_model(spark, str(tmp_path / "sw"))
+    assert cfg["params"]["max_len"] == 4
+    assert _rows(bpe_tokenize(docs, loaded)) == _rows(bpe_tokenize(docs, v))
+
+
 def test_all_kinds_have_column_contracts():
-    assert set(MODEL_COLUMNS) == {"unigram", "bigram", "nb", "dsir"}
+    assert set(MODEL_COLUMNS) == {"unigram", "bigram", "nb", "dsir", "subword"}
