@@ -4619,15 +4619,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
     # cap. Round 9's 50-slot window:
-    # (a) the 10 r9 net-new rows (never recorded) lead;
+    # (a) the 11 r9 net-new rows (never recorded) lead;
     # (b) 2 rows whose RESULTS changed this round and must re-record:
     #     path_functions (extension() now matches the reference on
     #     dot-less names + edge-case fixture rows) and multipart_complete
     #     (0057 metadata column in the RETURNING row);
     # (c) the 7 rows whose latest driver evidence is r5 (VERDICT r8 #6:
     #     tenant_usage..merge_upsert — the r8 cap truncated them);
-    # (d) the r6-evidence block, stalest-first: ~31 fit this window, the
-    #     tail (~14 rows) leads round 10's.
+    # (d) the r6-evidence block, stalest-first: ~30 fit this window, the
+    #     tail (~15 rows) leads round 10's.
     # Everything past slot 50 is driver-green in r7/r8 on semantically
     # unchanged code, and the local parity replica
     # (tests/test_queries_parity.py) re-proves the whole registry on
