@@ -132,6 +132,7 @@ _BNLJ_ALLOWED = {
     "classifier_score",
     "curate_corpus_gated",  # same classifier 1-row totals crossJoin gate
     "dsir_select",
+    "dsir_select_per_lang",  # same DSIR 1-row model-totals crossJoin
     "perplexity_buckets",  # totals + 1-row threshold crossJoins
 }
 
