@@ -9,10 +9,14 @@ the Python media library only ever sees vectorized batches.
 
 Metadata decode is REAL for PNG and JPEG: ``decode_image_meta`` parses the
 PNG IHDR chunk and the JPEG SOF0/SOF2 frame headers with pure struct reads
-(no Pillow needed — the container has no media libs). Pixel-level work
-(``transform_images``) still requires a codec callable, exactly where a
-Pillow call would slot in; the deterministic FAKE header remains as a
-test fixture format alongside the real ones.
+(no Pillow needed — the container has no media libs). Pixel-level work is
+REAL for PNG as of round 9: ``functions.imagecodec.png_pixel_codec``
+(pure zlib/struct/numpy — decode, cover/contain/fill resize, re-encode)
+plugs into ``transform_images``'s codec slot; PCM WAV metadata and
+features are likewise real (``imagecodec.wav_parse_meta``/``wav_features``
+via the stdlib ``wave`` module). JPEG/WebP/video transforms still require
+an external codec and raise honestly; the deterministic FAKE header
+remains as a test fixture format alongside the real ones.
 """
 
 from __future__ import annotations
@@ -167,15 +171,17 @@ def transform_images(
     key_col: str = "key",
     content_col: str = "content",
 ) -> DataFrame:
-    """Batch image transform (render path as a bulk operator). Without a
-    ``codec`` this raises at plan-build time — the Spark plumbing is real;
-    the pixel work is the only absent piece in this container."""
+    """Batch image transform (render path as a bulk operator).
+    ``codec=None`` defaults to the dependency-free PNG codec
+    (``functions.imagecodec.png_pixel_codec`` — real decode/resize/encode
+    for PNG inputs; raises per-blob on other formats); pass a
+    Pillow/libvips-backed callable for JPEG/WebP when the deployment has
+    one — the Spark plumbing is identical either way."""
     validate_render_options(width, height, resize, quality)
     if codec is None:
-        raise NotImplementedError(
-            "transform_images needs a codec callable (e.g. Pillow-based "
-            "resize) — not available in this environment"
-        )
+        from storage_spark.functions.imagecodec import png_pixel_codec
+
+        codec = png_pixel_codec
 
     out_schema = T.StructType(
         [T.StructField("key", T.StringType()), T.StructField("content", T.BinaryType())]
@@ -215,14 +221,22 @@ def decode_audio_meta(
     blobs: DataFrame, key_col: str = "key", content_col: str = "content"
 ) -> DataFrame:
     """Audio decode stage — same Arrow-batched mapInPandas shape as
-    decode_image_meta; a real decoder (soundfile/ffmpeg) swaps into
-    ``_decode_one`` untouched."""
+    decode_image_meta. REAL for PCM WAV (RIFF header walk,
+    ``imagecodec.wav_parse_meta`` — no codec library); the FAKEPCM test
+    fixture stays recognized; compressed formats (mp3/flac/ogg) still
+    need an external decoder and raise honestly."""
 
     def _decode_one(b: bytes) -> tuple[int, int]:
+        if b is not None and bytes(b).startswith(b"RIFF"):
+            from storage_spark.functions.imagecodec import wav_parse_meta
+
+            rate, n_samples, _ch = wav_parse_meta(bytes(b))
+            return (rate, n_samples)
         if b is None or not bytes(b).startswith(b"FAKEPCM:"):
             raise NotImplementedError(
-                "real audio decoding requires a media codec — only the "
-                "FAKEPCM header codec ships in this environment"
+                "real audio decoding beyond PCM WAV requires a media codec"
+                " — only WAV and the FAKEPCM fixture ship in this"
+                " environment"
             )
         head = bytes(b).split(b"|", 1)[0].decode()
         _tag, rate, n = head.split(":")
@@ -243,6 +257,52 @@ def decode_audio_meta(
             )
 
     return blobs.mapInPandas(_batches, AUDIO_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_1e6", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_features(
+    blobs: DataFrame, key_col: str = "key", content_col: str = "content"
+) -> DataFrame:
+    """REAL audio feature extraction for PCM WAV blobs (r9): full sample
+    decode via the stdlib ``wave`` module, then deterministic
+    integer-scaled features (RMS loudness ×1e6, zero-crossing count) —
+    the audio-quality gate of a multimodal training pipeline, in the
+    same Arrow-batched map-only shape as every media stage. Non-WAV
+    bytes yield NULL features (poison blobs must not kill the job)."""
+    from storage_spark.functions.imagecodec import wav_features
+
+    def _one(b):
+        try:
+            return wav_features(bytes(b)) if b is not None else None
+        except Exception:
+            return None
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_one(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col],
+                    "sample_rate": [f[0] if f else None for f in feats],
+                    "n_samples": [f[1] if f else None for f in feats],
+                    "duration_ms": [f[2] if f else None for f in feats],
+                    "rms_1e6": [f[3] if f else None for f in feats],
+                    "zero_crossings": [f[4] if f else None for f in feats],
+                }
+            )
+
+    return blobs.mapInPandas(_batches, AUDIO_FEATURES_SCHEMA)
 
 
 def extract_embeddings(

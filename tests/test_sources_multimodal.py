@@ -197,10 +197,25 @@ def test_parse_image_header_pure():
     assert parse_image_header(dht + b"\xff\xd9") == (None, None, None, None)
 
 
-def test_transform_images_gating(spark, media_df):
-    with pytest.raises(NotImplementedError):
-        transform_images(media_df, 100, 100)
-    # with an injected codec the plumbing runs end-to-end
+def test_transform_images_default_codec_is_real_for_png(spark):
+    # r9: codec=None defaults to the dependency-free PNG codec — a real
+    # decode/resize/encode round-trip through the Spark stage
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import png_decode, png_encode
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(40, 30, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("p1", png_encode(img))], "key string, content binary"
+    )
+    out = transform_images(df, 10, 10, resize="fill").collect()
+    arr = png_decode(bytes(out[0].content))
+    assert arr.shape == (10, 10, 3)
+
+
+def test_transform_images_injected_codec_and_validation(spark, media_df):
+    # with an injected codec the plumbing runs end-to-end on any bytes
     out = transform_images(
         media_df, 100, 100, codec=lambda b, w, h, r, q: b[:4] + f"{w}x{h}".encode()
     ).collect()
@@ -208,6 +223,9 @@ def test_transform_images_gating(spark, media_df):
     for bad in [(0, 10, "cover"), (10, 99999, "cover"), (10, 10, "stretch")]:
         with pytest.raises(ValueError):
             validate_render_options(*bad)
+    # the default PNG codec raises per-blob on non-PNG bytes at execution
+    with pytest.raises(Exception, match="not a PNG"):
+        transform_images(media_df, 10, 10).collect()
 
 
 def test_frame_sample_plan(spark, media_df):
@@ -243,9 +261,58 @@ def test_decode_audio_meta(spark):
     meta = {r.key: r for r in decode_audio_meta(df).collect()}
     assert meta["a1"].duration_ms == 3000 and meta["a1"].sample_rate == 16000
     assert meta["a2"].duration_ms == 1000
-    bad = spark.createDataFrame([("x", b"RIFF....")], "key string, content binary")
+    # compressed formats still need a codec library (honest raise)
+    bad = spark.createDataFrame(
+        [("x", b"ID3\x03\x00mp3-ish")], "key string, content binary"
+    )
     with pytest.raises(Exception, match="NotImplementedError|media codec"):
         decode_audio_meta(bad).collect()
+
+
+def _wav_bytes(rate, samples):
+    """Build a real PCM WAV via the stdlib wave module."""
+    import io
+    import struct as _struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"".join(_struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_decode_audio_meta_real_wav(spark):
+    from storage_spark.operators.multimodal import decode_audio_meta
+
+    df = spark.createDataFrame(
+        [("w1", _wav_bytes(8000, [0, 1000, -1000, 500] * 2000))],
+        "key string, content binary",
+    )
+    row = decode_audio_meta(df).first()
+    assert row.sample_rate == 8000 and row.n_samples == 8000
+    assert row.duration_ms == 1000
+
+
+def test_audio_features_real_wav(spark):
+    import math
+
+    from storage_spark.operators.multimodal import audio_features
+
+    # 1 kHz square-ish wave at 8 kHz: known zero-crossing count and RMS
+    samples = [16384 if (i // 4) % 2 == 0 else -16384 for i in range(8000)]
+    df = spark.createDataFrame(
+        [("w1", _wav_bytes(8000, samples)), ("bad", b"not audio")],
+        "key string, content binary",
+    )
+    rows = {r.key: r for r in audio_features(df).collect()}
+    w = rows["w1"]
+    assert w.sample_rate == 8000 and w.n_samples == 8000
+    assert w.rms_1e6 == round(16384 / 32768 * 1_000_000)
+    assert w.zero_crossings == 8000 // 4 - 1
+    assert rows["bad"].sample_rate is None  # poison blob -> NULLs, no crash
 
 
 def test_embedding_bridge_feeds_neardup(spark):
