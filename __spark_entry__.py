@@ -3250,6 +3250,50 @@ def q_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return spans.orderBy("doc_id", "span_start")
 
 
+def q_media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media pipeline under the oracle (r9): REAL PNG bytes are built per
+    part row (functions/imagecodec.png_encode — dependency-free writer)
+    with dimensions derived from the key, then the Arrow-batched decode
+    stage (multimodal.decode_image_meta → the pure-struct PNG parser)
+    recovers the metadata. The oracle predicts the SAME metadata from the
+    generation rule alone — any drift in the encoder's IHDR layout or the
+    parser's offsets breaks the match."""
+    import numpy as np
+    import pandas as pd
+
+    from storage_spark.functions.imagecodec import png_encode
+    from storage_spark.operators.multimodal import decode_image_meta
+
+    t = _t(spark, sf_dir)
+    base = t["part"].select(
+        F.col("p_partkey").cast("long").alias("pk")
+    ).filter(F.col("pk") <= 200)
+
+    def _gen(it):
+        for pdf in it:
+            pks = pdf["pk"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "key": [str(int(k)) for k in pks],
+                    "content": [
+                        png_encode(
+                            np.full(
+                                (int(k) % 25 + 1, int(k) % 40 + 1),
+                                int(k) % 256,
+                                dtype=np.uint8,
+                            )
+                        )
+                        for k in pks
+                    ],
+                }
+            )
+
+    blobs = base.mapInPandas(_gen, "key string, content binary")
+    return decode_image_meta(blobs).select(
+        "key", "mime", "width", "height", "n_frames"
+    ).orderBy(F.col("key").cast("long"))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval overlap scrub: docs sharing >=1 distinct word trigram
     with the benchmark subset (doc_id % 37 == 0) are flagged, with the
@@ -4619,15 +4663,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
     # cap. Round 9's 50-slot window:
-    # (a) the 11 r9 net-new rows (never recorded) lead;
+    # (a) the 12 r9 net-new rows (never recorded) lead;
     # (b) 2 rows whose RESULTS changed this round and must re-record:
     #     path_functions (extension() now matches the reference on
     #     dot-less names + edge-case fixture rows) and multipart_complete
     #     (0057 metadata column in the RETURNING row);
     # (c) the 7 rows whose latest driver evidence is r5 (VERDICT r8 #6:
     #     tenant_usage..merge_upsert — the r8 cap truncated them);
-    # (d) the r6-evidence block, stalest-first: ~30 fit this window, the
-    #     tail (~15 rows) leads round 10's.
+    # (d) the r6-evidence block, stalest-first: ~29 fit this window, the
+    #     tail (~16 rows) leads round 10's.
     # Everything past slot 50 is driver-green in r7/r8 on semantically
     # unchanged code, and the local parity replica
     # (tests/test_queries_parity.py) re-proves the whole registry on
@@ -4645,6 +4689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "curate_corpus_gated": q_curate_corpus_gated,
         "dsir_select_per_lang": q_dsir_select_per_lang,
+        "media_decode_meta": q_media_decode_meta,
         # ---- r9 result-changed (re-record) ----
         "path_functions": q_path_functions,
         "multipart_complete": q_multipart_complete,
@@ -6510,6 +6555,15 @@ isl AS (
 SELECT doc_id, min(pos) AS span_start, max(pos) + 10 AS span_end
 FROM isl GROUP BY doc_id, g
 ORDER BY doc_id, span_start
+"""),
+        "media_decode_meta": _o("""
+SELECT CAST(p_partkey AS STRING) AS key,
+       'image/png' AS mime,
+       CAST(p_partkey % 40 + 1 AS INT) AS width,
+       CAST(p_partkey % 25 + 1 AS INT) AS height,
+       1 AS n_frames
+FROM part WHERE p_partkey <= 200
+ORDER BY p_partkey
 """),
         "substring_dedup_incremental": _o("""
 , toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
