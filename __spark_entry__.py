@@ -3659,6 +3659,139 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize(docs, vocab).orderBy("doc_id")
 
 
+#: Merge count for the BPE-merge driver rows — fixed so the DuckDB oracle
+#: can unroll exactly this many rounds as chained CTEs.
+_BPE_DRIVER_MERGES = 12
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE merge-frequency BPE training (Sennrich et al. 2016, the
+    iterative algorithm — vs q_bpe_tokenize's frequency-vocab shortcut):
+    12 rounds of count-adjacent-pairs → merge the argmax. The oracle
+    replays every round as an unrolled CTE chain: one string ``replace``
+    per merge (left-to-right non-overlap is identical in Spark and
+    DuckDB, so overlapping runs like 'b b b' merge the same way)."""
+    from storage_spark.functions.bpe import bpe_learn_merges
+
+    t = _t(spark, sf_dir)
+    return bpe_learn_merges(
+        t["documents"].select("text"), num_merges=_BPE_DRIVER_MERGES
+    ).orderBy("merge_rank")
+
+
+def q_bpe_merge_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc subword counts under the learned merge table: the 12
+    merges replay in rank order as a chained-``replace`` EXPRESSION (no
+    UDF) over the doc's word-boundary-bracketed symbol string. Train and
+    apply segmentations agree by construction — the oracle recomputes
+    the merges AND the application, end-to-end in SQL."""
+    from storage_spark.functions.bpe import bpe_learn_merges, bpe_merge_tokenize
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    merges = bpe_learn_merges(docs, num_merges=_BPE_DRIVER_MERGES)
+    return bpe_merge_tokenize(docs, merges).orderBy("doc_id")
+
+
+def _bpe_merge_ctes(num_merges: int) -> str:
+    """Unrolled-CTE replay of ``bpe_learn_merges``: words → state0 →
+    (pairs_r → best_r → state_{r+1}) × N. Each round's merge is ONE
+    ``replace`` on the chr(1)-delimited symbol string — the same
+    left-to-right non-overlapping scan the engine's ``F.replace`` does."""
+    # MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
+    # each state_{r+1} references state_r twice (pairs_r + directly), so
+    # an inlined chain re-evaluates EXPONENTIALLY in the round count
+    # (measured: 0.44 s at 7 rounds inlined vs 0.12 s at 12 materialized).
+    parts = [
+        """
+words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE w <> '' AND w NOT LIKE '%' || chr(1) || '%'
+  GROUP BY w
+),
+state0 AS MATERIALIZED (
+  SELECT wcnt,
+         chr(1) || array_to_string(string_split(w, ''), chr(1)) || chr(1)
+           AS sym
+  FROM words
+)"""
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f"""
+pairs{r} AS MATERIALIZED (
+  SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(sum(wcnt) AS BIGINT) AS cnt
+  FROM (
+    SELECT wcnt, s, unnest(generate_series(1, len(s) - 1)) AS i
+    FROM (SELECT wcnt,
+                 list_filter(string_split(sym, chr(1)), x -> x <> '') AS s
+          FROM state{r})
+  )
+  GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM pairs{r}
+  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+),
+state{r + 1} AS MATERIALIZED (
+  SELECT wcnt,
+         replace(sym, chr(1) || lhs || chr(1) || rhs || chr(1),
+                      chr(1) || lhs || rhs || chr(1)) AS sym
+  FROM state{r}, best{r}
+)"""
+        )
+    return "WITH " + ",".join(parts)
+
+
+def _oracle_bpe_merges(num_merges: int) -> str:
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({r} AS INTEGER) AS merge_rank, lhs, rhs,"
+        f" lhs || rhs AS merged, cnt AS pair_count FROM best{r}"
+        for r in range(num_merges)
+    )
+    return (
+        _bpe_merge_ctes(num_merges)
+        + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
+    )
+
+
+def _oracle_bpe_merge_tokenize(num_merges: int) -> str:
+    froms = ", ".join(f"best{r} b{r}" for r in range(num_merges))
+    expr = "st"
+    for r in range(num_merges):
+        expr = (
+            f"replace({expr},"
+            f" chr(1) || b{r}.lhs || chr(1) || b{r}.rhs || chr(1),"
+            f" chr(1) || b{r}.lhs || b{r}.rhs || chr(1))"
+        )
+    return (
+        _bpe_merge_ctes(num_merges)
+        + f""",
+docstate AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '),
+                w -> w <> '' AND w NOT LIKE '%' || chr(1) || '%') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+enc AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+    chr(1) || array_to_string(
+      list_transform(ws, w -> array_to_string(string_split(w, ''), chr(1))),
+      chr(1) || chr(1)) || chr(1) AS st
+  FROM docstate
+),
+ap AS (
+  SELECT doc_id, n_words, {expr} AS st2 FROM enc, {froms}
+)
+SELECT doc_id, n_words,
+  CAST(len(list_filter(string_split(st2, chr(1)), x -> x <> '')) AS BIGINT)
+    AS n_subwords
+FROM ap ORDER BY doc_id"""
+    )
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass corpus health report: per-language docs / tokens /
     high-quality share over the documents table."""
@@ -4687,6 +4820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_strip": q_substring_dedup_strip,
         "substring_dedup_incremental": q_substring_dedup_incremental,
         "bpe_tokenize": q_bpe_tokenize,
+        "bpe_merges": q_bpe_merges,
+        "bpe_merge_tokenize": q_bpe_merge_tokenize,
         "curate_corpus_gated": q_curate_corpus_gated,
         "dsir_select_per_lang": q_dsir_select_per_lang,
         "media_decode_meta": q_media_decode_meta,
@@ -6363,6 +6498,8 @@ SELECT lang, doc_id, n_tokens, bin FROM walk ORDER BY lang, doc_id
         # longest-prefix matcher as a recursive walk over distinct words —
         # each step consumes the longest vocab token prefixing the
         # remainder (else 1 char), exactly functions/bpe.py's loop.
+        "bpe_merges": _oracle_bpe_merges(_BPE_DRIVER_MERGES),
+        "bpe_merge_tokenize": _oracle_bpe_merge_tokenize(_BPE_DRIVER_MERGES),
         "bpe_tokenize": """
 WITH RECURSIVE
 docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

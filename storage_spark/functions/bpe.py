@@ -31,8 +31,14 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
+
+#: Symbol separator for the merge trainer's string-encoded symbol
+#: sequences. A control byte no tokenized corpus contains; words that DO
+#: contain it are excluded from training/apply on both engine and oracle
+#: sides (the same convention, so parity holds by construction).
+BPE_SEP = "\x01"
 
 
 def build_subword_vocab(
@@ -83,6 +89,177 @@ def build_subword_vocab(
     )
     # length-1 chars and length>=2 grams are disjoint sets
     return top.unionByName(chars)
+
+
+def _word_sym_state(word: Column) -> Column:
+    """Encode a word as its initial BPE symbol string: every character a
+    symbol, symbols delimited (and the string bracketed) by ``BPE_SEP`` —
+    ``'cat'`` becomes ``'\\x01c\\x01a\\x01t\\x01'``. A merge of the
+    adjacent pair (a, b) is then exactly one string ``replace`` of
+    ``SEP a SEP b SEP`` with ``SEP ab SEP``: both Spark and DuckDB scan
+    left-to-right without re-examining replaced text, which is precisely
+    the reference BPE behavior for overlapping runs ('b b b' merges to
+    'bb b', not 'b bb')."""
+    return F.concat(
+        F.lit(BPE_SEP), F.array_join(F.split(word, ""), BPE_SEP), F.lit(BPE_SEP)
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 12,
+    min_count: int = 1,
+) -> DataFrame:
+    """True merge-frequency BPE training (Sennrich et al. 2016,
+    arXiv:1508.07909 — the iterative algorithm, not the frequency-vocab
+    shortcut of ``build_subword_vocab``): repeatedly count adjacent symbol
+    pairs over the word-frequency table, merge the most frequent pair
+    (ties broken by pair text ascending — deterministic), and re-count on
+    the merged state. Returns the learned merge table
+    ``(merge_rank int, lhs, rhs, merged, pair_count long)`` in rank order.
+
+    Pair counts follow the reference implementation: every adjacent
+    position counts, weighted by word frequency, including overlapping
+    occurrences within a word ('aaa' contributes (a,a) twice).
+
+    Scale shape: the state is the DISTINCT-WORD table (vocabulary-sized —
+    millions of rows at 100 TB, not corpus-sized; the classic BPE
+    preprocessing), built by ONE map-side-combined count over the corpus.
+    Each merge round is one map-only ``replace`` + one pair aggregation +
+    a 1-row argmax collect (the bounded driver-collect class), and the
+    state is localCheckpoint-ed per round so round r never replays rounds
+    0..r-1 — N rounds cost N linear passes over the word table, never
+    touching the corpus again.
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1 (got {num_merges})")
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter((F.length("w") > 0) & ~F.contains(F.col("w"), F.lit(BPE_SEP)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    state = words.select(
+        F.col("wcnt"), _word_sym_state(F.col("w")).alias("sym")
+    ).localCheckpoint()
+    merges: list[Row] = []
+    for rank in range(int(num_merges)):
+        syms = F.filter(F.split(F.col("sym"), BPE_SEP), lambda x: x != "")
+        pairs = state.select(
+            F.col("wcnt"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(syms, 1, F.size(syms) - 1).alias("lhs"),
+                    F.slice(syms, 2, F.size(syms) - 1).alias("rhs"),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("wcnt").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        merges.append(
+            Row(
+                merge_rank=rank,
+                lhs=lhs,
+                rhs=rhs,
+                merged=lhs + rhs,
+                pair_count=cnt,
+            )
+        )
+        state = state.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"),
+                F.lit(BPE_SEP + lhs + BPE_SEP + rhs + BPE_SEP),
+                F.lit(BPE_SEP + lhs + rhs + BPE_SEP),
+            ),
+        ).localCheckpoint()
+    return docs.sparkSession.createDataFrame(
+        merges,
+        schema="merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count long",
+    )
+
+
+def bpe_merge_token_counter(merges: DataFrame) -> Callable[[Column], Column]:
+    """Compile a learned merge table into a ``text -> subword count``
+    Column function — PURE expressions, no UDF: the doc is encoded as one
+    symbol string (words joined by a DOUBLE separator so no merge can
+    cross a word boundary), the R merges are replayed in rank order as R
+    chained ``replace`` calls, and the count is the surviving symbol
+    total. The merge list is collected (bounded: num_merges rows, the
+    ANN-centroid collect class) and folded into the plan as literals.
+
+    Application semantics: each merge is applied exhaustively ONCE, in
+    training order — identical to how the trainer itself evolves its
+    state, so train-time and apply-time segmentations agree by
+    construction. (The reference encoder's iterative min-rank loop can
+    additionally re-apply an earlier merge that a later merge re-enables;
+    that divergence requires a later merge to recreate an earlier pair,
+    which rank order makes rare, and the single-pass form is what keeps
+    the operator a map-only expression chain.)"""
+    rows = sorted(
+        merges.select("merge_rank", "lhs", "rhs").collect(),
+        key=lambda r: r["merge_rank"],
+    )
+
+    def _count(text: Column) -> Column:
+        words_arr = F.filter(
+            F.split(text, " "),
+            lambda w: (F.length(w) > 0) & ~F.contains(w, F.lit(BPE_SEP)),
+        )
+        state = F.concat(
+            F.lit(BPE_SEP),
+            F.array_join(
+                F.transform(
+                    words_arr, lambda w: F.array_join(F.split(w, ""), BPE_SEP)
+                ),
+                BPE_SEP + BPE_SEP,
+            ),
+            F.lit(BPE_SEP),
+        )
+        for r in rows:
+            state = F.replace(
+                state,
+                F.lit(BPE_SEP + r["lhs"] + BPE_SEP + r["rhs"] + BPE_SEP),
+                F.lit(BPE_SEP + r["lhs"] + r["rhs"] + BPE_SEP),
+            )
+        return F.size(
+            F.filter(F.split(state, BPE_SEP), lambda x: x != "")
+        ).cast("long")
+
+    return _count
+
+
+def bpe_merge_tokenize(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc subword counts under a learned merge table:
+    ``(id_col, n_words, n_subwords)``. NULL-text docs are dropped (the
+    LM-scorer convention — there is nothing to segment); empty text
+    yields 0/0. ``n_words`` counts non-empty words, matching the set the
+    segmentation actually covers."""
+    counter = bpe_merge_token_counter(merges)
+    nz_words = F.filter(
+        F.split(F.col(text_col), " "),
+        lambda w: (F.length(w) > 0) & ~F.contains(w, F.lit(BPE_SEP)),
+    )
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(nz_words).cast("long").alias("n_words"),
+        counter(F.col(text_col)).alias("n_subwords"),
+    )
 
 
 def bpe_token_counter(vocab: DataFrame) -> Callable[[Column], Column]:

@@ -1080,14 +1080,22 @@ def token_budget_filter(
     the plausible candidates, not the raw corpus.
 
     ``tokenizer=`` budgets in SUBWORD units instead of regex tokens:
-    pass a ``functions.bpe.build_subword_vocab(...)`` table and
-    ``n_tokens`` becomes the greedy-BPE count — the unit a training run
-    actually spends (map-only pandas UDF, no extra shuffle)."""
+    pass a ``functions.bpe.build_subword_vocab(...)`` table (greedy
+    longest-prefix counts, map-only pandas UDF) or a
+    ``functions.bpe.bpe_learn_merges(...)`` merge table (rank-order merge
+    replay, pure expression chain) — dispatched by the table's columns —
+    and ``n_tokens`` becomes the unit a training run actually spends."""
     col = F.col(text_col)
     if tokenizer is not None:
-        from storage_spark.functions.bpe import bpe_token_counter
+        from storage_spark.functions.bpe import (
+            bpe_merge_token_counter,
+            bpe_token_counter,
+        )
 
-        n_tok = bpe_token_counter(tokenizer)(col)
+        if "merge_rank" in tokenizer.columns:
+            n_tok = bpe_merge_token_counter(tokenizer)(col)
+        else:
+            n_tok = bpe_token_counter(tokenizer)(col)
     else:
         n_tok = token_count(col)
     scored = docs.select(

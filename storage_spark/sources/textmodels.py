@@ -22,6 +22,9 @@ construction, asserted in tests):
 - ``dsir``:    ``(b, lw)``          — ``pipeline.dsir_model``
 - ``subword``: ``(tok)``            — ``functions.bpe.build_subword_vocab``
   (budgets must count in the SAME vocabulary the packing ran under)
+- ``merges``: ``(merge_rank, lhs, rhs, merged, pair_count)`` —
+  ``functions.bpe.bpe_learn_merges`` (rank order IS the model: apply-time
+  replay folds the merges in merge_rank order)
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ MODEL_COLUMNS: dict[str, set[str]] = {
     "nb": {"tok", "w"},
     "dsir": {"b", "lw"},
     "subword": {"tok"},
+    "merges": {"merge_rank", "lhs", "rhs", "merged", "pair_count"},
 }
 
 _FORMAT_VERSION = 1

@@ -83,6 +83,142 @@ def test_null_text_scores_null(spark):
     assert row.n_bpe_tokens is None
 
 
+# ---------------------------------------------------------------------------
+# True merge-frequency BPE (bpe_learn_merges / bpe_merge_tokenize)
+# ---------------------------------------------------------------------------
+
+MERGE_DOCS = [
+    (0, "low lower lowest low low"),
+    (1, "new newer newest new"),
+    (2, "low new low"),
+]
+
+
+def sennrich_merges(texts, num_merges):
+    """Reference BPE trainer: Sennrich et al. 2016's get_stats/merge loop
+    (list-based, merges ALL occurrences of the argmax pair left-to-right,
+    ties by pair text ascending)."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    state = {w: list(w) for w in words}
+    out = []
+    for rank in range(num_merges):
+        c = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                c[(syms[i], syms[i + 1])] += words[w]
+        if not c:
+            break
+        (a, b), cnt = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append((rank, a, b, a + b, cnt))
+        for w, syms in state.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            state[w] = merged
+    return out, state
+
+
+@pytest.fixture(scope="module")
+def merge_docs(spark):
+    return spark.createDataFrame(MERGE_DOCS, "doc_id long, text string").cache()
+
+
+def test_learn_merges_matches_sennrich_reference(spark, merge_docs):
+    from storage_spark.functions.bpe import bpe_learn_merges
+
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_learn_merges(merge_docs, num_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    want, _ = sennrich_merges([t for _, t in MERGE_DOCS], 6)
+    assert got == want
+
+
+def test_learn_merges_overlapping_run_is_left_to_right(spark):
+    from storage_spark.functions.bpe import bpe_learn_merges
+
+    # 'b b b' must merge to ('bb', 'b') — the non-overlapping left-to-right
+    # scan of the reference implementation, not ('b', 'bb').
+    docs = spark.createDataFrame([(0, "bbb bbb")], "doc_id long, text string")
+    rows = bpe_learn_merges(docs, num_merges=2).orderBy("merge_rank").collect()
+    assert (rows[0].lhs, rows[0].rhs) == ("b", "b")
+    # round 2 state per word is [bb, b]: the only remaining pair
+    assert (rows[1].lhs, rows[1].rhs) == ("bb", "b")
+
+
+def test_learn_merges_stops_when_no_pairs_remain(spark):
+    from storage_spark.functions.bpe import bpe_learn_merges
+
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    rows = bpe_learn_merges(docs, num_merges=10).collect()
+    assert len(rows) == 1  # after merging (a,b) every word is one symbol
+
+
+def test_merge_tokenize_matches_reference_segmentation(spark, merge_docs):
+    from storage_spark.functions.bpe import bpe_learn_merges, bpe_merge_tokenize
+
+    merges = bpe_learn_merges(merge_docs, num_merges=6)
+    got = {r.doc_id: r for r in bpe_merge_tokenize(merge_docs, merges).collect()}
+    _, state = sennrich_merges([t for _, t in MERGE_DOCS], 6)
+    for doc_id, text in MERGE_DOCS:
+        want = sum(len(state[w]) for w in text.split(" ") if w)
+        assert got[doc_id].n_subwords == want, (doc_id, text)
+        assert got[doc_id].n_words == len([w for w in text.split(" ") if w])
+
+
+def test_merge_tokenize_empty_and_null_text(spark, merge_docs):
+    from storage_spark.functions.bpe import bpe_learn_merges, bpe_merge_tokenize
+
+    merges = bpe_learn_merges(merge_docs, num_merges=2)
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "low")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bpe_merge_tokenize(docs, merges).collect()}
+    assert 2 not in rows  # NULL text dropped
+    assert rows[1].n_words == 0 and rows[1].n_subwords == 0
+    assert rows[3].n_subwords >= 1
+
+
+def test_merges_persist_roundtrip(spark, merge_docs, tmp_path):
+    from storage_spark.functions.bpe import bpe_learn_merges
+    from storage_spark.sources.textmodels import load_text_model, save_text_model
+
+    merges = bpe_learn_merges(merge_docs, num_merges=4)
+    path = str(tmp_path / "merges_model")
+    cfg = save_text_model(merges, path, "merges", params={"num_merges": 4})
+    assert cfg["n_rows"] == 4
+    back, cfg2 = load_text_model(spark, path)
+    assert cfg2["params"]["num_merges"] == 4
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, merges.collect())
+    )
+
+
+def test_budget_filter_accepts_merge_tokenizer(spark, merge_docs):
+    from storage_spark.functions.bpe import bpe_learn_merges, bpe_merge_tokenize
+    from storage_spark.operators.pipeline import token_budget_filter
+
+    merges = bpe_learn_merges(merge_docs, num_merges=6)
+    out = token_budget_filter(
+        merge_docs, 10**6, per_lang=False, tokenizer=merges
+    )
+    want = {
+        r.doc_id: r.n_subwords
+        for r in bpe_merge_tokenize(merge_docs, merges).collect()
+    }
+    got = {r.doc_id: r.n_tokens for r in out.collect()}
+    assert got == want
+
+
 def test_budget_filter_accepts_tokenizer(spark, docs):
     from storage_spark.operators.pipeline import token_budget_filter
 
