@@ -1,16 +1,22 @@
-"""Dependency-free pixel/audio codecs: PNG (decode/encode/resize) and PCM
-WAV (decode/features), pure stdlib (zlib, struct, wave) + numpy.
+"""Dependency-free pixel/audio codecs: PNG (decode/encode/resize), baseline
+JPEG (decode/encode), and PCM WAV (decode/features) — pure stdlib
+(zlib, struct, wave) + numpy.
 
 This container has no Pillow/libvips/ffmpeg, and round 8 shipped the media
 stages with the pixel step honestly raising. PNG and PCM WAV need neither:
 PNG is zlib-compressed filtered scanlines (PNG spec, RFC 2083 / W3C
 PNG §9: filters None/Sub/Up/Average/Paeth) and WAV is a RIFF header over
-raw PCM — both decodable with numpy vector math. That makes the engine's
-render path (reference src/storage/renderer/image.ts:298-355 — resize
-cover/contain/fill with clamped dimensions) REAL for the most common
-lossless format, and the audio metadata/feature stages real for PCM.
-JPEG/WebP/video stay honestly absent (entropy decoders are codec-library
-territory).
+raw PCM — both decodable with numpy vector math. Baseline JPEG (ITU-T
+T.81 sequential DCT, the format the reference's imgproxy renderer most
+often serves — image.ts:298-355) is likewise self-contained: canonical
+Huffman entropy decode, dequantize + 2-D IDCT (separable float matrix),
+per-component subsampled planes upsampled and YCbCr→RGB converted per
+JFIF. The encoder emits spec-valid baseline JPEG with Annex-K quant
+tables scaled by the libjpeg quality rule and FIXED uniform-length
+Huffman tables (valid canonical tables read from the DHT segments like
+any other; entropy-optimal tables are a compression-ratio concern, not a
+correctness one). WebP/video and progressive (SOF2) JPEG stay honestly
+absent.
 
 Scale notes: these run inside the Arrow-batched ``mapInPandas`` stages of
 ``operators.multimodal`` — one Python worker decodes a batch of blobs with
@@ -173,6 +179,564 @@ def png_pixel_codec(b: bytes, width: int, height: int, resize: str, quality: int
     signature parity and ignored — PNG is lossless (zlib level is fixed
     so identical inputs give identical bytes)."""
     return png_encode(resize_image(png_decode(b), width, height, resize))
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, Huffman, 8-bit)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_natural() -> list[int]:
+    """Scan position i → natural (row-major) coefficient index, generated
+    by the classic zigzag walk rather than hand-typed (64 chances for a
+    typo the tests would chase for hours)."""
+    out, x, y = [], 0, 0
+    for _ in range(64):
+        out.append(y * 8 + x)
+        if (x + y) % 2 == 0:  # moving up-right
+            if x == 7:
+                y += 1
+            elif y == 0:
+                x += 1
+            else:
+                x += 1
+                y -= 1
+        else:  # moving down-left
+            if y == 7:
+                x += 1
+            elif x == 0:
+                y += 1
+            else:
+                x -= 1
+                y += 1
+    return out
+
+
+_ZIGZAG = _zigzag_natural()
+
+#: Annex K.1 luminance / K.2 chrominance quantization tables (natural order)
+_QUANT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+_QUANT_CHROM = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """M[u, x] = c(u)/2 · cos((2x+1)uπ/16): spatial = Mᵀ·F·M,
+    frequency = M·f·Mᵀ (the separable 8×8 DCT pair)."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = cu / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's quality→table scaling: 5000/q below 50, 200−2q above."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    return np.clip(np.floor((base * scale + 50.0) / 100.0), 1, 255)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, byte-aligns and
+    consumes RSTn at restart boundaries."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.bit = 0
+
+    def _byte(self) -> int:
+        return self.d[self.pos]
+
+    def read_bit(self) -> int:
+        b = self.d[self.pos]
+        if b == 0xFF:
+            nxt = self.d[self.pos + 1]
+            if nxt != 0x00:
+                raise ValueError(f"marker 0xFF{nxt:02x} inside entropy data")
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if b == 0xFF else 1  # skip the stuffed 0x00
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 2 if self.d[self.pos] == 0xFF else 1
+        if not (
+            self.d[self.pos] == 0xFF and 0xD0 <= self.d[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RST marker at restart interval")
+        self.pos += 2
+
+
+def _huff_extend(v: int, s: int) -> int:
+    """DC/AC value extension (T.81 F.2.2.1): s-bit magnitude → signed."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _build_huff(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: (code_length, code) → symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def jpeg_decode(b: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → HxWx3 uint8 RGB (or HxWx1 for grayscale).
+    Supports SOF0/SOF1 sequential Huffman, 8-bit samples, 1 or 3
+    components, restart intervals, and any sampling factors where the
+    max factor is a multiple of each component's (covers 4:4:4, 4:2:2,
+    4:2:0, 4:1:1). Progressive (SOF2), arithmetic coding, 12-bit, and
+    CMYK raise NotImplementedError — honestly, like the other codecs."""
+    b = bytes(b)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos, n = 2, len(b)
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    width = height = None
+    dri = 0
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        data = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        data[i + 1 : i + 65], dtype=np.uint8
+                    ).astype(np.float64)
+                    i += 65
+                else:  # 16-bit precision
+                    tbl = np.frombuffer(
+                        data[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.float64)
+                    i += 129
+                nat = np.zeros(64)
+                nat[np.array(_ZIGZAG)] = tbl  # stored in zigzag order
+                qt[tq] = nat
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline sequential
+            depth = data[0]
+            if depth != 8:
+                raise NotImplementedError(f"JPEG sample precision {depth}")
+            height, width = struct.unpack(">HH", data[1:5])
+            nc = data[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG (CMYK?)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (only baseline sequential)"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                bits = list(data[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(data[i + 17 : i + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = data[0]
+            scan: list[dict] = []
+            for c in range(ns):
+                cs, tt = data[1 + 2 * c], data[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan.append(
+                    {**comp, "dc": huff_dc[tt >> 4], "ac": huff_ac[tt & 15]}
+                )
+            return _jpeg_decode_scan(
+                b, pos + 2 + seglen, scan, qt, width, height, dri
+            )
+        pos += 2 + seglen
+    raise ValueError("no SOS segment")
+
+
+def _jpeg_decode_scan(
+    b: bytes,
+    pos: int,
+    scan: list[dict],
+    qt: dict[int, np.ndarray],
+    width: int,
+    height: int,
+    dri: int,
+) -> np.ndarray:
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    for c in scan:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"non-divisor sampling {c['h']}x{c['v']} vs {hmax}x{vmax}"
+            )
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in scan
+    ]
+    r = _BitReader(b, pos)
+    preds = [0] * len(scan)
+    mt = _DCT_M.T
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_i and mcu_i % dri == 0:
+                r.restart()
+                preds = [0] * len(scan)
+            mcu_i += 1
+            for ci, c in enumerate(scan):
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64)
+                        s = _huff_decode(r, c["dc"])
+                        preds[ci] += _huff_extend(r.receive(s), s)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, c["ac"])
+                            rr, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            zz[k] = _huff_extend(r.receive(s), s)
+                            k += 1
+                        nat = np.zeros(64)
+                        nat[np.array(_ZIGZAG)] = zz
+                        block = mt @ ((nat * q).reshape(8, 8)) @ _DCT_M
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    out_planes = []
+    for ci, c in enumerate(scan):
+        p = planes[ci] + 128.0
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:height, :width])
+    if len(out_planes) == 1:
+        return (
+            np.clip(np.round(out_planes[0]), 0, 255)
+            .astype(np.uint8)[:, :, None]
+        )
+    y, cb, cr = out_planes
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _encode_huff_tables() -> tuple[dict, dict, bytes]:
+    """Fixed uniform-length canonical tables: 12 DC categories at 4 bits,
+    all 162 AC run/size symbols at 8 bits. Kraft-feasible (162/256),
+    never all-ones, and read back through the DHT segment like any
+    table — spec-valid, just not entropy-optimal."""
+    dc_vals = list(range(12))
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # 12 codes of length 4
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)  # all at length 8
+    def enc_map(bits, vals):
+        m, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                m[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return m
+    dht = (
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    )
+    return enc_map(dc_bits, dc_vals), enc_map(ac_bits, ac_vals), dht
+
+
+def _csize(v: int) -> int:
+    """Magnitude category: bits needed for |v| (0 → 0)."""
+    return int(abs(v)).bit_length()
+
+
+def jpeg_encode(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 RGB (or HxW / HxWx1 grayscale) uint8 → baseline JPEG bytes.
+    ``subsampling``: '444' (every component full-res) or '420' (chroma
+    halved both ways — the common camera/web layout, exercising the
+    decoder's upsampling path). Quality scales the Annex K tables by the
+    libjpeg rule. ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every N MCUs (predictors reset, writer byte-aligned)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if ch not in (1, 3):
+        raise ValueError(f"unsupported channel count {ch}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    qlum = _quality_scale(_QUANT_LUM, quality)
+    qchrom = _quality_scale(_QUANT_CHROM, quality)
+    if ch == 3:
+        rf = a[:, :, 0].astype(np.float64)
+        gf = a[:, :, 1].astype(np.float64)
+        bf = a[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * rf + 0.587 * gf + 0.114 * bf,
+            128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf,
+            128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf,
+        ]
+        sub = 2 if subsampling == "420" else 1
+        factors = [(sub, sub), (1, 1), (1, 1)]
+        qtabs = [qlum, qchrom, qchrom]
+        if sub == 2:
+            for i in (1, 2):
+                p = planes[i]
+                ph = p[: (p.shape[0] // 2) * 2, : (p.shape[1] // 2) * 2]
+                if ph.size == 0:  # 1-pixel-wide/tall edge case: pad first
+                    ph = np.pad(
+                        p,
+                        ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                        mode="edge",
+                    )
+                planes[i] = (
+                    ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+    else:
+        planes = [a[:, :, 0].astype(np.float64)]
+        factors = [(1, 1)]
+        qtabs = [qlum]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad every plane to its MCU-aligned block grid (edge replicate)
+    padded = []
+    for p, (fh, fv) in zip(planes, factors):
+        th, tw = mcuy * fv * 8, mcux * fh * 8
+        padded.append(
+            np.pad(
+                p,
+                ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                mode="edge",
+            )
+        )
+    dc_map, ac_map, dht_payload = _encode_huff_tables()
+    bw = _BitWriter()
+    preds = [0] * len(padded)
+    zz_idx = np.array(_ZIGZAG)
+    mcu_i = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()
+                bw.out.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) & 7
+                preds = [0] * len(padded)
+            mcu_i += 1
+            for ci, (p, (fh, fv), q) in enumerate(
+                zip(padded, factors, qtabs)
+            ):
+                for by in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by) * 8
+                        x0 = (mx * fh + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        freq = _DCT_M @ blk @ _DCT_M.T
+                        coef = np.round(freq.reshape(64) / q).astype(np.int64)
+                        zz = coef[zz_idx]
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        s = _csize(diff)
+                        code, ln = dc_map[s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_map[0xF0]  # ZRL
+                                bw.put(code, ln)
+                                run -= 16
+                            s = _csize(v)
+                            code, ln = ac_map[(run << 4) | s]
+                            bw.put(code, ln)
+                            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if run:
+                            code, ln = ac_map[0x00]  # EOB
+                            bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = (
+        bytes([0]) + bytes(qlum[zz_idx].astype(np.uint8))
+        + bytes([1]) + bytes(qchrom[zz_idx].astype(np.uint8))
+    )
+    ncomp = len(padded)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (fh, fv) in enumerate(factors):
+        sof += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # every component: DC table 0, AC 0
+    sos += bytes([0, 63, 0])  # full spectral selection, no approximation
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, jfif)
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht_payload)
+        + dri
+        + seg(0xDA, sos)
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
+def jpeg_pixel_codec(
+    b: bytes, width: int, height: int, resize: str, quality: int
+) -> bytes:
+    """``transform_images`` codec for JPEG inputs: decode → resize →
+    re-encode at ``quality`` (4:4:4 — the transform output favors
+    fidelity; the input may have been any supported subsampling)."""
+    a = jpeg_decode(b)
+    if a.shape[2] == 1:
+        a = a[:, :, 0]
+    return jpeg_encode(resize_image(a, width, height, resize), quality=quality)
+
+
+def image_pixel_codec(
+    b: bytes, width: int, height: int, resize: str, quality: int
+) -> bytes:
+    """Magic-byte-dispatching pixel codec: PNG → PNG, JPEG → JPEG.
+    The default codec of ``operators.multimodal.transform_images``."""
+    b = bytes(b)
+    if b.startswith(_PNG_MAGIC):
+        return png_pixel_codec(b, width, height, resize, quality)
+    if b[:2] == b"\xff\xd8":
+        return jpeg_pixel_codec(b, width, height, resize, quality)
+    raise NotImplementedError(
+        "pixel transforms support PNG and baseline JPEG; other formats "
+        "need an external codec callable"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -10,13 +10,16 @@ the Python media library only ever sees vectorized batches.
 Metadata decode is REAL for PNG and JPEG: ``decode_image_meta`` parses the
 PNG IHDR chunk and the JPEG SOF0/SOF2 frame headers with pure struct reads
 (no Pillow needed — the container has no media libs). Pixel-level work is
-REAL for PNG as of round 9: ``functions.imagecodec.png_pixel_codec``
-(pure zlib/struct/numpy — decode, cover/contain/fill resize, re-encode)
-plugs into ``transform_images``'s codec slot; PCM WAV metadata and
-features are likewise real (``imagecodec.wav_parse_meta``/``wav_features``
-via the stdlib ``wave`` module). JPEG/WebP/video transforms still require
-an external codec and raise honestly; the deterministic FAKE header
-remains as a test fixture format alongside the real ones.
+REAL for PNG **and baseline JPEG** as of round 9:
+``functions.imagecodec.image_pixel_codec`` (pure zlib/struct/numpy —
+PNG filtered scanlines; JPEG Huffman entropy decode + IDCT + subsampled
+plane upsampling + JFIF YCbCr; cover/contain/fill resize; re-encode) is
+``transform_images``'s default codec, dispatching on magic bytes; PCM WAV
+metadata and features are likewise real (``imagecodec.wav_parse_meta``/
+``wav_features`` via the stdlib ``wave`` module). WebP/video and
+progressive-JPEG transforms still require an external codec and raise
+honestly; the deterministic FAKE header remains as a test fixture format
+alongside the real ones.
 """
 
 from __future__ import annotations
@@ -172,16 +175,17 @@ def transform_images(
     content_col: str = "content",
 ) -> DataFrame:
     """Batch image transform (render path as a bulk operator).
-    ``codec=None`` defaults to the dependency-free PNG codec
-    (``functions.imagecodec.png_pixel_codec`` — real decode/resize/encode
-    for PNG inputs; raises per-blob on other formats); pass a
-    Pillow/libvips-backed callable for JPEG/WebP when the deployment has
-    one — the Spark plumbing is identical either way."""
+    ``codec=None`` defaults to the dependency-free magic-dispatching
+    codec (``functions.imagecodec.image_pixel_codec`` — real
+    decode/resize/re-encode for PNG and baseline JPEG; raises per-blob
+    on other formats); pass a Pillow/libvips-backed callable for
+    WebP/progressive-JPEG when the deployment has one — the Spark
+    plumbing is identical either way."""
     validate_render_options(width, height, resize, quality)
     if codec is None:
-        from storage_spark.functions.imagecodec import png_pixel_codec
+        from storage_spark.functions.imagecodec import image_pixel_codec
 
-        codec = png_pixel_codec
+        codec = image_pixel_codec
 
     out_schema = T.StructType(
         [T.StructField("key", T.StringType()), T.StructField("content", T.BinaryType())]

@@ -143,6 +143,149 @@ def _wav(rate, samples, ch=1, width=2):
     return buf.getvalue()
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG
+# ---------------------------------------------------------------------------
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 / max(w - 1, 1),
+            yy * 255 / max(h - 1, 1),
+            (xx + yy) * 255 / max(w + h - 2, 1),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_gradient_tight():
+    from storage_spark.functions.imagecodec import jpeg_decode, jpeg_encode
+
+    img = _gradient(40, 56)
+    dec = jpeg_decode(jpeg_encode(img, quality=95, subsampling="444"))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 4, err.max()
+
+
+def test_jpeg_roundtrip_420_exercises_upsampling():
+    from storage_spark.functions.imagecodec import jpeg_decode, jpeg_encode
+
+    img = _gradient(40, 56)
+    enc444 = jpeg_encode(img, quality=95, subsampling="444")
+    enc420 = jpeg_encode(img, quality=95, subsampling="420")
+    assert len(enc420) < len(enc444)  # chroma really is quarter-size
+    dec = jpeg_decode(enc420)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() <= 3.0
+
+
+def test_jpeg_flat_color_is_exact():
+    from storage_spark.functions.imagecodec import jpeg_decode, jpeg_encode
+
+    flat = np.full((16, 24, 3), (200, 30, 90), dtype=np.uint8)
+    for sub in ("444", "420"):
+        dec = jpeg_decode(jpeg_encode(flat, quality=90, subsampling=sub))
+        assert np.abs(dec.astype(int) - flat.astype(int)).max() <= 1, sub
+
+
+def test_jpeg_grayscale_roundtrip():
+    from storage_spark.functions.imagecodec import jpeg_decode, jpeg_encode
+
+    g = _gradient(33, 47)[:, :, 0]
+    dec = jpeg_decode(jpeg_encode(g, quality=95))
+    assert dec.shape == (33, 47, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 3
+
+
+def test_jpeg_odd_dimensions_pad_and_crop():
+    from storage_spark.functions.imagecodec import jpeg_decode, jpeg_encode
+
+    img = _gradient(37, 53)  # not multiples of 8 or 16
+    for sub in ("444", "420"):
+        dec = jpeg_decode(jpeg_encode(img, quality=95, subsampling=sub))
+        assert dec.shape == img.shape, sub
+
+
+def test_jpeg_restart_intervals_decode_identically():
+    from storage_spark.functions.imagecodec import jpeg_decode, jpeg_encode
+
+    img = _gradient(40, 56)
+    base = jpeg_decode(jpeg_encode(img, quality=92, subsampling="420"))
+    for ri in (1, 2, 5):
+        withrst = jpeg_decode(
+            jpeg_encode(img, quality=92, subsampling="420", restart_interval=ri)
+        )
+        assert np.array_equal(base, withrst), ri
+
+
+def test_jpeg_quality_monotone_in_size_and_error():
+    from storage_spark.functions.imagecodec import jpeg_decode, jpeg_encode
+
+    img = _rand(32, 32, 3, seed=3)
+    e95 = jpeg_encode(img, quality=95)
+    e30 = jpeg_encode(img, quality=30)
+    assert len(e30) < len(e95)
+    err95 = np.abs(jpeg_decode(e95).astype(int) - img.astype(int)).mean()
+    err30 = np.abs(jpeg_decode(e30).astype(int) - img.astype(int)).mean()
+    assert err95 < err30
+
+
+def test_jpeg_byte_stuffing_survives():
+    from storage_spark.functions.imagecodec import jpeg_decode, jpeg_encode
+
+    # many blocks of varied content make 0xFF bytes in the entropy
+    # stream overwhelmingly likely across seeds; decode must unstuff
+    for seed in range(3):
+        img = _rand(48, 48, 3, seed=seed)
+        enc = jpeg_encode(img, quality=75)
+        dec = jpeg_decode(enc)
+        assert dec.shape == img.shape
+
+
+def test_jpeg_header_parses_via_multimodal_sniffer():
+    from storage_spark.functions.imagecodec import jpeg_encode
+    from storage_spark.operators.multimodal import parse_image_header
+
+    enc = jpeg_encode(_gradient(21, 34), quality=80)
+    assert parse_image_header(enc) == ("image/jpeg", 34, 21, 1)
+
+
+def test_jpeg_rejects_garbage_and_progressive():
+    from storage_spark.functions.imagecodec import jpeg_decode, jpeg_encode
+
+    with pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg at all")
+    # flip the SOF0 marker to SOF2 (progressive) — must raise honestly
+    enc = bytearray(jpeg_encode(_gradient(16, 16)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(enc))
+
+
+def test_jpeg_pixel_codec_and_dispatch():
+    from storage_spark.functions.imagecodec import (
+        image_pixel_codec,
+        jpeg_decode,
+        jpeg_encode,
+        png_decode,
+        png_encode,
+    )
+
+    img = _gradient(40, 60)
+    out = image_pixel_codec(jpeg_encode(img, quality=95), 20, 20, "cover", 90)
+    assert out[:2] == b"\xff\xd8"  # JPEG in → JPEG out
+    assert jpeg_decode(out).shape == (20, 20, 3)
+    pout = image_pixel_codec(png_encode(img), 20, 20, "cover", 90)
+    assert pout.startswith(_MAGIC)  # PNG in → PNG out
+    assert png_decode(pout).shape == (20, 20, 3)
+    with pytest.raises(NotImplementedError):
+        image_pixel_codec(b"RIFFxxxxWEBP", 8, 8, "fill", 80)
+
+
 def test_wav_parse_meta_and_decode():
     b = _wav(16000, [0, 16384, -16384, 0] * 100)
     rate, n, ch = wav_parse_meta(b)

@@ -214,6 +214,32 @@ def test_transform_images_default_codec_is_real_for_png(spark):
     assert arr.shape == (10, 10, 3)
 
 
+def test_transform_images_default_codec_dispatches_jpeg(spark):
+    # r9: the default codec dispatches on magic bytes — a mixed PNG+JPEG
+    # batch transforms in ONE stage, each format re-encoded as itself
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import (
+        jpeg_decode,
+        jpeg_encode,
+        png_encode,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:30]
+    img = np.stack(
+        [xx * 8, yy * 6, (xx + yy) * 3], axis=2
+    ).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("j1", jpeg_encode(img, quality=92)), ("p1", png_encode(img))],
+        "key string, content binary",
+    )
+    out = {r.key: bytes(r.content) for r in
+           transform_images(df, 12, 12, resize="fill").collect()}
+    assert out["j1"][:2] == b"\xff\xd8"
+    assert out["p1"].startswith(b"\x89PNG")
+    assert jpeg_decode(out["j1"]).shape == (12, 12, 3)
+
+
 def test_transform_images_injected_codec_and_validation(spark, media_df):
     # with an injected codec the plumbing runs end-to-end on any bytes
     out = transform_images(
@@ -223,8 +249,8 @@ def test_transform_images_injected_codec_and_validation(spark, media_df):
     for bad in [(0, 10, "cover"), (10, 99999, "cover"), (10, 10, "stretch")]:
         with pytest.raises(ValueError):
             validate_render_options(*bad)
-    # the default PNG codec raises per-blob on non-PNG bytes at execution
-    with pytest.raises(Exception, match="not a PNG"):
+    # the default dispatching codec raises per-blob on non-PNG/JPEG bytes
+    with pytest.raises(Exception, match="PNG and baseline JPEG"):
         transform_images(media_df, 10, 10).collect()
 
 
