@@ -3294,6 +3294,61 @@ def q_media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("key").cast("long"))
 
 
+def q_media_transform_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL JPEG render path under the oracle (r9): real baseline
+    JPEG bytes are encoded per part row (functions/imagecodec.jpeg_encode
+    — Huffman + FDCT, 4:2:0) with key-derived even dimensions, run
+    through the ACTUAL transform stage (multimodal.transform_images →
+    jpeg decode → contain-resize → re-encode), and the OUTPUT headers
+    re-parsed. The oracle predicts the output metadata by replaying the
+    contain math (scale = min(20/w, 20/h), round — the dimension grid is
+    chosen so no product lands on an exact .5, where Python's half-even
+    and SQL's half-away rounding would diverge). Any drift in the JPEG
+    writer's SOF layout, the entropy decoder, the resize math, or the
+    re-encoder breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from storage_spark.functions.imagecodec import jpeg_encode
+    from storage_spark.operators.multimodal import (
+        decode_image_meta,
+        transform_images,
+    )
+
+    t = _t(spark, sf_dir)
+    base = t["part"].select(
+        F.col("p_partkey").cast("long").alias("pk")
+    ).filter(F.col("pk") <= 120)
+
+    def _gen(it):
+        for pdf in it:
+            pks = pdf["pk"].to_numpy()
+            out = []
+            for k in pks:
+                k = int(k)
+                w = 16 + (k % 5) * 8
+                h = 16 + (k % 3) * 8
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (xx * 255 / (w - 1)),
+                        (yy * 255 / (h - 1)),
+                        np.full((h, w), k % 256),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                out.append(jpeg_encode(img, quality=90, subsampling="420"))
+            yield pd.DataFrame(
+                {"key": [str(int(k)) for k in pks], "content": out}
+            )
+
+    blobs = base.mapInPandas(_gen, "key string, content binary")
+    rendered = transform_images(blobs, 20, 20, resize="contain", quality=90)
+    return decode_image_meta(rendered).select(
+        "key", "mime", "width", "height", "n_frames"
+    ).orderBy(F.col("key").cast("long"))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval overlap scrub: docs sharing >=1 distinct word trigram
     with the benchmark subset (doc_id % 37 == 0) are flagged, with the
@@ -4796,15 +4851,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
     # cap. Round 9's 50-slot window:
-    # (a) the 12 r9 net-new rows (never recorded) lead;
+    # (a) the 15 r9 net-new rows (never recorded) lead — 12 from the
+    #     first half of the round plus bpe_merges / bpe_merge_tokenize /
+    #     media_transform_jpeg from the second;
     # (b) 2 rows whose RESULTS changed this round and must re-record:
     #     path_functions (extension() now matches the reference on
     #     dot-less names + edge-case fixture rows) and multipart_complete
     #     (0057 metadata column in the RETURNING row);
     # (c) the 7 rows whose latest driver evidence is r5 (VERDICT r8 #6:
     #     tenant_usage..merge_upsert — the r8 cap truncated them);
-    # (d) the r6-evidence block, stalest-first: ~29 fit this window, the
-    #     tail (~16 rows) leads round 10's.
+    # (d) the r6-evidence block, stalest-first: ~26 fit this window, the
+    #     tail (~19 rows) leads round 10's.
     # Everything past slot 50 is driver-green in r7/r8 on semantically
     # unchanged code, and the local parity replica
     # (tests/test_queries_parity.py) re-proves the whole registry on
@@ -4825,6 +4882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus_gated": q_curate_corpus_gated,
         "dsir_select_per_lang": q_dsir_select_per_lang,
         "media_decode_meta": q_media_decode_meta,
+        "media_transform_jpeg": q_media_transform_jpeg,
         # ---- r9 result-changed (re-record) ----
         "path_functions": q_path_functions,
         "multipart_complete": q_multipart_complete,
@@ -6701,6 +6759,21 @@ SELECT CAST(p_partkey AS STRING) AS key,
        1 AS n_frames
 FROM part WHERE p_partkey <= 200
 ORDER BY p_partkey
+"""),
+        "media_transform_jpeg": _o("""
+, dims AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         16 + (p_partkey % 5) * 8 AS w,
+         16 + (p_partkey % 3) * 8 AS h
+  FROM part WHERE p_partkey <= 120
+),
+sc AS (SELECT pk, w, h, least(20.0 / w, 20.0 / h) AS s FROM dims)
+SELECT CAST(pk AS STRING) AS key,
+       'image/jpeg' AS mime,
+       CAST(greatest(1, round(w * s)) AS INT) AS width,
+       CAST(greatest(1, round(h * s)) AS INT) AS height,
+       1 AS n_frames
+FROM sc ORDER BY pk
 """),
         "substring_dedup_incremental": _o("""
 , toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -260,6 +260,32 @@ def main() -> None:
             None, k=100, num_buckets=10_000, model=m["dsir"],
         ).count()
 
+    _bpe: dict = {"merges": None}
+
+    def bpe_train_merges():
+        # true merge-frequency BPE training (r9): 12 rounds of
+        # pair-count -> argmax -> one replace over the distinct-word
+        # state (localCheckpoint-ed per round — N linear passes)
+        from storage_spark.functions.bpe import bpe_learn_merges
+
+        m = bpe_learn_merges(t["documents"], num_merges=12)
+        if _bpe["merges"] is None:
+            _bpe["merges"] = m
+        return m.count()
+
+    def bpe_merge_score():
+        # apply-side wall under a fixed merge table: a pure chained-
+        # replace EXPRESSION per doc, map-only, no UDF and no join
+        from storage_spark.functions.bpe import bpe_merge_tokenize
+
+        if _bpe["merges"] is None:
+            bpe_train_merges()
+        return (
+            bpe_merge_tokenize(t["documents"], _bpe["merges"])
+            .agg(F.sum("n_subwords"))
+            .collect()[0][0]
+        )
+
     def substring_spans():
         # exact substring dedup (Lee et al. 2022, r9): rolling k=10
         # shingle inverted index over the full documents table → cross-doc
@@ -270,47 +296,51 @@ def main() -> None:
         return exact_substring_spans(t["documents"], k=10).count()
 
     # -- fat-embedding (dim-768) index pair: jl_lsh vs keys-only lsh --
-    _fat: dict = {"df": None, "jl": None, "ko": None}
+    _fat: dict = {
+        "df": None, "jl": None, "ko": None,
+        "df48": None, "jl48": None, "ko48": None,
+    }
 
-    def _fat_vectors():
+    def _fat_corpus(n: int):
         # deterministic 768-dim pseudorandom corpus (uncompressible, the
         # r7 keys-only probe's shape at bench-friendly n)
-        if _fat["df"] is None:
-            n = 4096
-            _fat["df"] = (
-                spark.range(n)
-                .select(
-                    F.col("id").cast("string").alias("key"),
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(767)),
-                        lambda i: (
-                            F.pmod(
-                                F.xxhash64(
-                                    F.concat_ws(
-                                        ":",
-                                        F.col("id").cast("string"),
-                                        i.cast("string"),
-                                    )
-                                ),
-                                F.lit(1000),
-                            ).cast("double")
-                            / 500.0
-                            - 1.0
-                        ),
-                    ).alias("embedding"),
-                )
-                .localCheckpoint(eager=True)
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").cast("string").alias("key"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(767)),
+                    lambda i: (
+                        F.pmod(
+                            F.xxhash64(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("id").cast("string"),
+                                    i.cast("string"),
+                                )
+                            ),
+                            F.lit(1000),
+                        ).cast("double")
+                        / 500.0
+                        - 1.0
+                    ),
+                ).alias("embedding"),
             )
+            .localCheckpoint(eager=True)
+        )
+
+    def _fat_vectors():
+        if _fat["df"] is None:
+            _fat["df"] = _fat_corpus(4096)
         return _fat["df"]
 
-    def _fat_queries():
-        return (
-            _fat_vectors()
-            .filter(F.col("key").cast("bigint") < 50)
-            .select(
-                F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
-            )
+    def _fat_queries_of(df):
+        return df.filter(F.col("key").cast("bigint") < 50).select(
+            F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
         )
+
+    def _fat_queries():
+        return _fat_queries_of(_fat_vectors())
 
     def fat_jl_index_query():
         # the managed jl_lsh index (r8) at dim 768: postings live in the
@@ -358,6 +388,57 @@ def main() -> None:
             _fat["ko"] = d
         return ann_index_search(
             spark, _fat["ko"], _fat_queries(), k=10, probe_radius=1
+        ).count()
+
+    def _fat48():
+        if _fat["df48"] is None:
+            _fat["df48"] = _fat_corpus(49_152)
+        return _fat["df48"]
+
+    def fat_jl_48k_query():
+        # the jl_lsh pair at a NON-TRIVIAL n (NOTES_r9 staging #3): 48k
+        # corpus, everything derived from n_vectors — out_dim via the JL
+        # rule, planes/tables corpus-sized, refine window via
+        # jl_refine_for (the r9 sizing fix). At 4,096 rows the rerank
+        # dominates and the pair's ordering flips; this is the regime the
+        # index kind exists for.
+        import tempfile
+
+        from storage_spark.sources.annindex import (
+            ann_index_search,
+            build_ann_index,
+        )
+
+        if _fat["jl48"] is None:
+            d = tempfile.mkdtemp(prefix="bench_jl48_") + "/idx"
+            build_ann_index(
+                _fat48(), d, kind="jl_lsh", dim=768,
+                n_vectors=49_152, encode_arrow=True,
+            )
+            _fat["jl48"] = d
+        return ann_index_search(
+            spark, _fat["jl48"], _fat_queries_of(_fat48()), k=10,
+            probe_radius=1,
+        ).count()
+
+    def fat_lsh_keysonly_48k_query():
+        import tempfile
+
+        from storage_spark.sources.annindex import (
+            ann_index_search,
+            build_ann_index,
+        )
+
+        if _fat["ko48"] is None:
+            d = tempfile.mkdtemp(prefix="bench_ko48_") + "/idx"
+            build_ann_index(
+                _fat48(), d, kind="lsh", dim=768,
+                store_vectors=False, n_vectors=49_152,
+            )
+            _fat["ko48"] = d
+        return ann_index_search(
+            spark, _fat["ko48"], _fat_queries_of(_fat48()), k=10,
+            probe_radius=1,
         ).count()
 
     def events_rollup():
@@ -776,9 +857,13 @@ def main() -> None:
         "dsir_select": dsir_select,
         "lm_bigram_score": lm_bigram_score,
         "dsir_score": dsir_score,
+        "bpe_train_merges": bpe_train_merges,
+        "bpe_merge_score": bpe_merge_score,
         "substring_spans": substring_spans,
         "fat_jl_index_query": fat_jl_index_query,
         "fat_lsh_keysonly_query": fat_lsh_keysonly_query,
+        "fat_jl_48k_query": fat_jl_48k_query,
+        "fat_lsh_keysonly_48k_query": fat_lsh_keysonly_48k_query,
     }
 
     # warm the JVM + file listings once (steady-state timing, not cold-start)
@@ -820,12 +905,21 @@ def main() -> None:
     _HEAVY = {
         "lm_bigram", "lm_bigram_skew", "dsir_select", "lm_bigram_score",
         "dsir_score", "fat_jl_index_query", "fat_lsh_keysonly_query",
+        "bpe_train_merges",
     }
+    # The 48k fat pair exists to measure the crossover regime, not a
+    # steady state — ONE run each (first run absorbs the build; the 1M
+    # probe in NOTES_r9 is the deep measurement, this keeps the regime
+    # visible round-over-round at bounded bench wall).
+    _ONESHOT = {"fat_jl_48k_query", "fat_lsh_keysonly_48k_query"}
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, fn in queries.items():
-        n_reps = min(repeats, heavy_reps) if name in _HEAVY else repeats
+        if name in _ONESHOT:
+            n_reps = 1
+        else:
+            n_reps = min(repeats, heavy_reps) if name in _HEAVY else repeats
         runs: list[float] = []
         for _ in range(max(1, n_reps)):
             t0 = time.time()
@@ -842,7 +936,7 @@ def main() -> None:
         shutil.rmtree(os.path.dirname(_ann_idx["path"]), ignore_errors=True)
     if _ann_idx_ko["path"]:
         shutil.rmtree(os.path.dirname(_ann_idx_ko["path"]), ignore_errors=True)
-    for _k in ("jl", "ko"):
+    for _k in ("jl", "ko", "jl48", "ko48"):
         if _fat[_k]:
             shutil.rmtree(os.path.dirname(_fat[_k]), ignore_errors=True)
     if _tm["dir"]:
