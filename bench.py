@@ -296,10 +296,7 @@ def main() -> None:
         return exact_substring_spans(t["documents"], k=10).count()
 
     # -- fat-embedding (dim-768) index pair: jl_lsh vs keys-only lsh --
-    _fat: dict = {
-        "df": None, "jl": None, "ko": None,
-        "df48": None, "jl48": None, "ko48": None,
-    }
+    _fat: dict = {"df": None, "jl": None, "ko": None}
 
     def _fat_corpus(n: int):
         # deterministic 768-dim pseudorandom corpus (uncompressible, the
@@ -388,57 +385,6 @@ def main() -> None:
             _fat["ko"] = d
         return ann_index_search(
             spark, _fat["ko"], _fat_queries(), k=10, probe_radius=1
-        ).count()
-
-    def _fat48():
-        if _fat["df48"] is None:
-            _fat["df48"] = _fat_corpus(49_152)
-        return _fat["df48"]
-
-    def fat_jl_48k_query():
-        # the jl_lsh pair at a NON-TRIVIAL n (NOTES_r9 staging #3): 48k
-        # corpus, everything derived from n_vectors — out_dim via the JL
-        # rule, planes/tables corpus-sized, refine window via
-        # jl_refine_for (the r9 sizing fix). At 4,096 rows the rerank
-        # dominates and the pair's ordering flips; this is the regime the
-        # index kind exists for.
-        import tempfile
-
-        from storage_spark.sources.annindex import (
-            ann_index_search,
-            build_ann_index,
-        )
-
-        if _fat["jl48"] is None:
-            d = tempfile.mkdtemp(prefix="bench_jl48_") + "/idx"
-            build_ann_index(
-                _fat48(), d, kind="jl_lsh", dim=768,
-                n_vectors=49_152, encode_arrow=True,
-            )
-            _fat["jl48"] = d
-        return ann_index_search(
-            spark, _fat["jl48"], _fat_queries_of(_fat48()), k=10,
-            probe_radius=1,
-        ).count()
-
-    def fat_lsh_keysonly_48k_query():
-        import tempfile
-
-        from storage_spark.sources.annindex import (
-            ann_index_search,
-            build_ann_index,
-        )
-
-        if _fat["ko48"] is None:
-            d = tempfile.mkdtemp(prefix="bench_ko48_") + "/idx"
-            build_ann_index(
-                _fat48(), d, kind="lsh", dim=768,
-                store_vectors=False, n_vectors=49_152,
-            )
-            _fat["ko48"] = d
-        return ann_index_search(
-            spark, _fat["ko48"], _fat_queries_of(_fat48()), k=10,
-            probe_radius=1,
         ).count()
 
     def events_rollup():
@@ -862,8 +808,6 @@ def main() -> None:
         "substring_spans": substring_spans,
         "fat_jl_index_query": fat_jl_index_query,
         "fat_lsh_keysonly_query": fat_lsh_keysonly_query,
-        "fat_jl_48k_query": fat_jl_48k_query,
-        "fat_lsh_keysonly_48k_query": fat_lsh_keysonly_48k_query,
     }
 
     # warm the JVM + file listings once (steady-state timing, not cold-start)
@@ -907,19 +851,10 @@ def main() -> None:
         "dsir_score", "fat_jl_index_query", "fat_lsh_keysonly_query",
         "bpe_train_merges",
     }
-    # The 48k fat pair exists to measure the crossover regime, not a
-    # steady state — ONE run each (first run absorbs the build; the 1M
-    # probe in NOTES_r9 is the deep measurement, this keeps the regime
-    # visible round-over-round at bounded bench wall).
-    _ONESHOT = {"fat_jl_48k_query", "fat_lsh_keysonly_48k_query"}
-
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, fn in queries.items():
-        if name in _ONESHOT:
-            n_reps = 1
-        else:
-            n_reps = min(repeats, heavy_reps) if name in _HEAVY else repeats
+        n_reps = min(repeats, heavy_reps) if name in _HEAVY else repeats
         runs: list[float] = []
         for _ in range(max(1, n_reps)):
             t0 = time.time()
@@ -936,7 +871,7 @@ def main() -> None:
         shutil.rmtree(os.path.dirname(_ann_idx["path"]), ignore_errors=True)
     if _ann_idx_ko["path"]:
         shutil.rmtree(os.path.dirname(_ann_idx_ko["path"]), ignore_errors=True)
-    for _k in ("jl", "ko", "jl48", "ko48"):
+    for _k in ("jl", "ko"):
         if _fat[_k]:
             shutil.rmtree(os.path.dirname(_fat[_k]), ignore_errors=True)
     if _tm["dir"]:
