@@ -3349,6 +3349,58 @@ def q_media_transform_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("key").cast("long"))
 
 
+def q_media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF metadata + frame-sampling grid under the oracle (r9):
+    real GIF89a bytes (functions/imagecodec.gif_encode — LZW-compressed,
+    one global color table) are built per part row with a key-derived
+    frame count, the block-walk parser (gif_parse_meta via
+    decode_image_meta) recovers n_frames WITHOUT decoding any LZW data,
+    and frame_sample_plan lays the every-3rd-frame grid. The oracle
+    predicts (n_frames, frame_idx) from the generation rule — any drift
+    in the GIF writer's block layout, the walker's sub-block skipping,
+    or the sampling stride breaks the match."""
+    import numpy as np
+    import pandas as pd
+
+    from storage_spark.functions.imagecodec import gif_encode
+    from storage_spark.operators.multimodal import (
+        decode_image_meta,
+        frame_sample_plan,
+    )
+
+    t = _t(spark, sf_dir)
+    base = t["part"].select(
+        F.col("p_partkey").cast("long").alias("pk")
+    ).filter(F.col("pk") <= 80)
+
+    def _gen(it):
+        for pdf in it:
+            pks = pdf["pk"].to_numpy()
+            out = []
+            for k in pks:
+                k = int(k)
+                w, h, nf = 8 + (k % 5) * 4, 8 + (k % 3) * 4, 1 + k % 7
+                frames = []
+                for f in range(nf):
+                    a = np.zeros((h, w, 3), dtype=np.uint8)
+                    a[:, :, 0] = (k + f * 31) % 256
+                    a[f % h, :, 1] = 200
+                    frames.append(a)
+                out.append(gif_encode(frames))
+            yield pd.DataFrame(
+                {"key": [str(int(k)) for k in pks], "content": out}
+            )
+
+    blobs = base.mapInPandas(_gen, "key string, content binary")
+    meta = decode_image_meta(blobs)
+    plan = frame_sample_plan(meta, every_n=3)
+    return (
+        meta.select("key", "mime", "width", "height", "n_frames")
+        .join(plan, "key")
+        .orderBy(F.col("key").cast("long"), F.col("frame_idx"))
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval overlap scrub: docs sharing >=1 distinct word trigram
     with the benchmark subset (doc_id % 37 == 0) are flagged, with the
@@ -4851,17 +4903,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
     # cap. Round 9's 50-slot window:
-    # (a) the 15 r9 net-new rows (never recorded) lead — 12 from the
+    # (a) the 16 r9 net-new rows (never recorded) lead — 12 from the
     #     first half of the round plus bpe_merges / bpe_merge_tokenize /
-    #     media_transform_jpeg from the second;
+    #     media_transform_jpeg / media_gif_frames from the second;
     # (b) 2 rows whose RESULTS changed this round and must re-record:
     #     path_functions (extension() now matches the reference on
     #     dot-less names + edge-case fixture rows) and multipart_complete
     #     (0057 metadata column in the RETURNING row);
     # (c) the 7 rows whose latest driver evidence is r5 (VERDICT r8 #6:
     #     tenant_usage..merge_upsert — the r8 cap truncated them);
-    # (d) the r6-evidence block, stalest-first: ~26 fit this window, the
-    #     tail (~19 rows) leads round 10's.
+    # (d) the r6-evidence block, stalest-first: ~25 fit this window, the
+    #     tail (~20 rows) leads round 10's.
     # Everything past slot 50 is driver-green in r7/r8 on semantically
     # unchanged code, and the local parity replica
     # (tests/test_queries_parity.py) re-proves the whole registry on
@@ -4883,6 +4935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_per_lang": q_dsir_select_per_lang,
         "media_decode_meta": q_media_decode_meta,
         "media_transform_jpeg": q_media_transform_jpeg,
+        "media_gif_frames": q_media_gif_frames,
         # ---- r9 result-changed (re-record) ----
         "path_functions": q_path_functions,
         "multipart_complete": q_multipart_complete,
@@ -6759,6 +6812,22 @@ SELECT CAST(p_partkey AS STRING) AS key,
        1 AS n_frames
 FROM part WHERE p_partkey <= 200
 ORDER BY p_partkey
+"""),
+        "media_gif_frames": _o("""
+, g AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         8 + (p_partkey % 5) * 4 AS w,
+         8 + (p_partkey % 3) * 4 AS h,
+         1 + p_partkey % 7 AS nf
+  FROM part WHERE p_partkey <= 80
+)
+SELECT CAST(pk AS STRING) AS key,
+       'image/gif' AS mime,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       CAST(unnest(range(0, nf, 3)) AS INT) AS frame_idx
+FROM g ORDER BY pk, frame_idx
 """),
         "media_transform_jpeg": _o("""
 , dims AS (

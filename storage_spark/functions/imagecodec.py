@@ -1,6 +1,6 @@
 """Dependency-free pixel/audio codecs: PNG (decode/encode/resize), baseline
-JPEG (decode/encode), and PCM WAV (decode/features) — pure stdlib
-(zlib, struct, wave) + numpy.
+JPEG (decode/encode), GIF (LZW decode/encode, animated), and PCM WAV
+(decode/features) — pure stdlib (zlib, struct, wave) + numpy.
 
 This container has no Pillow/libvips/ffmpeg, and round 8 shipped the media
 stages with the pixel step honestly raising. PNG and PCM WAV need neither:
@@ -723,20 +723,270 @@ def jpeg_pixel_codec(
     return jpeg_encode(resize_image(a, width, height, resize), quality=quality)
 
 
+def gif_pixel_codec(
+    b: bytes, width: int, height: int, resize: str, quality: int
+) -> bytes:
+    """``transform_images`` codec for GIF inputs: decode the FIRST frame
+    → resize → re-encode as a single-frame GIF (the imgproxy static
+    render of an animation). ``quality`` ignored — GIF is palette-exact,
+    and nearest-neighbor resize introduces no new colors, so the output
+    palette is a subset of the input's."""
+    return gif_encode([resize_image(gif_decode(b, frame=0), width, height, resize)])
+
+
 def image_pixel_codec(
     b: bytes, width: int, height: int, resize: str, quality: int
 ) -> bytes:
-    """Magic-byte-dispatching pixel codec: PNG → PNG, JPEG → JPEG.
-    The default codec of ``operators.multimodal.transform_images``."""
+    """Magic-byte-dispatching pixel codec: PNG → PNG, JPEG → JPEG,
+    GIF → single-frame GIF. The default codec of
+    ``operators.multimodal.transform_images``."""
     b = bytes(b)
     if b.startswith(_PNG_MAGIC):
         return png_pixel_codec(b, width, height, resize, quality)
     if b[:2] == b"\xff\xd8":
         return jpeg_pixel_codec(b, width, height, resize, quality)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_pixel_codec(b, width, height, resize, quality)
     raise NotImplementedError(
-        "pixel transforms support PNG and baseline JPEG; other formats "
-        "need an external codec callable"
+        "pixel transforms support PNG, baseline JPEG, and GIF; other "
+        "formats need an external codec callable"
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW, 87a/89a) — the multi-frame format that makes n_frames real
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first bit packing, CLEAR/EOI codes, late
+    width growth (width bumps when the decoder's next code reaches
+    2^width, capped at 12 — the GIF rule, NOT TIFF's early change)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + width <= total:
+        code = 0
+        for i in range(width):
+            code |= ((data[bitpos >> 3] >> (bitpos & 7)) & 1) << i
+            bitpos += 1
+        if code == clear:
+            width = min_code + 1
+            table = {i: [i] for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+        elif code == next_code:
+            entry = prev + [prev[0]]
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out.extend(entry)
+        prev = entry
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code: int) -> bytes:
+    """GIF LZW compressor with late width change (mirrors the decoder:
+    the width for code m depends on the table size BEFORE the entry the
+    decoder learns from code m). Emits CLEAR and restarts at the 4096
+    ceiling."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def put(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear, width)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        put(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # late change: the decoder learns this entry only on the NEXT
+            # code, so the width for the next emit bumps at 2^width + 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            put(clear, width)
+            width = min_code + 1
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+        w = (int(k),)
+    if w:
+        put(table[w], width)
+    put(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    return bytes(out)
+
+
+def gif_encode(frames: list[np.ndarray]) -> bytes:
+    """List of HxWx3 uint8 frames (identical dims, ≤256 distinct colors
+    across ALL frames) → animated GIF89a with one global color table.
+    Every frame is full-screen at (0,0) — no disposal/composition state,
+    so ``gif_decode(b, frame=k)`` is frame-independent by construction."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = arrs[0].shape[:2]
+    for a in arrs:
+        if a.shape != (h, w, 3):
+            raise ValueError("all frames must be HxWx3 with identical dims")
+    colors = np.unique(np.concatenate([a.reshape(-1, 3) for a in arrs]), axis=0)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} distinct colors (max 256)")
+    # palette size = next power of two >= max(2, n_colors)
+    pbits = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << pbits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (pbits - 1))  # GCT present, 2^pbits entries
+    out.append(0)  # background color index
+    out.append(0)  # pixel aspect ratio
+    out += pal.tobytes()
+    min_code = max(2, pbits)
+    for a in arrs:
+        out.append(0x2C)  # image descriptor
+        out += struct.pack("<HHHH", 0, 0, w, h)
+        out.append(0)  # no LCT, not interlaced
+        idx = [lut[tuple(px)] for px in a.reshape(-1, 3)]
+        out.append(min_code)
+        out += _gif_subblocks(_lzw_encode(idx, min_code))
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def _gif_walk(b: bytes):
+    """Yield (pos_of_descriptor, lzw_min_code, lzw_data, descriptor)
+    per image block; extensions and color tables are skipped per spec."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad magic)")
+    w, h = struct.unpack("<HH", b[6:10])
+    flags = b[10]
+    pos = 13
+    gct_size = (2 << (flags & 7)) if flags & 0x80 else 0
+    gct = b[pos : pos + gct_size * 3]
+    pos += gct_size * 3
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:  # trailer
+            return
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, fw, fh = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+            lflags = b[pos + 9]
+            pos += 10
+            lct_size = (2 << (lflags & 7)) if lflags & 0x80 else 0
+            lct = b[pos : pos + lct_size * 3]
+            pos += lct_size * 3
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                data.extend(b[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            yield {
+                "screen": (w, h),
+                "frame": (left, top, fw, fh),
+                "interlaced": bool(lflags & 0x40),
+                "palette": lct if lct_size else gct,
+                "min_code": min_code,
+                "data": bytes(data),
+            }
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x} at {pos}")
+
+
+def gif_parse_meta(b: bytes) -> tuple[int, int, int]:
+    """GIF bytes → (width, height, n_frames) — the header walk only; LZW
+    data is length-skipped, never decoded."""
+    b = bytes(b)
+    w, h = struct.unpack("<HH", b[6:10]) if len(b) >= 10 else (0, 0)
+    n = sum(1 for _ in _gif_walk(b))
+    return w, h, n
+
+
+def gif_decode(b: bytes, frame: int = 0) -> np.ndarray:
+    """GIF bytes → HxWx3 uint8 of frame ``frame`` (full LZW decode +
+    palette lookup + deinterlace). Frames are decoded independently onto
+    the logical screen (no inter-frame disposal composition — partial
+    frames land at their descriptor offset over palette entry 0)."""
+    b = bytes(b)
+    for i, img in enumerate(_gif_walk(b)):
+        if i != frame:
+            continue
+        left, top, fw, fh = img["frame"]
+        idx = _lzw_decode(img["data"], img["min_code"])
+        if len(idx) < fw * fh:
+            raise ValueError("LZW data short of frame size")
+        a = np.array(idx[: fw * fh], dtype=np.int32).reshape(fh, fw)
+        if img["interlaced"]:
+            order = (
+                list(range(0, fh, 8))
+                + list(range(4, fh, 8))
+                + list(range(2, fh, 4))
+                + list(range(1, fh, 2))
+            )
+            de = np.zeros_like(a)
+            de[order] = a
+            a = de
+        pal = np.frombuffer(img["palette"], dtype=np.uint8).reshape(-1, 3)
+        sw, sh = img["screen"]
+        screen = np.zeros((sh, sw), dtype=np.int32)
+        screen[top : top + fh, left : left + fw] = a
+        return pal[screen]
+    raise ValueError(f"frame {frame} out of range")
 
 
 # ---------------------------------------------------------------------------

@@ -7,19 +7,21 @@ is: blobs as ``binary`` columns with a typed metadata struct, and
 decode/transform/feature steps as Arrow-batched ``mapInPandas`` stages so
 the Python media library only ever sees vectorized batches.
 
-Metadata decode is REAL for PNG and JPEG: ``decode_image_meta`` parses the
-PNG IHDR chunk and the JPEG SOF0/SOF2 frame headers with pure struct reads
-(no Pillow needed — the container has no media libs). Pixel-level work is
-REAL for PNG **and baseline JPEG** as of round 9:
-``functions.imagecodec.image_pixel_codec`` (pure zlib/struct/numpy —
+Metadata decode is REAL for PNG, JPEG, and GIF: ``decode_image_meta``
+parses the PNG IHDR chunk and the JPEG SOF0/SOF2 frame headers with pure
+struct reads, and counts GIF image descriptors with a block-length walk
+(no Pillow needed — the container has no media libs; GIF's real n_frames
+is what makes ``frame_sample_plan`` exercisable on genuine bytes).
+Pixel-level work is REAL for PNG, **baseline JPEG, and GIF** as of round
+9: ``functions.imagecodec.image_pixel_codec`` (pure zlib/struct/numpy —
 PNG filtered scanlines; JPEG Huffman entropy decode + IDCT + subsampled
-plane upsampling + JFIF YCbCr; cover/contain/fill resize; re-encode) is
-``transform_images``'s default codec, dispatching on magic bytes; PCM WAV
-metadata and features are likewise real (``imagecodec.wav_parse_meta``/
-``wav_features`` via the stdlib ``wave`` module). WebP/video and
-progressive-JPEG transforms still require an external codec and raise
-honestly; the deterministic FAKE header remains as a test fixture format
-alongside the real ones.
+plane upsampling + JFIF YCbCr; GIF LZW with late width change;
+cover/contain/fill resize; re-encode) is ``transform_images``'s default
+codec, dispatching on magic bytes; PCM WAV metadata and features are
+likewise real (``imagecodec.wav_parse_meta``/``wav_features`` via the
+stdlib ``wave`` module). WebP/video and progressive-JPEG transforms
+still require an external codec and raise honestly; the deterministic
+FAKE header remains as a test fixture format alongside the real ones.
 """
 
 from __future__ import annotations
@@ -77,6 +79,11 @@ def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None, in
       non-frame DHT/DNL/DAC markers) carries precision(1) height(2)
       width(2) after the segment length. SOF always precedes SOS in a
       valid stream, so the walk stops at SOS/EOI.
+    - **GIF**: 87a/89a magic; width/height are the logical-screen u16s
+      and ``n_frames`` COUNTS the image descriptors with a pure
+      block-length walk (LZW data is skipped, never decoded) — the one
+      common format where n_frames is real, which is what makes
+      ``frame_sample_plan`` exercisable on genuine bytes.
     - **FAKE**: the deterministic test fixture format, kept so plumbing
       tests don't need valid image bytes.
 
@@ -95,6 +102,14 @@ def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None, in
         w = int.from_bytes(b[16:20], "big")
         h = int.from_bytes(b[20:24], "big")
         return ("image/png", w, h, 1)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from storage_spark.functions.imagecodec import gif_parse_meta
+
+        try:
+            w, h, n = gif_parse_meta(b)
+        except Exception:  # truncated/corrupt block walk → not an image
+            return (None, None, None, None)
+        return ("image/gif", w, h, n)
     if b.startswith(b"\xff\xd8"):
         i, n = 2, len(b)
         while i + 9 <= n:

@@ -144,6 +144,68 @@ def _wav(rate, samples, ch=1, width=2):
 
 
 # ---------------------------------------------------------------------------
+# GIF / LZW
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_roundtrip_property():
+    from storage_spark.functions.imagecodec import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(11)
+    for min_code in (2, 3, 5, 8):
+        for _ in range(4):
+            n = int(rng.integers(1, 15000))
+            idx = rng.integers(0, 1 << min_code, size=n).tolist()
+            assert _lzw_decode(_lzw_encode(idx, min_code), min_code) == idx
+    # long low-entropy runs drive the table to the 4096 ceiling and force
+    # a mid-stream CLEAR; width growth to 12 bits is on this path
+    runs = ([0] * 3000 + [1] * 3000 + list(range(4)) * 2000)
+    assert _lzw_decode(_lzw_encode(runs, 2), 2) == runs
+
+
+def test_gif_multiframe_roundtrip_exact():
+    from storage_spark.functions.imagecodec import (
+        gif_decode,
+        gif_encode,
+        gif_parse_meta,
+    )
+
+    frames = []
+    for f in range(5):
+        a = np.zeros((13, 17, 3), dtype=np.uint8)
+        a[:, :, 0] = (f * 40) % 256
+        a[f % 13, :, 1] = 200
+        frames.append(a)
+    g = gif_encode(frames)
+    assert gif_parse_meta(g) == (17, 13, 5)
+    for f in range(5):
+        assert np.array_equal(gif_decode(g, frame=f), frames[f]), f
+    with pytest.raises(ValueError):
+        gif_decode(g, frame=5)
+
+
+def test_gif_256_color_palette_and_limits():
+    from storage_spark.functions.imagecodec import gif_decode, gif_encode
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    a = (yy * 16 + xx).astype(np.uint8)
+    img = np.stack([a, 255 - a, np.full_like(a, 7)], axis=2)
+    assert np.array_equal(gif_decode(gif_encode([img])), img)
+    over = np.zeros((20, 20, 3), dtype=np.uint8)
+    over[:, :, 0] = np.arange(400).reshape(20, 20) % 256
+    over[:, :, 1] = np.arange(400).reshape(20, 20) // 2 % 256
+    with pytest.raises(ValueError, match="distinct colors"):
+        gif_encode([over])
+
+
+def test_gif_rejects_garbage():
+    from storage_spark.functions.imagecodec import gif_parse_meta
+
+    with pytest.raises(ValueError):
+        gif_parse_meta(b"NOTAGIF" + b"\x00" * 20)
+
+
+# ---------------------------------------------------------------------------
 # Baseline JPEG
 # ---------------------------------------------------------------------------
 
@@ -282,6 +344,17 @@ def test_jpeg_pixel_codec_and_dispatch():
     pout = image_pixel_codec(png_encode(img), 20, 20, "cover", 90)
     assert pout.startswith(_MAGIC)  # PNG in → PNG out
     assert png_decode(pout).shape == (20, 20, 3)
+    from storage_spark.functions.imagecodec import gif_decode, gif_encode
+
+    anim = gif_encode(
+        [np.full((30, 30, 3), (f * 50 % 256, 3, 9), dtype=np.uint8)
+         for f in range(3)]
+    )
+    gout = image_pixel_codec(anim, 10, 10, "fill", 80)
+    assert gout[:6] == b"GIF89a"  # GIF in → single-frame GIF out
+    arr = gif_decode(gout)
+    assert arr.shape == (10, 10, 3)
+    assert np.array_equal(arr, np.full((10, 10, 3), (0, 3, 9), np.uint8))
     with pytest.raises(NotImplementedError):
         image_pixel_codec(b"RIFFxxxxWEBP", 8, 8, "fill", 80)
 

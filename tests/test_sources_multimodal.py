@@ -240,6 +240,33 @@ def test_transform_images_default_codec_dispatches_jpeg(spark):
     assert jpeg_decode(out["j1"]).shape == (12, 12, 3)
 
 
+def test_decode_meta_and_frame_plan_on_real_gif(spark):
+    # r9: n_frames is REAL for GIF — the block walker counts image
+    # descriptors without decoding LZW, and frame_sample_plan grids it
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import gif_encode
+    from storage_spark.operators.multimodal import frame_sample_plan
+
+    def anim(n):
+        return gif_encode(
+            [np.full((6, 9, 3), (f * 30 % 256, 0, 0), dtype=np.uint8)
+             for f in range(n)]
+        )
+
+    df = spark.createDataFrame(
+        [("g7", anim(7)), ("g1", anim(1))], "key string, content binary"
+    )
+    meta = decode_image_meta(df)
+    rows = {r.key: r for r in meta.collect()}
+    assert (rows["g7"].mime, rows["g7"].width, rows["g7"].height,
+            rows["g7"].n_frames) == ("image/gif", 9, 6, 7)
+    assert rows["g1"].n_frames == 1
+    plan = frame_sample_plan(meta, every_n=2)
+    got = sorted((r.key, r.frame_idx) for r in plan.collect())
+    assert got == [("g1", 0), ("g7", 0), ("g7", 2), ("g7", 4), ("g7", 6)]
+
+
 def test_transform_images_injected_codec_and_validation(spark, media_df):
     # with an injected codec the plumbing runs end-to-end on any bytes
     out = transform_images(
@@ -249,8 +276,8 @@ def test_transform_images_injected_codec_and_validation(spark, media_df):
     for bad in [(0, 10, "cover"), (10, 99999, "cover"), (10, 10, "stretch")]:
         with pytest.raises(ValueError):
             validate_render_options(*bad)
-    # the default dispatching codec raises per-blob on non-PNG/JPEG bytes
-    with pytest.raises(Exception, match="PNG and baseline JPEG"):
+    # the default dispatching codec raises per-blob on unrecognized bytes
+    with pytest.raises(Exception, match="PNG, baseline JPEG, and GIF"):
         transform_images(media_df, 10, 10).collect()
 
 
