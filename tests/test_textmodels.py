@@ -127,4 +127,6 @@ def test_subword_vocab_roundtrip_counts_equal(spark, docs, tmp_path):
 
 
 def test_all_kinds_have_column_contracts():
-    assert set(MODEL_COLUMNS) == {"unigram", "bigram", "nb", "dsir", "subword"}
+    assert set(MODEL_COLUMNS) == {
+        "unigram", "bigram", "nb", "dsir", "subword", "merges",
+    }
