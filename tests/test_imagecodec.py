@@ -328,6 +328,109 @@ def test_jpeg_rejects_garbage_and_progressive():
         jpeg_decode(bytes(enc))
 
 
+def _hand_jpeg(entropy_bits: str, ac_bits_vals) -> bytes:
+    """Hand-assemble a minimal spec JPEG (8x8 grayscale, flat quant=16,
+    STANDARD Annex-K DC luminance Huffman table typed here independently
+    of the codec module) — pins the decoder to the T.81 spec rather than
+    to our own encoder's understanding of it."""
+    import struct as _s
+
+    def seg(marker, payload):
+        return _s.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = bytes([0]) + bytes([16] * 64)
+    sof = _s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # Annex K.3.1 DC luminance: BITS then HUFFVAL 0..11
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    ac_bits, ac_vals = ac_bits_vals
+    dht = (
+        bytes([0x00]) + bytes(dc_bits) + bytes(range(12))
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    bits = entropy_bits + "1" * (-len(entropy_bits) % 8)
+    data = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    return (
+        b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xC4, dht)
+        + seg(0xDA, sos) + data + b"\xff\xd9"
+    )
+
+
+def test_jpeg_decodes_hand_built_dc_only_spec_stream():
+    from storage_spark.functions.imagecodec import jpeg_decode
+
+    # DC diff=8: category 4 -> canonical Annex-K DC code '101' (3rd code
+    # of length 3), magnitude bits '1000'; AC table = one EOB code '00'.
+    # Expected: F[0,0]=8*16=128 -> every pixel 128/8=16 over the +128
+    # level shift = 144 exactly.
+    jpg = _hand_jpeg(
+        "101" + "1000" + "00",
+        ([0, 1] + [0] * 14, [0x00]),
+    )
+    out = jpeg_decode(jpg)
+    assert out.shape == (8, 8, 1)
+    assert (out == 144).all(), out[:, :, 0]
+
+
+def test_jpeg_zigzag_and_idct_orientation_against_spec():
+    from storage_spark.functions.imagecodec import jpeg_decode
+
+    # DC diff=0 (code '00'); one AC coefficient at SCAN position 1 —
+    # zigzag natural index 1 = horizontal frequency (v=0, u=1). AC table:
+    # length-2 codes EOB='00', symbol 0x02 (run 0, size 2)='01'; value
+    # bits '10' = +2 -> dequantized 32. Spatial = 128 + 11.31*cos((2x+1)
+    # pi/16): rows identical, columns strictly decreasing. A transposed
+    # zigzag or IDCT would put the gradient along y instead.
+    jpg = _hand_jpeg(
+        "00" + "01" + "10" + "00",
+        ([0, 2] + [0] * 14, [0x00, 0x02]),
+    )
+    out = jpeg_decode(jpg)[:, :, 0].astype(int)
+    assert (out == out[0]).all(), "gradient must be horizontal"
+    assert all(out[0, x] > out[0, x + 1] for x in range(7)), out[0]
+    assert out[0, 0] > 128 > out[0, 7]
+
+
+def test_gif_decodes_hand_packed_lzw_spec_stream():
+    from storage_spark.functions.imagecodec import gif_decode, gif_parse_meta
+
+    # 4x1 image, 2-entry-ish palette (GCT sized 4), indices [0,1,1,0].
+    # LZW min_code=2: CLEAR=4 EOI=5, width 3. Encoder-agnostic hand
+    # packing of codes [CLEAR, 0, 1, 1, 0, EOI] LSB-first. Width grows
+    # to 4 bits BEFORE the 4th data code: the decoder's table reaches 8
+    # entries (6 initial + 2 learned) right after the 3rd — the exact
+    # spec point the self-paired round-trips cannot pin.
+    codes = [(4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)]
+    acc = nbits = 0
+    data = bytearray()
+    for c, w in codes:
+        acc |= c << nbits
+        nbits += w
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    gct = bytes([10, 20, 30, 200, 100, 50, 0, 0, 0, 0, 0, 0])
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HH", 4, 1)
+        + bytes([0x81, 0, 0])  # GCT present, 4 entries
+        + gct
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 1) + b"\x00"
+        + bytes([2])  # LZW min code size
+        + bytes([len(data)]) + bytes(data) + b"\x00"
+        + b"\x3b"
+    )
+    assert gif_parse_meta(gif) == (4, 1, 1)
+    out = gif_decode(gif)
+    assert out.shape == (1, 4, 3)
+    assert out[0].tolist() == [
+        [10, 20, 30], [200, 100, 50], [200, 100, 50], [10, 20, 30],
+    ]
+
+
 def test_jpeg_pixel_codec_and_dispatch():
     from storage_spark.functions.imagecodec import (
         image_pixel_codec,
