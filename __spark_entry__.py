@@ -3786,6 +3786,19 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_rank")
 
 
+def q_bpe_merges_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE training (the GPT-2-family base alphabet): merges
+    run over UTF-8 BYTES, symbols as uppercase hex pairs — Spark's
+    hex(encode(...)) and DuckDB's hex(...) emit identical text, so the
+    oracle unrolls the same 10 rounds over the hex-pair state."""
+    from storage_spark.functions.bpe import bpe_learn_merges
+
+    t = _t(spark, sf_dir)
+    return bpe_learn_merges(
+        t["documents"].select("text"), num_merges=10, byte_level=True
+    ).orderBy("merge_rank")
+
+
 def q_bpe_merge_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc subword counts under the learned merge table: the 12
     merges replay in rank order as a chained-``replace`` EXPRESSION (no
@@ -3800,7 +3813,7 @@ def q_bpe_merge_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_tokenize(docs, merges).orderBy("doc_id")
 
 
-def _bpe_merge_ctes(num_merges: int) -> str:
+def _bpe_merge_ctes(num_merges: int, byte_level: bool = False) -> str:
     """Unrolled-CTE replay of ``bpe_learn_merges``: words → state0 →
     (pairs_r → best_r → state_{r+1}) × N. Each round's merge is ONE
     ``replace`` on the chr(1)-delimited symbol string — the same
@@ -3809,8 +3822,17 @@ def _bpe_merge_ctes(num_merges: int) -> str:
     # each state_{r+1} references state_r twice (pairs_r + directly), so
     # an inlined chain re-evaluates EXPONENTIALLY in the round count
     # (measured: 0.44 s at 7 rounds inlined vs 0.12 s at 12 materialized).
+    if byte_level:
+        # symbols = UTF-8 bytes as uppercase hex pairs (identical output
+        # from Spark's hex(encode(...)) and DuckDB's hex(...))
+        syms0 = (
+            "list_transform(range(1, len(hex(w)) // 2 + 1),"
+            " i -> substr(hex(w), i * 2 - 1, 2))"
+        )
+    else:
+        syms0 = "string_split(w, '')"
     parts = [
-        """
+        f"""
 words AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS wcnt FROM (
     SELECT unnest(string_split(text, ' ')) AS w
@@ -3820,7 +3842,7 @@ words AS MATERIALIZED (
 ),
 state0 AS MATERIALIZED (
   SELECT wcnt,
-         chr(1) || array_to_string(string_split(w, ''), chr(1)) || chr(1)
+         chr(1) || array_to_string({syms0}, chr(1)) || chr(1)
            AS sym
   FROM words
 )"""
@@ -3852,14 +3874,14 @@ state{r + 1} AS MATERIALIZED (
     return "WITH " + ",".join(parts)
 
 
-def _oracle_bpe_merges(num_merges: int) -> str:
+def _oracle_bpe_merges(num_merges: int, byte_level: bool = False) -> str:
     union = "\n  UNION ALL\n".join(
         f"  SELECT CAST({r} AS INTEGER) AS merge_rank, lhs, rhs,"
         f" lhs || rhs AS merged, cnt AS pair_count FROM best{r}"
         for r in range(num_merges)
     )
     return (
-        _bpe_merge_ctes(num_merges)
+        _bpe_merge_ctes(num_merges, byte_level)
         + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
     )
 
@@ -4903,17 +4925,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
     # cap. Round 9's 50-slot window:
-    # (a) the 16 r9 net-new rows (never recorded) lead — 12 from the
-    #     first half of the round plus bpe_merges / bpe_merge_tokenize /
-    #     media_transform_jpeg / media_gif_frames from the second;
+    # (a) the 17 r9 net-new rows (never recorded) lead — 12 from the
+    #     first half of the round plus bpe_merges / bpe_merges_bytes /
+    #     bpe_merge_tokenize / media_transform_jpeg / media_gif_frames
+    #     from the second;
     # (b) 2 rows whose RESULTS changed this round and must re-record:
     #     path_functions (extension() now matches the reference on
     #     dot-less names + edge-case fixture rows) and multipart_complete
     #     (0057 metadata column in the RETURNING row);
     # (c) the 7 rows whose latest driver evidence is r5 (VERDICT r8 #6:
     #     tenant_usage..merge_upsert — the r8 cap truncated them);
-    # (d) the r6-evidence block, stalest-first: ~25 fit this window, the
-    #     tail (~20 rows) leads round 10's.
+    # (d) the r6-evidence block, stalest-first: ~24 fit this window, the
+    #     tail (~21 rows) leads round 10's.
     # Everything past slot 50 is driver-green in r7/r8 on semantically
     # unchanged code, and the local parity replica
     # (tests/test_queries_parity.py) re-proves the whole registry on
@@ -4930,6 +4953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_incremental": q_substring_dedup_incremental,
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_merges": q_bpe_merges,
+        "bpe_merges_bytes": q_bpe_merges_bytes,
         "bpe_merge_tokenize": q_bpe_merge_tokenize,
         "curate_corpus_gated": q_curate_corpus_gated,
         "dsir_select_per_lang": q_dsir_select_per_lang,
@@ -6610,6 +6634,7 @@ SELECT lang, doc_id, n_tokens, bin FROM walk ORDER BY lang, doc_id
         # each step consumes the longest vocab token prefixing the
         # remainder (else 1 char), exactly functions/bpe.py's loop.
         "bpe_merges": _oracle_bpe_merges(_BPE_DRIVER_MERGES),
+        "bpe_merges_bytes": _oracle_bpe_merges(10, byte_level=True),
         "bpe_merge_tokenize": _oracle_bpe_merge_tokenize(_BPE_DRIVER_MERGES),
         "bpe_tokenize": """
 WITH RECURSIVE

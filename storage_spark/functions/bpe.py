@@ -91,17 +91,36 @@ def build_subword_vocab(
     return top.unionByName(chars)
 
 
-def _word_sym_state(word: Column) -> Column:
-    """Encode a word as its initial BPE symbol string: every character a
-    symbol, symbols delimited (and the string bracketed) by ``BPE_SEP`` —
-    ``'cat'`` becomes ``'\\x01c\\x01a\\x01t\\x01'``. A merge of the
-    adjacent pair (a, b) is then exactly one string ``replace`` of
-    ``SEP a SEP b SEP`` with ``SEP ab SEP``: both Spark and DuckDB scan
-    left-to-right without re-examining replaced text, which is precisely
-    the reference BPE behavior for overlapping runs ('b b b' merges to
-    'bb b', not 'b bb')."""
+def _word_syms(word: Column, byte_level: bool) -> Column:
+    """A word's initial symbol array: characters, or — ``byte_level`` —
+    its UTF-8 bytes as uppercase hex pairs ('é' → ['C3', 'A9']), the
+    GPT-2-family convention that makes any Unicode corpus coverable by a
+    256-symbol base alphabet. Spark's ``hex(encode(...))`` and DuckDB's
+    ``hex(...)`` emit identical uppercase hex, so the oracle replays the
+    byte path exactly."""
+    if not byte_level:
+        return F.split(word, "")
+    hx = F.hex(F.encode(word, "UTF-8"))
+    return F.transform(
+        F.sequence(F.lit(1), (F.length(hx) / F.lit(2)).cast("int")),
+        lambda i: F.substring(hx, i * 2 - 1, F.lit(2)),
+    )
+
+
+def _word_sym_state(word: Column, byte_level: bool = False) -> Column:
+    """Encode a word as its initial BPE symbol string: every symbol
+    (character, or hex byte pair when ``byte_level``) delimited — and
+    the string bracketed — by ``BPE_SEP``; ``'cat'`` becomes
+    ``'\\x01c\\x01a\\x01t\\x01'``. A merge of the adjacent pair (a, b)
+    is then exactly one string ``replace`` of ``SEP a SEP b SEP`` with
+    ``SEP ab SEP``: both Spark and DuckDB scan left-to-right without
+    re-examining replaced text, which is precisely the reference BPE
+    behavior for overlapping runs ('b b b' merges to 'bb b', not
+    'b bb')."""
     return F.concat(
-        F.lit(BPE_SEP), F.array_join(F.split(word, ""), BPE_SEP), F.lit(BPE_SEP)
+        F.lit(BPE_SEP),
+        F.array_join(_word_syms(word, byte_level), BPE_SEP),
+        F.lit(BPE_SEP),
     )
 
 
@@ -110,6 +129,7 @@ def bpe_learn_merges(
     text_col: str = "text",
     num_merges: int = 12,
     min_count: int = 1,
+    byte_level: bool = False,
 ) -> DataFrame:
     """True merge-frequency BPE training (Sennrich et al. 2016,
     arXiv:1508.07909 — the iterative algorithm, not the frequency-vocab
@@ -122,6 +142,13 @@ def bpe_learn_merges(
     Pair counts follow the reference implementation: every adjacent
     position counts, weighted by word frequency, including overlapping
     occurrences within a word ('aaa' contributes (a,a) twice).
+
+    ``byte_level=True`` merges over UTF-8 BYTES (symbols are uppercase
+    hex pairs — the GPT-2-family base alphabet): a multi-byte character
+    starts as multiple symbols, and the learned ``merged`` strings are
+    hex of the byte sequence. Char- and byte-level merge tables are NOT
+    interchangeable at apply time; the persisted-model params record
+    the choice.
 
     Scale shape: the state is the DISTINCT-WORD table (vocabulary-sized —
     millions of rows at 100 TB, not corpus-sized; the classic BPE
@@ -141,7 +168,7 @@ def bpe_learn_merges(
         .agg(F.count(F.lit(1)).alias("wcnt"))
     )
     state = words.select(
-        F.col("wcnt"), _word_sym_state(F.col("w")).alias("sym")
+        F.col("wcnt"), _word_sym_state(F.col("w"), byte_level).alias("sym")
     ).localCheckpoint()
     merges: list[Row] = []
     for rank in range(int(num_merges)):
@@ -189,7 +216,9 @@ def bpe_learn_merges(
     )
 
 
-def bpe_merge_token_counter(merges: DataFrame) -> Callable[[Column], Column]:
+def bpe_merge_token_counter(
+    merges: DataFrame, byte_level: bool = False
+) -> Callable[[Column], Column]:
     """Compile a learned merge table into a ``text -> subword count``
     Column function — PURE expressions, no UDF: the doc is encoded as one
     symbol string (words joined by a DOUBLE separator so no merge can
@@ -220,7 +249,8 @@ def bpe_merge_token_counter(merges: DataFrame) -> Callable[[Column], Column]:
             F.lit(BPE_SEP),
             F.array_join(
                 F.transform(
-                    words_arr, lambda w: F.array_join(F.split(w, ""), BPE_SEP)
+                    words_arr,
+                    lambda w: F.array_join(_word_syms(w, byte_level), BPE_SEP),
                 ),
                 BPE_SEP + BPE_SEP,
             ),
@@ -244,13 +274,16 @@ def bpe_merge_tokenize(
     merges: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Per-doc subword counts under a learned merge table:
     ``(id_col, n_words, n_subwords)``. NULL-text docs are dropped (the
     LM-scorer convention — there is nothing to segment); empty text
     yields 0/0. ``n_words`` counts non-empty words, matching the set the
-    segmentation actually covers."""
-    counter = bpe_merge_token_counter(merges)
+    segmentation actually covers. ``byte_level`` must match the
+    trainer's — hex-pair merges never fire on char symbols and vice
+    versa, silently segmenting everything to the base alphabet."""
+    counter = bpe_merge_token_counter(merges, byte_level)
     nz_words = F.filter(
         F.split(F.col(text_col), " "),
         lambda w: (F.length(w) > 0) & ~F.contains(w, F.lit(BPE_SEP)),

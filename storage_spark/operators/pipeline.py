@@ -1061,7 +1061,7 @@ def token_budget_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     per_lang: bool = True,
-    tokenizer: DataFrame | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """Quality-greedy selection under a token budget: per language, take
     documents in (quality desc, id asc) order while the RUNNING token
@@ -1084,7 +1084,10 @@ def token_budget_filter(
     longest-prefix counts, map-only pandas UDF) or a
     ``functions.bpe.bpe_learn_merges(...)`` merge table (rank-order merge
     replay, pure expression chain) — dispatched by the table's columns —
-    and ``n_tokens`` becomes the unit a training run actually spends."""
+    and ``n_tokens`` becomes the unit a training run actually spends.
+    A prebuilt ``text -> count`` Column callable also works (e.g.
+    ``bpe_merge_token_counter(m, byte_level=True)`` — table dispatch
+    can't see the byte_level the model was fit with)."""
     col = F.col(text_col)
     if tokenizer is not None:
         from storage_spark.functions.bpe import (
@@ -1092,7 +1095,9 @@ def token_budget_filter(
             bpe_token_counter,
         )
 
-        if "merge_rank" in tokenizer.columns:
+        if callable(tokenizer):
+            n_tok = tokenizer(col)
+        elif "merge_rank" in tokenizer.columns:
             n_tok = bpe_merge_token_counter(tokenizer)(col)
         else:
             n_tok = bpe_token_counter(tokenizer)(col)

@@ -188,6 +188,84 @@ def test_merge_tokenize_empty_and_null_text(spark, merge_docs):
     assert rows[3].n_subwords >= 1
 
 
+def byte_sennrich(texts, num_merges):
+    """The reference loop over UTF-8 bytes (uppercase hex pairs)."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+
+    def hexpairs(w):
+        h = w.encode("utf-8").hex().upper()
+        return [h[i : i + 2] for i in range(0, len(h), 2)]
+
+    state = {w: hexpairs(w) for w in words}
+    out = []
+    for rank in range(num_merges):
+        c = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                c[(syms[i], syms[i + 1])] += words[w]
+        if not c:
+            break
+        (a, b), cnt = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append((rank, a, b, a + b, cnt))
+        for w, syms in state.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            state[w] = merged
+    return out, state
+
+
+def test_byte_level_merges_match_reference_on_multibyte_text(spark):
+    from storage_spark.functions.bpe import bpe_learn_merges, bpe_merge_tokenize
+
+    texts = ["héllo héllo héllo wörld", "héllo wörld wörld"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    m = bpe_learn_merges(docs, num_merges=5, byte_level=True)
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in m.orderBy("merge_rank").collect()
+    ]
+    want, state = byte_sennrich(texts, 5)
+    assert got == want
+    # a 2-byte char starts as TWO symbols: the first merge glues bytes
+    assert all(len(r[1]) % 2 == 0 and len(r[2]) % 2 == 0 for r in got)
+    tk = {r.doc_id: r.n_subwords
+          for r in bpe_merge_tokenize(docs, m, byte_level=True).collect()}
+    for i, t in enumerate(texts):
+        assert tk[i] == sum(len(state[w]) for w in t.split(" ") if w)
+
+
+def test_byte_and_char_level_models_are_not_interchangeable(spark, merge_docs):
+    from storage_spark.functions.bpe import (
+        bpe_learn_merges,
+        bpe_merge_token_counter,
+    )
+    from storage_spark.operators.pipeline import token_budget_filter
+
+    mb = bpe_learn_merges(merge_docs, num_merges=4, byte_level=True)
+    # a byte-level model applied at char level never fires a merge —
+    # counts collapse to the raw char totals
+    out_wrong = token_budget_filter(
+        merge_docs, 10**6, per_lang=False, tokenizer=mb
+    )
+    out_right = token_budget_filter(
+        merge_docs, 10**6, per_lang=False,
+        tokenizer=bpe_merge_token_counter(mb, byte_level=True),
+    )
+    wrong = {r.doc_id: r.n_tokens for r in out_wrong.collect()}
+    right = {r.doc_id: r.n_tokens for r in out_right.collect()}
+    assert all(right[k] < wrong[k] for k in right)  # merges actually fired
+
+
 def test_merges_persist_roundtrip(spark, merge_docs, tmp_path):
     from storage_spark.functions.bpe import bpe_learn_merges
     from storage_spark.sources.textmodels import load_text_model, save_text_model
