@@ -1,6 +1,7 @@
-"""Dependency-free pixel/audio codecs: PNG (decode/encode/resize), baseline
-JPEG (decode/encode), GIF (LZW decode/encode, animated), and PCM WAV
-(decode/features) — pure stdlib (zlib, struct, wave) + numpy.
+"""Dependency-free pixel/audio codecs: PNG (decode/encode/resize), JPEG
+(baseline AND progressive decode, baseline + progressive encode), GIF
+(LZW decode/encode, animated), and PCM WAV (decode/features) — pure
+stdlib (zlib, struct, wave) + numpy.
 
 This container has no Pillow/libvips/ffmpeg, and round 8 shipped the media
 stages with the pixel step honestly raising. PNG and PCM WAV need neither:
@@ -11,12 +12,16 @@ T.81 sequential DCT, the format the reference's imgproxy renderer most
 often serves — image.ts:298-355) is likewise self-contained: canonical
 Huffman entropy decode, dequantize + 2-D IDCT (separable float matrix),
 per-component subsampled planes upsampled and YCbCr→RGB converted per
-JFIF. The encoder emits spec-valid baseline JPEG with Annex-K quant
+JFIF. The encoders emit spec-valid JPEG with Annex-K quant
 tables scaled by the libjpeg quality rule and FIXED uniform-length
 Huffman tables (valid canonical tables read from the DHT segments like
 any other; entropy-optimal tables are a compression-ratio concern, not a
-correctness one). WebP/video and progressive (SOF2) JPEG stay honestly
-absent.
+correctness one). Progressive (SOF2) is fully supported as of this
+round: the decoder accumulates per-component coefficient stores across
+DC/AC first and refinement scans (EOBRUN, ZRL windows, buffered
+correction bits — T.81 G.1.2.3), and ``jpeg_encode_progressive`` emits
+the classic successive-approximation scan script whose decode is
+bit-identical to the baseline path's. WebP/video stay honestly absent.
 
 Scale notes: these run inside the Arrow-batched ``mapInPandas`` stages of
 ``operators.multimodal`` — one Python worker decodes a batch of blobs with
@@ -336,12 +341,16 @@ def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 
 def jpeg_decode(b: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → HxWx3 uint8 RGB (or HxWx1 for grayscale).
-    Supports SOF0/SOF1 sequential Huffman, 8-bit samples, 1 or 3
-    components, restart intervals, and any sampling factors where the
-    max factor is a multiple of each component's (covers 4:4:4, 4:2:2,
-    4:2:0, 4:1:1). Progressive (SOF2), arithmetic coding, 12-bit, and
-    CMYK raise NotImplementedError — honestly, like the other codecs."""
+    """JPEG bytes → HxWx3 uint8 RGB (or HxWx1 for grayscale). Supports
+    baseline/extended sequential (SOF0/SOF1) AND progressive (SOF2)
+    Huffman streams: 8-bit samples, 1 or 3 components, restart
+    intervals, and any sampling factors where the max factor is a
+    multiple of each component's (covers 4:4:4, 4:2:2, 4:2:0, 4:1:1).
+    Every scan decodes into a per-component coefficient store (baseline
+    is simply the one full-band scan), then one shared finisher
+    dequantizes, IDCTs, upsamples, and color-converts. Arithmetic
+    coding, lossless/hierarchical SOFs, 12-bit, and CMYK raise
+    NotImplementedError — honestly, like the other codecs."""
     b = bytes(b)
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
@@ -352,10 +361,15 @@ def jpeg_decode(b: bytes) -> np.ndarray:
     comps: list[dict] = []
     width = height = None
     dri = 0
-    while pos + 4 <= n:
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    geom: dict | None = None
+    while pos + 2 <= n:
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -378,7 +392,8 @@ def jpeg_decode(b: bytes) -> np.ndarray:
                 nat = np.zeros(64)
                 nat[np.array(_ZIGZAG)] = tbl  # stored in zigzag order
                 qt[tq] = nat
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive
+            progressive = marker == 0xC2
             depth = data[0]
             if depth != 8:
                 raise NotImplementedError(f"JPEG sample precision {depth}")
@@ -390,10 +405,10 @@ def jpeg_decode(b: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (only baseline sequential)"
+                f"JPEG SOF{marker - 0xC0} (sequential/progressive Huffman only)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -406,83 +421,260 @@ def jpeg_decode(b: bytes) -> np.ndarray:
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", data[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
+            if geom is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                for c in comps:
+                    if hmax % c["h"] or vmax % c["v"]:
+                        raise NotImplementedError(
+                            f"non-divisor sampling {c['h']}x{c['v']}"
+                            f" vs {hmax}x{vmax}"
+                        )
+                geom = {
+                    "hmax": hmax,
+                    "vmax": vmax,
+                    "width": width,
+                    "height": height,
+                    "mcux": -(-width // (8 * hmax)),
+                    "mcuy": -(-height // (8 * vmax)),
+                }
+                coefs = [
+                    np.zeros(
+                        (geom["mcuy"] * c["v"], geom["mcux"] * c["h"], 64),
+                        dtype=np.int32,
+                    )
+                    for c in comps
+                ]
             ns = data[0]
-            scan: list[dict] = []
+            scan = []
             for c in range(ns):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
+                ci = next(i for i, x in enumerate(comps) if x["id"] == cs)
                 scan.append(
-                    {**comp, "dc": huff_dc[tt >> 4], "ac": huff_ac[tt & 15]}
+                    {
+                        "ci": ci,
+                        **comps[ci],
+                        "dc": huff_dc.get(tt >> 4),
+                        "ac": huff_ac.get(tt & 15),
+                    }
                 )
-            return _jpeg_decode_scan(
-                b, pos + 2 + seglen, scan, qt, width, height, dri
+            ss, se, a = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            pos = _jpeg_decode_scan(
+                b, pos + 2 + seglen, scan, coefs, geom,
+                ss, se, ah, al, dri, progressive,
             )
+            continue
         pos += 2 + seglen
-    raise ValueError("no SOS segment")
+    if coefs is None:
+        raise ValueError("no SOS segment")
+    return _jpeg_finish(coefs, comps, qt, geom, width, height)
+
+
+def _next_marker(b: bytes, pos: int) -> int:
+    """First position at/after ``pos`` of a real marker (0xFF followed by
+    neither 0x00 stuffing nor an RSTn)."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (
+            0xD0 <= b[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
 
 
 def _jpeg_decode_scan(
     b: bytes,
     pos: int,
     scan: list[dict],
+    coefs: list[np.ndarray],
+    geom: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dri: int,
+    progressive: bool,
+) -> int:
+    """Decode ONE entropy-coded scan into the coefficient store and
+    return the stream position of the next marker.
+
+    Baseline is the ss=0, se=63, ah=al=0 interleaved case of the same
+    machinery (its EOB is an EOBRUN of length 1). Progressive scans are
+    the four T.81 shapes: DC first / DC refine (interleaved allowed),
+    AC first / AC refine (single component, non-interleaved, EOBRUN
+    spans blocks). Point transforms follow the spec's asymmetry: DC
+    shifts with sign; AC magnitudes shift and re-sign."""
+    r = _BitReader(b, pos)
+    zz_idx = np.array(_ZIGZAG)
+    preds = [0] * len(scan)
+    state = {"eobrun": 0}
+
+    def decode_block_first(c: dict, blk: np.ndarray) -> None:
+        # DC (only when the scan includes position 0)
+        if ss == 0:
+            s = _huff_decode(r, c["dc"])
+            diff = _huff_extend(r.receive(s), s)
+            preds[c["_si"]] += diff
+            blk[0] = preds[c["_si"]] << al
+        if se == 0:
+            return
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = max(ss, 1)
+        while k <= se:
+            rs = _huff_decode(r, c["ac"])
+            rr, s = rs >> 4, rs & 15
+            if s == 0:
+                if rr == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << rr) - 1
+                if rr:
+                    state["eobrun"] += r.receive(rr)
+                return
+            k += rr
+            if k > se:
+                raise ValueError("AC coefficient index past band end")
+            blk[zz_idx[k]] = _huff_extend(r.receive(s), s) << al
+            k += 1
+
+    def decode_dc_refine(c: dict, blk: np.ndarray) -> None:
+        if r.read_bit():
+            # DC refinement adds the next lower bit; DC values are
+            # two's-complement shifted, so OR-ing the bit is exact
+            blk[0] |= 1 << al
+
+    def refine_nonzero(blk: np.ndarray, k: int) -> None:
+        if r.read_bit():
+            v = blk[zz_idx[k]]
+            if v > 0 and not (v & (1 << al)):
+                blk[zz_idx[k]] = v + (1 << al)
+            elif v < 0 and not (-v & (1 << al)):
+                blk[zz_idx[k]] = v - (1 << al)
+
+    def decode_ac_refine(c: dict, blk: np.ndarray) -> None:
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _huff_decode(r, c["ac"])
+                rr, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if rr != 15:  # EOBRUN
+                        state["eobrun"] = (1 << rr)
+                        if rr:
+                            state["eobrun"] += r.receive(rr)
+                        break
+                    # ZRL: skip 16 zero-history positions
+                elif s == 1:
+                    newval = (1 << al) if r.read_bit() else -(1 << al)
+                else:
+                    raise ValueError("AC refine size must be 0 or 1")
+                while k <= se:
+                    if blk[zz_idx[k]] != 0:
+                        refine_nonzero(blk, k)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[zz_idx[k]] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            # correction bits for remaining nonzero-history positions
+            while k <= se:
+                if blk[zz_idx[k]] != 0:
+                    refine_nonzero(blk, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    if ah == 0:
+        decode_block = decode_block_first
+    elif ss == 0:
+        decode_block = decode_dc_refine
+    else:
+        decode_block = decode_ac_refine
+
+    for si, c in enumerate(scan):
+        c["_si"] = si
+
+    unit_i = 0
+
+    def maybe_restart() -> None:
+        nonlocal preds, unit_i
+        if dri and unit_i and unit_i % dri == 0:
+            r.restart()
+            preds[:] = [0] * len(scan)
+            state["eobrun"] = 0
+        unit_i += 1
+
+    if len(scan) > 1:
+        # interleaved MCU traversal (any multi-component scan)
+        for my in range(geom["mcuy"]):
+            for mx in range(geom["mcux"]):
+                maybe_restart()
+                for c in scan:
+                    arr = coefs[c["ci"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                c, arr[my * c["v"] + by, mx * c["h"] + bx]
+                            )
+    else:
+        # non-interleaved: the component's own block grid, row-major
+        # (T.81 A.2.2 — single-component scans never use the MCU grid)
+        c = scan[0]
+        bw, bh = _noninterleaved_blocks(geom, c)
+        arr = coefs[c["ci"]]
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                decode_block(c, arr[by, bx])
+    return _next_marker(b, r.pos if r.bit == 0 else r.pos + 1)
+
+
+def _noninterleaved_blocks(geom: dict, c: dict) -> tuple[int, int]:
+    """Block-grid dims of a single-component (non-interleaved) scan:
+    ceil(component samples / 8) per axis (T.81 A.2.2)."""
+    cw = -(-geom["width"] * c["h"] // geom["hmax"])
+    ch = -(-geom["height"] * c["v"] // geom["vmax"])
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _jpeg_finish(
+    coefs: list[np.ndarray],
+    comps: list[dict],
     qt: dict[int, np.ndarray],
+    geom: dict,
     width: int,
     height: int,
-    dri: int,
 ) -> np.ndarray:
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    for c in scan:
-        if hmax % c["h"] or vmax % c["v"]:
-            raise NotImplementedError(
-                f"non-divisor sampling {c['h']}x{c['v']} vs {hmax}x{vmax}"
-            )
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in scan
-    ]
-    r = _BitReader(b, pos)
-    preds = [0] * len(scan)
     mt = _DCT_M.T
-    mcu_i = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu_i and mcu_i % dri == 0:
-                r.restart()
-                preds = [0] * len(scan)
-            mcu_i += 1
-            for ci, c in enumerate(scan):
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64)
-                        s = _huff_decode(r, c["dc"])
-                        preds[ci] += _huff_extend(r.receive(s), s)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(r, c["ac"])
-                            rr, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if rr == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            zz[k] = _huff_extend(r.receive(s), s)
-                            k += 1
-                        nat = np.zeros(64)
-                        nat[np.array(_ZIGZAG)] = zz
-                        block = mt @ ((nat * q).reshape(8, 8)) @ _DCT_M
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
     out_planes = []
-    for ci, c in enumerate(scan):
-        p = planes[ci] + 128.0
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+    for ci, c in enumerate(comps):
+        arr = coefs[ci]
+        bh, bw = arr.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8))
+        q = qt[c["tq"]]
+        for by in range(bh):
+            for bx in range(bw):
+                nat = arr[by, bx].astype(np.float64) * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    mt @ nat.reshape(8, 8) @ _DCT_M
+                )
+        p = plane + 128.0
+        p = np.repeat(
+            np.repeat(p, geom["vmax"] // c["v"], axis=0),
+            geom["hmax"] // c["h"],
+            axis=1,
+        )
         out_planes.append(p[:height, :width])
     if len(out_planes) == 1:
         return (
@@ -526,7 +718,8 @@ class _BitWriter:
 
 def _encode_huff_tables() -> tuple[dict, dict, bytes]:
     """Fixed uniform-length canonical tables: 12 DC categories at 4 bits,
-    all 162 AC run/size symbols at 8 bits. Kraft-feasible (162/256),
+    all 162 sequential AC run/size symbols PLUS the 14 progressive EOBn
+    symbols (r<<4 for r=1..14) at 8 bits. Kraft-feasible (176/256),
     never all-ones, and read back through the DHT segment like any
     table — spec-valid, just not entropy-optimal."""
     dc_vals = list(range(12))
@@ -534,7 +727,7 @@ def _encode_huff_tables() -> tuple[dict, dict, bytes]:
     dc_bits[3] = 12  # 12 codes of length 4
     ac_vals = [0x00, 0xF0] + [
         (r << 4) | s for r in range(16) for s in range(1, 11)
-    ]
+    ] + [r << 4 for r in range(1, 15)]
     ac_bits = [0] * 16
     ac_bits[7] = len(ac_vals)  # all at length 8
     def enc_map(bits, vals):
@@ -711,12 +904,254 @@ def jpeg_encode(
     )
 
 
+def jpeg_encode_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+    """HxWx3 RGB (or HxW / HxWx1 grayscale) uint8 → PROGRESSIVE (SOF2)
+    JPEG, 4:4:4, with the classic successive-approximation scan script:
+    DC first (Al=1) interleaved → DC refine → per-component AC first
+    (band 1-63, Al=1, EOBRUN-accumulated) → per-component AC refine
+    (Ah=1→Al=0, buffered correction bits — the T.81 G.1.2.3 algorithm).
+    The quantized coefficients are identical to ``jpeg_encode``'s at the
+    same quality, so progressive and baseline decodes of the same image
+    must produce bit-identical pixels — the property the tests pin."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if ch not in (1, 3):
+        raise ValueError(f"unsupported channel count {ch}")
+    qlum = _quality_scale(_QUANT_LUM, quality)
+    qchrom = _quality_scale(_QUANT_CHROM, quality)
+    if ch == 3:
+        rf, gf, bf = (a[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * rf + 0.587 * gf + 0.114 * bf,
+            128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf,
+            128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf,
+        ]
+        qtabs = [qlum, qchrom, qchrom]
+    else:
+        planes = [a[:, :, 0].astype(np.float64)]
+        qtabs = [qlum]
+    bw_blocks, bh_blocks = -(-w // 8), -(-h // 8)
+    zz_idx = np.array(_ZIGZAG)
+    coefs = []  # per comp: [bh, bw, 64] int64 in ZIGZAG order
+    for p, q in zip(planes, qtabs):
+        pad = np.pad(
+            p, ((0, bh_blocks * 8 - h), (0, bw_blocks * 8 - w)), mode="edge"
+        )
+        cc = np.zeros((bh_blocks, bw_blocks, 64), dtype=np.int64)
+        for by in range(bh_blocks):
+            for bx in range(bw_blocks):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                freq = _DCT_M @ blk @ _DCT_M.T
+                cc[by, bx] = np.round(freq.reshape(64) / q).astype(np.int64)[
+                    zz_idx
+                ]
+        coefs.append(cc)
+
+    dc_map, ac_map, dht_payload = _encode_huff_tables()
+
+    def put_val(bw_, v, s):
+        bw_.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+    def scan_dc_first(al):
+        bw_ = _BitWriter()
+        preds = [0] * len(coefs)
+        for by in range(bh_blocks):
+            for bx in range(bw_blocks):
+                for ci, cc in enumerate(coefs):
+                    v = int(cc[by, bx, 0]) >> al  # arithmetic shift (sign)
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = _csize(diff)
+                    code, ln = dc_map[s]
+                    bw_.put(code, ln)
+                    if s:
+                        put_val(bw_, diff, s)
+        bw_.flush()
+        return bytes(bw_.out)
+
+    def scan_dc_refine(al):
+        bw_ = _BitWriter()
+        for by in range(bh_blocks):
+            for bx in range(bw_blocks):
+                for cc in coefs:
+                    bw_.put((int(cc[by, bx, 0]) >> al) & 1, 1)
+        bw_.flush()
+        return bytes(bw_.out)
+
+    def scan_ac_first(ci, ss, se, al):
+        bw_ = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            rbits = eobrun.bit_length() - 1
+            code, ln = ac_map[rbits << 4]
+            bw_.put(code, ln)
+            if rbits:
+                bw_.put(eobrun - (1 << rbits), rbits)
+            eobrun = 0
+
+        cc = coefs[ci]
+        for by in range(bh_blocks):
+            for bx in range(bw_blocks):
+                # AC point transform truncates MAGNITUDE toward zero
+                band = [
+                    (abs(int(cc[by, bx, k])) >> al)
+                    * (1 if cc[by, bx, k] >= 0 else -1)
+                    for k in range(ss, se + 1)
+                ]
+                if not any(band):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                run = 0
+                last_nz = max(i for i, v in enumerate(band) if v)
+                for i, v in enumerate(band):
+                    if i > last_nz:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_map[0xF0]
+                        bw_.put(code, ln)
+                        run -= 16
+                    s = _csize(v)
+                    code, ln = ac_map[(run << 4) | s]
+                    bw_.put(code, ln)
+                    put_val(bw_, v, s)
+                    run = 0
+                if last_nz < len(band) - 1:
+                    eobrun += 1  # trailing zeros = this block's EOB
+        flush_eobrun()
+        bw_.flush()
+        return bytes(bw_.out)
+
+    def scan_ac_refine(ci, ss, se, ah, al):
+        # T.81 G.1.2.3 successive-approximation AC refinement, written
+        # against the DECODER's consumption contract: the decoder's
+        # advance loop passes band positions in order, reading ONE
+        # correction bit per already-significant position it passes, and
+        # a ZRL consumes exactly 16 zero-history positions. So the
+        # encoder keeps a pending, position-ordered event list ('z' =
+        # zero-history, ('b', bit) = correction) and emits, with each
+        # symbol, exactly the bits the decoder reads in that symbol's
+        # window; block leftovers buffer into the EOBRUN sweep.
+        bw_ = _BitWriter()
+        eobrun = 0
+        br_global: list[int] = []  # correction bits for the EOB sweep
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            rbits = eobrun.bit_length() - 1
+            code, ln = ac_map[rbits << 4]
+            bw_.put(code, ln)
+            if rbits:
+                bw_.put(eobrun - (1 << rbits), rbits)
+            for bit in br_global:
+                bw_.put(bit, 1)
+            br_global.clear()
+            eobrun = 0
+
+        cc = coefs[ci]
+        for by in range(bh_blocks):
+            for bx in range(bw_blocks):
+                pending: list = []  # 'z' or ('b', bit), in position order
+                for k in range(ss, se + 1):
+                    v = int(cc[by, bx, k])
+                    m = abs(v) >> al
+                    if m == 0:
+                        pending.append("z")
+                        continue
+                    if m > 1:
+                        pending.append(("b", m & 1))
+                        continue
+                    # newly significant coefficient
+                    flush_eobrun()
+                    nzeros = sum(1 for p in pending if p == "z")
+                    while nzeros > 15:
+                        code, ln = ac_map[0xF0]
+                        bw_.put(code, ln)
+                        consumed = 0
+                        rest = []
+                        for j, p in enumerate(pending):
+                            if p == "z":
+                                consumed += 1
+                                if consumed == 16:
+                                    rest = pending[j + 1 :]
+                                    break
+                            else:
+                                bw_.put(p[1], 1)
+                        pending = rest
+                        nzeros -= 16
+                    code, ln = ac_map[(nzeros << 4) | 1]
+                    bw_.put(code, ln)
+                    bw_.put(0 if v < 0 else 1, 1)
+                    for p in pending:
+                        if p != "z":
+                            bw_.put(p[1], 1)
+                    pending = []
+                if pending:
+                    br_global.extend(p[1] for p in pending if p != "z")
+                    eobrun += 1
+                    if eobrun == 0x7FFF or len(br_global) > 900:
+                        flush_eobrun()
+        flush_eobrun()
+        bw_.flush()
+        return bytes(bw_.out)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = (
+        bytes([0]) + bytes(qlum[zz_idx].astype(np.uint8))
+        + bytes([1]) + bytes(qchrom[zz_idx].astype(np.uint8))
+    )
+    ncomp = len(coefs)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+
+    def sos(comp_ids, ss, se, ah, al):
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            p += bytes([cid, 0x00])
+        return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, dqt)
+        + seg(0xC2, sof)
+        + seg(0xC4, dht_payload)
+    )
+    all_ids = list(range(1, ncomp + 1))
+    out += sos(all_ids, 0, 0, 0, 1) + scan_dc_first(1)
+    out += sos(all_ids, 0, 0, 1, 0) + scan_dc_refine(0)
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 0, 1) + scan_ac_first(ci, 1, 63, 1)
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 1, 0) + scan_ac_refine(ci, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def jpeg_pixel_codec(
     b: bytes, width: int, height: int, resize: str, quality: int
 ) -> bytes:
-    """``transform_images`` codec for JPEG inputs: decode → resize →
-    re-encode at ``quality`` (4:4:4 — the transform output favors
-    fidelity; the input may have been any supported subsampling)."""
+    """``transform_images`` codec for JPEG inputs (baseline or
+    progressive): decode → resize → re-encode at ``quality`` (4:4:4
+    baseline output — the transform output favors fidelity and broad
+    decodability; the input may have been any supported subsampling or
+    scan script)."""
     a = jpeg_decode(b)
     if a.shape[2] == 1:
         a = a[:, :, 0]
@@ -748,8 +1183,8 @@ def image_pixel_codec(
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return gif_pixel_codec(b, width, height, resize, quality)
     raise NotImplementedError(
-        "pixel transforms support PNG, baseline JPEG, and GIF; other "
-        "formats need an external codec callable"
+        "pixel transforms support PNG, JPEG (baseline + progressive), "
+        "and GIF; other formats need an external codec callable"
     )
 
 

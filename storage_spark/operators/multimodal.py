@@ -12,16 +12,17 @@ parses the PNG IHDR chunk and the JPEG SOF0/SOF2 frame headers with pure
 struct reads, and counts GIF image descriptors with a block-length walk
 (no Pillow needed — the container has no media libs; GIF's real n_frames
 is what makes ``frame_sample_plan`` exercisable on genuine bytes).
-Pixel-level work is REAL for PNG, **baseline JPEG, and GIF** as of round
-9: ``functions.imagecodec.image_pixel_codec`` (pure zlib/struct/numpy —
-PNG filtered scanlines; JPEG Huffman entropy decode + IDCT + subsampled
-plane upsampling + JFIF YCbCr; GIF LZW with late width change;
+Pixel-level work is REAL for PNG, **JPEG (baseline AND progressive), and
+GIF** as of round 9: ``functions.imagecodec.image_pixel_codec`` (pure
+zlib/struct/numpy — PNG filtered scanlines; JPEG Huffman entropy decode
+incl. SOF2 successive-approximation scans + IDCT + subsampled plane
+upsampling + JFIF YCbCr; GIF LZW with late width change;
 cover/contain/fill resize; re-encode) is ``transform_images``'s default
 codec, dispatching on magic bytes; PCM WAV metadata and features are
 likewise real (``imagecodec.wav_parse_meta``/``wav_features`` via the
-stdlib ``wave`` module). WebP/video and progressive-JPEG transforms
-still require an external codec and raise honestly; the deterministic
-FAKE header remains as a test fixture format alongside the real ones.
+stdlib ``wave`` module). WebP/video transforms still require an external
+codec and raise honestly; the deterministic FAKE header remains as a
+test fixture format alongside the real ones.
 """
 
 from __future__ import annotations

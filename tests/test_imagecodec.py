@@ -315,15 +315,15 @@ def test_jpeg_header_parses_via_multimodal_sniffer():
     assert parse_image_header(enc) == ("image/jpeg", 34, 21, 1)
 
 
-def test_jpeg_rejects_garbage_and_progressive():
+def test_jpeg_rejects_garbage_and_arithmetic():
     from storage_spark.functions.imagecodec import jpeg_decode, jpeg_encode
 
     with pytest.raises(ValueError):
         jpeg_decode(b"not a jpeg at all")
-    # flip the SOF0 marker to SOF2 (progressive) — must raise honestly
+    # flip SOF0 to SOF9 (arithmetic-coded sequential) — must raise
     enc = bytearray(jpeg_encode(_gradient(16, 16)))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2
+    enc[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         jpeg_decode(bytes(enc))
 
@@ -429,6 +429,80 @@ def test_gif_decodes_hand_packed_lzw_spec_stream():
     assert out[0].tolist() == [
         [10, 20, 30], [200, 100, 50], [200, 100, 50], [10, 20, 30],
     ]
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_decodes_identically_to_baseline():
+    from storage_spark.functions.imagecodec import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = [
+        _gradient(40, 56),
+        rng.integers(0, 256, (24, 24, 3), dtype=np.uint8).astype(np.uint8),
+        np.full((16, 16, 3), (200, 30, 90), np.uint8),
+        _gradient(37, 53),  # odd dims
+        _gradient(33, 47)[:, :, 0],  # grayscale
+        rng.integers(0, 256, (48, 48, 3), dtype=np.uint8).astype(np.uint8),
+    ]
+    # identical quantized coefficients -> identical pixels, bit for bit;
+    # low quality drives heavy EOBRUN/ZRL/correction-bit traffic through
+    # the successive-approximation scans
+    for img in cases:
+        for q in (95, 60, 15):
+            base = jpeg_decode(jpeg_encode(img, quality=q, subsampling="444"))
+            prog = jpeg_decode(jpeg_encode_progressive(img, quality=q))
+            assert np.array_equal(base, prog), (img.shape, q)
+
+
+def test_progressive_stream_structure():
+    from storage_spark.functions.imagecodec import jpeg_encode_progressive
+
+    enc = jpeg_encode_progressive(_gradient(24, 24), quality=80)
+    assert enc.count(b"\xff\xc2") == 1  # SOF2, not SOF0
+    assert enc.count(b"\xff\xc0") == 0
+    # scan script: DC first + DC refine + 3x AC first + 3x AC refine
+    assert enc.count(b"\xff\xda") == 8
+    gray = jpeg_encode_progressive(_gradient(24, 24)[:, :, 0], quality=80)
+    assert gray.count(b"\xff\xda") == 4
+
+
+def test_progressive_prefix_scans_decode_and_converge():
+    from storage_spark.functions.imagecodec import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    img = _gradient(32, 40)
+    enc = jpeg_encode_progressive(img, quality=90)
+    # split at SOS boundaries; a truncated-progressive stream (any scan
+    # prefix) must still decode, and error vs the full decode must be
+    # non-increasing as scans are added — the format's defining property
+    positions = []
+    i = 0
+    while True:
+        i = enc.find(b"\xff\xda", i + 1)
+        if i < 0:
+            break
+        positions.append(i)
+    full = jpeg_decode(enc).astype(int)
+    errs = []
+    for n_scans in range(1, len(positions) + 1):
+        cut = (
+            enc[: positions[n_scans] if n_scans < len(positions) else -2]
+            + b"\xff\xd9"
+        )
+        partial = jpeg_decode(cut).astype(int)
+        errs.append(np.abs(partial - full).mean())
+    assert errs[-1] == 0.0
+    assert all(a >= b - 1e-9 for a, b in zip(errs, errs[1:])), errs
 
 
 def test_jpeg_pixel_codec_and_dispatch():

@@ -277,7 +277,7 @@ def test_transform_images_injected_codec_and_validation(spark, media_df):
         with pytest.raises(ValueError):
             validate_render_options(*bad)
     # the default dispatching codec raises per-blob on unrecognized bytes
-    with pytest.raises(Exception, match="PNG, baseline JPEG, and GIF"):
+    with pytest.raises(Exception, match="baseline . progressive"):
         transform_images(media_df, 10, 10).collect()
 
 
