@@ -3295,21 +3295,26 @@ def q_media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_transform_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL JPEG render path under the oracle (r9): real baseline
-    JPEG bytes are encoded per part row (functions/imagecodec.jpeg_encode
-    — Huffman + FDCT, 4:2:0) with key-derived even dimensions, run
-    through the ACTUAL transform stage (multimodal.transform_images →
-    jpeg decode → contain-resize → re-encode), and the OUTPUT headers
-    re-parsed. The oracle predicts the output metadata by replaying the
-    contain math (scale = min(20/w, 20/h), round — the dimension grid is
-    chosen so no product lands on an exact .5, where Python's half-even
-    and SQL's half-away rounding would diverge). Any drift in the JPEG
-    writer's SOF layout, the entropy decoder, the resize math, or the
-    re-encoder breaks the hash."""
+    """The FULL JPEG render path under the oracle (r9): real JPEG bytes
+    are encoded per part row with key-derived even dimensions —
+    BASELINE 4:2:0 for even keys, PROGRESSIVE (SOF2, the full
+    successive-approximation scan script) for odd keys — run through
+    the ACTUAL transform stage (multimodal.transform_images → jpeg
+    entropy decode → contain-resize → re-encode), and the OUTPUT
+    headers re-parsed. The oracle predicts the output metadata by
+    replaying the contain math (scale = min(20/w, 20/h), round — the
+    dimension grid is chosen so no product lands on an exact .5, where
+    Python's half-even and SQL's half-away rounding would diverge).
+    Any drift in either JPEG writer's layout, either entropy decoder
+    (sequential or progressive), the resize math, or the re-encoder
+    breaks the hash."""
     import numpy as np
     import pandas as pd
 
-    from storage_spark.functions.imagecodec import jpeg_encode
+    from storage_spark.functions.imagecodec import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
     from storage_spark.operators.multimodal import (
         decode_image_meta,
         transform_images,
@@ -3337,7 +3342,12 @@ def q_media_transform_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                     axis=2,
                 ).astype(np.uint8)
-                out.append(jpeg_encode(img, quality=90, subsampling="420"))
+                if k % 2:
+                    out.append(jpeg_encode_progressive(img, quality=90))
+                else:
+                    out.append(
+                        jpeg_encode(img, quality=90, subsampling="420")
+                    )
             yield pd.DataFrame(
                 {"key": [str(int(k)) for k in pks], "content": out}
             )
