@@ -3411,6 +3411,70 @@ def q_media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO under the oracle (r9): real MJPEG-in-AVI bytes are built per
+    part row (functions/imagecodec.avi_encode_mjpeg over q95 4:4:4 JPEG
+    frames — flat-gray frames, which the codec tests prove round-trip
+    PIXEL-EXACT at q95 for every value), the RIFF walker recovers the
+    stream metadata WITHOUT decoding any frame (decode_video_meta), and
+    sample_video_frames JPEG-decodes every 3rd frame. The oracle predicts
+    metadata, the sampling grid, AND the decoded per-channel means from
+    the generation rule alone — any drift in the AVI writer's chunk
+    layout, the walker, the frame stride, or the JPEG entropy decoder
+    breaks the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from storage_spark.functions.imagecodec import (
+        avi_encode_mjpeg,
+        jpeg_encode,
+    )
+    from storage_spark.operators.multimodal import (
+        decode_video_meta,
+        sample_video_frames,
+    )
+
+    t = _t(spark, sf_dir)
+    base = t["part"].select(
+        F.col("p_partkey").cast("long").alias("pk")
+    ).filter(F.col("pk") <= 60)
+
+    def _gen(it):
+        for pdf in it:
+            pks = pdf["pk"].to_numpy()
+            out = []
+            for k in pks:
+                k = int(k)
+                w, h, nf = 16 + (k % 3) * 8, 16, 1 + k % 7
+                frames = [
+                    jpeg_encode(
+                        np.full((h, w, 3), (k * 37 + f * 11) % 256,
+                                dtype=np.uint8),
+                        quality=95,
+                        subsampling="444",
+                    )
+                    for f in range(nf)
+                ]
+                out.append(avi_encode_mjpeg(frames, w, h, fps=10 + k % 5))
+            yield pd.DataFrame(
+                {"key": [str(int(k)) for k in pks], "content": out}
+            )
+
+    blobs = base.mapInPandas(_gen, "key string, content binary")
+    meta = decode_video_meta(blobs)
+    frames = sample_video_frames(blobs, every_n=3)
+    return (
+        meta.join(frames, "key")
+        .select(
+            "key", "container", "width", "height", "n_frames",
+            "fps_x1000", "duration_ms", "frame_idx",
+            "frame_width", "frame_height",
+            "mean_r_x100", "mean_g_x100", "mean_b_x100",
+        )
+        .orderBy(F.col("key").cast("long"), F.col("frame_idx"))
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval overlap scrub: docs sharing >=1 distinct word trigram
     with the benchmark subset (doc_id % 37 == 0) are flagged, with the
@@ -4935,10 +4999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
     # cap. Round 9's 50-slot window:
-    # (a) the 17 r9 net-new rows (never recorded) lead — 12 from the
+    # (a) the r9 net-new rows (never recorded) lead — 12 from the
     #     first half of the round plus bpe_merges / bpe_merges_bytes /
-    #     bpe_merge_tokenize / media_transform_jpeg / media_gif_frames
-    #     from the second;
+    #     bpe_merge_tokenize / media_transform_jpeg / media_gif_frames /
+    #     media_video_frames and the later additions below;
     # (b) 2 rows whose RESULTS changed this round and must re-record:
     #     path_functions (extension() now matches the reference on
     #     dot-less names + edge-case fixture rows) and multipart_complete
@@ -4970,6 +5034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_meta": q_media_decode_meta,
         "media_transform_jpeg": q_media_transform_jpeg,
         "media_gif_frames": q_media_gif_frames,
+        "media_video_frames": q_media_video_frames,
         # ---- r9 result-changed (re-record) ----
         "path_functions": q_path_functions,
         "multipart_complete": q_multipart_complete,
@@ -6863,6 +6928,35 @@ SELECT CAST(pk AS STRING) AS key,
        CAST(nf AS INT) AS n_frames,
        CAST(unnest(range(0, nf, 3)) AS INT) AS frame_idx
 FROM g ORDER BY pk, frame_idx
+"""),
+        "media_video_frames": _o("""
+, g AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         16 + (p_partkey % 3) * 8 AS w,
+         16 AS h,
+         1 + p_partkey % 7 AS nf,
+         (10 + p_partkey % 5) * 1000 AS fpsk
+  FROM part WHERE p_partkey <= 60
+),
+fr AS (
+  SELECT pk, w, h, nf, fpsk,
+         CAST(unnest(range(0, nf, 3)) AS INT) AS frame_idx
+  FROM g
+)
+SELECT CAST(pk AS STRING) AS key,
+       'video/x-msvideo' AS container,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       CAST(fpsk AS INT) AS fps_x1000,
+       CAST((nf * 1000000) // fpsk AS BIGINT) AS duration_ms,
+       frame_idx,
+       CAST(w AS INT) AS frame_width,
+       CAST(h AS INT) AS frame_height,
+       CAST(((pk * 37 + frame_idx * 11) % 256) * 100 AS BIGINT) AS mean_r_x100,
+       CAST(((pk * 37 + frame_idx * 11) % 256) * 100 AS BIGINT) AS mean_g_x100,
+       CAST(((pk * 37 + frame_idx * 11) % 256) * 100 AS BIGINT) AS mean_b_x100
+FROM fr ORDER BY pk, frame_idx
 """),
         "media_transform_jpeg": _o("""
 , dims AS (

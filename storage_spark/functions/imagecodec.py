@@ -21,7 +21,12 @@ round: the decoder accumulates per-component coefficient stores across
 DC/AC first and refinement scans (EOBRUN, ZRL windows, buffered
 correction bits — T.81 G.1.2.3), and ``jpeg_encode_progressive`` emits
 the classic successive-approximation scan script whose decode is
-bit-identical to the baseline path's. WebP/video stay honestly absent.
+bit-identical to the baseline path's. Video is real for MJPEG-in-AVI
+(this module's writer + RIFF walker + the JPEG decoder per frame — the
+container every camera-adjacent toolchain can emit without an entropy
+codec beyond JPEG itself); WebP and inter-frame video codecs (H.26x/VPx/
+AV1) stay honestly absent — those are entropy-coder + motion-compensation
+territory.
 
 Scale notes: these run inside the Arrow-batched ``mapInPandas`` stages of
 ``operators.multimodal`` — one Python worker decodes a batch of blobs with
@@ -1488,3 +1493,151 @@ def wav_features(b: bytes) -> tuple[int, int, int, int, int]:
     rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
     zc = int(np.count_nonzero(np.diff(np.signbit(x)))) if n > 1 else 0
     return rate, n, (n * 1000) // rate if rate else 0, round(rms * 1_000_000), zc
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI video container (AVI RIFF form, Microsoft "AVI RIFF File
+# Reference"; MJPEG = one baseline/progressive JPEG per '00dc' chunk).
+#
+# This is the container that makes VIDEO real in this dependency-free
+# environment: the chunk walk is pure struct (same discipline as the GIF
+# block walk — frame COUNTING never touches entropy-coded bytes), and
+# per-frame pixel decode composes the JPEG decoder above. The reference's
+# renderer (src/storage/renderer/) treats video as an opaque passthrough;
+# the training-data pipeline is what needs frame sampling, and
+# `operators.multimodal.frame_sample_plan` lays the grid this extractor
+# fills.
+# ---------------------------------------------------------------------------
+
+
+def avi_encode_mjpeg(frames_jpeg: list[bytes], width: int, height: int,
+                     fps: int = 25) -> bytes:
+    """Spec-valid AVI writer: LIST hdrl (avih + one 'vids'/'MJPG' stream
+    with strh+strf), LIST movi of word-aligned '00dc' chunks, idx1 index.
+    Frames are pre-encoded JPEG bytes (this module's encoders or any
+    other baseline/progressive writer)."""
+    nf = len(frames_jpeg)
+    if nf == 0:
+        raise ValueError("AVI needs at least one frame")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(four_cc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", four_cc + payload)
+
+    max_bytes = max(len(f) for f in frames_jpeg)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,      # dwMicroSecPerFrame
+        max_bytes * fps,       # dwMaxBytesPerSec (advisory)
+        0,                     # dwPaddingGranularity
+        0x10,                  # AVIF_HASINDEX
+        nf, 0, 1,              # totalframes, initialframes, streams
+        max_bytes,             # dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,            # dwReserved[4]
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                      1, fps,          # dwScale, dwRate → fps = rate/scale
+                      0, nf,           # dwStart, dwLength (frames)
+                      max_bytes, 0xFFFFFFFF, 0)  # bufsize, quality, samplesize
+        + struct.pack("<4h", 0, 0, width, height)  # rcFrame
+    )
+    # BITMAPINFOHEADER with biCompression='MJPG'
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_body = b"movi"
+    idx_entries = []
+    for f in frames_jpeg:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx_entries.append((len(movi_body), len(f)))
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, size)  # AVIIF_KEYFRAME
+        for off, size in idx_entries
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_walk(b: bytes):
+    """Yield (tag_or_listtype, payload_start, payload_len, is_list) for
+    every top-level-and-nested RIFF chunk, depth-first. Pure struct —
+    never reads entropy-coded frame bytes."""
+    b = bytes(b)
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            tag = b[pos : pos + 4]
+            (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            start = pos + 8
+            if start + length > end:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                yield (b[start : start + 4], start + 4, length - 4, True)
+                yield from walk(start + 4, start + length)
+            else:
+                yield (tag, start, length, False)
+            pos = start + length + (length & 1)
+
+    yield from walk(12, len(b))
+
+
+def avi_parse_meta(b: bytes) -> tuple[int, int, int, int]:
+    """AVI header walk → ``(width, height, n_frames, fps_x1000)`` without
+    decoding any frame. n_frames COUNTS the '00dc'/'00db' movi chunks (the
+    ground truth; avih's dwTotalFrames is advisory and cross-checked only
+    when present), fps comes from the video stream's dwRate/dwScale,
+    scaled ×1000 so the value is engine-exact integer math."""
+    b = bytes(b)
+    w = h = None
+    rate = scale = None
+    n = 0
+    for tag, start, length, is_list in _avi_walk(b):
+        if tag == b"avih" and not is_list and length >= 40:
+            vals = struct.unpack("<10I", b[start : start + 40])
+            w, h = vals[8], vals[9]
+        elif tag == b"strh" and not is_list and length >= 32:
+            if b[start : start + 4] == b"vids":
+                scale, rate = struct.unpack(
+                    "<II", b[start + 20 : start + 28]
+                )
+        elif tag in (b"00dc", b"00db") and not is_list:
+            n += 1
+    if w is None:
+        raise ValueError("missing avih header")
+    fps_x1000 = (rate * 1000) // scale if rate and scale else 0
+    return w, h, n, fps_x1000
+
+
+def avi_frame_bytes(b: bytes):
+    """Iterate the raw per-frame payloads ('00dc' compressed / '00db'
+    uncompressed chunks) in stream order."""
+    for tag, start, length, is_list in _avi_walk(bytes(b)):
+        if tag in (b"00dc", b"00db") and not is_list:
+            yield bytes(b)[start : start + length]
+
+
+def avi_decode_frame(b: bytes, frame: int = 0) -> np.ndarray:
+    """Decode frame ``frame`` of an MJPEG AVI to an RGB array: locate the
+    n-th '00dc' chunk by pure struct walk, then JPEG-decode just that
+    payload (baseline or progressive — both entropy decoders above)."""
+    for i, payload in enumerate(avi_frame_bytes(b)):
+        if i == frame:
+            return jpeg_decode(payload)
+    raise IndexError(f"frame {frame} out of range")

@@ -389,3 +389,136 @@ def frame_sample_plan(videos: DataFrame, every_n: int,
     return videos.select(
         F.col(key_col).alias("key"), F.explode(grid).alias("frame_idx")
     )
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps_x1000", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def decode_video_meta(
+    blobs: DataFrame,
+    key_col: str = "key",
+    content_col: str = "content",
+) -> DataFrame:
+    """Video metadata stage, REAL for MJPEG-in-AVI (the one container a
+    dependency-free environment can both write and read —
+    ``functions.imagecodec.avi_parse_meta`` walks the RIFF tree with
+    pure struct, never touching a frame's entropy-coded bytes). Columns
+    mirror ``decode_image_meta``'s contract: unrecognized/corrupt bytes
+    yield NULL metadata instead of raising (one poison blob must not
+    kill a 100 TB scan); ``fps_x1000`` and ``duration_ms`` are integer
+    math from the stream header's dwRate/dwScale so the values are
+    engine-exact. Other containers (MP4/MKV/WebM) need an inter-frame
+    codec to be USEFUL, not just parseable — honestly absent, same
+    policy as WebP."""
+    from storage_spark.functions.imagecodec import avi_parse_meta
+
+    def _one(b):
+        if b is None:
+            return (None, None, None, None, None, None)
+        try:
+            w, h, n, fps = avi_parse_meta(bytes(b))
+        except Exception:
+            return (None, None, None, None, None, None)
+        dur = (n * 1_000_000) // fps if fps else 0
+        return ("video/x-msvideo", w, h, n, fps, dur)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = [_one(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "key": pdf[key_col],
+                    "container": [m[0] for m in meta],
+                    "width": [m[1] for m in meta],
+                    "height": [m[2] for m in meta],
+                    "n_frames": [m[3] for m in meta],
+                    "fps_x1000": [m[4] for m in meta],
+                    "duration_ms": [m[5] for m in meta],
+                }
+            )
+
+    return blobs.mapInPandas(_batches, VIDEO_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_width", T.IntegerType()),
+        T.StructField("frame_height", T.IntegerType()),
+        T.StructField("mean_r_x100", T.LongType()),
+        T.StructField("mean_g_x100", T.LongType()),
+        T.StructField("mean_b_x100", T.LongType()),
+    ]
+)
+
+
+def sample_video_frames(
+    blobs: DataFrame,
+    every_n: int,
+    key_col: str = "key",
+    content_col: str = "content",
+) -> DataFrame:
+    """Frame EXTRACTION (the stage ``frame_sample_plan`` lays the grid
+    for): decode every ``every_n``-th frame of each MJPEG AVI and emit
+    per-frame dimensions + per-channel integer pixel means (×100,
+    round-half-even via numpy — deterministic). One pass per blob: the
+    RIFF walk yields frame payloads in stream order and only the sampled
+    indices are JPEG-decoded, so the cost is proportional to the SAMPLED
+    frames, not the stream length. Corrupt blobs/frames yield no rows.
+
+    Scale shape: map-only Arrow stage, no shuffle; a blob's frames never
+    split across tasks (a video row is the parallelism unit, same as the
+    reference's per-object render — image.ts:298-355)."""
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import avi_frame_bytes, jpeg_decode
+
+    def _rows(key: str, b) -> list[tuple]:
+        out = []
+        if b is None:
+            return out
+        try:
+            payloads = avi_frame_bytes(bytes(b))
+            for i, p in enumerate(payloads):
+                if i % every_n:
+                    continue
+                a = jpeg_decode(p)
+                m = a.reshape(-1, a.shape[2]).mean(axis=0)
+                out.append(
+                    (
+                        key,
+                        i,
+                        a.shape[1],
+                        a.shape[0],
+                        int(np.round(m[0] * 100)),
+                        int(np.round(m[1] * 100)),
+                        int(np.round(m[2] * 100)),
+                    )
+                )
+        except Exception:
+            return []
+        return out
+
+    cols = [f.name for f in FRAME_SCHEMA.fields]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[tuple] = []
+            for key, b in zip(pdf[key_col], pdf[content_col]):
+                rows.extend(_rows(key, b))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.mapInPandas(_batches, FRAME_SCHEMA)

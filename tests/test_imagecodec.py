@@ -563,3 +563,85 @@ def test_wav_features_known_signal():
 def test_wav_rejects_non_riff():
     with pytest.raises(ValueError):
         wav_parse_meta(b"OggS....")
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI container
+# ---------------------------------------------------------------------------
+
+
+def test_avi_round_trip_meta_and_frames():
+    from storage_spark.functions.imagecodec import (
+        avi_decode_frame,
+        avi_encode_mjpeg,
+        avi_frame_bytes,
+        avi_parse_meta,
+        jpeg_encode,
+    )
+
+    vals = [0, 7, 130, 255]
+    frames = [
+        jpeg_encode(np.full((16, 24, 3), v, dtype=np.uint8),
+                    quality=95, subsampling="444")
+        for v in vals
+    ]
+    avi = avi_encode_mjpeg(frames, 24, 16, fps=12)
+    assert avi_parse_meta(avi) == (24, 16, 4, 12000)
+    # payloads survive the container byte-for-byte (word-aligned chunks)
+    assert [bytes(p) for p in avi_frame_bytes(avi)] == frames
+    for i, v in enumerate(vals):
+        a = avi_decode_frame(avi, i)
+        assert a.shape == (16, 24, 3)
+        # flat gray is exact through q95 (DC error < 1/2 px after IDCT)
+        assert np.unique(a).tolist() == [v]
+
+
+def test_avi_flat_gray_exact_all_values_q95():
+    from storage_spark.functions.imagecodec import jpeg_decode, jpeg_encode
+
+    for v in range(0, 256, 17):
+        a = jpeg_decode(
+            jpeg_encode(np.full((8, 8, 3), v, dtype=np.uint8),
+                        quality=95, subsampling="444")
+        )
+        assert np.unique(a).tolist() == [v], v
+
+
+def test_avi_odd_sized_frame_payload_word_alignment():
+    from storage_spark.functions.imagecodec import (
+        avi_encode_mjpeg,
+        avi_frame_bytes,
+        avi_parse_meta,
+    )
+
+    # force an odd-length payload: the chunk walk must word-align
+    odd = b"\xff\xd8" + b"x" * 7  # 9 bytes (not decodable, walk-only)
+    even = b"\xff\xd8" + b"y" * 8
+    avi = avi_encode_mjpeg([odd, even, odd], 4, 4, fps=5)
+    assert avi_parse_meta(avi)[2] == 3
+    assert [bytes(p) for p in avi_frame_bytes(avi)] == [odd, even, odd]
+
+
+def test_avi_rejects_garbage_and_bad_args():
+    from storage_spark.functions.imagecodec import (
+        avi_decode_frame,
+        avi_encode_mjpeg,
+        avi_parse_meta,
+        jpeg_encode,
+    )
+
+    with pytest.raises(ValueError):
+        avi_parse_meta(b"RIFFxxxxWAVE")  # RIFF but not AVI
+    with pytest.raises(ValueError):
+        avi_parse_meta(b"nope")
+    with pytest.raises(ValueError):
+        avi_encode_mjpeg([], 4, 4)
+    with pytest.raises(ValueError):
+        avi_encode_mjpeg([b"\xff\xd8"], 4, 4, fps=0)
+    f = jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8))
+    avi = avi_encode_mjpeg([f], 8, 8)
+    with pytest.raises(IndexError):
+        avi_decode_frame(avi, 1)
+    # truncated chunk: length field larger than the remaining bytes
+    with pytest.raises(ValueError):
+        avi_parse_meta(avi[:40])

@@ -445,3 +445,87 @@ def test_ndjson_roundtrip_with_corrupt_lines(spark, tmp_path):
     assert len(raws) == 2 and "not json at all" in raws
     assert any("broken!!" in r for r in raws)
     assert "_corrupt_record" not in good.columns
+
+
+def test_decode_video_meta_real_avi(spark):
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import avi_encode_mjpeg, jpeg_encode
+    from storage_spark.operators.multimodal import decode_video_meta
+
+    rows = []
+    for k in range(4):
+        nf = 1 + k
+        frames = [
+            jpeg_encode(
+                np.full((16, 24, 3), (k * 37 + f * 11) % 256, dtype=np.uint8),
+                quality=95,
+                subsampling="444",
+            )
+            for f in range(nf)
+        ]
+        rows.append((str(k), bytearray(avi_encode_mjpeg(frames, 24, 16, fps=10 + k))))
+    rows.append(("bad", bytearray(b"not an avi")))
+    rows.append(("nul", None))
+    df = spark.createDataFrame(rows, "key string, content binary")
+    got = {r.key: r for r in decode_video_meta(df).collect()}
+    assert got["2"].container == "video/x-msvideo"
+    assert (got["2"].width, got["2"].height) == (24, 16)
+    assert got["2"].n_frames == 3
+    assert got["2"].fps_x1000 == 12000
+    assert got["2"].duration_ms == 250  # 3 frames / 12 fps
+    # poison rows: NULL metadata, no exception
+    assert got["bad"].container is None and got["nul"].width is None
+
+
+def test_sample_video_frames_grid_matches_plan_and_values(spark):
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import avi_encode_mjpeg, jpeg_encode
+    from storage_spark.operators.multimodal import (
+        decode_video_meta,
+        frame_sample_plan,
+        sample_video_frames,
+    )
+
+    rows = []
+    for k in range(5):
+        nf = 1 + (k * 3) % 7
+        frames = [
+            jpeg_encode(
+                np.full((16, 16, 3), (k * 37 + f * 11) % 256, dtype=np.uint8),
+                quality=95,
+                subsampling="444",
+            )
+            for f in range(nf)
+        ]
+        rows.append((str(k), bytearray(avi_encode_mjpeg(frames, 16, 16, fps=8))))
+    df = spark.createDataFrame(rows, "key string, content binary")
+
+    sampled = sample_video_frames(df, every_n=3)
+    got = {(r.key, r.frame_idx): r for r in sampled.collect()}
+
+    # the extractor fills EXACTLY the grid frame_sample_plan lays
+    meta = decode_video_meta(df).withColumnRenamed("container", "mime")
+    plan = {(r.key, r.frame_idx) for r in frame_sample_plan(meta, 3).collect()}
+    assert set(got) == plan
+
+    # flat-gray q95 is pixel-exact: mean_x100 == 100 * generated value
+    for (k, f), r in got.items():
+        v = (int(k) * 37 + f * 11) % 256
+        assert (r.mean_r_x100, r.mean_g_x100, r.mean_b_x100) == (v * 100,) * 3
+        assert (r.frame_width, r.frame_height) == (16, 16)
+
+
+def test_sample_video_frames_skips_corrupt_and_validates(spark):
+    import pytest as _pytest
+
+    from storage_spark.operators.multimodal import sample_video_frames
+
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"RIFF\x00\x00\x00\x00AVI ")), ("nul", None)],
+        "key string, content binary",
+    )
+    assert sample_video_frames(df, 2).count() == 0
+    with _pytest.raises(ValueError):
+        sample_video_frames(df, 0)
