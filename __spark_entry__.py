@@ -3196,6 +3196,121 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + whitespace/control cleanup under the oracle (r9):
+    the synthetic corpus is pure ASCII, so each doc gets a planted
+    suffix by doc_id%4 — a combining-acute sequence (NFC composes), a
+    precomposed accent (NFC no-op), a circled digit + tab run (NFC
+    keeps compatibility chars — proving this is NFC, not NFKC — and
+    the cleaner collapses the tabs), and a CR/control/blank-line mess.
+    Spark's side is unicodedata.normalize in an Arrow pandas_udf +
+    codegen'd regex chain; the oracle replays with DuckDB's native
+    nfc_normalize + the same RE2 chain — two INDEPENDENT Unicode
+    implementations agreeing on every md5."""
+    from storage_spark.functions.text import clean_whitespace, nfc_text
+
+    t = _t(spark, sf_dir)
+    m = F.col("doc_id") % 4
+    suffix = (
+        F.when(m == 0, F.lit(" cafe\u0301"))          # combining acute
+        .when(m == 1, F.lit(" caf\u00e9"))            # precomposed
+        .when(m == 2, F.lit(" \u2460  x\ty"))         # circled 1 + tab run
+        .otherwise(F.lit("  z\r\nw\u0007v\n\n\n\nq  "))  # CR/control/blanks
+    )
+    docs = t["documents"].select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("t2")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("t2").alias("len_raw"),
+        F.length(nfc_text(F.col("t2"))).alias("len_nfc"),
+        F.md5(nfc_text(F.col("t2"))).alias("nfc_md5"),
+        F.md5(clean_whitespace(F.col("t2"))).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def _docs_with_lines(t) -> DataFrame:
+    """documents with text rechunked into 5-word '\\n'-joined lines — the
+    synthetic corpus has no newlines, so the line-dedup rows derive a
+    line structure both engines replay exactly (Spark slice ≡ DuckDB
+    1-based inclusive list slice)."""
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(5)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
+    )
+    return t["documents"].select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+
+
+_LINE_DEDUP_SELECT = """
+, toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lines AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         array_to_string(t[CAST(u.i*5+1 AS INT):CAST(u.i*5+5 AS INT)], ' ')
+           AS line
+  FROM toks, LATERAL unnest(range(0, (len(t) + 4) // 5)) AS u(i)
+),
+norm AS (
+  SELECT doc_id, pos, line,
+         regexp_replace(lower(trim(line)), '[0-9]', '0', 'g') AS nl
+  FROM lines
+),
+kept AS ({kept_sql}),
+reb AS (
+  SELECT doc_id, count(*) AS nk,
+         string_agg(line, chr(10) ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       md5(coalesce(r.txt, '')) AS text_md5,
+       t.n_lines,
+       coalesce(r.nk, 0) AS n_lines_kept,
+       t.n_lines - coalesce(r.nk, 0) AS n_lines_removed
+FROM tot t LEFT JOIN reb r USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line/paragraph dedup (arXiv:1911.00359), keep-first mode:
+    each distinct normalized line (lowercase, trimmed, digits→0)
+    survives only at its globally-first (doc_id, pos) occurrence; docs
+    are rebuilt from their surviving lines. The engine's winner
+    selection is ONE aggregation (min-struct per line hash — no window,
+    no join on the line table: the scale contract for Zipf-head
+    boilerplate); the oracle replays it as a row_number window, proving
+    the aggregation ≡ window equivalence."""
+    from storage_spark.operators.dedup import line_dedup
+
+    t = _t(spark, sf_dir)
+    out = line_dedup(_docs_with_lines(t))
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_lines", "n_lines_kept", "n_lines_removed",
+    ).orderBy("doc_id")
+
+
+def q_line_dedup_dropall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_dedup's drop-all mode: EVERY occurrence of any line seen
+    more than once (within- or cross-doc) is removed — the aggressive
+    boilerplate scrub. Uniqueness proof and survivor come out of the
+    same count/min-struct groupBy."""
+    from storage_spark.operators.dedup import line_dedup
+
+    t = _t(spark, sf_dir)
+    out = line_dedup(_docs_with_lines(t), mode="drop_all")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_lines", "n_lines_kept", "n_lines_removed",
+    ).orderBy("doc_id")
+
+
 def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (Lee et al. 2022, arXiv:2107.06499): merged
     per-doc spans of ≥10 tokens duplicated verbatim in ≥2 distinct docs —
@@ -5022,6 +5137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_v1_sorted": q_search_v1_sorted,
         "search_v1_desc": q_search_v1_desc,
         "rls_operation": q_rls_operation,
+        "text_normalize": q_text_normalize,
+        "line_dedup": q_line_dedup,
+        "line_dedup_dropall": q_line_dedup_dropall,
         "substring_dedup_spans": q_substring_dedup_spans,
         "substring_dedup_strip": q_substring_dedup_strip,
         "substring_dedup_incremental": q_substring_dedup_incremental,
@@ -6973,6 +7091,48 @@ SELECT CAST(pk AS STRING) AS key,
        1 AS n_frames
 FROM sc ORDER BY pk
 """),
+        "text_normalize": _o("""
+, t2 AS (
+  SELECT doc_id, text ||
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN ' cafe' || chr(769)
+      WHEN 1 THEN ' caf' || chr(233)
+      WHEN 2 THEN ' ' || chr(9312) || '  x' || chr(9) || 'y'
+      ELSE '  z' || chr(13) || chr(10) || 'w' || chr(7) || 'v'
+           || repeat(chr(10), 4) || 'q  '
+    END AS t
+  FROM documents
+)
+SELECT doc_id,
+  length(t) AS len_raw,
+  length(nfc_normalize(t)) AS len_nfc,
+  md5(nfc_normalize(t)) AS nfc_md5,
+  md5(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(
+      t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+      '\\r\\n?', chr(10), 'g'),
+      '[ \\t]+', ' ', 'g'),
+      ' ?\\n ?', chr(10), 'g'),
+      '\\n{2,}', chr(10) || chr(10), 'g'),
+      '^[\\n ]+|[\\n ]+$', '', 'g')
+  ) AS clean_md5
+FROM t2 ORDER BY doc_id
+"""),
+        "line_dedup": _o(_LINE_DEDUP_SELECT.format(kept_sql="""
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY nl ORDER BY doc_id, pos) AS rn
+    FROM norm
+  ) WHERE rn = 1
+""")),
+        "line_dedup_dropall": _o(_LINE_DEDUP_SELECT.format(kept_sql="""
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, pos, line,
+           count(*) OVER (PARTITION BY nl) AS c
+    FROM norm
+  ) WHERE c = 1
+""")),
         "substring_dedup_incremental": _o("""
 , toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (

@@ -295,6 +295,23 @@ def main() -> None:
 
         return exact_substring_spans(t["documents"], k=10).count()
 
+    def line_dedup():
+        # CCNet line dedup (r9): 5-word derived lines, keep-first winners
+        # via ONE min-struct aggregation (no window/join on the line
+        # table); cost = one line-hash shuffle + one per-doc rebuild
+        from storage_spark.operators.dedup import line_dedup as _ld
+
+        toks = F.split(F.col("text"), " ")
+        nl = F.ceil(F.size(toks) / F.lit(5)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
+        )
+        docs = t["documents"].select(
+            "doc_id", F.array_join(lines, "\n").alias("text")
+        )
+        return _ld(docs).agg(F.sum("n_lines_removed")).collect()[0][0]
+
     # -- fat-embedding (dim-768) index pair: jl_lsh vs keys-only lsh --
     _fat: dict = {"df": None, "jl": None, "ko": None}
 
@@ -806,6 +823,7 @@ def main() -> None:
         "bpe_train_merges": bpe_train_merges,
         "bpe_merge_score": bpe_merge_score,
         "substring_spans": substring_spans,
+        "line_dedup": line_dedup,
         "fat_jl_index_query": fat_jl_index_query,
         "fat_lsh_keysonly_query": fat_lsh_keysonly_query,
     }

@@ -13,6 +13,7 @@ engine-reproducible (see __spark_entry__ output conventions).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -245,3 +246,43 @@ def pii_counts(text: Column) -> Column:
         )
         cur = F.regexp_replace(cur, pattern, placeholder)
     return F.struct(*fields)
+
+
+def nfc_text(text: Column) -> Column:
+    """Unicode NFC normalization (canonical composition — the fix for
+    the same visible string hashing to different dedup keys because one
+    source emitted combining sequences and another precomposed chars).
+
+    Spark has no built-in normalizer, so this is the one function in
+    this module that leaves the JVM: an Arrow-batched ``pandas_udf``
+    over ``unicodedata.normalize`` (vectorized transfer, ~μs/row; shows
+    as ArrowEvalPython in plans, never row-at-a-time BatchEvalPython).
+    NFC only — NFKC's compatibility folds (① → 1, ﬁ → fi) change
+    content and belong to an explicit cleaning policy, not a default.
+    NULL passes through as NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:  # noqa: ANN001 — Spark infers from hints
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    return _nfc(text)
+
+
+def clean_whitespace(text: Column) -> Column:
+    """Whitespace/control cleanup (the JVM-side half of text
+    normalization, pure codegen'd regex): strip C0/C1 control chars
+    except \\t \\n \\r, fold \\r\\n and \\r to \\n, collapse runs of
+    spaces/tabs to one space, trim each line's edges, and drop leading/
+    trailing blank lines. Newlines are PRESERVED — line structure is
+    load-bearing for line_dedup and Gopher's line metrics."""
+    c = F.regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    c = F.regexp_replace(c, "\\r\\n?", "\n")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n{2,}", "\n\n")  # ≥2 blank lines → one
+    return F.regexp_replace(c, "^[\\n ]+|[\\n ]+$", "")

@@ -1758,3 +1758,98 @@ def incremental_substring_spans(
         .select("doc_id", "span_start", "span_end")
     )
     return spans, bstats
+
+
+def _ccnet_normalize(line: Column) -> Column:
+    """CCNet's paragraph-hash normalization (Wenzek et al. 2019,
+    arXiv:1911.00359 §3.1, lightened to the SQL-expressible core):
+    lowercase, trim, fold every digit to '0'. Accent/punctuation folding
+    is tokenizer territory — documented out, not silently approximated."""
+    return F.regexp_replace(F.lower(F.trim(line)), "[0-9]", "0")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    mode: str = "keep_first",
+    normalize: bool = True,
+    min_len: int = 0,
+) -> DataFrame:
+    """Line/paragraph-level dedup across the WHOLE corpus (CCNet's shard
+    dedup, arXiv:1911.00359 — the step that strips boilerplate navigation
+    lines, cookie banners, and repeated headers from web text): split each
+    doc on ``sep``, hash the (optionally normalized) line, and rebuild
+    every doc from its surviving lines in original order.
+
+    Modes: ``keep_first`` keeps the globally-first occurrence of each
+    distinct line (ordered by (doc_id, position) — deterministic);
+    ``drop_all`` removes EVERY occurrence of any line that appears more
+    than once (within- or cross-doc). Lines whose normalized form is
+    shorter than ``min_len`` chars bypass dedup entirely (always kept);
+    with the default 0, duplicate empty lines collapse too — exactly
+    CCNet's behavior on repeated blank paragraphs.
+
+    Output: the input columns with ``text_col`` rebuilt, plus
+    ``n_lines`` / ``n_lines_kept`` / ``n_lines_removed``. A doc whose
+    every line was deduplicated away keeps its row with empty text —
+    downstream length filters decide its fate, not this operator.
+
+    100 TB story: BOTH modes are pure double-sided aggregations — no
+    window, no join against the line table. The winner (or the
+    uniqueness proof) per line-hash is ``min(struct(doc_id, pos, line))``
+    / ``count(*)`` in ONE groupBy, so the Zipf-head boilerplate line that
+    appears in 100 M docs collapses in the map-side combiner instead of
+    concentrating a window partition or a skewed join key. The rebuild
+    groups by doc — the corpus's natural uniform key.
+    """
+    import re as _re
+
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError("mode must be 'keep_first' or 'drop_all'")
+    toks = F.split(F.col(text_col), _re.escape(sep), -1)
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "line"),
+    )
+    norm = _ccnet_normalize(F.col("line")) if normalize else F.col("line")
+    lines = lines.withColumn("_nl", norm)
+
+    exempt = lines.filter(F.length("_nl") < min_len) if min_len > 0 else None
+    parts = (
+        lines.filter(F.length("_nl") >= min_len) if min_len > 0 else lines
+    )
+    grouped = parts.groupBy(F.md5("_nl").alias("h")).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct("doc_id", "pos", "line")).alias("_w"),
+    )
+    if mode == "drop_all":
+        grouped = grouped.filter(F.col("_c") == 1)
+    kept = grouped.select("_w.doc_id", "_w.pos", "_w.line")
+    if exempt is not None:
+        kept = kept.unionByName(exempt.select("doc_id", "pos", "line"))
+
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("_txt"),
+    )
+    src = df.withColumn("_n_lines", F.size(toks))
+    joined = src.join(
+        reb, src[id_col] == reb["doc_id"], "left"
+    ).drop(reb["doc_id"])
+    return joined.select(
+        *[c for c in df.columns if c != text_col],
+        F.coalesce(F.col("_txt"), F.lit("")).alias(text_col),
+        F.col("_n_lines").cast("long").alias("n_lines"),
+        F.coalesce(F.col("_nk"), F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.col("_n_lines") - F.coalesce(F.col("_nk"), F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
+    )

@@ -1,0 +1,101 @@
+"""CCNet-style line/paragraph dedup (operators.dedup.line_dedup)."""
+
+from __future__ import annotations
+
+import pytest
+
+from storage_spark.operators.dedup import line_dedup
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "Home\nWelcome to my site\nContact us", "en"),
+        (2, "Home\nSomething original\nContact us", "en"),
+        (3, "HOME\nAnother thing\nPrice: 42 dollars", "en"),
+        (4, "Price: 99 dollars\nhome", "en"),
+        (5, "", "en"),
+        (6, "Home\nHome\nHome", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _by_id(df):
+    return {r.doc_id: r for r in df.collect()}
+
+
+def test_keep_first_keeps_global_first_occurrence(corpus):
+    got = _by_id(line_dedup(corpus))
+    # doc 1 is globally first for Home/Contact us → intact
+    assert got[1].text == "Home\nWelcome to my site\nContact us"
+    assert got[1].n_lines_removed == 0
+    # doc 2 loses both boilerplate lines, keeps its original one
+    assert got[2].text == "Something original"
+    assert (got[2].n_lines, got[2].n_lines_kept) == (3, 1)
+    # normalization: HOME ≡ Home (lowercase), Price: 99 ≡ Price: 42
+    # (digit fold) — later occurrences dropped
+    assert got[3].text == "Another thing\nPrice: 42 dollars"
+    assert got[4].text == "" and got[4].n_lines_kept == 0
+    # within-doc repeats: doc 6's Home x3 are all later than doc 1's
+    assert got[6].text == "" and got[6].n_lines_removed == 3
+    # empty doc = one empty line, globally unique here → kept
+    assert got[5].n_lines_kept == 1
+
+
+def test_drop_all_removes_every_copy(corpus):
+    got = _by_id(line_dedup(corpus, mode="drop_all"))
+    assert got[1].text == "Welcome to my site"
+    assert got[2].text == "Something original"
+    assert got[3].text == "Another thing"
+    assert got[4].text == "" and got[4].n_lines_removed == 2
+    # within-doc-only duplicates are still duplicates
+    assert got[6].text == "" and got[6].n_lines_removed == 3
+
+
+def test_min_len_exempts_short_lines(corpus):
+    got = _by_id(line_dedup(corpus, min_len=5))
+    # 'home'/'HOME'/'Home' are 4 chars normalized → exempt, all kept
+    assert got[3].text.startswith("HOME\n")
+    assert got[4].text == "home"
+    assert got[6].text == "Home\nHome\nHome"
+    # long lines still dedup: doc 4's Price line lost to doc 3's
+    assert "Price" not in got[4].text
+
+
+def test_no_normalize_is_byte_exact(corpus):
+    got = _by_id(line_dedup(corpus, normalize=False))
+    # HOME != Home byte-wise → doc 3 keeps its variant
+    assert got[3].text.startswith("HOME\n")
+    # Price: 42 != Price: 99 → doc 4 keeps its Price line (but loses
+    # 'home'? no — 'home' != 'Home' byte-wise, kept too)
+    assert got[4].text == "Price: 99 dollars\nhome"
+
+
+def test_row_count_and_columns_preserved(corpus):
+    out = line_dedup(corpus)
+    assert out.count() == corpus.count()
+    assert set(out.columns) == {
+        "doc_id", "lang", "text",
+        "n_lines", "n_lines_kept", "n_lines_removed",
+    }
+    # accounting identity holds on every row
+    for r in out.collect():
+        assert r.n_lines == r.n_lines_kept + r.n_lines_removed
+
+
+def test_custom_separator_and_bad_mode(spark):
+    df = spark.createDataFrame(
+        [(1, "a|b|a"), (2, "b|c")], "doc_id long, text string"
+    )
+    got = _by_id(line_dedup(df, sep="|"))
+    assert got[1].text == "a|b"
+    assert got[2].text == "c"
+    with pytest.raises(ValueError):
+        line_dedup(df, mode="nope")
+
+
+def test_plan_has_no_window_or_join_on_lines(corpus):
+    # the scale contract: winner selection is an aggregation, not a
+    # window/self-join — the plan must contain no Window node at all
+    plan = line_dedup(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -924,3 +924,52 @@ def test_perplexity_buckets_per_language_isolates_small_language(spark):
             for b, bb in pairs:
                 if a < b:
                     assert order[ab] <= order[bb]
+
+
+def test_nfc_text_composes_and_preserves(spark):
+    from storage_spark.functions.text import nfc_text
+
+    rows = [
+        (1, "e\u0301 cafe\u0301"),  # combining acute x2 -> composes
+        (2, "\u00e9 already"),        # precomposed -> unchanged
+        (3, "\u2460 one"),            # circled-1: NFC keeps (NFKC folds)
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: (r.n, r.l0, r.l1)
+        for r in df.select(
+            "id",
+            nfc_text(F.col("t")).alias("n"),
+            F.length("t").alias("l0"),
+            F.length(nfc_text(F.col("t"))).alias("l1"),
+        ).collect()
+    }
+    assert got[1] == ("\u00e9 caf\u00e9", 8, 6)
+    assert got[2] == ("\u00e9 already", 9, 9)
+    assert got[3] == ("\u2460 one", 5, 5)
+    assert got[4] == (None, None, None)
+
+
+def test_clean_whitespace_policy(spark):
+    from storage_spark.functions.text import clean_whitespace
+
+    rows = [
+        (1, "a  b\t c"),                       # runs collapse
+        (2, "x\r\ny\rz"),                      # CRLF / CR → LF
+        (3, "e\x00f\x1bg"),                    # control chars stripped
+        (4, "  lead\ntrail  \n\n\n\nnext  "),  # edges + blank-line cap
+        (5, "keep\n\nme"),                     # one blank line survives
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", clean_whitespace(F.col("t")).alias("c")
+        ).collect()
+    }
+    assert got[1] == "a b c"
+    assert got[2] == "x\ny\nz"
+    assert got[3] == "efg"
+    assert got[4] == "lead\ntrail\n\nnext"
+    assert got[5] == "keep\n\nme"
