@@ -3196,6 +3196,77 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed audio under the oracle (r9): real WAV bytes per part
+    row — PCM16 / G.711 mu-law / G.711 A-law by key%3, deterministic
+    integer samples from the key — run through the REAL engine stages
+    (decode_audio_meta's RIFF/fact walk + wav_decode_int's codec
+    dispatch), then integer aggregates of the decoded samples. The
+    oracle replays the ENTIRE G.711 encode∘decode quantization in pure
+    SQL (segment CASE + mantissa floor math — the ITU formulas, no
+    tables), so a one-bit drift in either codec breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from storage_spark.functions.imagecodec import (
+        wav_decode_int,
+        wav_encode,
+        wav_parse_meta_v2,
+    )
+    from storage_spark.operators.multimodal import decode_audio_meta
+
+    t = _t(spark, sf_dir)
+    base = t["part"].select(
+        F.col("p_partkey").cast("long").alias("pk")
+    ).filter(F.col("pk") <= 90)
+    codecs = ["pcm16", "ulaw", "alaw"]
+
+    def _gen(it):
+        for pdf in it:
+            out = []
+            for k in pdf["pk"].to_numpy():
+                k = int(k)
+                n = 40 + k % 17
+                rate = 8000 + (k % 2) * 8000
+                i = np.arange(n, dtype=np.int64)
+                s = (k * 131 + i * 7919) % 65536 - 32768
+                out.append(
+                    (str(k), wav_encode(s, rate, codecs[k % 3]))
+                )
+            yield pd.DataFrame(out, columns=["key", "content"])
+
+    blobs = base.mapInPandas(_gen, "key string, content binary")
+    meta = decode_audio_meta(blobs)
+
+    def _stats(it):
+        for pdf in it:
+            rows = []
+            for key, b in zip(pdf["key"], pdf["content"]):
+                fmt_tag = wav_parse_meta_v2(bytes(b))[0]
+                _rate, dec = wav_decode_int(bytes(b))
+                rows.append(
+                    (key, fmt_tag, int(dec.sum()), int(dec.min()),
+                     int(dec.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "fmt_tag", "sum_dec", "min_dec", "max_dec"],
+            )
+
+    stats = blobs.mapInPandas(
+        _stats,
+        "key string, fmt_tag int, sum_dec long, min_dec long, max_dec long",
+    )
+    return (
+        meta.join(stats, "key")
+        .select(
+            "key", "fmt_tag", "sample_rate", "n_samples", "duration_ms",
+            "sum_dec", "min_dec", "max_dec",
+        )
+        .orderBy(F.col("key").cast("long"))
+    )
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC + whitespace/control cleanup under the oracle (r9):
     the synthetic corpus is pure ASCII, so each doc gets a planted
@@ -5153,6 +5224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_transform_jpeg": q_media_transform_jpeg,
         "media_gif_frames": q_media_gif_frames,
         "media_video_frames": q_media_video_frames,
+        "media_audio_codecs": q_media_audio_codecs,
         # ---- r9 result-changed (re-record) ----
         "path_functions": q_path_functions,
         "multipart_complete": q_multipart_complete,
@@ -7046,6 +7118,89 @@ SELECT CAST(pk AS STRING) AS key,
        CAST(nf AS INT) AS n_frames,
        CAST(unnest(range(0, nf, 3)) AS INT) AS frame_idx
 FROM g ORDER BY pk, frame_idx
+"""),
+        "media_audio_codecs": _o("""
+, g AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         40 + p_partkey % 17 AS n,
+         8000 + (p_partkey % 2) * 8000 AS rate,
+         CAST(p_partkey % 3 AS INT) AS cod
+  FROM part WHERE p_partkey <= 90
+),
+samp AS (
+  SELECT pk, n, rate, cod, CAST(u.i AS BIGINT) AS i,
+         (pk * 131 + CAST(u.i AS BIGINT) * 7919) % 65536 - 32768 AS s
+  FROM g, LATERAL unnest(range(0, n)) AS u(i)
+),
+-- G.711 mu-law: x14 = s >> 2, bias 33, 8 segments, mantissa midpoint
+mu AS (
+  SELECT pk, i,
+         CAST(floor(s / 4.0) AS BIGINT) AS x
+  FROM samp WHERE cod = 1
+),
+mu2 AS (
+  SELECT pk, i, x < 0 AS neg,
+         least(abs(x), 8158) + 33 AS m
+  FROM mu
+),
+mu3 AS (
+  SELECT pk, i, neg, m,
+         CASE WHEN m < 64 THEN 0 WHEN m < 128 THEN 1 WHEN m < 256 THEN 2
+              WHEN m < 512 THEN 3 WHEN m < 1024 THEN 4 WHEN m < 2048 THEN 5
+              WHEN m < 4096 THEN 6 ELSE 7 END AS e
+  FROM mu2
+),
+mudec AS (
+  SELECT pk, i,
+         CAST((CASE WHEN neg THEN -1 ELSE 1 END) *
+         (((CAST(floor(m / power(2, e + 1)) AS BIGINT) % 16) * 2 + 33)
+            * CAST(power(2, e) AS BIGINT) - 33) * 4 AS BIGINT) AS y
+  FROM mu3
+),
+-- G.711 A-law: x13 = s >> 3, segment 0 linear, midpoint reconstruction
+al AS (
+  SELECT pk, i, CAST(floor(s / 8.0) AS BIGINT) AS x
+  FROM samp WHERE cod = 2
+),
+al2 AS (
+  SELECT pk, i, x < 0 AS neg, least(abs(x), 4095) AS a
+  FROM al
+),
+al3 AS (
+  SELECT pk, i, neg, a,
+         CASE WHEN a < 32 THEN 0 WHEN a < 64 THEN 1 WHEN a < 128 THEN 2
+              WHEN a < 256 THEN 3 WHEN a < 512 THEN 4 WHEN a < 1024 THEN 5
+              WHEN a < 2048 THEN 6 ELSE 7 END AS e
+  FROM al2
+),
+aldec AS (
+  SELECT pk, i,
+         CAST((CASE WHEN neg THEN -1 ELSE 1 END) *
+         (CASE WHEN e = 0 THEN CAST(floor(a / 2) AS BIGINT) * 2 + 1
+               ELSE ((CAST(floor(a / power(2, e)) AS BIGINT) % 16) * 2
+                     + 1 + 32) * CAST(power(2, e - 1) AS BIGINT)
+          END) * 8 AS BIGINT) AS y
+  FROM al3
+),
+dec AS (
+  SELECT pk, i, s AS y FROM samp WHERE cod = 0
+  UNION ALL SELECT pk, i, y FROM mudec
+  UNION ALL SELECT pk, i, y FROM aldec
+),
+agg AS (
+  SELECT pk, CAST(sum(y) AS BIGINT) AS sum_dec,
+         min(y) AS min_dec, max(y) AS max_dec
+  FROM dec GROUP BY pk
+)
+SELECT CAST(g.pk AS STRING) AS key,
+       CAST(CASE g.cod WHEN 0 THEN 1 WHEN 1 THEN 7 ELSE 6 END AS INT)
+         AS fmt_tag,
+       CAST(g.rate AS INT) AS sample_rate,
+       CAST(g.n AS BIGINT) AS n_samples,
+       CAST((g.n * 1000) // g.rate AS BIGINT) AS duration_ms,
+       agg.sum_dec, agg.min_dec, agg.max_dec
+FROM g JOIN agg ON g.pk = agg.pk
+ORDER BY g.pk
 """),
         "media_video_frames": _o("""
 , g AS (

@@ -1485,10 +1485,22 @@ def wav_decode(b: bytes) -> tuple[int, np.ndarray]:
 
 
 def wav_features(b: bytes) -> tuple[int, int, int, int, int]:
-    """Deterministic PCM features, integer-scaled for engine-exact
+    """Deterministic audio features, integer-scaled for engine-exact
     comparison: (sample_rate, n_samples, duration_ms, rms_1e6,
-    zero_crossings)."""
-    rate, x = wav_decode(b)
+    zero_crossings). PCM decodes via the stdlib ``wave`` path; the
+    compressed forms (G.711 A-law/mu-law, IMA ADPCM) via
+    ``wav_decode_int`` normalized to [-1, 1]."""
+    fmt_tag = 1
+    if bytes(b)[0:4] == b"RIFF":
+        try:
+            fmt_tag = wav_parse_meta_v2(b)[0]
+        except Exception:
+            fmt_tag = 1  # let the PCM path raise its own error
+    if fmt_tag != 1:
+        rate, xi = wav_decode_int(b)
+        x = xi.astype(np.float64) / 32768.0
+    else:
+        rate, x = wav_decode(b)
     n = len(x)
     rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
     zc = int(np.count_nonzero(np.diff(np.signbit(x)))) if n > 1 else 0
@@ -1641,3 +1653,282 @@ def avi_decode_frame(b: bytes, frame: int = 0) -> np.ndarray:
         if i == frame:
             return jpeg_decode(payload)
     raise IndexError(f"frame {frame} out of range")
+
+
+# ---------------------------------------------------------------------------
+# Compressed audio: G.711 mu-law / A-law (ITU-T G.711, the formulas every
+# public implementation — e.g. Sun's public-domain g711.c — encodes as
+# segment/mantissa bit math) and IMA ADPCM (IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility", the DVI4/WAV-fmt-17 block codec).
+# All pure integer numpy; WAV plumbing below gains fmt tags 6/7/17 plus a
+# spec-required `fact` chunk for the compressed forms.
+# ---------------------------------------------------------------------------
+
+
+def ulaw_encode(x14: np.ndarray) -> np.ndarray:
+    """14-bit linear [-8192, 8191] → 8-bit mu-law codewords (uint8)."""
+    x = np.asarray(x14, dtype=np.int64)
+    sign = (x < 0).astype(np.int64)
+    m = np.minimum(np.abs(x), 8158) + 33  # bias; max 8191
+    exp = (np.floor(np.log2(m)).astype(np.int64) - 5).clip(0, 7)
+    mant = (m >> (exp + 1)) & 0xF
+    return (~((sign << 7) | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(code: np.ndarray) -> np.ndarray:
+    """8-bit mu-law codewords → 14-bit linear (segment midpoints; max
+    ±8031, the classic table values)."""
+    c = ~np.asarray(code, dtype=np.int64) & 0xFF
+    exp = (c >> 4) & 7
+    mant = c & 0xF
+    y = ((mant * 2 + 33) << exp) - 33
+    return np.where(c & 0x80, -y, y).astype(np.int64)
+
+
+def alaw_encode(x13: np.ndarray) -> np.ndarray:
+    """13-bit linear [-4096, 4095] → 8-bit A-law codewords (uint8,
+    even-bit inversion with 0x55 per G.711)."""
+    x = np.asarray(x13, dtype=np.int64)
+    sign = (x >= 0).astype(np.int64)  # A-law: 1 = positive
+    a = np.minimum(np.abs(x), 4095)
+    exp = np.where(
+        a < 32, 0, (np.floor(np.log2(np.maximum(a, 1))).astype(np.int64) - 4)
+    ).clip(0, 7)
+    mant = np.where(exp == 0, a >> 1, (a >> exp) & 0xF)
+    return (((sign << 7) | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def alaw_decode(code: np.ndarray) -> np.ndarray:
+    """8-bit A-law codewords → 13-bit linear (segment midpoints; max
+    ±4032)."""
+    c = (np.asarray(code, dtype=np.int64) ^ 0x55) & 0xFF
+    exp = (c >> 4) & 7
+    mant = c & 0xF
+    y = np.where(exp == 0, mant * 2 + 1, (mant * 2 + 1 + 32) << (exp - 1))
+    return np.where(c & 0x80, y, -y).astype(np.int64)
+
+
+#: IMA ADPCM step-size table (89 entries) and index-adjust table — from the
+#: IMA Digital Audio Compatibility recommendation (also RFC 3551 DVI4).
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, sample: int) -> tuple[int, int, int]:
+    """One IMA ADPCM encode step: (nibble, new_pred, new_index)."""
+    step = _IMA_STEPS[index]
+    diff = sample - pred
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    # bit-exact spec quantize/reconstruct (no float): diffq mirrors the
+    # decoder so encoder state never drifts from the decoder's
+    diffq = step >> 3
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+        diffq += step
+    step >>= 1
+    if diff >= step:
+        nibble |= 2
+        diff -= step
+        diffq += step
+    step >>= 1
+    if diff >= step:
+        nibble |= 1
+        diffq += step
+    pred = pred - diffq if nibble & 8 else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nibble & 7]))
+    return nibble, pred, index
+
+
+def ima_adpcm_encode(samples: np.ndarray, block_samples: int = 505) -> bytes:
+    """int16 mono → IMA ADPCM WAV-fmt-17 block stream. Each block: 4-byte
+    header (predictor int16 = the block's FIRST sample verbatim, step
+    index uint8, reserved) + 4-bit nibbles low-nibble-first.
+    ``block_samples`` must be odd (1 header sample + pairs of nibbles);
+    the canonical 2041-byte block holds 505."""
+    if block_samples % 2 == 0:
+        raise ValueError("block_samples must be odd (header + nibble pairs)")
+    x = np.asarray(samples, dtype=np.int64)
+    out = bytearray()
+    index = 0
+    for b0 in range(0, len(x), block_samples):
+        blk = x[b0 : b0 + block_samples]
+        pred = int(blk[0])
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in blk[1:]:
+            nib, pred, index = _ima_step(pred, index, int(s))
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)  # pad the final pair
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def ima_adpcm_decode(data: bytes, n_samples: int,
+                     block_align: int = 256) -> np.ndarray:
+    """IMA ADPCM block stream → int16 mono. ``block_align`` is the WAV
+    fmt chunk's nBlockAlign (bytes per block)."""
+    data = bytes(data)
+    out: list[int] = []
+    pos = 0
+    while pos + 4 <= len(data) and len(out) < n_samples:
+        pred, index, _ = struct.unpack("<hBB", data[pos : pos + 4])
+        pos += 4
+        out.append(pred)
+        body = data[pos : pos + block_align - 4]
+        pos += block_align - 4
+        for byte in body:
+            for nib in (byte & 0xF, byte >> 4):
+                if len(out) >= n_samples:
+                    break
+                step = _IMA_STEPS[index]
+                diffq = step >> 3
+                if nib & 4:
+                    diffq += step
+                if nib & 2:
+                    diffq += step >> 1
+                if nib & 1:
+                    diffq += step >> 2
+                pred = pred - diffq if nib & 8 else pred + diffq
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+                out.append(pred)
+    return np.array(out[:n_samples], dtype=np.int64)
+
+
+_WAV_FMT_PCM, _WAV_FMT_ALAW, _WAV_FMT_ULAW, _WAV_FMT_IMA = 1, 6, 7, 17
+_WAV_CODECS = {"pcm16": _WAV_FMT_PCM, "alaw": _WAV_FMT_ALAW,
+               "ulaw": _WAV_FMT_ULAW, "ima": _WAV_FMT_IMA}
+_IMA_BLOCK_SAMPLES = 505  # canonical: 4-byte header + 252 nibble bytes
+_IMA_BLOCK_ALIGN = 4 + (_IMA_BLOCK_SAMPLES - 1) // 2
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int,
+               codec: str = "pcm16") -> bytes:
+    """Mono WAV writer for PCM16 / G.711 A-law / mu-law / IMA ADPCM.
+    ``samples`` are int16-domain values for every codec (mu-law encodes
+    the >>2 14-bit form, A-law the >>3 13-bit form — the G.711 PCM
+    mapping); compressed forms carry the spec-required ``fact`` chunk
+    with the true sample count."""
+    if codec not in _WAV_CODECS:
+        raise ValueError(f"codec must be one of {sorted(_WAV_CODECS)}")
+    x = np.asarray(samples, dtype=np.int64)
+    fmt_tag = _WAV_CODECS[codec]
+    n = len(x)
+    if codec == "pcm16":
+        data = x.astype("<i2").tobytes()
+        block_align, bits = 2, 16
+    elif codec == "ulaw":
+        data = ulaw_encode(x >> 2).tobytes()
+        block_align, bits = 1, 8
+    elif codec == "alaw":
+        data = alaw_encode(x >> 3).tobytes()
+        block_align, bits = 1, 8
+    else:  # ima
+        data = ima_adpcm_encode(x, _IMA_BLOCK_SAMPLES)
+        block_align, bits = _IMA_BLOCK_ALIGN, 4
+
+    avg_bps = sample_rate * block_align if codec != "ima" else (
+        sample_rate * _IMA_BLOCK_ALIGN // _IMA_BLOCK_SAMPLES
+    )
+    fmt_body = struct.pack(
+        "<HHIIHH", fmt_tag, 1, sample_rate, avg_bps, block_align, bits
+    )
+    if codec == "ima":
+        # cbSize + wSamplesPerBlock extension (fmt 17 requires it)
+        fmt_body += struct.pack("<HH", 2, _IMA_BLOCK_SAMPLES)
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    body = b"WAVE" + chunk(b"fmt ", fmt_body)
+    if codec != "pcm16":
+        body += chunk(b"fact", struct.pack("<I", n))
+    body += chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_parse_meta_v2(b: bytes) -> tuple[int, int, int, int]:
+    """RIFF/WAVE header walk → (fmt_tag, sample_rate, n_samples,
+    n_channels) for PCM / A-law / mu-law / IMA ADPCM, without decoding.
+    n_samples honors the ``fact`` chunk when present (required for the
+    compressed forms), else derives from data length."""
+    b = bytes(b)
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, n = 12, len(b)
+    fmt_tag = rate = channels = bits = block_align = None
+    data_len = fact_n = None
+    while pos + 8 <= n:
+        tag = b[pos : pos + 4]
+        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if tag == b"fmt ":
+            fmt_tag, channels, rate, _bps, block_align, bits = struct.unpack(
+                "<HHIIHH", b[pos + 8 : pos + 24]
+            )
+        elif tag == b"fact" and length >= 4:
+            (fact_n,) = struct.unpack("<I", b[pos + 8 : pos + 12])
+        elif tag == b"data":
+            data_len = length
+        pos += 8 + length + (length & 1)
+    if rate is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt_tag not in (_WAV_FMT_PCM, _WAV_FMT_ALAW, _WAV_FMT_ULAW,
+                       _WAV_FMT_IMA):
+        raise NotImplementedError(f"WAV format {fmt_tag}")
+    if fact_n is not None:
+        n_samples = fact_n
+    elif fmt_tag == _WAV_FMT_IMA:
+        spb = (block_align - 4 * channels) * 2 // channels + 1
+        n_samples = (data_len // block_align) * spb
+    else:
+        n_samples = data_len // (channels * max(1, bits // 8))
+    return fmt_tag, rate, n_samples, channels
+
+
+def wav_decode_int(b: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes → (sample_rate, int64 mono samples in the int16
+    domain) for PCM16 / A-law / mu-law / IMA ADPCM. G.711 decodes are
+    shifted back up (<<2 / <<3) so every codec yields comparable
+    16-bit-domain integers — the exact values the SQL oracles replay."""
+    b = bytes(b)
+    fmt_tag, rate, n_samples, channels = wav_parse_meta_v2(b)
+    if channels != 1 and fmt_tag != _WAV_FMT_PCM:
+        raise NotImplementedError("compressed WAV: mono only")
+    # locate data chunk + block align again (cheap second walk)
+    pos = 12
+    data = None
+    block_align = 2
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if tag == b"fmt ":
+            block_align = struct.unpack("<H", b[pos + 20 : pos + 22])[0]
+        elif tag == b"data":
+            data = b[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+    if fmt_tag == _WAV_FMT_PCM:
+        rate2, x = wav_decode(b)
+        return rate2, np.round(x * 32768.0).astype(np.int64)
+    if fmt_tag == _WAV_FMT_ULAW:
+        return rate, ulaw_decode(np.frombuffer(data, dtype=np.uint8)
+                                 [:n_samples]) << 2
+    if fmt_tag == _WAV_FMT_ALAW:
+        return rate, alaw_decode(np.frombuffer(data, dtype=np.uint8)
+                                 [:n_samples]) << 3
+    return rate, ima_adpcm_decode(data, n_samples, block_align)

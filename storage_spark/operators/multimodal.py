@@ -241,16 +241,18 @@ def decode_audio_meta(
     blobs: DataFrame, key_col: str = "key", content_col: str = "content"
 ) -> DataFrame:
     """Audio decode stage — same Arrow-batched mapInPandas shape as
-    decode_image_meta. REAL for PCM WAV (RIFF header walk,
-    ``imagecodec.wav_parse_meta`` — no codec library); the FAKEPCM test
-    fixture stays recognized; compressed formats (mp3/flac/ogg) still
-    need an external decoder and raise honestly."""
+    decode_image_meta. REAL for PCM WAV and (r9) the dependency-free
+    compressed forms — G.711 A-law/mu-law and IMA ADPCM
+    (``imagecodec.wav_parse_meta_v2``: RIFF walk honoring the ``fact``
+    chunk, no codec library); the FAKEPCM test fixture stays
+    recognized; entropy-coded formats (mp3/flac/ogg) still need an
+    external decoder and raise honestly."""
 
     def _decode_one(b: bytes) -> tuple[int, int]:
         if b is not None and bytes(b).startswith(b"RIFF"):
-            from storage_spark.functions.imagecodec import wav_parse_meta
+            from storage_spark.functions.imagecodec import wav_parse_meta_v2
 
-            rate, n_samples, _ch = wav_parse_meta(bytes(b))
+            _fmt, rate, n_samples, _ch = wav_parse_meta_v2(bytes(b))
             return (rate, n_samples)
         if b is None or not bytes(b).startswith(b"FAKEPCM:"):
             raise NotImplementedError(

@@ -645,3 +645,121 @@ def test_avi_rejects_garbage_and_bad_args():
     # truncated chunk: length field larger than the remaining bytes
     with pytest.raises(ValueError):
         avi_parse_meta(avi[:40])
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law and IMA ADPCM audio
+# ---------------------------------------------------------------------------
+
+
+def test_g711_known_table_values():
+    from storage_spark.functions.imagecodec import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    # classic extrema: mu-law decodes to +-8031, A-law to +-4032
+    assert ulaw_decode(ulaw_encode(np.array([8158]))).tolist() == [8031]
+    assert ulaw_decode(ulaw_encode(np.array([-8192]))).tolist() == [-8031]
+    assert alaw_decode(alaw_encode(np.array([4095]))).tolist() == [4032]
+    assert alaw_decode(alaw_encode(np.array([-4096]))).tolist() == [-4032]
+    # zero maps to zero (mu) / +-1 (A — no zero codeword, spec behavior)
+    assert ulaw_decode(ulaw_encode(np.array([0]))).tolist() == [0]
+    assert abs(alaw_decode(alaw_encode(np.array([0])))[0]) == 1
+
+
+def test_g711_quantization_error_bounds():
+    from storage_spark.functions.imagecodec import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    x = np.arange(-8192, 8192, 7)
+    e = np.abs(ulaw_decode(ulaw_encode(x)) - x)
+    # segment half-steps: top mu-law segment step is 256, clamp adds 161
+    assert e.max() <= 161
+    xa = np.arange(-4096, 4096, 3)
+    ea = np.abs(alaw_decode(alaw_encode(xa)) - xa)
+    assert ea.max() <= 64  # top A-law segment step 128 → half-step 64
+
+
+def test_g711_codewords_are_idempotent_quantizers():
+    from storage_spark.functions.imagecodec import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    # decode∘encode must be a projection: re-encoding a decoded value
+    # returns the same codeword (quantizer fixed points)
+    x = np.arange(-8192, 8192, 11)
+    c1 = ulaw_encode(x)
+    assert np.array_equal(ulaw_encode(ulaw_decode(c1)), c1)
+    xa = np.arange(-4096, 4096, 5)
+    c2 = alaw_encode(xa)
+    assert np.array_equal(alaw_encode(alaw_decode(c2)), c2)
+
+
+def test_ima_adpcm_tracks_smooth_signal_and_blocks():
+    from storage_spark.functions.imagecodec import (
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+    )
+
+    t = np.arange(1600)
+    sig = (6000 * np.sin(t / 25)).astype(np.int64)
+    enc = ima_adpcm_encode(sig, block_samples=505)
+    dec = ima_adpcm_decode(enc, 1600, block_align=256)
+    assert len(dec) == 1600
+    # block heads carry the exact sample (predictor = first sample)
+    assert dec[0] == sig[0] and dec[505] == sig[505] and dec[1010] == sig[1010]
+    # the adaptive quantizer tracks a smooth signal within ~1 step
+    assert np.abs(dec - sig).max() < 1500
+    with pytest.raises(ValueError):
+        ima_adpcm_encode(sig, block_samples=4)  # even → invalid layout
+
+
+def test_wav_encode_decode_all_codecs():
+    from storage_spark.functions.imagecodec import (
+        wav_decode_int,
+        wav_encode,
+        wav_features,
+        wav_parse_meta_v2,
+    )
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-20000, 20000, 333)
+    for codec, tag, bound in [
+        ("pcm16", 1, 0),
+        ("ulaw", 7, 161 << 2),
+        ("alaw", 6, (64 << 3) + 7),  # +7: the >>3 truncation itself
+    ]:
+        w = wav_encode(s, 8000, codec)
+        assert wav_parse_meta_v2(w) == (tag, 8000, 333, 1)
+        rate, dec = wav_decode_int(w)
+        assert rate == 8000 and len(dec) == 333
+        assert np.abs(dec - s).max() <= bound
+        # features run on every codec (n_samples/duration exact)
+        f = wav_features(w)
+        assert f[0] == 8000 and f[1] == 333 and f[2] == (333 * 1000) // 8000
+    w = wav_encode((4000 * np.sin(np.arange(900) / 20)).astype(np.int64),
+                   16000, "ima")
+    assert wav_parse_meta_v2(w) == (17, 16000, 900, 1)
+    rate, dec = wav_decode_int(w)
+    assert rate == 16000 and len(dec) == 900
+
+
+def test_wav_v2_rejects_unknown_format():
+    from storage_spark.functions.imagecodec import wav_encode, wav_parse_meta_v2
+
+    w = bytearray(wav_encode(np.zeros(4, dtype=np.int64), 8000, "pcm16"))
+    w[20] = 85  # fmt tag 0x55 = MP3
+    with pytest.raises(NotImplementedError):
+        wav_parse_meta_v2(bytes(w))
+    with pytest.raises(ValueError):
+        wav_parse_meta_v2(b"junk")
