@@ -3267,6 +3267,72 @@ def q_media_audio_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC under the oracle (r9): real Rice-coded FLAC streams are
+    built per part row from a deterministic integer signal (quadratic
+    term — the order-2 fixed predictor's bread and butter), parsed by
+    the STREAMINFO walk (decode_audio_meta) and FULLY entropy-decoded
+    (flac_decode). FLAC is LOSSLESS, so the oracle predicts every
+    decoded sample from the generation rule alone — an md5 over the
+    ordered sample stream plus integer aggregates; one Rice/CRC/
+    predictor bit wrong anywhere and the hash breaks."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from storage_spark.functions.imagecodec import flac_decode, flac_encode
+    from storage_spark.operators.multimodal import decode_audio_meta
+
+    t = _t(spark, sf_dir)
+    base = t["part"].select(
+        F.col("p_partkey").cast("long").alias("pk")
+    ).filter(F.col("pk") <= 80)
+
+    def _gen(it):
+        for pdf in it:
+            out = []
+            for k in pdf["pk"].to_numpy():
+                k = int(k)
+                n = 200 + k % 57
+                rate = 8000 + (k % 3) * 4000
+                i = np.arange(n, dtype=np.int64)
+                s = (k * 131 + i * i * 37) % 16000 - 8000
+                out.append((str(k), flac_encode(s, rate, block_size=192)))
+            yield pd.DataFrame(out, columns=["key", "content"])
+
+    blobs = base.mapInPandas(_gen, "key string, content binary")
+    meta = decode_audio_meta(blobs)
+
+    def _stats(it):
+        for pdf in it:
+            rows = []
+            for key, b in zip(pdf["key"], pdf["content"]):
+                _rate, dec = flac_decode(bytes(b))
+                joined = ",".join(str(int(v)) for v in dec)
+                rows.append(
+                    (key, int(dec.sum()), int(dec.min()), int(dec.max()),
+                     hashlib.md5(joined.encode()).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "sum_dec", "min_dec", "max_dec", "dec_md5"],
+            )
+
+    stats = blobs.mapInPandas(
+        _stats,
+        "key string, sum_dec long, min_dec long, max_dec long, dec_md5 string",
+    )
+    return (
+        meta.join(stats, "key")
+        .select(
+            "key", "sample_rate", "n_samples", "duration_ms",
+            "sum_dec", "min_dec", "max_dec", "dec_md5",
+        )
+        .orderBy(F.col("key").cast("long"))
+    )
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC + whitespace/control cleanup under the oracle (r9):
     the synthetic corpus is pure ASCII, so each doc gets a planted
@@ -5225,6 +5291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif_frames": q_media_gif_frames,
         "media_video_frames": q_media_video_frames,
         "media_audio_codecs": q_media_audio_codecs,
+        "media_flac_roundtrip": q_media_flac_roundtrip,
         # ---- r9 result-changed (re-record) ----
         "path_functions": q_path_functions,
         "multipart_complete": q_multipart_complete,
@@ -7118,6 +7185,34 @@ SELECT CAST(pk AS STRING) AS key,
        CAST(nf AS INT) AS n_frames,
        CAST(unnest(range(0, nf, 3)) AS INT) AS frame_idx
 FROM g ORDER BY pk, frame_idx
+"""),
+        "media_flac_roundtrip": _o("""
+, g AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         200 + p_partkey % 57 AS n,
+         8000 + (p_partkey % 3) * 4000 AS rate
+  FROM part WHERE p_partkey <= 80
+),
+samp AS (
+  SELECT pk, n, rate, CAST(u.i AS BIGINT) AS i,
+         (pk * 131 + CAST(u.i AS BIGINT) * CAST(u.i AS BIGINT) * 37)
+           % 16000 - 8000 AS y
+  FROM g, LATERAL unnest(range(0, n)) AS u(i)
+),
+agg AS (
+  SELECT pk,
+         CAST(sum(y) AS BIGINT) AS sum_dec,
+         min(y) AS min_dec, max(y) AS max_dec,
+         md5(string_agg(CAST(y AS VARCHAR), ',' ORDER BY i)) AS dec_md5
+  FROM samp GROUP BY pk
+)
+SELECT CAST(g.pk AS STRING) AS key,
+       CAST(g.rate AS INT) AS sample_rate,
+       CAST(g.n AS BIGINT) AS n_samples,
+       CAST((g.n * 1000) // g.rate AS BIGINT) AS duration_ms,
+       agg.sum_dec, agg.min_dec, agg.max_dec, agg.dec_md5
+FROM g JOIN agg ON g.pk = agg.pk
+ORDER BY g.pk
 """),
         "media_audio_codecs": _o("""
 , g AS (

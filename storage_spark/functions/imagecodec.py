@@ -1491,12 +1491,18 @@ def wav_features(b: bytes) -> tuple[int, int, int, int, int]:
     compressed forms (G.711 A-law/mu-law, IMA ADPCM) via
     ``wav_decode_int`` normalized to [-1, 1]."""
     fmt_tag = 1
-    if bytes(b)[0:4] == b"RIFF":
+    if bytes(b)[0:4] == b"fLaC":
+        rate, xi = flac_decode(b)
+        x = xi.astype(np.float64) / 32768.0
+        fmt_tag = None  # handled
+    elif bytes(b)[0:4] == b"RIFF":
         try:
             fmt_tag = wav_parse_meta_v2(b)[0]
         except Exception:
             fmt_tag = 1  # let the PCM path raise its own error
-    if fmt_tag != 1:
+    if fmt_tag is None:
+        pass
+    elif fmt_tag != 1:
         rate, xi = wav_decode_int(b)
         x = xi.astype(np.float64) / 32768.0
     else:
@@ -1932,3 +1938,401 @@ def wav_decode_int(b: bytes) -> tuple[int, np.ndarray]:
         return rate, alaw_decode(np.frombuffer(data, dtype=np.uint8)
                                  [:n_samples]) << 3
     return rate, ima_adpcm_decode(data, n_samples, block_align)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (the free lossless audio codec, format spec at xiph.org — RFC 9639):
+# a REAL entropy-coded audio format, dependency-free. The decoder covers
+# the full fixed-prediction profile (constant / verbatim / fixed order 0-4
+# subframes, Rice residual partitions of any order incl. the 5-bit escape,
+# mono + left/right/mid-side stereo decorrelation, CRC-8 header and CRC-16
+# frame checks, UTF-8-coded frame numbers); the encoder emits spec-valid
+# streams any FLAC decoder reads (16-bit, fixed order 0-2 chosen per
+# block by residual magnitude, Rice parameter from the mean residual,
+# partition order 0). Lossless: decode(encode(x)) == x bit-for-bit, which
+# is exactly what the driver oracle asserts through the Rice bitstream.
+# ---------------------------------------------------------------------------
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly 0x07, init 0 (FLAC frame-header CRC)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 (FLAC whole-frame CRC)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zeros then a 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.put(0, 8 - self.nbits)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos  # byte position
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            v = (v << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _utf8_code(n: int) -> bytes:
+    """FLAC's UTF-8-style variable-length number (frame/sample index)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (nbytes * 5 + 1)) and nbytes < 7:
+        nbytes += 1
+    lead = (0xFF00 >> nbytes) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _utf8_decode(r: _FlacBitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    n = b0 & (mask - 1)
+    for _ in range(nbytes - 1):
+        n = (n << 6) | (r.read(8) & 0x3F)
+    return n
+
+
+#: fixed-predictor residual: res[i] = x[i] - sum(coef_j * x[i-1-j])
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _rice_write(w: _FlacBitWriter, res: np.ndarray, param: int) -> None:
+    for v in res:
+        u = (int(v) << 1) ^ (int(v) >> 63)  # zigzag
+        w.put_unary(u >> param)
+        if param:
+            w.put(u & ((1 << param) - 1), param)
+
+
+def flac_encode(samples: np.ndarray, sample_rate: int,
+                block_size: int = 4096) -> bytes:
+    """Mono 16-bit FLAC writer: STREAMINFO + one frame per block, each
+    frame a single subframe — CONSTANT when the block is flat, else the
+    FIXED order (0-2) with the smallest summed |residual|, Rice-coded at
+    the parameter matching the mean residual magnitude (partition order
+    0). Spec-valid per RFC 9639 (CRCs, UTF-8 frame numbers, uncommon
+    block-size/rate headers)."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.size == 0:
+        raise ValueError("FLAC needs at least one sample")
+    if np.abs(x).max() > 32767:
+        raise ValueError("16-bit domain required")
+    n = len(x)
+
+    # STREAMINFO (34 bytes, bit-packed)
+    si = _FlacBitWriter()
+    si.put(block_size, 16)
+    si.put(block_size, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(sample_rate, 20)
+    si.put(0, 3)   # channels - 1
+    si.put(15, 5)  # bits per sample - 1
+    si.put(n, 36)
+    si.align()
+    head = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si.buf) + bytes(16)
+
+    out = bytearray(head)
+    for fi, b0 in enumerate(range(0, n, block_size)):
+        blk = x[b0 : b0 + block_size]
+        bs = len(blk)
+        fw = _FlacBitWriter()
+        fw.put(0b11111111111110, 14)
+        fw.put(0, 1)   # reserved
+        fw.put(0, 1)   # fixed blocksize strategy (frame number coded)
+        fw.put(0b0111, 4)  # block size: 16 bits at end of header - 1
+        fw.put(0b1101, 4)  # sample rate: 16 bits in Hz at end of header
+        fw.put(0, 4)   # mono
+        fw.put(0b100, 3)  # 16 bits per sample
+        fw.put(0, 1)
+        hdr = bytes(fw.buf)
+        hdr += _utf8_code(fi)
+        hdr += struct.pack(">H", bs - 1)
+        hdr += struct.pack(">H", sample_rate)
+        hdr += bytes([_crc8(hdr)])
+
+        body = _FlacBitWriter()
+        if np.all(blk == blk[0]):
+            # subframe header: 1 reserved bit, 6-bit type (CONSTANT =
+            # 0b000000), 1 wasted-bit flag; then one raw sample
+            body.put(0, 1)
+            body.put(0b000000, 6)
+            body.put(0, 1)
+            body.put(int(blk[0]) & 0xFFFF, 16)
+        else:
+            best_order, best_res, best_cost = 0, None, None
+            for order in (0, 1, 2):
+                if bs <= order:
+                    continue
+                res = blk[order:].astype(np.int64).copy()
+                for j, c in enumerate(_FIXED_COEFS[order]):
+                    res = res - c * blk[order - 1 - j : bs - 1 - j]
+                cost = int(np.abs(res).sum())
+                if best_cost is None or cost < best_cost:
+                    best_order, best_res, best_cost = order, res, cost
+            order, res = best_order, best_res
+            mean = max(1, int(np.abs(res).mean() * 2))
+            param = min(14, max(0, int(mean).bit_length() - 1))
+            body = _FlacBitWriter()
+            body.put(0, 1)
+            body.put(0b001000 | order, 6)  # FIXED subframe type
+            body.put(0, 1)
+            for w0 in blk[:order]:  # warmup, raw 16-bit
+                body.put(int(w0) & 0xFFFF, 16)
+            body.put(0, 2)  # residual coding method: Rice (4-bit params)
+            body.put(0, 4)  # partition order 0
+            body.put(param, 4)
+            _rice_write(body, res, param)
+        body.align()
+        frame = hdr + bytes(body.buf)
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+    return bytes(out)
+
+
+def flac_parse_meta(b: bytes) -> tuple[int, int, int, int]:
+    """STREAMINFO → (sample_rate, n_samples, channels, bits_per_sample)
+    without decoding any frame."""
+    b = bytes(b)
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    while pos + 4 <= len(b):
+        btype = b[pos] & 0x7F
+        last = bool(b[pos] & 0x80)
+        length = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        if btype == 0:  # STREAMINFO
+            r = _FlacBitReader(b, pos + 4)
+            r.read(16); r.read(16); r.read(24); r.read(24)
+            rate = r.read(20)
+            ch = r.read(3) + 1
+            bits = r.read(5) + 1
+            total = r.read(36)
+            return rate, total, ch, bits
+        pos += 4 + length
+        if last:
+            break
+    raise ValueError("missing STREAMINFO")
+
+
+def flac_decode(b: bytes) -> tuple[int, np.ndarray]:
+    """FLAC → (sample_rate, int array of samples; stereo interleaved to
+    mono-mean is NOT applied — mono in this profile returns the raw
+    channel, stereo returns shape (n, ch)). Covers constant/verbatim/
+    fixed subframes, Rice partitions (both 4- and 5-bit parameter forms
+    incl. escapes), L/R-side and mid-side stereo, CRC-16 verification."""
+    b = bytes(b)
+    rate, total, ch, bits = flac_parse_meta(b)
+    # skip metadata blocks
+    pos = 4
+    while True:
+        last = bool(b[pos] & 0x80)
+        length = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        pos += 4 + length
+        if last:
+            break
+    out = []
+    while pos < len(b) and len(out) < total:
+        frame_start = pos
+        r = _FlacBitReader(b, pos)
+        sync = r.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("lost FLAC frame sync")
+        r.read(1)
+        r.read(1)
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)
+        _fnum = _utf8_decode(r)
+        if bs_code == 1:
+            bs = 192
+        elif 2 <= bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            bs = r.read(8) + 1
+        elif bs_code == 7:
+            bs = r.read(16) + 1
+        else:
+            bs = 256 << (bs_code - 8)
+        if sr_code == 0b1100:
+            r.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            r.read(16)
+        sbits = {0b100: 16, 0b001: 8, 0b010: 12, 0b101: 20, 0b110: 24}.get(
+            ss_code, bits
+        )
+        r.read(8)  # header CRC-8 (validated by frame CRC-16 below)
+        nch = 2 if ch_code >= 8 else ch_code + 1
+        chans = []
+        for ci in range(nch):
+            extra = 0
+            if ch_code == 8 and ci == 1:   # left/side: side has +1 bit
+                extra = 1
+            elif ch_code == 9 and ci == 0:  # right/side
+                extra = 1
+            elif ch_code == 10 and ci == 1:  # mid/side
+                extra = 1
+            chans.append(_flac_subframe(r, bs, sbits + extra))
+        r.align()
+        crc_read = (b[r.pos] << 8) | b[r.pos + 1]
+        if _crc16(b[frame_start : r.pos]) != crc_read:
+            raise ValueError("FLAC frame CRC mismatch")
+        pos = r.pos + 2
+        if ch_code == 8:    # left/side → right = left - side
+            left, side = chans
+            chans = [left, [l - s for l, s in zip(left, side)]]
+        elif ch_code == 9:  # side/right → left = side + right
+            side, right = chans
+            chans = [[s + rr for s, rr in zip(side, right)], right]
+        elif ch_code == 10:  # mid/side
+            mid, side = chans
+            left = [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(mid, side)]
+            chans = [left, [l - s for l, s in zip(left, side)]]
+        if nch == 1:
+            out.extend(chans[0])
+        else:
+            out.extend(zip(*chans))
+    arr = np.array(out[: total if total else len(out)], dtype=np.int64)
+    return rate, arr
+
+
+def _flac_subframe(r: _FlacBitReader, bs: int, sbits: int) -> list[int]:
+    if r.read(1):
+        raise ValueError("invalid subframe padding bit")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = 1 + r.read_unary()
+
+    def sext(v: int, nb: int) -> int:
+        return v - (1 << nb) if v >= (1 << (nb - 1)) else v
+
+    eff = sbits - wasted
+    if stype == 0:  # CONSTANT
+        v = sext(r.read(eff), eff)
+        samp = [v] * bs
+    elif stype == 1:  # VERBATIM
+        samp = [sext(r.read(eff), eff) for _ in range(bs)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        samp = [sext(r.read(eff), eff) for _ in range(order)]
+        res = _flac_residual(r, bs, order)
+        coefs = _FIXED_COEFS[order]
+        for i, e in enumerate(res):
+            pred = sum(c * samp[len(samp) - 1 - j] for j, c in enumerate(coefs))
+            samp.append(pred + e)
+    elif stype >= 32:  # LPC
+        order = stype - 31
+        samp = [sext(r.read(eff), eff) for _ in range(order)]
+        prec = r.read(4) + 1
+        shift = sext(r.read(5), 5)
+        coefs = [sext(r.read(prec), prec) for _ in range(order)]
+        res = _flac_residual(r, bs, order)
+        for e in res:
+            pred = sum(
+                c * samp[len(samp) - 1 - j] for j, c in enumerate(coefs)
+            ) >> shift
+            samp.append(pred + e)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        samp = [s << wasted for s in samp]
+    return samp
+
+
+def _flac_residual(r: _FlacBitReader, bs: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = r.read(4)
+    nparts = 1 << porder
+    res: list[int] = []
+    for p in range(nparts):
+        cnt = bs >> porder
+        if p == 0:
+            cnt -= order
+        param = r.read(pbits)
+        if param == escape:
+            raw = r.read(5)
+            for _ in range(cnt):
+                v = r.read(raw) if raw else 0
+                res.append(v - (1 << raw) if raw and v >= (1 << (raw - 1)) else v)
+        else:
+            for _ in range(cnt):
+                q = r.read_unary()
+                u = (q << param) | (r.read(param) if param else 0)
+                res.append((u >> 1) ^ -(u & 1))  # un-zigzag
+    return res

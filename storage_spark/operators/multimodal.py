@@ -241,11 +241,12 @@ def decode_audio_meta(
     blobs: DataFrame, key_col: str = "key", content_col: str = "content"
 ) -> DataFrame:
     """Audio decode stage — same Arrow-batched mapInPandas shape as
-    decode_image_meta. REAL for PCM WAV and (r9) the dependency-free
+    decode_image_meta. REAL for PCM WAV, (r9) the dependency-free
     compressed forms — G.711 A-law/mu-law and IMA ADPCM
     (``imagecodec.wav_parse_meta_v2``: RIFF walk honoring the ``fact``
-    chunk, no codec library); the FAKEPCM test fixture stays
-    recognized; entropy-coded formats (mp3/flac/ogg) still need an
+    chunk) — and (r9) FLAC (STREAMINFO parse; full Rice-coded decode in
+    ``imagecodec.flac_decode``); the FAKEPCM test fixture stays
+    recognized; perceptual formats (mp3/ogg/opus) still need an
     external decoder and raise honestly."""
 
     def _decode_one(b: bytes) -> tuple[int, int]:
@@ -253,6 +254,11 @@ def decode_audio_meta(
             from storage_spark.functions.imagecodec import wav_parse_meta_v2
 
             _fmt, rate, n_samples, _ch = wav_parse_meta_v2(bytes(b))
+            return (rate, n_samples)
+        if b is not None and bytes(b).startswith(b"fLaC"):
+            from storage_spark.functions.imagecodec import flac_parse_meta
+
+            rate, n_samples, _ch, _bits = flac_parse_meta(bytes(b))
             return (rate, n_samples)
         if b is None or not bytes(b).startswith(b"FAKEPCM:"):
             raise NotImplementedError(

@@ -763,3 +763,111 @@ def test_wav_v2_rejects_unknown_format():
         wav_parse_meta_v2(bytes(w))
     with pytest.raises(ValueError):
         wav_parse_meta_v2(b"junk")
+
+
+# ---------------------------------------------------------------------------
+# FLAC (Rice-coded lossless audio)
+# ---------------------------------------------------------------------------
+
+
+def test_flac_lossless_round_trip_profiles():
+    from storage_spark.functions.imagecodec import (
+        flac_decode,
+        flac_encode,
+        flac_parse_meta,
+    )
+
+    rng = np.random.default_rng(3)
+    t = np.arange(10_000)
+    cases = [
+        (6000 * np.sin(t / 17) + rng.integers(-50, 50, t.size)).astype(np.int64),
+        np.full(500, -123, dtype=np.int64),           # constant blocks
+        rng.integers(-32768, 32768, 3000),            # incompressible
+        np.array([7], dtype=np.int64),                # single sample
+        np.arange(-300, 300, dtype=np.int64) * 55,    # pure ramp (order 2)
+    ]
+    for sig in cases:
+        f = flac_encode(sig, 16000, block_size=4096)
+        assert flac_parse_meta(f) == (16000, len(sig), 1, 16)
+        rate, dec = flac_decode(f)
+        assert rate == 16000
+        assert np.array_equal(dec, sig)
+
+
+def test_flac_compresses_tonal_signals():
+    from storage_spark.functions.imagecodec import flac_encode
+
+    t = np.arange(20_000)
+    sig = (8000 * np.sin(t / 29)).astype(np.int64)
+    f = flac_encode(sig, 8000)
+    assert len(f) < 2 * len(sig) * 0.6  # beats raw PCM by >40% on a tone
+
+
+def test_flac_multiblock_frame_numbers_and_crc():
+    from storage_spark.functions.imagecodec import flac_decode, flac_encode
+
+    sig = np.arange(1000, dtype=np.int64) % 251 - 125
+    f = bytearray(flac_encode(sig, 8000, block_size=192))  # 6 frames
+    rate, dec = flac_decode(bytes(f))
+    assert np.array_equal(dec, sig)
+    # flip one payload bit → the frame CRC-16 must catch it
+    f[-20] ^= 0x10
+    with pytest.raises(ValueError, match="CRC|sync|trunc"):
+        flac_decode(bytes(f))
+
+
+def test_flac_decoder_handles_hand_built_escape_partition():
+    """A stream the ENCODER never emits: a Rice escape partition (raw
+    5-bit-width residuals) — decoder must follow RFC 9639 §9.2.7."""
+    import struct as _s
+
+    from storage_spark.functions.imagecodec import (
+        _crc8,
+        _crc16,
+        _FlacBitWriter,
+        flac_decode,
+    )
+
+    samples = [3, -4, 5, -6]
+    si = _FlacBitWriter()
+    si.put(4, 16); si.put(4, 16); si.put(0, 24); si.put(0, 24)
+    si.put(8000, 20); si.put(0, 3); si.put(15, 5); si.put(len(samples), 36)
+    si.align()
+    head = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si.buf) + bytes(16)
+
+    fw = _FlacBitWriter()
+    fw.put(0b11111111111110, 14); fw.put(0, 1); fw.put(0, 1)
+    fw.put(0b0111, 4)   # 16-bit blocksize at end
+    fw.put(0b1101, 4)   # 16-bit rate at end
+    fw.put(0, 4); fw.put(0b100, 3); fw.put(0, 1)
+    hdr = bytes(fw.buf) + bytes([0]) + _s.pack(">H", 3) + _s.pack(">H", 8000)
+    hdr += bytes([_crc8(hdr)])
+
+    body = _FlacBitWriter()
+    body.put(0, 1); body.put(0b001000, 6); body.put(0, 1)  # FIXED order 0
+    body.put(0, 2)       # Rice 4-bit method
+    body.put(0, 4)       # partition order 0
+    body.put(0xF, 4)     # ESCAPE
+    body.put(5, 5)       # raw width 5 bits
+    for v in samples:
+        body.put(v & 0x1F, 5)
+    body.align()
+    frame = hdr + bytes(body.buf)
+    frame += _s.pack(">H", _crc16(frame))
+
+    rate, dec = flac_decode(head + frame)
+    assert rate == 8000 and dec.tolist() == samples
+
+
+def test_flac_feature_and_meta_dispatch():
+    from storage_spark.functions.imagecodec import (
+        flac_encode,
+        wav_features,
+    )
+
+    sig = (2000 * np.sin(np.arange(4000) / 11)).astype(np.int64)
+    f = flac_encode(sig, 8000)
+    feats = wav_features(f)
+    assert feats[0] == 8000 and feats[1] == 4000
+    assert feats[2] == 500  # ms
+    assert feats[4] > 100   # a real tone crosses zero plenty
