@@ -3267,6 +3267,89 @@ def q_media_audio_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_webp_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless WebP (VP8L) under the oracle (r9): real VP8L streams —
+    LSB-first bit packing, canonical Huffman codes via the code-length
+    coder, left-run LZ77 — are built per part row from a deterministic
+    pixel rule, sniffed by decode_image_meta (RIFF/WEBP/VP8L walk),
+    pushed through the FULL render path (transform_images → entropy
+    decode → fill-resize 12x12 → re-encode → re-parse), and directly
+    entropy-decoded for per-channel pixel sums. VP8L is LOSSLESS, so
+    the oracle predicts the sums exactly from the generation rule — a
+    one-bit Huffman/LZ77 drift in either direction breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from storage_spark.functions.webpcodec import webp_decode, webp_encode
+    from storage_spark.operators.multimodal import (
+        decode_image_meta,
+        transform_images,
+    )
+
+    t = _t(spark, sf_dir)
+    base = t["part"].select(
+        F.col("p_partkey").cast("long").alias("pk")
+    ).filter(F.col("pk") <= 100)
+
+    def _gen(it):
+        for pdf in it:
+            out = []
+            for k in pdf["pk"].to_numpy():
+                k = int(k)
+                w, h = 5 + k % 23, 4 + k % 17
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (k * 7 + xx * 3 + yy * 11) % 256,
+                        (k * 13 + xx * 5) % 256,
+                        (xx * yy + k) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                out.append((str(k), webp_encode(img)))
+            yield pd.DataFrame(out, columns=["key", "content"])
+
+    blobs = base.mapInPandas(_gen, "key string, content binary")
+    meta = decode_image_meta(blobs).select(
+        "key", "mime", "width", "height"
+    )
+    rendered = decode_image_meta(
+        transform_images(blobs, 12, 12, resize="fill", quality=100)
+    ).select(
+        "key",
+        F.col("mime").alias("out_mime"),
+        F.col("width").alias("out_width"),
+        F.col("height").alias("out_height"),
+    )
+
+    def _sums(it):
+        for pdf in it:
+            rows = []
+            for key, b in zip(pdf["key"], pdf["content"]):
+                px = webp_decode(bytes(b)).astype(np.int64)
+                rows.append(
+                    (key, int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                     int(px[:, :, 2].sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["key", "sum_r", "sum_g", "sum_b"]
+            )
+
+    sums = blobs.mapInPandas(
+        _sums, "key string, sum_r long, sum_g long, sum_b long"
+    )
+    return (
+        meta.join(rendered, "key")
+        .join(sums, "key")
+        .select(
+            "key", "mime", "width", "height",
+            "out_mime", "out_width", "out_height",
+            "sum_r", "sum_g", "sum_b",
+        )
+        .orderBy(F.col("key").cast("long"))
+    )
+
+
 def q_media_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAC under the oracle (r9): real Rice-coded FLAC streams are
     built per part row from a deterministic integer signal (quadratic
@@ -5292,6 +5375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": q_media_video_frames,
         "media_audio_codecs": q_media_audio_codecs,
         "media_flac_roundtrip": q_media_flac_roundtrip,
+        "media_webp_render": q_media_webp_render,
         # ---- r9 result-changed (re-record) ----
         "path_functions": q_path_functions,
         "multipart_complete": q_multipart_complete,
@@ -7185,6 +7269,37 @@ SELECT CAST(pk AS STRING) AS key,
        CAST(nf AS INT) AS n_frames,
        CAST(unnest(range(0, nf, 3)) AS INT) AS frame_idx
 FROM g ORDER BY pk, frame_idx
+"""),
+        "media_webp_render": _o("""
+, g AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         5 + p_partkey % 23 AS w,
+         4 + p_partkey % 17 AS h
+  FROM part WHERE p_partkey <= 100
+),
+px AS (
+  SELECT pk, w, h, CAST(ux.x AS BIGINT) AS x, CAST(uy.y AS BIGINT) AS y
+  FROM g,
+       LATERAL unnest(range(0, w)) AS ux(x),
+       LATERAL unnest(range(0, h)) AS uy(y)
+),
+sums AS (
+  SELECT pk,
+         CAST(sum((pk * 7 + x * 3 + y * 11) % 256) AS BIGINT) AS sum_r,
+         CAST(sum((pk * 13 + x * 5) % 256) AS BIGINT) AS sum_g,
+         CAST(sum((x * y + pk) % 256) AS BIGINT) AS sum_b
+  FROM px GROUP BY pk
+)
+SELECT CAST(g.pk AS STRING) AS key,
+       'image/webp' AS mime,
+       CAST(g.w AS INT) AS width,
+       CAST(g.h AS INT) AS height,
+       'image/webp' AS out_mime,
+       12 AS out_width,
+       12 AS out_height,
+       s.sum_r, s.sum_g, s.sum_b
+FROM g JOIN sums s ON g.pk = s.pk
+ORDER BY g.pk
 """),
         "media_flac_roundtrip": _o("""
 , g AS (

@@ -1178,8 +1178,8 @@ def image_pixel_codec(
     b: bytes, width: int, height: int, resize: str, quality: int
 ) -> bytes:
     """Magic-byte-dispatching pixel codec: PNG → PNG, JPEG → JPEG,
-    GIF → single-frame GIF. The default codec of
-    ``operators.multimodal.transform_images``."""
+    GIF → single-frame GIF, lossless WebP → lossless WebP. The default
+    codec of ``operators.multimodal.transform_images``."""
     b = bytes(b)
     if b.startswith(_PNG_MAGIC):
         return png_pixel_codec(b, width, height, resize, quality)
@@ -1187,9 +1187,16 @@ def image_pixel_codec(
         return jpeg_pixel_codec(b, width, height, resize, quality)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return gif_pixel_codec(b, width, height, resize, quality)
+    if len(b) >= 12 and b[0:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from storage_spark.functions.webpcodec import webp_decode, webp_encode
+
+        rgba = webp_decode(b)
+        out = resize_image(rgba, width, height, resize)
+        return webp_encode(out)
     raise NotImplementedError(
         "pixel transforms support PNG, JPEG (baseline + progressive), "
-        "and GIF; other formats need an external codec callable"
+        "GIF, and lossless WebP; other formats (lossy WebP, HEIC, ...) "
+        "need an external codec callable"
     )
 
 

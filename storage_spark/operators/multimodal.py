@@ -103,6 +103,14 @@ def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None, in
         w = int.from_bytes(b[16:20], "big")
         h = int.from_bytes(b[20:24], "big")
         return ("image/png", w, h, 1)
+    if len(b) >= 12 and b[0:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from storage_spark.functions.webpcodec import webp_parse_meta
+
+        try:
+            w, h, _lossless = webp_parse_meta(b)
+        except Exception:
+            return (None, None, None, None)
+        return ("image/webp", w, h, 1)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         from storage_spark.functions.imagecodec import gif_parse_meta
 

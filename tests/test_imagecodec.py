@@ -532,8 +532,18 @@ def test_jpeg_pixel_codec_and_dispatch():
     arr = gif_decode(gout)
     assert arr.shape == (10, 10, 3)
     assert np.array_equal(arr, np.full((10, 10, 3), (0, 3, 9), np.uint8))
+    # WebP (lossless) in → WebP out, as of the r9 VP8L codec
+    from storage_spark.functions.webpcodec import webp_decode, webp_encode
+
+    wout = image_pixel_codec(webp_encode(img), 20, 20, "cover", 90)
+    assert wout[0:4] == b"RIFF" and wout[8:12] == b"WEBP"
+    assert webp_decode(wout).shape == (20, 20, 4)
+    # corrupt WebP container → decode error, not misdispatch
+    with pytest.raises(ValueError):
+        image_pixel_codec(b"RIFFxxxxWEBPxxxx", 8, 8, "fill", 80)
+    # genuinely unsupported magic still refuses honestly
     with pytest.raises(NotImplementedError):
-        image_pixel_codec(b"RIFFxxxxWEBP", 8, 8, "fill", 80)
+        image_pixel_codec(b"II*\x00 tiff-ish", 8, 8, "fill", 80)
 
 
 def test_wav_parse_meta_and_decode():
