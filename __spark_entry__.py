@@ -3267,6 +3267,62 @@ def q_media_audio_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    exact top-20 tokens next to their estimates from a depth-4 ×
+    width-1024 sketch of the whole token stream. The sketch is
+    deterministic (md5 cell hashing, the repo's portable idiom), so the
+    oracle replays the ENTIRE construction — cell table, point queries,
+    min-over-rows — in SQL and the CMS ≥ exact guarantee is visible in
+    the matched values themselves."""
+    from storage_spark.operators.analytics import heavy_hitters_cms
+
+    t = _t(spark, sf_dir)
+    return heavy_hitters_cms(t["documents"], k=20, depth=4, width=1024)
+
+
+def _oracle_cms_heavy_hitters(k: int, depth: int, width: int) -> str:
+    def _hexval(expr: str, ndigits: int) -> str:
+        terms = [
+            f"(instr('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (ndigits - 1 - i)}"
+            for i in range(ndigits)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    cell = _hexval(
+        "md5(CAST(u.i AS VARCHAR) || ':' || term)", 6
+    ) + f" % {width}"
+    return _o(f"""
+, toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+exact AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY term),
+top AS (
+  SELECT term, exact_cnt,
+         row_number() OVER (ORDER BY exact_cnt DESC, term) AS rank
+  FROM exact QUALIFY rank <= {k}
+),
+cells AS (
+  SELECT CAST(u.i AS INT) AS row, {cell} AS col, count(*) AS cnt
+  FROM toks, LATERAL unnest(range(0, {depth})) AS u(i)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT t.term, CAST(u.i AS INT) AS row, {cell} AS col
+  FROM top t, LATERAL unnest(range(0, {depth})) AS u(i)
+),
+est AS (
+  SELECT p.term, min(coalesce(c.cnt, 0)) AS cms_est
+  FROM probe p LEFT JOIN cells c USING (row, col)
+  GROUP BY p.term
+)
+SELECT t.rank, t.term, t.exact_cnt, CAST(e.cms_est AS BIGINT) AS cms_est
+FROM top t JOIN est e USING (term)
+ORDER BY t.rank
+""")
+
+
 def q_media_webp_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless WebP (VP8L) under the oracle (r9): real VP8L streams —
     LSB-first bit packing, canonical Huffman codes via the code-length
@@ -5358,6 +5414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_v1_desc": q_search_v1_desc,
         "rls_operation": q_rls_operation,
         "text_normalize": q_text_normalize,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "line_dedup": q_line_dedup,
         "line_dedup_dropall": q_line_dedup_dropall,
         "substring_dedup_spans": q_substring_dedup_spans,
@@ -7456,6 +7513,7 @@ SELECT CAST(pk AS STRING) AS key,
        1 AS n_frames
 FROM sc ORDER BY pk
 """),
+        "cms_heavy_hitters": _oracle_cms_heavy_hitters(20, 4, 1024),
         "text_normalize": _o("""
 , t2 AS (
   SELECT doc_id, text ||

@@ -159,3 +159,121 @@ def orders_above_customer_average(orders: DataFrame) -> DataFrame:
             F.col("_n").alias("n_orders"),
         )
     )
+
+
+def cms_sketch(
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over a term
+    column, as a ``(row, col, cnt)`` cell table of at most depth×width
+    rows. Hashes are the engine-portable md5 idiom
+    (``conv(substr(md5(row ':' term), 1, 6), 16, 10) % width`` — the
+    same construction every sampler/DSIR oracle replays digit-by-digit
+    in SQL), so the sketch is DETERMINISTIC: any engine building it
+    from the same terms produces identical cells.
+
+    100 TB story: ONE map-side-combined groupBy on (row, col) — the
+    Zipf head collapses in the combiner exactly like a word count; the
+    result is bounded by the sketch geometry (not the corpus), always
+    broadcastable, and mergeable across batches/streams by cell-wise
+    sum (linearity of the sketch — the incremental/streaming story is
+    free by construction)."""
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    w = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    rows = terms.select(
+        F.col(term_col).alias("_t"), w.alias("_w"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("row").cast("string"), F.lit(":"),
+                               F.col("_t"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("bigint") % width
+    )
+    return (
+        rows.withColumn("col", col)
+        .groupBy("row", "col")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch: ``est(t) = min_i cnt[i, h_i(t)]`` with
+    absent cells read as 0. The classic CMS guarantee holds exactly:
+    est ≥ true count, with overestimates only from hash collisions.
+    The probe side is terms×depth rows joined on the (row, col) cell —
+    the sketch is bounded, so Spark broadcasts it."""
+    probes = terms.select(F.col(term_col).alias("term")).distinct().select(
+        "term",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("row").cast("string"), F.lit(":"),
+                               F.col("term"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("bigint") % width
+    )
+    probes = probes.withColumn("col", col)
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def heavy_hitters_cms(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Heavy hitters with a sketch audit: exact top-k tokens (count
+    desc, token asc — deterministic ties) side by side with their CMS
+    estimates from a sketch of the WHOLE token stream. The production
+    shape at 100 TB keeps only the bounded sketch; this operator
+    returns the audit view that quantifies its overestimate on the
+    head, where CMS is at its best."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = (
+        exact.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_cnt").desc(), F.col("term"))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    sketch = cms_sketch(toks, "term", depth, width)
+    est = cms_lookup(sketch, top.select("term"), "term", depth, width)
+    return (
+        top.join(est, "term")
+        .select("rank", "term", "exact_cnt", F.col("cms_est").cast("long"))
+        .orderBy("rank")
+    )

@@ -99,3 +99,91 @@ def test_plan_has_no_window_or_join_on_lines(corpus):
     # window/self-join — the plan must contain no Window node at all
     plan = line_dedup(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (operators.analytics) — shares this file's corpus style
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_never_below_exact_and_collides_when_narrow(spark):
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.analytics import (
+        cms_lookup,
+        cms_sketch,
+        heavy_hitters_cms,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (i % 3 + 1)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    toks = toks.filter(F.col("term") != "")
+    exact = {
+        r.term: r.c
+        for r in toks.groupBy("term").agg(F.count("*").alias("c")).collect()
+    }
+
+    # narrow sketch: depth 2, width 2 → collisions guaranteed
+    sk = cms_sketch(toks, depth=2, width=2)
+    est = {
+        r.term: r.cms_est
+        for r in cms_lookup(sk, toks, depth=2, width=2).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)      # CMS guarantee
+    assert any(est[t] > exact[t] for t in exact)       # width 2 must collide
+
+    # wide sketch: head estimates exact, audit view ranks deterministically
+    hh = heavy_hitters_cms(docs, k=3, depth=4, width=1024).collect()
+    assert [r.rank for r in hh] == [1, 2, 3]
+    assert all(r.cms_est == r.exact_cnt for r in hh)
+
+
+def test_cms_sketch_is_mergeable_by_cell_sum(spark):
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.analytics import cms_sketch
+
+    docs = spark.createDataFrame(
+        [(i, "x y z w v " * (i % 4 + 1)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    whole = {
+        (r.row, r.col): r.cnt
+        for r in cms_sketch(toks, depth=3, width=16).collect()
+    }
+    half_a = cms_sketch(
+        docs.filter("doc_id < 10").select(
+            F.explode(F.split("text", " ")).alias("term")
+        ),
+        depth=3, width=16,
+    )
+    half_b = cms_sketch(
+        docs.filter("doc_id >= 10").select(
+            F.explode(F.split("text", " ")).alias("term")
+        ),
+        depth=3, width=16,
+    )
+    merged = {
+        (r.row, r.col): r.cnt
+        for r in half_a.unionByName(half_b)
+        .groupBy("row", "col").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert merged == whole  # linearity: batch/stream merge is cell-wise sum
+
+
+def test_cms_rejects_degenerate_geometry(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.analytics import cms_sketch
+
+    toks = spark.createDataFrame([("a",)], "term string")
+    with _pytest.raises(ValueError):
+        cms_sketch(toks, depth=0, width=16)
+    with _pytest.raises(ValueError):
+        cms_sketch(toks, depth=2, width=1)
