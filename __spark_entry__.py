@@ -3587,6 +3587,31 @@ def q_line_dedup_dropall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental line dedup (r9): docs ≥ 300 arrive as a batch probing
+    a line_stats index built from docs < 300 — ONE anti-join against the
+    bounded index, never the corpus. The split is forward-only (every
+    batch doc sorts after every corpus doc), so the oracle replays the
+    FULL-corpus keep-first window restricted to batch docs — the driver
+    proving the incremental ≡ full equivalence the tests pin."""
+    from storage_spark.operators.dedup import (
+        incremental_line_dedup,
+        line_stats,
+    )
+
+    t = _t(spark, sf_dir)
+    docs = _docs_with_lines(t)
+    idx = line_stats(docs.filter(F.col("doc_id") < 300))
+    out, _stats = incremental_line_dedup(
+        idx, docs.filter(F.col("doc_id") >= 300)
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_lines", "n_lines_kept", "n_lines_removed",
+    ).orderBy("doc_id")
+
+
 def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (Lee et al. 2022, arXiv:2107.06499): merged
     per-doc spans of ≥10 tokens duplicated verbatim in ≥2 distinct docs —
@@ -5417,6 +5442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "line_dedup": q_line_dedup,
         "line_dedup_dropall": q_line_dedup_dropall,
+        "line_dedup_incremental": q_line_dedup_incremental,
         "substring_dedup_spans": q_substring_dedup_spans,
         "substring_dedup_strip": q_substring_dedup_strip,
         "substring_dedup_incremental": q_substring_dedup_incremental,
@@ -7556,6 +7582,43 @@ FROM t2 ORDER BY doc_id
     FROM norm
   ) WHERE c = 1
 """)),
+        "line_dedup_incremental": _o("""
+, toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lines AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         array_to_string(t[CAST(u.i*5+1 AS INT):CAST(u.i*5+5 AS INT)], ' ')
+           AS line
+  FROM toks, LATERAL unnest(range(0, (len(t) + 4) // 5)) AS u(i)
+),
+norm AS (
+  SELECT doc_id, pos, line,
+         regexp_replace(lower(trim(line)), '[0-9]', '0', 'g') AS nl
+  FROM lines
+),
+kept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY nl ORDER BY doc_id, pos) AS rn
+    FROM norm
+  ) WHERE rn = 1 AND doc_id >= 300
+),
+reb AS (
+  SELECT doc_id, count(*) AS nk,
+         string_agg(line, chr(10) ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, count(*) AS n_lines FROM lines
+  WHERE doc_id >= 300 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       md5(coalesce(r.txt, '')) AS text_md5,
+       t.n_lines,
+       coalesce(r.nk, 0) AS n_lines_kept,
+       t.n_lines - coalesce(r.nk, 0) AS n_lines_removed
+FROM tot t LEFT JOIN reb r USING (doc_id)
+ORDER BY t.doc_id
+"""),
         "substring_dedup_incremental": _o("""
 , toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (

@@ -1853,3 +1853,130 @@ def line_dedup(
         .cast("long")
         .alias("n_lines_removed"),
     )
+
+
+def _doc_lines(df: DataFrame, text_col: str, id_col: str, sep: str,
+               normalize: bool) -> DataFrame:
+    """(doc_id, pos, line, h) rows for line_dedup and its incremental
+    index — one tokenization, shared by both paths."""
+    import re as _re
+
+    toks = F.split(F.col(text_col), _re.escape(sep), -1)
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "line"),
+    )
+    norm = _ccnet_normalize(F.col("line")) if normalize else F.col("line")
+    return lines.withColumn("h", F.md5(norm))
+
+
+def line_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Persistable corpus state for incremental line dedup: one row per
+    distinct (normalized) line hash — ``(h, n_occ, first_doc,
+    first_pos)`` with ``n_occ`` CAPPED at 2 (dedup only distinguishes
+    unseen / seen-once-where / seen-multiple, so the capped count is
+    exact and closed under merge) and ``first`` = the global
+    (doc_id, pos) minimum. Bounded by distinct lines, not corpus
+    length; the fifth member of the incremental family (exact
+    fingerprints, MinHash bands, semantic cells, substring shingles,
+    now lines)."""
+    return (
+        _doc_lines(df, text_col, id_col, sep, normalize)
+        .groupBy("h")
+        .agg(
+            F.least(F.count(F.lit(1)), F.lit(2)).cast("int").alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("_f"),
+        )
+        .select(
+            "h", "n_occ",
+            F.col("_f.doc_id").alias("first_doc"),
+            F.col("_f.pos").alias("first_pos"),
+        )
+    )
+
+
+def merge_line_stats(stats: DataFrame) -> DataFrame:
+    """Epoch compaction for appended line-stats rows: capped counts
+    saturate (2 anywhere → 2; two rows each 1 → 2), firsts take the
+    global (doc, pos) minimum. Idempotent and order-free."""
+    return (
+        stats.groupBy("h")
+        .agg(
+            F.least(F.sum("n_occ"), F.lit(2)).cast("int").alias("n_occ"),
+            F.min(F.struct(
+                F.col("first_doc").alias("doc_id"),
+                F.col("first_pos").alias("pos"),
+            )).alias("_f"),
+        )
+        .select(
+            "h", "n_occ",
+            F.col("_f.doc_id").alias("first_doc"),
+            F.col("_f.pos").alias("first_pos"),
+        )
+    )
+
+
+def incremental_line_dedup(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    normalize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Line dedup for a NEW batch against the corpus-so-far WITHOUT
+    re-splitting the corpus: a batch line survives iff its hash is NOT
+    in ``index`` AND it is the first occurrence within the batch
+    (keep-first, forward-only — the same contract as the other
+    incremental paths: batches arrive after the corpus they probe).
+    Returns ``(deduped_batch, batch_stats)`` where ``batch_stats`` is
+    the batch's own ``line_stats`` to append + compact via
+    ``merge_line_stats``.
+
+    Equivalence (pinned by tests): when every batch doc sorts after
+    every corpus doc, the result row-equals full-corpus
+    ``line_dedup(mode='keep_first')`` restricted to batch docs.
+
+    100 TB story: ONE left-anti equi-join of the batch's lines against
+    the bounded index (never the corpus), then the same min-struct
+    winner aggregation as line_dedup — no window, no skew surface
+    beyond the hash join AQE already handles."""
+    import re as _re
+
+    lines = _doc_lines(batch, text_col, id_col, sep, normalize)
+    fresh = lines.join(index.select("h"), "h", "left_anti")
+    winners = fresh.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos", "line")).alias("_w")
+    ).select("_w.doc_id", "_w.pos", "_w.line")
+
+    toks = F.split(F.col(text_col), _re.escape(sep), -1)
+    reb = winners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("_txt"),
+    )
+    src = batch.withColumn("_n_lines", F.size(toks))
+    joined = src.join(
+        reb, src[id_col] == reb["doc_id"], "left"
+    ).drop(reb["doc_id"])
+    out = joined.select(
+        *[c for c in batch.columns if c != text_col],
+        F.coalesce(F.col("_txt"), F.lit("")).alias(text_col),
+        F.col("_n_lines").cast("long").alias("n_lines"),
+        F.coalesce(F.col("_nk"), F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.col("_n_lines") - F.coalesce(F.col("_nk"), F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
+    )
+    return out, line_stats(batch, text_col, id_col, sep, normalize)

@@ -187,3 +187,78 @@ def test_cms_rejects_degenerate_geometry(spark):
         cms_sketch(toks, depth=0, width=16)
     with _pytest.raises(ValueError):
         cms_sketch(toks, depth=2, width=1)
+
+
+# ---------------------------------------------------------------------------
+# incremental line dedup (index = line_stats, probe = one anti-join)
+# ---------------------------------------------------------------------------
+
+
+def _line_corpus(spark, n=14):
+    # letters only: _ccnet_normalize folds digits, which would collapse
+    # planted variety into one line
+    rows = [
+        (
+            i,
+            "\n".join(
+                f"w{'abcdefghijk'[(i * 7 + j * 3) % 11]} common{'xy'[j % 2]}"
+                for j in range(4)
+            ),
+            "en",
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_incremental_equals_full_when_forward_only(spark):
+    from storage_spark.operators.dedup import (
+        incremental_line_dedup,
+        line_dedup,
+        line_stats,
+    )
+
+    df = _line_corpus(spark)
+    corpus, batch = df.filter("doc_id < 9"), df.filter("doc_id >= 9")
+    idx = line_stats(corpus)
+    inc, _ = incremental_line_dedup(idx, batch)
+    full = line_dedup(df).filter("doc_id >= 9")
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_merge_line_stats_equals_whole_corpus_stats(spark):
+    from storage_spark.operators.dedup import (
+        incremental_line_dedup,
+        line_stats,
+        merge_line_stats,
+    )
+
+    df = _line_corpus(spark)
+    corpus, batch = df.filter("doc_id < 9"), df.filter("doc_id >= 9")
+    idx = line_stats(corpus)
+    _, bstats = incremental_line_dedup(idx, batch)
+    merged = merge_line_stats(idx.unionByName(bstats))
+    whole = line_stats(df)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # idempotent: compacting a compacted index is a no-op
+    again = merge_line_stats(merged)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_capped_count_saturates_not_doublecounts(spark):
+    from storage_spark.operators.dedup import line_stats, merge_line_stats
+
+    a = spark.createDataFrame(
+        [(1, "same\nsame\nsame")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame([(2, "same")], "doc_id long, text string")
+    sa, sb = line_stats(a), line_stats(b)
+    assert sa.collect()[0].n_occ == 2  # capped, not 3
+    m = merge_line_stats(sa.unionByName(sb)).collect()[0]
+    assert m.n_occ == 2 and m.first_doc == 1 and m.first_pos == 0
