@@ -5415,10 +5415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
     # cap. Round 9's 50-slot window:
-    # (a) the r9 net-new rows (never recorded) lead — 12 from the
-    #     first half of the round plus bpe_merges / bpe_merges_bytes /
-    #     bpe_merge_tokenize / media_transform_jpeg / media_gif_frames /
-    #     media_video_frames and the later additions below;
+    # (a) the 26 r9 net-new rows (never recorded) lead — 12 from the
+    #     first session, then the continued sessions' additions: the
+    #     BPE training trio, the media stack (JPEG render, GIF frames,
+    #     AVI video, G.711 audio, FLAC, WebP), text_normalize, the
+    #     line-dedup trio, and cms_heavy_hitters;
     # (b) 2 rows whose RESULTS changed this round and must re-record:
     #     path_functions (extension() now matches the reference on
     #     dot-less names + edge-case fixture rows) and multipart_complete
