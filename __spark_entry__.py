@@ -3281,6 +3281,75 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_cms(t["documents"], k=20, depth=4, width=1024)
 
 
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality (Flajolet et al. 2007) next to the exact
+    answer: 256-register sketch over the documents token stream. The
+    sketch is md5-deterministic and the estimator avoids every
+    transcendental (s52 = Σ 2^(52-M_j) is an EXACT integer; the final
+    divide/floor are IEEE-identical in any engine), so the oracle
+    replays registers, the scaled sum, and the floored estimate
+    bit-for-bit — an approximate algorithm under an exact hash gate."""
+    from storage_spark.operators.analytics import hll_estimate, hll_sketch
+
+    t = _t(spark, sf_dir)
+    toks = t["documents"].select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    exact = toks.agg(F.count_distinct("term").alias("exact_distinct"))
+    est = hll_estimate(hll_sketch(toks), precision_bits=8)
+    return exact.crossJoin(est).select(
+        F.col("exact_distinct").cast("bigint"),
+        "n_buckets_hit", "s52", "est_x1000",
+    )
+
+
+def _oracle_hll_distinct_tokens() -> str:
+    def _hexval(expr: str, ndigits: int) -> str:
+        terms = [
+            f"(instr('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (ndigits - 1 - i)}"
+            for i in range(ndigits)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    return _o(f"""
+, toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+hashed AS (SELECT md5(term) AS h FROM toks),
+br AS (
+  SELECT {_hexval("h", 2)} AS bucket,
+         {_hexval("substr(h, 3, 12)", 12)} AS v
+  FROM hashed
+),
+regs AS (
+  SELECT bucket,
+         max(CASE WHEN v = 0 THEN 49
+                  ELSE 48 - length(bin(CAST(v AS BIGINT))) + 1 END) AS rho
+  FROM br GROUP BY bucket
+),
+agg AS (
+  SELECT CAST(count(*) AS INT) AS n_buckets_hit,
+         CAST(sum(CAST(power(2, 52 - rho) AS BIGINT)) AS BIGINT) AS s_hit
+  FROM regs
+),
+fin AS (
+  SELECT n_buckets_hit,
+         s_hit + (256 - n_buckets_hit) * CAST({1 << 52} AS BIGINT) AS s52
+  FROM agg
+)
+SELECT (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM toks)
+         AS exact_distinct,
+       f.n_buckets_hit,
+       f.s52,
+       CAST(floor(
+         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+           * {float(1 << 52)!r} / CAST(f.s52 AS DOUBLE) * 1000
+       ) AS BIGINT) AS est_x1000
+FROM fin f
+""")
+
+
 def _oracle_cms_heavy_hitters(k: int, depth: int, width: int) -> str:
     def _hexval(expr: str, ndigits: int) -> str:
         terms = [
@@ -5441,6 +5510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rls_operation": q_rls_operation,
         "text_normalize": q_text_normalize,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hll_distinct_tokens": q_hll_distinct_tokens,
         "line_dedup": q_line_dedup,
         "line_dedup_dropall": q_line_dedup_dropall,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -7541,6 +7611,7 @@ SELECT CAST(pk AS STRING) AS key,
 FROM sc ORDER BY pk
 """),
         "cms_heavy_hitters": _oracle_cms_heavy_hitters(20, 4, 1024),
+        "hll_distinct_tokens": _oracle_hll_distinct_tokens(),
         "text_normalize": _o("""
 , t2 AS (
   SELECT doc_id, text ||

@@ -277,3 +277,82 @@ def heavy_hitters_cms(
         .select("rank", "term", "exact_cnt", F.col("cms_est").cast("long"))
         .orderBy("rank")
     )
+
+
+def hll_sketch(
+    terms: DataFrame,
+    term_col: str = "term",
+    precision_bits: int = 8,
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) over a term
+    column: ``(bucket, rho)`` with one row per non-empty bucket, rho =
+    the max first-one position of the 48-bit md5 remainder. Fully
+    DETERMINISTIC (md5, not a salted hash) so any engine derives
+    identical registers — the driver oracle replays bucket and rho
+    (via length(bin(v))) digit-for-digit.
+
+    100 TB story: one map-side-combined groupBy(bucket).max(rho) —
+    2^precision_bits rows regardless of corpus; merging two sketches
+    is register-wise MAX (union + the same groupBy), so the
+    incremental/streaming story is free, same as the CMS's linearity."""
+    if not (4 <= precision_bits <= 12):
+        raise ValueError("precision_bits must be in [4, 12]")
+    hex_digits = precision_bits // 4 + (1 if precision_bits % 4 else 0)
+    if precision_bits % 4:
+        raise ValueError("precision_bits must be a multiple of 4 "
+                         "(hex-aligned buckets keep the oracle exact)")
+    h = F.md5(F.col(term_col))
+    bucket = F.conv(F.substring(h, 1, hex_digits), 16, 10).cast("bigint")
+    v = F.conv(
+        F.substring(h, hex_digits + 1, 12), 16, 10
+    ).cast("bigint")  # 48-bit remainder
+    rho = F.when(v == 0, F.lit(49)).otherwise(
+        F.lit(48) - F.length(F.bin(v)) + 1
+    ).cast("int")
+    return (
+        terms.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(sketches: DataFrame) -> DataFrame:
+    """Register-wise max over appended sketch rows — the union of the
+    underlying sets, exactly (HLL's defining merge property)."""
+    return sketches.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    precision_bits: int = 8,
+) -> DataFrame:
+    """One-row cardinality estimate: ``(n_buckets_hit, s52, est_x1000)``
+    where ``s52 = Σ_j 2^(52-M_j)`` over ALL m buckets (absent → M=0) is
+    an EXACT integer (every addend a power of two ≤ 2^52, total ≤ 2^60)
+    and ``est_x1000 = floor(α_m · m² · 2^52 / s52 · 1000)`` uses only
+    IEEE multiply/divide — no transcendentals — so both engines compute
+    the identical double and the floor is hash-stable. This is the raw
+    HLL estimator (no small/large-range corrections: those need ln(),
+    which is libm-dependent across engines; callers wanting corrected
+    small-range counts should read n_buckets_hit and linear-count
+    driver-side)."""
+    m = 1 << precision_bits
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        F.sum(F.pow(F.lit(2.0), F.lit(52) - F.col("rho")).cast("bigint"))
+        .alias("_s_hit"),
+    )
+    s52 = (
+        F.col("_s_hit")
+        + (F.lit(m) - F.col("n_buckets_hit")) * F.lit(1 << 52).cast("bigint")
+    )
+    est = (
+        F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(1 << 52))
+        / s52.cast("double")
+    )
+    return agg.select(
+        F.col("n_buckets_hit").cast("int").alias("n_buckets_hit"),
+        s52.cast("bigint").alias("s52"),
+        F.floor(est * 1000).cast("bigint").alias("est_x1000"),
+    )

@@ -262,3 +262,65 @@ def test_capped_count_saturates_not_doublecounts(spark):
     assert sa.collect()[0].n_occ == 2  # capped, not 3
     m = merge_line_stats(sa.unionByName(sb)).collect()[0]
     assert m.n_occ == 2 and m.first_doc == 1 and m.first_pos == 0
+
+
+def test_hll_registers_match_reference_python(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.analytics import hll_estimate, hll_sketch
+
+    terms = [f"t{i}" for i in range(500)]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {r.bucket: r.rho for r in hll_sketch(df).collect()}
+
+    # independent pure-Python replay of the register derivation
+    regs: dict[int, int] = {}
+    for t in terms:
+        h = hashlib.md5(t.encode()).hexdigest()
+        b = int(h[:2], 16)
+        v = int(h[2:14], 16)
+        rho = 49 if v == 0 else 48 - v.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    assert got == regs
+
+    est = hll_estimate(hll_sketch(df)).collect()[0]
+    # 256 registers → standard error 1.04/16 ≈ 6.5%; allow 3σ
+    assert abs(est.est_x1000 / 1000.0 - 500) < 500 * 0.2
+
+
+def test_hll_merge_is_union(spark):
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.analytics import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("term")
+    )
+    whole = hll_estimate(hll_sketch(df)).collect()[0]
+    a = hll_sketch(df.filter("id % 2 = 0"))
+    b = hll_sketch(df.filter("id % 3 != 1"))  # OVERLAPPING halves
+    merged = hll_estimate(hll_merge(a.unionByName(b)))
+    # merge of overlapping sketches == sketch of the union of the sets
+    union_df = df.filter("id % 2 = 0 OR id % 3 != 1")
+    direct = hll_estimate(hll_sketch(union_df)).collect()[0]
+    got = merged.collect()[0]
+    assert (got.s52, got.est_x1000) == (direct.s52, direct.est_x1000)
+    assert got.s52 >= whole.s52 - 0  # subset of full corpus → s52 no smaller
+
+
+def test_hll_rejects_unaligned_precision(spark):
+    import pytest as _pytest
+
+    from storage_spark.operators.analytics import hll_sketch
+
+    df = spark.createDataFrame([("a",)], "term string")
+    with _pytest.raises(ValueError):
+        hll_sketch(df, precision_bits=6)  # not hex-aligned
+    with _pytest.raises(ValueError):
+        hll_sketch(df, precision_bits=16)

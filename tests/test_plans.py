@@ -134,6 +134,9 @@ _BNLJ_ALLOWED = {
     "dsir_select",
     "dsir_select_per_lang",  # same DSIR 1-row model-totals crossJoin
     "perplexity_buckets",  # totals + 1-row threshold crossJoins
+    # 1-row exact-count x 1-row HLL-estimate scalar combine — the same
+    # key_validation class; the sketch itself is one groupBy(bucket)
+    "hll_distinct_tokens",
 }
 
 
