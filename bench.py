@@ -295,6 +295,23 @@ def main() -> None:
 
         return exact_substring_spans(t["documents"], k=10).count()
 
+    def sketch_stats():
+        # CMS heavy hitters + HLL cardinality over the full documents
+        # token stream (r9): two bounded-output aggregations — the
+        # corpus-stats pass a 100 TB pipeline runs before curation
+        from storage_spark.operators.analytics import (
+            heavy_hitters_cms,
+            hll_estimate,
+            hll_sketch,
+        )
+
+        toks = t["documents"].select(
+            F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        hh = heavy_hitters_cms(t["documents"], k=20).count()
+        est = hll_estimate(hll_sketch(toks)).collect()[0].est_x1000
+        return hh + est
+
     def line_dedup():
         # CCNet line dedup (r9): 5-word derived lines, keep-first winners
         # via ONE min-struct aggregation (no window/join on the line
@@ -824,6 +841,7 @@ def main() -> None:
         "bpe_merge_score": bpe_merge_score,
         "substring_spans": substring_spans,
         "line_dedup": line_dedup,
+        "sketch_stats": sketch_stats,
         "fat_jl_index_query": fat_jl_index_query,
         "fat_lsh_keysonly_query": fat_lsh_keysonly_query,
     }
