@@ -3281,6 +3281,111 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_cms(t["documents"], k=20, depth=4, width=1024)
 
 
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family, Kudo 2018) Viterbi tokenization
+    under the oracle — the third trained tokenizer next to BPE merges
+    and greedy-WordPiece. The vocabulary is FIT inside the query
+    (frequency lattice, quantized log2 scores via Mitchell's
+    approximation — libm-free, so no engine's ln() is in the loop) and
+    the oracle replays BOTH halves in SQL: the training aggregations
+    AND the Viterbi DP itself, unrolled over split positions (corpus
+    words are ≤ 8 chars; each step a MATERIALIZED CTE — the BPE-merge
+    oracle's lesson) with the identical (score, pieces, split) total
+    order. Output: per-doc word/piece counts and total milli-bit
+    score."""
+    from storage_spark.functions.bpe import unigram_tokenize, unigram_vocab
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    vocab = unigram_vocab(docs, max_size=400, max_len=4)
+    return unigram_tokenize(docs, vocab, max_len=4).orderBy("doc_id")
+
+
+def _oracle_unigram_tokenize(max_size: int = 400, max_len: int = 4,
+                             max_word: int = 8) -> str:
+    qlog = (
+        "((length(bin(CAST({c} AS BIGINT))) - 1) * 1000"
+        " + CAST(floor(((CAST({c} AS DOUBLE)"
+        " / power(2, length(bin(CAST({c} AS BIGINT))) - 1)) - 1.0)"
+        " * 1000) AS BIGINT))"
+    )
+    steps = []
+    for j in range(1, max_word + 1):
+        lo = max(0, j - max_len)
+        prev = " UNION ALL ".join(
+            f"SELECT * FROM s{i}" for i in range(lo, j)
+        )
+        steps.append(f"""s{j} AS MATERIALIZED (
+  SELECT w, s, p FROM (
+    SELECT pr.w, pr.s + v.lp_milli AS s, pr.p + 1 AS p,
+           row_number() OVER (
+             PARTITION BY pr.w
+             ORDER BY pr.s + v.lp_milli DESC, pr.p + 1 ASC, pr.j ASC
+           ) AS rn
+    FROM ({prev}) pr
+    JOIN vocab v ON v.tok = substr(pr.w, pr.j + 1, {j} - pr.j)
+    WHERE len(pr.w) >= {j}
+  ) WHERE rn = 1
+)""")
+        # carry j forward for the next step's split-point tie-break
+        steps[-1] = steps[-1].replace(
+            "SELECT w, s, p FROM (", f"SELECT w, {j} AS j, s, p FROM ("
+        )
+    step_sql = ",\n".join(steps)
+    finals = " UNION ALL ".join(
+        f"SELECT w, s, p FROM s{j} WHERE len(w) = {j}"
+        for j in range(1, max_word + 1)
+    )
+    return _o(f"""
+, words_all AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wordsnz AS (SELECT w FROM words_all WHERE len(w) > 0),
+grams AS (
+  SELECT substr(w, CAST(u.p AS INT), CAST(l.l AS INT)) AS tok
+  FROM wordsnz,
+       LATERAL unnest(range(2, {max_len + 1})) AS l(l),
+       LATERAL unnest(range(1, greatest(len(w) - l.l + 2, 1))) AS u(p)
+  WHERE len(w) >= l.l
+),
+topg AS (
+  SELECT tok, count(*) AS cnt FROM grams GROUP BY tok
+  ORDER BY cnt DESC, tok ASC LIMIT {max_size}
+),
+chars AS (
+  SELECT substr(w, CAST(u.p AS INT), 1) AS tok, count(*) AS cnt
+  FROM wordsnz, LATERAL unnest(range(1, len(w) + 1)) AS u(p)
+  GROUP BY 1
+),
+pieces AS (
+  SELECT tok, max(cnt) AS cnt
+  FROM (SELECT * FROM topg UNION ALL SELECT * FROM chars)
+  GROUP BY tok
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pieces),
+vocab AS MATERIALIZED (
+  SELECT tok,
+         {qlog.format(c='cnt')} - {qlog.format(c='t')} AS lp_milli
+  FROM pieces, tot
+),
+dwords AS (SELECT DISTINCT w FROM wordsnz),
+s0 AS (SELECT w, 0 AS j, CAST(0 AS BIGINT) AS s, 0 AS p FROM dwords),
+{step_sql},
+wres AS MATERIALIZED ({finals}),
+docw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(r.p) AS BIGINT) AS n_pieces,
+       CAST(sum(r.s) AS BIGINT) AS score_milli
+FROM docw d JOIN wres r ON d.w = r.w
+WHERE len(d.w) > 0
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""")
+
+
 def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog cardinality (Flajolet et al. 2007) next to the exact
     answer: 256-register sketch over the documents token stream. The
@@ -5511,6 +5616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct_tokens": q_hll_distinct_tokens,
+        "unigram_tokenize": q_unigram_tokenize,
         "line_dedup": q_line_dedup,
         "line_dedup_dropall": q_line_dedup_dropall,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -7612,6 +7718,7 @@ FROM sc ORDER BY pk
 """),
         "cms_heavy_hitters": _oracle_cms_heavy_hitters(20, 4, 1024),
         "hll_distinct_tokens": _oracle_hll_distinct_tokens(),
+        "unigram_tokenize": _oracle_unigram_tokenize(400, 4, 8),
         "text_normalize": _o("""
 , t2 AS (
   SELECT doc_id, text ||

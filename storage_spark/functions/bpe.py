@@ -345,3 +345,164 @@ def bpe_tokenize(
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words"),
         counter(F.col(text_col)).alias("n_bpe_tokens"),
     )
+
+
+def _qlog2_milli(c: Column) -> Column:
+    """Piecewise-linear log2 (Mitchell's approximation), quantized to
+    milli-units: ``(bitlen(c)-1)*1000 + floor(1000*(c/2^(bitlen-1)-1))``.
+    Monotone in ``c`` with ≤ 0.086-bit error, and EXACTLY computable in
+    any engine — bit length via ``bin()``, one IEEE divide (``c/2^k`` is
+    a significand shift, exact for c < 2^53), one floor. This is what
+    lets a Unigram-LM score be replayed bit-for-bit by a SQL oracle:
+    true ``ln``/``log2`` are libm-dependent across engines, a quantized
+    FLOOR of them can flip at implementation boundaries; this never
+    does."""
+    bl = F.length(F.bin(c.cast("bigint")))
+    mant = c.cast("double") / F.pow(F.lit(2.0), (bl - 1).cast("double"))
+    return ((bl - 1).cast("bigint") * 1000
+            + F.floor((mant - F.lit(1.0)) * 1000).cast("bigint"))
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_size: int = 1000,
+    max_len: int = 4,
+) -> DataFrame:
+    """Candidate-piece table for Unigram-LM tokenization (Kudo 2018,
+    arXiv:1804.10959 — the SentencePiece family's other half, next to
+    BPE): ``(tok, lp_milli)`` where lp_milli = qlog2(count) -
+    qlog2(total) in milli-bits (negative). Pieces are the top
+    ``max_size`` character n-grams (2..max_len) by occurrence count
+    over word occurrences (ties: count desc, tok asc), plus EVERY
+    single character seen with its own count — segmentation never
+    stalls on in-corpus text. One count + one TakeOrdered; the table
+    is bounded and broadcastable (the ANN-centroid collect class).
+
+    The full Kudo trainer prunes by EM likelihood loss; this fit keeps
+    the frequency lattice (the standard seed vocabulary) — documented
+    scope, same discipline as the closed-form NB fit."""
+    if max_len < 2:
+        raise ValueError(f"max_len must be >= 2 (got {max_len})")
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    grams = F.flatten(
+        F.transform(
+            F.sequence(F.lit(2), F.lit(max_len)),
+            lambda l: F.when(
+                F.length(F.col("w")) >= l,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(F.col("w")) - l + 1),
+                    lambda p: F.col("w").substr(p, l),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    top = (
+        words.select(F.explode(grams).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(int(max_size))
+    )
+    chars = (
+        words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(F.col("w"))),
+                    lambda p: F.col("w").substr(p, F.lit(1)),
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pieces = top.unionByName(chars).groupBy("tok").agg(
+        F.max("cnt").alias("cnt")
+    )
+    total = pieces.agg(F.sum("cnt").alias("_t"))
+    return (
+        pieces.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            (_qlog2_milli(F.col("cnt")) - _qlog2_milli(F.col("_t")))
+            .alias("lp_milli"),
+        )
+    )
+
+
+def unigram_tokenize(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 4,
+) -> DataFrame:
+    """Viterbi segmentation (the Unigram-LM decoder): per word, the
+    piece sequence maximizing Σ lp_milli, ties broken by fewer pieces,
+    then by the longer last piece at each DP step (smaller split
+    point) — a total order, so the best path is unique by induction.
+    Arrow-batched pandas UDF over the broadcast piece table, memoized
+    per distinct word within a batch. Output per doc: ``(doc_id,
+    n_words, n_pieces, score_milli)`` — the sums a SQL oracle can
+    replay by unrolling the same DP over split positions.
+
+    Scale: map-only (the vocab is bounded + broadcast); the per-word
+    DP is O(len · max_len) dict lookups, amortized across repeats by
+    the memo."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lp = {r["tok"]: int(r["lp_milli"]) for r in vocab.collect()}
+    ml = int(max_len)
+
+    @pandas_udf("struct<n_words: long, n_pieces: long, score_milli: long>")
+    def _seg(texts: pd.Series) -> pd.DataFrame:
+        memo: dict[str, tuple[int, int]] = {}
+
+        def word_dp(w: str) -> tuple[int, int]:
+            got = memo.get(w)
+            if got is not None:
+                return got
+            n = len(w)
+            # S[j], P[j] = best (score, pieces) for prefix w[:j]
+            S = [None] * (n + 1)
+            P = [0] * (n + 1)
+            S[0] = 0
+            for j in range(1, n + 1):
+                best = None
+                for i in range(max(0, j - ml), j):
+                    if S[i] is None:
+                        continue
+                    piece_lp = lp.get(w[i:j])
+                    if piece_lp is None:
+                        continue
+                    cand = (S[i] + piece_lp, -(P[i] + 1), -i)
+                    if best is None or cand > best:
+                        best = cand
+                        S[j] = S[i] + piece_lp
+                        P[j] = P[i] + 1
+            if S[n] is None:
+                raise ValueError(f"unsegmentable word {w!r} (OOV char)")
+            memo[w] = (S[n], P[n])
+            return memo[w]
+
+        rows = []
+        for text in texts:
+            nw = np_ = sc = 0
+            if text:
+                for w in text.split(" "):
+                    if not w:
+                        continue
+                    s, p = word_dp(w)
+                    nw += 1
+                    np_ += p
+                    sc += s
+            rows.append((nw, np_, sc))
+        return pd.DataFrame(rows, columns=["n_words", "n_pieces",
+                                           "score_milli"])
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _seg(F.col(text_col)).alias("_s")
+    ).select("doc_id", "_s.n_words", "_s.n_pieces", "_s.score_milli")

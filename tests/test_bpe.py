@@ -317,3 +317,92 @@ def test_budget_filter_accepts_tokenizer(spark, docs):
         per_lang=False, tokenizer=v,
     )
     assert one.count() <= 1
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi tokenizer (the SentencePiece family's other half)
+# ---------------------------------------------------------------------------
+
+
+def _py_qlog2_milli(c: int) -> int:
+    bl = c.bit_length()
+    import math
+
+    return (bl - 1) * 1000 + math.floor((c / (1 << (bl - 1)) - 1.0) * 1000)
+
+
+def test_unigram_vocab_scores_match_python_replay(spark):
+    from pyspark.sql import functions as F
+
+    from storage_spark.functions.bpe import unigram_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "abab abc"), (2, "abab ab")], "doc_id long, text string"
+    )
+    got = {r.tok: r.lp_milli for r in unigram_vocab(docs, max_size=50).collect()}
+    # python replay of counts
+    words = ["abab", "abc", "abab", "ab"]
+    from collections import Counter
+
+    cnt = Counter()
+    for w in words:
+        for l in (2, 3, 4):
+            for p in range(len(w) - l + 1):
+                cnt[w[p : p + l]] += 1
+        for ch in w:
+            cnt[ch] += 1
+    # top grams (len>=2) all fit in 50; chars merged by max (same counter)
+    total = sum(cnt.values())
+    exp = {
+        t: _py_qlog2_milli(c) - _py_qlog2_milli(total) for t, c in cnt.items()
+    }
+    assert got == exp
+
+
+def test_unigram_viterbi_prefers_high_frequency_pieces(spark):
+    from pyspark.sql import functions as F
+
+    from storage_spark.functions.bpe import unigram_tokenize, unigram_vocab
+
+    # 'the' dominates → the word 'the' should segment as ONE piece
+    docs = spark.createDataFrame(
+        [(i, "the the the the xyz") for i in range(5)],
+        "doc_id long, text string",
+    )
+    v = unigram_vocab(docs, max_size=50)
+    out = {r.doc_id: r for r in unigram_tokenize(docs, v).collect()}
+    r = out[0]
+    assert r.n_words == 5
+    # 4x 'the' as single pieces + 'xyz' (whatever it costs) ≤ 4 + 3
+    assert r.n_pieces <= 4 + 3
+    # deterministic across docs
+    assert all(
+        (out[i].n_pieces, out[i].score_milli)
+        == (r.n_pieces, r.score_milli)
+        for i in range(5)
+    )
+
+
+def test_unigram_tokenize_raises_on_oov_character(spark):
+    import pytest as _pytest
+
+    from storage_spark.functions.bpe import unigram_tokenize, unigram_vocab
+
+    train = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    v = unigram_vocab(train, max_size=10)
+    apply_df = spark.createDataFrame([(2, "zz")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="unsegmentable|OOV"):
+        unigram_tokenize(apply_df, v).collect()
+
+
+def test_unigram_empty_and_blank_docs(spark):
+    from storage_spark.functions.bpe import unigram_tokenize, unigram_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, ""), (3, "ab  ab")],  # double space → empty token
+        "doc_id long, text string",
+    )
+    v = unigram_vocab(docs.filter("doc_id = 1"), max_size=10)
+    out = {r.doc_id: r for r in unigram_tokenize(docs, v).collect()}
+    assert out[2].n_words == 0 and out[2].n_pieces == 0
+    assert out[3].n_words == 2  # empty tokens skipped, not counted
