@@ -295,6 +295,53 @@ def main() -> None:
 
         return exact_substring_spans(t["documents"], k=10).count()
 
+    def media_render():
+        # mixed-format render canary (r9): PNG / baseline JPEG /
+        # progressive JPEG / GIF / lossless WebP blobs through the
+        # magic-dispatching pixel codec (decode → cover 16x16 →
+        # re-encode), Arrow map-only; guards all five codec paths
+        import numpy as np
+        import pandas as pd
+
+        from storage_spark.functions.imagecodec import (
+            gif_encode,
+            jpeg_encode,
+            jpeg_encode_progressive,
+            png_encode,
+        )
+        from storage_spark.functions.webpcodec import webp_encode
+        from storage_spark.operators.multimodal import transform_images
+
+        base = spark.range(300).select(F.col("id").cast("long").alias("k"))
+
+        def _gen(it):
+            for pdf in it:
+                out = []
+                for k in pdf["k"].to_numpy():
+                    k = int(k)
+                    yy, xx = np.mgrid[0:24, 0:32]
+                    img = np.stack(
+                        [(xx * 5 + k) % 256, (yy * 3) % 256,
+                         np.full((24, 32), k % 256)], axis=2
+                    ).astype(np.uint8)
+                    m = k % 5
+                    if m == 0:
+                        b = png_encode(img)
+                    elif m == 1:
+                        b = jpeg_encode(img, quality=90, subsampling="420")
+                    elif m == 2:
+                        b = jpeg_encode_progressive(img, quality=90)
+                    elif m == 3:
+                        b = gif_encode([img])
+                    else:
+                        b = webp_encode(img)
+                    out.append((str(k), b))
+                yield pd.DataFrame(out, columns=["key", "content"])
+
+        blobs = base.mapInPandas(_gen, "key string, content binary")
+        return transform_images(blobs, 16, 16, resize="cover",
+                                quality=90).count()
+
     def sketch_stats():
         # CMS heavy hitters + HLL cardinality over the full documents
         # token stream (r9): two bounded-output aggregations — the
@@ -842,6 +889,7 @@ def main() -> None:
         "substring_spans": substring_spans,
         "line_dedup": line_dedup,
         "sketch_stats": sketch_stats,
+        "media_render": media_render,
         "fat_jl_index_query": fat_jl_index_query,
         "fat_lsh_keysonly_query": fat_lsh_keysonly_query,
     }
