@@ -43,6 +43,9 @@ MODEL_COLUMNS: dict[str, set[str]] = {
     "dsir": {"b", "lw"},
     "subword": {"tok"},
     "merges": {"merge_rank", "lhs", "rhs", "merged", "pair_count"},
+    # Unigram-LM piece table (bpe.unigram_vocab): quantized milli-bit
+    # log2 scores — the Viterbi scorer's entire state
+    "unipiece": {"tok", "lp_milli"},
 }
 
 _FORMAT_VERSION = 1

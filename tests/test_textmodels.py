@@ -128,5 +128,22 @@ def test_subword_vocab_roundtrip_counts_equal(spark, docs, tmp_path):
 
 def test_all_kinds_have_column_contracts():
     assert set(MODEL_COLUMNS) == {
-        "unigram", "bigram", "nb", "dsir", "subword", "merges",
+        "unigram", "bigram", "nb", "dsir", "subword", "merges", "unipiece",
     }
+
+
+def test_unipiece_roundtrip_segmentation_equal(spark, docs, tmp_path):
+    from storage_spark.functions.bpe import unigram_tokenize, unigram_vocab
+    from storage_spark.sources.textmodels import (
+        load_text_model,
+        save_text_model,
+    )
+
+    v = unigram_vocab(docs, max_size=100, max_len=4)
+    path = str(tmp_path / "unipiece")
+    save_text_model(v, path, "unipiece", params={"max_len": 4})
+    loaded, cfg = load_text_model(spark, path)
+    assert cfg["kind"] == "unipiece" and cfg["params"]["max_len"] == 4
+    assert _rows(unigram_tokenize(docs, loaded)) == _rows(
+        unigram_tokenize(docs, v)
+    )
