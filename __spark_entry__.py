@@ -3281,6 +3281,52 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_cms(t["documents"], k=20, depth=4, width=1024)
 
 
+def q_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) sketches — the sketch family's resemblance half
+    (Bar-Yossef et al. 2002 / Broder minwise): token-set sketches of
+    the even- and odd-doc halves, their Jaccard estimate from the
+    bottom-256 of the union, and each side's distinct-count estimate
+    via the integer (k-1)·2^64/kth-hash estimator — next to the EXACT
+    intersection/union/Jaccard so the sketch error is visible in the
+    row. Everything is integer/hash arithmetic; the oracle replays the
+    sketches literally (256 smallest md5s) and every estimate to the
+    digit."""
+    from storage_spark.operators.analytics import (
+        kmv_estimate,
+        kmv_resemblance,
+        kmv_sketch,
+    )
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"]
+    toks_a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    toks_b = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    sa, sb = kmv_sketch(toks_a, k=256), kmv_sketch(toks_b, k=256)
+    res = kmv_resemblance(sa, sb, k=256)
+    ea = kmv_estimate(sa, k=256).select(F.col("est").alias("est_a"))
+    eb = kmv_estimate(sb, k=256).select(F.col("est").alias("est_b"))
+    da, db = toks_a.distinct(), toks_b.distinct()
+    inter = da.intersect(db).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inter")
+    )
+    uni = da.unionByName(db).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union")
+    )
+    return (
+        res.crossJoin(ea).crossJoin(eb).crossJoin(inter).crossJoin(uni)
+        .select(
+            "n_union_sample", "n_both", "jaccard_x10000",
+            "est_a", "est_b", "n_inter", "n_union",
+            F.expr("CAST((n_inter * 10000) DIV n_union AS BIGINT)")
+            .alias("exact_jaccard_x10000"),
+        )
+    )
+
+
 def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-family, Kudo 2018) Viterbi tokenization
     under the oracle — the third trained tokenizer next to BPE merges
@@ -3299,6 +3345,64 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     vocab = unigram_vocab(docs, max_size=400, max_len=4)
     return unigram_tokenize(docs, vocab, max_len=4).orderBy("doc_id")
+
+
+def _oracle_kmv_resemblance(k: int = 256) -> str:
+    hexhuge = " + ".join(
+        f"(instr('0123456789abcdef', substr(kth_hex16, {i + 1}, 1)) - 1)"
+        f" * CAST('{16 ** (16 - 1 - i)}' AS HUGEINT)"
+        for i in range(16)
+    )
+    num = (k - 1) * 2 ** 64
+    return _o(f"""
+, ta AS (
+  SELECT DISTINCT md5(unnest(string_split(text, ' '))) AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+tb AS (
+  SELECT DISTINCT md5(unnest(string_split(text, ' '))) AS h
+  FROM documents WHERE doc_id % 2 = 1
+),
+sa AS (SELECT h FROM ta ORDER BY h LIMIT {k}),
+sb AS (SELECT h FROM tb ORDER BY h LIMIT {k}),
+u AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+  ORDER BY h LIMIT {k}
+),
+bth AS (SELECT h FROM sa INTERSECT SELECT h FROM sb),
+res AS (
+  SELECT (SELECT count(*) FROM u) AS n_union_sample,
+         (SELECT count(*) FROM u WHERE h IN (SELECT h FROM bth))
+           AS n_both
+),
+est AS (
+  SELECT
+    (SELECT CASE WHEN c < {k} THEN CAST(c AS BIGINT)
+       ELSE CAST(CAST('{num}' AS HUGEINT) // ({hexhuge}) AS BIGINT) END
+     FROM (SELECT substr(max(h), 1, 16) AS kth_hex16,
+                  CAST(count(*) AS BIGINT) AS c FROM sa) _x) AS est_a,
+    (SELECT CASE WHEN c < {k} THEN CAST(c AS BIGINT)
+       ELSE CAST(CAST('{num}' AS HUGEINT) // ({hexhuge}) AS BIGINT) END
+     FROM (SELECT substr(max(h), 1, 16) AS kth_hex16,
+                  CAST(count(*) AS BIGINT) AS c FROM sb) _x) AS est_b
+),
+ex AS (
+  SELECT (SELECT count(*) FROM (SELECT h FROM ta INTERSECT
+                                SELECT h FROM tb)) AS n_inter,
+         (SELECT count(*) FROM (SELECT h FROM ta UNION
+                                SELECT h FROM tb)) AS n_union
+)
+SELECT CAST(r.n_union_sample AS INT) AS n_union_sample,
+       CAST(r.n_both AS INT) AS n_both,
+       CAST((r.n_both * 10000) // r.n_union_sample AS BIGINT)
+         AS jaccard_x10000,
+       e.est_a, e.est_b,
+       CAST(x.n_inter AS BIGINT) AS n_inter,
+       CAST(x.n_union AS BIGINT) AS n_union,
+       CAST((x.n_inter * 10000) // x.n_union AS BIGINT)
+         AS exact_jaccard_x10000
+FROM res r, est e, ex x
+""")
 
 
 def _oracle_unigram_tokenize(max_size: int = 400, max_len: int = 4,
@@ -5617,6 +5721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "unigram_tokenize": q_unigram_tokenize,
+        "kmv_resemblance": q_kmv_resemblance,
         "line_dedup": q_line_dedup,
         "line_dedup_dropall": q_line_dedup_dropall,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -7719,6 +7824,7 @@ FROM sc ORDER BY pk
         "cms_heavy_hitters": _oracle_cms_heavy_hitters(20, 4, 1024),
         "hll_distinct_tokens": _oracle_hll_distinct_tokens(),
         "unigram_tokenize": _oracle_unigram_tokenize(400, 4, 8),
+        "kmv_resemblance": _oracle_kmv_resemblance(256),
         "text_normalize": _o("""
 , t2 AS (
   SELECT doc_id, text ||

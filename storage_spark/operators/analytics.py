@@ -356,3 +356,87 @@ def hll_estimate(
         s52.cast("bigint").alias("s52"),
         F.floor(est * 1000).cast("bigint").alias("est_x1000"),
     )
+
+
+def kmv_sketch(
+    terms: DataFrame,
+    term_col: str = "term",
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values (bottom-k) sketch (Bar-Yossef et al. 2002): the
+    k smallest md5 hashes of the DISTINCT terms. Fully deterministic —
+    unlike HLL's register estimate this sketch IS a set of concrete
+    hashes, so any engine derives the identical table, and unlike HLL
+    it supports INTERSECTION estimates (resemblance/Jaccard — the
+    sketch-level analogue of the dedup family's shingle resemblance).
+
+    100 TB story: distinct + TakeOrdered(k) — one shuffle bounded by k
+    output rows; merging sketches = union → re-take bottom k."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return (
+        terms.select(F.md5(F.col(term_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(int(k))
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Union of KMV sketches = bottom k of the union of their hash
+    sets — exactly the sketch of the underlying set union."""
+    return sketches.select("h").distinct().orderBy("h").limit(int(k))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate ``(n_hashes, kth_hex16, est)``: when the
+    sketch saturates (n = k), est = floor((k-1) * 2^64 / kth-hash-value)
+    using the first 16 hex digits — INTEGER arithmetic end to end (the
+    2002 unbiased bottom-k estimator); below saturation the sketch is
+    the exact distinct set and est = n. Engine-identical by
+    construction: no float appears anywhere."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max(F.substring("h", 1, 16)).alias("kth_hex16"),
+    )
+    kth = F.conv(F.col("kth_hex16"), 16, 10).cast("decimal(38,0)")
+    num = F.lit(str((k - 1) * 2 ** 64)).cast("decimal(38,0)")
+    # exact integer floor-division: subtract the decimal remainder first
+    # so the decimal divide is of an exact multiple (no scale rounding
+    # can cross an integer boundary — the oracle's // must agree)
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("decimal(38,0)")
+    ).otherwise((num - num % kth) / kth)
+    return agg.select(
+        F.col("n_hashes").cast("int"),
+        "kth_hex16",
+        est.cast("bigint").alias("est"),
+    )
+
+
+def kmv_resemblance(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Jaccard resemblance estimate between two KMV sketches: the
+    fraction of the bottom-k of the UNION that lands in both sketches
+    (Broder's minwise argument, the same one MinHash banding relies
+    on). Output ``(n_union_sample, n_both, jaccard_x10000)`` — integer
+    scaled, no float."""
+    u = kmv_merge(sketch_a.unionByName(sketch_b), k)
+    both = sketch_a.join(sketch_b, "h", "inner").select("h")
+    hits = u.join(both, "h", "left_semi")
+    return (
+        u.agg(F.count(F.lit(1)).alias("n_union_sample"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_both")))
+        .select(
+            F.col("n_union_sample").cast("int"),
+            F.col("n_both").cast("int"),
+            # integral DIV, not double divide + cast: Spark's double→long
+            # cast truncates while DuckDB's ROUNDS — div sidesteps the
+            # whole mismatch class
+            F.expr("CAST((n_both * 10000) DIV n_union_sample AS BIGINT)")
+            .alias("jaccard_x10000"),
+        )
+    )

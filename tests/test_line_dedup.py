@@ -324,3 +324,53 @@ def test_hll_rejects_unaligned_precision(spark):
         hll_sketch(df, precision_bits=6)  # not hex-aligned
     with _pytest.raises(ValueError):
         hll_sketch(df, precision_bits=16)
+
+
+def test_kmv_sketch_estimate_and_resemblance(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.analytics import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_resemblance,
+        kmv_sketch,
+    )
+
+    a = spark.range(5000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("term")
+    )
+    b = spark.range(2500, 7500).select(
+        F.concat(F.lit("x"), F.col("id")).alias("term")
+    )
+    sa, sb = kmv_sketch(a), kmv_sketch(b)
+    ea = kmv_estimate(sa).collect()[0]
+    # independent python replay: bottom-256 md5s, integer estimator
+    hs = sorted(
+        hashlib.md5(f"x{i}".encode()).hexdigest() for i in range(5000)
+    )[:256]
+    kth = int(hs[-1][:16], 16)
+    assert ea.n_hashes == 256
+    assert ea.est == (255 * (1 << 64)) // kth
+    assert abs(ea.est - 5000) < 5000 * 0.2  # 3σ at k=256
+
+    r = kmv_resemblance(sa, sb).collect()[0]
+    assert abs(r.jaccard_x10000 / 10000.0 - 1 / 3) < 0.08
+    assert r.jaccard_x10000 == (r.n_both * 10000) // r.n_union_sample
+
+    # merge = sketch of the union, exactly
+    merged = sorted(
+        x.h for x in kmv_merge(sa.unionByName(sb)).collect()
+    )
+    direct = sorted(
+        x.h for x in kmv_sketch(a.unionByName(b)).collect()
+    )
+    assert merged == direct
+
+    # below saturation the sketch IS the set
+    small = spark.range(100).select(
+        F.concat(F.lit("y"), F.col("id")).alias("term")
+    )
+    es = kmv_estimate(kmv_sketch(small)).collect()[0]
+    assert (es.n_hashes, es.est) == (100, 100)

@@ -137,6 +137,9 @@ _BNLJ_ALLOWED = {
     # 1-row exact-count x 1-row HLL-estimate scalar combine — the same
     # key_validation class; the sketch itself is one groupBy(bucket)
     "hll_distinct_tokens",
+    # chain of 1-row scalar combines (resemblance, two estimates, exact
+    # intersection/union counts); the sketches are bounded TakeOrdereds
+    "kmv_resemblance",
 }
 
 
