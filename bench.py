@@ -332,7 +332,8 @@ def main() -> None:
                     elif m == 2:
                         b = jpeg_encode_progressive(img, quality=90)
                     elif m == 3:
-                        b = gif_encode([img])
+                        # GIF is palette-bound (≤256 colors): posterize
+                        b = gif_encode([(img // 64) * 64])
                     else:
                         b = webp_encode(img)
                     out.append((str(k), b))
