@@ -3281,6 +3281,99 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_cms(t["documents"], k=20, depth=4, width=1024)
 
 
+def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection under the oracle (r9): MJPEG AVIs with a
+    planted scene cut (flat-gray shots — pixel-exact at q95, so the
+    mean-absolute-difference is EXACTLY |v2-v1|·100), every consecutive
+    frame pair scored by detect_scene_cuts. The oracle predicts every
+    MAD and cut flag from the generation rule."""
+    import numpy as np
+    import pandas as pd
+
+    from storage_spark.functions.imagecodec import (
+        avi_encode_mjpeg,
+        jpeg_encode,
+    )
+    from storage_spark.operators.multimodal import detect_scene_cuts
+
+    t = _t(spark, sf_dir)
+    base = t["part"].select(
+        F.col("p_partkey").cast("long").alias("pk")
+    ).filter(F.col("pk") <= 70)
+
+    def _gen(it):
+        for pdf in it:
+            out = []
+            for k in pdf["pk"].to_numpy():
+                k = int(k)
+                nf = 4 + k % 5
+                cut = 1 + k % (nf - 1)
+                v1 = k % 200
+                v2 = v1 + 40 + k % 50
+                frames = [
+                    jpeg_encode(
+                        np.full((16, 16, 3), v1 if f < cut else v2,
+                                dtype=np.uint8),
+                        quality=95, subsampling="444",
+                    )
+                    for f in range(nf)
+                ]
+                out.append((str(k), avi_encode_mjpeg(frames, 16, 16, fps=8)))
+            yield pd.DataFrame(out, columns=["key", "content"])
+
+    blobs = base.mapInPandas(_gen, "key string, content binary")
+    return detect_scene_cuts(blobs, threshold_x100=2000).orderBy(
+        F.col("key").cast("long"), "frame_idx"
+    )
+
+
+def q_media_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation under the oracle (r9): audio with planted
+    loud/quiet/loud/quiet-tail structure, rotated across THREE decoders
+    (PCM16 WAV, G.711 mu-law WAV, FLAC — silence is exactly 0 through
+    all three), windows scored by integer mean square (no sqrt — the
+    design choice that makes the oracle exact) and merged into
+    half-open sample spans the generation rule predicts."""
+    import numpy as np
+    import pandas as pd
+
+    from storage_spark.functions.imagecodec import flac_encode, wav_encode
+    from storage_spark.operators.multimodal import detect_silence
+
+    t = _t(spark, sf_dir)
+    base = t["part"].select(
+        F.col("p_partkey").cast("long").alias("pk")
+    ).filter(F.col("pk") <= 70)
+
+    def _gen(it):
+        for pdf in it:
+            out = []
+            for k in pdf["pk"].to_numpy():
+                k = int(k)
+                a, b = 1 + k % 3, 1 + k % 2
+                c, d = 1, k % 2
+                x = np.concatenate([
+                    np.full(a * 100, 3000, dtype=np.int64),
+                    np.zeros(b * 100, dtype=np.int64),
+                    np.full(c * 100, -2500, dtype=np.int64),
+                    np.zeros(d * 100, dtype=np.int64),
+                ])
+                m = k % 3
+                if m == 0:
+                    blob = wav_encode(x, 8000, "pcm16")
+                elif m == 1:
+                    blob = wav_encode(x, 8000, "ulaw")
+                else:
+                    blob = flac_encode(x, 8000)
+                out.append((str(k), blob))
+            yield pd.DataFrame(out, columns=["key", "content"])
+
+    blobs = base.mapInPandas(_gen, "key string, content binary")
+    return detect_silence(
+        blobs, window=100, max_mean_square=1000
+    ).orderBy(F.col("key").cast("long"), "span_start")
+
+
 def q_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) sketches — the sketch family's resemblance half
     (Bar-Yossef et al. 2002 / Broder minwise): token-set sketches of
@@ -5741,6 +5834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_codecs": q_media_audio_codecs,
         "media_flac_roundtrip": q_media_flac_roundtrip,
         "media_webp_render": q_media_webp_render,
+        "media_scene_cuts": q_media_scene_cuts,
+        "media_silence_spans": q_media_silence_spans,
         # ---- r9 result-changed (re-record) ----
         "path_functions": q_path_functions,
         "multipart_complete": q_multipart_complete,
@@ -7634,6 +7729,46 @@ SELECT CAST(pk AS STRING) AS key,
        CAST(nf AS INT) AS n_frames,
        CAST(unnest(range(0, nf, 3)) AS INT) AS frame_idx
 FROM g ORDER BY pk, frame_idx
+"""),
+        "media_scene_cuts": _o("""
+, g AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         4 + p_partkey % 5 AS nf,
+         1 + p_partkey % (4 + p_partkey % 5 - 1) AS cut,
+         (40 + p_partkey % 50) AS delta
+  FROM part WHERE p_partkey <= 70
+),
+fr AS (
+  SELECT pk, nf, cut, delta, CAST(u.i AS INT) AS frame_idx
+  FROM g, LATERAL unnest(range(1, nf)) AS u(i)
+)
+SELECT CAST(pk AS STRING) AS key,
+       frame_idx,
+       CAST(CASE WHEN frame_idx = cut THEN delta * 100 ELSE 0 END
+            AS BIGINT) AS mad_x100,
+       (frame_idx = cut) AS is_cut
+FROM fr ORDER BY pk, frame_idx
+"""),
+        "media_silence_spans": _o("""
+, g AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         1 + p_partkey % 3 AS a,
+         1 + p_partkey % 2 AS b,
+         1 AS c,
+         p_partkey % 2 AS d
+  FROM part WHERE p_partkey <= 70
+)
+SELECT key, span_start, span_end FROM (
+  SELECT pk, CAST(pk AS STRING) AS key,
+         CAST(a * 100 AS BIGINT) AS span_start,
+         CAST((a + b) * 100 AS BIGINT) AS span_end
+  FROM g
+  UNION ALL
+  SELECT pk, CAST(pk AS STRING) AS key,
+         CAST((a + b + c) * 100 AS BIGINT) AS span_start,
+         CAST((a + b + c + d) * 100 AS BIGINT) AS span_end
+  FROM g WHERE d > 0
+) ORDER BY pk, span_start
 """),
         "media_webp_render": _o("""
 , g AS (

@@ -7,22 +7,21 @@ is: blobs as ``binary`` columns with a typed metadata struct, and
 decode/transform/feature steps as Arrow-batched ``mapInPandas`` stages so
 the Python media library only ever sees vectorized batches.
 
-Metadata decode is REAL for PNG, JPEG, and GIF: ``decode_image_meta``
-parses the PNG IHDR chunk and the JPEG SOF0/SOF2 frame headers with pure
-struct reads, and counts GIF image descriptors with a block-length walk
-(no Pillow needed — the container has no media libs; GIF's real n_frames
-is what makes ``frame_sample_plan`` exercisable on genuine bytes).
-Pixel-level work is REAL for PNG, **JPEG (baseline AND progressive), and
-GIF** as of round 9: ``functions.imagecodec.image_pixel_codec`` (pure
-zlib/struct/numpy — PNG filtered scanlines; JPEG Huffman entropy decode
-incl. SOF2 successive-approximation scans + IDCT + subsampled plane
-upsampling + JFIF YCbCr; GIF LZW with late width change;
-cover/contain/fill resize; re-encode) is ``transform_images``'s default
-codec, dispatching on magic bytes; PCM WAV metadata and features are
-likewise real (``imagecodec.wav_parse_meta``/``wav_features`` via the
-stdlib ``wave`` module). WebP/video transforms still require an external
-codec and raise honestly; the deterministic FAKE header remains as a
-test fixture format alongside the real ones.
+Metadata decode is REAL for PNG, JPEG, GIF, lossless WebP, MJPEG-in-AVI
+video, and WAV (PCM + G.711 + IMA ADPCM) / FLAC audio — all pure
+struct/bit walks, no media library. Pixel/sample-level work is REAL for
+the same set as of round 9: ``functions.imagecodec.image_pixel_codec``
+(PNG filtered scanlines; JPEG Huffman entropy decode incl. SOF2
+successive-approximation scans + IDCT + subsampled plane upsampling +
+JFIF YCbCr; GIF LZW with late width change; VP8L via
+``functions.webpcodec``; cover/contain/fill resize; re-encode) is
+``transform_images``'s default codec, dispatching on magic bytes; video
+frames decode through ``sample_video_frames``/``detect_scene_cuts``;
+audio through ``wav_decode_int``/``flac_decode`` into
+``audio_features``/``detect_silence``. Only PERCEPTUAL codecs (lossy
+WebP/VP8, mp3/ogg/opus, H.26x) still require an external library and
+raise honestly; the deterministic FAKE header remains as a test fixture
+format alongside the real ones.
 """
 
 from __future__ import annotations
@@ -538,3 +537,130 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=cols)
 
     return blobs.mapInPandas(_batches, FRAME_SCHEMA)
+
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("mad_x100", T.LongType()),
+        T.StructField("is_cut", T.BooleanType()),
+    ]
+)
+
+
+def detect_scene_cuts(
+    blobs: DataFrame,
+    threshold_x100: int = 3000,
+    key_col: str = "key",
+    content_col: str = "content",
+) -> DataFrame:
+    """Scene-change detection over MJPEG AVI: per consecutive frame
+    pair, the mean absolute pixel difference (×100, integer) and a cut
+    flag when it exceeds ``threshold_x100``. One row per frame index ≥
+    1. The classic shot-boundary baseline (frame-differencing) — the
+    stage a video training pipeline runs to pick representative frames
+    instead of a blind stride.
+
+    Map-only Arrow stage; a blob's frames decode once in stream order
+    (the RIFF walk yields payloads sequentially, only two frames held
+    at a time). Corrupt blobs yield no rows."""
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import avi_frame_bytes, jpeg_decode
+
+    def _rows(key: str, b) -> list[tuple]:
+        out = []
+        if b is None:
+            return out
+        try:
+            prev = None
+            for i, p in enumerate(avi_frame_bytes(bytes(b))):
+                cur = jpeg_decode(p).astype(np.int64)
+                if prev is not None and cur.shape == prev.shape:
+                    mad = int(np.round(np.abs(cur - prev).mean() * 100))
+                    out.append((key, i, mad, mad > threshold_x100))
+                prev = cur
+        except Exception:
+            return []
+        return out
+
+    cols = [f.name for f in SCENE_SCHEMA.fields]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[tuple] = []
+            for key, b in zip(pdf[key_col], pdf[content_col]):
+                rows.extend(_rows(key, b))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.mapInPandas(_batches, SCENE_SCHEMA)
+
+
+SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("span_start", T.LongType()),
+        T.StructField("span_end", T.LongType()),
+    ]
+)
+
+
+def detect_silence(
+    blobs: DataFrame,
+    window: int = 400,
+    max_mean_square: int = 1000,
+    key_col: str = "key",
+    content_col: str = "content",
+) -> DataFrame:
+    """Silence segmentation over decodable audio (PCM / G.711 / ADPCM
+    WAV, FLAC): split the int16-domain signal into fixed windows,
+    compute each window's integer MEAN SQUARE (``Σx²//n`` — mean square
+    rather than RMS on purpose: no sqrt, so an oracle replays it in
+    exact integer arithmetic), and merge consecutive quiet windows
+    (ms ≤ ``max_mean_square``) into half-open sample spans. The trim/
+    segment stage of an audio training pipeline.
+
+    Map-only Arrow stage; the trailing partial window is judged on its
+    own length. Undecodable blobs yield no rows."""
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import flac_decode, wav_decode_int
+
+    def _rows(key: str, b) -> list[tuple]:
+        out = []
+        if b is None:
+            return out
+        try:
+            bb = bytes(b)
+            if bb[:4] == b"fLaC":
+                _rate, x = flac_decode(bb)
+            else:
+                _rate, x = wav_decode_int(bb)
+        except Exception:
+            return []
+        n = len(x)
+        run_start = None
+        for w0 in range(0, n, window):
+            seg = x[w0 : w0 + window]
+            ms = int((seg * seg).sum()) // len(seg)
+            quiet = ms <= max_mean_square
+            if quiet and run_start is None:
+                run_start = w0
+            elif not quiet and run_start is not None:
+                out.append((key, run_start, w0))
+                run_start = None
+        if run_start is not None:
+            out.append((key, run_start, n))
+        return out
+
+    cols = [f.name for f in SILENCE_SCHEMA.fields]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[tuple] = []
+            for key, b in zip(pdf[key_col], pdf[content_col]):
+                rows.extend(_rows(key, b))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.mapInPandas(_batches, SILENCE_SCHEMA)

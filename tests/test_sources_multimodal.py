@@ -529,3 +529,55 @@ def test_sample_video_frames_skips_corrupt_and_validates(spark):
     assert sample_video_frames(df, 2).count() == 0
     with _pytest.raises(ValueError):
         sample_video_frames(df, 0)
+
+
+def test_detect_scene_cuts_flags_planted_boundary(spark):
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import avi_encode_mjpeg, jpeg_encode
+    from storage_spark.operators.multimodal import detect_scene_cuts
+
+    # 6 frames: three flat-10 "shots", then three flat-200 — one cut at 3
+    frames = [
+        jpeg_encode(np.full((16, 16, 3), 10 if f < 3 else 200, np.uint8),
+                    quality=95, subsampling="444")
+        for f in range(6)
+    ]
+    avi = avi_encode_mjpeg(frames, 16, 16, fps=10)
+    df = spark.createDataFrame(
+        [("v", bytearray(avi)), ("bad", bytearray(b"junk")), ("nul", None)],
+        "key string, content binary",
+    )
+    got = {r.frame_idx: r for r in
+           detect_scene_cuts(df, threshold_x100=3000).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[3].is_cut and got[3].mad_x100 == 19000  # |200-10| exact
+    assert not any(got[i].is_cut for i in (1, 2, 4, 5))
+    assert got[1].mad_x100 == 0
+
+
+def test_detect_silence_merges_quiet_windows(spark):
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import flac_encode, wav_encode
+    from storage_spark.operators.multimodal import detect_silence
+
+    # 2000 samples: loud / silent / loud / trailing partial silence
+    x = np.zeros(2000, dtype=np.int64)
+    x[:400] = 5000
+    x[800:1200] = -4000
+    wav = wav_encode(x, 8000, "pcm16")
+    flac = flac_encode(x, 8000)
+    df = spark.createDataFrame(
+        [("w", bytearray(wav)), ("f", bytearray(flac)),
+         ("bad", bytearray(b"nope"))],
+        "key string, content binary",
+    )
+    out = detect_silence(df, window=400, max_mean_square=1000)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.key, []).append((r.span_start, r.span_end))
+    # identical spans from the WAV and the FLAC (lossless) of one signal
+    assert sorted(got["w"]) == [(400, 800), (1200, 2000)]
+    assert got["f"] == got["w"]
+    assert "bad" not in got
