@@ -347,3 +347,144 @@ def compact_ingest_tables(
                 removed.append(ep)
         report[name] = {"epochs_removed": removed, "rows": n}
     return report
+
+
+LINE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("h", T.StringType()),
+        T.StructField("n_occ", T.IntegerType()),
+        T.StructField("first_doc", T.LongType()),
+        T.StructField("first_pos", T.IntegerType()),
+    ]
+)
+
+
+def line_scrub_ingest_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    accepted_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    normalize: bool = True,
+) -> None:
+    """One micro-batch tick of STREAMING line dedup (the CCNet scrub at
+    ingest): every line already seen in a PRIOR epoch vanishes from the
+    batch's docs (plus within-batch keep-first), rewritten docs land in
+    the corpus store, and the batch's own ``line_stats`` rows append to
+    the index so the NEXT batch scrubs against them too. The sixth
+    surface of the incremental family gets its streaming form, same
+    discipline as ``dedup_ingest_batch``: per-epoch dynamic partition
+    overwrite on BOTH sinks, replay rewrites its own partition
+    byte-for-byte, and a replayed epoch never probes its previous
+    partial write (own-epoch exclusion).
+
+    Unlike the near-dup gate there is no id-reuse hazard here — the
+    index keys are line hashes, not doc ids — so redelivered docs simply
+    scrub to the same bytes again (idempotent by the overwrite)."""
+    from pyspark.errors import AnalysisException
+
+    from storage_spark.operators.dedup import incremental_line_dedup
+
+    spark = batch.sparkSession
+    try:
+        index = spark.read.parquet(index_path)
+        if "epoch" in index.columns:
+            index = index.filter(F.col("epoch") != int(epoch_id))
+        index = index.select("h", "n_occ", "first_doc", "first_pos")
+    except AnalysisException as ex:
+        # first-epoch bootstrap only; any other read error must fail the
+        # batch (same policy as _read_index)
+        msg = str(ex)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        index = spark.createDataFrame([], LINE_STATS_SCHEMA)
+    out, bstats = incremental_line_dedup(
+        index, batch,
+        text_col=text_col, id_col=id_col, sep=sep, normalize=normalize,
+    )
+    out = out.localCheckpoint(eager=True)  # feeds one sink; stats re-derive
+    _overwrite_epoch(out, accepted_path, epoch_id)
+    _overwrite_epoch(bstats, index_path, epoch_id)
+
+
+def stream_line_scrub_ingest(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    normalize: bool = True,
+    trigger_available_now: bool = True,
+):
+    """Wire the line scrub into a streaming query (availableNow drain by
+    default, same as ``stream_dedup_ingest``)."""
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        line_scrub_ingest_batch(
+            batch, epoch_id, index_path, accepted_path,
+            id_col=id_col, text_col=text_col, sep=sep, normalize=normalize,
+        )
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_line_stats_table(
+    spark: SparkSession,
+    index_path: str,
+    before_epoch: int,
+    compacted_epoch: int = -1,
+) -> int:
+    """Consolidate per-epoch line-stats partitions through
+    ``dedup.merge_line_stats`` — NOT row-preserving like
+    ``compact_ingest_tables`` (stats rows MERGE: capped counts saturate,
+    firsts take the global min), but scrub-preserving: the kept/dropped
+    decision for any future batch depends only on hash MEMBERSHIP, which
+    the merge preserves exactly (asserted in tests). Epochs at or above
+    ``before_epoch`` keep their own partitions so their replays stay
+    idempotent — only the no-longer-replayable tail merges. Same motion
+    as ``compact_ingest_tables``: write the consolidated partition
+    first, then remove the old epoch directories; a crash in between
+    leaves hash duplicates that only saturate counts (never flip a
+    membership probe), and re-running heals because merge_line_stats is
+    idempotent over its own output. Returns the number of stats rows
+    consolidated."""
+    import os
+    import shutil
+
+    from storage_spark.operators.dedup import merge_line_stats
+
+    if compacted_epoch >= 0:
+        raise ValueError(
+            "compacted_epoch must be negative (real epochs are >= 0), "
+            f"got {compacted_epoch}"
+        )
+    df = spark.read.parquet(index_path)
+    if "epoch" not in df.columns:
+        raise ValueError(f"{index_path} is not epoch-partitioned")
+    has_real_old = (
+        df.filter(
+            (F.col("epoch") >= 0) & (F.col("epoch") < before_epoch)
+        ).limit(1).count()
+    )
+    if not has_real_old:
+        return 0  # nothing newly compactable: re-run is a no-op
+    old = df.filter(F.col("epoch") < before_epoch).drop("epoch")
+    merged = merge_line_stats(old).localCheckpoint(eager=True)
+    n = merged.count()
+    _overwrite_epoch(merged, index_path, compacted_epoch)
+    for entry in sorted(os.listdir(index_path)):
+        if not entry.startswith("epoch="):
+            continue
+        ep = int(entry.split("=", 1)[1])
+        if 0 <= ep < before_epoch:
+            shutil.rmtree(os.path.join(index_path, entry))
+    return n

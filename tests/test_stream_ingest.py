@@ -247,3 +247,122 @@ def test_compact_crash_leftover_heals_without_duplicates(spark, tmp_path):
     compact_ingest_tables(spark, idx, acc, before_epoch=2)
     assert sorted(map(tuple, spark.read.parquet(acc).drop("epoch").collect())) == acc_rows
     assert sorted(map(tuple, spark.read.parquet(idx).drop("epoch").collect())) == idx_rows
+
+
+# ---------------------------------------------------------------------------
+# streaming line scrub (line_scrub_ingest_batch / compact_line_stats_table)
+# ---------------------------------------------------------------------------
+
+LINE_DOCS = [
+    # batch 0: doc 0 plants the boilerplate lines
+    (0, "Home\nFirst original body\nContact"),
+    (1, "Second original body\nHome"),
+    # batch 1: boilerplate from batch 0 must vanish
+    (10, "Home\nThird body\nContact"),
+    (11, "Fourth body"),
+    # batch 2: lines from batches 0 AND 1 scrub
+    (20, "Contact\nSecond original body\nFifth body"),
+]
+_BATCHES = [
+    [d for d in LINE_DOCS if d[0] < 10],
+    [d for d in LINE_DOCS if 10 <= d[0] < 20],
+    [d for d in LINE_DOCS if d[0] >= 20],
+]
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _accepted_texts(spark, path):
+    return {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(path).select("doc_id", "text").collect()
+    }
+
+
+def test_line_scrub_ticks_and_forward_equivalence(spark, tmp_path):
+    from storage_spark.operators.dedup import line_dedup
+    from storage_spark.streaming.ingest import line_scrub_ingest_batch
+
+    idx = str(tmp_path / "lidx")
+    acc = str(tmp_path / "lacc")
+    for ep, rows in enumerate(_BATCHES):
+        line_scrub_ingest_batch(_mkdf(spark, rows), ep, idx, acc)
+    got = _accepted_texts(spark, acc)
+    assert got[0] == "Home\nFirst original body\nContact"
+    assert got[1] == "Second original body"          # Home seen in epoch 0
+    assert got[10] == "Third body"                    # both boilerplate gone
+    assert got[11] == "Fourth body"
+    assert got[20] == "Fifth body"                    # epoch-0 AND epoch-1 lines
+    # forward-only contract: stream result == one-shot keep-first
+    full = {
+        r.doc_id: r.text
+        for r in line_dedup(_mkdf(spark, LINE_DOCS)).collect()
+    }
+    assert got == full
+
+
+def test_line_scrub_replay_is_idempotent(spark, tmp_path):
+    from storage_spark.streaming.ingest import line_scrub_ingest_batch
+
+    idx = str(tmp_path / "lidx2")
+    acc = str(tmp_path / "lacc2")
+    for ep, rows in enumerate(_BATCHES):
+        line_scrub_ingest_batch(_mkdf(spark, rows), ep, idx, acc)
+    before = _accepted_texts(spark, acc)
+    # replay epoch 1: own-epoch exclusion + per-epoch overwrite
+    line_scrub_ingest_batch(_mkdf(spark, _BATCHES[1]), 1, idx, acc)
+    assert _accepted_texts(spark, acc) == before
+
+
+def test_line_scrub_stream_wrapper_drains(spark, tmp_path):
+    from storage_spark.streaming.ingest import stream_line_scrub_ingest
+
+    src = str(tmp_path / "src")
+    _mkdf(spark, LINE_DOCS).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_line_scrub_ingest(
+        stream, str(tmp_path / "sidx"), str(tmp_path / "sacc"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = _accepted_texts(spark, str(tmp_path / "sacc"))
+    # one batch (availableNow over one parquet dir) == plain keep-first
+    from storage_spark.operators.dedup import line_dedup
+
+    full = {
+        r.doc_id: r.text
+        for r in line_dedup(_mkdf(spark, LINE_DOCS)).collect()
+    }
+    assert got == full
+
+
+def test_compact_line_stats_preserves_scrub_decisions(spark, tmp_path):
+    from storage_spark.streaming.ingest import (
+        compact_line_stats_table,
+        line_scrub_ingest_batch,
+    )
+
+    idx = str(tmp_path / "lidx3")
+    acc = str(tmp_path / "lacc3")
+    for ep, rows in enumerate(_BATCHES[:2]):
+        line_scrub_ingest_batch(_mkdf(spark, rows), ep, idx, acc)
+    n = compact_line_stats_table(spark, idx, before_epoch=2)
+    assert n > 0
+    # epoch dirs 0/1 gone, compacted partition present
+    import os
+
+    eps = sorted(e for e in os.listdir(idx) if e.startswith("epoch="))
+    assert eps == ["epoch=-1"]
+    # the NEXT batch scrubs identically against the compacted index
+    line_scrub_ingest_batch(_mkdf(spark, _BATCHES[2]), 2, idx, acc)
+    got = _accepted_texts(spark, acc)
+    assert got[20] == "Fifth body"
+    # re-running compaction over the same boundary is a no-op
+    assert compact_line_stats_table(spark, idx, before_epoch=2) == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_line_stats_table(spark, idx, before_epoch=3,
+                                 compacted_epoch=5)
