@@ -3958,6 +3958,18 @@ def q_line_dedup_dropall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate signal over the derived 5-word lines: the
+    exact integer fraction of lines appearing in ≥2 distinct docs
+    corpus-wide — the quality FEATURE next to line_dedup's rewrite.
+    Oracle replays the capped distinct-doc count and the integral
+    ratio."""
+    from storage_spark.operators.dedup import boilerplate_ratio
+
+    t = _t(spark, sf_dir)
+    return boilerplate_ratio(_docs_with_lines(t)).orderBy("doc_id")
+
+
 def q_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental line dedup (r9): docs ≥ 300 arrive as a batch probing
     a line_stats index built from docs < 300 — ONE anti-join against the
@@ -5818,6 +5830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "line_dedup_dropall": q_line_dedup_dropall,
         "line_dedup_incremental": q_line_dedup_incremental,
+        "boilerplate_ratio": q_boilerplate_ratio,
         "substring_dedup_spans": q_substring_dedup_spans,
         "substring_dedup_strip": q_substring_dedup_strip,
         "substring_dedup_incremental": q_substring_dedup_incremental,
@@ -8002,6 +8015,35 @@ FROM t2 ORDER BY doc_id
     FROM norm
   ) WHERE c = 1
 """)),
+        "boilerplate_ratio": _o("""
+, toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lines AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         array_to_string(t[CAST(u.i*5+1 AS INT):CAST(u.i*5+5 AS INT)], ' ')
+           AS line
+  FROM toks, LATERAL unnest(range(0, (len(t) + 4) // 5)) AS u(i)
+),
+norm AS (
+  SELECT doc_id, pos,
+         regexp_replace(lower(trim(line)), '[0-9]', '0', 'g') AS nl
+  FROM lines
+),
+dup AS (
+  SELECT nl FROM norm GROUP BY nl HAVING count(DISTINCT doc_id) >= 2
+),
+fl AS (
+  SELECT doc_id, count(*) AS nb FROM norm
+  WHERE nl IN (SELECT nl FROM dup) GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS nlns FROM norm GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.nlns AS BIGINT) AS n_lines,
+       CAST(coalesce(f.nb, 0) AS BIGINT) AS n_boilerplate,
+       CAST((coalesce(f.nb, 0) * 10000) // t.nlns AS BIGINT)
+         AS ratio_x10000
+FROM tot t LEFT JOIN fl f USING (doc_id)
+ORDER BY t.doc_id
+"""),
         "line_dedup_incremental": _o("""
 , toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 lines AS (

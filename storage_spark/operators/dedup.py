@@ -1980,3 +1980,47 @@ def incremental_line_dedup(
         .alias("n_lines_removed"),
     )
     return out, line_stats(batch, text_col, id_col, sep, normalize)
+
+
+def boilerplate_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    normalize: bool = True,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc boilerplate SIGNAL (the RefinedWeb/CCNet-style quality
+    feature, as a score rather than a rewrite): the fraction of a doc's
+    lines whose normalized form appears in ≥ ``min_docs`` DISTINCT docs
+    corpus-wide, as an exact integer ratio ``(doc_id, n_lines,
+    n_boilerplate, ratio_x10000)``. Filters gate on it; ``line_dedup``
+    is the rewrite for what survives.
+
+    Same scale shape as line_dedup: the per-hash distinct-doc count is
+    one map-side-combined groupBy (capped at min_docs — saturating
+    early keeps the combiner effective on Zipf-head lines), then one
+    equi-join back on the hash and a per-doc count. No window."""
+    lines = _doc_lines(df, text_col, id_col, sep, normalize)
+    dup = (
+        lines.select("h", "doc_id").groupBy("h")
+        .agg(F.least(F.count_distinct("doc_id"), F.lit(min_docs)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    flagged = lines.join(dup, "h", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nl"))
+    return (
+        totals.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_nl").cast("long").alias("n_lines"),
+            F.coalesce(F.col("_nb"), F.lit(0)).cast("long")
+            .alias("n_boilerplate"),
+            F.expr(
+                "CAST((coalesce(_nb, 0) * 10000) DIV _nl AS BIGINT)"
+            ).alias("ratio_x10000"),
+        )
+    )

@@ -374,3 +374,26 @@ def test_kmv_sketch_estimate_and_resemblance(spark):
     )
     es = kmv_estimate(kmv_sketch(small)).collect()[0]
     assert (es.n_hashes, es.est) == (100, 100)
+
+
+def test_boilerplate_ratio_exact_fractions(spark):
+    from storage_spark.operators.dedup import boilerplate_ratio
+
+    rows = [
+        (1, "Home\nUnique one\nContact"),
+        (2, "Home\nUnique two\nContact"),
+        (3, "All original\nNothing shared"),
+        (4, "home"),  # normalization: ≡ Home → boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in boilerplate_ratio(df).collect()}
+    assert (got[1].n_lines, got[1].n_boilerplate) == (3, 2)
+    assert got[1].ratio_x10000 == 6666  # integral DIV, not rounding
+    assert got[3].n_boilerplate == 0 and got[3].ratio_x10000 == 0
+    assert got[4].ratio_x10000 == 10000
+    # within-doc repeats alone are NOT boilerplate (distinct-doc count)
+    solo = spark.createDataFrame(
+        [(9, "same\nsame\nsame")], "doc_id long, text string"
+    )
+    r9 = boilerplate_ratio(solo).collect()[0]
+    assert r9.n_boilerplate == 0
