@@ -3374,6 +3374,63 @@ def q_media_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("key").cast("long"), "span_start")
 
 
+def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scores (Kneser & Ney 1995) under
+    the oracle: rational discount 3/4 makes every interpolated
+    probability one integer ratio, and the milli-bit qlog2 quantization
+    (Mitchell) keeps libm out — so the oracle replays the continuation-
+    count fit AND every doc's summed score exactly."""
+    from storage_spark.operators.pipeline import kn_bigram_score
+
+    t = _t(spark, sf_dir)
+    return kn_bigram_score(t["documents"]).orderBy("doc_id")
+
+
+def _oracle_kn_bigram() -> str:
+    qlog = (
+        "((length(bin(CAST({c} AS BIGINT))) - 1) * 1000"
+        " + CAST(floor(((CAST({c} AS DOUBLE)"
+        " / power(2, length(bin(CAST({c} AS BIGINT))) - 1)) - 1.0)"
+        " * 1000) AS BIGINT))"
+    )
+    return _o(f"""
+, toksd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+prs AS (
+  SELECT doc_id, tk[CAST(u.i AS INT)] AS prev,
+         tk[CAST(u.i AS INT) + 1] AS tok
+  FROM toksd, LATERAL unnest(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2
+),
+big AS (SELECT prev, tok, count(*) AS c FROM prs GROUP BY 1, 2),
+ctx AS (
+  SELECT prev, sum(c) AS cprev, count(*) AS n1_prev FROM big GROUP BY 1
+),
+cont AS (SELECT tok, count(*) AS n1_cont FROM big GROUP BY 1),
+tot AS (
+  SELECT (SELECT count(*) FROM big) AS t,
+         (SELECT count(DISTINCT w) FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          )) AS v
+),
+sc AS (
+  SELECT p.doc_id,
+         greatest(4 * b.c - 3, 0) * (t.t + t.v)
+           + 3 * x.n1_prev * (n.n1_cont + 1) AS num,
+         4 * CAST(x.cprev AS BIGINT) * (t.t + t.v) AS den
+  FROM prs p
+  JOIN big b ON b.prev = p.prev AND b.tok = p.tok
+  JOIN ctx x ON x.prev = p.prev
+  JOIN cont n ON n.tok = p.tok
+  CROSS JOIN tot t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum({qlog.format(c='num')} - {qlog.format(c='den')})
+            AS BIGINT) AS score_milli
+FROM sc GROUP BY doc_id ORDER BY doc_id
+""")
+
+
 def q_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) sketches — the sketch family's resemblance half
     (Bar-Yossef et al. 2002 / Broder minwise): token-set sketches of
@@ -5827,6 +5884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "unigram_tokenize": q_unigram_tokenize,
         "kmv_resemblance": q_kmv_resemblance,
+        "kn_bigram": q_kn_bigram,
         "line_dedup": q_line_dedup,
         "line_dedup_dropall": q_line_dedup_dropall,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -7973,6 +8031,7 @@ FROM sc ORDER BY pk
         "hll_distinct_tokens": _oracle_hll_distinct_tokens(),
         "unigram_tokenize": _oracle_unigram_tokenize(400, 4, 8),
         "kmv_resemblance": _oracle_kmv_resemblance(256),
+        "kn_bigram": _oracle_kn_bigram(),
         "text_normalize": _o("""
 , t2 AS (
   SELECT doc_id, text ||

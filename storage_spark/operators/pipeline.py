@@ -2118,3 +2118,106 @@ def perplexity_buckets(
     return s.crossJoin(F.broadcast(thr)).select(
         id_col, "n_tokens", "nll_1e4", label
     )
+
+
+def kn_bigram_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount_x4: int = 3,
+) -> DataFrame:
+    """Per-doc interpolated Kneser-Ney bigram score (Kneser & Ney 1995;
+    Chen & Goodman 1999's interpolated form) — THE canonical n-gram
+    smoothing, next to the add-a ``bigram_logprob``. KN's insight is
+    the continuation count: a token's backoff mass comes from how many
+    DISTINCT contexts it follows ("Francisco" is frequent but follows
+    almost only "San" — KN backs it off hard; add-a can't).
+
+    Engine-portable by construction: the discount is the rational
+    ``discount_x4/4`` (default 3/4, the textbook value), so every
+    interpolated probability is ONE integer ratio::
+
+        p(tok|prev) = [max(4c-3,0)·(T+V) + 3·N1(prev,·)·(N1(·,tok)+1)]
+                      / [4·c(prev)·(T+V)]
+
+    (T = distinct bigram types, V = vocab size; the +1/+V Laplace floor
+    on the continuation distribution covers tokens that never occur in
+    second position — documented deviation, needed for a total score).
+    The score is Σ qlog2(num) − qlog2(den) in MILLI-BITS via Mitchell's
+    approximation (``bpe._qlog2_milli`` — bit length + one IEEE divide,
+    no libm), so a SQL oracle replays the fit AND every doc's score
+    exactly. First tokens are unscored (pairs only), matching the
+    "adjacent pairs" contract; docs with < 2 tokens emit no row.
+
+    Scale shape: one explode + three model equi-joins (pair, context,
+    continuation) + a 1-row totals cross — the bigram_logprob plan with
+    KN's extra distinct-count aggregations, all map-side combinable.
+    """
+    from storage_spark.functions.bpe import _qlog2_milli
+
+    if not (1 <= discount_x4 <= 3):
+        raise ValueError("discount_x4 must be in [1, 3] (D = x/4 ∈ (0,1))")
+    toks = F.split(F.col(text_col), " ")
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.zip_with(
+                        F.slice(toks, 1, F.size(toks) - 1),
+                        F.slice(toks, 2, F.size(toks) - 1),
+                        lambda a, b: F.struct(
+                            a.alias("prev"), b.alias("tok")
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<prev:string,tok:string>>"
+                )),
+            ).alias("pos", "pr"),
+        )
+        .select("doc_id", "pos", "pr.prev", "pr.tok")
+    )
+    big = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ctx = big.groupBy("prev").agg(
+        F.sum("c").alias("cprev"),
+        F.count(F.lit(1)).alias("n1_prev"),  # distinct followers
+    )
+    cont = big.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n1_cont")   # distinct predecessors
+    )
+    vocab = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).agg(F.count_distinct("w").alias("v"))
+    totals = big.agg(F.count(F.lit(1)).alias("t")).crossJoin(
+        F.broadcast(vocab)
+    )
+
+    d4 = int(discount_x4)
+    scored = (
+        pairs.join(F.broadcast(big), ["prev", "tok"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .join(F.broadcast(cont), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    tv = F.col("t") + F.col("v")
+    num = (
+        F.greatest(
+            F.lit(4) * F.coalesce(F.col("c"), F.lit(0)) - F.lit(d4),
+            F.lit(0),
+        ) * tv
+        + F.lit(d4) * F.coalesce(F.col("n1_prev"), F.lit(0))
+        * (F.coalesce(F.col("n1_cont"), F.lit(0)) + F.lit(1))
+    )
+    den = F.lit(4) * F.coalesce(F.col("cprev"), F.lit(0)) * tv
+    # prev unseen cannot happen when scoring the fitted corpus (every
+    # pair was counted); a zero num/den would be a fit bug — keep the
+    # division total by construction and let tests pin it
+    lp = _qlog2_milli(num) - _qlog2_milli(den)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(lp).cast("long").alias("score_milli"),
+        )
+    )

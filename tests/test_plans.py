@@ -140,6 +140,9 @@ _BNLJ_ALLOWED = {
     # chain of 1-row scalar combines (resemblance, two estimates, exact
     # intersection/union counts); the sketches are bounded TakeOrdereds
     "kmv_resemblance",
+    # 1-row (T, V) totals crossJoin onto the scored pairs — the
+    # unigram/bigram_logprob class; model joins are equi-joins
+    "kn_bigram",
 }
 
 

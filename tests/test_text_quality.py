@@ -973,3 +973,67 @@ def test_clean_whitespace_policy(spark):
     assert got[3] == "efg"
     assert got[4] == "lead\ntrail\n\nnext"
     assert got[5] == "keep\n\nme"
+
+
+def test_kn_bigram_matches_hand_rational_math(spark):
+    from fractions import Fraction
+    import math
+
+    from storage_spark.operators.pipeline import kn_bigram_score
+
+    rows = [(1, "a b a b"), (2, "a c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in kn_bigram_score(df).collect()}
+
+    # hand fit: bigrams (a,b)x2, (b,a)x1, (a,c)x1 → T=3 types; V=3
+    # ctx: a: cprev=3, n1=2; b: cprev=1, n1=1
+    # cont: b: 1, a: 1, c: 1
+    def qlog(c):
+        bl = c.bit_length()
+        return (bl - 1) * 1000 + math.floor((c / (1 << (bl - 1)) - 1) * 1000)
+
+    def p(c, cprev, n1p, n1c, T=3, V=3):
+        num = max(4 * c - 3, 0) * (T + V) + 3 * n1p * (n1c + 1)
+        den = 4 * cprev * (T + V)
+        return qlog(num) - qlog(den), Fraction(num, den)
+
+    lp_ab, f_ab = p(2, 3, 2, 1)   # a→b
+    lp_ba, f_ba = p(1, 1, 1, 1)   # b→a
+    lp_ac, f_ac = p(1, 3, 2, 1)   # a→c
+    assert got[1].n_bigrams == 3
+    assert got[1].score_milli == 2 * lp_ab + lp_ba
+    assert got[2].score_milli == lp_ac
+    # probabilities are genuine (0,1] rationals and a→b (seen twice)
+    # beats a→c (seen once) in the same context
+    assert 0 < f_ac < f_ab <= 1 and 0 < f_ba <= 1
+
+
+def test_kn_continuation_penalizes_single_context_tokens(spark):
+    from storage_spark.operators.pipeline import kn_bigram_score
+
+    # 'francisco' always follows 'san'; 'road' follows many contexts.
+    base = [
+        (i, "san francisco " + w + " road")
+        for i, w in enumerate(["old", "new", "long", "main"])
+    ]
+    # two probe docs, both with ONE unseen-pair bigram whose tok differs:
+    # c=0 → score is pure continuation: road (4 contexts) must beat
+    # francisco (1 context)
+    probe = [(100, "old francisco"), (101, "new road")]
+    df = spark.createDataFrame(base + probe, "doc_id long, text string")
+    got = {r.doc_id: r.score_milli for r in kn_bigram_score(df).collect()}
+    assert got[101] > got[100]  # higher (less negative) = more fluent
+
+
+def test_kn_rejects_bad_discount_and_short_docs(spark):
+    import pytest as _pytest
+
+    from storage_spark.operators.pipeline import kn_bigram_score
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "solo"), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id for r in kn_bigram_score(df).collect()}
+    assert out == {1}  # <2-token docs emit no row
+    with _pytest.raises(ValueError):
+        kn_bigram_score(df, discount_x4=4)
