@@ -3374,6 +3374,96 @@ def q_media_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("key").cast("long"), "span_start")
 
 
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (dHash + banded Hamming join — the
+    LAION-style image dedup stage) under the oracle: PNGs are built
+    from a 27×16 gray pixel rule in 20 groups of 3 variants (variants
+    perturb ONE SAMPLED source pixel), hashed by the real decode →
+    luma → pixel-center 9×8 resize → gradient-bit pipeline, and paired
+    by Hamming ≤ 3 via the 4-band pigeonhole join. The oracle replays
+    the ENTIRE hash from the generation rule (27/9 and 16/8 make the
+    sampling grid exact integers: sx=3x+1, sy=2y+1) and takes exact
+    all-pairs ≤ 3 — so the row ALSO proves the banded join's recall
+    guarantee."""
+    import numpy as np
+    import pandas as pd
+
+    from storage_spark.functions.imagecodec import png_encode
+    from storage_spark.operators.multimodal import (
+        dhash_images,
+        dhash_near_pairs,
+    )
+
+    t = _t(spark, sf_dir)
+    base = t["part"].select(
+        F.col("p_partkey").cast("long").alias("pk")
+    ).filter(F.col("pk") <= 59)
+
+    def _gen(it):
+        for pdf in it:
+            out = []
+            for k in pdf["pk"].to_numpy():
+                k = int(k)
+                g, m = k // 3, k % 3
+                yy, xx = np.mgrid[0:16, 0:27]
+                v = (g * 37 + xx * 7 + yy * 13) % 256
+                if m:
+                    v = v.copy()
+                    v[2 * m + 1, 3 * m + 1] = (v[2 * m + 1, 3 * m + 1]
+                                               + 128) % 256
+                img = np.stack([v, v, v], axis=2).astype(np.uint8)
+                out.append((str(k), png_encode(img)))
+            yield pd.DataFrame(out, columns=["key", "content"])
+
+    blobs = base.mapInPandas(_gen, "key string, content binary")
+    return dhash_near_pairs(dhash_images(blobs), max_hamming=3).orderBy(
+        "key_a", "key_b"
+    )
+
+
+def _oracle_image_dhash_pairs() -> str:
+    return _o("""
+, ks AS (
+  SELECT CAST(p_partkey AS BIGINT) AS k,
+         p_partkey // 3 AS g, CAST(p_partkey % 3 AS INT) AS m
+  FROM part WHERE p_partkey <= 59
+),
+-- sampled 9x8 luma grid: source pixel (sx, sy) = (3x+1, 2y+1)
+px AS (
+  SELECT k,
+         CAST(ux.x AS INT) AS x, CAST(uy.y AS INT) AS y,
+         CASE WHEN m > 0 AND (3 * CAST(ux.x AS INT) + 1) = 3 * m + 1
+                   AND (2 * CAST(uy.y AS INT) + 1) = 2 * m + 1
+              THEN (g * 37 + (3 * ux.x + 1) * 7 + (2 * uy.y + 1) * 13
+                    + 128) % 256
+              ELSE (g * 37 + (3 * ux.x + 1) * 7 + (2 * uy.y + 1) * 13)
+                    % 256
+         END AS v
+  FROM ks,
+       LATERAL unnest(range(0, 9)) AS ux(x),
+       LATERAL unnest(range(0, 8)) AS uy(y)
+),
+bits AS (
+  SELECT a.k, a.y, a.x AS bx,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px b ON b.k = a.k AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+bitpos AS (SELECT k, y * 8 + bx AS pos, bit FROM bits),
+pairs AS (
+  SELECT CAST(a.k AS STRING) AS key_a, CAST(b.k AS STRING) AS key_b,
+         CAST(sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS INT)
+           AS hamming
+  FROM bitpos a JOIN bitpos b
+    ON a.pos = b.pos AND CAST(a.k AS STRING) < CAST(b.k AS STRING)
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b, hamming FROM pairs
+WHERE hamming <= 3
+ORDER BY key_a, key_b
+""")
+
+
 def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scores (Kneser & Ney 1995) under
     the oracle: rational discount 3/4 makes every interpolated
@@ -5885,6 +5975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenize": q_unigram_tokenize,
         "kmv_resemblance": q_kmv_resemblance,
         "kn_bigram": q_kn_bigram,
+        "image_dhash_pairs": q_image_dhash_pairs,
         "line_dedup": q_line_dedup,
         "line_dedup_dropall": q_line_dedup_dropall,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -8032,6 +8123,7 @@ FROM sc ORDER BY pk
         "unigram_tokenize": _oracle_unigram_tokenize(400, 4, 8),
         "kmv_resemblance": _oracle_kmv_resemblance(256),
         "kn_bigram": _oracle_kn_bigram(),
+        "image_dhash_pairs": _oracle_image_dhash_pairs(),
         "text_normalize": _o("""
 , t2 AS (
   SELECT doc_id, text ||

@@ -664,3 +664,133 @@ def detect_silence(
             yield pd.DataFrame(rows, columns=cols)
 
     return blobs.mapInPandas(_batches, SILENCE_SCHEMA)
+
+
+def image_decode_rgb(b: bytes):
+    """Decode any supported still image (PNG / JPEG / GIF frame 0 /
+    lossless WebP) to an RGB uint8 array — the shared entry the
+    perceptual-hash and feature stages use."""
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import (
+        gif_decode,
+        jpeg_decode,
+        png_decode,
+    )
+
+    b = bytes(b)
+    if b.startswith(_PNG_MAGIC):
+        a = png_decode(b)
+    elif b[:2] == b"\xff\xd8":
+        a = jpeg_decode(b)
+    elif b[:6] in (b"GIF87a", b"GIF89a"):
+        a = gif_decode(b, 0)
+    elif len(b) >= 12 and b[0:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from storage_spark.functions.webpcodec import webp_decode
+
+        a = webp_decode(b)[:, :, :3]
+    else:
+        raise NotImplementedError("unsupported image format for decode")
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=2)
+    if a.shape[2] == 1:
+        a = np.repeat(a, 3, axis=2)
+    return a[:, :, :3]
+
+
+def dhash_bits(b: bytes) -> str:
+    """Perceptual difference hash (dHash): decode → integer luma
+    ``(299r+587g+114b)//1000`` → pixel-center nearest resize to 9×8 →
+    64 row-wise gradient bits ``p[y][x+1] > p[y][x]``, returned as a
+    64-char '0'/'1' string (row-major — the form a SQL oracle compares
+    position-wise; pack to hex driver-side if storing). Every step is
+    integer math, so identical bytes hash identically in any engine."""
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import _resize_nearest
+
+    a = image_decode_rgb(b).astype(np.int64)
+    gray = (a[:, :, 0] * 299 + a[:, :, 1] * 587 + a[:, :, 2] * 114) // 1000
+    g = _resize_nearest(gray, 9, 8)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8)
+    return "".join("1" if v else "0" for v in bits.reshape(-1))
+
+
+def dhash_images(
+    blobs: DataFrame,
+    key_col: str = "key",
+    content_col: str = "content",
+) -> DataFrame:
+    """Arrow map-only perceptual-hash stage: ``(key, dhash)`` with the
+    64-bit dHash as a bit string. Undecodable blobs yield no rows."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for key, b in zip(pdf[key_col], pdf[content_col]):
+                if b is None:
+                    continue
+                try:
+                    rows.append((key, dhash_bits(bytes(b))))
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=["key", "dhash"])
+
+    return blobs.mapInPandas(_batches, "key string, dhash string")
+
+
+def dhash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs by dHash Hamming distance — the LAION-style
+    image dedup stage, banded exactly like SimHash: the 64 bits split
+    into 4 bands of 16; any pair within ``max_hamming`` ≤ 3 shares at
+    least one band VERBATIM (pigeonhole), so candidates come from 4
+    equi-joins on band values, never a cross product. Exact Hamming
+    verification on candidates via two 32-bit ``bit_count(xor)`` halves
+    (a 64-bit conv would overflow signed bigint). Output:
+    ``(key_a, key_b, hamming)`` with key_a < key_b."""
+    if not (0 <= max_hamming <= 3):
+        raise ValueError("banded recall guarantee holds for max_hamming <= 3")
+    bands = hashes.select(
+        "key", "dhash",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{i}:"),
+                         F.substring("dhash", i * 16 + 1, 16))
+                for i in range(4)
+            ])
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("key").alias("key_a"), F.col("dhash").alias("h_a"), "band"
+    )
+    b = bands.select(
+        F.col("key").alias("key_b"), F.col("dhash").alias("h_b"), "band"
+    )
+    cand = (
+        a.join(b, "band")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(
+            F.conv(F.substring("h_a", 1, 32), 2, 10).cast("bigint")
+            .bitwiseXOR(
+                F.conv(F.substring("h_b", 1, 32), 2, 10).cast("bigint")
+            )
+        )
+        + F.bit_count(
+            F.conv(F.substring("h_a", 33, 32), 2, 10).cast("bigint")
+            .bitwiseXOR(
+                F.conv(F.substring("h_b", 33, 32), 2, 10).cast("bigint")
+            )
+        )
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )

@@ -581,3 +581,59 @@ def test_detect_silence_merges_quiet_windows(spark):
     assert sorted(got["w"]) == [(400, 800), (1200, 2000)]
     assert got["f"] == got["w"]
     assert "bad" not in got
+
+
+def test_dhash_and_banded_pairs_match_python_replay(spark):
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import (
+        jpeg_encode,
+        png_encode,
+    )
+    from storage_spark.functions.webpcodec import webp_encode
+    from storage_spark.operators.multimodal import (
+        dhash_bits,
+        dhash_images,
+        dhash_near_pairs,
+    )
+
+    # same pixels, three containers: PNG and WebP are lossless → equal
+    # hashes; q95 JPEG of a smooth gradient → within a couple of bits
+    yy, xx = np.mgrid[0:16, 0:27]
+    v = ((xx * 9 + yy * 5) % 256).astype(np.uint8)
+    img = np.stack([v, v, v], axis=2)
+    h_png = dhash_bits(png_encode(img))
+    h_webp = dhash_bits(webp_encode(img))
+    h_jpeg = dhash_bits(jpeg_encode(img, quality=95, subsampling="444"))
+    assert h_png == h_webp and len(h_png) == 64
+    assert sum(a != b for a, b in zip(h_png, h_jpeg)) <= 3
+
+    # python replay of the full hash from raw pixels
+    gray = v.astype(np.int64)
+    ys = [int((y + 0.5) * 16 / 8) for y in range(8)]
+    xs = [int((x + 0.5) * 27 / 9) for x in range(9)]
+    g = gray[np.ix_(ys, xs)]
+    exp = "".join(
+        "1" if g[y][x + 1] > g[y][x] else "0"
+        for y in range(8) for x in range(8)
+    )
+    assert h_png == exp
+
+    # banded pairs: perturbed copy within 3 bits pairs up; an unrelated
+    # image does not; corrupt rows drop silently
+    v2 = v.copy()
+    v2[3, 4] = (int(v2[3, 4]) + 128) % 256
+    other = ((xx * 31 + yy * 17 + 90) % 256).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(png_encode(img))),
+            ("b", bytearray(png_encode(np.stack([v2] * 3, axis=2)))),
+            ("z", bytearray(png_encode(np.stack([other] * 3, axis=2)))),
+            ("bad", bytearray(b"junk")),
+        ],
+        "key string, content binary",
+    )
+    pairs = {(r.key_a, r.key_b): r.hamming
+             for r in dhash_near_pairs(dhash_images(df), 3).collect()}
+    assert ("a", "b") in pairs and pairs[("a", "b")] <= 3
+    assert not any("z" in p for p in pairs)
