@@ -3464,6 +3464,94 @@ ORDER BY key_a, key_b
 """)
 
 
+def q_audio_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup (energy-gradient fingerprint + banded Hamming
+    join) under the oracle: 20 groups × 3 variants of a deterministic
+    integer signal (variants zero a 50-sample run — denting exactly one
+    energy window), alternating PCM16 WAV and FLAC containers (both
+    lossless, so the oracle's rule-side replay is sample-exact). The
+    fingerprint is 32 integer mean-square gradient bits; the oracle
+    recomputes every window, every bit, and exact all-pairs ≤ 3 —
+    proving the 4-band pigeonhole join's recall, the audio analogue of
+    image_dhash_pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from storage_spark.functions.imagecodec import flac_encode, wav_encode
+    from storage_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_pairs,
+    )
+
+    t = _t(spark, sf_dir)
+    base = t["part"].select(
+        F.col("p_partkey").cast("long").alias("pk")
+    ).filter(F.col("pk") <= 59)
+
+    def _gen(it):
+        for pdf in it:
+            out = []
+            for k in pdf["pk"].to_numpy():
+                k = int(k)
+                g, m = k // 3, k % 3
+                i = np.arange(3300)
+                x = ((g * 131 + i * (7 + g)) % 12000 - 6000).astype(np.int64)
+                if m:
+                    x = x.copy()
+                    x[m * 100 : m * 100 + 50] = 0
+                blob = (
+                    wav_encode(x, 8000, "pcm16") if k % 2 == 0
+                    else flac_encode(x, 8000)
+                )
+                out.append((str(k), blob))
+            yield pd.DataFrame(out, columns=["key", "content"])
+
+    blobs = base.mapInPandas(_gen, "key string, content binary")
+    return audio_near_pairs(audio_fingerprints(blobs), max_hamming=3).orderBy(
+        "key_a", "key_b"
+    )
+
+
+def _oracle_audio_near_pairs() -> str:
+    return _o("""
+, ks AS (
+  SELECT CAST(p_partkey AS BIGINT) AS k,
+         p_partkey // 3 AS g, CAST(p_partkey % 3 AS INT) AS m
+  FROM part WHERE p_partkey <= 59
+),
+samp AS (
+  SELECT k, CAST(u.j AS BIGINT) AS j,
+         CASE WHEN m > 0 AND u.j >= m * 100 AND u.j < m * 100 + 50
+              THEN 0
+              ELSE (g * 131 + CAST(u.j AS BIGINT) * (7 + g)) % 12000 - 6000
+         END AS y
+  FROM ks, LATERAL unnest(range(0, 3300)) AS u(j)
+),
+win AS (
+  SELECT k, CAST(j // 100 AS INT) AS w,
+         CAST(sum(y * y) AS BIGINT) // 100 AS ms
+  FROM samp GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.k, a.w AS pos,
+         CASE WHEN b.ms > a.ms THEN 1 ELSE 0 END AS bit
+  FROM win a JOIN win b ON b.k = a.k AND b.w = a.w + 1
+  WHERE a.w < 32
+),
+pairs AS (
+  SELECT CAST(a.k AS STRING) AS key_a, CAST(b.k AS STRING) AS key_b,
+         CAST(sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS INT)
+           AS hamming
+  FROM bits a JOIN bits b
+    ON a.pos = b.pos AND CAST(a.k AS STRING) < CAST(b.k AS STRING)
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b, hamming FROM pairs
+WHERE hamming <= 3
+ORDER BY key_a, key_b
+""")
+
+
 def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scores (Kneser & Ney 1995) under
     the oracle: rational discount 3/4 makes every interpolated
@@ -5976,6 +6064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_resemblance": q_kmv_resemblance,
         "kn_bigram": q_kn_bigram,
         "image_dhash_pairs": q_image_dhash_pairs,
+        "audio_near_pairs": q_audio_near_pairs,
         "line_dedup": q_line_dedup,
         "line_dedup_dropall": q_line_dedup_dropall,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -8124,6 +8213,7 @@ FROM sc ORDER BY pk
         "kmv_resemblance": _oracle_kmv_resemblance(256),
         "kn_bigram": _oracle_kn_bigram(),
         "image_dhash_pairs": _oracle_image_dhash_pairs(),
+        "audio_near_pairs": _oracle_audio_near_pairs(),
         "text_normalize": _o("""
 , t2 AS (
   SELECT doc_id, text ||

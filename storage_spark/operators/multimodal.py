@@ -794,3 +794,98 @@ def dhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("key_a", "key_b", "hamming")
     )
+
+
+def audio_fingerprint_bits(b: bytes, n_windows: int = 33) -> str:
+    """Deterministic audio fingerprint: the signal splits into
+    ``n_windows`` equal windows, each scored by integer mean square
+    (Σx²//len — the same no-sqrt discipline as ``detect_silence``), and
+    the fingerprint is the 32 energy-GRADIENT bits ``ms[i+1] > ms[i]``
+    — the audio analogue of the image dHash (envelope shape, loudness-
+    scale robust to codec quantization because gradients compare
+    neighbors). Pure integer math end to end, so a SQL oracle replays
+    it from a generation rule. Short signals (< n_windows samples)
+    raise — there is no meaningful envelope to hash."""
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import flac_decode, wav_decode_int
+
+    bb = bytes(b)
+    if bb[:4] == b"fLaC":
+        _rate, x = flac_decode(bb)
+    else:
+        _rate, x = wav_decode_int(bb)
+    n = len(x)
+    if n < n_windows:
+        raise ValueError(f"signal too short for {n_windows} windows")
+    ms = []
+    for i in range(n_windows):
+        lo, hi = (i * n) // n_windows, ((i + 1) * n) // n_windows
+        seg = x[lo:hi]
+        ms.append(int((seg * seg).sum()) // len(seg))
+    return "".join(
+        "1" if ms[i + 1] > ms[i] else "0" for i in range(n_windows - 1)
+    )
+
+
+def audio_fingerprints(
+    blobs: DataFrame,
+    key_col: str = "key",
+    content_col: str = "content",
+) -> DataFrame:
+    """Arrow map-only fingerprint stage: ``(key, afp)`` 32-bit
+    energy-gradient fingerprint as a bit string. Undecodable/too-short
+    blobs yield no rows."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for key, b in zip(pdf[key_col], pdf[content_col]):
+                if b is None:
+                    continue
+                try:
+                    rows.append((key, audio_fingerprint_bits(bytes(b))))
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=["key", "afp"])
+
+    return blobs.mapInPandas(_batches, "key string, afp string")
+
+
+def audio_near_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Audio near-dup pairs by fingerprint Hamming distance — same
+    4-band pigeonhole plan as ``dhash_near_pairs`` (8-bit bands over
+    the 32 bits; ≤ 3 differing bits guarantee one verbatim band)."""
+    if not (0 <= max_hamming <= 3):
+        raise ValueError("banded recall guarantee holds for max_hamming <= 3")
+    bands = fingerprints.select(
+        "key", "afp",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{i}:"), F.substring("afp", i * 8 + 1, 8))
+                for i in range(4)
+            ])
+        ).alias("band"),
+    )
+    a = bands.select(
+        F.col("key").alias("key_a"), F.col("afp").alias("f_a"), "band"
+    )
+    b = bands.select(
+        F.col("key").alias("key_b"), F.col("afp").alias("f_b"), "band"
+    )
+    ham = F.bit_count(
+        F.conv(F.col("f_a"), 2, 10).cast("bigint")
+        .bitwiseXOR(F.conv(F.col("f_b"), 2, 10).cast("bigint"))
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "f_a", "f_b")
+        .distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )

@@ -637,3 +637,48 @@ def test_dhash_and_banded_pairs_match_python_replay(spark):
              for r in dhash_near_pairs(dhash_images(df), 3).collect()}
     assert ("a", "b") in pairs and pairs[("a", "b")] <= 3
     assert not any("z" in p for p in pairs)
+
+
+def test_audio_fingerprint_lossless_containers_agree(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from storage_spark.functions.imagecodec import flac_encode, wav_encode
+    from storage_spark.operators.multimodal import (
+        audio_fingerprint_bits,
+        audio_fingerprints,
+        audio_near_pairs,
+    )
+
+    i = np.arange(3300)
+    x = ((i * 11) % 9000 - 4500).astype(np.int64)
+    f_wav = audio_fingerprint_bits(wav_encode(x, 8000, "pcm16"))
+    f_flac = audio_fingerprint_bits(flac_encode(x, 8000))
+    assert f_wav == f_flac and len(f_wav) == 32
+
+    # python replay of the window/gradient math
+    ms = [
+        int((x[(w * 3300) // 33 : ((w + 1) * 3300) // 33] ** 2).sum())
+        // len(x[(w * 3300) // 33 : ((w + 1) * 3300) // 33])
+        for w in range(33)
+    ]
+    exp = "".join("1" if ms[w + 1] > ms[w] else "0" for w in range(32))
+    assert f_wav == exp
+
+    with _pytest.raises(ValueError):
+        audio_fingerprint_bits(wav_encode(np.arange(10), 8000, "pcm16"))
+
+    # near pair: a local dent pairs up; an unrelated signal does not
+    x2 = x.copy(); x2[500:550] = 0
+    other = ((i * i * 3) % 11000 - 5500).astype(np.int64)
+    df = spark.createDataFrame(
+        [("a", bytearray(wav_encode(x, 8000, "pcm16"))),
+         ("b", bytearray(flac_encode(x2, 8000))),
+         ("z", bytearray(wav_encode(other, 8000, "pcm16"))),
+         ("bad", bytearray(b"nope"))],
+        "key string, content binary",
+    )
+    pairs = {(r.key_a, r.key_b): r.hamming
+             for r in audio_near_pairs(audio_fingerprints(df), 3).collect()}
+    assert ("a", "b") in pairs
+    assert not any("z" in p for p in pairs)
