@@ -3552,6 +3552,93 @@ ORDER BY key_a, key_b
 """)
 
 
+def q_video_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup (temporal-envelope fingerprint) under the oracle:
+    17-frame flat-gray MJPEG clips in 20 groups × 3 variants (variants
+    bump one frame's value, flipping at most two gradient bits), the
+    16-bit frame-luma gradient fingerprint banded 4-ways, Hamming ≤ 3.
+    Flat-gray q95 frames decode pixel-exact, so the oracle predicts
+    every frame mean, every bit, and exact all-pairs from the rule —
+    completing the near-dup quartet (text / image / audio / video),
+    every member under the full hash gate."""
+    import numpy as np
+    import pandas as pd
+
+    from storage_spark.functions.imagecodec import (
+        avi_encode_mjpeg,
+        jpeg_encode,
+    )
+    from storage_spark.operators.multimodal import (
+        video_fingerprints,
+        video_near_pairs,
+    )
+
+    t = _t(spark, sf_dir)
+    base = t["part"].select(
+        F.col("p_partkey").cast("long").alias("pk")
+    ).filter(F.col("pk") <= 59)
+
+    def _gen(it):
+        for pdf in it:
+            out = []
+            for k in pdf["pk"].to_numpy():
+                k = int(k)
+                g, m = k // 3, k % 3
+                vals = [
+                    (g * 131 + f * f * (5 + 2 * (g % 7))) % 256
+                    for f in range(17)
+                ]
+                if m:
+                    vals[4 * m] = (vals[4 * m] + 97) % 256
+                frames = [
+                    jpeg_encode(np.full((16, 16, 3), v, dtype=np.uint8),
+                                quality=95, subsampling="444")
+                    for v in vals
+                ]
+                out.append((str(k), avi_encode_mjpeg(frames, 16, 16, fps=8)))
+            yield pd.DataFrame(out, columns=["key", "content"])
+
+    blobs = base.mapInPandas(_gen, "key string, content binary")
+    return video_near_pairs(
+        video_fingerprints(blobs), max_hamming=3
+    ).orderBy("key_a", "key_b")
+
+
+def _oracle_video_near_pairs() -> str:
+    return _o("""
+, ks AS (
+  SELECT CAST(p_partkey AS BIGINT) AS k,
+         p_partkey // 3 AS g, CAST(p_partkey % 3 AS INT) AS m
+  FROM part WHERE p_partkey <= 59
+),
+fr AS (
+  SELECT k, CAST(u.f AS INT) AS f,
+         CASE WHEN m > 0 AND u.f = 4 * m
+              THEN (g * 131 + u.f * u.f * (5 + 2 * (g % 7)) + 97) % 256
+              ELSE (g * 131 + u.f * u.f * (5 + 2 * (g % 7))) % 256
+         END AS v
+  FROM ks, LATERAL unnest(range(0, 17)) AS u(f)
+),
+bits AS (
+  SELECT a.k, a.f AS pos,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM fr a JOIN fr b ON b.k = a.k AND b.f = a.f + 1
+  WHERE a.f < 16
+),
+pairs AS (
+  SELECT CAST(a.k AS STRING) AS key_a, CAST(b.k AS STRING) AS key_b,
+         CAST(sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS INT)
+           AS hamming
+  FROM bits a JOIN bits b
+    ON a.pos = b.pos AND CAST(a.k AS STRING) < CAST(b.k AS STRING)
+  GROUP BY 1, 2
+)
+SELECT key_a, key_b, hamming FROM pairs
+WHERE hamming <= 3
+ORDER BY key_a, key_b
+""")
+
+
 def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scores (Kneser & Ney 1995) under
     the oracle: rational discount 3/4 makes every interpolated
@@ -6065,6 +6152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram": q_kn_bigram,
         "image_dhash_pairs": q_image_dhash_pairs,
         "audio_near_pairs": q_audio_near_pairs,
+        "video_near_pairs": q_video_near_pairs,
         "line_dedup": q_line_dedup,
         "line_dedup_dropall": q_line_dedup_dropall,
         "line_dedup_incremental": q_line_dedup_incremental,
@@ -8214,6 +8302,7 @@ FROM sc ORDER BY pk
         "kn_bigram": _oracle_kn_bigram(),
         "image_dhash_pairs": _oracle_image_dhash_pairs(),
         "audio_near_pairs": _oracle_audio_near_pairs(),
+        "video_near_pairs": _oracle_video_near_pairs(),
         "text_normalize": _o("""
 , t2 AS (
   SELECT doc_id, text ||

@@ -889,3 +889,107 @@ def audio_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("key_a", "key_b", "hamming")
     )
+
+
+def video_fingerprint_bits(b: bytes) -> str:
+    """Temporal video fingerprint: the per-frame mean-luma sequence's
+    gradient bits ``mean[f+1] > mean[f]`` — the activity-envelope
+    signature cheap video dedup prefilters use (frame content is the
+    image hashes' job; this captures the TEMPORAL shape). Integer luma
+    means (``//`` divisions only), so a SQL oracle replays it when the
+    frames are rule-predictable. Streams with < 2 frames raise."""
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import avi_frame_bytes, jpeg_decode
+
+    means = []
+    for p in avi_frame_bytes(bytes(b)):
+        a = jpeg_decode(p).astype(np.int64)
+        luma = (a[:, :, 0] * 299 + a[:, :, 1] * 587 + a[:, :, 2] * 114) // 1000
+        means.append(int(luma.sum()) // luma.size)
+    if len(means) < 2:
+        raise ValueError("need >= 2 frames for a temporal fingerprint")
+    return "".join(
+        "1" if means[i + 1] > means[i] else "0"
+        for i in range(len(means) - 1)
+    )
+
+
+def video_fingerprints(
+    blobs: DataFrame,
+    key_col: str = "key",
+    content_col: str = "content",
+) -> DataFrame:
+    """Arrow map-only stage: ``(key, vfp)`` temporal fingerprint bits.
+    Undecodable/single-frame blobs yield no rows."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for key, b in zip(pdf[key_col], pdf[content_col]):
+                if b is None:
+                    continue
+                try:
+                    rows.append((key, video_fingerprint_bits(bytes(b))))
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=["key", "vfp"])
+
+    return blobs.mapInPandas(_batches, "key string, vfp string")
+
+
+def video_near_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Video near-dup pairs by temporal-fingerprint Hamming distance:
+    same pigeonhole banding as the image/audio pairs, over
+    variable-length bit strings (same-length fingerprints band
+    together; different lengths can never pair — a different frame
+    count IS a different clip)."""
+    if max_hamming > n_bands - 1:
+        raise ValueError("need max_hamming <= n_bands - 1 for recall")
+    blen = F.length("vfp")
+    seg = (blen + n_bands - 1) / n_bands
+    bands = fingerprints.select(
+        "key", "vfp",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"{i}:"), blen.cast("string"), F.lit(":"),
+                    F.substring(
+                        "vfp",
+                        (F.lit(i) * F.ceil(seg) + 1).cast("int"),
+                        F.ceil(seg).cast("int"),
+                    ),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("band"),
+    )
+    a = bands.select(F.col("key").alias("key_a"),
+                     F.col("vfp").alias("f_a"), "band")
+    b = bands.select(F.col("key").alias("key_b"),
+                     F.col("vfp").alias("f_b"), "band")
+    # chunked Hamming: 31-bit words so conv() can never overflow a
+    # signed bigint regardless of clip length (empty chunks conv to 0)
+    def _chunk(col: str, off: int) -> F.Column:
+        return F.coalesce(
+            F.conv(F.substring(col, off, 31), 2, 10).cast("bigint"),
+            F.lit(0),
+        )
+
+    ham = sum(
+        F.bit_count(_chunk("f_a", off).bitwiseXOR(_chunk("f_b", off)))
+        for off in (1, 32, 63, 94)
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "f_a", "f_b")
+        .distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )

@@ -682,3 +682,61 @@ def test_audio_fingerprint_lossless_containers_agree(spark):
              for r in audio_near_pairs(audio_fingerprints(df), 3).collect()}
     assert ("a", "b") in pairs
     assert not any("z" in p for p in pairs)
+
+
+def test_video_temporal_fingerprint_and_pairs(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from storage_spark.functions.imagecodec import (
+        avi_encode_mjpeg,
+        jpeg_encode,
+    )
+    from storage_spark.operators.multimodal import (
+        video_fingerprint_bits,
+        video_fingerprints,
+        video_near_pairs,
+    )
+
+    def clip(vals):
+        frames = [
+            jpeg_encode(np.full((16, 16, 3), v, np.uint8),
+                        quality=95, subsampling="444")
+            for v in vals
+        ]
+        return avi_encode_mjpeg(frames, 16, 16, fps=8)
+
+    vals = [(f * f * 7) % 256 for f in range(17)]
+    fp = video_fingerprint_bits(clip(vals))
+    # flat-gray exactness → python replay from the values themselves
+    exp = "".join(
+        "1" if vals[i + 1] > vals[i] else "0" for i in range(16)
+    )
+    assert fp == exp and len(fp) == 16
+
+    with _pytest.raises(ValueError):
+        video_fingerprint_bits(clip([100]))  # single frame
+
+    # a one-frame bump pairs; a monotone-ramp envelope (all-1 bits,
+    # Hamming 7 from `a`) does not — note reversal is NOT a good far
+    # clip here: f²·7 mod 256 is near-palindromic in gradient
+    v2 = list(vals)
+    v2[5] = (v2[5] + 97) % 256
+    ramp = [f * 3 for f in range(17)]
+    df = spark.createDataFrame(
+        [("a", bytearray(clip(vals))), ("b", bytearray(clip(v2))),
+         ("z", bytearray(clip(ramp))),
+         ("bad", bytearray(b"junk"))],
+        "key string, content binary",
+    )
+    pairs = {(r.key_a, r.key_b): r.hamming
+             for r in video_near_pairs(video_fingerprints(df), 3).collect()}
+    assert ("a", "b") in pairs and pairs[("a", "b")] <= 2
+    assert not any("z" in p for p in pairs)
+
+    # different frame counts can never pair (length in the band key)
+    df2 = spark.createDataFrame(
+        [("p", bytearray(clip(vals))), ("q", bytearray(clip(vals[:9])))],
+        "key string, content binary",
+    )
+    assert video_near_pairs(video_fingerprints(df2), 3).count() == 0
