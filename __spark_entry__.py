@@ -6120,11 +6120,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
     # cap. Round 9's 50-slot window:
-    # (a) the 26 r9 net-new rows (never recorded) lead — 12 from the
+    # (a) the 36 r9 net-new rows (never recorded) lead — 12 from the
     #     first session, then the continued sessions' additions: the
     #     BPE training trio, the media stack (JPEG render, GIF frames,
-    #     AVI video, G.711 audio, FLAC, WebP), text_normalize, the
-    #     line-dedup trio, and cms_heavy_hitters;
+    #     AVI video, G.711 audio, FLAC, WebP, scene cuts, silence
+    #     spans), text_normalize, the line-dedup trio +
+    #     boilerplate_ratio, the sketch family (CMS, HLL, KMV), the
+    #     Unigram-LM tokenizer, Kneser-Ney, and the image/audio/video
+    #     near-dup fingerprint rows;
     # (b) 2 rows whose RESULTS changed this round and must re-record:
     #     path_functions (extension() now matches the reference on
     #     dot-less names + edge-case fixture rows) and multipart_complete
