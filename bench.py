@@ -295,6 +295,28 @@ def main() -> None:
 
         return exact_substring_spans(t["documents"], k=10).count()
 
+    def lm_kn():
+        # Kneser-Ney bigram scoring incl. the continuation-count fit
+        # (r9): explode + three model joins + 1-row totals cross
+        from storage_spark.operators.pipeline import kn_bigram_score
+
+        return kn_bigram_score(t["documents"]).agg(
+            F.sum("score_milli")
+        ).collect()[0][0]
+
+    def unigram_tok():
+        # Unigram-LM Viterbi segmentation incl. the lattice fit (r9):
+        # one count + TakeOrdered for the vocab, memoized map-only DP
+        from storage_spark.functions.bpe import (
+            unigram_tokenize,
+            unigram_vocab,
+        )
+
+        v = unigram_vocab(t["documents"], max_size=400, max_len=4)
+        return unigram_tokenize(t["documents"], v).agg(
+            F.sum("n_pieces")
+        ).collect()[0][0]
+
     def media_render():
         # mixed-format render canary (r9): PNG / baseline JPEG /
         # progressive JPEG / GIF / lossless WebP blobs through the
@@ -891,6 +913,8 @@ def main() -> None:
         "line_dedup": line_dedup,
         "sketch_stats": sketch_stats,
         "media_render": media_render,
+        "lm_kn": lm_kn,
+        "unigram_tok": unigram_tok,
         "fat_jl_index_query": fat_jl_index_query,
         "fat_lsh_keysonly_query": fat_lsh_keysonly_query,
     }
