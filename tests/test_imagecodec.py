@@ -881,3 +881,73 @@ def test_flac_feature_and_meta_dispatch():
     assert feats[0] == 8000 and feats[1] == 4000
     assert feats[2] == 500  # ms
     assert feats[4] > 100   # a real tone crosses zero plenty
+
+
+# ---------------------------------------------------------------------------
+# decoder robustness: poison blobs must raise cleanly, never hang/crash
+# ---------------------------------------------------------------------------
+
+
+def test_all_decoders_survive_truncations_and_bit_flips():
+    """The multimodal stages' poison-blob contract rests on decoders
+    raising PYTHON exceptions for malformed input. Feed every decoder
+    truncated prefixes and single-byte corruptions of VALID streams,
+    plus deterministic pseudorandom garbage — any exception type is
+    fine, crashes/hangs are not."""
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import (
+        avi_decode_frame,
+        avi_encode_mjpeg,
+        flac_decode,
+        flac_encode,
+        gif_decode,
+        gif_encode,
+        jpeg_decode,
+        jpeg_encode,
+        png_decode,
+        png_encode,
+        wav_decode_int,
+        wav_encode,
+    )
+    from storage_spark.functions.webpcodec import webp_decode, webp_encode
+
+    img = np.stack([np.arange(16 * 24).reshape(16, 24) % 256] * 3,
+                   axis=2).astype(np.uint8)
+    sig = (3000 * np.sin(np.arange(700) / 9)).astype(np.int64)
+    cases = [
+        (png_decode, png_encode(img)),
+        (jpeg_decode, jpeg_encode(img, quality=90)),
+        (gif_decode, gif_encode([(img // 64) * 64])),
+        (webp_decode, webp_encode(img)),
+        (flac_decode, flac_encode(sig, 8000)),
+        (wav_decode_int, wav_encode(sig, 8000, "ulaw")),
+        (lambda b: avi_decode_frame(b, 0),
+         avi_encode_mjpeg([jpeg_encode(img, quality=90)], 24, 16)),
+    ]
+    rng = np.random.default_rng(42)
+    for decode, valid in cases:
+        decode(valid)  # sanity: the valid stream decodes
+        # truncations at structural points
+        for cut in (1, 4, 12, 20, len(valid) // 2, len(valid) - 3):
+            try:
+                decode(valid[:cut])
+            except Exception:
+                pass  # any raise is acceptable; crash/hang is not
+        # single-byte corruptions sprinkled through the stream
+        for pos in range(5, len(valid) - 1, max(7, len(valid) // 40)):
+            mutated = bytearray(valid)
+            mutated[pos] ^= 0x55
+            try:
+                decode(bytes(mutated))
+            except Exception:
+                pass
+        # pure garbage with the right magic prefix (parser must not
+        # trust the magic)
+        garbage = bytes(valid[:8]) + rng.integers(
+            0, 256, 200, dtype=np.uint8
+        ).tobytes()
+        try:
+            decode(garbage)
+        except Exception:
+            pass
