@@ -993,3 +993,106 @@ def video_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("key_a", "key_b", "hamming")
     )
+
+
+def fingerprint_band_index(
+    fps: DataFrame,
+    bit_col: str = "dhash",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Persistable band index over bit-string fingerprints (image dHash
+    / audio energy / video temporal — any of this module's
+    fingerprints): ``(band, key, bits)`` rows, the same posting shape
+    the MinHash band index uses. The band value embeds the band number
+    AND the fingerprint length (different lengths never collide). One
+    narrow table, n_bands rows per fingerprint."""
+    blen = F.length(bit_col)
+    seg = F.ceil(blen / n_bands)
+    return fps.select(
+        F.col("key"), F.col(bit_col).alias("bits"),
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"{i}:"), blen.cast("string"), F.lit(":"),
+                    F.substring(
+                        bit_col,
+                        (F.lit(i) * seg + 1).cast("int"),
+                        seg.cast("int"),
+                    ),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("band"),
+    )
+
+
+def _bits_hamming(a_col: str, b_col: str) -> F.Column:
+    """Chunked 31-bit Hamming distance between two bit-string columns
+    (conv-safe at any fingerprint length this module emits)."""
+    def _chunk(col: str, off: int) -> F.Column:
+        return F.coalesce(
+            F.conv(F.substring(col, off, 31), 2, 10).cast("bigint"),
+            F.lit(0),
+        )
+
+    return sum(
+        F.bit_count(_chunk(a_col, off).bitwiseXOR(_chunk(b_col, off)))
+        for off in (1, 32, 63, 94)
+    )
+
+
+def incremental_fingerprint_pairs(
+    index: DataFrame,
+    batch_fps: DataFrame,
+    bit_col: str = "dhash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup pairs for a NEW batch of fingerprints against an
+    existing band index WITHOUT re-hashing the corpus — the media
+    analogue of ``incremental_minhash_pairs``, completing the
+    incremental family for the image/audio/video fingerprints.
+    Returns ``(pairs, batch_bands)``: pairs are (key_a, key_b,
+    hamming) covering corpus×batch AND batch-internal collisions
+    (key_a < key_b), ``batch_bands`` appends to the index. Equality
+    contract (tested): pairs == the full-corpus banded join restricted
+    to pairs touching ≥ 1 batch key."""
+    if max_hamming > n_bands - 1:
+        raise ValueError("need max_hamming <= n_bands - 1 for recall")
+    bb = fingerprint_band_index(batch_fps, bit_col, n_bands)
+    probe = index.select(
+        F.col("key").alias("key_i"), F.col("bits").alias("bits_i"), "band"
+    ).join(
+        bb.select(
+            F.col("key").alias("key_b"), F.col("bits").alias("bits_b"),
+            "band",
+        ),
+        "band",
+    ).filter(F.col("key_i") != F.col("key_b"))
+    cross = probe.select(
+        F.least("key_i", "key_b").alias("key_a"),
+        F.greatest("key_i", "key_b").alias("key_b"),
+        F.when(F.col("key_i") < F.col("key_b"), F.col("bits_i"))
+        .otherwise(F.col("bits_b")).alias("f_a"),
+        F.when(F.col("key_i") < F.col("key_b"), F.col("bits_b"))
+        .otherwise(F.col("bits_i")).alias("f_b"),
+    )
+    intra = (
+        bb.select(F.col("key").alias("key_a"),
+                  F.col("bits").alias("f_a"), "band")
+        .join(
+            bb.select(F.col("key").alias("key_b"),
+                      F.col("bits").alias("f_b"), "band"),
+            "band",
+        )
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "f_a", "f_b")
+    )
+    pairs = (
+        cross.unionByName(intra)
+        .distinct()
+        .withColumn("hamming", _bits_hamming("f_a", "f_b").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("key_a", "key_b", "hamming")
+    )
+    return pairs, bb

@@ -740,3 +740,52 @@ def test_video_temporal_fingerprint_and_pairs(spark):
         "key string, content binary",
     )
     assert video_near_pairs(video_fingerprints(df2), 3).count() == 0
+
+
+def test_incremental_fingerprint_pairs_equals_full_restricted(spark):
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import png_encode
+    from storage_spark.operators.multimodal import (
+        dhash_images,
+        dhash_near_pairs,
+        fingerprint_band_index,
+        incremental_fingerprint_pairs,
+    )
+
+    rows = []
+    for k in range(24):
+        g, m = k // 3, k % 3
+        yy, xx = np.mgrid[0:16, 0:27]
+        v = (g * 53 + xx * (7 + g) + yy * 13) % 256
+        if m:
+            v = v.copy()
+            v[2 * m + 1, 3 * m + 1] = (v[2 * m + 1, 3 * m + 1] + 128) % 256
+        rows.append(
+            (f"{k:03d}",
+             bytearray(png_encode(np.stack([v] * 3, axis=2).astype(np.uint8))))
+        )
+    df = spark.createDataFrame(rows, "key string, content binary")
+    fps = dhash_images(df).localCheckpoint(eager=True)
+    corpus = fps.filter('key < "012"')
+    batch = fps.filter('key >= "012"')
+    idx = fingerprint_band_index(corpus)
+    pairs, bb = incremental_fingerprint_pairs(idx, batch)
+    got = sorted(map(tuple, pairs.collect()))
+    batch_keys = {r.key for r in batch.select("key").collect()}
+    exp = sorted(
+        tuple(r) for r in dhash_near_pairs(fps, 3).collect()
+        if r.key_a in batch_keys or r.key_b in batch_keys
+    )
+    assert got == exp and len(got) > 0
+    # appending the batch bands reproduces the full index
+    merged = sorted(
+        map(tuple, idx.unionByName(bb).collect())
+    )
+    whole = sorted(map(tuple, fingerprint_band_index(fps).collect()))
+    assert merged == whole
+    # works identically over the audio/video fingerprint columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        incremental_fingerprint_pairs(idx, batch, max_hamming=4)
