@@ -4280,6 +4280,31 @@ def q_line_dedup_dropall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_line_dedup_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-scoped line dedup (CCNet runs its shard dedup per
+    language): the hash key is salted with ``lang``, so identical
+    lines in different languages never compete. Oracle replays the
+    keep-first window PARTITIONED BY (lang, normalized line)."""
+    from storage_spark.operators.dedup import line_dedup
+
+    t = _t(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(5)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
+    )
+    docs = t["documents"].select(
+        "doc_id", "lang", F.array_join(lines, "\n").alias("text")
+    )
+    out = line_dedup(docs, group_col="lang")
+    return out.select(
+        "doc_id", "lang",
+        F.md5("text").alias("text_md5"),
+        "n_lines", "n_lines_kept", "n_lines_removed",
+    ).orderBy("doc_id")
+
+
 def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc boilerplate signal over the derived 5-word lines: the
     exact integer fraction of lines appearing in ≥2 distinct docs
@@ -6160,6 +6185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_dropall": q_line_dedup_dropall,
         "line_dedup_incremental": q_line_dedup_incremental,
         "boilerplate_ratio": q_boilerplate_ratio,
+        "line_dedup_per_lang": q_line_dedup_per_lang,
         "substring_dedup_spans": q_substring_dedup_spans,
         "substring_dedup_strip": q_substring_dedup_strip,
         "substring_dedup_incremental": q_substring_dedup_incremental,
@@ -8348,6 +8374,47 @@ FROM t2 ORDER BY doc_id
     FROM norm
   ) WHERE c = 1
 """)),
+        "line_dedup_per_lang": _o("""
+, toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+lines AS (
+  SELECT doc_id, lang, CAST(u.i AS INT) AS pos,
+         array_to_string(t[CAST(u.i*5+1 AS INT):CAST(u.i*5+5 AS INT)], ' ')
+           AS line
+  FROM toks, LATERAL unnest(range(0, (len(t) + 4) // 5)) AS u(i)
+),
+norm AS (
+  SELECT doc_id, lang, pos, line,
+         regexp_replace(lower(trim(line)), '[0-9]', '0', 'g') AS nl
+  FROM lines
+),
+kept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, pos, line,
+           row_number() OVER (
+             PARTITION BY lang, nl ORDER BY doc_id, pos
+           ) AS rn
+    FROM norm
+  ) WHERE rn = 1
+),
+reb AS (
+  SELECT doc_id, count(*) AS nk,
+         string_agg(line, chr(10) ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, any_value(lang) AS lang, count(*) AS n_lines
+  FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id, t.lang,
+       md5(coalesce(r.txt, '')) AS text_md5,
+       t.n_lines,
+       coalesce(r.nk, 0) AS n_lines_kept,
+       t.n_lines - coalesce(r.nk, 0) AS n_lines_removed
+FROM tot t LEFT JOIN reb r USING (doc_id)
+ORDER BY t.doc_id
+"""),
         "boilerplate_ratio": _o("""
 , toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 lines AS (

@@ -1776,6 +1776,7 @@ def line_dedup(
     mode: str = "keep_first",
     normalize: bool = True,
     min_len: int = 0,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Line/paragraph-level dedup across the WHOLE corpus (CCNet's shard
     dedup, arXiv:1911.00359 — the step that strips boilerplate navigation
@@ -1816,11 +1817,25 @@ def line_dedup(
     norm = _ccnet_normalize(F.col("line")) if normalize else F.col("line")
     lines = lines.withColumn("_nl", norm)
 
+    if group_col is not None:
+        # group-scoped dedup (CCNet runs per language/shard group): the
+        # hash key is salted with the group, so identical lines in
+        # DIFFERENT groups never compete — same plan, same combiner.
+        # The min_len exemption still tests the RAW normalized line.
+        gmap = df.select(
+            F.col(id_col).alias("doc_id"), F.col(group_col).alias("_grp")
+        )
+        lines = lines.join(gmap, "doc_id").withColumn(
+            "_hk", F.concat(F.coalesce(F.col("_grp"), F.lit("")),
+                            F.lit("\x01"), F.col("_nl"))
+        ).drop("_grp")
+    else:
+        lines = lines.withColumn("_hk", F.col("_nl"))
     exempt = lines.filter(F.length("_nl") < min_len) if min_len > 0 else None
     parts = (
         lines.filter(F.length("_nl") >= min_len) if min_len > 0 else lines
     )
-    grouped = parts.groupBy(F.md5("_nl").alias("h")).agg(
+    grouped = parts.groupBy(F.md5("_hk").alias("h")).agg(
         F.count(F.lit(1)).alias("_c"),
         F.min(F.struct("doc_id", "pos", "line")).alias("_w"),
     )

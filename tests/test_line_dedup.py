@@ -397,3 +397,21 @@ def test_boilerplate_ratio_exact_fractions(spark):
     )
     r9 = boilerplate_ratio(solo).collect()[0]
     assert r9.n_boilerplate == 0
+
+
+def test_group_scoped_line_dedup(spark):
+    from storage_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "Home\nBody one", "en"),
+        (2, "Home\nBody two", "en"),
+        (3, "Home\nBody three", "fr"),  # same line, other group → kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.text for r in line_dedup(df, group_col="lang").collect()}
+    assert got[1] == "Home\nBody one"
+    assert got[2] == "Body two"          # en-scoped duplicate
+    assert got[3] == "Home\nBody three"  # fr sees its own first Home
+    # global mode still collapses across groups
+    g = {r.doc_id: r.text for r in line_dedup(df).collect()}
+    assert g[3] == "Body three"
