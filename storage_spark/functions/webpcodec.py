@@ -102,7 +102,11 @@ def _plane_code_to_distance(xsize: int, code: int) -> int:
     if code > 120:
         return code - 120
     dx, dy = _DIST_MAP[code - 1]
-    return max(1, dy * xsize - dx)
+    # RFC 9649 §4.2.2.3: dist = xoffset + yoffset * xsize, with positive
+    # xoffset meaning LEFT of the current pixel — the same sign convention
+    # _DIST_MAP stores, so dx ADDS. (2,0) → 2, (-1,1) → xsize-1,
+    # (1,1) → xsize+1; clamped to ≥1 per the spec.
+    return max(1, dy * xsize + dx)
 
 
 class _Huff:
@@ -366,12 +370,11 @@ def _inverse_predictor(res: np.ndarray, sub: np.ndarray,
                 L = out[y, x - 1]
                 T = out[y - 1, x]
                 TL = out[y - 1, x - 1]
-                TR = out[y - 1, x + 1] if x + 1 < w else out[y - 1, 0]
-                # spec: TR at the right edge wraps to row start? No —
-                # TR uses the leftmost pixel of the SAME row above's
-                # right neighbor; at x==w-1 the spec defines TR as the
-                # first pixel of the next row above (i.e., out[y-1][0]
-                # per libwebp's border handling).
+                # TR at the rightmost column: libwebp predicts in one
+                # linear buffer, so top[x+1] at x==w-1 lands on index
+                # y*w — the CURRENT row's leftmost pixel (already
+                # reconstructed at that point), which the spec codifies.
+                TR = out[y - 1, x + 1] if x + 1 < w else out[y, 0]
                 if mode == 0:
                     pred = black
                 elif mode == 1:

@@ -972,18 +972,9 @@ def video_near_pairs(
                      F.col("vfp").alias("f_a"), "band")
     b = bands.select(F.col("key").alias("key_b"),
                      F.col("vfp").alias("f_b"), "band")
-    # chunked Hamming: 31-bit words so conv() can never overflow a
-    # signed bigint regardless of clip length (empty chunks conv to 0)
-    def _chunk(col: str, off: int) -> F.Column:
-        return F.coalesce(
-            F.conv(F.substring(col, off, 31), 2, 10).cast("bigint"),
-            F.lit(0),
-        )
-
-    ham = sum(
-        F.bit_count(_chunk("f_a", off).bitwiseXOR(_chunk("f_b", off)))
-        for off in (1, 32, 63, 94)
-    )
+    # chunked 31-bit Hamming with offsets derived from the actual
+    # fingerprint length (clips can exceed any fixed chunk window)
+    ham = _bits_hamming("f_a", "f_b")
     return (
         a.join(b, "band")
         .filter(F.col("key_a") < F.col("key_b"))
@@ -1027,17 +1018,30 @@ def fingerprint_band_index(
 
 
 def _bits_hamming(a_col: str, b_col: str) -> F.Column:
-    """Chunked 31-bit Hamming distance between two bit-string columns
-    (conv-safe at any fingerprint length this module emits)."""
-    def _chunk(col: str, off: int) -> F.Column:
+    """Chunked 31-bit Hamming distance between two bit-string columns,
+    conv-safe (31 bits can never overflow a signed bigint) and
+    length-safe: chunk offsets are derived from the ACTUAL string
+    length via aggregate-over-sequence, so arbitrarily long
+    fingerprints (video temporal bits are n_frames-1 long, unbounded)
+    are covered in full — a fixed offset list silently ignores bits
+    past its window and understates distance."""
+    def _chunk(col: F.Column, off: F.Column) -> F.Column:
         return F.coalesce(
-            F.conv(F.substring(col, off, 31), 2, 10).cast("bigint"),
+            F.conv(F.substring(col, off, F.lit(31)), 2, 10).cast("bigint"),
             F.lit(0),
         )
 
-    return sum(
-        F.bit_count(_chunk(a_col, off).bitwiseXOR(_chunk(b_col, off)))
-        for off in (1, 32, 63, 94)
+    a, b = F.col(a_col), F.col(b_col)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(F.greatest(F.length(a), F.length(b)) / 31).cast("int"),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), n_chunks - 1),
+        F.lit(0),
+        lambda acc, i: acc + F.bit_count(
+            _chunk(a, i * 31 + 1).bitwiseXOR(_chunk(b, i * 31 + 1))
+        ).cast("int"),
     )
 
 

@@ -2194,10 +2194,15 @@ def kn_bigram_score(
     )
 
     d4 = int(discount_x4)
+    # No broadcast hints on the model tables: big/ctx/cont grow with the
+    # corpus's distinct-bigram count (unbounded at 100 TB), so the join
+    # strategy is left to AQE — it broadcasts them when they fit and
+    # falls back to a shuffle join when they don't. Only the 1-row
+    # totals table is hinted (bounded by construction).
     scored = (
-        pairs.join(F.broadcast(big), ["prev", "tok"], "left")
-        .join(F.broadcast(ctx), "prev", "left")
-        .join(F.broadcast(cont), "tok", "left")
+        pairs.join(big, ["prev", "tok"], "left")
+        .join(ctx, "prev", "left")
+        .join(cont, "tok", "left")
         .crossJoin(F.broadcast(totals))
     )
     tv = F.col("t") + F.col("v")

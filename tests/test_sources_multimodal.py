@@ -742,6 +742,33 @@ def test_video_temporal_fingerprint_and_pairs(spark):
     assert video_near_pairs(video_fingerprints(df2), 3).count() == 0
 
 
+def test_long_fingerprint_hamming_counts_tail_bits(spark):
+    """Regression (r10 ADVICE): the chunked Hamming must derive its
+    chunk offsets from the ACTUAL fingerprint length. Two 200-bit
+    fingerprints identical in the first 124 bits but divergent after
+    must NOT report as near-duplicates — a fixed 4-offset window
+    silently ignored bits past position 124."""
+    from storage_spark.operators.multimodal import video_near_pairs
+
+    head = "01" * 62                      # 124 identical bits
+    fa = head + "0" * 76                  # 200 bits total
+    fb = head + "1" * 76                  # 76 differing tail bits
+    df = spark.createDataFrame(
+        [("a", fa), ("b", fb)], "key string, vfp string"
+    )
+    # the band join admits the pair (3 of 4 50-bit bands agree), so the
+    # Hamming verification alone must reject it
+    assert video_near_pairs(df, max_hamming=3).count() == 0
+
+    # and an actually-near long pair still passes with the exact count
+    fc = head + "0" * 75 + "1"            # 1 differing tail bit
+    df2 = spark.createDataFrame(
+        [("a", fa), ("c", fc)], "key string, vfp string"
+    )
+    rows = video_near_pairs(df2, max_hamming=3).collect()
+    assert len(rows) == 1 and rows[0].hamming == 1
+
+
 def test_incremental_fingerprint_pairs_equals_full_restricted(spark):
     import numpy as np
 

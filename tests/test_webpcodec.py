@@ -178,6 +178,111 @@ def test_hand_built_distance_map_code1_copies_row_above():
     assert g.tolist() == [[10, 20], [10, 20]]
 
 
+def test_hand_built_distance_map_dx_nonzero():
+    # 3x2 image pinning the SIGN of the distance-map formula
+    # (dist = dy*xsize + dx, positive dx = LEFT — RFC 9649 §4.2.2.3):
+    # row0 = literals G=[10,20,30]; row1 = literal G=40, then one LZ77
+    # (length 2, dist_code 4 → (-1,1) → distance 1*3 + (-1) = 2) which
+    # copies linear positions 2,3 → G=[30,40]. Under the flipped sign
+    # (dy*xsize - dx = 4) the copy would start at position 0 → [10,20].
+    w = _LsbBitWriter()
+    _header(w, 3, 2)
+    w.write(0, 1)  # no transforms
+    w.write(0, 1)  # no cache
+    w.write(0, 1)  # no entropy image
+    # green code over symbols {10, 20, 30, 40, 257 (length code 1)}:
+    # lengths 10→1, 20/30/40/257→3 (complete). Canonical: 10→'0',
+    # 20→'100', 30→'101', 40→'110', 257→'111'.
+    w.write(0, 1)           # not simple
+    w.write(19 - 4, 4)
+    cl = {0: 1, 1: 2, 3: 2}
+    order = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15]
+    for sym in order:
+        w.write(cl.get(sym, 0), 3)
+
+    def put_bits_msb(code, ln):
+        for i in range(ln - 1, -1, -1):
+            w.write((code >> i) & 1, 1)
+
+    cl_codes = {0: (0, 1), 1: (0b10, 2), 3: (0b11, 2)}
+    w.write(1, 1)           # max_symbol cap
+    w.write(4, 3)           # slot 4 → 10 bits
+    w.write(256, 10)        # max_symbol = 258
+    seq = [0] * 258
+    seq[10] = 1
+    seq[20] = seq[30] = seq[40] = seq[257] = 3
+    for s in seq:
+        c, ln = cl_codes[s]
+        put_bits_msb(c, ln)
+    _simple_code_1(w, 0)    # red
+    _simple_code_1(w, 0)    # blue
+    _simple_code_1(w, 255)  # alpha
+    # distance: single symbol 3 → prefix value 4 → dist_code 4 → (-1,1)
+    _simple_code_1(w, 3)
+    put_bits_msb(0b0, 1)    # G=10
+    put_bits_msb(0b100, 3)  # G=20
+    put_bits_msb(0b101, 3)  # G=30
+    put_bits_msb(0b110, 3)  # G=40
+    put_bits_msb(0b111, 3)  # length code 1 → length 2; dist read: 0 bits
+    out = webp_decode(_container(w))
+    assert out[:, :, 1].tolist() == [[10, 20, 30], [40, 30, 40]]
+
+
+def test_hand_built_predictor_TR_right_edge():
+    # 2x2, predictor mode 3 (TR). At x == w-1 the spec (libwebp's
+    # linear-buffer prediction) defines TR as the CURRENT row's leftmost
+    # pixel out[y][0], not the row above's. Want G [[5, 9], [12, 20]]:
+    # (1,1) res = 20 - G(out[1,0]) = 8; under the old out[y-1,0] reading
+    # the result would be 5 + 8 = 13, not 20.
+    w = _LsbBitWriter()
+    _header(w, 2, 2)
+    w.write(1, 1)
+    w.write(0, 2)          # PREDICTOR
+    w.write(4 - 2, 3)      # size_bits = 4 → one block
+    w.write(0, 1)          # sub: no cache
+    _simple_code_1(w, 3)   # green = mode 3 (TR)
+    _simple_code_1(w, 0)   # red
+    _simple_code_1(w, 0)   # blue
+    _simple_code_1(w, 255)
+    _simple_code_1(w, 0)   # distance
+    w.write(0, 1)          # no more transforms
+    w.write(0, 1)          # no cache
+    w.write(0, 1)          # no entropy image
+    # G residuals: (0,0)=5 (pred black), (0,1)=9-5=4 (pred L),
+    # (1,0)=12-5=7 (pred T), (1,1)=20-12=8 (pred TR = out[1,0]).
+    # lengths {4,5,7,8} all 2 (complete): 4→'00',5→'01',7→'10',8→'11'
+    w.write(0, 1)
+    w.write(19 - 4, 4)
+    cl = {0: 1, 2: 1}
+    order = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15]
+    for sym in order:
+        w.write(cl.get(sym, 0), 3)
+
+    def put_bits_msb(code, ln):
+        for i in range(ln - 1, -1, -1):
+            w.write((code >> i) & 1, 1)
+
+    cl_codes = {0: (0, 1), 2: (1, 1)}
+    w.write(1, 1)
+    w.write(1, 3)          # slot 1 → 4 bits
+    w.write(9 - 2, 4)      # max_symbol = 9 (lengths up to symbol 8)
+    seq = [0, 0, 0, 0, 2, 2, 0, 2, 2]
+    for s in seq:
+        c, ln = cl_codes[s]
+        put_bits_msb(c, ln)
+    _simple_code_1(w, 0)   # red residuals 0
+    _simple_code_1(w, 0)   # blue
+    _simple_code_1(w, 0)   # alpha residuals 0 (pred A=255 everywhere)
+    _simple_code_1(w, 0)   # distance
+    for code, ln in [(0b01, 2), (0b00, 2), (0b10, 2), (0b11, 2)]:
+        put_bits_msb(code, ln)  # G residuals 5, 4, 7, 8
+    out = webp_decode(_container(w))
+    assert out[:, :, 1].tolist() == [[5, 9], [12, 20]]
+    assert out[:, :, 3].tolist() == [[255, 255], [255, 255]]
+
+
 def test_hand_built_color_cache():
     # 3x1 image: literal A, literal B, cache hit for A
     w = _LsbBitWriter()
