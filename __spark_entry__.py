@@ -1459,6 +1459,7 @@ FROM (
 def _oracle_jl_lsh_index(
     out_dim: int, dim: int, n_planes: int, k: int, refine_factor: int,
     radius: int, max_q_vec_id: int, jl_seed: int,
+    corpus_where: str = "",
 ) -> str:
     """SQL mirror of the jl_lsh index search: JL projection from the
     inlined ±1 plane literals (seed = the index's jl_seed), LSH
@@ -1466,7 +1467,9 @@ def _oracle_jl_lsh_index(
     Hamming-ball admission (radius-r probing admits exactly the pairs
     whose signatures differ in <= r bits), projected-L2 candidate cut
     at refine_factor*k (ties by key), exact cosine rerank on the
-    originals."""
+    originals. ``corpus_where`` restricts the indexed corpus (used by
+    the derived-geometry row to pin a fixed corpus size across scale
+    factors)."""
     import math
 
     from storage_spark.functions.vectors import hyperplanes
@@ -1494,11 +1497,12 @@ def _oracle_jl_lsh_index(
         " t -> (t[1] - t[2]) * (t[1] - t[2]))))"
     )
     d_exact = _duck_cos("b.embedding", "qq.embedding")
+    where = f"WHERE {corpus_where}" if corpus_where else ""
     return _o(f"""
 , proj AS (
   SELECT CAST(vec_id AS STRING) AS key, vec_id, embedding,
     [{coords}] AS proj
-  FROM embeddings
+  FROM embeddings {where}
 ),
 sigv AS (
   SELECT key, vec_id, embedding, proj,
@@ -1875,6 +1879,7 @@ def _cleanup_pid_tmp() -> None:
         os.unlink(p)
     for pattern in (f"stream_acc_{pid}_*", f"ann_index_drv_{pid}_*",
                     f"ann_index_{pid}_*", f"ann_index_jl_{pid}_*",
+                    f"ann_index_jld_{pid}_*",
                     f"ann_index_app_{pid}_*", f"ann_index_mnt_{pid}_*",
                     f"ann_index_ivf_{pid}_*"):
         for d in glob.glob(os.path.join(tmp, pattern)):
@@ -2077,6 +2082,67 @@ def q_ann_index_jl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ann_index_search(
         spark, path, queries, k=3, probe_radius=1, refine_factor=6
     )
+    return out.select(
+        "q_key", "key",
+        F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_ann_index_jl_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIPPED jl_lsh defaults under the driver oracle (VERDICT r9
+    #1): build with ALL geometry omitted (out_dim/n_planes/n_tables
+    derive from the corpus count) and search with ``refine_factor``
+    omitted, so ``annindex.jl_refine_for`` — the sizing rule the r9
+    1M-vector probe demanded after the fixed 6·k window collapsed
+    recall to 0.358 — is the code path this row grades. A FIXED
+    400-vector corpus keeps the derivation deterministic across scale
+    factors: 400 vectors derive (out_dim 16, 4 planes, 1 table) and
+    rf = jl_refine_for(400, 3, 4, 1, 1) = 42; the guard below fails
+    loudly if a rule change moves the operating point the static
+    oracle replays."""
+    import os
+    import shutil
+    import tempfile
+
+    from storage_spark.sources.annindex import (
+        ann_index_search,
+        build_ann_index,
+        jl_out_dim_for,
+        jl_refine_for,
+        lsh_planes_for,
+        lsh_tables_for,
+    )
+
+    v = _vectors(spark, sf_dir).select("key", "embedding").filter(
+        F.col("key").cast("bigint") < 400
+    )
+    _register_tmp_cleanup()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ann_index_jld_{os.getpid()}_"
+        + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    cfg = build_ann_index(v, path, kind="jl_lsh", dim=64)
+    expected = (
+        jl_out_dim_for(64, 400),
+        lsh_planes_for(400),
+        lsh_tables_for(lsh_planes_for(400)),
+    )
+    got = (cfg["out_dim"], cfg["n_planes"], cfg["n_tables"])
+    if got != expected or got != (16, 4, 1) or jl_refine_for(
+        400, 3, 4, 1, 1
+    ) != 42:
+        raise RuntimeError(
+            f"derived jl geometry {got} / rf no longer matches the "
+            "(16, 4, 1, rf=42) operating point the oracle replays"
+        )
+    queries = v.filter(F.col("key").cast("bigint") < 15).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    # no refine_factor → the search derives it from n_vectors_at_build
+    out = ann_index_search(spark, path, queries, k=3, probe_radius=1)
     return out.select(
         "q_key", "key",
         F.round(F.col("distance") * 10000).cast("bigint").alias("dist_1e4"),
@@ -6277,6 +6343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_projected_rerank": q_vector_projected_rerank,
         "semantic_dedup_components": q_semantic_dedup_components,
         "ann_index_jl_query": q_ann_index_jl_query,
+        "ann_index_jl_derived": q_ann_index_jl_derived,
         "queue_replay": q_queue_replay,
         "classifier_score": q_classifier_score,
         "dsir_select": q_dsir_select,
@@ -9106,6 +9173,15 @@ FROM objects WHERE bucket_id = 'Brand#13'
         "ann_index_jl_query": _oracle_jl_lsh_index(
             out_dim=16, dim=64, n_planes=5, k=3, refine_factor=6,
             radius=1, max_q_vec_id=15, jl_seed=271_828_182,
+        ),
+        # the SHIPPED defaults (VERDICT r9 #1): geometry AND refine
+        # factor derived from the fixed 400-vector corpus — the oracle
+        # replays the same operating point (16, 4, 1, rf=42) the
+        # query's guard pins to the sizing rules
+        "ann_index_jl_derived": _oracle_jl_lsh_index(
+            out_dim=16, dim=64, n_planes=4, k=3, refine_factor=42,
+            radius=1, max_q_vec_id=15, jl_seed=271_828_182,
+            corpus_where="vec_id < 400",
         ),
         "vector_pq_topk": _oracle_pq_topk(
             m=8, k=16, k_top=5, max_vec_id=300, max_q_vec_id=4
