@@ -20,11 +20,31 @@ import sys
 import time
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+#: entries that run in a FRESH second session (VERDICT r9 #2): a long
+#: single-session suite accumulates 40+ entries' shuffle files + JVM
+#: pressure by the time these late heavy entries run, inflating their
+#: MEDIANS 2-4x over isolated cost (min-of-N stays honest — the stalls
+#: are additive — but the published median then misrepresents the
+#: engine). Isolated min-of-4 re-probes reproduced the record values
+#: (NOTES_r9), so the fix is session isolation, not plan work.
+_FRESH_SESSION = {
+    "lm_bigram", "lm_bigram_skew", "dsir_select", "lm_bigram_score",
+    "dsir_score", "bpe_train_merges", "bpe_merge_score",
+    "fat_jl_index_query", "fat_lsh_keysonly_query",
+}
 
+
+def _run(
+    sf_dir: str,
+    cpus: int,
+    only: set[str] | None,
+    repeats: int,
+    heavy_reps: int,
+    skip: set[str] = frozenset(),
+) -> tuple[dict, dict]:
+    """One SparkSession's worth of the suite: build the session, run the
+    entries in ``only`` (None = all) minus ``skip``, stop the session,
+    return (min_timings, median_timings)."""
     from pyspark.sql import functions as F
 
     from storage_spark.session import get_spark
@@ -517,23 +537,30 @@ def main() -> None:
         )
 
     # materialized production layout: bucket-partitioned, name-sorted files —
-    # the shape where prefix pushdown + partition pruning actually bite
+    # the shape where prefix pushdown + partition pruning actually bite.
+    # Built lazily (and pre-built OUTSIDE the timing windows below) so a
+    # session that runs no mat_* entry never pays the write.
     import tempfile
 
-    from storage_spark.sources.layout import write_listing_layout
+    _mat: dict = {"dir": None, "df": None}
 
-    mat_dir = tempfile.mkdtemp(prefix="bench_objects_")
-    mat_path = mat_dir + "/objects"
-    write_listing_layout(t["objects"], mat_path)
-    mat = spark.read.parquet(mat_path)
+    def _mat_df():
+        if _mat["dir"] is None:
+            from storage_spark.sources.layout import write_listing_layout
+
+            d = tempfile.mkdtemp(prefix="bench_objects_")
+            write_listing_layout(t["objects"], d + "/objects")
+            _mat["dir"] = d
+            _mat["df"] = spark.read.parquet(d + "/objects")
+        return _mat["df"]
 
     def mat_prefix_listing():
         return list_objects_with_delimiter(
-            mat, bucket_id="Brand#13", prefix="ECONOMY/"
+            _mat_df(), bucket_id="Brand#13", prefix="ECONOMY/"
         ).count()
 
     def mat_usage():
-        return bucket_usage(mat).count()
+        return bucket_usage(_mat_df()).count()
 
     def listing_10m():
         # the reference's own benchmark dataset shape: 10M rows, 1000
@@ -728,7 +755,14 @@ def main() -> None:
     )
 
     pq_books = pq_codebooks(64, 8, 16)
-    pq_codes = pq_encode(vectors, pq_books).localCheckpoint(eager=True)
+    _pq: dict = {"codes": None}
+
+    def _pq_codes():
+        if _pq["codes"] is None:
+            _pq["codes"] = pq_encode(vectors, pq_books).localCheckpoint(
+                eager=True
+            )
+        return _pq["codes"]
 
     def pq_rerank():
         queries_df = (
@@ -740,7 +774,7 @@ def main() -> None:
         # expression fold, test_vectors) — ~30% faster at this pair
         # volume, and the gap widens with corpus size
         return pq_search_rerank(
-            queries_df, pq_codes, vectors, pq_books, k=10,
+            queries_df, _pq_codes(), vectors, pq_books, k=10,
             refine_factor=20, arrow=True,
         ).count()
 
@@ -752,7 +786,12 @@ def main() -> None:
     # the candidate math; the at-scale difference is scan bytes.
     from storage_spark.functions.vectors import sq_encode, sq_search_rerank
 
-    sq_codes = sq_encode(vectors).localCheckpoint(eager=True)
+    _sq: dict = {"codes": None}
+
+    def _sq_codes():
+        if _sq["codes"] is None:
+            _sq["codes"] = sq_encode(vectors).localCheckpoint(eager=True)
+        return _sq["codes"]
 
     def sq8_rerank():
         queries_df = (
@@ -761,7 +800,7 @@ def main() -> None:
             .select(F.col("key").alias("q_key"), F.col("embedding").alias("q_vec"))
         )
         return sq_search_rerank(
-            queries_df, sq_codes, vectors, k=10, refine_factor=4
+            queries_df, _sq_codes(), vectors, k=10, refine_factor=4
         ).count()
 
     def sessionization():
@@ -919,6 +958,21 @@ def main() -> None:
         "fat_lsh_keysonly_query": fat_lsh_keysonly_query,
     }
 
+    if only is not None:
+        queries = {k: v for k, v in queries.items() if k in only}
+    if skip:
+        queries = {k: v for k, v in queries.items() if k not in skip}
+
+    # one-time index/layout builds for the session's entries, OUTSIDE
+    # the timing windows (the mat/pq/sq entries have never included
+    # their build cost — keep it that way across the session split)
+    if {"mat_prefix_listing", "mat_usage"} & queries.keys():
+        _mat_df()
+    if "pq_rerank" in queries:
+        _pq_codes()
+    if "sq8_rerank" in queries:
+        _sq_codes()
+
     # warm the JVM + file listings once (steady-state timing, not cold-start)
     t["objects"].count()
     # ...and the Arrow/pandas-UDF worker pool: a session's FIRST pandas
@@ -940,21 +994,17 @@ def main() -> None:
     # engine's real cost and the statistic is reproducible across harness
     # runs. GC-settle between repeats keeps the cleanup out of the next
     # timing window.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-
     def settle() -> None:
         spark._jvm.System.gc()  # noqa: SLF001
         time.sleep(0.5)
 
     import statistics
 
-    # NOTES_r8 #2: the driver's bench budget is finite and the suite now
-    # carries 42 entries + index/model builds — per-entry repeat caps on
-    # the heavy LM/fat entries (>4 s steady, whose first repeat also
-    # absorbs a cached build) keep the wall inside the budget without
-    # removing coverage. 2 reps still yields one post-build steady run
-    # for the min.
-    heavy_reps = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPEATS", "2"))
+    # NOTES_r8 #2: the driver's bench budget is finite — per-entry repeat
+    # caps on the heavy LM/fat entries (>4 s steady, whose first repeat
+    # also absorbs a cached build) keep the wall inside the budget
+    # without removing coverage. 2 reps still yields one post-build
+    # steady run for the min.
     _HEAVY = {
         "lm_bigram", "lm_bigram_skew", "dsir_select", "lm_bigram_score",
         "dsir_score", "fat_jl_index_query", "fat_lsh_keysonly_query",
@@ -975,7 +1025,8 @@ def main() -> None:
 
     import shutil
 
-    shutil.rmtree(mat_dir, ignore_errors=True)  # don't leak a full copy per run
+    if _mat["dir"]:
+        shutil.rmtree(_mat["dir"], ignore_errors=True)  # no full copy leak
     if _ann_idx["path"]:
         shutil.rmtree(os.path.dirname(_ann_idx["path"]), ignore_errors=True)
     if _ann_idx_ko["path"]:
@@ -985,6 +1036,32 @@ def main() -> None:
             shutil.rmtree(os.path.dirname(_fat[_k]), ignore_errors=True)
     if _tm["dir"]:
         shutil.rmtree(_tm["dir"], ignore_errors=True)
+    spark.stop()
+    return timings, medians
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    heavy_reps = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPEATS", "2"))
+    single = os.environ.get("SPARK_GRAFT_BENCH_SINGLE_SESSION") == "1"
+
+    if single:
+        timings, medians = _run(sf_dir, cpus, None, repeats, heavy_reps)
+    else:
+        # VERDICT r9 #2: the heavy text-model/fat-embedding entries run
+        # in a FRESH second session, after the 40+ light entries' shuffle
+        # files and JVM pressure are gone with the first session — their
+        # medians then measure the engine, not the harness's litter.
+        timings, medians = _run(
+            sf_dir, cpus, None, repeats, heavy_reps, skip=_FRESH_SESSION
+        )
+        t2, m2 = _run(sf_dir, cpus, set(_FRESH_SESSION), repeats, heavy_reps)
+        timings.update(t2)
+        medians.update(m2)
+
     out = {
         "metric": "storage_spark headline suite wall time",
         "value": round(sum(timings.values()), 3),
@@ -999,6 +1076,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "repeats": repeats,
         "stat": "min (queries) + median (queries_median)",
+        "sessions": 1 if single else 2,
     }
     print(json.dumps(out))
 
