@@ -3762,6 +3762,82 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 """)
 
 
+def q_kn_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM scores (VERDICT r9 #4): the
+    standard 3-gram form — one more continuation level than kn_bigram,
+    backoff chain 3→2→1 with the level-2 continuation counts taken
+    from trigram TYPES. Same rational 3/4 discount and milli-bit qlog2,
+    so the oracle replays the whole fit (five stats tables) and every
+    doc's summed score exactly; the CTE chain is the bigram oracle's
+    grown one layer."""
+    from storage_spark.operators.pipeline import kn_trigram_score
+
+    t = _t(spark, sf_dir)
+    return kn_trigram_score(t["documents"]).orderBy("doc_id")
+
+
+def _oracle_kn_trigram() -> str:
+    qlog = (
+        "((length(bin(CAST({c} AS BIGINT))) - 1) * 1000"
+        " + CAST(floor(((CAST({c} AS DOUBLE)"
+        " / power(2, length(bin(CAST({c} AS BIGINT))) - 1)) - 1.0)"
+        " * 1000) AS BIGINT))"
+    )
+    return _o(f"""
+, toksd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+trs AS (
+  SELECT doc_id, tk[CAST(u.i AS INT)] AS tu,
+         tk[CAST(u.i AS INT) + 1] AS tv,
+         tk[CAST(u.i AS INT) + 2] AS tw
+  FROM toksd, LATERAL unnest(range(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 3
+),
+tri3 AS (SELECT tu, tv, tw, count(*) AS c3 FROM trs GROUP BY 1, 2, 3),
+ctx3 AS (
+  SELECT tu, tv, sum(c3) AS c3ctx, count(*) AS n1a FROM tri3 GROUP BY 1, 2
+),
+cont2 AS (SELECT tv, tw, count(*) AS n1pvw FROM tri3 GROUP BY 1, 2),
+mid AS (SELECT tv, count(*) AS n1pv FROM tri3 GROUP BY 1),
+prs AS (
+  SELECT tk[CAST(u.i AS INT)] AS prev, tk[CAST(u.i AS INT) + 1] AS tok
+  FROM toksd, LATERAL unnest(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2
+),
+big AS (SELECT prev, tok, count(*) AS cb FROM prs GROUP BY 1, 2),
+nfv AS (SELECT prev, count(*) AS nfv FROM big GROUP BY 1),
+cont1 AS (SELECT tok, count(*) AS n1c FROM big GROUP BY 1),
+tot AS (
+  SELECT (SELECT count(*) FROM big) AS t,
+         (SELECT count(DISTINCT w) FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          )) AS v
+),
+sc AS (
+  SELECT p.doc_id,
+         greatest(4 * b.c3 - 3, 0)
+           * 4 * CAST(m.n1pv AS BIGINT) * (t.t + t.v)
+           + 3 * x.n1a * (
+               greatest(4 * c2.n1pvw - 3, 0) * (t.t + t.v)
+               + 3 * f.nfv * (n.n1c + 1)
+             ) AS num,
+         16 * CAST(x.c3ctx AS BIGINT) * m.n1pv * (t.t + t.v) AS den
+  FROM trs p
+  JOIN tri3 b ON b.tu = p.tu AND b.tv = p.tv AND b.tw = p.tw
+  JOIN ctx3 x ON x.tu = p.tu AND x.tv = p.tv
+  JOIN cont2 c2 ON c2.tv = p.tv AND c2.tw = p.tw
+  JOIN mid m ON m.tv = p.tv
+  JOIN nfv f ON f.prev = p.tv
+  JOIN cont1 n ON n.tok = p.tw
+  CROSS JOIN tot t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum({qlog.format(c='num')} - {qlog.format(c='den')})
+            AS BIGINT) AS score_milli
+FROM sc GROUP BY doc_id ORDER BY doc_id
+""")
+
+
 def q_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) sketches — the sketch family's resemblance half
     (Bar-Yossef et al. 2002 / Broder minwise): token-set sketches of
@@ -6244,6 +6320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenize": q_unigram_tokenize,
         "kmv_resemblance": q_kmv_resemblance,
         "kn_bigram": q_kn_bigram,
+        "kn_trigram": q_kn_trigram,
         "image_dhash_pairs": q_image_dhash_pairs,
         "audio_near_pairs": q_audio_near_pairs,
         "video_near_pairs": q_video_near_pairs,
@@ -8396,6 +8473,7 @@ FROM sc ORDER BY pk
         "unigram_tokenize": _oracle_unigram_tokenize(400, 4, 8),
         "kmv_resemblance": _oracle_kmv_resemblance(256),
         "kn_bigram": _oracle_kn_bigram(),
+        "kn_trigram": _oracle_kn_trigram(),
         "image_dhash_pairs": _oracle_image_dhash_pairs(),
         "audio_near_pairs": _oracle_audio_near_pairs(),
         "video_near_pairs": _oracle_video_near_pairs(),

@@ -324,6 +324,15 @@ def _run(
             F.sum("score_milli")
         ).collect()[0][0]
 
+    def lm_kn3():
+        # trigram Kneser-Ney (r10): the 3→2→1 backoff chain — one
+        # posexplode + five model equi-joins + 1-row totals cross
+        from storage_spark.operators.pipeline import kn_trigram_score
+
+        return kn_trigram_score(t["documents"]).agg(
+            F.sum("score_milli")
+        ).collect()[0][0]
+
     def unigram_tok():
         # Unigram-LM Viterbi segmentation incl. the lattice fit (r9):
         # one count + TakeOrdered for the vocab, memoized map-only DP
@@ -953,6 +962,7 @@ def _run(
         "sketch_stats": sketch_stats,
         "media_render": media_render,
         "lm_kn": lm_kn,
+        "lm_kn3": lm_kn3,
         "unigram_tok": unigram_tok,
         "fat_jl_index_query": fat_jl_index_query,
         "fat_lsh_keysonly_query": fat_lsh_keysonly_query,

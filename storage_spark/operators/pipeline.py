@@ -2226,3 +2226,158 @@ def kn_bigram_score(
             F.sum(lp).cast("long").alias("score_milli"),
         )
     )
+
+
+def kn_trigram_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount_x4: int = 3,
+) -> DataFrame:
+    """Per-doc interpolated Kneser-Ney TRIGRAM score — the standard
+    3-gram form of ``kn_bigram_score``, one more continuation level in
+    the backoff chain 3→2→1 (Chen & Goodman 1999 §3):
+
+    - level 1 (continuation unigram, Laplace-floored as in the bigram
+      op): ``p1(w) = (N1(·w)+1) / (T+V)`` with T = distinct bigram
+      types, V = vocab;
+    - level 2 (continuation bigram — counts come from TRIGRAM TYPES,
+      the defining KN move): ``p2(w|v) = [max(4·N1(·vw)−3, 0)·(T+V)
+      + 3·N1(v·)·(N1(·w)+1)] / [4·N1(·v·)·(T+V)]`` where N1(·vw) =
+      distinct u with uvw seen, N1(·v·) = distinct (u,w) around v,
+      N1(v·) = distinct bigram followers of v;
+    - level 3 (observed trigrams): ``p3(w|u,v) = [max(4·c3(uvw)−3, 0)
+      + 3·N1(uv·)·p2(w|v)] / c3(uv·)``.
+
+    Clearing denominators keeps every probability ONE integer ratio::
+
+        num = max(4·c3−3,0)·4·N1pv·(T+V)
+              + 3·n1a·(max(4·N1pvw−3,0)·(T+V) + 3·Nfv·(n1c+1))
+        den = 16·c3ctx·N1pv·(T+V)
+
+    scored as Σ qlog2(num) − qlog2(den) milli-bits (Mitchell, no libm)
+    so a SQL oracle replays fit AND scores exactly. First two tokens of
+    each doc are unscored (triples only); docs with < 3 tokens emit no
+    row. Scoring the fitted corpus keeps the ratio total (every factor
+    ≥ 1 by construction).
+
+    Scale shape: one posexplode + five model equi-joins + a 1-row
+    totals cross, all model tables built by map-side-combinable
+    aggregations over trigram/bigram TYPE tables; no broadcast hints
+    (AQE sizes the joins — the kn_bigram lesson, ADVICE r9). Integer
+    bound: ``den = 16·c3ctx·N1pv·(T+V)`` must stay under 2^63 —
+    c3ctx·N1pv·(T+V) < 5.7e17, ample for any single-tenant corpus this
+    fixture scale exercises and checkable from the fitted stats; past
+    it, rescale the totals term (the score is shift-invariant per doc
+    count) before scoring."""
+    from storage_spark.functions.bpe import _qlog2_milli
+
+    if not (1 <= discount_x4 <= 3):
+        raise ValueError("discount_x4 must be in [1, 3] (D = x/4 ∈ (0,1))")
+    toks = F.split(F.col(text_col), " ")
+    tri = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.when(
+                    F.size(toks) >= 3,
+                    F.zip_with(
+                        F.zip_with(
+                            F.slice(toks, 1, F.size(toks) - 2),
+                            F.slice(toks, 2, F.size(toks) - 2),
+                            lambda a, b: F.struct(
+                                a.alias("u"), b.alias("v")
+                            ),
+                        ),
+                        F.slice(toks, 3, F.size(toks) - 2),
+                        lambda uv, c: F.struct(
+                            uv["u"].alias("u"), uv["v"].alias("v"),
+                            c.alias("w"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<u:string,v:string,w:string>>"
+                )),
+            ).alias("pos", "tr"),
+        )
+        .select("doc_id", "pos", "tr.u", "tr.v", "tr.w")
+    )
+    # trigram counts + the type table every continuation stat reads
+    tri3 = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+    ctx3 = tri3.groupBy("u", "v").agg(
+        F.sum("c3").alias("c3ctx"),
+        F.count(F.lit(1)).alias("n1a"),      # distinct w after (u,v)
+    )
+    cont2 = tri3.groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("n1pvw")     # distinct u before (v,w)
+    )
+    mid = tri3.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n1pv")      # distinct (u,w) around v
+    )
+    # bigram-level stats (pairs over the SAME corpus)
+    pairs = (
+        docs.select(
+            F.posexplode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.zip_with(
+                        F.slice(toks, 1, F.size(toks) - 1),
+                        F.slice(toks, 2, F.size(toks) - 1),
+                        lambda a, b: F.struct(
+                            a.alias("prev"), b.alias("tok")
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<prev:string,tok:string>>"
+                )),
+            ).alias("pos", "pr"),
+        )
+        .select("pr.prev", "pr.tok")
+    )
+    big = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+    nfv = big.groupBy("prev").agg(F.count(F.lit(1)).alias("nfv")) \
+        .withColumnRenamed("prev", "v")
+    cont1 = big.groupBy("tok").agg(F.count(F.lit(1)).alias("n1c")) \
+        .withColumnRenamed("tok", "w")
+    vocab = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("wd")
+    ).agg(F.count_distinct("wd").alias("v_sz"))
+    totals = big.agg(F.count(F.lit(1)).alias("t")).crossJoin(
+        F.broadcast(vocab)
+    )
+
+    d4 = int(discount_x4)
+    scored = (
+        tri.join(tri3, ["u", "v", "w"], "left")
+        .join(ctx3, ["u", "v"], "left")
+        .join(cont2, ["v", "w"], "left")
+        .join(mid, "v", "left")
+        .join(nfv, "v", "left")
+        .join(cont1, "w", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    tv = F.col("t") + F.col("v_sz")
+    z = F.lit(0)
+    p2num = (
+        F.greatest(F.lit(4) * F.coalesce(F.col("n1pvw"), z) - F.lit(d4), z)
+        * tv
+        + F.lit(d4) * F.coalesce(F.col("nfv"), z)
+        * (F.coalesce(F.col("n1c"), z) + F.lit(1))
+    )
+    num = (
+        F.greatest(F.lit(4) * F.coalesce(F.col("c3"), z) - F.lit(d4), z)
+        * F.lit(4) * F.coalesce(F.col("n1pv"), z) * tv
+        + F.lit(d4) * F.coalesce(F.col("n1a"), z) * p2num
+    )
+    den = (
+        F.lit(16) * F.coalesce(F.col("c3ctx"), z)
+        * F.coalesce(F.col("n1pv"), z) * tv
+    )
+    lp = _qlog2_milli(num) - _qlog2_milli(den)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum(lp).cast("long").alias("score_milli"),
+        )
+    )

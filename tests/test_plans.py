@@ -143,6 +143,7 @@ _BNLJ_ALLOWED = {
     # 1-row (T, V) totals crossJoin onto the scored pairs — the
     # unigram/bigram_logprob class; model joins are equi-joins
     "kn_bigram",
+    "kn_trigram",  # same 1-row totals crossJoin, five equi-join models
 }
 
 

@@ -1025,6 +1025,77 @@ def test_kn_continuation_penalizes_single_context_tokens(spark):
     assert got[101] > got[100]  # higher (less negative) = more fluent
 
 
+def test_kn_trigram_matches_hand_rational_math(spark):
+    from fractions import Fraction
+    import math
+
+    from storage_spark.operators.pipeline import kn_trigram_score
+
+    rows = [(1, "a b c a b c"), (2, "a b d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in kn_trigram_score(df).collect()}
+
+    # trigram types: (a,b,c)x2, (b,c,a), (c,a,b), (a,b,d) → 4 types
+    # ctx3 (u,v): (a,b): c3ctx=3, n1a=2; (b,c): 1,1; (c,a): 1,1
+    # cont2 (v,w): (b,c):1, (c,a):1, (a,b):1, (b,d):1
+    # mid (v): b: 2 types, c: 1, a: 1
+    # bigrams: (a,b)x3, (b,c)x2, (c,a)x2, (b,d)x1 → T=4; V=4
+    # nfv: a:1, b:2, c:1; n1c: b:1, c:1, a:1, d:1
+    def qlog(c):
+        bl = c.bit_length()
+        return (bl - 1) * 1000 + math.floor((c / (1 << (bl - 1)) - 1) * 1000)
+
+    T, V = 4, 4
+
+    def p(c3, c3ctx, n1a, n1pvw, n1pv, nfv, n1c):
+        p2num = max(4 * n1pvw - 3, 0) * (T + V) + 3 * nfv * (n1c + 1)
+        num = max(4 * c3 - 3, 0) * 4 * n1pv * (T + V) + 3 * n1a * p2num
+        den = 16 * c3ctx * n1pv * (T + V)
+        return qlog(num) - qlog(den), Fraction(num, den)
+
+    lp_abc, f_abc = p(2, 3, 2, 1, 2, 2, 1)   # (a,b)→c
+    lp_bca, f_bca = p(1, 1, 1, 1, 1, 1, 1)   # (b,c)→a
+    lp_cab, f_cab = p(1, 1, 1, 1, 1, 1, 1)   # (c,a)→b
+    lp_abd, f_abd = p(1, 3, 2, 1, 2, 2, 1)   # (a,b)→d
+    assert got[1].n_trigrams == 4
+    assert got[1].score_milli == 2 * lp_abc + lp_bca + lp_cab
+    assert got[2].n_trigrams == 1
+    assert got[2].score_milli == lp_abd
+    # genuine (0,1] probabilities; the twice-seen trigram beats the
+    # once-seen one in the same (a,b) context
+    assert 0 < f_abd < f_abc <= 1 and 0 < f_bca <= 1
+
+
+def test_kn_trigram_continuation_separates_held_out(spark):
+    from storage_spark.operators.pipeline import kn_trigram_score
+
+    # 'francisco' follows only 'in san'; 'road' follows many contexts —
+    # the trigram analogue of the bigram Francisco property: unseen
+    # triples score by continuation, so broad-context tokens win
+    base = [
+        (i, "in san francisco the " + w + " road runs")
+        for i, w in enumerate(["old", "new", "long", "main"])
+    ]
+    probe = [(100, "the old francisco"), (101, "the new road")]
+    df = spark.createDataFrame(base + probe, "doc_id long, text string")
+    got = {r.doc_id: r.score_milli for r in kn_trigram_score(df).collect()}
+    assert got[101] > got[100]
+
+
+def test_kn_trigram_rejects_bad_discount_and_short_docs(spark):
+    import pytest as _pytest
+
+    from storage_spark.operators.pipeline import kn_trigram_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id for r in kn_trigram_score(df).collect()}
+    assert out == {1}  # <3-token docs emit no row
+    with _pytest.raises(ValueError):
+        kn_trigram_score(df, discount_x4=0)
+
+
 def test_kn_rejects_bad_discount_and_short_docs(spark):
     import pytest as _pytest
 
