@@ -3838,6 +3838,158 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 """)
 
 
+#: fixture lexicons for the trained-langid driver row (shared with the
+#: oracle emitter below — 8 words per language, content + function words
+#: so char-trigram profiles separate cleanly)
+_LANGID_LEX = {
+    "en": ["the", "and", "house", "water", "light", "with", "from", "night"],
+    "de": ["der", "und", "haus", "wasser", "licht", "mit", "von", "nacht"],
+    "fr": ["le", "et", "maison", "eau", "lumiere", "avec", "de", "nuit"],
+    "es": ["el", "y", "casa", "agua", "luz", "con", "de", "noche"],
+}
+_LANGID_LANGS = ["en", "de", "fr", "es"]
+
+
+def q_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language-ID under the oracle (VERDICT r9 #5): Naive Bayes
+    over padded char trigrams — closed-form fit (Laplace counts →
+    integer milli-bit weights via qlog2/Mitchell) and argmax scoring,
+    both replayed exactly in SQL. Training docs derive from part keys
+    (8 per language from the fixture lexicons); held-out probes use a
+    different composition stride, so the prediction is a genuine
+    generalization, not memorized rows. Output: every probe's predicted
+    language AND its winning score — the full fit+score pipeline under
+    the hash gate. The trained model strictly beats the stopword
+    heuristic on this corpus (tests/test_langid.py measures both)."""
+    from storage_spark.operators.langid import langid_fit, langid_score
+
+    t = _t(spark, sf_dir)
+    pk = F.col("p_partkey").cast("long")
+    lang_arr = F.array(*[F.lit(l) for l in _LANGID_LANGS])
+    words_arr = F.array(*[
+        F.array(*[F.lit(w) for w in _LANGID_LEX[l]]) for l in _LANGID_LANGS
+    ])
+
+    base_tr = t["part"].select(pk.alias("pk")).filter(F.col("pk") <= 31)
+    wl_tr = F.element_at(words_arr, (F.col("pk") % 4 + 1).cast("int"))
+    train = base_tr.select(
+        F.element_at(lang_arr, (F.col("pk") % 4 + 1).cast("int")).alias("lang"),
+        F.concat_ws(" ", *[
+            F.element_at(
+                wl_tr,
+                ((F.floor(F.col("pk") / 4) * 3 + j) % 8 + 1).cast("int"),
+            )
+            for j in range(6)
+        ]).alias("text"),
+    )
+
+    base_pr = t["part"].select(pk.alias("pk")).filter(F.col("pk") <= 19)
+    i = F.floor(F.col("pk") / 5)
+    j = F.col("pk") % 5
+    wl_pr = F.element_at(words_arr, (i + 1).cast("int"))
+    probe = base_pr.select(
+        (i * 10 + j).cast("long").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.element_at(wl_pr, ((i * 5 + j * 2 + p) % 8 + 1).cast("int"))
+            for p in range(5)
+        ]).alias("text"),
+    )
+
+    m = langid_fit(train)
+    sc = langid_score(probe, m)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").desc(), F.col("lang").asc()
+    )
+    return (
+        sc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "score_milli")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_langid_trained() -> str:
+    qlog = (
+        "((length(bin(CAST({c} AS BIGINT))) - 1) * 1000"
+        " + CAST(floor(((CAST({c} AS DOUBLE)"
+        " / power(2, length(bin(CAST({c} AS BIGINT))) - 1)) - 1.0)"
+        " * 1000) AS BIGINT))"
+    )
+    lex_rows = ", ".join(
+        f"('{l}', {li}, {wi}, '{w}')"
+        for li, l in enumerate(_LANGID_LANGS)
+        for wi, w in enumerate(_LANGID_LEX[l])
+    )
+    d_expr = qlog.format(c="t.tot + g.g")
+    return _o(f"""
+, lex AS (SELECT * FROM (VALUES {lex_rows}) AS v(lang, li, idx, word)),
+tr_parts AS (
+  SELECT l.lang, r.range AS s, j.range AS j,
+         (SELECT word FROM lex
+          WHERE lex.lang = l.lang AND lex.idx = (r.range * 3 + j.range) % 8
+         ) AS word
+  FROM (SELECT DISTINCT lang FROM lex) l, range(0, 8) r, range(0, 6) j
+),
+tr_docs AS (
+  SELECT lang, s, ' ' || string_agg(word, ' ' ORDER BY j) || ' ' AS padded
+  FROM tr_parts GROUP BY 1, 2
+),
+tg AS (
+  SELECT lang, substr(padded, CAST(i.i AS INT), 3) AS gram
+  FROM tr_docs, LATERAL unnest(range(1, length(padded) - 1)) AS i(i)
+),
+cnt AS (SELECT lang, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+tot AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
+gsz AS (SELECT count(DISTINCT gram) AS g FROM cnt),
+pr_parts AS (
+  SELECT i.range AS li, j.range AS j, p.range AS p,
+         (SELECT word FROM lex
+          WHERE lex.li = i.range
+            AND lex.idx = (i.range * 5 + j.range * 2 + p.range) % 8
+         ) AS word
+  FROM range(0, 4) i, range(0, 5) j, range(0, 5) p
+),
+pr_docs AS (
+  SELECT li * 10 + j AS doc_id,
+         ' ' || string_agg(word, ' ' ORDER BY p) || ' ' AS padded
+  FROM pr_parts GROUP BY 1
+),
+pg AS (
+  SELECT doc_id, substr(padded, CAST(i.i AS INT), 3) AS gram
+  FROM pr_docs, LATERAL unnest(range(1, length(padded) - 1)) AS i(i)
+),
+pk AS (SELECT doc_id, gram, count(*) AS k FROM pg GROUP BY 1, 2),
+nd AS (SELECT doc_id, sum(k) AS n FROM pk GROUP BY 1),
+matched AS (
+  SELECT p.doc_id, c.lang,
+         sum(p.k * ({qlog.format(c='c.c + 1')} - {d_expr})) AS mw,
+         sum(p.k) AS mk
+  FROM pk p
+  JOIN cnt c ON c.gram = p.gram
+  JOIN tot t ON t.lang = c.lang
+  CROSS JOIN gsz g
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT n.doc_id, t.lang,
+         coalesce(m.mw, 0) + (n.n - coalesce(m.mk, 0)) * (0 - {d_expr})
+           AS score
+  FROM nd n CROSS JOIN tot t CROSS JOIN gsz g
+  LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.lang = t.lang
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(score AS BIGINT) AS score_milli
+FROM (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scored
+) WHERE rn = 1 ORDER BY doc_id
+""")
+
+
 def q_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) sketches — the sketch family's resemblance half
     (Bar-Yossef et al. 2002 / Broder minwise): token-set sketches of
@@ -6321,6 +6473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_resemblance": q_kmv_resemblance,
         "kn_bigram": q_kn_bigram,
         "kn_trigram": q_kn_trigram,
+        "langid_trained": q_langid_trained,
         "image_dhash_pairs": q_image_dhash_pairs,
         "audio_near_pairs": q_audio_near_pairs,
         "video_near_pairs": q_video_near_pairs,
@@ -8474,6 +8627,7 @@ FROM sc ORDER BY pk
         "kmv_resemblance": _oracle_kmv_resemblance(256),
         "kn_bigram": _oracle_kn_bigram(),
         "kn_trigram": _oracle_kn_trigram(),
+        "langid_trained": _oracle_langid_trained(),
         "image_dhash_pairs": _oracle_image_dhash_pairs(),
         "audio_near_pairs": _oracle_audio_near_pairs(),
         "video_near_pairs": _oracle_video_near_pairs(),

@@ -1,0 +1,180 @@
+"""Trained language identification — Naive Bayes over char n-grams.
+
+Replaces the stopword-argmax heuristic (``functions.text.lang_id``) as
+the QUALITY bar for the per-language stack (CCNet buckets, per-language
+DSIR, per-language line dedup all consume a lang label): a trained
+char-n-gram model is the classical strong baseline (Cavnar & Trenkle
+1994 rank profiles; Naive Bayes over char n-grams is its closed-form
+probabilistic sibling and what fastText-class identifiers reduce to at
+the feature level). Fit is closed-form counting — no iteration — and
+scoring is integer milli-bit arithmetic (the ``bpe._qlog2_milli``
+idiom), so BOTH halves replay exactly in a SQL oracle.
+
+Model: for each language l and padded char n-gram g,
+
+    w(l, g)  = qlog2(c(l,g) + 1) − qlog2(tot(l) + G)      (Laplace)
+    oov(l)   =          0        − qlog2(tot(l) + G)
+
+with c(l,g) = occurrences of g in l's training text, tot(l) = Σ_g
+c(l,g), G = distinct grams across the whole training corpus. A doc with
+gram counts {g: k_g} (N total) scores, per language,
+
+    score(l) = Σ_matched k_g · w(l,g) + (N − Σ_matched k_g) · oov(l)
+
+and the prediction is the deterministic argmax (score desc, lang asc).
+Class priors are intentionally omitted (training corpora for langid are
+curated roughly balanced; a prior term is one more qlog2 difference if
+a caller wants it — documented deviation).
+
+The model is ONE narrow table ``(lang, gram, w_milli)`` — the per-lang
+OOV weight rides as the ``gram = ''`` row (the empty string can never
+be a length-n gram) — so it persists under ``sources.textmodels`` kind
+``langid`` and broadcasts at any corpus size: the table is bounded by
+|langs| × |gram space| (≤ a few 100k rows for n=3), NOT by the corpus.
+
+Scale shape: fit = one explode + two map-side-combinable groupBys over
+the (bounded) training set; score = one explode + one groupBy(doc,
+gram) + one equi-join against the broadcastable model + one
+groupBy(doc, lang) + an |langs|-row broadcast cross — no per-row
+Python, no window wider than one doc's languages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from storage_spark.functions.bpe import _qlog2_milli
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Padded char n-grams of the normalized text: lowercase, collapse
+    whitespace, wrap in single spaces (so word boundaries are features —
+    ' th' ≠ 'th '), then every length-``n`` substring. Empty array when
+    the padded text is shorter than ``n``."""
+    s = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "),
+        F.lit(" "),
+    )
+    ln = F.length(s)
+    return F.when(
+        ln >= n,
+        F.transform(
+            F.sequence(F.lit(1), ln - (n - 1)),
+            lambda i: F.substring(s, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def langid_fit(
+    labeled: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Fit the NB char-n-gram model from a labeled corpus. Returns the
+    ``(lang, gram, w_milli)`` model table (OOV row per lang at
+    ``gram = ''``). Closed-form: two aggregations, no iteration."""
+    g = labeled.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    cnt = g.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
+    n_grams = cnt.select("gram").distinct().agg(
+        F.count(F.lit(1)).alias("g_sz")
+    )
+    denom = _qlog2_milli(F.col("tot") + F.col("g_sz"))
+    weights = (
+        cnt.join(tot, "lang")
+        .crossJoin(F.broadcast(n_grams))
+        .select(
+            "lang", "gram",
+            (_qlog2_milli(F.col("c") + F.lit(1)) - denom).alias("w_milli"),
+        )
+    )
+    oov = (
+        tot.crossJoin(F.broadcast(n_grams))
+        .select("lang", F.lit("").alias("gram"), (-denom).alias("w_milli"))
+    )
+    return weights.unionByName(oov)
+
+
+def langid_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-(doc, language) NB scores: ``(doc_id, lang, score_milli,
+    n_grams)``. Docs whose normalized text yields no n-gram emit no
+    rows (see ``langid_predict`` for the default label)."""
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    nd = grams.groupBy("doc_id").agg(F.sum("k").alias("n_grams"))
+    matched = (
+        grams.join(model.filter(F.col("gram") != ""), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("k") * F.col("w_milli")).alias("mw"),
+            F.sum("k").alias("mk"),
+        )
+    )
+    langs = model.filter(F.col("gram") == "").select(
+        "lang", F.col("w_milli").alias("oov")
+    )
+    z = F.lit(0)
+    return (
+        nd.crossJoin(F.broadcast(langs))
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id", "lang",
+            (
+                F.coalesce(F.col("mw"), z)
+                + (F.col("n_grams") - F.coalesce(F.col("mk"), z))
+                * F.col("oov")
+            ).cast("long").alias("score_milli"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+    )
+
+
+def langid_predict(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    default: str = "und",
+) -> DataFrame:
+    """Argmax language per doc — ``(doc_id, lang)`` with the
+    deterministic (score desc, lang asc) tie-break; docs with no
+    n-grams get ``default``. The drop-in producer for any per-language
+    operator's lang/group column (line_dedup's ``group_col``,
+    ``dsir_sample_per_group``, CCNet buckets): join this frame on the
+    doc id."""
+    s = langid_score(docs, model, id_col, text_col, n)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").desc(), F.col("lang").asc()
+    )
+    preds = (
+        s.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(preds, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("lang"), F.lit(default)).alias("lang")
+        )
+    )

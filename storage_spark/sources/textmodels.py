@@ -46,6 +46,9 @@ MODEL_COLUMNS: dict[str, set[str]] = {
     # Unigram-LM piece table (bpe.unigram_vocab): quantized milli-bit
     # log2 scores — the Viterbi scorer's entire state
     "unipiece": {"tok", "lp_milli"},
+    # trained language-ID (operators.langid): NB char-n-gram weights,
+    # per-lang OOV weight riding as the gram='' row; record n in params
+    "langid": {"lang", "gram", "w_milli"},
 }
 
 _FORMAT_VERSION = 1

@@ -1,0 +1,141 @@
+"""Trained language-ID (operators.langid): NB over char n-grams —
+hand-checked integer math, deterministic prediction, and measured
+accuracy against the stopword heuristic it upgrades."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _qlog(c: int) -> int:
+    import math
+
+    bl = c.bit_length()
+    return (bl - 1) * 1000 + math.floor((c / (1 << (bl - 1)) - 1) * 1000)
+
+
+def test_char_ngrams_padding_and_short(spark):
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.langid import char_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "Ab  c"), (2, ""), (3, "x")], "id long, text string"
+    )
+    got = {
+        r.id: r.g
+        for r in df.select("id", char_ngrams(F.col("text")).alias("g")).collect()
+    }
+    # normalized 'ab c' → padded ' ab c ' → 4 trigrams
+    assert got[1] == [" ab", "ab ", "b c", " c "]
+    assert got[2] == []          # padded '  ' has length 2 < 3
+    assert got[3] == [" x "]
+
+
+def test_langid_fit_and_score_hand_math(spark):
+    from storage_spark.operators.langid import langid_fit, langid_score
+
+    train = spark.createDataFrame(
+        [("aa", "xy"), ("bb", "xz")], "lang string, text string"
+    )
+    # padded: ' xy ' / ' xz ' → grams per lang: aa: {' xy','xy '};
+    # bb: {' xz','xz '}; tot(aa)=tot(bb)=2; G = 4 distinct grams
+    m = langid_fit(train)
+    rows = {(r.lang, r.gram): r.w_milli for r in m.collect()}
+    d = _qlog(2 + 4)
+    assert rows[("aa", " xy")] == _qlog(2) - d  # c=1 → qlog(2)
+    assert rows[("aa", "")] == -d
+    assert rows[("bb", "xz ")] == _qlog(2) - d
+
+    probe = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    s = {
+        (r.doc_id, r.lang): (r.score_milli, r.n_grams)
+        for r in langid_score(probe, m).collect()
+    }
+    # doc grams ' xy','xy ' (N=2): aa matches both, bb none
+    assert s[(1, "aa")] == (2 * (_qlog(2) - d), 2)
+    assert s[(1, "bb")] == (2 * -d, 2)
+
+
+def test_langid_predict_tiebreak_and_default(spark):
+    from storage_spark.operators.langid import langid_fit, langid_predict
+
+    # identical training text for both langs → every score ties →
+    # lang asc wins; empty doc → default
+    train = spark.createDataFrame(
+        [("aa", "same text"), ("bb", "same text")], "lang string, text string"
+    )
+    probe = spark.createDataFrame(
+        [(1, "same"), (2, "")], "doc_id long, text string"
+    )
+    m = langid_fit(train)
+    got = {r.doc_id: r.lang for r in langid_predict(probe, m).collect()}
+    assert got[1] == "aa"
+    assert got[2] == "und"
+
+
+_LEX = {
+    "en": ["the", "and", "house", "water", "light", "with", "from", "night"],
+    "de": ["der", "und", "haus", "wasser", "licht", "mit", "von", "nacht"],
+    "fr": ["le", "et", "maison", "eau", "lumiere", "avec", "de", "nuit"],
+    "es": ["el", "y", "casa", "agua", "luz", "con", "de", "noche"],
+}
+
+
+def _doc(lang: str, seed: int, k: int = 6) -> str:
+    words = _LEX[lang]
+    return " ".join(words[(seed * 3 + j) % len(words)] for j in range(k))
+
+
+def test_langid_accuracy_beats_stopword_heuristic(spark):
+    """The measured upgrade (VERDICT r9 #5): on a held-out multilingual
+    fixture the trained model must strictly beat the stopword-argmax
+    heuristic (whose lists cover only 5 function words per language —
+    content-word docs fall through to 'und' or collide on shared
+    stopwords like de/es 'de')."""
+    from pyspark.sql import functions as F
+
+    from storage_spark.functions.text import lang_id
+    from storage_spark.operators.langid import langid_fit, langid_predict
+
+    train = spark.createDataFrame(
+        [(lang, _doc(lang, s)) for lang in _LEX for s in range(8)],
+        "lang string, text string",
+    )
+    # held-out: different composition stride than training
+    probe = spark.createDataFrame(
+        [
+            (i * 10 + j, lang, " ".join(
+                _LEX[lang][(i * 5 + j * 2 + p) % len(_LEX[lang])]
+                for p in range(5)
+            ))
+            for i, lang in enumerate(_LEX)
+            for j in range(5)
+        ],
+        "doc_id long, truth string, text string",
+    )
+    m = langid_fit(train)
+    trained = langid_predict(probe, m)
+    merged = probe.join(trained, "doc_id").withColumn(
+        "heur", lang_id(F.col("text"))
+    )
+    rows = merged.collect()
+    n = len(rows)
+    acc_trained = sum(r.lang == r.truth for r in rows) / n
+    acc_heur = sum(r.heur == r.truth for r in rows) / n
+    assert acc_trained == 1.0
+    assert acc_trained > acc_heur
+
+
+def test_langid_model_is_bounded_not_corpus_sized(spark):
+    """The 100 TB property: model rows ≤ |langs| × |distinct grams| + L,
+    independent of how many training DOCS repeat the same text."""
+    from storage_spark.operators.langid import langid_fit
+
+    one = spark.createDataFrame(
+        [("en", "the water")], "lang string, text string"
+    )
+    many = spark.createDataFrame(
+        [("en", "the water")] * 50, "lang string, text string"
+    )
+    assert langid_fit(one).count() == langid_fit(many).count()

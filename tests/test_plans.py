@@ -144,6 +144,10 @@ _BNLJ_ALLOWED = {
     # unigram/bigram_logprob class; model joins are equi-joins
     "kn_bigram",
     "kn_trigram",  # same 1-row totals crossJoin, five equi-join models
+    # |langs|-row broadcast cross (per-doc scores need every language
+    # row even with zero matched grams) + the fit's 1-row gram-count
+    # cross — both bounded by model geometry, never by the corpus
+    "langid_trained",
 }
 
 

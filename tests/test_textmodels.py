@@ -129,7 +129,32 @@ def test_subword_vocab_roundtrip_counts_equal(spark, docs, tmp_path):
 def test_all_kinds_have_column_contracts():
     assert set(MODEL_COLUMNS) == {
         "unigram", "bigram", "nb", "dsir", "subword", "merges", "unipiece",
+        "langid",
     }
+
+
+def test_langid_roundtrip_predictions_equal(spark, tmp_path):
+    from storage_spark.operators.langid import langid_fit, langid_predict
+    from storage_spark.sources.textmodels import (
+        load_text_model,
+        save_text_model,
+    )
+
+    train = spark.createDataFrame(
+        [("en", "the house and the water"), ("de", "das haus und das wasser")],
+        "lang string, text string",
+    )
+    probe = spark.createDataFrame(
+        [(1, "the water"), (2, "das wasser")], "doc_id long, text string"
+    )
+    m = langid_fit(train)
+    path = str(tmp_path / "langid")
+    save_text_model(m, path, "langid", params={"n": 3})
+    loaded, cfg = load_text_model(spark, path)
+    assert cfg["kind"] == "langid" and cfg["params"]["n"] == 3
+    assert _rows(langid_predict(probe, loaded)) == _rows(
+        langid_predict(probe, m)
+    )
 
 
 def test_unipiece_roundtrip_segmentation_equal(spark, docs, tmp_path):
