@@ -6438,84 +6438,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver evaluates in dict order under a wall-clock
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
-    # cap. Round 9's 50-slot window:
-    # (a) the 36 r9 net-new rows (never recorded) lead — 12 from the
-    #     first session, then the continued sessions' additions: the
-    #     BPE training trio, the media stack (JPEG render, GIF frames,
-    #     AVI video, G.711 audio, FLAC, WebP, scene cuts, silence
-    #     spans), text_normalize, the line-dedup trio +
-    #     boilerplate_ratio, the sketch family (CMS, HLL, KMV), the
-    #     Unigram-LM tokenizer, Kneser-Ney, and the image/audio/video
-    #     near-dup fingerprint rows;
-    # (b) 2 rows whose RESULTS changed this round and must re-record:
-    #     path_functions (extension() now matches the reference on
-    #     dot-less names + edge-case fixture rows) and multipart_complete
-    #     (0057 metadata column in the RETURNING row);
-    # (c) the 7 rows whose latest driver evidence is r5 (VERDICT r8 #6:
-    #     tenant_usage..merge_upsert — the r8 cap truncated them);
-    # (d) the r6-evidence block, stalest-first: ~24 fit this window, the
-    #     tail (~21 rows) leads round 10's.
-    # Everything past slot 50 is driver-green in r7/r8 on semantically
+    # cap. Round 10's 50-slot window (VERDICT r9 #3 — drain the
+    # r6-evidence tail):
+    # (a) the 41 rows whose latest driver evidence is r6 lead (the asof
+    #     family, vector_* exact/IVF family, dedup_* family, text_*
+    #     family, pack/packing, listing staleholds) — after r10 no
+    #     entry's evidence is older than r7;
+    # (b) the r10 net-new rows (ann_index_jl_derived — the shipped
+    #     jl_lsh derived-refine default under the oracle; kn_trigram;
+    #     langid_trained; + this round's later additions);
+    # (c) the r7-evidence block, stalest-first, for the slots that
+    #     remain; then r8/r9 (freshest driver evidence last).
+    # Everything past slot 50 is driver-green in r7-r9 on semantically
     # unchanged code, and the local parity replica
     # (tests/test_queries_parity.py) re-proves the whole registry on
     # current code every session.
     return {
-        # ---- r9 net-new (never recorded) ----
-        "search_v1_hybrid": q_search_v1_hybrid,
-        "search_v1_ci": q_search_v1_ci,
-        "search_v1_sorted": q_search_v1_sorted,
-        "search_v1_desc": q_search_v1_desc,
-        "rls_operation": q_rls_operation,
-        "text_normalize": q_text_normalize,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "hll_distinct_tokens": q_hll_distinct_tokens,
-        "unigram_tokenize": q_unigram_tokenize,
-        "kmv_resemblance": q_kmv_resemblance,
-        "kn_bigram": q_kn_bigram,
-        "kn_trigram": q_kn_trigram,
-        "langid_trained": q_langid_trained,
-        "image_dhash_pairs": q_image_dhash_pairs,
-        "audio_near_pairs": q_audio_near_pairs,
-        "video_near_pairs": q_video_near_pairs,
-        "line_dedup": q_line_dedup,
-        "line_dedup_dropall": q_line_dedup_dropall,
-        "line_dedup_incremental": q_line_dedup_incremental,
-        "boilerplate_ratio": q_boilerplate_ratio,
-        "line_dedup_per_lang": q_line_dedup_per_lang,
-        "substring_dedup_spans": q_substring_dedup_spans,
-        "substring_dedup_strip": q_substring_dedup_strip,
-        "substring_dedup_incremental": q_substring_dedup_incremental,
-        "bpe_tokenize": q_bpe_tokenize,
-        "bpe_merges": q_bpe_merges,
-        "bpe_merges_bytes": q_bpe_merges_bytes,
-        "bpe_merge_tokenize": q_bpe_merge_tokenize,
-        "curate_corpus_gated": q_curate_corpus_gated,
-        "dsir_select_per_lang": q_dsir_select_per_lang,
-        "media_decode_meta": q_media_decode_meta,
-        "media_transform_jpeg": q_media_transform_jpeg,
-        "media_gif_frames": q_media_gif_frames,
-        "media_video_frames": q_media_video_frames,
-        "media_audio_codecs": q_media_audio_codecs,
-        "media_flac_roundtrip": q_media_flac_roundtrip,
-        "media_webp_render": q_media_webp_render,
-        "media_scene_cuts": q_media_scene_cuts,
-        "media_silence_spans": q_media_silence_spans,
-        # ---- r9 result-changed (re-record) ----
-        "path_functions": q_path_functions,
-        "multipart_complete": q_multipart_complete,
-        # ---- r5-evidence refresh (VERDICT r8 #6) ----
-        "tenant_usage": q_tenant_usage,
-        "buckets_search": q_buckets_search,
-        "mime_validation": q_mime_validation,
-        "key_validation": q_key_validation,
-        "search_by_timestamp": q_search_by_timestamp,
-        "salted_usage": q_salted_usage,
-        "merge_upsert": q_merge_upsert,
-        # ---- r6-evidence block (stalest-first; tail rolls to r10) ----
-        "bucket_usage": q_bucket_usage,
-        "list_root": q_list_root,
-        "list_nested": q_list_nested,
-        "list_flat_cursor": q_list_flat_cursor,
         "skipscan_prefixes": q_skipscan_prefixes,
         "sort_updated_at": q_sort_updated_at,
         "topk_merge": q_topk_merge,
@@ -6557,57 +6495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "packing_efficiency": q_packing_efficiency,
         "backend_list": q_backend_list,
-        # ---- r7/r8-recorded blocks (freshest driver evidence) ----
-        "vector_sq8": q_vector_sq8,
-        "vector_ivfsq": q_vector_ivfsq,
-        "semantic_dedup": q_semantic_dedup,
-        "vector_ivfpq_residual": q_vector_ivfpq_residual,
-        "temperature_sample": q_temperature_sample,
-        "project_embeddings": q_project_embeddings,
-        "semantic_dedup_incremental": q_semantic_dedup_incremental,
-        "mean_pool_embeddings": q_mean_pool_embeddings,
-        "unigram_logprob": q_unigram_logprob,
-        "gopher_rules": q_gopher_rules,
-        "semantic_cluster_stats": q_semantic_cluster_stats,
-        "bigram_logprob": q_bigram_logprob,
-        "vector_projected_rerank": q_vector_projected_rerank,
-        "semantic_dedup_components": q_semantic_dedup_components,
-        "ann_index_jl_query": q_ann_index_jl_query,
         "ann_index_jl_derived": q_ann_index_jl_derived,
-        "queue_replay": q_queue_replay,
-        "classifier_score": q_classifier_score,
-        "dsir_select": q_dsir_select,
-        "perplexity_buckets": q_perplexity_buckets,
-        "remove_boilerplate": q_remove_boilerplate,
-        "multipart_part_copy": q_multipart_part_copy,
-        "sign_many": q_sign_many,
-        "proportional_sample": q_proportional_sample,
-        "containment_pairs": q_containment_pairs,
-        "decontaminate_spans": q_decontaminate_spans,
-        "interval_upload_contention": q_interval_upload_contention,
-        "webdataset_export": q_webdataset_export,
-        "vector_lsh_ann": q_vector_lsh_ann,
-        "vector_multiprobe_ann": q_vector_multiprobe_ann,
-        "keyset_events": q_keyset_events,
-        "keyset_events_desc": q_keyset_events_desc,
-        "capped_count": q_capped_count,
-        "owner_rollup": q_owner_rollup,
-        "orphans_s3": q_orphans_s3,
-        "orphans_db": q_orphans_db,
-        "consistency_report": q_consistency_report,
-        "fk_join_usage": q_fk_join_usage,
-        "meta_filter_range": q_meta_filter_range,
-        "meta_filter_in_or": q_meta_filter_in_or,
-        "prefix_derivation": q_prefix_derivation,
-        "find_object_versions": q_find_object_versions,
-        "find_objects_by_id": q_find_objects_by_id,
-        "first_per_bucket": q_first_per_bucket,
-        "legacy_folder_join": q_legacy_folder_join,
-        "list_parts": q_list_parts,
-        "list_multipart_uploads": q_list_multipart_uploads,
-        "delete_before_preview": q_delete_before_preview,
-        "rls_owner": q_rls_owner,
-        "catalog_backfill": q_catalog_backfill,
+        "kn_trigram": q_kn_trigram,
+        "langid_trained": q_langid_trained,
         "ann_index_query": q_ann_index_query,
         "ann_index_append": q_ann_index_append,
         "simhash_wide": q_simhash_wide,
@@ -6658,6 +6548,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_ivf_query": q_ann_index_ivf_query,
         "dedup_embedding": q_dedup_embedding,
         "curate_corpus": q_curate_corpus,
+        "vector_sq8": q_vector_sq8,
+        "vector_ivfsq": q_vector_ivfsq,
+        "semantic_dedup": q_semantic_dedup,
+        "vector_ivfpq_residual": q_vector_ivfpq_residual,
+        "temperature_sample": q_temperature_sample,
+        "project_embeddings": q_project_embeddings,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "mean_pool_embeddings": q_mean_pool_embeddings,
+        "unigram_logprob": q_unigram_logprob,
+        "gopher_rules": q_gopher_rules,
+        "semantic_cluster_stats": q_semantic_cluster_stats,
+        "bigram_logprob": q_bigram_logprob,
+        "vector_projected_rerank": q_vector_projected_rerank,
+        "semantic_dedup_components": q_semantic_dedup_components,
+        "ann_index_jl_query": q_ann_index_jl_query,
+        "queue_replay": q_queue_replay,
+        "classifier_score": q_classifier_score,
+        "dsir_select": q_dsir_select,
+        "perplexity_buckets": q_perplexity_buckets,
+        "remove_boilerplate": q_remove_boilerplate,
+        "multipart_part_copy": q_multipart_part_copy,
+        "sign_many": q_sign_many,
+        "proportional_sample": q_proportional_sample,
+        "containment_pairs": q_containment_pairs,
+        "decontaminate_spans": q_decontaminate_spans,
+        "interval_upload_contention": q_interval_upload_contention,
+        "webdataset_export": q_webdataset_export,
+        "vector_lsh_ann": q_vector_lsh_ann,
+        "vector_multiprobe_ann": q_vector_multiprobe_ann,
+        "keyset_events": q_keyset_events,
+        "keyset_events_desc": q_keyset_events_desc,
+        "capped_count": q_capped_count,
+        "owner_rollup": q_owner_rollup,
+        "orphans_s3": q_orphans_s3,
+        "orphans_db": q_orphans_db,
+        "consistency_report": q_consistency_report,
+        "fk_join_usage": q_fk_join_usage,
+        "meta_filter_range": q_meta_filter_range,
+        "meta_filter_in_or": q_meta_filter_in_or,
+        "prefix_derivation": q_prefix_derivation,
+        "find_object_versions": q_find_object_versions,
+        "find_objects_by_id": q_find_objects_by_id,
+        "first_per_bucket": q_first_per_bucket,
+        "legacy_folder_join": q_legacy_folder_join,
+        "list_parts": q_list_parts,
+        "list_multipart_uploads": q_list_multipart_uploads,
+        "delete_before_preview": q_delete_before_preview,
+        "rls_owner": q_rls_owner,
+        "catalog_backfill": q_catalog_backfill,
+        "search_v1_hybrid": q_search_v1_hybrid,
+        "search_v1_ci": q_search_v1_ci,
+        "search_v1_sorted": q_search_v1_sorted,
+        "search_v1_desc": q_search_v1_desc,
+        "rls_operation": q_rls_operation,
+        "text_normalize": q_text_normalize,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hll_distinct_tokens": q_hll_distinct_tokens,
+        "unigram_tokenize": q_unigram_tokenize,
+        "kmv_resemblance": q_kmv_resemblance,
+        "kn_bigram": q_kn_bigram,
+        "image_dhash_pairs": q_image_dhash_pairs,
+        "audio_near_pairs": q_audio_near_pairs,
+        "video_near_pairs": q_video_near_pairs,
+        "line_dedup": q_line_dedup,
+        "line_dedup_dropall": q_line_dedup_dropall,
+        "line_dedup_incremental": q_line_dedup_incremental,
+        "boilerplate_ratio": q_boilerplate_ratio,
+        "line_dedup_per_lang": q_line_dedup_per_lang,
+        "substring_dedup_spans": q_substring_dedup_spans,
+        "substring_dedup_strip": q_substring_dedup_strip,
+        "substring_dedup_incremental": q_substring_dedup_incremental,
+        "bpe_tokenize": q_bpe_tokenize,
+        "bpe_merges": q_bpe_merges,
+        "bpe_merges_bytes": q_bpe_merges_bytes,
+        "bpe_merge_tokenize": q_bpe_merge_tokenize,
+        "curate_corpus_gated": q_curate_corpus_gated,
+        "dsir_select_per_lang": q_dsir_select_per_lang,
+        "media_decode_meta": q_media_decode_meta,
+        "media_transform_jpeg": q_media_transform_jpeg,
+        "media_gif_frames": q_media_gif_frames,
+        "media_video_frames": q_media_video_frames,
+        "media_audio_codecs": q_media_audio_codecs,
+        "media_flac_roundtrip": q_media_flac_roundtrip,
+        "media_webp_render": q_media_webp_render,
+        "media_scene_cuts": q_media_scene_cuts,
+        "media_silence_spans": q_media_silence_spans,
+        "path_functions": q_path_functions,
+        "multipart_complete": q_multipart_complete,
+        "tenant_usage": q_tenant_usage,
+        "buckets_search": q_buckets_search,
+        "mime_validation": q_mime_validation,
+        "key_validation": q_key_validation,
+        "search_by_timestamp": q_search_by_timestamp,
+        "salted_usage": q_salted_usage,
+        "merge_upsert": q_merge_upsert,
+        "bucket_usage": q_bucket_usage,
+        "list_root": q_list_root,
+        "list_nested": q_list_nested,
+        "list_flat_cursor": q_list_flat_cursor,
     }
 
 def _oracle_sql_literal() -> dict[str, str]:
