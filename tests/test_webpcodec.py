@@ -49,6 +49,67 @@ def test_flat_image_compresses_via_runs():
     assert webp_parse_meta(b) == (64, 64, True)
 
 
+def test_transform_encoder_shrinks_gradients_and_roundtrips():
+    """r10: the transform-side encoder (subtract-green + per-block
+    predictor, all 14 modes scored) must shrink smooth content hard and
+    stay lossless; the transform-free stream stays available and both
+    decode identically."""
+    import numpy as np
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [(xx * 3 + yy) % 256, (yy * 2) % 256, (xx + yy * 2) % 256], axis=2
+    ).astype(np.uint8)
+    b_plain = webp_encode(grad, use_transforms=False)
+    b_tr = webp_encode(grad)
+    assert np.array_equal(webp_decode(b_tr)[:, :, :3], grad)
+    assert np.array_equal(webp_decode(b_plain)[:, :, :3], grad)
+    assert len(b_tr) < len(b_plain) / 4  # measured ~35x; gate at 4x
+
+
+def test_forward_predictor_uses_multiple_modes():
+    """A mixed image (vertical bands / horizontal bands / diagonal
+    gradient) should select different predictor modes per block, and
+    the full encode→decode round-trip proves forward ≡ inverse for
+    every mode chosen — including TR/averages at the right edge."""
+    import numpy as np
+
+    from storage_spark.functions.webpcodec import _forward_predictor
+
+    h, w = 48, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :16] = np.stack([xx[:, :16] * 9 % 256] * 3, axis=2)   # L-predictable
+    img[:, 16:32] = np.stack([yy[:, 16:32] * 7 % 256] * 3, axis=2)  # T
+    img[:, 32:] = np.stack([(xx[:, 32:] + yy[:, 32:]) * 5 % 256] * 3, axis=2)
+    px = img[:, :, [0, 0, 1, 2]].copy()
+    px[:, :, 0] = 255
+    res, modes = _forward_predictor(px, 4)
+    assert len(np.unique(modes)) > 1
+    assert np.array_equal(webp_decode(webp_encode(img))[:, :, :3], img)
+
+
+def test_transform_roundtrip_adversarial_shapes():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(0, 256, (1, 1, 4)),       # single pixel
+        rng.integers(0, 256, (1, 37, 4)),      # single row
+        rng.integers(0, 256, (37, 1, 4)),      # single column
+        rng.integers(0, 256, (17, 19, 4)),     # non-multiple of block
+        rng.integers(0, 256, (33, 16, 3)),     # block-boundary + RGB
+    ]
+    for img in cases:
+        img = img.astype(np.uint8)
+        out = webp_decode(webp_encode(img))
+        want = img if img.shape[2] == 4 else np.concatenate(
+            [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=2
+        )
+        assert np.array_equal(out, want), img.shape
+
+
 def test_rejects_garbage_and_lossy():
     with pytest.raises(ValueError):
         webp_decode(b"not webp")
