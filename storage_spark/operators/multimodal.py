@@ -198,17 +198,20 @@ def transform_images(
     content_col: str = "content",
 ) -> DataFrame:
     """Batch image transform (render path as a bulk operator).
-    ``codec=None`` defaults to the dependency-free magic-dispatching
-    codec (``functions.imagecodec.image_pixel_codec`` — real
-    decode/resize/re-encode for PNG and baseline JPEG; raises per-blob
-    on other formats); pass a Pillow/libvips-backed callable for
-    WebP/progressive-JPEG when the deployment has one — the Spark
-    plumbing is identical either way."""
+    ``codec=None`` defaults via ``fastcodec.select_pixel_codec()``: the
+    dependency-free magic-dispatching codec
+    (``functions.imagecodec.image_pixel_codec`` — real
+    decode/resize/re-encode for PNG, JPEG incl. progressive, GIF, and
+    lossless WebP), or the PIL-backed accelerated path when
+    ``STORAGE_SPARK_FAST_CODECS=1`` and Pillow imports (same formats
+    and resize geometry, native-speed entropy coding — see fastcodec's
+    contract). Any ``codec(bytes, w, h, resize, quality) → bytes``
+    callable plugs in; the Spark plumbing is identical either way."""
     validate_render_options(width, height, resize, quality)
     if codec is None:
-        from storage_spark.functions.imagecodec import image_pixel_codec
+        from storage_spark.functions.fastcodec import select_pixel_codec
 
-        codec = image_pixel_codec
+        codec = select_pixel_codec()
 
     out_schema = T.StructType(
         [T.StructField("key", T.StringType()), T.StructField("content", T.BinaryType())]
