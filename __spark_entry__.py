@@ -3444,13 +3444,14 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup (dHash + banded Hamming join — the
     LAION-style image dedup stage) under the oracle: PNGs are built
     from a 27×16 gray pixel rule in 20 groups of 3 variants (variants
-    perturb ONE SAMPLED source pixel), hashed by the real decode →
-    luma → pixel-center 9×8 resize → gradient-bit pipeline, and paired
-    by Hamming ≤ 3 via the 4-band pigeonhole join. The oracle replays
-    the ENTIRE hash from the generation rule (27/9 and 16/8 make the
-    sampling grid exact integers: sx=3x+1, sy=2y+1) and takes exact
-    all-pairs ≤ 3 — so the row ALSO proves the banded join's recall
-    guarantee."""
+    perturb ONE source pixel), hashed by the real decode → luma →
+    9×8 AREA-MEAN downsample (the r10 robustness fix — the planted
+    near-dup probe measured point sampling at 0.18 resize recall) →
+    gradient-bit pipeline, and paired by Hamming ≤ 3 via the 4-band
+    pigeonhole join. The oracle replays the ENTIRE hash from the
+    generation rule (27/9 and 16/8 make the cells exact 3×2 blocks)
+    and takes exact all-pairs ≤ 3 — so the row ALSO proves the banded
+    join's recall guarantee."""
     import numpy as np
     import pandas as pd
 
@@ -3494,20 +3495,22 @@ def _oracle_image_dhash_pairs() -> str:
          p_partkey // 3 AS g, CAST(p_partkey % 3 AS INT) AS m
   FROM part WHERE p_partkey <= 59
 ),
--- sampled 9x8 luma grid: source pixel (sx, sy) = (3x+1, 2y+1)
-px AS (
-  SELECT k,
-         CAST(ux.x AS INT) AS x, CAST(uy.y AS INT) AS y,
-         CASE WHEN m > 0 AND (3 * CAST(ux.x AS INT) + 1) = 3 * m + 1
-                   AND (2 * CAST(uy.y AS INT) + 1) = 2 * m + 1
-              THEN (g * 37 + (3 * ux.x + 1) * 7 + (2 * uy.y + 1) * 13
-                    + 128) % 256
-              ELSE (g * 37 + (3 * ux.x + 1) * 7 + (2 * uy.y + 1) * 13)
-                    % 256
+-- 9x8 AREA-MEAN luma grid (r10 dHash form): cell (x, y) covers the
+-- exact 3x2 source block cols [3x, 3x+3) x rows [2y, 2y+2); the
+-- variant bump lands at source pixel (sx, sy) = (3m+1, 2m+1)
+srcpx AS (
+  SELECT k, CAST(sx.sx AS INT) AS sx, CAST(sy.sy AS INT) AS sy,
+         CASE WHEN m > 0 AND sx.sx = 3 * m + 1 AND sy.sy = 2 * m + 1
+              THEN (g * 37 + sx.sx * 7 + sy.sy * 13 + 128) % 256
+              ELSE (g * 37 + sx.sx * 7 + sy.sy * 13) % 256
          END AS v
   FROM ks,
-       LATERAL unnest(range(0, 9)) AS ux(x),
-       LATERAL unnest(range(0, 8)) AS uy(y)
+       LATERAL unnest(range(0, 27)) AS sx(sx),
+       LATERAL unnest(range(0, 16)) AS sy(sy)
+),
+px AS (
+  SELECT k, sx // 3 AS x, sy // 2 AS y, sum(v) // 6 AS v
+  FROM srcpx GROUP BY 1, 2, 3
 ),
 bits AS (
   SELECT a.k, a.y, a.x AS bx,

@@ -703,18 +703,42 @@ def image_decode_rgb(b: bytes):
 
 def dhash_bits(b: bytes) -> str:
     """Perceptual difference hash (dHash): decode → integer luma
-    ``(299r+587g+114b)//1000`` → pixel-center nearest resize to 9×8 →
-    64 row-wise gradient bits ``p[y][x+1] > p[y][x]``, returned as a
-    64-char '0'/'1' string (row-major — the form a SQL oracle compares
-    position-wise; pack to hex driver-side if storing). Every step is
-    integer math, so identical bytes hash identically in any engine."""
+    ``(299r+587g+114b)//1000`` → AREA-MEAN downsample to a 9×8 grid
+    (cell (y, x) covers rows [y·h//8, (y+1)·h//8) × cols [x·w//9,
+    (x+1)·w//9); value = pixel sum // pixel count) → 64 row-wise
+    gradient bits ``p[y][x+1] > p[y][x]``, returned as a 64-char
+    '0'/'1' string. Every step is integer math, so identical bytes hash
+    identically in any engine and a SQL oracle replays the whole hash.
+
+    Area mean, NOT point sampling — the r10 planted-near-dup probe
+    (tools/probe_r10_media_recall.py) measured the earlier pixel-center
+    nearest sample at recall 0.18 under a 75% re-render and 0.50 under
+    q75 JPEG re-encode (single-pixel samples flip on any local noise);
+    box means integrate the cell, which is what published dHash
+    implementations do and what makes the hash scale/noise-robust.
+    Images narrower than the grid upscale first (deterministic
+    nearest)."""
     import numpy as np
 
     from storage_spark.functions.imagecodec import _resize_nearest
 
     a = image_decode_rgb(b).astype(np.int64)
     gray = (a[:, :, 0] * 299 + a[:, :, 1] * 587 + a[:, :, 2] * 114) // 1000
-    g = _resize_nearest(gray, 9, 8)
+    h, w = gray.shape
+    if h < 8 or w < 9:
+        gray = _resize_nearest(gray, max(w, 9), max(h, 8))
+        h, w = gray.shape
+    cs = np.zeros((h + 1, w + 1), dtype=np.int64)
+    cs[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    ys = [y * h // 8 for y in range(9)]
+    xs = [x * w // 9 for x in range(10)]
+    g = np.empty((8, 9), dtype=np.int64)
+    for y in range(8):
+        for x in range(9):
+            y0, y1, x0, x1 = ys[y], ys[y + 1], xs[x], xs[x + 1]
+            g[y, x] = (
+                cs[y1, x1] - cs[y0, x1] - cs[y1, x0] + cs[y0, x0]
+            ) // ((y1 - y0) * (x1 - x0))
     bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8)
     return "".join("1" if v else "0" for v in bits.reshape(-1))
 
@@ -745,24 +769,35 @@ def dhash_images(
 def dhash_near_pairs(
     hashes: DataFrame,
     max_hamming: int = 3,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Image near-dup pairs by dHash Hamming distance — the LAION-style
     image dedup stage, banded exactly like SimHash: the 64 bits split
-    into 4 bands of 16; any pair within ``max_hamming`` ≤ 3 shares at
-    least one band VERBATIM (pigeonhole), so candidates come from 4
-    equi-joins on band values, never a cross product. Exact Hamming
-    verification on candidates via two 32-bit ``bit_count(xor)`` halves
-    (a 64-bit conv would overflow signed bigint). Output:
-    ``(key_a, key_b, hamming)`` with key_a < key_b."""
-    if not (0 <= max_hamming <= 3):
-        raise ValueError("banded recall guarantee holds for max_hamming <= 3")
+    into ``n_bands`` bands; any pair within ``max_hamming`` ≤
+    ``n_bands − 1`` shares at least one band VERBATIM (pigeonhole), so
+    candidates come from ``n_bands`` equi-joins on band values, never a
+    cross product. Exact Hamming verification on candidates via two
+    32-bit ``bit_count(xor)`` halves (a 64-bit conv would overflow
+    signed bigint). Output: ``(key_a, key_b, hamming)``, key_a < key_b.
+
+    Threshold guidance (measured, tools/probe_r10_media_recall.py):
+    the default (4 bands, ≤ 3) catches re-encodes (q75 JPEG 0.96,
+    brightness 1.0) but smooth 75% RESIZES land at Hamming 2-5 —
+    resize-robust dedup wants ``max_hamming=5, n_bands=6`` (recall
+    0.94 on the planted fixture, candidate volume grows with the
+    narrower 11-bit bands)."""
+    if not (0 <= max_hamming <= n_bands - 1):
+        raise ValueError(
+            "banded recall guarantee needs max_hamming <= n_bands - 1"
+        )
+    seg = -(-64 // n_bands)  # ceil
     bands = hashes.select(
         "key", "dhash",
         F.explode(
             F.array(*[
                 F.concat(F.lit(f"{i}:"),
-                         F.substring("dhash", i * 16 + 1, 16))
-                for i in range(4)
+                         F.substring("dhash", i * seg + 1, seg))
+                for i in range(n_bands)
             ])
         ).alias("band"),
     )

@@ -608,11 +608,16 @@ def test_dhash_and_banded_pairs_match_python_replay(spark):
     assert h_png == h_webp and len(h_png) == 64
     assert sum(a != b for a, b in zip(h_png, h_jpeg)) <= 3
 
-    # python replay of the full hash from raw pixels
+    # python replay of the full hash from raw pixels: 9x8 AREA means
+    # (16/8=2-row, 27/9=3-col exact cells)
     gray = v.astype(np.int64)
-    ys = [int((y + 0.5) * 16 / 8) for y in range(8)]
-    xs = [int((x + 0.5) * 27 / 9) for x in range(9)]
-    g = gray[np.ix_(ys, xs)]
+    g = [
+        [
+            int(gray[2 * y: 2 * y + 2, 3 * x: 3 * x + 3].sum()) // 6
+            for x in range(9)
+        ]
+        for y in range(8)
+    ]
     exp = "".join(
         "1" if g[y][x + 1] > g[y][x] else "0"
         for y in range(8) for x in range(8)
@@ -637,6 +642,17 @@ def test_dhash_and_banded_pairs_match_python_replay(spark):
              for r in dhash_near_pairs(dhash_images(df), 3).collect()}
     assert ("a", "b") in pairs and pairs[("a", "b")] <= 3
     assert not any("z" in p for p in pairs)
+
+    # the resize-robust wide setting (r10): 6 bands admit hamming <= 5;
+    # guarantee check rejects a threshold past the pigeonhole bound
+    import pytest as _pytest
+
+    fps = dhash_images(df)
+    wide = {(r.key_a, r.key_b): r.hamming
+            for r in dhash_near_pairs(fps, 5, n_bands=6).collect()}
+    assert ("a", "b") in wide and not any("z" in p for p in wide)
+    with _pytest.raises(ValueError):
+        dhash_near_pairs(fps, 6, n_bands=6)
 
 
 def test_audio_fingerprint_lossless_containers_agree(spark):
