@@ -3913,21 +3913,146 @@ def q_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_langid_trained() -> str:
-    qlog = (
-        "((length(bin(CAST({c} AS BIGINT))) - 1) * 1000"
-        " + CAST(floor(((CAST({c} AS DOUBLE)"
-        " / power(2, length(bin(CAST({c} AS BIGINT))) - 1)) - 1.0)"
-        " * 1000) AS BIGINT))"
+def q_line_dedup_trained_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained language-ID WIRED into the per-language stack
+    (VERDICT r9 #5's second half): CCNet-style per-language line dedup
+    where the group column is the TRAINED model's prediction, not a
+    heuristic or a stored label. Fixture: 40 docs (10 per language) of
+    four 3-word lexicon lines each — line 0 is that language's
+    boilerplate (identical across its docs), so keep-first dedup under
+    CORRECT labels strips it from all but each language's first doc
+    while identical-looking structure in other languages never
+    competes. The oracle replays the ENTIRE chain in SQL: langid fit →
+    per-doc argmax → keep-first window partitioned by (predicted lang,
+    normalized line) → doc rebuild."""
+    from storage_spark.operators.dedup import line_dedup
+    from storage_spark.operators.langid import langid_fit, langid_predict
+
+    t = _t(spark, sf_dir)
+    pk = F.col("p_partkey").cast("long")
+    lang_arr = F.array(*[F.lit(l) for l in _LANGID_LANGS])
+    words_arr = F.array(*[
+        F.array(*[F.lit(w) for w in _LANGID_LEX[l]]) for l in _LANGID_LANGS
+    ])
+
+    base_tr = t["part"].select(pk.alias("pk")).filter(F.col("pk") <= 31)
+    wl_tr = F.element_at(words_arr, (F.col("pk") % 4 + 1).cast("int"))
+    train = base_tr.select(
+        F.element_at(lang_arr, (F.col("pk") % 4 + 1).cast("int")).alias("lang"),
+        F.concat_ws(" ", *[
+            F.element_at(
+                wl_tr,
+                ((F.floor(F.col("pk") / 4) * 3 + j) % 8 + 1).cast("int"),
+            )
+            for j in range(6)
+        ]).alias("text"),
     )
+
+    base = t["part"].select(pk.alias("pk")).filter(F.col("pk") <= 39)
+    s = F.floor(F.col("pk") / 4)
+    wl = F.element_at(words_arr, (F.col("pk") % 4 + 1).cast("int"))
+
+    def _line(j: int) -> F.Column:
+        if j == 0:  # per-language boilerplate: words 0..2
+            return F.concat_ws(
+                " ", *[F.element_at(wl, p + 1) for p in range(3)]
+            )
+        return F.concat_ws(" ", *[
+            F.element_at(wl, ((s * 2 + j * 3 + p) % 8 + 1).cast("int"))
+            for p in range(3)
+        ])
+
+    docs = base.select(
+        F.col("pk").alias("doc_id"),
+        F.concat_ws("\n", *[_line(j) for j in range(4)]).alias("text"),
+    )
+    m = langid_fit(train)
+    labeled = docs.join(langid_predict(docs, m), "doc_id")
+    out = line_dedup(labeled, group_col="lang")
+    return out.select(
+        "doc_id", "lang",
+        F.md5("text").alias("text_md5"),
+        "n_lines", "n_lines_kept", "n_lines_removed",
+    ).orderBy("doc_id")
+
+
+def _oracle_line_dedup_trained_lang() -> str:
+    return _o(f"""
+, {_langid_model_ctes()},
+pr_words AS (
+  SELECT k.range AS k, j.range AS j, p.range AS p,
+         (SELECT word FROM lex
+          WHERE lex.li = k.range % 4
+            AND lex.idx = CASE WHEN j.range = 0 THEN p.range
+                 ELSE ((k.range // 4) * 2 + j.range * 3 + p.range) % 8 END
+         ) AS word
+  FROM range(0, 40) k, range(0, 4) j, range(0, 3) p
+),
+pr_lines AS (
+  SELECT k AS doc_id, j AS pos,
+         string_agg(word, ' ' ORDER BY p) AS line
+  FROM pr_words GROUP BY 1, 2
+),
+pr_docs AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(
+             string_agg(line, ' ' ORDER BY pos), '\\s+', ' ', 'g'
+           ) || ' ' AS padded
+  FROM pr_lines GROUP BY 1
+),
+{_langid_score_ctes('pr_docs')},
+norm AS (
+  SELECT l.doc_id, pr.lang, l.pos, l.line,
+         regexp_replace(lower(trim(l.line)), '[0-9]', '0', 'g') AS nl
+  FROM pr_lines l JOIN pred pr ON pr.doc_id = l.doc_id
+),
+kept AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id, pos, line,
+           row_number() OVER (
+             PARTITION BY lang, nl ORDER BY doc_id, pos
+           ) AS rn
+    FROM norm
+  ) WHERE rn = 1
+),
+reb AS (
+  SELECT doc_id, count(*) AS nk,
+         string_agg(line, chr(10) ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+),
+tot2 AS (
+  SELECT doc_id, any_value(lang) AS lang, count(*) AS n_lines
+  FROM norm GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.lang,
+       md5(coalesce(r.txt, '')) AS text_md5,
+       t.n_lines,
+       coalesce(r.nk, 0) AS n_lines_kept,
+       t.n_lines - coalesce(r.nk, 0) AS n_lines_removed
+FROM tot2 t LEFT JOIN reb r USING (doc_id)
+ORDER BY t.doc_id
+""")
+
+
+#: qlog2-milli SQL template (Mitchell) shared by the langid oracles
+_QLOG_SQL = (
+    "((length(bin(CAST({c} AS BIGINT))) - 1) * 1000"
+    " + CAST(floor(((CAST({c} AS DOUBLE)"
+    " / power(2, length(bin(CAST({c} AS BIGINT))) - 1)) - 1.0)"
+    " * 1000) AS BIGINT))"
+)
+
+
+def _langid_model_ctes() -> str:
+    """The shared langid-fit CTE chain (fixture lexicons → training
+    docs → padded char trigrams → Laplace count stats): lex, tr_parts,
+    tr_docs, tg, cnt, tot, gsz."""
     lex_rows = ", ".join(
         f"('{l}', {li}, {wi}, '{w}')"
         for li, l in enumerate(_LANGID_LANGS)
         for wi, w in enumerate(_LANGID_LEX[l])
     )
-    d_expr = qlog.format(c="t.tot + g.g")
-    return _o(f"""
-, lex AS (SELECT * FROM (VALUES {lex_rows}) AS v(lang, li, idx, word)),
+    return f"""lex AS (SELECT * FROM (VALUES {lex_rows}) AS v(lang, li, idx, word)),
 tr_parts AS (
   SELECT l.lang, r.range AS s, j.range AS j,
          (SELECT word FROM lex
@@ -3945,29 +4070,22 @@ tg AS (
 ),
 cnt AS (SELECT lang, gram, count(*) AS c FROM tg GROUP BY 1, 2),
 tot AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
-gsz AS (SELECT count(DISTINCT gram) AS g FROM cnt),
-pr_parts AS (
-  SELECT i.range AS li, j.range AS j, p.range AS p,
-         (SELECT word FROM lex
-          WHERE lex.li = i.range
-            AND lex.idx = (i.range * 5 + j.range * 2 + p.range) % 8
-         ) AS word
-  FROM range(0, 4) i, range(0, 5) j, range(0, 5) p
-),
-pr_docs AS (
-  SELECT li * 10 + j AS doc_id,
-         ' ' || string_agg(word, ' ' ORDER BY p) || ' ' AS padded
-  FROM pr_parts GROUP BY 1
-),
-pg AS (
+gsz AS (SELECT count(DISTINCT gram) AS g FROM cnt)"""
+
+
+def _langid_score_ctes(probe_cte: str) -> str:
+    """Score + argmax CTE chain over a probe CTE providing
+    (doc_id, padded): pg, pk, nd, matched, scored, pred."""
+    d_expr = _QLOG_SQL.format(c="t.tot + g.g")
+    return f"""pg AS (
   SELECT doc_id, substr(padded, CAST(i.i AS INT), 3) AS gram
-  FROM pr_docs, LATERAL unnest(range(1, length(padded) - 1)) AS i(i)
+  FROM {probe_cte}, LATERAL unnest(range(1, length(padded) - 1)) AS i(i)
 ),
 pk AS (SELECT doc_id, gram, count(*) AS k FROM pg GROUP BY 1, 2),
 nd AS (SELECT doc_id, sum(k) AS n FROM pk GROUP BY 1),
 matched AS (
   SELECT p.doc_id, c.lang,
-         sum(p.k * ({qlog.format(c='c.c + 1')} - {d_expr})) AS mw,
+         sum(p.k * ({_QLOG_SQL.format(c='c.c + 1')} - {d_expr})) AS mw,
          sum(p.k) AS mk
   FROM pk p
   JOIN cnt c ON c.gram = p.gram
@@ -3981,15 +4099,37 @@ scored AS (
            AS score
   FROM nd n CROSS JOIN tot t CROSS JOIN gsz g
   LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.lang = t.lang
-)
+),
+pred AS (
+  SELECT doc_id, lang, score FROM (
+    SELECT doc_id, lang, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)"""
+
+
+def _oracle_langid_trained() -> str:
+    return _o(f"""
+, {_langid_model_ctes()},
+pr_parts AS (
+  SELECT i.range AS li, j.range AS j, p.range AS p,
+         (SELECT word FROM lex
+          WHERE lex.li = i.range
+            AND lex.idx = (i.range * 5 + j.range * 2 + p.range) % 8
+         ) AS word
+  FROM range(0, 4) i, range(0, 5) j, range(0, 5) p
+),
+pr_docs AS (
+  SELECT li * 10 + j AS doc_id,
+         ' ' || string_agg(word, ' ' ORDER BY p) || ' ' AS padded
+  FROM pr_parts GROUP BY 1
+),
+{_langid_score_ctes('pr_docs')}
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
        CAST(score AS BIGINT) AS score_milli
-FROM (
-  SELECT doc_id, lang, score,
-         ROW_NUMBER() OVER (PARTITION BY doc_id
-                            ORDER BY score DESC, lang ASC) AS rn
-  FROM scored
-) WHERE rn = 1 ORDER BY doc_id
+FROM pred ORDER BY doc_id
 """)
 
 
@@ -6501,6 +6641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_jl_derived": q_ann_index_jl_derived,
         "kn_trigram": q_kn_trigram,
         "langid_trained": q_langid_trained,
+        "line_dedup_trained_lang": q_line_dedup_trained_lang,
         "ann_index_query": q_ann_index_query,
         "ann_index_append": q_ann_index_append,
         "simhash_wide": q_simhash_wide,
@@ -8620,6 +8761,7 @@ FROM sc ORDER BY pk
         "kn_bigram": _oracle_kn_bigram(),
         "kn_trigram": _oracle_kn_trigram(),
         "langid_trained": _oracle_langid_trained(),
+        "line_dedup_trained_lang": _oracle_line_dedup_trained_lang(),
         "image_dhash_pairs": _oracle_image_dhash_pairs(),
         "audio_near_pairs": _oracle_audio_near_pairs(),
         "video_near_pairs": _oracle_video_near_pairs(),

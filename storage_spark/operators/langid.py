@@ -68,27 +68,52 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def langid_fit(
+def langid_fit_stats(
     labeled: DataFrame,
     lang_col: str = "lang",
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Fit the NB char-n-gram model from a labeled corpus. Returns the
-    ``(lang, gram, w_milli)`` model table (OOV row per lang at
-    ``gram = ''``). Closed-form: two aggregations, no iteration."""
-    g = labeled.select(
-        F.col(lang_col).alias("lang"),
-        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    """The model's SUFFICIENT STATISTICS: ``(lang, gram, c)`` raw gram
+    counts — plain sums, so the table is CLOSED UNDER MERGE
+    (``merge_langid_stats``): fit each training shard/epoch
+    independently, merge the stats, derive weights once. The sixth
+    member of the incremental family (exact fp, MinHash bands,
+    semantic cells, substring shingles, line stats, langid stats)."""
+    return (
+        labeled.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    cnt = g.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
-    n_grams = cnt.select("gram").distinct().agg(
+
+
+def merge_langid_stats(*stats: DataFrame) -> DataFrame:
+    """Lossless, idempotent-under-reassociation stats compaction:
+    cell-wise sum over (lang, gram) — merge(fit(A), fit(B)) ≡
+    fit(A ∪ B) exactly (counts are linear). Weights derived from
+    merged stats equal a whole-corpus refit by construction
+    (asserted in tests)."""
+    if not stats:
+        raise ValueError("need at least one stats frame")
+    u = stats[0]
+    for s in stats[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("lang", "gram").agg(F.sum("c").alias("c"))
+
+
+def langid_weights_from_stats(stats: DataFrame) -> DataFrame:
+    """(lang, gram, c) counts → the ``(lang, gram, w_milli)`` model
+    table (Laplace weights + per-lang OOV row at ``gram = ''``)."""
+    tot = stats.groupBy("lang").agg(F.sum("c").alias("tot"))
+    n_grams = stats.select("gram").distinct().agg(
         F.count(F.lit(1)).alias("g_sz")
     )
     denom = _qlog2_milli(F.col("tot") + F.col("g_sz"))
     weights = (
-        cnt.join(tot, "lang")
+        stats.join(tot, "lang")
         .crossJoin(F.broadcast(n_grams))
         .select(
             "lang", "gram",
@@ -100,6 +125,21 @@ def langid_fit(
         .select("lang", F.lit("").alias("gram"), (-denom).alias("w_milli"))
     )
     return weights.unionByName(oov)
+
+
+def langid_fit(
+    labeled: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Fit the NB char-n-gram model from a labeled corpus. Returns the
+    ``(lang, gram, w_milli)`` model table (OOV row per lang at
+    ``gram = ''``). Closed-form: two aggregations, no iteration —
+    ``langid_weights_from_stats(langid_fit_stats(...))``."""
+    return langid_weights_from_stats(
+        langid_fit_stats(labeled, lang_col, text_col, n)
+    )
 
 
 def langid_score(

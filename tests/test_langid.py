@@ -127,6 +127,34 @@ def test_langid_accuracy_beats_stopword_heuristic(spark):
     assert acc_trained > acc_heur
 
 
+def test_langid_incremental_stats_merge_equals_full_fit(spark):
+    """merge(fit_stats(A), fit_stats(B)) ≡ fit_stats(A ∪ B), so
+    weights from merged stats equal a whole-corpus refit — the
+    incremental-family contract, proven row-for-row."""
+    from storage_spark.operators.langid import (
+        langid_fit,
+        langid_fit_stats,
+        langid_weights_from_stats,
+        merge_langid_stats,
+    )
+
+    rows = [(lang, _doc(lang, s)) for lang in _LEX for s in range(6)]
+    a = spark.createDataFrame(rows[:10], "lang string, text string")
+    b = spark.createDataFrame(rows[10:], "lang string, text string")
+    full = spark.createDataFrame(rows, "lang string, text string")
+
+    merged = merge_langid_stats(langid_fit_stats(a), langid_fit_stats(b))
+    got = {(r.lang, r.gram): r.c for r in merged.collect()}
+    want = {(r.lang, r.gram): r.c for r in langid_fit_stats(full).collect()}
+    assert got == want
+
+    w_inc = {(r.lang, r.gram): r.w_milli
+             for r in langid_weights_from_stats(merged).collect()}
+    w_full = {(r.lang, r.gram): r.w_milli
+              for r in langid_fit(full).collect()}
+    assert w_inc == w_full
+
+
 def test_langid_model_is_bounded_not_corpus_sized(spark):
     """The 100 TB property: model rows ≤ |langs| × |distinct grams| + L,
     independent of how many training DOCS repeat the same text."""
