@@ -4133,6 +4133,78 @@ FROM pred ORDER BY doc_id
 """)
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (r10) — the RANK member completing the sketch
+    family (CMS frequency / HLL cardinality / KMV resemblance): a
+    DDSketch-shaped log-bucket histogram on the qlog2-milli idiom, so
+    buckets, the cumulative walk, and the integer bucket-lower-bound
+    values all replay exactly in SQL. Output per quantile: the sketch's
+    (rank, bucket, v_lo) AND the exact discrete quantile — the sketch
+    error visible in the row, the kmv pattern."""
+    from pyspark.sql.window import Window
+
+    from storage_spark.operators.analytics import (
+        histogram_quantiles,
+        qlog_histogram,
+    )
+
+    t = _t(spark, sf_dir)
+    vals = t["objects"].select(F.col("size").cast("bigint").alias("v"))
+    hist = qlog_histogram(vals, "v", step_milli=125)
+    qs = histogram_quantiles(hist, [500, 900, 990], step_milli=125)
+    ranked = vals.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v"))
+    )
+    exact = qs.select("q_x1000", "rank").join(
+        ranked, F.col("rn") == F.col("rank")
+    ).select("q_x1000", F.col("v").alias("exact"))
+    return (
+        qs.join(exact, "q_x1000")
+        .select("q_x1000", "rank", "bucket", "v_lo", "exact")
+        .orderBy("q_x1000")
+    )
+
+
+def _oracle_quantile_sketch() -> str:
+    qlog = _QLOG_SQL.format(c="v")
+    return _o(f"""
+, vals AS (SELECT CAST(size AS BIGINT) AS v FROM objects),
+hist AS (
+  SELECT CASE WHEN v <= 0 THEN -1 ELSE {qlog} // 125 END AS bucket,
+         count(*) AS cnt
+  FROM vals GROUP BY 1
+),
+cum AS (
+  SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM hist
+),
+nn AS (SELECT sum(cnt) AS n FROM hist),
+qs AS (SELECT * FROM (VALUES (500), (900), (990)) q(q_x1000)),
+ranks AS (
+  SELECT q_x1000, (q_x1000 * nn.n + 999) // 1000 AS rank FROM qs, nn
+),
+hit AS (
+  SELECT r.q_x1000, r.rank, min(c.bucket) AS bucket
+  FROM ranks r JOIN cum c ON c.cum >= r.rank GROUP BY 1, 2
+),
+ex AS (
+  SELECT r.q_x1000, s.v AS exact
+  FROM ranks r JOIN (
+    SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals
+  ) s ON s.rn = r.rank
+)
+SELECT CAST(h.q_x1000 AS BIGINT) AS q_x1000,
+       CAST(h.rank AS BIGINT) AS rank,
+       CAST(h.bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN h.bucket < 0 THEN 0 ELSE
+         ((1::BIGINT << CAST((h.bucket * 125) // 1000 AS INT))
+          * (1000 + (h.bucket * 125) % 1000)) // 1000 END AS BIGINT)
+         AS v_lo,
+       CAST(e.exact AS BIGINT) AS exact
+FROM hit h JOIN ex e USING (q_x1000)
+ORDER BY q_x1000
+""")
+
+
 def q_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) sketches — the sketch family's resemblance half
     (Bar-Yossef et al. 2002 / Broder minwise): token-set sketches of
@@ -6642,6 +6714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_trigram": q_kn_trigram,
         "langid_trained": q_langid_trained,
         "line_dedup_trained_lang": q_line_dedup_trained_lang,
+        "quantile_sketch": q_quantile_sketch,
         "ann_index_query": q_ann_index_query,
         "ann_index_append": q_ann_index_append,
         "simhash_wide": q_simhash_wide,
@@ -8762,6 +8835,7 @@ FROM sc ORDER BY pk
         "kn_trigram": _oracle_kn_trigram(),
         "langid_trained": _oracle_langid_trained(),
         "line_dedup_trained_lang": _oracle_line_dedup_trained_lang(),
+        "quantile_sketch": _oracle_quantile_sketch(),
         "image_dhash_pairs": _oracle_image_dhash_pairs(),
         "audio_near_pairs": _oracle_audio_near_pairs(),
         "video_near_pairs": _oracle_video_near_pairs(),

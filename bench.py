@@ -396,12 +396,15 @@ def _run(
 
     def sketch_stats():
         # CMS heavy hitters + HLL cardinality over the full documents
-        # token stream (r9): two bounded-output aggregations — the
-        # corpus-stats pass a 100 TB pipeline runs before curation
+        # token stream (r9) + qlog quantile sketch over doc lengths
+        # (r10): three bounded-output aggregations — the corpus-stats
+        # pass a 100 TB pipeline runs before curation
         from storage_spark.operators.analytics import (
             heavy_hitters_cms,
+            histogram_quantiles,
             hll_estimate,
             hll_sketch,
+            qlog_histogram,
         )
 
         toks = t["documents"].select(
@@ -409,7 +412,11 @@ def _run(
         )
         hh = heavy_hitters_cms(t["documents"], k=20).count()
         est = hll_estimate(hll_sketch(toks)).collect()[0].est_x1000
-        return hh + est
+        lens = t["documents"].select(F.length("text").alias("v"))
+        qn = histogram_quantiles(
+            qlog_histogram(lens, "v"), [500, 990]
+        ).count()
+        return hh + est + qn
 
     def line_dedup():
         # CCNet line dedup (r9): 5-word derived lines, keep-first winners

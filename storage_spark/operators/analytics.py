@@ -440,3 +440,108 @@ def kmv_resemblance(
             .alias("jaccard_x10000"),
         )
     )
+
+
+def qlog_histogram(
+    df: DataFrame,
+    value_col: str,
+    step_milli: int = 125,
+) -> DataFrame:
+    """Quantile sketch — the RANK member of the sketch family (CMS =
+    frequency, HLL = cardinality, KMV = resemblance): a log-bucketed
+    histogram in the DDSketch shape (Masson et al., VLDB 2019) built on
+    the repo's qlog2-milli idiom instead of log_gamma, so every bucket
+    boundary is integer/IEEE-exact and a SQL oracle replays the sketch
+    digit-for-digit. Bucket = qlog2_milli(v) // step_milli for v ≥ 1
+    (bucket −1 collects v ≤ 0); at the default 125 milli-bits the
+    relative error bound is 2^0.125 − 1 ≈ 9%.
+
+    Output ``(bucket, cnt)``. 100 TB story: ONE map-side-combined
+    groupBy into ≤ 64·1000/step ≈ 512 buckets regardless of corpus
+    size; merge = cell-wise sum (``merge_qlog_histograms``), so the
+    incremental/streaming story is linearity, free by construction —
+    same as the CMS."""
+    from storage_spark.functions.bpe import _qlog2_milli
+
+    if not (1 <= step_milli <= 1000):
+        raise ValueError("step_milli must be in [1, 1000]")
+    v = F.col(value_col).cast("bigint")
+    bucket = F.when(v <= 0, F.lit(-1)).otherwise(
+        F.floor(_qlog2_milli(v) / step_milli).cast("bigint")
+    )
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_qlog_histograms(*hists: DataFrame) -> DataFrame:
+    """Cell-wise sum — merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)
+    exactly (counts are linear)."""
+    if not hists:
+        raise ValueError("need at least one histogram")
+    u = hists[0]
+    for h in hists[1:]:
+        u = u.unionByName(h)
+    return u.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs_x1000: list[int],
+    step_milli: int = 125,
+) -> DataFrame:
+    """Quantile estimates from a qlog histogram: for each q (scaled
+    ×1000), the smallest bucket whose cumulative count reaches rank
+    ``ceil(q·n/1000)`` and that bucket's integer LOWER-BOUND value
+    ``v_lo = 2^bl·(1000+frac)//1000`` (bl = milli-log // 1000, frac =
+    remainder) — pure integer arithmetic both engines floor
+    identically. Output ``(q_x1000, rank, bucket, v_lo)``.
+
+    The cumulative walk runs over the BUCKET TABLE (≤ ~512 rows at any
+    corpus size — geometry-bounded, like the HLL register scan), so
+    the single-partition window and the tiny inequality join are
+    constant-size regardless of input rows."""
+    from pyspark.sql.window import Window
+
+    if not qs_x1000 or not all(1 <= q <= 1000 for q in qs_x1000):
+        raise ValueError("quantiles must be integer permille in [1, 1000]")
+    spark = hist.sparkSession
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    n = hist.agg(F.sum("cnt").alias("n"))
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in sorted(set(qs_x1000))], "q_x1000 bigint"
+    )
+    # integral DIV, not double divide + cast (the kmv lesson: Spark's
+    # double→long cast truncates, DuckDB's rounds)
+    ranks = qdf.crossJoin(F.broadcast(n)).select(
+        "q_x1000",
+        F.expr("CAST((q_x1000 * n + 999) DIV 1000 AS BIGINT)").alias("rank"),
+    )
+    hit = (
+        ranks.join(
+            F.broadcast(cum), F.col("cum") >= F.col("rank"), "inner"
+        )
+        .groupBy("q_x1000", "rank")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    # v_lo = 2^bl · (1000 + frac) // 1000 with bl = m // 1000,
+    # frac = m % 1000, m = bucket·step — all integral DIV/%
+    withm = hit.withColumn("_m", F.col("bucket") * F.lit(step_milli))
+    v_lo = F.when(F.col("bucket") < 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr(
+            "CAST((shiftleft(CAST(1 AS BIGINT), CAST(_m DIV 1000 AS INT))"
+            " * (1000 + _m % 1000)) DIV 1000 AS BIGINT)"
+        )
+    )
+    return withm.select(
+        "q_x1000", "rank", "bucket", v_lo.alias("v_lo")
+    ).orderBy("q_x1000")

@@ -415,3 +415,107 @@ def test_group_scoped_line_dedup(spark):
     # global mode still collapses across groups
     g = {r.doc_id: r.text for r in line_dedup(df).collect()}
     assert g[3] == "Body three"
+
+
+def test_qlog_histogram_buckets_and_quantiles_hand_math(spark):
+    """Hand-checked qlog buckets + the cumulative quantile walk."""
+    import math
+
+    from storage_spark.operators.analytics import (
+        histogram_quantiles,
+        qlog_histogram,
+    )
+
+    def qlog(c):
+        bl = c.bit_length()
+        return (bl - 1) * 1000 + math.floor((c / (1 << (bl - 1)) - 1) * 1000)
+
+    vals = [1, 2, 3, 4, 8, 100, 1000, 10_000, 0, -5]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    hist = qlog_histogram(df, "v", step_milli=125)
+    got = {r.bucket: r.cnt for r in hist.collect()}
+    want = {}
+    for v in vals:
+        b = -1 if v <= 0 else qlog(v) // 125
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+    out = {r.q_x1000: r for r in histogram_quantiles(
+        hist, [500, 900, 1000], step_milli=125
+    ).collect()}
+    # n=10; rank(500)=5, rank(900)=9, rank(1000)=10; cumulative over
+    # buckets sorted ascending (bucket -1 holds the two non-positives)
+    buckets = sorted(want)
+    cum, ranks = 0, {}
+    for b in buckets:
+        lo = cum + 1
+        cum += want[b]
+        for q, r in ((500, 5), (900, 9), (1000, 10)):
+            if q not in ranks and lo <= r <= cum:
+                ranks[q] = b
+    for q in (500, 900, 1000):
+        assert out[q].bucket == ranks[q], q
+        m = out[q].bucket * 125
+        exp_vlo = 0 if out[q].bucket < 0 else (
+            (1 << (m // 1000)) * (1000 + m % 1000) // 1000
+        )
+        assert out[q].v_lo == exp_vlo
+        # the lower bound never exceeds the true discrete quantile
+        true_q = sorted(vals)[out[q].rank - 1]
+        assert out[q].v_lo <= max(true_q, 0) or out[q].bucket == -1
+
+
+def test_qlog_histogram_merge_equals_whole(spark):
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.analytics import (
+        merge_qlog_histograms,
+        qlog_histogram,
+    )
+
+    a = spark.range(1, 500).select((F.col("id") * 7 % 5000 + 1).alias("v"))
+    b = spark.range(1, 300).select((F.col("id") * 13 % 900 + 1).alias("v"))
+    whole = qlog_histogram(a.unionByName(b), "v")
+    merged = merge_qlog_histograms(
+        qlog_histogram(a, "v"), qlog_histogram(b, "v")
+    )
+    assert {tuple(r) for r in whole.collect()} == {
+        tuple(r) for r in merged.collect()
+    }
+
+
+def test_qlog_quantile_relative_error_bound(spark):
+    """The sketch's defining guarantee: v_lo <= true quantile and
+    true/v_lo < 2^(2*step/1000) (the value lies in [v_lo, next bucket
+    bound); qlog's own <=0.086-bit error folds into one extra step)."""
+    from storage_spark.operators.analytics import (
+        histogram_quantiles,
+        qlog_histogram,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, 20_001).select((F.col("id") % 97_000 + 1).alias("v"))
+    vals = sorted(r.v for r in df.collect())
+    hist = qlog_histogram(df, "v", step_milli=125)
+    for r in histogram_quantiles(hist, [500, 950, 990]).collect():
+        true_q = vals[r.rank - 1]
+        assert r.v_lo <= true_q
+        assert true_q / r.v_lo < 2 ** (2 * 125 / 1000 + 0.086)
+
+
+def test_qlog_histogram_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from storage_spark.operators.analytics import (
+        histogram_quantiles,
+        qlog_histogram,
+    )
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with _pytest.raises(ValueError):
+        qlog_histogram(df, "v", step_milli=0)
+    with _pytest.raises(ValueError):
+        histogram_quantiles(qlog_histogram(df, "v"), [])
+    with _pytest.raises(ValueError):
+        histogram_quantiles(qlog_histogram(df, "v"), [1001])

@@ -148,6 +148,12 @@ _BNLJ_ALLOWED = {
     # row even with zero matched grams) + the fit's 1-row gram-count
     # cross — both bounded by model geometry, never by the corpus
     "langid_trained",
+    "line_dedup_trained_lang",  # same langid scoring shape upstream
+    # the cumulative quantile walk: a |quantiles|-row × ≤512-bucket
+    # inequality join — geometry-bounded like the HLL register scan
+    # (the exact-quantile comparison column's global row_number is the
+    # error-visibility leg, not the sketch)
+    "quantile_sketch",
 }
 
 
