@@ -4205,6 +4205,72 @@ ORDER BY q_x1000
 """)
 
 
+def q_quantile_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile sketch (r10): per-bucket object-size p50/p99
+    from qlog histograms — the per-tenant size-distribution report a
+    storage operator runs, and the corpus-stats shape (per-language
+    length quantiles) of a training pipeline. Quantiles are computed
+    independently per group in ONE plan (partitioned cumulative walk
+    over geometry-bounded bucket tables); the oracle replays the
+    partitioned walk."""
+    from storage_spark.operators.analytics import (
+        histogram_quantiles,
+        qlog_histogram,
+    )
+
+    t = _t(spark, sf_dir)
+    vals = t["objects"].select(
+        "bucket_id", F.col("size").cast("bigint").alias("v")
+    )
+    hist = qlog_histogram(vals, "v", group_cols=["bucket_id"])
+    return histogram_quantiles(
+        hist, [500, 990], group_cols=["bucket_id"]
+    ).orderBy("bucket_id", "q_x1000")
+
+
+def _oracle_quantile_per_bucket() -> str:
+    qlog = _QLOG_SQL.format(c="v")
+    return _o(f"""
+, vals AS (
+  SELECT bucket_id, CAST(size AS BIGINT) AS v FROM objects
+),
+hist AS (
+  SELECT bucket_id,
+         CASE WHEN v <= 0 THEN -1 ELSE {qlog} // 125 END AS bucket,
+         count(*) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT bucket_id, bucket,
+         sum(cnt) OVER (PARTITION BY bucket_id ORDER BY bucket) AS cum
+  FROM hist
+),
+nn AS (SELECT bucket_id, sum(cnt) AS n FROM hist GROUP BY 1),
+qs AS (SELECT * FROM (VALUES (500), (990)) q(q_x1000)),
+ranks AS (
+  SELECT nn.bucket_id, q_x1000,
+         (q_x1000 * nn.n + 999) // 1000 AS rank
+  FROM qs, nn
+),
+hit AS (
+  SELECT r.bucket_id, r.q_x1000, r.rank, min(c.bucket) AS bucket
+  FROM ranks r JOIN cum c
+    ON c.bucket_id = r.bucket_id AND c.cum >= r.rank
+  GROUP BY 1, 2, 3
+)
+SELECT bucket_id,
+       CAST(q_x1000 AS BIGINT) AS q_x1000,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN bucket < 0 THEN 0 ELSE
+         ((1::BIGINT << CAST((bucket * 125) // 1000 AS INT))
+          * (1000 + (bucket * 125) % 1000)) // 1000 END AS BIGINT)
+         AS v_lo
+FROM hit
+ORDER BY bucket_id, q_x1000
+""")
+
+
 def q_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k) sketches — the sketch family's resemblance half
     (Bar-Yossef et al. 2002 / Broder minwise): token-set sketches of
@@ -6715,6 +6781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_trained": q_langid_trained,
         "line_dedup_trained_lang": q_line_dedup_trained_lang,
         "quantile_sketch": q_quantile_sketch,
+        "quantile_per_bucket": q_quantile_per_bucket,
         "ann_index_query": q_ann_index_query,
         "ann_index_append": q_ann_index_append,
         "simhash_wide": q_simhash_wide,
@@ -8836,6 +8903,7 @@ FROM sc ORDER BY pk
         "langid_trained": _oracle_langid_trained(),
         "line_dedup_trained_lang": _oracle_line_dedup_trained_lang(),
         "quantile_sketch": _oracle_quantile_sketch(),
+        "quantile_per_bucket": _oracle_quantile_per_bucket(),
         "image_dhash_pairs": _oracle_image_dhash_pairs(),
         "audio_near_pairs": _oracle_audio_near_pairs(),
         "video_near_pairs": _oracle_video_near_pairs(),

@@ -446,6 +446,7 @@ def qlog_histogram(
     df: DataFrame,
     value_col: str,
     step_milli: int = 125,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Quantile sketch — the RANK member of the sketch family (CMS =
     frequency, HLL = cardinality, KMV = resemblance): a log-bucketed
@@ -456,8 +457,10 @@ def qlog_histogram(
     (bucket −1 collects v ≤ 0); at the default 125 milli-bits the
     relative error bound is 2^0.125 − 1 ≈ 9%.
 
-    Output ``(bucket, cnt)``. 100 TB story: ONE map-side-combined
-    groupBy into ≤ 64·1000/step ≈ 512 buckets regardless of corpus
+    Output ``(bucket, cnt)`` — or ``(*group_cols, bucket, cnt)`` with
+    ``group_cols`` (per-language/per-source length distributions, the
+    corpus-stats shape). 100 TB story: ONE map-side-combined groupBy
+    into ≤ 64·1000/step ≈ 512 buckets per group regardless of corpus
     size; merge = cell-wise sum (``merge_qlog_histograms``), so the
     incremental/streaming story is linearity, free by construction —
     same as the CMS."""
@@ -469,35 +472,41 @@ def qlog_histogram(
     bucket = F.when(v <= 0, F.lit(-1)).otherwise(
         F.floor(_qlog2_milli(v) / step_milli).cast("bigint")
     )
+    g = list(group_cols or [])
     return (
-        df.select(bucket.alias("bucket"))
-        .groupBy("bucket")
+        df.select(*g, bucket.alias("bucket"))
+        .groupBy(*g, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def merge_qlog_histograms(*hists: DataFrame) -> DataFrame:
     """Cell-wise sum — merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)
-    exactly (counts are linear)."""
+    exactly (counts are linear). Grouped histograms merge the same way
+    (every non-cnt column is part of the cell key)."""
     if not hists:
         raise ValueError("need at least one histogram")
     u = hists[0]
     for h in hists[1:]:
         u = u.unionByName(h)
-    return u.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    keys = [c for c in u.columns if c != "cnt"]
+    return u.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
 
 
 def histogram_quantiles(
     hist: DataFrame,
     qs_x1000: list[int],
     step_milli: int = 125,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Quantile estimates from a qlog histogram: for each q (scaled
     ×1000), the smallest bucket whose cumulative count reaches rank
     ``ceil(q·n/1000)`` and that bucket's integer LOWER-BOUND value
     ``v_lo = 2^bl·(1000+frac)//1000`` (bl = milli-log // 1000, frac =
     remainder) — pure integer arithmetic both engines floor
-    identically. Output ``(q_x1000, rank, bucket, v_lo)``.
+    identically. Output ``(q_x1000, rank, bucket, v_lo)`` — prefixed
+    by ``group_cols`` when given (quantiles computed independently
+    per group).
 
     The cumulative walk runs over the BUCKET TABLE (≤ ~512 rows at any
     corpus size — geometry-bounded, like the HLL register scan), so
@@ -507,32 +516,48 @@ def histogram_quantiles(
 
     if not qs_x1000 or not all(1 <= q <= 1000 for q in qs_x1000):
         raise ValueError("quantiles must be integer permille in [1, 1000]")
+    g = list(group_cols or [])
     spark = hist.sparkSession
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(
-            Window.orderBy("bucket").rowsBetween(
+            Window.partitionBy(*g).orderBy("bucket").rowsBetween(
                 Window.unboundedPreceding, 0
             )
         ),
     )
-    n = hist.agg(F.sum("cnt").alias("n"))
+    n = hist.groupBy(*g).agg(F.sum("cnt").alias("n")) if g else (
+        hist.agg(F.sum("cnt").alias("n"))
+    )
     qdf = spark.createDataFrame(
         [(int(q),) for q in sorted(set(qs_x1000))], "q_x1000 bigint"
     )
     # integral DIV, not double divide + cast (the kmv lesson: Spark's
     # double→long cast truncates, DuckDB's rounds)
     ranks = qdf.crossJoin(F.broadcast(n)).select(
-        "q_x1000",
+        *g, "q_x1000",
         F.expr("CAST((q_x1000 * n + 999) DIV 1000 AS BIGINT)").alias("rank"),
     )
-    hit = (
-        ranks.join(
-            F.broadcast(cum), F.col("cum") >= F.col("rank"), "inner"
+    cond = F.col("cum") >= F.col("rank")
+    if g:
+        # equi component on RENAMED group keys + the range condition
+        # (both frames descend from `hist`, so same-name column refs
+        # would resolve trivially-true — the classic self-join trap)
+        cum2 = cum.select(
+            *[F.col(c).alias(f"_g_{c}") for c in g], "bucket", "cum"
         )
-        .groupBy("q_x1000", "rank")
-        .agg(F.min("bucket").alias("bucket"))
-    )
+        join_on = [F.col(f"_g_{c}") == F.col(c) for c in g] + [cond]
+        hit = (
+            ranks.join(F.broadcast(cum2), join_on, "inner")
+            .groupBy(*g, "q_x1000", "rank")
+            .agg(F.min("bucket").alias("bucket"))
+        )
+    else:
+        hit = (
+            ranks.join(F.broadcast(cum), cond, "inner")
+            .groupBy("q_x1000", "rank")
+            .agg(F.min("bucket").alias("bucket"))
+        )
     # v_lo = 2^bl · (1000 + frac) // 1000 with bl = m // 1000,
     # frac = m % 1000, m = bucket·step — all integral DIV/%
     withm = hit.withColumn("_m", F.col("bucket") * F.lit(step_milli))
@@ -543,5 +568,5 @@ def histogram_quantiles(
         )
     )
     return withm.select(
-        "q_x1000", "rank", "bucket", v_lo.alias("v_lo")
-    ).orderBy("q_x1000")
+        *g, "q_x1000", "rank", "bucket", v_lo.alias("v_lo")
+    ).orderBy(*g, "q_x1000")

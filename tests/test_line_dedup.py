@@ -519,3 +519,31 @@ def test_qlog_histogram_rejects_bad_params(spark):
         histogram_quantiles(qlog_histogram(df, "v"), [])
     with _pytest.raises(ValueError):
         histogram_quantiles(qlog_histogram(df, "v"), [1001])
+
+
+def test_qlog_grouped_quantiles_match_per_group_ungrouped(spark):
+    """Grouped quantiles ≡ running the ungrouped sketch per group."""
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.analytics import (
+        histogram_quantiles,
+        qlog_histogram,
+    )
+
+    df = spark.range(1, 2001).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 17 % 9000 + 1).alias("v"),
+    )
+    grouped = histogram_quantiles(
+        qlog_histogram(df, "v", group_cols=["grp"]),
+        [500, 900], group_cols=["grp"],
+    )
+    got = {(r.grp, r.q_x1000): (r.rank, r.bucket, r.v_lo)
+           for r in grouped.collect()}
+    for grp in ("0", "1", "2"):
+        solo = histogram_quantiles(
+            qlog_histogram(df.filter(F.col("grp") == grp), "v"),
+            [500, 900],
+        )
+        for r in solo.collect():
+            assert got[(grp, r.q_x1000)] == (r.rank, r.bucket, r.v_lo), grp

@@ -154,6 +154,8 @@ _BNLJ_ALLOWED = {
     # (the exact-quantile comparison column's global row_number is the
     # error-visibility leg, not the sketch)
     "quantile_sketch",
+    "quantile_per_bucket",  # same walk, range condition beside the
+    # group equi key — bounded by groups × buckets
 }
 
 
