@@ -479,17 +479,10 @@ def _run(
     def _fat_queries():
         return _fat_queries_of(_fat_vectors())
 
-    def fat_jl_index_query():
-        # the managed jl_lsh index (r8) at dim 768: postings live in the
-        # 64-dim projection (the VERDICT recipe), candidates rank there,
-        # exact rerank on originals — per-candidate distance math and
-        # posting scan bytes both shrink 12x vs raw dim
+    def _fat_jl_path():
         import tempfile
 
-        from storage_spark.sources.annindex import (
-            ann_index_search,
-            build_ann_index,
-        )
+        from storage_spark.sources.annindex import build_ann_index
 
         if _fat["jl"] is None:
             d = tempfile.mkdtemp(prefix="bench_jlidx_") + "/idx"
@@ -501,20 +494,25 @@ def _run(
                 n_vectors=4096, encode_arrow=True,
             )
             _fat["jl"] = d
+        return _fat["jl"]
+
+    def fat_jl_index_query():
+        # the managed jl_lsh index (r8) at dim 768: postings live in the
+        # 64-dim projection (the VERDICT recipe), candidates rank there,
+        # exact rerank on originals — per-candidate distance math and
+        # posting scan bytes both shrink 12x vs raw dim. The index build
+        # happens OUTSIDE the timing windows (r10): with capped repeats,
+        # a first-repeat build lands in the median.
+        from storage_spark.sources.annindex import ann_index_search
+
         return ann_index_search(
-            spark, _fat["jl"], _fat_queries(), k=10, probe_radius=1
+            spark, _fat_jl_path(), _fat_queries(), k=10, probe_radius=1
         ).count()
 
-    def fat_lsh_keysonly_query():
-        # the r7 alternative for fat embeddings: keys-only postings at
-        # FULL dim — candidate ranking pays 768-dim distance math (the
-        # r7 probe: at this dim the distance math dominates query wall)
+    def _fat_ko_path():
         import tempfile
 
-        from storage_spark.sources.annindex import (
-            ann_index_search,
-            build_ann_index,
-        )
+        from storage_spark.sources.annindex import build_ann_index
 
         if _fat["ko"] is None:
             d = tempfile.mkdtemp(prefix="bench_jlko_") + "/idx"
@@ -523,8 +521,17 @@ def _run(
                 store_vectors=False, n_vectors=4096,
             )
             _fat["ko"] = d
+        return _fat["ko"]
+
+    def fat_lsh_keysonly_query():
+        # the r7 alternative for fat embeddings: keys-only postings at
+        # FULL dim — candidate ranking pays 768-dim distance math (the
+        # r7 probe: at this dim the distance math dominates query wall);
+        # built outside the timing windows, like the jl pair
+        from storage_spark.sources.annindex import ann_index_search
+
         return ann_index_search(
-            spark, _fat["ko"], _fat_queries(), k=10, probe_radius=1
+            spark, _fat_ko_path(), _fat_queries(), k=10, probe_radius=1
         ).count()
 
     def events_rollup():
@@ -989,6 +996,17 @@ def _run(
         _pq_codes()
     if "sq8_rerank" in queries:
         _sq_codes()
+    # persisted-model and fat-index builds likewise stay out of the
+    # timing windows: the score-only / query-only entries measure the
+    # amortized production shape, and with capped repeats a first-run
+    # build would land in the MEDIAN (r10 — the last med>>min source
+    # after the session split)
+    if {"lm_bigram_score", "dsir_score"} & queries.keys():
+        _text_models()
+    if "fat_jl_index_query" in queries:
+        _fat_jl_path()
+    if "fat_lsh_keysonly_query" in queries:
+        _fat_ko_path()
 
     # warm the JVM + file listings once (steady-state timing, not cold-start)
     t["objects"].count()
@@ -1027,10 +1045,18 @@ def _run(
         "dsir_score", "fat_jl_index_query", "fat_lsh_keysonly_query",
         "bpe_train_merges",
     }
+    # the fat pair gets a third repeat: with query-only ~7 s walls a
+    # single VM shuffle-stall outlier dominates a 2-rep MEDIAN (r10:
+    # one 20.7 s rep vs 6.6-7.5 s isolated min-of-4); median-of-3
+    # sheds one outlier for ~14 s of extra suite wall
+    _REPS_OVERRIDE = {"fat_jl_index_query": 3, "fat_lsh_keysonly_query": 3}
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, fn in queries.items():
-        n_reps = min(repeats, heavy_reps) if name in _HEAVY else repeats
+        n_reps = _REPS_OVERRIDE.get(
+            name, min(repeats, heavy_reps) if name in _HEAVY else repeats
+        )
+        n_reps = min(n_reps, repeats)
         runs: list[float] = []
         for _ in range(max(1, n_reps)):
             t0 = time.time()
