@@ -3874,11 +3874,11 @@ def q_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
     base_tr = t["part"].select(pk.alias("pk")).filter(F.col("pk") <= 31)
-    wl_tr = F.element_at(words_arr, (F.col("pk") % 4 + 1).cast("int"))
+    wl_tr = F.try_element_at(words_arr, (F.col("pk") % 4 + 1).cast("int"))
     train = base_tr.select(
-        F.element_at(lang_arr, (F.col("pk") % 4 + 1).cast("int")).alias("lang"),
+        F.try_element_at(lang_arr, (F.col("pk") % 4 + 1).cast("int")).alias("lang"),
         F.concat_ws(" ", *[
-            F.element_at(
+            F.try_element_at(
                 wl_tr,
                 ((F.floor(F.col("pk") / 4) * 3 + j) % 8 + 1).cast("int"),
             )
@@ -3889,11 +3889,11 @@ def q_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_pr = t["part"].select(pk.alias("pk")).filter(F.col("pk") <= 19)
     i = F.floor(F.col("pk") / 5)
     j = F.col("pk") % 5
-    wl_pr = F.element_at(words_arr, (i + 1).cast("int"))
+    wl_pr = F.try_element_at(words_arr, (i + 1).cast("int"))
     probe = base_pr.select(
         (i * 10 + j).cast("long").alias("doc_id"),
         F.concat_ws(" ", *[
-            F.element_at(wl_pr, ((i * 5 + j * 2 + p) % 8 + 1).cast("int"))
+            F.try_element_at(wl_pr, ((i * 5 + j * 2 + p) % 8 + 1).cast("int"))
             for p in range(5)
         ]).alias("text"),
     )
@@ -3936,11 +3936,11 @@ def q_line_dedup_trained_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
     base_tr = t["part"].select(pk.alias("pk")).filter(F.col("pk") <= 31)
-    wl_tr = F.element_at(words_arr, (F.col("pk") % 4 + 1).cast("int"))
+    wl_tr = F.try_element_at(words_arr, (F.col("pk") % 4 + 1).cast("int"))
     train = base_tr.select(
-        F.element_at(lang_arr, (F.col("pk") % 4 + 1).cast("int")).alias("lang"),
+        F.try_element_at(lang_arr, (F.col("pk") % 4 + 1).cast("int")).alias("lang"),
         F.concat_ws(" ", *[
-            F.element_at(
+            F.try_element_at(
                 wl_tr,
                 ((F.floor(F.col("pk") / 4) * 3 + j) % 8 + 1).cast("int"),
             )
@@ -3950,15 +3950,15 @@ def q_line_dedup_trained_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = t["part"].select(pk.alias("pk")).filter(F.col("pk") <= 39)
     s = F.floor(F.col("pk") / 4)
-    wl = F.element_at(words_arr, (F.col("pk") % 4 + 1).cast("int"))
+    wl = F.try_element_at(words_arr, (F.col("pk") % 4 + 1).cast("int"))
 
     def _line(j: int) -> F.Column:
         if j == 0:  # per-language boilerplate: words 0..2
             return F.concat_ws(
-                " ", *[F.element_at(wl, p + 1) for p in range(3)]
+                " ", *[F.try_element_at(wl, F.lit(p + 1)) for p in range(3)]
             )
         return F.concat_ws(" ", *[
-            F.element_at(wl, ((s * 2 + j * 3 + p) % 8 + 1).cast("int"))
+            F.try_element_at(wl, ((s * 2 + j * 3 + p) % 8 + 1).cast("int"))
             for p in range(3)
         ])
 

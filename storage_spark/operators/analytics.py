@@ -518,6 +518,12 @@ def histogram_quantiles(
         raise ValueError("quantiles must be integer permille in [1, 1000]")
     g = list(group_cols or [])
     spark = hist.sparkSession
+    # materialize the (geometry-bounded, ≤512×groups rows) histogram
+    # once: the walk reads it three times (cumulative window, totals,
+    # the range join), and without this each read re-runs the BASE
+    # SCAN behind the histogram — measured 17 s → ~1 s at sf1 on a
+    # doc-length sketch (tools/probe_r10_sf1.py)
+    hist = hist.localCheckpoint(eager=True)
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(

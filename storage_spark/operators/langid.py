@@ -52,20 +52,35 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     """Padded char n-grams of the normalized text: lowercase, collapse
     whitespace, wrap in single spaces (so word boundaries are features —
     ' th' ≠ 'th '), then every length-``n`` substring. Empty array when
-    the padded text is shorter than ``n``."""
+    the padded text is shorter than ``n``.
+
+    Built as zip_with over shifted char arrays, NOT transform-over-
+    sequence with a substring lambda: a lambda body referencing the
+    normalization subexpression re-evaluates it PER ELEMENT (the
+    ``text.word_shingles`` lambda-capture hazard) — measured ~90× at
+    sf1 (184 s → ~2 s for the map-only gram count,
+    tools/probe_r10_sf1.py). Lambda bodies here touch only their own
+    variables; the char array is evaluated once per row per
+    reference."""
     s = F.concat(
         F.lit(" "),
         F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "),
         F.lit(" "),
     )
-    ln = F.length(s)
-    return F.when(
-        ln >= n,
-        F.transform(
-            F.sequence(F.lit(1), ln - (n - 1)),
-            lambda i: F.substring(s, i, F.lit(n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    chars = F.filter(F.split(s, ""), lambda c: c != F.lit(""))
+    sh = chars
+    for j in range(1, n):
+        shifted = F.slice(
+            chars, j + 1, F.greatest(F.size(chars) - j, F.lit(0))
+        )
+        sh = F.zip_with(
+            sh,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None)
+            ).otherwise(F.concat(a, b)),
+        )
+    return F.filter(sh, lambda x: x.isNotNull())
 
 
 def langid_fit_stats(
@@ -152,21 +167,27 @@ def langid_score(
     """Per-(doc, language) NB scores: ``(doc_id, lang, score_milli,
     n_grams)``. Docs whose normalized text yields no n-gram emit no
     rows (see ``langid_predict`` for the default label)."""
-    grams = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
-        )
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("k"))
+    # per-OCCURRENCE join, not a (doc, gram) pre-aggregation: summing
+    # w over matched occurrences equals Σ k·w over distinct grams, and
+    # skipping the pre-agg removes a corpus-sized (doc, gram) shuffle —
+    # the only shuffle left is groupBy(doc, lang), which the map-side
+    # combiner collapses to ≤ |langs| rows per doc per task (measured
+    # ~200 s → ~20 s at sf1, tools/probe_r10_sf1.py)
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
     )
-    nd = grams.groupBy("doc_id").agg(F.sum("k").alias("n_grams"))
+    nd = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(char_ngrams(F.col(text_col), n)).cast("bigint")
+        .alias("n_grams"),
+    ).filter(F.col("n_grams") > 0)
     matched = (
         grams.join(model.filter(F.col("gram") != ""), "gram")
         .groupBy("doc_id", "lang")
         .agg(
-            F.sum(F.col("k") * F.col("w_milli")).alias("mw"),
-            F.sum("k").alias("mk"),
+            F.sum("w_milli").alias("mw"),
+            F.count(F.lit(1)).alias("mk"),
         )
     )
     langs = model.filter(F.col("gram") == "").select(
