@@ -324,6 +324,33 @@ def _run(
             F.sum("score_milli")
         ).collect()[0][0]
 
+    def langid_predict_docs():
+        # trained language-ID over the whole documents table (r10):
+        # fit on the bounded fixture lexicons, PREDICT corpus-wide —
+        # one explode + broadcast model join + groupBy(doc, lang)
+        from storage_spark.operators.langid import (
+            langid_fit,
+            langid_predict,
+        )
+
+        lex = {
+            "en": ["the", "and", "house", "water", "light", "with",
+                   "from", "night"],
+            "de": ["der", "und", "haus", "wasser", "licht", "mit",
+                   "von", "nacht"],
+            "fr": ["le", "et", "maison", "eau", "lumiere", "avec",
+                   "de", "nuit"],
+            "es": ["el", "y", "casa", "agua", "luz", "con", "de",
+                   "noche"],
+        }
+        train = spark.createDataFrame(
+            [(lang, " ".join(ws[(s * 3 + j) % 8] for j in range(6)))
+             for lang, ws in lex.items() for s in range(8)],
+            "lang string, text string",
+        )
+        m = langid_fit(train)
+        return langid_predict(t["documents"], m).groupBy("lang").count().count()
+
     def lm_kn3():
         # trigram Kneser-Ney (r10): the 3→2→1 backoff chain — one
         # posexplode + five model equi-joins + 1-row totals cross
@@ -977,6 +1004,7 @@ def _run(
         "media_render": media_render,
         "lm_kn": lm_kn,
         "lm_kn3": lm_kn3,
+        "langid_predict_docs": langid_predict_docs,
         "unigram_tok": unigram_tok,
         "fat_jl_index_query": fat_jl_index_query,
         "fat_lsh_keysonly_query": fat_lsh_keysonly_query,
@@ -1043,7 +1071,7 @@ def _run(
     _HEAVY = {
         "lm_bigram", "lm_bigram_skew", "dsir_select", "lm_bigram_score",
         "dsir_score", "fat_jl_index_query", "fat_lsh_keysonly_query",
-        "bpe_train_merges",
+        "bpe_train_merges", "langid_predict_docs",
     }
     # the fat pair gets a third repeat: with query-only ~7 s walls a
     # single VM shuffle-stall outlier dominates a 2-rep MEDIAN (r10:

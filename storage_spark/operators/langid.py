@@ -167,6 +167,11 @@ def langid_score(
     """Per-(doc, language) NB scores: ``(doc_id, lang, score_milli,
     n_grams)``. Docs whose normalized text yields no n-gram emit no
     rows (see ``langid_predict`` for the default label)."""
+    # the model is geometry-bounded and referenced twice below (weight
+    # rows and the OOV/langs rows) — materialize once so an unpersisted
+    # fit plan isn't re-run per reference (the histogram_quantiles
+    # pattern; a no-op-sized cost when the caller already checkpointed)
+    model = model.localCheckpoint(eager=True)
     # per-OCCURRENCE join, not a (doc, gram) pre-aggregation: summing
     # w over matched occurrences equals Σ k·w over distinct grams, and
     # skipping the pre-agg removes a corpus-sized (doc, gram) shuffle —
