@@ -3976,6 +3976,133 @@ def q_line_dedup_trained_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_quantile_per_trained_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-stats composition (r10): per-LANGUAGE doc-length
+    quantiles where the language is the TRAINED model's prediction —
+    langid fit → argmax labels → grouped qlog quantile sketch, the
+    whole chain in one plan and one SQL replay. Same fixture docs as
+    line_dedup_trained_lang (40 docs, 4 languages by construction)."""
+    from storage_spark.operators.analytics import (
+        histogram_quantiles,
+        qlog_histogram,
+    )
+    from storage_spark.operators.langid import langid_fit, langid_predict
+
+    t = _t(spark, sf_dir)
+    pk = F.col("p_partkey").cast("long")
+    lang_arr = F.array(*[F.lit(l) for l in _LANGID_LANGS])
+    words_arr = F.array(*[
+        F.array(*[F.lit(w) for w in _LANGID_LEX[l]]) for l in _LANGID_LANGS
+    ])
+    base_tr = t["part"].select(pk.alias("pk")).filter(F.col("pk") <= 31)
+    wl_tr = F.try_element_at(words_arr, (F.col("pk") % 4 + 1).cast("int"))
+    train = base_tr.select(
+        F.try_element_at(
+            lang_arr, (F.col("pk") % 4 + 1).cast("int")
+        ).alias("lang"),
+        F.concat_ws(" ", *[
+            F.try_element_at(
+                wl_tr,
+                ((F.floor(F.col("pk") / 4) * 3 + j) % 8 + 1).cast("int"),
+            )
+            for j in range(6)
+        ]).alias("text"),
+    )
+
+    base = t["part"].select(pk.alias("pk")).filter(F.col("pk") <= 39)
+    s = F.floor(F.col("pk") / 4)
+    wl = F.try_element_at(words_arr, (F.col("pk") % 4 + 1).cast("int"))
+
+    def _line(j: int) -> F.Column:
+        if j == 0:
+            return F.concat_ws(
+                " ", *[F.try_element_at(wl, F.lit(p + 1)) for p in range(3)]
+            )
+        return F.concat_ws(" ", *[
+            F.try_element_at(wl, ((s * 2 + j * 3 + p) % 8 + 1).cast("int"))
+            for p in range(3)
+        ])
+
+    docs = base.select(
+        F.col("pk").alias("doc_id"),
+        F.concat_ws("\n", *[_line(j) for j in range(4)]).alias("text"),
+    )
+    m = langid_fit(train)
+    labeled = docs.join(langid_predict(docs, m), "doc_id")
+    vals = labeled.select("lang", F.length("text").alias("v"))
+    hist = qlog_histogram(vals, "v", group_cols=["lang"])
+    return histogram_quantiles(
+        hist, [500, 1000], group_cols=["lang"]
+    ).orderBy("lang", "q_x1000")
+
+
+def _oracle_quantile_per_trained_lang() -> str:
+    qlog = _QLOG_SQL.format(c="v")
+    return _o(f"""
+, {_langid_model_ctes()},
+pr_words AS (
+  SELECT k.range AS k, j.range AS j, p.range AS p,
+         (SELECT word FROM lex
+          WHERE lex.li = k.range % 4
+            AND lex.idx = CASE WHEN j.range = 0 THEN p.range
+                 ELSE ((k.range // 4) * 2 + j.range * 3 + p.range) % 8 END
+         ) AS word
+  FROM range(0, 40) k, range(0, 4) j, range(0, 3) p
+),
+pr_lines AS (
+  SELECT k AS doc_id, j AS pos,
+         string_agg(word, ' ' ORDER BY p) AS line
+  FROM pr_words GROUP BY 1, 2
+),
+pr_texts AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM pr_lines GROUP BY 1
+),
+pr_docs AS (
+  SELECT doc_id,
+         ' ' || regexp_replace(text, '\\s+', ' ', 'g') || ' ' AS padded
+  FROM pr_texts
+),
+{_langid_score_ctes('pr_docs')},
+vals AS (
+  SELECT pr.lang, CAST(length(t.text) AS BIGINT) AS v
+  FROM pr_texts t JOIN pred pr USING (doc_id)
+),
+hist AS (
+  SELECT lang,
+         CASE WHEN v <= 0 THEN -1 ELSE {qlog} // 125 END AS bucket,
+         count(*) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, bucket,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum
+  FROM hist
+),
+nn AS (SELECT lang, sum(cnt) AS n FROM hist GROUP BY 1),
+qs AS (SELECT * FROM (VALUES (500), (1000)) q(q_x1000)),
+ranks AS (
+  SELECT nn.lang, q_x1000, (q_x1000 * nn.n + 999) // 1000 AS rank
+  FROM qs, nn
+),
+hit AS (
+  SELECT r.lang, r.q_x1000, r.rank, min(c.bucket) AS bucket
+  FROM ranks r JOIN cum c ON c.lang = r.lang AND c.cum >= r.rank
+  GROUP BY 1, 2, 3
+)
+SELECT lang,
+       CAST(q_x1000 AS BIGINT) AS q_x1000,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN bucket < 0 THEN 0 ELSE
+         ((1::BIGINT << CAST((bucket * 125) // 1000 AS INT))
+          * (1000 + (bucket * 125) % 1000)) // 1000 END AS BIGINT)
+         AS v_lo
+FROM hit
+ORDER BY lang, q_x1000
+""")
+
+
 def _oracle_line_dedup_trained_lang() -> str:
     return _o(f"""
 , {_langid_model_ctes()},
@@ -6782,6 +6909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_trained_lang": q_line_dedup_trained_lang,
         "quantile_sketch": q_quantile_sketch,
         "quantile_per_bucket": q_quantile_per_bucket,
+        "quantile_per_trained_lang": q_quantile_per_trained_lang,
         "ann_index_query": q_ann_index_query,
         "ann_index_append": q_ann_index_append,
         "simhash_wide": q_simhash_wide,
@@ -8904,6 +9032,7 @@ FROM sc ORDER BY pk
         "line_dedup_trained_lang": _oracle_line_dedup_trained_lang(),
         "quantile_sketch": _oracle_quantile_sketch(),
         "quantile_per_bucket": _oracle_quantile_per_bucket(),
+        "quantile_per_trained_lang": _oracle_quantile_per_trained_lang(),
         "image_dhash_pairs": _oracle_image_dhash_pairs(),
         "audio_near_pairs": _oracle_audio_near_pairs(),
         "video_near_pairs": _oracle_video_near_pairs(),

@@ -156,6 +156,8 @@ _BNLJ_ALLOWED = {
     "quantile_sketch",
     "quantile_per_bucket",  # same walk, range condition beside the
     # group equi key — bounded by groups × buckets
+    "quantile_per_trained_lang",  # langid scoring cross + the grouped
+    # walk — both geometry-bounded
 }
 
 
