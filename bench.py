@@ -41,10 +41,12 @@ def _run(
     repeats: int,
     heavy_reps: int,
     skip: set[str] = frozenset(),
+    stall_reruns: dict[str, int] | None = None,
 ) -> tuple[dict, dict]:
     """One SparkSession's worth of the suite: build the session, run the
     entries in ``only`` (None = all) minus ``skip``, stop the session,
-    return (min_timings, median_timings)."""
+    return (min_timings, median_timings). ``stall_reruns`` (if given)
+    accumulates per-entry counts of stall-guard re-runs (VERDICT r10 #1b)."""
     from pyspark.sql import functions as F
 
     from storage_spark.session import get_spark
@@ -1091,6 +1093,27 @@ def _run(
             fn()
             runs.append(time.time() - t0)
             settle()
+        # Stall guard (VERDICT r10 #1b): this VM's shuffle-cleanup stalls
+        # are additive and transient (NOTES_r1 §2 — identical plans swing
+        # 2 s -> 400 s with 80% kernel time), so a median/min spread > 2x
+        # on a non-trivial entry means a stalled rep landed in the
+        # median, not that the engine regressed. Re-run once after an
+        # extra GC settle and let the fresh rep displace the outlier.
+        if (
+            stall_reruns is not None
+            and len(runs) >= 2
+            and min(runs) > 0.3
+            and statistics.median(runs) / min(runs) > 2.0
+        ):
+            settle()
+            time.sleep(1.0)
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+            settle()
+            runs.sort()
+            runs = runs[:-1]  # drop the worst rep; median over the rest
+            stall_reruns[name] = stall_reruns.get(name, 0) + 1
         timings[name] = round(min(runs), 3)
         medians[name] = round(statistics.median(runs), 3)
 
@@ -1119,21 +1142,28 @@ def main() -> None:
     heavy_reps = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_REPEATS", "2"))
     single = os.environ.get("SPARK_GRAFT_BENCH_SINGLE_SESSION") == "1"
 
+    stall_reruns: dict[str, int] = {}
     if single:
-        timings, medians = _run(sf_dir, cpus, None, repeats, heavy_reps)
+        timings, medians = _run(
+            sf_dir, cpus, None, repeats, heavy_reps, stall_reruns=stall_reruns
+        )
     else:
         # VERDICT r9 #2: the heavy text-model/fat-embedding entries run
         # in a FRESH second session, after the 40+ light entries' shuffle
         # files and JVM pressure are gone with the first session — their
         # medians then measure the engine, not the harness's litter.
         timings, medians = _run(
-            sf_dir, cpus, None, repeats, heavy_reps, skip=_FRESH_SESSION
+            sf_dir, cpus, None, repeats, heavy_reps,
+            skip=_FRESH_SESSION, stall_reruns=stall_reruns,
         )
-        t2, m2 = _run(sf_dir, cpus, set(_FRESH_SESSION), repeats, heavy_reps)
+        t2, m2 = _run(
+            sf_dir, cpus, set(_FRESH_SESSION), repeats, heavy_reps,
+            stall_reruns=stall_reruns,
+        )
         timings.update(t2)
         medians.update(m2)
 
-    out = {
+    full = {
         "metric": "storage_spark headline suite wall time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -1148,8 +1178,40 @@ def main() -> None:
         "repeats": repeats,
         "stat": "min (queries) + median (queries_median)",
         "sessions": 1 if single else 2,
+        "stall_reruns": stall_reruns,
     }
-    print(json.dumps(out))
+    # VERDICT r10 #1a: the driver keeps only the last ~2,000 chars of
+    # stdout, and the full per-query dump outgrew that at ~50 entries in
+    # r8 — so rounds 8-10 recorded "parsed": null. The full dump now goes
+    # to BENCH_full.json (and stderr for log readers); the FINAL stdout
+    # line is a compact summary — suite walls, counts, and the ~10
+    # heaviest entries — that stays well under the tail window.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(full, fh)
+    print(json.dumps(full), file=sys.stderr)
+
+    top = dict(
+        sorted(medians.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": top,
+        "queries_stat": "median of the 10 heaviest (full dump: BENCH_full.json)",
+        "value_median": full["value_median"],
+        "n_queries": len(timings),
+        "sf": full["sf"],
+        "repeats": repeats,
+        "sessions": full["sessions"],
+        "stall_reruns": sum(stall_reruns.values()),
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long ({len(line)})"
+    print(line)
 
 
 if __name__ == "__main__":
