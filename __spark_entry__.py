@@ -6846,72 +6846,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver evaluates in dict order under a wall-clock
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
-    # cap. Round 10's 50-slot window (VERDICT r9 #3 — drain the
-    # r6-evidence tail):
-    # (a) the 41 rows whose latest driver evidence is r6 lead (the asof
-    #     family, vector_* exact/IVF family, dedup_* family, text_*
-    #     family, pack/packing, listing staleholds) — after r10 no
-    #     entry's evidence is older than r7;
-    # (b) the r10 net-new rows (ann_index_jl_derived — the shipped
-    #     jl_lsh derived-refine default under the oracle; kn_trigram;
-    #     langid_trained; + this round's later additions);
-    # (c) the r7-evidence block, stalest-first, for the slots that
-    #     remain; then r8/r9 (freshest driver evidence last).
-    # Everything past slot 50 is driver-green in r7-r9 on semantically
+    # cap. Round 11's 50-slot window (VERDICT r10 #2 — drain the
+    # r7-evidence block):
+    # (a) the 48 rows whose latest driver evidence is r7 lead (snapshot
+    #     family, sessionization/OLAP rows, events_hopping,
+    #     salted_distinct, copy_objects_bulk, constraint_audit,
+    #     ndjson_roundtrip, the vector_pq/ivfpq rows, ...) — after r11 no
+    #     entry's evidence is older than r8;
+    # (b) the r11 net-new rows (media near-dup cluster resolution;
+    #     langid word-boundary features);
+    # (c) the r8-evidence block stalest-first for any slots that remain;
+    #     then r9/r10 (freshest driver evidence last).
+    # Everything past slot 50 is driver-green in r8-r10 on semantically
     # unchanged code, and the local parity replica
     # (tests/test_queries_parity.py) re-proves the whole registry on
     # current code every session.
     return {
-        "skipscan_prefixes": q_skipscan_prefixes,
-        "sort_updated_at": q_sort_updated_at,
-        "topk_merge": q_topk_merge,
-        "copy_object": q_copy_object,
-        "move_objects": q_move_objects,
-        "delete_returning": q_delete_returning,
-        "usage_cube": q_usage_cube,
-        "events_hourly": q_events_hourly,
-        "multipart_progress": q_multipart_progress,
-        "iceberg_table_ops": q_iceberg_table_ops,
-        "sample_stratified": q_sample_stratified,
-        "corpus_stats": q_corpus_stats,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "text_winnowing": q_text_winnowing,
-        "decontaminate": q_decontaminate,
-        "dedup_exact_events": q_dedup_exact_events,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_components": q_dedup_components,
-        "vector_cosine_topk": q_vector_cosine_topk,
-        "vector_l2_topk": q_vector_l2_topk,
-        "vector_filtered_topk": q_vector_filtered_topk,
-        "vector_segment_scan": q_vector_segment_scan,
-        "vector_knn_join": q_vector_knn_join,
-        "vector_index_list": q_vector_index_list,
-        "vector_get_keys": q_vector_get_keys,
-        "vector_ivf_ann": q_vector_ivf_ann,
-        "vector_filtered_ivf": q_vector_filtered_ivf,
-        "split_overlap": q_split_overlap,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "asof_nearest_object": q_asof_nearest_object,
-        "asof_tolerance_object": q_asof_tolerance_object,
-        "asof_latest_object": q_asof_latest_object,
-        "asof_next_object": q_asof_next_object,
-        "pack_sequences": q_pack_sequences,
-        "packing_efficiency": q_packing_efficiency,
-        "backend_list": q_backend_list,
-        "ann_index_jl_derived": q_ann_index_jl_derived,
-        "kn_trigram": q_kn_trigram,
-        "langid_trained": q_langid_trained,
-        "line_dedup_trained_lang": q_line_dedup_trained_lang,
-        "quantile_sketch": q_quantile_sketch,
-        "quantile_per_bucket": q_quantile_per_bucket,
-        "quantile_per_trained_lang": q_quantile_per_trained_lang,
-        "ann_index_query": q_ann_index_query,
-        "ann_index_append": q_ann_index_append,
+        # --- latest driver evidence r7 (the r11 lead block)
         "simhash_wide": q_simhash_wide,
         "dedup_resolve": q_dedup_resolve,
         "chunk_documents": q_chunk_documents,
@@ -6960,6 +6911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_ivf_query": q_ann_index_ivf_query,
         "dedup_embedding": q_dedup_embedding,
         "curate_corpus": q_curate_corpus,
+        # --- r11 net-new rows land here (window slots after the r7 block)
+        # --- latest driver evidence r8
         "vector_sq8": q_vector_sq8,
         "vector_ivfsq": q_vector_ivfsq,
         "semantic_dedup": q_semantic_dedup,
@@ -7009,6 +6962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_before_preview": q_delete_before_preview,
         "rls_owner": q_rls_owner,
         "catalog_backfill": q_catalog_backfill,
+        # --- latest driver evidence r9
         "search_v1_hybrid": q_search_v1_hybrid,
         "search_v1_ci": q_search_v1_ci,
         "search_v1_sorted": q_search_v1_sorted,
@@ -7059,6 +7013,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_root": q_list_root,
         "list_nested": q_list_nested,
         "list_flat_cursor": q_list_flat_cursor,
+        # --- latest driver evidence r10 (freshest — past the cap)
+        "skipscan_prefixes": q_skipscan_prefixes,
+        "sort_updated_at": q_sort_updated_at,
+        "topk_merge": q_topk_merge,
+        "copy_object": q_copy_object,
+        "move_objects": q_move_objects,
+        "delete_returning": q_delete_returning,
+        "usage_cube": q_usage_cube,
+        "events_hourly": q_events_hourly,
+        "multipart_progress": q_multipart_progress,
+        "iceberg_table_ops": q_iceberg_table_ops,
+        "sample_stratified": q_sample_stratified,
+        "corpus_stats": q_corpus_stats,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "text_winnowing": q_text_winnowing,
+        "decontaminate": q_decontaminate,
+        "dedup_exact_events": q_dedup_exact_events,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
+        "vector_cosine_topk": q_vector_cosine_topk,
+        "vector_l2_topk": q_vector_l2_topk,
+        "vector_filtered_topk": q_vector_filtered_topk,
+        "vector_segment_scan": q_vector_segment_scan,
+        "vector_knn_join": q_vector_knn_join,
+        "vector_index_list": q_vector_index_list,
+        "vector_get_keys": q_vector_get_keys,
+        "vector_ivf_ann": q_vector_ivf_ann,
+        "vector_filtered_ivf": q_vector_filtered_ivf,
+        "split_overlap": q_split_overlap,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "asof_nearest_object": q_asof_nearest_object,
+        "asof_tolerance_object": q_asof_tolerance_object,
+        "asof_latest_object": q_asof_latest_object,
+        "asof_next_object": q_asof_next_object,
+        "pack_sequences": q_pack_sequences,
+        "packing_efficiency": q_packing_efficiency,
+        "backend_list": q_backend_list,
+        "ann_index_jl_derived": q_ann_index_jl_derived,
+        "kn_trigram": q_kn_trigram,
+        "langid_trained": q_langid_trained,
+        "line_dedup_trained_lang": q_line_dedup_trained_lang,
+        "quantile_sketch": q_quantile_sketch,
+        "quantile_per_bucket": q_quantile_per_bucket,
+        "quantile_per_trained_lang": q_quantile_per_trained_lang,
+        "ann_index_query": q_ann_index_query,
+        "ann_index_append": q_ann_index_append,
     }
 
 def _oracle_sql_literal() -> dict[str, str]:
