@@ -163,6 +163,7 @@ def langid_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-(doc, language) NB scores: ``(doc_id, lang, score_milli,
     n_grams)``. Docs whose normalized text yields no n-gram emit no
@@ -170,8 +171,11 @@ def langid_score(
     # the model is geometry-bounded and referenced twice below (weight
     # rows and the OOV/langs rows) — materialize once so an unpersisted
     # fit plan isn't re-run per reference (the histogram_quantiles
-    # pattern; a no-op-sized cost when the caller already checkpointed)
-    model = model.localCheckpoint(eager=True)
+    # pattern). Skipped when the caller already persisted the model
+    # (is_cached) or opted out (materialize=False) — composing a query
+    # should not re-trigger a Spark job per score/predict call.
+    if materialize and not model.is_cached:
+        model = model.localCheckpoint(eager=True)
     # per-OCCURRENCE join, not a (doc, gram) pre-aggregation: summing
     # w over matched occurrences equals Σ k·w over distinct grams, and
     # skipping the pre-agg removes a corpus-sized (doc, gram) shuffle —
@@ -221,6 +225,7 @@ def langid_predict(
     text_col: str = "text",
     n: int = 3,
     default: str = "und",
+    materialize: bool = True,
 ) -> DataFrame:
     """Argmax language per doc — ``(doc_id, lang)`` with the
     deterministic (score desc, lang asc) tie-break; docs with no
@@ -228,7 +233,7 @@ def langid_predict(
     operator's lang/group column (line_dedup's ``group_col``,
     ``dsir_sample_per_group``, CCNet buckets): join this frame on the
     doc id."""
-    s = langid_score(docs, model, id_col, text_col, n)
+    s = langid_score(docs, model, id_col, text_col, n, materialize)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score_milli").desc(), F.col("lang").asc()
     )

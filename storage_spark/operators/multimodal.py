@@ -791,6 +791,15 @@ def dhash_near_pairs(
             "banded recall guarantee needs max_hamming <= n_bands - 1"
         )
     seg = -(-64 // n_bands)  # ceil
+    if (n_bands - 1) * seg >= 64:
+        # e.g. n_bands=9 -> seg=8 puts band 8's start past the 64-char
+        # hash: every row would share the identical EMPTY band and the
+        # band join degenerates into a full cross product
+        raise ValueError(
+            f"n_bands={n_bands} leaves band {n_bands - 1} empty for a "
+            f"64-bit hash (ceil-segment {seg}); use n_bands <= 8 or a "
+            f"divisor-friendly band count"
+        )
     bands = hashes.select(
         "key", "dhash",
         F.explode(
@@ -1062,17 +1071,31 @@ def _bits_hamming(a_col: str, b_col: str) -> F.Column:
     length via aggregate-over-sequence, so arbitrarily long
     fingerprints (video temporal bits are n_frames-1 long, unbounded)
     are covered in full — a fixed offset list silently ignores bits
-    past its window and understates distance."""
+    past its window and understates distance. Unequal lengths are
+    PREFIX-aligned: both strings are right-padded with '0' to the
+    common length first (without the pad, conv right-aligns the
+    shorter one's final partial chunk within its 31-bit window and the
+    distance is neither prefix- nor suffix-aligned). All banded
+    callers in this module embed the length in the band key, so
+    unequal-length pairs only reach this via direct calls."""
     def _chunk(col: F.Column, off: F.Column) -> F.Column:
         return F.coalesce(
             F.conv(F.substring(col, off, F.lit(31)), 2, 10).cast("bigint"),
             F.lit(0),
         )
 
-    a, b = F.col(a_col), F.col(b_col)
+    maxlen = F.greatest(F.length(F.col(a_col)), F.length(F.col(b_col)))
+    # rpad via expr: the pure-python F.rpad pins `len` to int in some
+    # releases; the SQL form takes a column length expression
+    a = F.expr(
+        f"rpad({a_col}, greatest(length({a_col}), length({b_col})), '0')"
+    )
+    b = F.expr(
+        f"rpad({b_col}, greatest(length({a_col}), length({b_col})), '0')"
+    )
     n_chunks = F.greatest(
         F.lit(1),
-        F.ceil(F.greatest(F.length(a), F.length(b)) / 31).cast("int"),
+        F.ceil(maxlen / 31).cast("int"),
     )
     return F.aggregate(
         F.sequence(F.lit(0), n_chunks - 1),

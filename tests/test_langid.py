@@ -57,6 +57,39 @@ def test_langid_fit_and_score_hand_math(spark):
     assert s[(1, "bb")] == (2 * -d, 2)
 
 
+def test_langid_score_materialize_opt_out_and_cached_skip(spark):
+    """Regression (r11 ADVICE): composing a score/predict plan must not
+    force a Spark job when the caller opts out (materialize=False) or
+    already persisted the model (is_cached) — and the opt-out path must
+    score identically to the default."""
+    from storage_spark.operators.langid import langid_fit, langid_score
+
+    train = spark.createDataFrame(
+        [("aa", "xy"), ("bb", "xz")], "lang string, text string"
+    )
+    probe = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    m = langid_fit(train)
+
+    want = sorted(map(tuple, langid_score(probe, m).collect()))
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    lazy = langid_score(probe, m, materialize=False)  # plan only
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "materialize=False still triggered a job"
+    assert sorted(map(tuple, lazy.collect())) == want
+
+    m_cached = m.cache()
+    try:
+        m_cached.count()
+        got = sorted(map(tuple, langid_score(probe, m_cached).collect()))
+        assert got == want
+        # the model the caller persisted is untouched (not replaced by a
+        # checkpoint frame): still reported cached
+        assert m_cached.is_cached
+    finally:
+        m_cached.unpersist()
+
+
 def test_langid_predict_tiebreak_and_default(spark):
     from storage_spark.operators.langid import langid_fit, langid_predict
 

@@ -785,6 +785,51 @@ def test_long_fingerprint_hamming_counts_tail_bits(spark):
     assert len(rows) == 1 and rows[0].hamming == 1
 
 
+def test_bits_hamming_unequal_lengths_prefix_aligned(spark):
+    """Regression (r11 ADVICE): unequal-length fingerprints compare
+    PREFIX-aligned — both rpadded with '0' to the common length — so
+    the distance is Hamming over the shared prefix plus the longer
+    tail's set bits. Without the pad, conv right-aligned the shorter
+    string's final partial chunk and the distance was semi-arbitrary."""
+    from storage_spark.operators.multimodal import _bits_hamming
+
+    import pyspark.sql.functions as F
+
+    cases = [
+        # (a, b, expected): b == a + tail  ->  distance = popcount(tail)
+        ("1" * 40, "1" * 40 + "101", 2),
+        # shorter differs in-prefix too: 1 prefix diff + 3 tail ones
+        ("0" * 40, "1" + "0" * 39 + "111", 4),
+        # equal lengths unaffected
+        ("0110" * 16, "0110" * 16, 0),
+        ("0" * 62, "0" * 61 + "1", 1),
+    ]
+    df = spark.createDataFrame(cases, "fa string, fb string, want int")
+    rows = df.select(
+        "want", _bits_hamming("fa", "fb").cast("int").alias("got")
+    ).collect()
+    assert all(r.got == r.want for r in rows), rows
+
+
+def test_dhash_near_pairs_rejects_empty_band_counts(spark):
+    """Regression (r11 ADVICE): band counts whose ceil-segmentation
+    leaves the last band past the 64-char hash (e.g. 9 bands -> 8-char
+    segments -> band 8 starts at 65) must be rejected — every row
+    would share the identical empty band and the band join degenerates
+    into a full cross product."""
+    import pytest
+
+    from storage_spark.operators.multimodal import dhash_near_pairs
+
+    fps = spark.createDataFrame([("a", "01" * 32)], "key string, dhash string")
+    for bad in (9, 33):
+        with pytest.raises(ValueError, match="empty"):
+            dhash_near_pairs(fps, max_hamming=3, n_bands=bad)
+    # divisor-friendly counts still fine
+    assert dhash_near_pairs(fps, max_hamming=3, n_bands=8).count() == 0
+    assert dhash_near_pairs(fps, max_hamming=3, n_bands=16).count() == 0
+
+
 def test_incremental_fingerprint_pairs_equals_full_restricted(spark):
     import numpy as np
 
