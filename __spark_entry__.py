@@ -3440,26 +3440,16 @@ def q_media_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("key").cast("long"), "span_start")
 
 
-def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image near-dup (dHash + banded Hamming join — the
-    LAION-style image dedup stage) under the oracle: PNGs are built
-    from a 27×16 gray pixel rule in 20 groups of 3 variants (variants
-    perturb ONE source pixel), hashed by the real decode → luma →
-    9×8 AREA-MEAN downsample (the r10 robustness fix — the planted
-    near-dup probe measured point sampling at 0.18 resize recall) →
-    gradient-bit pipeline, and paired by Hamming ≤ 3 via the 4-band
-    pigeonhole join. The oracle replays the ENTIRE hash from the
-    generation rule (27/9 and 16/8 make the cells exact 3×2 blocks)
-    and takes exact all-pairs ≤ 3 — so the row ALSO proves the banded
-    join's recall guarantee."""
+def _dhash_fixture_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared image fixture for the dHash rows: PNGs built from a 27×16
+    gray pixel rule in 20 groups of 3 variants (variants perturb ONE
+    source pixel) — 27/9 and 16/8 make the 9×8 area-mean cells exact
+    3×2 blocks, so the oracle can replay the ENTIRE hash from the
+    generation rule."""
     import numpy as np
     import pandas as pd
 
     from storage_spark.functions.imagecodec import png_encode
-    from storage_spark.operators.multimodal import (
-        dhash_images,
-        dhash_near_pairs,
-    )
 
     t = _t(spark, sf_dir)
     base = t["part"].select(
@@ -3482,14 +3472,67 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((str(k), png_encode(img)))
             yield pd.DataFrame(out, columns=["key", "content"])
 
-    blobs = base.mapInPandas(_gen, "key string, content binary")
+    return base.mapInPandas(_gen, "key string, content binary")
+
+
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (dHash + banded Hamming join — the
+    LAION-style image dedup stage) under the oracle: the shared PNG
+    fixture (``_dhash_fixture_blobs``) hashed by the real decode →
+    luma → 9×8 AREA-MEAN downsample (the r10 robustness fix — the
+    planted near-dup probe measured point sampling at 0.18 resize
+    recall) → gradient-bit pipeline, and paired by Hamming ≤ 3 via the
+    4-band pigeonhole join. The oracle replays the entire hash from
+    the generation rule and takes exact all-pairs ≤ 3 — so the row
+    ALSO proves the banded join's recall guarantee."""
+    from storage_spark.operators.multimodal import (
+        dhash_images,
+        dhash_near_pairs,
+    )
+
+    blobs = _dhash_fixture_blobs(spark, sf_dir)
     return dhash_near_pairs(dhash_images(blobs), max_hamming=3).orderBy(
         "key_a", "key_b"
     )
 
 
-def _oracle_image_dhash_pairs() -> str:
-    return _o("""
+def q_media_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup CLUSTER resolution (r10 verdict #3): the pairwise
+    dHash stage stops at (key_a, key_b) rows; real pipelines dedupe
+    media by cluster — pairs → connected components → exactly one
+    survivor per cluster. Runs the full chain on the shared PNG
+    fixture: decode → dHash → banded pairs (Hamming ≤ 3) →
+    ``media_dedup_resolve`` (min-label component closure + highest-
+    preference election, ties → min key). The election preference here
+    is the deterministic (k·17) mod 7 pseudo-quality so the oracle can
+    replay it exactly (the operator's DEFAULT preference — blob byte
+    size, keep the least-degraded variant — is pinned by pytest, where
+    real PNG sizes are observable). Keys compare as STRINGS throughout
+    (component = string-min reachable key), matching the band join's
+    key type; the oracle replays pairs → recursive-CTE closure →
+    window election under the same string semantics."""
+    from storage_spark.operators.multimodal import (
+        dhash_images,
+        dhash_near_pairs,
+        media_dedup_resolve,
+    )
+
+    blobs = _dhash_fixture_blobs(spark, sf_dir)
+    pairs = dhash_near_pairs(dhash_images(blobs), max_hamming=3)
+    out = media_dedup_resolve(
+        blobs,
+        pairs,
+        prefer=(F.col("key").cast("long") * 17 % 7).cast("bigint"),
+    )
+    return out.select(
+        "key", "component", "canonical", "is_canonical"
+    ).orderBy(F.col("key").cast("long"))
+
+
+#: Shared dHash-replay CTE chain (the ``_dhash_fixture_blobs`` rule →
+#: hash bits → exact all-pairs Hamming), used by BOTH the pair row and
+#: the cluster-resolution row so the two oracles can never diverge.
+_DHASH_FIXTURE_CTES = """
 , ks AS (
   SELECT CAST(p_partkey AS BIGINT) AS k,
          p_partkey // 3 AS g, CAST(p_partkey % 3 AS INT) AS m
@@ -3526,11 +3569,53 @@ pairs AS (
   FROM bitpos a JOIN bitpos b
     ON a.pos = b.pos AND CAST(a.k AS STRING) < CAST(b.k AS STRING)
   GROUP BY 1, 2
-)
+)"""
+
+
+def _oracle_image_dhash_pairs() -> str:
+    return _o(_DHASH_FIXTURE_CTES + """
 SELECT key_a, key_b, hamming FROM pairs
 WHERE hamming <= 3
 ORDER BY key_a, key_b
 """)
+
+
+def _oracle_media_dedup_resolve() -> str:
+    """Pairs → recursive-CTE transitive closure → window election,
+    replaying media_dedup_resolve under STRING key semantics
+    (component = string-min reachable key; preference (k*17) mod 7
+    desc, ties string-min key)."""
+    sql = _o(_DHASH_FIXTURE_CTES + """,
+near AS (SELECT key_a, key_b FROM pairs WHERE hamming <= 3),
+edges AS (
+  SELECT key_a AS ea, key_b AS eb FROM near
+  UNION ALL
+  SELECT key_b, key_a FROM near
+),
+nodes AS (SELECT CAST(k AS STRING) AS doc, k FROM ks),
+reach AS (
+  SELECT doc, doc AS label FROM nodes
+  UNION
+  SELECT e.eb AS doc, r.label FROM reach r JOIN edges e ON e.ea = r.doc
+),
+comp AS (SELECT doc, min(label) AS component FROM reach GROUP BY doc),
+pref AS (SELECT CAST(k AS STRING) AS doc, CAST(k * 17 % 7 AS BIGINT) AS p
+         FROM ks),
+winners AS (
+  SELECT component, doc AS canonical FROM (
+    SELECT c.component, c.doc,
+           row_number() OVER (
+             PARTITION BY c.component ORDER BY p.p DESC, c.doc ASC
+           ) AS rn
+    FROM comp c JOIN pref p ON p.doc = c.doc
+  ) WHERE rn = 1
+)
+SELECT c.doc AS key, c.component, w.canonical,
+       c.doc = w.canonical AS is_canonical
+FROM comp c JOIN winners w USING (component)
+ORDER BY CAST(key AS BIGINT)
+""")
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
 def q_audio_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6911,7 +6996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_ivf_query": q_ann_index_ivf_query,
         "dedup_embedding": q_dedup_embedding,
         "curate_corpus": q_curate_corpus,
-        # --- r11 net-new rows land here (window slots after the r7 block)
+        # --- r11 net-new rows (window slots after the r7 block)
+        "media_dedup_resolve": q_media_dedup_resolve,
         # --- latest driver evidence r8
         "vector_sq8": q_vector_sq8,
         "vector_ivfsq": q_vector_ivfsq,
@@ -9039,6 +9125,7 @@ FROM sc ORDER BY pk
         "quantile_per_bucket": _oracle_quantile_per_bucket(),
         "quantile_per_trained_lang": _oracle_quantile_per_trained_lang(),
         "image_dhash_pairs": _oracle_image_dhash_pairs(),
+        "media_dedup_resolve": _oracle_media_dedup_resolve(),
         "audio_near_pairs": _oracle_audio_near_pairs(),
         "video_near_pairs": _oracle_video_near_pairs(),
         "text_normalize": _o("""

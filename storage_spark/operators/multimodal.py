@@ -29,7 +29,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1161,3 +1161,60 @@ def incremental_fingerprint_pairs(
         .select("key_a", "key_b", "hamming")
     )
     return pairs, bb
+
+
+def media_dedup_resolve(
+    blobs: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "key",
+    content_col: str = "content",
+    prefer: Column | None = None,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Cluster resolution for media near-dup PAIRS — the missing stage
+    between this module's pairwise fingerprint joins (``dhash_near_pairs``
+    / ``audio_near_pairs`` / ``video_near_pairs`` /
+    ``incremental_fingerprint_pairs`` — all emit ``(key_a, key_b,
+    hamming)``) and a deduplicated asset catalog. Real pipelines dedupe
+    media by CLUSTER, not pairwise: a re-encode chain (original → q75
+    JPEG → resized copy) connects only transitively, and greedy
+    pair-dropping either keeps two of the three or drops all three
+    depending on pair order.
+
+    Closes pairs transitively (``dedup.dedup_components`` — min-label
+    propagation, or large-star/small-star with ``algorithm='star'`` for
+    long chains), then elects ONE canonical asset per cluster: highest
+    ``prefer`` wins, ties broken by MIN key. The default ``prefer`` is
+    the blob's byte size — among near-duplicate variants the largest
+    encoding is the least-degraded source (highest resolution / least
+    recompressed), the media analogue of text resolution's
+    keep-the-longest-document policy.
+
+    Returns one row per input asset:
+    ``(key, component, canonical, is_canonical)`` — filter
+    ``is_canonical`` for the kept corpus, or join the casualty rows
+    back for provenance.
+
+    Scale shape: identical to the text resolver it delegates to —
+    component closure is O(cluster diameter) equi-join rounds (near-dup
+    media clusters are re-encode fans, diameter ≤ 2-3), election is one
+    partially-aggregated struct-min shuffle on ``component``; no
+    windows over the corpus, no collects. Fingerprint-agnostic: any
+    pair frame with ``(key_a, key_b)`` works, including mixed batches
+    from the incremental band index."""
+    from storage_spark.operators.dedup import resolve_canonical
+
+    if prefer is None:
+        prefer = F.octet_length(F.col(content_col)).cast("bigint")
+    out = resolve_canonical(
+        blobs,
+        pairs,
+        id_col=key_col,
+        prefer=prefer,
+        doc_a="key_a",
+        doc_b="key_b",
+        algorithm=algorithm,
+    )
+    return out.select(
+        F.col("doc").alias(key_col), "component", "canonical", "is_canonical"
+    )

@@ -877,3 +877,82 @@ def test_incremental_fingerprint_pairs_equals_full_restricted(spark):
 
     with _pytest.raises(ValueError):
         incremental_fingerprint_pairs(idx, batch, max_hamming=4)
+
+
+def test_media_dedup_resolve_transitive_and_default_prefer(spark):
+    """media_dedup_resolve: (a~b, b~c) with NO direct a~c pair must fold
+    into ONE cluster keeping exactly one survivor (greedy pair-dropping
+    can't do that); the default election keeps the LARGEST blob; a
+    pairless asset is its own singleton component."""
+    from storage_spark.operators.multimodal import media_dedup_resolve
+
+    blobs = spark.createDataFrame(
+        [
+            ("a", bytearray(b"x" * 10)),
+            ("b", bytearray(b"x" * 99)),   # largest -> canonical
+            ("c", bytearray(b"x" * 50)),
+            ("d", bytearray(b"x" * 5)),    # singleton
+        ],
+        "key string, content binary",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 3)],
+        "key_a string, key_b string, hamming int",
+    )
+    got = {r.key: r for r in media_dedup_resolve(blobs, pairs).collect()}
+    assert len(got) == 4
+    assert {got[k].component for k in "abc"} == {"a"}
+    assert all(got[k].canonical == "b" for k in "abc")
+    assert [got[k].is_canonical for k in "abcd"] == [False, True, False, True]
+    assert got["d"].component == "d" and got["d"].canonical == "d"
+
+    # star contraction path agrees with label propagation
+    star = {
+        r.key: (r.component, r.canonical, r.is_canonical)
+        for r in media_dedup_resolve(blobs, pairs, algorithm="star").collect()
+    }
+    assert star == {
+        k: (v.component, v.canonical, v.is_canonical) for k, v in got.items()
+    }
+
+    # size tie -> min key wins
+    tie = spark.createDataFrame(
+        [("a", bytearray(b"x" * 9)), ("b", bytearray(b"x" * 9))],
+        "key string, content binary",
+    )
+    p1 = spark.createDataFrame([("a", "b", 1)],
+                               "key_a string, key_b string, hamming int")
+    t = {r.key: r for r in media_dedup_resolve(tie, p1).collect()}
+    assert t["a"].is_canonical and not t["b"].is_canonical
+
+
+def test_media_dedup_resolve_end_to_end_dhash(spark):
+    """Full chain on real PNGs: base image + two one-pixel perturbations
+    form a transitive near-dup fan; resolve keeps exactly one, and the
+    unrelated image survives as its own canonical."""
+    import numpy as np
+
+    from storage_spark.functions.imagecodec import png_encode
+    from storage_spark.operators.multimodal import (
+        dhash_images,
+        dhash_near_pairs,
+        media_dedup_resolve,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:27]
+    v = ((xx * 9 + yy * 5) % 256).astype(np.uint8)
+    v2, v3 = v.copy(), v.copy()
+    v2[3, 4] = (int(v2[3, 4]) + 128) % 256
+    v3[5, 7] = (int(v3[5, 7]) + 128) % 256
+    other = ((xx * 31 + yy * 17 + 90) % 256).astype(np.uint8)
+    blobs = spark.createDataFrame(
+        [(k, bytearray(png_encode(np.stack([m] * 3, axis=2))))
+         for k, m in [("a", v), ("b", v2), ("c", v3), ("z", other)]],
+        "key string, content binary",
+    )
+    pairs = dhash_near_pairs(dhash_images(blobs), max_hamming=3)
+    out = {r.key: r for r in media_dedup_resolve(blobs, pairs).collect()}
+    fan = {out[k].component for k in "abc"}
+    assert fan == {"a"} and out["z"].component == "z"
+    assert sum(out[k].is_canonical for k in "abc") == 1
+    assert out["z"].is_canonical
