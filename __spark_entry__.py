@@ -4345,6 +4345,164 @@ FROM pred ORDER BY doc_id
 """)
 
 
+#: Compound-morphology confusable fixture (the da/no class, VERDICT r10
+#: #4): both languages share script, function words AND morphemes —
+#: "no" only ever uses the morphemes fused into compounds, "da"
+#: standalone. Char trigrams MISLEAD on such probes (a standalone
+#: morpheme's trigrams are frequent inside the other language's
+#: compounds); whole-word features decide. Measured ladder (also pinned
+#: by tests/test_langid.py): char-only 9/12, +w1 11/12, +w1+w2 12/12.
+#: Texts are pre-normalized (lowercase, single spaces) so the SQL
+#: replay needs no normalization step.
+_LANGID_CONF_TRAIN = [
+    ("da", "lys og hav"), ("da", "hus ved hav"), ("da", "vand og lys"),
+    ("da", "hav og hus"), ("da", "bord ved vand"), ("da", "lys ved hus"),
+    ("da", "vand ved bord"), ("da", "og hav og lys"),
+    ("no", "lyshav og havlys"), ("no", "havhus ved bordlys"),
+    ("no", "vandlys og lysbord"), ("no", "husbord ved havvand"),
+    ("no", "bordhus og lyshus"), ("no", "husvand ved vandbord"),
+    ("no", "havbord og bordvand"), ("no", "lysvand ved huslys"),
+]
+_LANGID_CONF_PROBES = [
+    "lys ved hav", "hus og vand", "bord og lys",
+    "hav ved bord", "vand og hus", "lys og bord",
+    "havlys ved lysbord", "husbord og vandlys",
+    "lyshus ved bordvand", "havvand og huslys",
+    "bordlys ved husvand", "lysvand og havbord",
+]
+
+
+def q_langid_word_confusables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language-ID with WORD-BOUNDARY features (TextCat's full
+    profile — Cavnar & Trenkle 1994 keep word-level evidence beside the
+    char grams) under the oracle: fit with ``word_ns=(1, 2)`` on the
+    shared-script compound-morphology confusable fixture and argmax-
+    score 12 held-out probes. On this fixture char trigrams ALONE
+    misclassify 3 of 12 probes (a standalone morpheme's trigrams are
+    frequent inside the other language's compounds — the da/no class
+    of confusion); the word features fix all three (ladder measured in
+    tests/test_langid.py). The oracle replays fit AND score over the
+    full tagged feature space — char trigrams ∪ 'w1:'-tagged unigrams
+    ∪ 'w2:'-tagged bigrams — in one SQL."""
+    from storage_spark.operators.langid import langid_fit, langid_score
+
+    t = _t(spark, sf_dir)
+    pk = F.col("p_partkey").cast("long")
+    tr_langs = F.array(*[F.lit(l) for l, _ in _LANGID_CONF_TRAIN])
+    tr_texts = F.array(*[F.lit(x) for _, x in _LANGID_CONF_TRAIN])
+    train = (
+        t["part"].select(pk.alias("pk")).filter(F.col("pk") <= 15)
+        .select(
+            F.try_element_at(tr_langs, (F.col("pk") + 1).cast("int"))
+            .alias("lang"),
+            F.try_element_at(tr_texts, (F.col("pk") + 1).cast("int"))
+            .alias("text"),
+        )
+    )
+    pr_texts = F.array(*[F.lit(x) for x in _LANGID_CONF_PROBES])
+    probe = (
+        t["part"].select(pk.alias("pk")).filter(F.col("pk") <= 11)
+        .select(
+            F.col("pk").alias("doc_id"),
+            F.try_element_at(pr_texts, (F.col("pk") + 1).cast("int"))
+            .alias("text"),
+        )
+    )
+    m = langid_fit(train, word_ns=(1, 2))
+    sc = langid_score(probe, m, word_ns=(1, 2))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").desc(), F.col("lang").asc()
+    )
+    return (
+        sc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "score_milli")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_langid_word_confusables() -> str:
+    """Full tagged-feature replay: char trigrams ∪ w1 ∪ w2 per doc,
+    Laplace weights, OOV fill, argmax — the _langid_score_ctes shape
+    generalized to the three-branch feature union."""
+    tr_rows = ", ".join(
+        f"({i}, '{l}', '{x}')" for i, (l, x) in enumerate(_LANGID_CONF_TRAIN)
+    )
+    pr_rows = ", ".join(
+        f"({i}, '{x}')" for i, x in enumerate(_LANGID_CONF_PROBES)
+    )
+    d_expr = _QLOG_SQL.format(c="t.tot + g.g")
+    return _o(f"""
+, conf_tr AS (
+  SELECT v.lang, v.txt
+  FROM (VALUES {tr_rows}) AS v(i, lang, txt)
+  JOIN part p ON p.p_partkey = v.i
+),
+tr_feat AS (
+  SELECT lang, substr(' ' || txt || ' ', CAST(i.i AS INT), 3) AS gram
+  FROM conf_tr, LATERAL unnest(range(1, length(txt) + 1)) AS i(i)
+  UNION ALL
+  SELECT lang, 'w1:' || t.tok
+  FROM conf_tr, LATERAL unnest(string_split(txt, ' ')) AS t(tok)
+  UNION ALL
+  SELECT lang, 'w2:' || tk[CAST(j.j AS INT)] || ' ' || tk[CAST(j.j AS INT) + 1]
+  FROM (SELECT lang, string_split(txt, ' ') AS tk FROM conf_tr),
+       LATERAL unnest(range(1, len(tk))) AS j(j)
+),
+cnt AS (SELECT lang, gram, count(*) AS c FROM tr_feat GROUP BY 1, 2),
+tot AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
+gsz AS (SELECT count(DISTINCT gram) AS g FROM cnt),
+conf_pr AS (
+  SELECT v.i AS doc_id, v.txt
+  FROM (VALUES {pr_rows}) AS v(i, txt)
+  JOIN part p ON p.p_partkey = v.i
+),
+pr_feat AS (
+  SELECT doc_id, substr(' ' || txt || ' ', CAST(i.i AS INT), 3) AS gram
+  FROM conf_pr, LATERAL unnest(range(1, length(txt) + 1)) AS i(i)
+  UNION ALL
+  SELECT doc_id, 'w1:' || t.tok
+  FROM conf_pr, LATERAL unnest(string_split(txt, ' ')) AS t(tok)
+  UNION ALL
+  SELECT doc_id, 'w2:' || tk[CAST(j.j AS INT)] || ' ' || tk[CAST(j.j AS INT) + 1]
+  FROM (SELECT doc_id, string_split(txt, ' ') AS tk FROM conf_pr),
+       LATERAL unnest(range(1, len(tk))) AS j(j)
+),
+pk AS (SELECT doc_id, gram, count(*) AS k FROM pr_feat GROUP BY 1, 2),
+nd AS (SELECT doc_id, sum(k) AS n FROM pk GROUP BY 1),
+matched AS (
+  SELECT p.doc_id, c.lang,
+         sum(p.k * ({_QLOG_SQL.format(c='c.c + 1')} - {d_expr})) AS mw,
+         sum(p.k) AS mk
+  FROM pk p
+  JOIN cnt c ON c.gram = p.gram
+  JOIN tot t ON t.lang = c.lang
+  CROSS JOIN gsz g
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT n.doc_id, t.lang,
+         coalesce(m.mw, 0) + (n.n - coalesce(m.mk, 0)) * (0 - {d_expr})
+           AS score
+  FROM nd n CROSS JOIN tot t CROSS JOIN gsz g
+  LEFT JOIN matched m ON m.doc_id = n.doc_id AND m.lang = t.lang
+),
+pred AS (
+  SELECT doc_id, lang, score FROM (
+    SELECT doc_id, lang, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(score AS BIGINT) AS score_milli
+FROM pred ORDER BY doc_id
+""")
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch (r10) — the RANK member completing the sketch
     family (CMS frequency / HLL cardinality / KMV resemblance): a
@@ -6998,6 +7156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         # --- r11 net-new rows (window slots after the r7 block)
         "media_dedup_resolve": q_media_dedup_resolve,
+        "langid_word_confusables": q_langid_word_confusables,
         # --- latest driver evidence r8
         "vector_sq8": q_vector_sq8,
         "vector_ivfsq": q_vector_ivfsq,
@@ -9120,6 +9279,7 @@ FROM sc ORDER BY pk
         "kn_bigram": _oracle_kn_bigram(),
         "kn_trigram": _oracle_kn_trigram(),
         "langid_trained": _oracle_langid_trained(),
+        "langid_word_confusables": _oracle_langid_word_confusables(),
         "line_dedup_trained_lang": _oracle_line_dedup_trained_lang(),
         "quantile_sketch": _oracle_quantile_sketch(),
         "quantile_per_bucket": _oracle_quantile_per_bucket(),

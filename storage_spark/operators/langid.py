@@ -83,11 +83,62 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     return F.filter(sh, lambda x: x.isNotNull())
 
 
+def word_ngrams(text: Column, n: int = 1) -> Column:
+    """Tagged word n-grams of the normalized text (lowercase, collapsed
+    whitespace): ``'w{n}:'`` + the space-joined run of ``n`` consecutive
+    tokens — TextCat's word-boundary profile half (Cavnar & Trenkle
+    1994 §4 keep word-level evidence beside the char grams; fastText's
+    langid models likewise mix word and char-ngram features). The tag
+    keeps the word features addressable next to char grams in ONE
+    ``(lang, gram, w_milli)`` table; for the default char n = 3 the tag
+    makes collisions impossible (every tagged gram is ≥ 4 chars), and
+    any collision at other settings is symmetric feature aliasing (fit
+    and score treat the colliding string identically on both sides),
+    not model corruption.
+
+    Same zip_with-over-shifted-arrays build as ``char_ngrams`` — the
+    token array is evaluated once per row per reference; lambda bodies
+    touch only their own variables (the r10 lambda-capture hazard)."""
+    s = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    toks = F.filter(F.split(s, " "), lambda t: t != F.lit(""))
+    sh = toks
+    for j in range(1, n):
+        shifted = F.slice(
+            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))
+        )
+        sh = F.zip_with(
+            sh,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None)
+            ).otherwise(F.concat(a, F.lit(" "), b)),
+        )
+    tag = f"w{n}:"
+    return F.transform(
+        F.filter(sh, lambda x: x.isNotNull()),
+        lambda g: F.concat(F.lit(tag), g),
+    )
+
+
+def langid_features(
+    text: Column, n: int = 3, word_ns: tuple[int, ...] = ()
+) -> Column:
+    """The full feature array one doc contributes: padded char n-grams
+    plus (optionally) tagged word n-grams — ``word_ns=(1, 2)`` is
+    TextCat's full profile. ``word_ns=()`` (default) is exactly the
+    char-only model, byte-identical to the pre-r11 fit."""
+    feats = char_ngrams(text, n)
+    for wn in word_ns:
+        feats = F.concat(feats, word_ngrams(text, wn))
+    return feats
+
+
 def langid_fit_stats(
     labeled: DataFrame,
     lang_col: str = "lang",
     text_col: str = "text",
     n: int = 3,
+    word_ns: tuple[int, ...] = (),
 ) -> DataFrame:
     """The model's SUFFICIENT STATISTICS: ``(lang, gram, c)`` raw gram
     counts — plain sums, so the table is CLOSED UNDER MERGE
@@ -98,7 +149,9 @@ def langid_fit_stats(
     return (
         labeled.select(
             F.col(lang_col).alias("lang"),
-            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+            F.explode(
+                langid_features(F.col(text_col), n, word_ns)
+            ).alias("gram"),
         )
         .groupBy("lang", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -147,13 +200,16 @@ def langid_fit(
     lang_col: str = "lang",
     text_col: str = "text",
     n: int = 3,
+    word_ns: tuple[int, ...] = (),
 ) -> DataFrame:
-    """Fit the NB char-n-gram model from a labeled corpus. Returns the
+    """Fit the NB n-gram model from a labeled corpus. Returns the
     ``(lang, gram, w_milli)`` model table (OOV row per lang at
     ``gram = ''``). Closed-form: two aggregations, no iteration —
-    ``langid_weights_from_stats(langid_fit_stats(...))``."""
+    ``langid_weights_from_stats(langid_fit_stats(...))``.
+    ``word_ns=(1, 2)`` adds TextCat's word-boundary features into the
+    same table (see ``word_ngrams``); the default is char-only."""
     return langid_weights_from_stats(
-        langid_fit_stats(labeled, lang_col, text_col, n)
+        langid_fit_stats(labeled, lang_col, text_col, n, word_ns)
     )
 
 
@@ -164,10 +220,13 @@ def langid_score(
     text_col: str = "text",
     n: int = 3,
     materialize: bool = True,
+    word_ns: tuple[int, ...] = (),
 ) -> DataFrame:
     """Per-(doc, language) NB scores: ``(doc_id, lang, score_milli,
     n_grams)``. Docs whose normalized text yields no n-gram emit no
-    rows (see ``langid_predict`` for the default label)."""
+    rows (see ``langid_predict`` for the default label). ``word_ns``
+    must match the fit's setting — the scored feature space has to be
+    the trained one."""
     # the model is geometry-bounded and referenced twice below (weight
     # rows and the OOV/langs rows) — materialize once so an unpersisted
     # fit plan isn't re-run per reference (the histogram_quantiles
@@ -184,11 +243,13 @@ def langid_score(
     # ~200 s → ~20 s at sf1, tools/probe_r10_sf1.py)
     grams = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+        F.explode(
+            langid_features(F.col(text_col), n, word_ns)
+        ).alias("gram"),
     )
     nd = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(char_ngrams(F.col(text_col), n)).cast("bigint")
+        F.size(langid_features(F.col(text_col), n, word_ns)).cast("bigint")
         .alias("n_grams"),
     ).filter(F.col("n_grams") > 0)
     matched = (
@@ -226,6 +287,7 @@ def langid_predict(
     n: int = 3,
     default: str = "und",
     materialize: bool = True,
+    word_ns: tuple[int, ...] = (),
 ) -> DataFrame:
     """Argmax language per doc — ``(doc_id, lang)`` with the
     deterministic (score desc, lang asc) tie-break; docs with no
@@ -233,7 +295,7 @@ def langid_predict(
     operator's lang/group column (line_dedup's ``group_col``,
     ``dsir_sample_per_group``, CCNet buckets): join this frame on the
     doc id."""
-    s = langid_score(docs, model, id_col, text_col, n, materialize)
+    s = langid_score(docs, model, id_col, text_col, n, materialize, word_ns)
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score_milli").desc(), F.col("lang").asc()
     )

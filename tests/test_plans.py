@@ -148,6 +148,7 @@ _BNLJ_ALLOWED = {
     # row even with zero matched grams) + the fit's 1-row gram-count
     # cross — both bounded by model geometry, never by the corpus
     "langid_trained",
+    "langid_word_confusables",  # same scoring cross, tagged word features
     "line_dedup_trained_lang",  # same langid scoring shape upstream
     # the cumulative quantile walk: a |quantiles|-row × ≤512-bucket
     # inequality join — geometry-bounded like the HLL register scan
