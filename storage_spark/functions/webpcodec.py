@@ -669,17 +669,48 @@ def _lz77_prefix_encode(value: int) -> tuple[int, int, int]:
     return code, v - base, extra_count
 
 
-def _encode_stream(w: _LsbBitWriter, words: np.ndarray, level0: bool) -> None:
-    """Emit one VP8L image stream for a flat uint32 ARGB array: cache
-    bit (0), entropy-image bit (level0 only, 0), the five prefix codes,
-    then literal/run tokens (dist=1 LZ77 — flat rows collapse to one
-    literal + a run). Shared by the main image and the transform
-    sub-images (which per the spec have no entropy-image bit)."""
-    w.write(0, 1)  # no color cache
+def _encode_stream(
+    w: _LsbBitWriter, words: np.ndarray, level0: bool,
+    cache_bits: int | None = None,
+) -> None:
+    """Emit one VP8L image stream for a flat uint32 ARGB array: color
+    cache (auto-sized, below), entropy-image bit (level0 only, 0), the
+    five prefix codes, then cache-ref/literal/run tokens (dist=1 LZ77 —
+    flat rows collapse to one literal + a run). Shared by the main
+    image and the transform sub-images (which per the spec have no
+    entropy-image bit).
+
+    Color cache (RFC 9649 §4.2.3, r11 encode side — decode has handled
+    it since r9): a 2^cache_bits slot table indexed by the spec's
+    0x1E35A7BD multiplicative hash; a pixel equal to its slot emits ONE
+    green symbol (256 + 24 + idx) instead of four channel symbols. The
+    encoder mirrors the decoder's state machine exactly — insert on
+    literal and on run-copied values (a hit leaves the slot unchanged:
+    re-inserting the same value is the identity), so eviction chains
+    replay bit-for-bit. ``cache_bits=None`` auto-sizes: palette-ish
+    streams (2 ≤ distinct ≤ 1024) get one slot-doubling above the
+    palette size (collisions rare, table cheap); high-entropy streams
+    (photo residuals) get no cache — each slot write would evict the
+    last, pure overhead."""
+    if cache_bits is None:
+        d = len(np.unique(words))
+        cache_bits = (
+            min(11, max(1, (2 * d - 1).bit_length())) if 2 <= d <= 1024
+            else 0
+        )
+    if cache_bits:
+        w.write(1, 1)
+        w.write(cache_bits, 4)
+    else:
+        w.write(0, 1)  # no color cache
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    shift = 32 - cache_bits if cache_bits else 0
+    cache: list[int] = [-1] * cache_size
     if level0:
         w.write(0, 1)  # no entropy image (single group)
 
-    tokens: list[tuple] = []  # ('lit', argb) | ('run', length)
+    # ('lit', argb) | ('run', length) | ('cache', idx)
+    tokens: list[tuple] = []
     i, n = 0, len(words)
     while i < n:
         if i > 0 and words[i] == words[i - 1]:
@@ -687,9 +718,20 @@ def _encode_stream(w: _LsbBitWriter, words: np.ndarray, level0: bool) -> None:
             while j < n and words[j] == words[i - 1] and j - i < 4096:
                 j += 1
             tokens.append(("run", j - i))
+            if cache_size:  # decoder inserts every copied pixel
+                v = int(words[i - 1])
+                cache[(0x1E35A7BD * v & 0xFFFFFFFF) >> shift] = v
             i = j
         else:
-            tokens.append(("lit", int(words[i])))
+            argb = int(words[i])
+            if cache_size:
+                idx = (0x1E35A7BD * argb & 0xFFFFFFFF) >> shift
+                if cache[idx] == argb:
+                    tokens.append(("cache", idx))
+                    i += 1
+                    continue
+                cache[idx] = argb
+            tokens.append(("lit", argb))
             i += 1
 
     gfreq: dict[int, int] = {}
@@ -704,6 +746,9 @@ def _encode_stream(w: _LsbBitWriter, words: np.ndarray, level0: bool) -> None:
             rfreq[(argb >> 16) & 0xFF] = rfreq.get((argb >> 16) & 0xFF, 0) + 1
             bfreq[argb & 0xFF] = bfreq.get(argb & 0xFF, 0) + 1
             afreq[argb >> 24] = afreq.get(argb >> 24, 0) + 1
+        elif t[0] == "cache":
+            s = 256 + 24 + t[1]
+            gfreq[s] = gfreq.get(s, 0) + 1
         else:
             code, _, _ = _lz77_prefix_encode(t[1])
             gfreq[256 + code] = gfreq.get(256 + code, 0) + 1
@@ -719,7 +764,7 @@ def _encode_stream(w: _LsbBitWriter, words: np.ndarray, level0: bool) -> None:
     alen = _build_lengths(afreq)
     dlen = _build_lengths(dfreq)
 
-    _write_huffman_code(w, glen, 256 + 24)
+    _write_huffman_code(w, glen, 256 + 24 + cache_size)
     _write_huffman_code(w, rlen, 256)
     _write_huffman_code(w, blen, 256)
     _write_huffman_code(w, alen, 256)
@@ -737,6 +782,8 @@ def _encode_stream(w: _LsbBitWriter, words: np.ndarray, level0: bool) -> None:
             _write_sym(w, rcodes, (argb >> 16) & 0xFF, rs)
             _write_sym(w, bcodes, argb & 0xFF, bs)
             _write_sym(w, acodes, argb >> 24, as_)
+        elif t[0] == "cache":
+            _write_sym(w, gcodes, 256 + 24 + t[1], gs)
         else:
             code, extra, nbits = _lz77_prefix_encode(t[1])
             _write_sym(w, gcodes, 256 + code, gs)

@@ -1218,3 +1218,29 @@ def media_dedup_resolve(
     return out.select(
         F.col("doc").alias(key_col), "component", "canonical", "is_canonical"
     )
+
+
+def band_candidate_estimate(
+    n_keys: int, n_bands: int, n_bits: int = 64
+) -> int:
+    """Expected random-collision CANDIDATE pairs of the banded Hamming
+    join — the number that prices the stage at scale (the Hamming math
+    on candidates is ~free next to the shuffle that carries them):
+
+        E[candidates] ≈ n_bands · C(n_keys, 2) / 2^seg,   seg = ⌈n_bits/n_bands⌉
+
+    for uniform fingerprints (the worst case for volume; real media
+    corpora cluster, which skews buckets but lowers the random floor).
+    Measured within 0.1 % at 1M keys / 4 bands and within the planted-
+    structure margin at the narrow settings (r11 probe,
+    tools/probe_r11_media_scale.py: 31.1M predicted vs 31.1M measured
+    at 1M/(4, ≤3); 96.7M measured vs 64.6M uniform-predicted at
+    200k/(6, ≤5) — planted near-dups add structured collisions).
+
+    Sizing rule this encodes: the floor multiplies by 2^(seg_wide −
+    seg_narrow) when bands narrow — ×32 going 4 → 6 bands on 64 bits,
+    ×256 going 4 → 8 — so at scale use the FEWEST bands the recall
+    guarantee allows, n_bands = max_hamming + 1, and buy recall with a
+    better fingerprint before buying it with narrower bands."""
+    seg = -(-n_bits // n_bands)
+    return int(n_bands) * n_keys * (n_keys - 1) // 2 // (1 << seg)

@@ -956,3 +956,20 @@ def test_media_dedup_resolve_end_to_end_dhash(spark):
     assert fan == {"a"} and out["z"].component == "z"
     assert sum(out[k].is_canonical for k in "abc") == 1
     assert out["z"].is_canonical
+
+
+def test_band_candidate_estimate_matches_probe():
+    """The sizing law vs the r11 1M-fingerprint probe's measured
+    candidate counts (tools/probe_r11_media_scale.py)."""
+    from storage_spark.operators.multimodal import band_candidate_estimate
+
+    # 1M + 10k planted, 4 bands/16-bit segs: measured 31,144,432
+    est = band_candidate_estimate(1_010_000, 4)
+    assert abs(est - 31_144_432) / 31_144_432 < 0.01
+    # 50k + 10k planted, 8 bands/8-bit segs: measured 55,500,927
+    est8 = band_candidate_estimate(60_000, 8)
+    assert abs(est8 - 55_500_927) / 55_500_927 < 0.02
+    # the narrowing law: x32 going 4 -> 6 bands, x256 going 4 -> 8
+    n = 1_000_000
+    assert band_candidate_estimate(n, 6) // band_candidate_estimate(n, 4) == 48  # 6/4 * 32
+    assert band_candidate_estimate(n, 8) // band_candidate_estimate(n, 4) == 512  # 8/4 * 256

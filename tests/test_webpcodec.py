@@ -513,3 +513,71 @@ def test_hand_built_predictor_mode_T():
     out = webp_decode(_container(w))
     assert out[:, :, 1].tolist() == [[5, 9], [12, 14]]
     assert out[:, :, 3].tolist() == [[255, 255], [255, 255]]
+
+
+def test_encode_color_cache_roundtrip_and_shrink():
+    """r11 (VERDICT r10 #6): the encoder now EMITS the color cache the
+    decoder has handled since r9. Palette-heavy images must round-trip
+    bit-exact through the REAL decoder AND come out measurably smaller
+    than the cache-off stream; high-entropy streams auto-disable the
+    cache (no size regression)."""
+    import numpy as np
+
+    import storage_spark.functions.webpcodec as wc
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0],
+         [0, 255, 255], [255, 0, 255], [30, 60, 90], [200, 100, 50]],
+        np.uint8,
+    )
+    img = pal[(xx * 7 + yy * 13) % 8]          # 8-color non-adjacent tiling
+    grad = np.stack(
+        [(xx * 3 + yy * 5) % 256, (xx * 7) % 256, (yy * 11) % 256], axis=2
+    ).astype(np.uint8)
+
+    orig = wc._encode_stream
+
+    def no_cache(w, words, level0, cache_bits=None):
+        return orig(w, words, level0, cache_bits=0)
+
+    try:
+        for im in (img, grad):
+            for tr in (True, False):
+                b = wc.webp_encode(im, use_transforms=tr)
+                out = wc.webp_decode(b)
+                assert np.array_equal(out[:, :, :3], im)
+                assert (out[:, :, 3] == 255).all()
+                wc._encode_stream = no_cache
+                b0 = wc.webp_encode(im, use_transforms=tr)
+                wc._encode_stream = orig
+                assert np.array_equal(wc.webp_decode(b0)[:, :, :3], im)
+                if im is img:
+                    # measured r11: 0.58-0.75x on the palette tilings
+                    assert len(b) < 0.85 * len(b0), (tr, len(b), len(b0))
+                else:
+                    assert len(b) <= len(b0)
+    finally:
+        wc._encode_stream = orig
+
+
+def test_encode_color_cache_eviction_chain_replays():
+    """Hash-slot evictions must replay identically in the decoder: more
+    distinct colors than cache slots forces insert/evict/re-insert
+    chains (cache_bits is auto-capped, distinct=48 -> 7 bits here, so
+    collisions are possible but the state machines must agree
+    regardless)."""
+    import numpy as np
+
+    from storage_spark.functions.webpcodec import webp_decode, webp_encode
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    # 48 distinct colors cycling with stride 5 — revisits after evictions
+    idx = (xx * 5 + yy * 11) % 48
+    img = np.stack(
+        [(idx * 37) % 256, (idx * 91 + 13) % 256, (idx * 53 + 201) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    for tr in (True, False):
+        out = webp_decode(webp_encode(img, use_transforms=tr))
+        assert np.array_equal(out[:, :, :3], img)
