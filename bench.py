@@ -379,7 +379,11 @@ def _run(
         # mixed-format render canary (r9): PNG / baseline JPEG /
         # progressive JPEG / GIF / lossless WebP blobs through the
         # magic-dispatching pixel codec (decode → cover 16x16 →
-        # re-encode), Arrow map-only; guards all five codec paths
+        # re-encode), Arrow map-only; guards all five codec paths.
+        # r11: the WebP re-encode leg now emits the color cache —
+        # palette-heavy streams measure 0.58-0.75x the r10 cache-off
+        # bytes (test_webpcodec pins the shrink); wall impact here is
+        # noise-level (the cache tokenizer is one dict pass)
         import numpy as np
         import pandas as pd
 

@@ -1,4 +1,6 @@
-"""Trained language identification — Naive Bayes over char n-grams.
+"""Trained language identification — Naive Bayes over char n-grams,
+optionally joined by tagged word n-gram features (``word_ns=(1, 2)`` —
+TextCat's full profile; see ``word_ngrams``).
 
 Replaces the stopword-argmax heuristic (``functions.text.lang_id``) as
 the QUALITY bar for the per-language stack (CCNet buckets, per-language
