@@ -2381,3 +2381,215 @@ def kn_trigram_score(
             F.sum(lp).cast("long").alias("score_milli"),
         )
     )
+
+
+def kn_quadgram_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount_x4: int = 3,
+) -> DataFrame:
+    """Per-doc interpolated Kneser-Ney 4-GRAM score — the backoff chain
+    of ``kn_trigram_score`` grown one continuation level, 4→3→2→1
+    (Chen & Goodman 1999 §3; the mechanical growth the trigram
+    docstring promised generalizes):
+
+    - levels 1-2 are the trigram op's, verbatim (continuation unigram
+      Laplace-floored over T+V; continuation bigram from trigram
+      types);
+    - level 3 becomes a CONTINUATION level: raw trigram counts are
+      replaced by 4-gram-type continuation counts — ``N1(·uvw)`` =
+      distinct s with suvw seen, context total ``N1(·uv·)`` = distinct
+      (s, w) around (u, v) — while the interpolation weight keeps the
+      house convention of counting followers in the one-lower-order
+      type table (``N1(uv·)`` = distinct trigram followers of (u, v),
+      the trigram op's n1a);
+    - level 4 (observed 4-grams): ``p4(w|s,u,v) = [max(4·c4(suvw)−3,0)
+      + 3·N1(suv·)·p3cont(w|u,v)] / c4(suv·)``.
+
+    Clearing denominators keeps ONE integer ratio per position::
+
+        p2num = max(4·N1(·vw)−3,0)·(T+V) + 3·N1(v·)·(N1(·w)+1)
+        p3num = max(4·N1(·uvw)−3,0)·4·N1(·v·)·(T+V) + 3·N1(uv·)·p2num
+        num   = max(4·c4−3,0)·16·N1(·uv·)·N1(·v·)·(T+V) + 3·N1(suv·)·p3num
+        den   = 64·c4(suv·)·N1(·uv·)·N1(·v·)·(T+V)
+
+    scored as Σ qlog2(num) − qlog2(den) milli-bits. First three tokens
+    of each doc are unscored; docs with < 4 tokens emit no row. Integer
+    bound (one factor tighter than the trigram's): ``c4ctx·mid3·mid·
+    (T+V) < 2^63/64 ≈ 1.4e17`` — checkable from the fitted stats; past
+    it, rescale the totals term before scoring.
+
+    Scale shape: one posexplode + EIGHT model equi-joins + the 1-row
+    totals cross; every model table is a map-side-combinable
+    aggregation over 4-gram/trigram/bigram TYPE tables; no broadcast
+    hints on corpus-sized tables (AQE sizes the joins — the kn_bigram
+    ADVICE lesson). Staged r11 WITHOUT a driver row (the 50-slot
+    recording window was exactly full); its oracle is the trigram CTE
+    chain grown one level, queued for the r12 window."""
+    from storage_spark.functions.bpe import _qlog2_milli
+
+    if not (1 <= discount_x4 <= 3):
+        raise ValueError("discount_x4 must be in [1, 3] (D = x/4 ∈ (0,1))")
+    toks = F.split(F.col(text_col), " ")
+    quad = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.when(
+                    F.size(toks) >= 4,
+                    F.zip_with(
+                        F.zip_with(
+                            F.zip_with(
+                                F.slice(toks, 1, F.size(toks) - 3),
+                                F.slice(toks, 2, F.size(toks) - 3),
+                                lambda a, b: F.struct(
+                                    a.alias("s"), b.alias("u")
+                                ),
+                            ),
+                            F.slice(toks, 3, F.size(toks) - 3),
+                            lambda su, c: F.struct(
+                                su["s"].alias("s"), su["u"].alias("u"),
+                                c.alias("v"),
+                            ),
+                        ),
+                        F.slice(toks, 4, F.size(toks) - 3),
+                        lambda suv, d: F.struct(
+                            suv["s"].alias("s"), suv["u"].alias("u"),
+                            suv["v"].alias("v"), d.alias("w"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<s:string,u:string,v:string,w:string>>"
+                )),
+            ).alias("pos", "q"),
+        )
+        .select("doc_id", "pos", "q.s", "q.u", "q.v", "q.w")
+    )
+    # 4-gram counts + the type-derived continuation stats
+    q4 = quad.groupBy("s", "u", "v", "w").agg(F.count(F.lit(1)).alias("c4"))
+    ctx4 = q4.groupBy("s", "u", "v").agg(
+        F.sum("c4").alias("c4ctx"),
+        F.count(F.lit(1)).alias("n4a"),      # distinct w after (s,u,v)
+    )
+    cont3 = q4.groupBy("u", "v", "w").agg(
+        F.count(F.lit(1)).alias("n1puvw")    # distinct s before (u,v,w)
+    )
+    mid3 = q4.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("n1buv")     # distinct (s,w) around (u,v)
+    )
+    # trigram TYPES: the level-3 interpolation weight (house convention:
+    # followers counted in the one-lower-order type table)
+    tri = (
+        docs.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 3,
+                    F.zip_with(
+                        F.zip_with(
+                            F.slice(toks, 1, F.size(toks) - 2),
+                            F.slice(toks, 2, F.size(toks) - 2),
+                            lambda a, b: F.struct(
+                                a.alias("u"), b.alias("v")
+                            ),
+                        ),
+                        F.slice(toks, 3, F.size(toks) - 2),
+                        lambda uv, c: F.struct(
+                            uv["u"].alias("u"), uv["v"].alias("v"),
+                            c.alias("w"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<u:string,v:string,w:string>>"
+                )),
+            ).alias("tr"),
+        )
+        .select("tr.u", "tr.v", "tr.w")
+    )
+    tri3 = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+    folw3 = tri3.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("n1a")       # distinct trigram followers
+    )
+    cont2 = tri3.groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("n1pvw")     # distinct u before (v,w)
+    )
+    mid = tri3.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n1pv")      # distinct (u,w) around v
+    )
+    # bigram-level stats (pairs over the SAME corpus)
+    pairs = (
+        docs.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.zip_with(
+                        F.slice(toks, 1, F.size(toks) - 1),
+                        F.slice(toks, 2, F.size(toks) - 1),
+                        lambda a, b: F.struct(
+                            a.alias("prev"), b.alias("tok")
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<prev:string,tok:string>>"
+                )),
+            ).alias("pr"),
+        )
+        .select("pr.prev", "pr.tok")
+    )
+    big = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+    nfv = big.groupBy("prev").agg(F.count(F.lit(1)).alias("nfv")) \
+        .withColumnRenamed("prev", "v")
+    cont1 = big.groupBy("tok").agg(F.count(F.lit(1)).alias("n1c")) \
+        .withColumnRenamed("tok", "w")
+    vocab = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("wd")
+    ).agg(F.count_distinct("wd").alias("v_sz"))
+    totals = big.agg(F.count(F.lit(1)).alias("t")).crossJoin(
+        F.broadcast(vocab)
+    )
+
+    d4 = int(discount_x4)
+    scored = (
+        quad.join(q4, ["s", "u", "v", "w"], "left")
+        .join(ctx4, ["s", "u", "v"], "left")
+        .join(cont3, ["u", "v", "w"], "left")
+        .join(mid3, ["u", "v"], "left")
+        .join(folw3, ["u", "v"], "left")
+        .join(cont2, ["v", "w"], "left")
+        .join(mid, "v", "left")
+        .join(nfv, "v", "left")
+        .join(cont1, "w", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    tv = F.col("t") + F.col("v_sz")
+    z = F.lit(0)
+    p2num = (
+        F.greatest(F.lit(4) * F.coalesce(F.col("n1pvw"), z) - F.lit(d4), z)
+        * tv
+        + F.lit(d4) * F.coalesce(F.col("nfv"), z)
+        * (F.coalesce(F.col("n1c"), z) + F.lit(1))
+    )
+    p3num = (
+        F.greatest(F.lit(4) * F.coalesce(F.col("n1puvw"), z) - F.lit(d4), z)
+        * F.lit(4) * F.coalesce(F.col("n1pv"), z) * tv
+        + F.lit(d4) * F.coalesce(F.col("n1a"), z) * p2num
+    )
+    num = (
+        F.greatest(F.lit(4) * F.coalesce(F.col("c4"), z) - F.lit(d4), z)
+        * F.lit(16) * F.coalesce(F.col("n1buv"), z)
+        * F.coalesce(F.col("n1pv"), z) * tv
+        + F.lit(d4) * F.coalesce(F.col("n4a"), z) * p3num
+    )
+    den = (
+        F.lit(64) * F.coalesce(F.col("c4ctx"), z)
+        * F.coalesce(F.col("n1buv"), z)
+        * F.coalesce(F.col("n1pv"), z) * tv
+    )
+    lp = _qlog2_milli(num) - _qlog2_milli(den)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_quadgrams"),
+            F.sum(lp).cast("long").alias("score_milli"),
+        )
+    )

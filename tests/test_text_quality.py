@@ -1108,3 +1108,118 @@ def test_kn_rejects_bad_discount_and_short_docs(spark):
     assert out == {1}  # <2-token docs emit no row
     with _pytest.raises(ValueError):
         kn_bigram_score(df, discount_x4=4)
+
+
+def _kn4_python_replay(corpus_texts, doc_text, d4=3):
+    """Independent pure-python re-derivation of the documented 4-gram KN
+    integer-ratio chain (counting dicts + Fractions) — the test-side
+    twin the SQL oracle will replay for the staged r12 driver row."""
+    import math
+    from collections import Counter
+    from fractions import Fraction
+
+    def qlog(c):
+        bl = c.bit_length()
+        return (bl - 1) * 1000 + math.floor((c / (1 << (bl - 1)) - 1) * 1000)
+
+    toks_all = [t.split(" ") for t in corpus_texts]
+    q4 = Counter()
+    tri3 = Counter()
+    big = Counter()
+    vocab = set()
+    for tk in toks_all:
+        vocab.update(tk)
+        for i in range(len(tk) - 3):
+            q4[tuple(tk[i:i + 4])] += 1
+        for i in range(len(tk) - 2):
+            tri3[tuple(tk[i:i + 3])] += 1
+        for i in range(len(tk) - 1):
+            big[tuple(tk[i:i + 2])] += 1
+    c4ctx = Counter(); n4a = Counter()
+    for (s, u, v, w), c in q4.items():
+        c4ctx[(s, u, v)] += c
+        n4a[(s, u, v)] += 1
+    cont3 = Counter(); mid3set = {}
+    for (s, u, v, w) in q4:
+        cont3[(u, v, w)] += 1
+        mid3set.setdefault((u, v), set()).add((s, w))
+    n1buv = {k: len(v) for k, v in mid3set.items()}
+    folw3 = Counter(); cont2 = Counter(); midset = {}
+    for (u, v, w) in tri3:
+        folw3[(u, v)] += 1
+        cont2[(v, w)] += 1
+        midset.setdefault(v, set()).add((u, w))
+    n1pv = {k: len(v) for k, v in midset.items()}
+    nfv = Counter(); cont1 = Counter()
+    for (p, t) in big:
+        nfv[p] += 1
+        cont1[t] += 1
+    T, V = len(big), len(vocab)
+    tv = T + V
+
+    tk = doc_text.split(" ")
+    total, n, fracs = 0, 0, []
+    for i in range(len(tk) - 3):
+        s, u, v, w = tk[i:i + 4]
+        p2num = (max(4 * cont2[(v, w)] - d4, 0) * tv
+                 + d4 * nfv[v] * (cont1[w] + 1))
+        p3num = (max(4 * cont3[(u, v, w)] - d4, 0) * 4 * n1pv[v] * tv
+                 + d4 * folw3[(u, v)] * p2num)
+        num = (max(4 * q4[(s, u, v, w)] - d4, 0)
+               * 16 * n1buv[(u, v)] * n1pv[v] * tv
+               + d4 * n4a[(s, u, v)] * p3num)
+        den = 64 * c4ctx[(s, u, v)] * n1buv[(u, v)] * n1pv[v] * tv
+        total += qlog(num) - qlog(den)
+        fracs.append(Fraction(num, den))
+        n += 1
+    return n, total, fracs
+
+
+def test_kn_quadgram_matches_python_rational_replay(spark):
+    from storage_spark.operators.pipeline import kn_quadgram_score
+
+    rows = [(1, "a b c a b c a"), (2, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in kn_quadgram_score(df).collect()}
+
+    corpus = [t for _, t in rows]
+    for doc_id, text in rows:
+        n, total, fracs = _kn4_python_replay(corpus, text)
+        assert got[doc_id].n_quadgrams == n
+        assert got[doc_id].score_milli == total
+        # genuine (0,1] probabilities at every scored position
+        assert all(0 < f <= 1 for f in fracs), fracs
+    # the twice-seen 4-gram (a,b,c)->a beats the once-seen (a,b,c)->d
+    # in the same context
+    _, _, f1 = _kn4_python_replay(corpus, "a b c a")
+    _, _, f2 = _kn4_python_replay(corpus, "a b c d")
+    assert f2[0] < f1[0]
+
+
+def test_kn_quadgram_continuation_separates_held_out(spark):
+    from storage_spark.operators.pipeline import kn_quadgram_score
+
+    # the Francisco property one level up: unseen 4-grams score by the
+    # continuation chain, so the broad-context token wins
+    base = [
+        (i, "down in san francisco the " + w + " road runs far")
+        for i, w in enumerate(["old", "new", "long", "main"])
+    ]
+    probe = [(100, "the very old francisco"), (101, "the very new road")]
+    df = spark.createDataFrame(base + probe, "doc_id long, text string")
+    got = {r.doc_id: r.score_milli for r in kn_quadgram_score(df).collect()}
+    assert got[101] > got[100]
+
+
+def test_kn_quadgram_rejects_bad_discount_and_short_docs(spark):
+    import pytest as _pytest
+
+    from storage_spark.operators.pipeline import kn_quadgram_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id for r in kn_quadgram_score(df).collect()}
+    assert out == {1}  # <4-token docs emit no row
+    with _pytest.raises(ValueError):
+        kn_quadgram_score(df, discount_x4=4)
