@@ -325,7 +325,11 @@ def _decode_image_stream(r: _LsbBitReader, w: int, h: int,
 
 
 def _add_pixels(a: int, b: int) -> int:
-    """Per-channel mod-256 add of two ARGB words."""
+    """Per-channel mod-256 add of two ARGB words. Callers may pass
+    numpy uint32 scalars — promote to python ints so the top-lane sum
+    can't trip numpy's overflow warning (the & masks make the math
+    mod-256 either way)."""
+    a, b = int(a), int(b)
     return (
         (((a >> 24) + (b >> 24)) & 0xFF) << 24
         | (((a >> 16) + (b >> 16)) & 0xFF) << 16
@@ -698,6 +702,19 @@ def _encode_stream(
             min(11, max(1, (2 * d - 1).bit_length())) if 2 <= d <= 1024
             else 0
         )
+        if cache_bits and (d == len(words) or len(words) < 32):
+            # all-distinct words can never hit, and a tiny stream (the
+            # palette delta sub-image) can't amortize the code-table pad
+            cache_bits = 0
+        if cache_bits and all(
+            len(np.unique((words >> s) & 0xFF)) == 1 for s in (24, 16, 0)
+        ):
+            # exact dominance: when R, B and A are each constant their
+            # single-symbol codes cost 0 bits, so a literal is already
+            # ONE green symbol — a cache ref can't be cheaper and the
+            # bigger green alphabet only pads the code table (seen on
+            # the color-indexed and predictor-mode streams)
+            cache_bits = 0
     if cache_bits:
         w.write(1, 1)
         w.write(cache_bits, 4)
@@ -879,33 +896,30 @@ def _forward_predictor(
     return res.astype(np.uint8), modes
 
 
-def webp_encode(rgba: np.ndarray, use_transforms: bool = True) -> bytes:
-    """(h, w, 4) uint8 RGBA (or (h, w, 3) RGB) → lossless WebP bytes.
-    With ``use_transforms`` (default): subtract-green + per-block
-    predictor transform (16×16 blocks, best of all 14 modes) before the
-    entropy stage — the two transforms that buy the big win on
-    photographic/gradient content (measured ~2-4× on gradients; flat
-    images collapse to near-all-zero residual runs either way). Set
-    False for the r9 transform-free stream (both decode identically).
-    One Huffman group, left-run LZ77, canonical codes."""
-    a = np.asarray(rgba, dtype=np.uint8)
-    if a.ndim == 2:
-        a = np.stack([a, a, a], axis=2)
-    if a.shape[2] == 3:
-        a = np.concatenate(
-            [a, np.full(a.shape[:2] + (1,), 255, dtype=np.uint8)], axis=2
-        )
-    h, w0 = a.shape[:2]
-    if not (1 <= w0 <= 16384 and 1 <= h <= 16384):
-        raise ValueError("WebP dimensions must be in [1, 16384]")
-    # (h, w, 4) ARGB planes
-    px = a[:, :, [3, 0, 1, 2]].copy()
+def _argb_words(px: np.ndarray) -> np.ndarray:
+    return (
+        (px[:, :, 0].astype(np.uint32) << 24)
+        | (px[:, :, 1].astype(np.uint32) << 16)
+        | (px[:, :, 2].astype(np.uint32) << 8)
+        | px[:, :, 3].astype(np.uint32)
+    )
 
+
+def _payload_writer(w0: int, h: int) -> _LsbBitWriter:
     w = _LsbBitWriter()
     w.write(w0 - 1, 14)
     w.write(h - 1, 14)
     w.write(0, 1)  # alpha hint
     w.write(0, 3)  # version
+    return w
+
+
+def _vp8l_payload_pred(px: np.ndarray, w0: int, h: int,
+                       use_transforms: bool) -> bytes:
+    """The r10 strategy: [subtract-green, predictor] (or no transforms)
+    + entropy stage."""
+    px = px.copy()
+    w = _payload_writer(w0, h)
     if use_transforms:
         # stream order [SG, PRED]; the decoder inverts in reverse read
         # order (predictor inverse first, then add-green), matching the
@@ -926,17 +940,106 @@ def webp_encode(rgba: np.ndarray, use_transforms: bool = True) -> bytes:
         _encode_stream(w, mode_words, level0=False)
         px = res
     w.write(0, 1)  # no more transforms
+    _encode_stream(w, _argb_words(px).reshape(-1), level0=True)
+    w.align()
+    return bytes([0x2F]) + bytes(w.buf)
 
-    words = (
-        (px[:, :, 0].astype(np.uint32) << 24)
-        | (px[:, :, 1].astype(np.uint32) << 16)
-        | (px[:, :, 2].astype(np.uint32) << 8)
-        | px[:, :, 3].astype(np.uint32)
-    ).reshape(-1)
+
+def _vp8l_payload_palette(px: np.ndarray, w0: int, h: int,
+                          colors: np.ndarray) -> bytes:
+    """The r11 strategy: COLOR_INDEXING transform (RFC 9649 §4.2.4) —
+    delta-coded palette sub-image, indices in the GREEN channel,
+    sub-byte pixel bundling for palettes ≤ 16 colors (8/4/2 indices per
+    byte for ≤2/≤4/≤16 colors). The decoder has handled this since the
+    r10 hand-built fixture; this is the emit side. ``colors`` is the
+    deterministic (sorted-unique) palette, ≤ 256 entries."""
+    n_colors = len(colors)
+    w = _payload_writer(w0, h)
+    w.write(1, 1)
+    w.write(3, 2)  # COLOR_INDEXING
+    w.write(n_colors - 1, 8)
+    # palette entries are component-wise delta-coded: entry 0 verbatim,
+    # entry i = pal[i] - pal[i-1] per uint8 lane (inverse: _add_pixels)
+    pal8 = np.stack(
+        [
+            (colors >> 24) & 0xFF, (colors >> 16) & 0xFF,
+            (colors >> 8) & 0xFF, colors & 0xFF,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    delta = pal8.copy()
+    delta[1:] = pal8[1:] - pal8[:-1]  # uint8 wrap
+    delta_words = (
+        (delta[:, 0].astype(np.uint32) << 24)
+        | (delta[:, 1].astype(np.uint32) << 16)
+        | (delta[:, 2].astype(np.uint32) << 8)
+        | delta[:, 3].astype(np.uint32)
+    )
+    _encode_stream(w, delta_words, level0=False)
+    w.write(0, 1)  # no more transforms
+
+    if n_colors <= 2:
+        width_bits = 3
+    elif n_colors <= 4:
+        width_bits = 2
+    elif n_colors <= 16:
+        width_bits = 1
+    else:
+        width_bits = 0
+    idx = np.searchsorted(colors, _argb_words(px))  # palette is sorted
+    if width_bits:
+        per_byte = 1 << width_bits
+        idx_bits = 8 >> width_bits
+        bw = _subsample_size(w0, width_bits)
+        padded = np.zeros((h, bw * per_byte), dtype=np.uint32)
+        padded[:, :w0] = idx
+        packed = np.zeros((h, bw), dtype=np.uint32)
+        for i in range(per_byte):
+            packed |= padded[:, i::per_byte] << (i * idx_bits)
+    else:
+        packed = idx.astype(np.uint32)
+    words = ((np.uint32(0xFF) << 24) | (packed << 8)).reshape(-1)
     _encode_stream(w, words, level0=True)
     w.align()
+    return bytes([0x2F]) + bytes(w.buf)
 
-    payload = bytes([0x2F]) + bytes(w.buf)
+
+def webp_encode(rgba: np.ndarray, use_transforms: bool = True) -> bytes:
+    """(h, w, 4) uint8 RGBA (or (h, w, 3) RGB) → lossless WebP bytes.
+    With ``use_transforms`` (default) the encoder picks the SMALLER of
+    two deterministic strategies:
+
+    - subtract-green + per-block predictor (16×16 blocks, best of all
+      14 modes) — the photographic/gradient path (r10, measured ~2-4×
+      on gradients);
+    - COLOR_INDEXING (r11, when ≤ 256 distinct colors): delta-coded
+      palette + green-channel indices with sub-byte bundling (8/4/2
+      px per byte at ≤2/≤4/≤16 colors) + the color cache — the
+      palette/icon path.
+
+    Set ``use_transforms=False`` for the r9 transform-free stream (all
+    strategies decode identically through ``webp_decode``). One Huffman
+    group, left-run LZ77, canonical codes, auto-sized color cache."""
+    a = np.asarray(rgba, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=2)
+    if a.shape[2] == 3:
+        a = np.concatenate(
+            [a, np.full(a.shape[:2] + (1,), 255, dtype=np.uint8)], axis=2
+        )
+    h, w0 = a.shape[:2]
+    if not (1 <= w0 <= 16384 and 1 <= h <= 16384):
+        raise ValueError("WebP dimensions must be in [1, 16384]")
+    # (h, w, 4) ARGB planes
+    px = a[:, :, [3, 0, 1, 2]].copy()
+
+    payload = _vp8l_payload_pred(px, w0, h, use_transforms)
+    if use_transforms:
+        colors = np.unique(_argb_words(px))
+        if len(colors) <= 256:
+            pal = _vp8l_payload_palette(px, w0, h, colors)
+            if len(pal) < len(payload):
+                payload = pal
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         chunk += b"\x00"
