@@ -3926,6 +3926,111 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 """)
 
 
+def q_kn_quadgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney 4-GRAM scores — the trigram chain grown
+    one continuation level (backoff 4→3→2→1; level 3 rebuilt over
+    4-gram-type continuation counts). STAGED r11, registered r12: the
+    r11 50-slot recording window was exactly full, so this pair ships
+    tested (tests/test_text_quality.py runs the same assert_parity gate
+    the driver runs) and joins queries()/oracle_sql() when the r12
+    window opens."""
+    from storage_spark.operators.pipeline import kn_quadgram_score
+
+    t = _t(spark, sf_dir)
+    return kn_quadgram_score(t["documents"]).orderBy("doc_id")
+
+
+def _oracle_kn_quadgram() -> str:
+    qlog = (
+        "((length(bin(CAST({c} AS BIGINT))) - 1) * 1000"
+        " + CAST(floor(((CAST({c} AS DOUBLE)"
+        " / power(2, length(bin(CAST({c} AS BIGINT))) - 1)) - 1.0)"
+        " * 1000) AS BIGINT))"
+    )
+    return _o(f"""
+, toksd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+qs AS (
+  SELECT doc_id, tk[CAST(u.i AS INT)] AS ts,
+         tk[CAST(u.i AS INT) + 1] AS tu,
+         tk[CAST(u.i AS INT) + 2] AS tv,
+         tk[CAST(u.i AS INT) + 3] AS tw
+  FROM toksd, LATERAL unnest(range(1, len(tk) - 2)) AS u(i)
+  WHERE len(tk) >= 4
+),
+q4 AS (SELECT ts, tu, tv, tw, count(*) AS c4 FROM qs GROUP BY 1, 2, 3, 4),
+ctx4 AS (
+  SELECT ts, tu, tv, sum(c4) AS c4ctx, count(*) AS n4a
+  FROM q4 GROUP BY 1, 2, 3
+),
+cont3 AS (SELECT tu, tv, tw, count(*) AS n1puvw FROM q4 GROUP BY 1, 2, 3),
+mid3 AS (SELECT tu, tv, count(*) AS n1buv FROM q4 GROUP BY 1, 2),
+trs AS (
+  SELECT tk[CAST(u.i AS INT)] AS tu,
+         tk[CAST(u.i AS INT) + 1] AS tv,
+         tk[CAST(u.i AS INT) + 2] AS tw
+  FROM toksd, LATERAL unnest(range(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 3
+),
+tri3 AS (SELECT tu, tv, tw, count(*) AS c3 FROM trs GROUP BY 1, 2, 3),
+folw3 AS (SELECT tu, tv, count(*) AS n1a FROM tri3 GROUP BY 1, 2),
+cont2 AS (SELECT tv, tw, count(*) AS n1pvw FROM tri3 GROUP BY 1, 2),
+mid AS (SELECT tv, count(*) AS n1pv FROM tri3 GROUP BY 1),
+prs AS (
+  SELECT tk[CAST(u.i AS INT)] AS prev, tk[CAST(u.i AS INT) + 1] AS tok
+  FROM toksd, LATERAL unnest(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2
+),
+big AS (SELECT prev, tok, count(*) AS cb FROM prs GROUP BY 1, 2),
+nfv AS (SELECT prev, count(*) AS nfv FROM big GROUP BY 1),
+cont1 AS (SELECT tok, count(*) AS n1c FROM big GROUP BY 1),
+tot AS (
+  SELECT (SELECT count(*) FROM big) AS t,
+         (SELECT count(DISTINCT w) FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          )) AS v
+),
+-- stats joined WITHOUT the totals cross first: adding the 1-row tot
+-- as an 11th relation sends DuckDB's join-order search off a cliff
+-- (measured: 9 joins plan in 0.1 s, +CROSS JOIN tot never returns);
+-- layering the cross over the joined CTE keeps each level trivial
+scj AS (
+  SELECT p.doc_id, b.c4, x.c4ctx, x.n4a, c3n.n1puvw, m3.n1buv,
+         f3.n1a, c2.n1pvw, m.n1pv, f.nfv, n.n1c
+  FROM qs p
+  JOIN q4 b ON b.ts = p.ts AND b.tu = p.tu AND b.tv = p.tv AND b.tw = p.tw
+  JOIN ctx4 x ON x.ts = p.ts AND x.tu = p.tu AND x.tv = p.tv
+  JOIN cont3 c3n ON c3n.tu = p.tu AND c3n.tv = p.tv AND c3n.tw = p.tw
+  JOIN mid3 m3 ON m3.tu = p.tu AND m3.tv = p.tv
+  JOIN folw3 f3 ON f3.tu = p.tu AND f3.tv = p.tv
+  JOIN cont2 c2 ON c2.tv = p.tv AND c2.tw = p.tw
+  JOIN mid m ON m.tv = p.tv
+  JOIN nfv f ON f.prev = p.tv
+  JOIN cont1 n ON n.tok = p.tw
+),
+sc AS (
+  SELECT doc_id,
+         greatest(4 * c4 - 3, 0)
+           * 16 * CAST(n1buv AS BIGINT) * n1pv * (t.t + t.v)
+           + 3 * n4a * (
+               greatest(4 * n1puvw - 3, 0)
+                 * 4 * CAST(n1pv AS BIGINT) * (t.t + t.v)
+               + 3 * n1a * (
+                   greatest(4 * n1pvw - 3, 0) * (t.t + t.v)
+                   + 3 * nfv * (n1c + 1)
+                 )
+             ) AS num,
+         64 * CAST(c4ctx AS BIGINT) * n1buv * n1pv * (t.t + t.v)
+           AS den
+  FROM scj CROSS JOIN tot t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_quadgrams,
+       CAST(sum({qlog.format(c='num')} - {qlog.format(c='den')})
+            AS BIGINT) AS score_milli
+FROM sc GROUP BY doc_id ORDER BY doc_id
+""")
+
+
 #: fixture lexicons for the trained-langid driver row (shared with the
 #: oracle emitter below — 8 words per language, content + function words
 #: so char-trigram profiles separate cleanly)

@@ -973,3 +973,51 @@ def test_band_candidate_estimate_matches_probe():
     n = 1_000_000
     assert band_candidate_estimate(n, 6) // band_candidate_estimate(n, 4) == 48  # 6/4 * 32
     assert band_candidate_estimate(n, 8) // band_candidate_estimate(n, 4) == 512  # 8/4 * 256
+
+
+def test_media_dedup_resolve_composes_with_incremental_pairs(spark):
+    """The incremental ingest shape: corpus band index + new batch →
+    incremental_fingerprint_pairs → media_dedup_resolve over the union.
+    The resolution over (corpus ∪ batch) with incremental pairs must
+    equal the full-corpus banded join's resolution restricted to the
+    same keys — proving the incremental path feeds the resolver
+    without re-hashing the corpus."""
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.multimodal import (
+        fingerprint_band_index,
+        incremental_fingerprint_pairs,
+        media_dedup_resolve,
+    )
+
+    def fp(bits):
+        return bits + "0" * (64 - len(bits))
+
+    corpus = spark.createDataFrame(
+        [("a", fp("1010")), ("b", fp("1011")), ("z", fp("01" * 32)[:64])],
+        "key string, dhash string",
+    )
+    batch = spark.createDataFrame(
+        [("c", fp("1010")), ("d", fp("1" * 24))],
+        "key string, dhash string",
+    )
+    idx = fingerprint_band_index(corpus)
+    pairs, _bb = incremental_fingerprint_pairs(idx, batch, max_hamming=3)
+
+    allfp = corpus.unionByName(batch)
+    blobs = allfp.select(
+        "key",
+        F.encode(F.concat(F.lit("x"), F.col("key")), "utf-8").alias("content"),
+    )
+    got = {
+        r.key: (r.component, r.canonical, r.is_canonical)
+        for r in media_dedup_resolve(
+            blobs, pairs, prefer=F.length("key").cast("bigint")
+        ).collect()
+    }
+    # a~b (1 bit), a~c (0 bits), b~c (1 bit) — one cluster {a, b, c};
+    # z (corpus) and d (batch) are far from everything -> singletons
+    assert {got[k][0] for k in "abc"} == {"a"}
+    assert sum(got[k][2] for k in "abc") == 1
+    assert got["z"] == ("z", "z", True)
+    assert got["d"] == ("d", "d", True)

@@ -1223,3 +1223,19 @@ def test_kn_quadgram_rejects_bad_discount_and_short_docs(spark):
     assert out == {1}  # <4-token docs emit no row
     with _pytest.raises(ValueError):
         kn_quadgram_score(df, discount_x4=4)
+
+
+def test_kn_quadgram_staged_driver_pair_hash_matches(spark, sf_dir):
+    """The staged-for-r12 driver pair (q_kn_quadgram /
+    _oracle_kn_quadgram) must pass the IDENTICAL gate the driver runs —
+    assert_parity over the documents table — so registering it in the
+    r12 window is a two-line diff, not new work."""
+    import __spark_entry__ as entry_mod
+    from tests.parity import assert_parity
+
+    assert_parity(
+        entry_mod.q_kn_quadgram(spark, sf_dir),
+        entry_mod._oracle_kn_quadgram(),
+        sf_dir,
+        "kn_quadgram_staged",
+    )
