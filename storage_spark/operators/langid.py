@@ -313,3 +313,46 @@ def langid_predict(
             "doc_id", F.coalesce(F.col("lang"), F.lit(default)).alias("lang")
         )
     )
+
+
+def langid_prune(model: DataFrame, keep_top: int = 10000) -> DataFrame:
+    """Quantized model pruning — the scale lever for corpus-sized
+    predict (fastText's prune/quantize move, Joulin et al. 2016):
+    keep, per language, the ``keep_top`` grams whose weights deviate
+    MOST from that language's OOV floor (|w − oov|, the gram's
+    discriminative mass — a gram scoring at the floor contributes
+    nothing over falling through to OOV), ties broken by gram asc.
+
+    The pruned table is ITSELF a valid model — dropped grams simply
+    fall to the OOV term at score time — so ``langid_score`` /
+    ``langid_predict`` need no changes and the SQL-oracle story is
+    untouched. This is an APPROXIMATION of the full model's scores
+    (a dropped gram's (w − oov) mass is forfeited); predictions agree
+    wherever the forfeited mass doesn't flip an argmax — measure the
+    agreement on your corpus before adopting (the r11 sf1 probe:
+    see NOTES_r11).
+
+    What it buys at 100 TB: the matched-occurrence join's row count is
+    Σ over corpus occurrences of |langs carrying that gram| — pruning
+    caps the model at |langs| × (keep_top + 1) rows, shrinking both
+    the broadcast and the post-join amplification. One bounded window
+    over the geometry-bounded model table; never touches the corpus."""
+    if keep_top < 1:
+        raise ValueError("keep_top must be >= 1")
+    oov = model.filter(F.col("gram") == "").select(
+        "lang", F.col("w_milli").alias("_oov")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.abs(F.col("w_milli") - F.col("_oov")).desc(), F.col("gram").asc()
+    )
+    kept = (
+        model.filter(F.col("gram") != "")
+        .join(F.broadcast(oov), "lang")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= keep_top)
+        .select("lang", "gram", "w_milli")
+    )
+    return kept.unionByName(
+        oov.select("lang", F.lit("").alias("gram"),
+                   F.col("_oov").alias("w_milli"))
+    )

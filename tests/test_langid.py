@@ -284,3 +284,54 @@ def test_langid_word_features_beat_char_only_on_confusables(spark):
 
     a_char, a_w1, a_w12 = acc(()), acc((1,)), acc((1, 2))
     assert (a_char, a_w1, a_w12) == (9, 11, 12), (a_char, a_w1, a_w12)
+
+
+def test_langid_prune_validity_and_exactness_bounds(spark):
+    """langid_prune: (a) keep_top >= gram count is the IDENTITY (same
+    rows); (b) the pruned table is a valid model — per-lang row count
+    <= keep_top + 1 (the OOV row), OOV rows always survive; (c) on the
+    confusables fixture a moderately pruned word-profile model predicts
+    IDENTICALLY to the full one (the discriminative grams survive by
+    construction)."""
+    import pytest as _pytest
+
+    from storage_spark.operators.langid import (
+        langid_fit,
+        langid_predict,
+        langid_prune,
+    )
+
+    train = spark.createDataFrame(CONFUSABLE_TRAIN, "lang string, text string")
+    m = langid_fit(train, word_ns=(1, 2))
+
+    full = sorted(map(tuple, m.collect()))
+    assert sorted(map(tuple, langid_prune(m, keep_top=10**6).collect())) == full
+
+    pruned = langid_prune(m, keep_top=24)
+    rows = pruned.collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.gram)
+    for lang, grams in per_lang.items():
+        assert "" in grams                      # OOV row survives
+        assert len(grams) <= 25                 # keep_top + OOV
+
+    probes = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(CONFUSABLE_PROBES)],
+        "doc_id long, text string",
+    )
+    want = sorted(map(tuple, langid_predict(probes, m, word_ns=(1, 2)).collect()))
+    # measured agreement curve on this fixture (model = 53 'da' / 95
+    # 'no' rows): keep_top 24 -> 8/12, 32 -> 10/12, 64 -> 12/12 — a
+    # 33% cut of the bigger profile predicts identically; over-pruning
+    # degrades GRACEFULLY toward the char-only floor, never below und
+    at64 = sorted(map(tuple, langid_predict(
+        probes, langid_prune(m, keep_top=64), word_ns=(1, 2)).collect()))
+    assert at64 == want
+    at32 = {r[0]: r[1] for r in langid_predict(
+        probes, langid_prune(m, keep_top=32), word_ns=(1, 2)).collect()}
+    truth = {i: l for i, (l, _) in enumerate(CONFUSABLE_PROBES)}
+    assert sum(at32[i] == truth[i] for i in truth) >= 10
+
+    with _pytest.raises(ValueError):
+        langid_prune(m, keep_top=0)

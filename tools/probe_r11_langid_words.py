@@ -59,3 +59,49 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def prune_probe(sf_dir: str = "/tmp/sf1") -> None:
+    """Corpus-scale cost/agreement of langid_prune (the fastText-style
+    quantized-pruning lever): fit on the sf1 corpus's OWN lang labels
+    (a dense, real-gram-distribution model — the fixture lexicons are
+    too sparse to exercise the matched-occurrence amplification), then
+    predict with the full vs pruned model and measure wall + label
+    agreement. Run: python -c "import sys; sys.path.insert(0, '.');
+    from tools.probe_r11_langid_words import prune_probe; prune_probe()"
+    """
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.langid import (
+        langid_fit,
+        langid_predict,
+        langid_prune,
+    )
+
+    spark = get_spark("probe_r11_langid_prune")
+    t = load_all(spark, sf_dir)
+    docs = t["documents"]
+    m = langid_fit(docs, lang_col="lang").localCheckpoint(eager=True)
+    n_rows = m.count()
+    print(f"full model rows: {n_rows:,}")
+
+    def run(model, tag):
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            langid_predict(docs, model).groupBy("lang").count().count()
+            walls.append(round(time.time() - t0, 1))
+        print(f"{tag}: predict walls {walls}")
+
+    run(m, "full")
+    preds_full = langid_predict(docs, m).withColumnRenamed("lang", "lf")
+    for k in (20000, 5000, 1000):
+        pm = langid_prune(m, keep_top=k).localCheckpoint(eager=True)
+        print(f"keep_top={k}: model rows {pm.count():,}")
+        run(pm, f"pruned@{k}")
+        agree = (
+            preds_full.join(langid_predict(docs, pm), "doc_id")
+            .filter(F.col("lf") == F.col("lang")).count()
+        )
+        print(f"  agreement with full: {agree}/{docs.count()}")
+    spark.stop()
