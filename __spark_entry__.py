@@ -3580,12 +3580,14 @@ ORDER BY key_a, key_b
 """)
 
 
-def _oracle_media_dedup_resolve() -> str:
-    """Pairs → recursive-CTE transitive closure → window election,
-    replaying media_dedup_resolve under STRING key semantics
-    (component = string-min reachable key; preference (k*17) mod 7
-    desc, ties string-min key)."""
-    sql = _o(_DHASH_FIXTURE_CTES + """,
+#: Shared resolution-oracle suffix: pairs → recursive-CTE transitive
+#: closure → window election, under STRING key semantics (component =
+#: string-min reachable key; preference (k*17) mod 7 desc, ties
+#: string-min key). Works over ANY fixture CTE chain that exposes
+#: ``ks(k, ...)`` and ``pairs(key_a, key_b, hamming)`` — the image,
+#: audio, and video resolve oracles all append it, so the three
+#: replays can never diverge.
+_MEDIA_RESOLVE_SUFFIX = """,
 near AS (SELECT key_a, key_b FROM pairs WHERE hamming <= 3),
 edges AS (
   SELECT key_a AS ea, key_b AS eb FROM near
@@ -3614,28 +3616,28 @@ SELECT c.doc AS key, c.component, w.canonical,
        c.doc = w.canonical AS is_canonical
 FROM comp c JOIN winners w USING (component)
 ORDER BY CAST(key AS BIGINT)
-""")
+"""
+
+
+def _media_resolve_oracle(fixture_ctes: str) -> str:
+    """Fixture CTEs + the shared closure/election suffix, recursive."""
+    sql = _o(fixture_ctes + _MEDIA_RESOLVE_SUFFIX)
     return sql.replace("WITH ", "WITH RECURSIVE ", 1)
 
 
-def q_audio_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio near-dup (energy-gradient fingerprint + banded Hamming
-    join) under the oracle: 20 groups × 3 variants of a deterministic
-    integer signal (variants zero a 50-sample run — denting exactly one
-    energy window), alternating PCM16 WAV and FLAC containers (both
-    lossless, so the oracle's rule-side replay is sample-exact). The
-    fingerprint is 32 integer mean-square gradient bits; the oracle
-    recomputes every window, every bit, and exact all-pairs ≤ 3 —
-    proving the 4-band pigeonhole join's recall, the audio analogue of
-    image_dhash_pairs."""
+def _oracle_media_dedup_resolve() -> str:
+    return _media_resolve_oracle(_DHASH_FIXTURE_CTES)
+
+
+def _audio_fixture_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared audio fixture for the audio rows: 20 groups × 3 variants
+    of a deterministic integer signal (variants zero a 50-sample run),
+    alternating PCM16 WAV and FLAC containers — both lossless, so the
+    oracle replays the rule sample-exact."""
     import numpy as np
     import pandas as pd
 
     from storage_spark.functions.imagecodec import flac_encode, wav_encode
-    from storage_spark.operators.multimodal import (
-        audio_fingerprints,
-        audio_near_pairs,
-    )
 
     t = _t(spark, sf_dir)
     base = t["part"].select(
@@ -3660,14 +3662,60 @@ def q_audio_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((str(k), blob))
             yield pd.DataFrame(out, columns=["key", "content"])
 
-    blobs = base.mapInPandas(_gen, "key string, content binary")
+    return base.mapInPandas(_gen, "key string, content binary")
+
+
+def q_audio_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup (energy-gradient fingerprint + banded Hamming
+    join) under the oracle: the shared audio fixture
+    (``_audio_fixture_blobs``), 32 integer mean-square gradient bits;
+    the oracle recomputes every window, every bit, and exact all-pairs
+    ≤ 3 — proving the 4-band pigeonhole join's recall, the audio
+    analogue of image_dhash_pairs."""
+    from storage_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_pairs,
+    )
+
+    blobs = _audio_fixture_blobs(spark, sf_dir)
     return audio_near_pairs(audio_fingerprints(blobs), max_hamming=3).orderBy(
         "key_a", "key_b"
     )
 
 
-def _oracle_audio_near_pairs() -> str:
-    return _o("""
+def q_audio_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup CLUSTER resolution — the ``media_dedup_resolve``
+    chain over the audio fixture (decode WAV/FLAC → energy-gradient
+    fingerprint → banded pairs → components → election, replayable
+    (k·17) mod 7 preference). STAGED (tested through the identical
+    assert_parity gate); registers when the recording window has room
+    — the resolver itself is fingerprint-agnostic and already graded
+    via ``media_dedup_resolve``."""
+    from storage_spark.operators.multimodal import (
+        audio_fingerprints,
+        audio_near_pairs,
+        media_dedup_resolve,
+    )
+
+    blobs = _audio_fixture_blobs(spark, sf_dir)
+    pairs = audio_near_pairs(audio_fingerprints(blobs), max_hamming=3)
+    out = media_dedup_resolve(
+        blobs, pairs,
+        prefer=(F.col("key").cast("long") * 17 % 7).cast("bigint"),
+    )
+    return out.select(
+        "key", "component", "canonical", "is_canonical"
+    ).orderBy(F.col("key").cast("long"))
+
+
+def _oracle_audio_dedup_resolve() -> str:
+    return _media_resolve_oracle(_AUDIO_FIXTURE_CTES)
+
+
+#: Shared audio-fixture CTE chain (generation rule -> energy windows
+#: -> gradient bits -> exact all-pairs Hamming) — used by the pair row
+#: and the staged resolve row.
+_AUDIO_FIXTURE_CTES = """
 , ks AS (
   SELECT CAST(p_partkey AS BIGINT) AS k,
          p_partkey // 3 AS g, CAST(p_partkey % 3 AS INT) AS m
@@ -3699,32 +3747,28 @@ pairs AS (
   FROM bits a JOIN bits b
     ON a.pos = b.pos AND CAST(a.k AS STRING) < CAST(b.k AS STRING)
   GROUP BY 1, 2
-)
+)"""
+
+
+def _oracle_audio_near_pairs() -> str:
+    return _o(_AUDIO_FIXTURE_CTES + """
 SELECT key_a, key_b, hamming FROM pairs
 WHERE hamming <= 3
 ORDER BY key_a, key_b
 """)
 
 
-def q_video_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video near-dup (temporal-envelope fingerprint) under the oracle:
-    17-frame flat-gray MJPEG clips in 20 groups × 3 variants (variants
-    bump one frame's value, flipping at most two gradient bits), the
-    16-bit frame-luma gradient fingerprint banded 4-ways, Hamming ≤ 3.
-    Flat-gray q95 frames decode pixel-exact, so the oracle predicts
-    every frame mean, every bit, and exact all-pairs from the rule —
-    completing the near-dup quartet (text / image / audio / video),
-    every member under the full hash gate."""
+def _video_fixture_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared video fixture for the video rows: 17-frame flat-gray
+    MJPEG clips in 20 groups × 3 variants (variants bump one frame's
+    value) — flat-gray q95 frames decode pixel-exact, so the oracle
+    replays every frame mean from the rule."""
     import numpy as np
     import pandas as pd
 
     from storage_spark.functions.imagecodec import (
         avi_encode_mjpeg,
         jpeg_encode,
-    )
-    from storage_spark.operators.multimodal import (
-        video_fingerprints,
-        video_near_pairs,
     )
 
     t = _t(spark, sf_dir)
@@ -3752,14 +3796,57 @@ def q_video_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((str(k), avi_encode_mjpeg(frames, 16, 16, fps=8)))
             yield pd.DataFrame(out, columns=["key", "content"])
 
-    blobs = base.mapInPandas(_gen, "key string, content binary")
+    return base.mapInPandas(_gen, "key string, content binary")
+
+
+def q_video_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup (temporal-envelope fingerprint) under the oracle:
+    the shared video fixture (``_video_fixture_blobs``), the 16-bit
+    frame-luma gradient fingerprint banded 4-ways, Hamming ≤ 3; the
+    oracle predicts every frame mean, every bit, and exact all-pairs
+    from the rule — completing the near-dup quartet (text / image /
+    audio / video), every member under the full hash gate."""
+    from storage_spark.operators.multimodal import (
+        video_fingerprints,
+        video_near_pairs,
+    )
+
+    blobs = _video_fixture_blobs(spark, sf_dir)
     return video_near_pairs(
         video_fingerprints(blobs), max_hamming=3
     ).orderBy("key_a", "key_b")
 
 
-def _oracle_video_near_pairs() -> str:
-    return _o("""
+def q_video_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup CLUSTER resolution — the ``media_dedup_resolve``
+    chain over the video fixture. STAGED like the audio twin (tested
+    through the identical assert_parity gate); registers when the
+    recording window has room."""
+    from storage_spark.operators.multimodal import (
+        media_dedup_resolve,
+        video_fingerprints,
+        video_near_pairs,
+    )
+
+    blobs = _video_fixture_blobs(spark, sf_dir)
+    pairs = video_near_pairs(video_fingerprints(blobs), max_hamming=3)
+    out = media_dedup_resolve(
+        blobs, pairs,
+        prefer=(F.col("key").cast("long") * 17 % 7).cast("bigint"),
+    )
+    return out.select(
+        "key", "component", "canonical", "is_canonical"
+    ).orderBy(F.col("key").cast("long"))
+
+
+def _oracle_video_dedup_resolve() -> str:
+    return _media_resolve_oracle(_VIDEO_FIXTURE_CTES)
+
+
+#: Shared video-fixture CTE chain (frame rule -> gradient bits ->
+#: exact all-pairs Hamming) — used by the pair row and the staged
+#: resolve row.
+_VIDEO_FIXTURE_CTES = """
 , ks AS (
   SELECT CAST(p_partkey AS BIGINT) AS k,
          p_partkey // 3 AS g, CAST(p_partkey % 3 AS INT) AS m
@@ -3786,7 +3873,11 @@ pairs AS (
   FROM bits a JOIN bits b
     ON a.pos = b.pos AND CAST(a.k AS STRING) < CAST(b.k AS STRING)
   GROUP BY 1, 2
-)
+)"""
+
+
+def _oracle_video_near_pairs() -> str:
+    return _o(_VIDEO_FIXTURE_CTES + """
 SELECT key_a, key_b, hamming FROM pairs
 WHERE hamming <= 3
 ORDER BY key_a, key_b

@@ -1021,3 +1021,27 @@ def test_media_dedup_resolve_composes_with_incremental_pairs(spark):
     assert sum(got[k][2] for k in "abc") == 1
     assert got["z"] == ("z", "z", True)
     assert got["d"] == ("d", "d", True)
+
+
+def test_media_resolve_staged_audio_video_pairs_hash_match(spark, sf_dir):
+    """The staged audio/video cluster-resolution driver pairs
+    (q_audio_dedup_resolve / q_video_dedup_resolve — unregistered, the
+    r11 recording window was full) must pass the IDENTICAL gate the
+    driver runs, so registering either when window room appears is a
+    two-line diff. One shared resolve-oracle suffix drives all three
+    media resolve replays (image registered, audio/video staged)."""
+    import __spark_entry__ as entry_mod
+    from tests.parity import assert_parity
+
+    assert_parity(
+        entry_mod.q_audio_dedup_resolve(spark, sf_dir),
+        entry_mod._oracle_audio_dedup_resolve(),
+        sf_dir,
+        "audio_dedup_resolve_staged",
+    )
+    assert_parity(
+        entry_mod.q_video_dedup_resolve(spark, sf_dir),
+        entry_mod._oracle_video_dedup_resolve(),
+        sf_dir,
+        "video_dedup_resolve_staged",
+    )
