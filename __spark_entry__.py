@@ -4020,11 +4020,10 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 def q_kn_quadgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney 4-GRAM scores — the trigram chain grown
     one continuation level (backoff 4→3→2→1; level 3 rebuilt over
-    4-gram-type continuation counts). STAGED r11, registered r12: the
-    r11 50-slot recording window was exactly full, so this pair ships
-    tested (tests/test_text_quality.py runs the same assert_parity gate
-    the driver runs) and joins queries()/oracle_sql() when the r12
-    window opens."""
+    4-gram-type continuation counts). Staged r11 (the r11 50-slot
+    recording window was exactly full), registered r12 in window slot
+    50; tests/test_text_quality.py runs the same assert_parity gate the
+    driver runs."""
     from storage_spark.operators.pipeline import kn_quadgram_score
 
     t = _t(spark, sf_dir)
@@ -7285,75 +7284,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver evaluates in dict order under a wall-clock
     # budget and records the FIRST ~50 entries.
     # Rotation policy: an entry may not go two rounds past the recording
-    # cap. Round 11's 50-slot window (VERDICT r10 #2 — drain the
-    # r7-evidence block):
-    # (a) the 48 rows whose latest driver evidence is r7 lead (snapshot
-    #     family, sessionization/OLAP rows, events_hopping,
-    #     salted_distinct, copy_objects_bulk, constraint_audit,
-    #     ndjson_roundtrip, the vector_pq/ivfpq rows, ...) — after r11 no
-    #     entry's evidence is older than r8;
-    # (b) the r11 net-new rows (media near-dup cluster resolution;
-    #     langid word-boundary features);
-    # (c) the r8-evidence block stalest-first for any slots that remain;
-    #     then r9/r10 (freshest driver evidence last).
-    # Everything past slot 50 is driver-green in r8-r10 on semantically
+    # cap. Round 12's 50-slot window (VERDICT r11 #1 — drain the
+    # r8-evidence block):
+    # (a) the 49 rows whose latest driver evidence is r8 lead (the
+    #     vector_sq8/ivfsq/ivfpq_residual family, semantic-dedup family,
+    #     LM logprob rows, queue_replay, keyset cursors, orphan/
+    #     reconcile rows, multipart/list rows, ...) — after r12 no
+    #     entry's evidence is older than r9;
+    # (b) the r12 net-new row (kn_quadgram — staged+parity-proven in
+    #     r11, registered now that the window has a slot);
+    # (c) the r9-evidence block stalest-first for any slots that remain;
+    #     then r10/r11 (freshest driver evidence last).
+    # Everything past slot 50 is driver-green in r9-r11 on semantically
     # unchanged code, and the local parity replica
     # (tests/test_queries_parity.py) re-proves the whole registry on
     # current code every session.
     return {
-        # --- latest driver evidence r7 (the r11 lead block)
-        "simhash_wide": q_simhash_wide,
-        "dedup_resolve": q_dedup_resolve,
-        "chunk_documents": q_chunk_documents,
-        "cohort_retention": q_cohort_retention,
-        "constraint_audit": q_constraint_audit,
-        "copy_objects_bulk": q_copy_objects_bulk,
-        "corpus_mixture": q_corpus_mixture,
-        "dedup_incremental": q_dedup_incremental,
-        "embedding_outliers": q_embedding_outliers,
-        "event_gaps": q_event_gaps,
-        "events_hopping": q_events_hopping,
-        "funnel": q_funnel,
-        "global_ids": q_global_ids,
-        "group_split": q_group_split,
-        "incremental_minhash": q_incremental_minhash,
-        "ndjson_roundtrip": q_ndjson_roundtrip,
-        "orders_above_avg": q_orders_above_avg,
-        "pricing_summary": q_pricing_summary,
-        "quality_quantile": q_quality_quantile,
-        "redact_pii": q_redact_pii,
-        "region_revenue": q_region_revenue,
-        "repetition_signals": q_repetition_signals,
-        "salted_distinct": q_salted_distinct,
-        "sample_k_per_lang": q_sample_k_per_lang,
-        "session_stats": q_session_stats,
-        "sessionize_events": q_sessionize_events,
-        "size_histogram": q_size_histogram,
-        "table_stats": q_table_stats,
-        "term_cooc": q_term_cooc,
-        "token_budget": q_token_budget,
-        "token_percentiles": q_token_percentiles,
-        "top_objects_per_bucket": q_top_objects_per_bucket,
-        "top_terms": q_top_terms,
-        "unshipped_orders": q_unshipped_orders,
-        "url_blocklist": q_url_blocklist,
-        "vector_ivfpq": q_vector_ivfpq,
-        "vector_pq_rerank": q_vector_pq_rerank,
-        "vector_pq_topk": q_vector_pq_topk,
-        "stream_accepted": q_stream_accepted,
-        "ann_index_derived": q_ann_index_derived,
-        "snapshot_merge": q_snapshot_merge,
-        "snapshot_changes": q_snapshot_changes,
-        "snapshot_compact": q_snapshot_compact,
-        "usage_incremental": q_usage_incremental,
-        "ann_index_maintain": q_ann_index_maintain,
-        "ann_index_ivf_query": q_ann_index_ivf_query,
-        "dedup_embedding": q_dedup_embedding,
-        "curate_corpus": q_curate_corpus,
-        # --- r11 net-new rows (window slots after the r7 block)
-        "media_dedup_resolve": q_media_dedup_resolve,
-        "langid_word_confusables": q_langid_word_confusables,
-        # --- latest driver evidence r8
+        # --- latest driver evidence r8 (the r12 lead block)
         "vector_sq8": q_vector_sq8,
         "vector_ivfsq": q_vector_ivfsq,
         "semantic_dedup": q_semantic_dedup,
@@ -7403,6 +7350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_before_preview": q_delete_before_preview,
         "rls_owner": q_rls_owner,
         "catalog_backfill": q_catalog_backfill,
+        # --- r12 net-new row (window slot 50 after the r8 drain)
+        "kn_quadgram": q_kn_quadgram,
         # --- latest driver evidence r9
         "search_v1_hybrid": q_search_v1_hybrid,
         "search_v1_ci": q_search_v1_ci,
@@ -7505,6 +7454,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_per_trained_lang": q_quantile_per_trained_lang,
         "ann_index_query": q_ann_index_query,
         "ann_index_append": q_ann_index_append,
+        # --- latest driver evidence r11 (freshest — past the cap)
+        "simhash_wide": q_simhash_wide,
+        "dedup_resolve": q_dedup_resolve,
+        "chunk_documents": q_chunk_documents,
+        "cohort_retention": q_cohort_retention,
+        "constraint_audit": q_constraint_audit,
+        "copy_objects_bulk": q_copy_objects_bulk,
+        "corpus_mixture": q_corpus_mixture,
+        "dedup_incremental": q_dedup_incremental,
+        "embedding_outliers": q_embedding_outliers,
+        "event_gaps": q_event_gaps,
+        "events_hopping": q_events_hopping,
+        "funnel": q_funnel,
+        "global_ids": q_global_ids,
+        "group_split": q_group_split,
+        "incremental_minhash": q_incremental_minhash,
+        "ndjson_roundtrip": q_ndjson_roundtrip,
+        "orders_above_avg": q_orders_above_avg,
+        "pricing_summary": q_pricing_summary,
+        "quality_quantile": q_quality_quantile,
+        "redact_pii": q_redact_pii,
+        "region_revenue": q_region_revenue,
+        "repetition_signals": q_repetition_signals,
+        "salted_distinct": q_salted_distinct,
+        "sample_k_per_lang": q_sample_k_per_lang,
+        "session_stats": q_session_stats,
+        "sessionize_events": q_sessionize_events,
+        "size_histogram": q_size_histogram,
+        "table_stats": q_table_stats,
+        "term_cooc": q_term_cooc,
+        "token_budget": q_token_budget,
+        "token_percentiles": q_token_percentiles,
+        "top_objects_per_bucket": q_top_objects_per_bucket,
+        "top_terms": q_top_terms,
+        "unshipped_orders": q_unshipped_orders,
+        "url_blocklist": q_url_blocklist,
+        "vector_ivfpq": q_vector_ivfpq,
+        "vector_pq_rerank": q_vector_pq_rerank,
+        "vector_pq_topk": q_vector_pq_topk,
+        "stream_accepted": q_stream_accepted,
+        "ann_index_derived": q_ann_index_derived,
+        "snapshot_merge": q_snapshot_merge,
+        "snapshot_changes": q_snapshot_changes,
+        "snapshot_compact": q_snapshot_compact,
+        "usage_incremental": q_usage_incremental,
+        "ann_index_maintain": q_ann_index_maintain,
+        "ann_index_ivf_query": q_ann_index_ivf_query,
+        "dedup_embedding": q_dedup_embedding,
+        "curate_corpus": q_curate_corpus,
+        # --- r11 net-new rows (window slots after the r7 block)
+        "media_dedup_resolve": q_media_dedup_resolve,
+        "langid_word_confusables": q_langid_word_confusables,
     }
 
 def _oracle_sql_literal() -> dict[str, str]:
@@ -9474,6 +9475,7 @@ FROM sc ORDER BY pk
         "kmv_resemblance": _oracle_kmv_resemblance(256),
         "kn_bigram": _oracle_kn_bigram(),
         "kn_trigram": _oracle_kn_trigram(),
+        "kn_quadgram": _oracle_kn_quadgram(),
         "langid_trained": _oracle_langid_trained(),
         "langid_word_confusables": _oracle_langid_word_confusables(),
         "line_dedup_trained_lang": _oracle_line_dedup_trained_lang(),
