@@ -4121,6 +4121,85 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 """)
 
 
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/htmltext.py): generate an HTML
+    page per document from a seeded rule INSIDE the query (escaped corpus
+    text embedded among script/style/comment noise, inline markup,
+    entities, and a nav link-wall), run the stdlib-parser extraction
+    stage, and emit the exploded line frame with the link-density
+    boilerplate signal. The oracle replays the generation rule
+    (media_decode_meta pattern): every emitted line is predictable from
+    the base columns, so the parser's entity decode / CDATA drop /
+    whitespace collapse / density arithmetic are all under the hash.
+    STAGED r12 (the r12 window is 49 r8-drain + kn_quadgram), proven via
+    the identical assert_parity gate in pytest; registers when a window
+    slot opens (r13)."""
+    from storage_spark.functions.htmltext import explode_html_lines
+
+    t = _t(spark, sf_dir)
+
+    def esc(c):
+        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+    docs = t["documents"].filter(F.col("doc_id") % 7 == 0)
+    html = F.concat(
+        F.lit("<html><head><title> Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(' &amp; Co </title><script type="text/javascript">'
+              'if (a<b && c>d) { alert("<p>not text</p>"); }</script>'
+              "<style>p > a { color: red; }</style></head><body><h1>"
+              "Corpus "),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        esc(F.substring("text", 1, 80)),
+        F.lit(' <b>bold</b>&amp;<i>ital</i></p><ul><li>'
+              '<a href="/nav1">Home</a></li><li>'
+              '<a href="/nav2">About &gt; Us</a></li></ul><div><p>  '),
+        esc(F.substring("text", 81, 80)),
+        F.lit("  </p><!-- note <p>nope</p> --></div></body></html>"),
+    )
+    lines = explode_html_lines(
+        docs.select("doc_id", html.alias("html")), "html"
+    )
+    return lines.select(
+        "doc_id", "title", "line_no", "line", "link_density_milli"
+    ).orderBy("doc_id", "line_no")
+
+
+def _oracle_html_extract_text() -> str:
+    collapse = "trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+    c1 = collapse.format(x="c1 || ' bold&ital'")
+    c2 = collapse.format(x="c2")
+    return _o(f"""
+, base AS (
+  SELECT doc_id, lang,
+         substr(text, 1, 80) AS c1,
+         substr(text, 81, 80) AS c2
+  FROM documents WHERE doc_id % 7 = 0
+),
+lns AS (
+  SELECT doc_id, 1 AS line_no, 'Corpus ' || lang AS line, 0 AS dens
+  FROM base
+  UNION ALL
+  SELECT doc_id, 2, {c1}, 0 FROM base
+  UNION ALL
+  SELECT doc_id, 3, 'Home', 1000 FROM base
+  UNION ALL
+  SELECT doc_id, 4, 'About > Us', 1000 FROM base
+  UNION ALL
+  SELECT doc_id, 5, {c2}, 0 FROM base WHERE {c2} <> ''
+)
+SELECT doc_id,
+       'Doc ' || doc_id || ' & Co' AS title,
+       CAST(line_no AS INT) AS line_no,
+       line,
+       CAST(dens AS INT) AS link_density_milli
+FROM lns ORDER BY doc_id, line_no
+""")
+
+
 #: fixture lexicons for the trained-langid driver row (shared with the
 #: oracle emitter below — 8 words per language, content + function words
 #: so char-trigram profiles separate cleanly)

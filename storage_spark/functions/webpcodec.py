@@ -697,7 +697,17 @@ def _encode_stream(
     (photo residuals) get no cache — each slot write would evict the
     last, pure overhead."""
     if cache_bits is None:
-        d = len(np.unique(words))
+        # Distinct count with an early bail: the cache is only worth
+        # sizing for palette-ish streams (<=1024 distinct), so stop
+        # counting the moment a chunk proves the stream high-entropy —
+        # photo residual streams exit after ONE 4096-word chunk instead
+        # of paying a full O(n log n) unique pass (r11 ADVICE).
+        seen = np.empty(0, dtype=words.dtype)
+        for start in range(0, len(words), 4096):
+            seen = np.union1d(seen, words[start:start + 4096])
+            if len(seen) > 1024:
+                break
+        d = len(seen)
         cache_bits = (
             min(11, max(1, (2 * d - 1).bit_length())) if 2 <= d <= 1024
             else 0

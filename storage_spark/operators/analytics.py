@@ -261,14 +261,21 @@ def heavy_hitters_cms(
         F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # Take the top k FIRST (lowers to TakeOrderedAndProject — per-partition
+    # heaps + a k-row driver merge, never a global sort), then rank the
+    # k-row frame. The single-partition row_number window is bounded at k
+    # rows; ranking the full vocabulary through one window task was the
+    # r11 verdict's one scale-killer (10^8-10^9 rows through one task at
+    # corpus scale).
     top = (
-        exact.withColumn(
+        exact.orderBy(F.col("exact_cnt").desc(), F.col("term"))
+        .limit(k)
+        .withColumn(
             "rank",
             F.row_number().over(
                 Window.orderBy(F.col("exact_cnt").desc(), F.col("term"))
             ),
         )
-        .filter(F.col("rank") <= k)
     )
     sketch = cms_sketch(toks, "term", depth, width)
     est = cms_lookup(sketch, top.select("term"), "term", depth, width)

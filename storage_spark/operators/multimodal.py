@@ -1085,14 +1085,12 @@ def _bits_hamming(a_col: str, b_col: str) -> F.Column:
         )
 
     maxlen = F.greatest(F.length(F.col(a_col)), F.length(F.col(b_col)))
-    # rpad via expr: the pure-python F.rpad pins `len` to int in some
-    # releases; the SQL form takes a column length expression
-    a = F.expr(
-        f"rpad({a_col}, greatest(length({a_col}), length({b_col})), '0')"
-    )
-    b = F.expr(
-        f"rpad({b_col}, greatest(length({a_col}), length({b_col})), '0')"
-    )
+    # rpad via call_function: the pure-python F.rpad pins `len` to int in
+    # some releases; call_function takes a column length expression AND
+    # keeps the column references structured (an f-string-spliced F.expr
+    # breaks on qualified/backticked/non-identifier column names)
+    a = F.call_function("rpad", F.col(a_col), maxlen, F.lit("0"))
+    b = F.call_function("rpad", F.col(b_col), maxlen, F.lit("0"))
     n_chunks = F.greatest(
         F.lit(1),
         F.ceil(maxlen / 31).cast("int"),

@@ -144,6 +144,7 @@ _BNLJ_ALLOWED = {
     # unigram/bigram_logprob class; model joins are equi-joins
     "kn_bigram",
     "kn_trigram",  # same 1-row totals crossJoin, five equi-join models
+    "kn_quadgram",  # same 1-row totals crossJoin, seven equi-join models
     # |langs|-row broadcast cross (per-doc scores need every language
     # row even with zero matched grams) + the fit's 1-row gram-count
     # cross — both bounded by model geometry, never by the corpus
@@ -181,6 +182,63 @@ def test_no_bad_physical_operators_in_any_query(spark, sf_dir):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+# Queries allowed to carry a PARTITION-LESS window (Spark plans those as a
+# single-partition WindowExec — the textbook scale-killer when the window
+# input is corpus-sized). Every entry here is bounded by operator GEOMETRY,
+# not by the corpus: the window's input frame is already reduced to a
+# constant- or group-count-sized relation before the window runs.
+_GLOBAL_WINDOW_ALLOWED = {
+    # rank over the k-row frame produced by TakeOrderedAndProject (the
+    # r11-verdict fix: top-k FIRST, then row_number over k rows);
+    # test_heavy_hitters_ranks_after_takeordered pins the lowering
+    "cms_heavy_hitters",
+    # the grouped prefix-sum pattern (ordering.py): per-group windows do
+    # the corpus-sized work; the global window runs over the #groups-row
+    # broadcast offset table only
+    "corpus_mixture",
+    "global_ids",
+    "webdataset_export",
+    # largest-remainder seat assignment: the global _rem ranking runs over
+    # one row per group/lang (the allocation table), never the corpus
+    "proportional_sample",
+    "temperature_sample",
+    # the cumulative sketch walk is bounded at <=512 buckets; the exact
+    # side's global row_number is the error-visibility audit leg the row
+    # exists to publish (the production shape keeps only the sketch)
+    "quantile_sketch",
+}
+
+
+def test_no_unbounded_global_window_in_any_query(spark, sf_dir):
+    """Sweep every driver query's physical plan for partition-less window
+    specs (first windowspecdefinition argument is a sort column, i.e. no
+    partition key). Those plan as single-partition WindowExec; each one in
+    the registry must be on the documented geometry-bounded allowlist."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    offenders = {}
+    for name, fn in sorted(entry_mod.queries().items()):
+        plan = plan_of(fn(spark, sf_dir))
+        firsts = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+        hits = [a for a in firsts if " ASC" in a or " DESC" in a]
+        if hits and name not in _GLOBAL_WINDOW_ALLOWED:
+            offenders[name] = hits
+    assert not offenders, offenders
+
+
+def test_heavy_hitters_ranks_after_takeordered(spark, sf_dir):
+    """heavy_hitters_cms must take the exact top-k via
+    TakeOrderedAndProject BEFORE ranking (the r11 verdict scale-killer:
+    ranking the full vocabulary through one window task)."""
+    from storage_spark.operators.analytics import heavy_hitters_cms
+
+    t = load_all(spark, sf_dir)
+    plan = plan_of(heavy_hitters_cms(t["documents"], k=20))
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_ivf_centroid_pass_is_distributed(spark, sf_dir):
