@@ -348,17 +348,30 @@ def extract_embeddings(
     dim: int = 64,
     key_col: str = "key",
     content_col: str = "content",
+    embedder=None,
 ) -> DataFrame:
     """The multimodal → vector bridge: content bytes → ``array<float>``
-    embedding via an Arrow-batched mapInPandas stage. The featurizer here
-    is a DETERMINISTIC FAKE (md5-seeded floats in [-1, 1]) standing in for
-    a real encoder (CLIP/wav2vec/...); identical bytes → identical vector,
-    so downstream near-dup (operators.dedup.embedding_near_dup_pairs) and
-    ANN (functions.vectors) run for real against the fake's output. The
-    batch shape, schema, and partition behavior are exactly what a real
-    model-inference stage uses (one model load per partition batch slot).
-    """
-    import hashlib
+    embedding via an Arrow-batched mapInPandas stage. The DEFAULT
+    featurizer is a DETERMINISTIC FAKE (md5-seeded floats in [-1, 1])
+    standing in for a real encoder (CLIP/wav2vec/...); identical bytes →
+    identical vector, so downstream near-dup
+    (operators.dedup.embedding_near_dup_pairs) and ANN
+    (functions.vectors) run for real against the fake's output.
+
+    ``embedder`` dispatches a REAL provider through
+    ``functions.embedder.select_embedder`` (the fastcodec pattern): pass
+    a batch callable ``fn(list[bytes], dim) -> list[list[float]]`` or a
+    ``module:function`` import target, or set the
+    ``STORAGE_SPARK_EMBEDDER`` environment flag; resolution failures and
+    wrong-count/wrong-dim outputs raise loudly rather than silently
+    degrading. The batch shape, schema, and partition behavior are
+    exactly what a real model-inference stage uses (one Arrow batch per
+    provider call; providers cache their model at module level so the
+    load is paid once per executor process)."""
+    from storage_spark.functions.embedder import select_embedder, validate_batch
+
+    embed = select_embedder(embedder)
+    provider_name = getattr(embed, "__name__", repr(embed))
 
     out_schema = T.StructType(
         [
@@ -367,28 +380,13 @@ def extract_embeddings(
         ]
     )
 
-    def _embed_one(b: bytes) -> list[float]:
-        vec: list[float] = []
-        i = 0
-        while len(vec) < dim:
-            h = hashlib.md5(bytes(b) + i.to_bytes(4, "big")).digest()
-            # 4 floats per digest: each uint32 → [-1, 1]
-            for j in range(0, 16, 4):
-                if len(vec) >= dim:
-                    break
-                u = int.from_bytes(h[j : j + 4], "big")
-                vec.append((u / 2147483647.5) - 1.0)
-            i += 1
-        return vec
-
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "key": pdf[key_col],
-                    "embedding": [_embed_one(bytes(b)) for b in pdf[content_col]],
-                }
+            batch = [bytes(b) for b in pdf[content_col]]
+            vecs = validate_batch(
+                embed(batch, dim), len(batch), dim, provider_name
             )
+            yield pd.DataFrame({"key": pdf[key_col], "embedding": vecs})
 
     return blobs.mapInPandas(_batches, out_schema)
 
