@@ -415,6 +415,48 @@ def minhash_lsh_pairs(
     )
 
 
+def band_pair_volume(
+    bands: DataFrame, bucket_cols: list[str] | None = None
+) -> DataFrame:
+    """Pre-join candidate-volume audit for ANY banded LSH index frame —
+    MinHash bands (``minhash_band_index``), SimHash segments, media
+    fingerprint bands: per band, the EXACT number of candidate pairs the
+    (band, sig) self-join will emit before ``distinct()``, which is
+    Σ over buckets of C(size, 2), plus the largest bucket (the skew
+    number a hot-bucket cap or AQE split must handle).
+
+    This is the data-driven twin of ``multimodal.band_candidate_estimate``
+    (r11): that closed form prices UNIFORM fingerprints a priori; MinHash
+    signatures depend on corpus content, so there is no corpus-free
+    formula — but the exact volume costs ONE map-side-combinable groupBy
+    over the index (O(|bands| rows), no pair ever materialized), versus
+    the join's O(candidates). A 100 TB planner therefore runs this audit
+    FIRST and picks (n_hashes, band_size, max_band_df) BEFORE paying the
+    candidate shuffle — the r12 1M-doc probe (tools/
+    probe_r12_text_scale.py) is the measured use of exactly this audit.
+
+    Output: one row per band — (band, n_buckets, max_bucket, candidates);
+    ``sum(candidates)`` prices the stage, and a band whose volume is far
+    off its siblings' indicates a degenerate hash or a hot signature.
+    """
+    cols = bucket_cols or ["band", "sig"]
+    sz = F.count(F.lit(1)).alias("_sz")
+    return (
+        bands.groupBy(*cols)
+        .agg(sz)
+        .groupBy(cols[0])
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("_sz").cast("long").alias("max_bucket"),
+            F.sum(
+                F.col("_sz").cast("long") * (F.col("_sz") - 1).cast("long") / 2
+            )
+            .cast("long")
+            .alias("candidates"),
+        )
+    )
+
+
 def band_threshold(n_hashes: int, band_size: int) -> float:
     """The banded-LSH S-curve inflection ``(1/b)^(1/r)``: the Jaccard
     similarity at which a pair has ~50% candidate probability. Pick

@@ -10,6 +10,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from storage_spark.operators.dedup import (
+    band_pair_volume,
     incremental_minhash_pairs,
     minhash_band_index,
     minhash_lsh_pairs,
@@ -57,6 +58,53 @@ def test_index_append_reproduces_full_index(spark, sf_dir):
     full = minhash_band_index(docs, **KW)
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_band_pair_volume_matches_join_pre_distinct(spark, sf_dir):
+    """The audit's per-band Σ C(size, 2) must equal the number of
+    candidate pairs the (band, sig) self-join emits BEFORE distinct —
+    the exact volume the shuffle carries."""
+    bands = minhash_band_index(_docs(spark, sf_dir), **KW)
+    a = bands.select(F.col("doc").alias("doc_a"), "band", "sig")
+    b = bands.select(F.col("doc").alias("doc_b"), "band", "sig")
+    want = (
+        a.join(b, ["band", "sig"]).filter(F.col("doc_a") < F.col("doc_b")).count()
+    )
+    vol = band_pair_volume(bands)
+    assert vol.agg(F.sum("candidates")).collect()[0][0] == want
+    # per-band geometry: n_bands rows, buckets partition the docs
+    rows = {r.band: r for r in vol.collect()}
+    assert set(rows) == {0, 1}  # n_hashes=4, band_size=2
+    n_docs_with_sig = bands.select("doc").distinct().count()
+    for r in rows.values():
+        assert 1 <= r.max_bucket <= n_docs_with_sig
+        assert r.n_buckets <= n_docs_with_sig
+
+
+def test_band_pair_volume_hand_fixture(spark):
+    """Known buckets: band 0 has sizes {3, 2, 1} -> 3+1+0 = 4 candidate
+    pairs, max bucket 3; band 1 has one size-4 bucket -> 6 pairs."""
+    rows = (
+        [("d%d" % i, 0, "x") for i in range(3)]
+        + [("e%d" % i, 0, "y") for i in range(2)]
+        + [("f", 0, "z")]
+        + [("g%d" % i, 1, "w") for i in range(4)]
+    )
+    bands = spark.createDataFrame(rows, "doc string, band int, sig string")
+    got = {r.band: r for r in band_pair_volume(bands).collect()}
+    assert (got[0].n_buckets, got[0].max_bucket, got[0].candidates) == (3, 3, 4)
+    assert (got[1].n_buckets, got[1].max_bucket, got[1].candidates) == (1, 4, 6)
+
+
+def test_band_pair_volume_custom_bucket_cols(spark):
+    """Generic over the media fingerprint-band shape ((key, band_id,
+    band_val) style frames) via bucket_cols."""
+    bands = spark.createDataFrame(
+        [("a", 7, "s"), ("b", 7, "s"), ("c", 7, "t")],
+        "key string, b int, v string",
+    )
+    [row] = band_pair_volume(bands, bucket_cols=["b", "v"]).collect()
+    assert (row.b, row.n_buckets, row.max_bucket, row.candidates) == (7, 2, 2, 1)
 
 
 def test_token_percentiles_match_numpy_linear(spark, sf_dir):
