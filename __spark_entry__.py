@@ -4200,6 +4200,102 @@ FROM lns ORDER BY doc_id, line_no
 """)
 
 
+#: WARC fixture constants shared by q_warc_records and its oracle: the
+#: warcinfo payload, the info-record template length with an EMPTY doc id
+#: (all-ASCII, so octet length == char length + strlen(id)), and the HTTP
+#: response header block length.
+_WARC_INFO_PAYLOAD = "software: storage-spark-probe"
+_WARC_INFO_PRE = "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:uuid:info-"
+_WARC_INFO_POST = (
+    ">\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "
+    f"{len(_WARC_INFO_PAYLOAD)}\r\n\r\n{_WARC_INFO_PAYLOAD}\r\n\r\n"
+)
+_WARC_HTTP_HDR = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+
+
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) record splitting (functions/warc.py): build a
+    two-record WARC file per document from a seeded rule INSIDE the
+    query (warcinfo record + HTTP response record carrying the corpus
+    text as entity body, exact CRLF framing and Content-Length octets),
+    run the Arrow record-splitting stage, and emit every record's parsed
+    fields. The oracle replays the generation rule (media_decode_meta
+    pattern): offsets are template arithmetic, lengths are octet counts,
+    payloads reconstruct verbatim — the parser's header walk, payload
+    slicing, and byte accounting are all under the hash. STAGED r12 (the
+    r12 window is 49 r8-drain + kn_quadgram), proven via the identical
+    assert_parity gate in pytest; registers when a window slot opens
+    (r13)."""
+    from storage_spark.functions.warc import extract_warc_records
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(
+        (F.col("doc_id") % 9 == 0) & F.col("text").isNotNull()
+    )
+    did = F.col("doc_id").cast("string")
+    info_rec = F.concat(F.lit(_WARC_INFO_PRE), did, F.lit(_WARC_INFO_POST))
+    http = F.concat(F.lit(_WARC_HTTP_HDR), F.substring("text", 1, 120))
+    resp_rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+              "http://corpus/doc/"),
+        did,
+        F.lit("\r\nWARC-Record-ID: <urn:uuid:resp-"),
+        did,
+        F.lit(">\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    files = docs.select(
+        "doc_id",
+        F.encode(F.concat(info_rec, resp_rec), "UTF-8").alias("content"),
+    )
+    return (
+        extract_warc_records(files)
+        .select(
+            "doc_id", "rec_no", "offset", "warc_type", "target_uri",
+            "record_id", "content_length",
+            F.decode("payload", "UTF-8").alias("payload_text"),
+        )
+        .orderBy("doc_id", "rec_no")
+    )
+
+
+def _oracle_warc_records() -> str:
+    crlf = "chr(13) || chr(10)"
+    return _o(f"""
+, wbase AS (
+  SELECT doc_id, substr(text, 1, 120) AS snip
+  FROM documents WHERE doc_id % 9 = 0 AND text IS NOT NULL
+),
+wrecs AS (
+  SELECT doc_id, 1 AS rec_no, 0 AS "offset", 'warcinfo' AS warc_type,
+         NULL AS target_uri,
+         '<urn:uuid:info-' || doc_id || '>' AS record_id,
+         {len(_WARC_INFO_PAYLOAD)} AS content_length,
+         '{_WARC_INFO_PAYLOAD}' AS payload_text
+  FROM wbase
+  UNION ALL
+  SELECT doc_id, 2,
+         {len(_WARC_INFO_PRE) + len(_WARC_INFO_POST)}
+           + strlen(CAST(doc_id AS VARCHAR)),
+         'response',
+         'http://corpus/doc/' || doc_id,
+         '<urn:uuid:resp-' || doc_id || '>',
+         {len(_WARC_HTTP_HDR)} + octet_length(encode(snip)),
+         'HTTP/1.1 200 OK' || {crlf} || 'Content-Type: text/plain'
+           || {crlf} || {crlf} || snip
+  FROM wbase
+)
+SELECT doc_id, CAST(rec_no AS INT) AS rec_no,
+       CAST("offset" AS BIGINT) AS "offset",
+       warc_type, target_uri, record_id,
+       CAST(content_length AS BIGINT) AS content_length, payload_text
+FROM wrecs ORDER BY doc_id, rec_no
+""")
+
+
 #: fixture lexicons for the trained-langid driver row (shared with the
 #: oracle emitter below — 8 words per language, content + function words
 #: so char-trigram profiles separate cleanly)
