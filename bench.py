@@ -172,6 +172,29 @@ def _run(
 
         return _gr(t["documents"]).filter(F.col("passes")).count()
 
+    def curate_gated():
+        # end-to-end composed curation (VERDICT r11 #7): trained NB gate
+        # → heuristic quality gate → exact dedup → near-dup removal as
+        # ONE declarative plan — the user-facing composition cost the
+        # per-operator entries can't see (gate selectivity feeding the
+        # shingle joins, one shared scan). Same composition the driver
+        # grades for correctness (q_curate_corpus_gated), fit included:
+        # the gate model is corpus-derived, so a fresh corpus pays it.
+        from storage_spark.operators.pipeline import (
+            curate_corpus,
+            nb_quality_model,
+        )
+
+        docs = t["documents"]
+        model = nb_quality_model(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        )
+        return curate_corpus(
+            docs, min_quality=0.5, min_jaccard=0.01,
+            classifier=model, min_logit_1e4=0,
+        ).count()
+
     def lm_unigram():
         # CCNet-style LM scoring, broadcast vocab join (the default
         # path); the agg over avg_nll forces the ordered per-doc fold
@@ -997,6 +1020,7 @@ def _run(
         "meta_filter": meta_filter,
         "lineitem_agg": lineitem_agg,
         "gopher_rules": gopher_rules,
+        "curate_gated": curate_gated,
         "lm_unigram": lm_unigram,
         "lm_bigram": lm_bigram,
         "lm_bigram_skew": lm_bigram_skew,
@@ -1078,7 +1102,7 @@ def _run(
     _HEAVY = {
         "lm_bigram", "lm_bigram_skew", "dsir_select", "lm_bigram_score",
         "dsir_score", "fat_jl_index_query", "fat_lsh_keysonly_query",
-        "bpe_train_merges", "langid_predict_docs",
+        "bpe_train_merges", "langid_predict_docs", "curate_gated",
     }
     # the fat pair gets a third repeat: with query-only ~7 s walls a
     # single VM shuffle-stall outlier dominates a 2-rep MEDIAN (r10:
