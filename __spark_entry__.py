@@ -4296,6 +4296,57 @@ FROM wrecs ORDER BY doc_id, rec_no
 """)
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET segment export (functions/warc.py wet_export): documents →
+    WARC conversion-record segment files, all JVM-side expressions
+    (record framing = concat + octet_length, per-shard assembly = one
+    sort_array'd groupBy, deterministic bytes). The oracle rebuilds the
+    identical segments with string_agg ORDER BY uri — framing, octet
+    accounting, md5 record ids, and shard ordering all under the hash.
+    STAGED r12 (window full), proven via the identical assert_parity
+    gate in pytest; registers when a window slot opens (r13+)."""
+    from storage_spark.functions.warc import wet_export
+
+    t = _t(spark, sf_dir)
+    docs = t["documents"].filter(F.col("text").isNotNull()).select(
+        (F.col("doc_id") % 7).alias("shard"),
+        F.concat(F.lit("http://corpus/doc/"), F.col("doc_id").cast("string"))
+        .alias("uri"),
+        F.substring("text", 1, 100).alias("text"),
+    )
+    out = wet_export(docs)
+    return out.select(
+        "shard", "n_records",
+        F.decode("content", "UTF-8").alias("content_text"),
+    ).orderBy("shard")
+
+
+def _oracle_wet_export() -> str:
+    crlf = "chr(13) || chr(10)"
+    return _o(f"""
+, wdocs AS (
+  SELECT doc_id % 7 AS shard,
+         'http://corpus/doc/' || doc_id AS uri,
+         substr(text, 1, 100) AS body
+  FROM documents WHERE text IS NOT NULL
+),
+wrecs AS (
+  SELECT shard, uri,
+         'WARC/1.0' || {crlf} ||
+         'WARC-Type: conversion' || {crlf} ||
+         'WARC-Target-URI: ' || uri || {crlf} ||
+         'WARC-Date: 2024-01-01T00:00:00Z' || {crlf} ||
+         'WARC-Record-ID: <urn:uuid:' || md5(uri) || '>' || {crlf} ||
+         'Content-Length: ' || octet_length(encode(body)) || {crlf} ||
+         {crlf} || body || {crlf} || {crlf} AS rec
+  FROM wdocs
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
+       string_agg(rec, '' ORDER BY uri) AS content_text
+FROM wrecs GROUP BY shard ORDER BY shard
+""")
+
+
 #: fixture lexicons for the trained-langid driver row (shared with the
 #: oracle emitter below — 8 words per language, content + function words
 #: so char-trigram profiles separate cleanly)

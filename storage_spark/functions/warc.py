@@ -192,6 +192,56 @@ def extract_warc_records(
     return df.mapInPandas(_batches, out_schema)
 
 
+def wet_export(
+    df: DataFrame,
+    shard_col: str = "shard",
+    uri_col: str = "uri",
+    text_col: str = "text",
+    date: str = "2024-01-01T00:00:00Z",
+) -> DataFrame:
+    """The inverse direction: documents → WET segment files (one row per
+    shard: ``shard``, ``content`` bytes, ``n_records``), each a valid
+    concatenation of WARC ``conversion`` records — the interchange format
+    the extraction half of a crawl pipeline EMITS (Common Crawl's WET
+    layout). ``parse_warc_records(content)`` round-trips exactly (tested).
+
+    All JVM-side expressions — record framing is string concat +
+    ``octet_length``, and per-shard assembly is one groupBy with a
+    sort_array over (uri, record) structs, so output bytes are
+    DETERMINISTIC (shard content is ordered by uri, independent of
+    partitioning). Record IDs are md5(uri) urns. Transport gzip is a
+    sink concern (write the bytes through a gzip sink if needed — the
+    parser accepts both).
+
+    100 TB story: one shuffle on the shard key sizes segments
+    explicitly (shard assignment is the caller's partitioning lever);
+    record building itself is map-only."""
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col(uri_col),
+        F.lit(f"\r\nWARC-Date: {date}\r\nWARC-Record-ID: <urn:uuid:"),
+        F.md5(F.encode(F.col(uri_col), "UTF-8")),
+        F.lit(">\r\nContent-Length: "),
+        F.octet_length(F.col(text_col)).cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col(text_col),
+        F.lit("\r\n\r\n"),
+    )
+    per = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(uri_col).alias("_u"),
+        rec.alias("_r"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("_u", "_r"))),
+        lambda s: s["_r"],
+    )
+    return per.groupBy("shard").agg(
+        F.encode(F.array_join(ordered, ""), "UTF-8").alias("content"),
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+    )
+
+
 def warc_http_documents(
     df: DataFrame,
     content_col: str = "content",

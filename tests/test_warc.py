@@ -147,6 +147,38 @@ def test_warc_http_documents_filters_and_splits(spark):
     assert got[0].http_content_type == "text/html"
 
 
+def test_wet_export_round_trips_and_is_deterministic(spark):
+    """documents → WET segment bytes → parse_warc_records recovers every
+    doc exactly; shard content is ordered by uri regardless of input
+    order; multibyte text survives via octet-length framing."""
+    from storage_spark.functions.warc import wet_export
+
+    rows = [
+        ("s1", "http://a/2", "second doc"),
+        ("s1", "http://a/1", "first döc ü"),  # multibyte
+        ("s2", "http://b/1", ""),
+    ]
+    df = spark.createDataFrame(rows, "shard string, uri string, text string")
+    out = {r.shard: r for r in wet_export(df).collect()}
+    assert out["s1"].n_records == 2 and out["s2"].n_records == 1
+    recs = parse_warc_records(bytes(out["s1"].content))
+    assert [(r["warc_type"], r["target_uri"]) for r in recs] == [
+        ("conversion", "http://a/1"), ("conversion", "http://a/2"),
+    ]
+    assert recs[0]["payload"].decode("utf-8") == "first döc ü"
+    assert recs[0]["content_length"] == len("first döc ü".encode())
+    assert recs[1]["payload"] == b"second doc"
+    [empty] = parse_warc_records(bytes(out["s2"].content))
+    assert empty["payload"] == b"" and empty["content_length"] == 0
+    # deterministic under reversed input order
+    again = wet_export(
+        spark.createDataFrame(rows[::-1], "shard string, uri string, text string")
+    ).collect()
+    assert {r.shard: bytes(r.content) for r in again} == {
+        k: bytes(v.content) for k, v in out.items()
+    }
+
+
 def test_warc_records_staged_driver_pair_hash_matches(spark, sf_dir):
     """The staged-for-r13 driver pair (q_warc_records /
     _oracle_warc_records) must pass the IDENTICAL gate the driver runs —
@@ -160,6 +192,20 @@ def test_warc_records_staged_driver_pair_hash_matches(spark, sf_dir):
         entry_mod._oracle_warc_records(),
         sf_dir,
         "warc_records_staged",
+    )
+
+
+def test_wet_export_staged_driver_pair_hash_matches(spark, sf_dir):
+    """The staged-for-r13 driver pair (q_wet_export / _oracle_wet_export)
+    must pass the IDENTICAL gate the driver runs."""
+    import __spark_entry__ as entry_mod
+    from tests.parity import assert_parity
+
+    assert_parity(
+        entry_mod.q_wet_export(spark, sf_dir),
+        entry_mod._oracle_wet_export(),
+        sf_dir,
+        "wet_export_staged",
     )
 
 
