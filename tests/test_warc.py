@@ -209,6 +209,48 @@ def test_wet_export_staged_driver_pair_hash_matches(spark, sf_dir):
     )
 
 
+def test_front_door_stages_are_shuffle_free(spark):
+    """The crawl front door must stay embarrassingly parallel: WARC
+    record explosion, the HTTP split, and HTML line explosion are Arrow
+    map-only stages — no Exchange anywhere in the composed plan (the
+    100 TB property: cost scales with files scanned, never shuffled).
+    wet_export's single shard-key Exchange is the one the caller ASKS
+    for (segment sizing)."""
+    import contextlib
+    import io
+
+    from storage_spark.functions.htmltext import explode_html_lines
+    from storage_spark.functions.warc import wet_export
+
+    def plan_of(df):
+        # "simple" mode: one line per physical operator (formatted mode
+        # prints each node twice — tree + detail section)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [("f", bytearray(_rec("response", _http(b"<p>x</p>"), uri="u")))],
+        "key string, content binary",
+    )
+    docs = warc_http_documents(df).select(
+        "key", F.decode(F.col("body"), "UTF-8").alias("html")
+    )
+    plan = plan_of(explode_html_lines(docs, "html"))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 3  # records, http split, extract
+
+    wet_plan = plan_of(
+        wet_export(
+            spark.createDataFrame(
+                [("s", "u", "t")], "shard string, uri string, text string"
+            )
+        )
+    )
+    assert wet_plan.count("Exchange") == 1  # only the shard groupBy
+
+
 def test_warc_to_html_lines_front_door(spark):
     """The full crawl front door: WARC bytes → successful response body →
     decoded HTML → block lines, all one composed plan."""
