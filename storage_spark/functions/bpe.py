@@ -421,6 +421,11 @@ def unigram_vocab(
     pieces = top.unionByName(chars).groupBy("tok").agg(
         F.max("cnt").alias("cnt")
     )
+    # pieces is bounded (<= max_size + charset rows) and referenced
+    # twice (total + the final select); unpinned, each reference
+    # replays BOTH corpus explodes (grams and chars) — the r12
+    # _pin_model pattern halves the fit (one localCheckpoint job)
+    pieces = pieces if pieces.is_cached else pieces.localCheckpoint(eager=True)
     total = pieces.agg(F.sum("cnt").alias("_t"))
     return (
         pieces.crossJoin(F.broadcast(total))

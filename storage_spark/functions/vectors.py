@@ -86,6 +86,30 @@ def cosine_distance_arrow(a: Column, b: Column, na: Column, nb: Column) -> Colum
     return _dist(a, b, na, nb)
 
 
+def cosine_distance_full_arrow(a: Column, b: Column) -> Column:
+    """Arrow twin of ``cosine_distance`` with the norms computed INLINE
+    (the rerank-stage shape, where no precomputed norm columns exist).
+    Bitwise-identical by the same argument as ``cosine_distance_arrow``:
+    every fold is ``np.add.accumulate`` (strict left-to-right double
+    accumulation, the order of the expression path's ``F.aggregate``),
+    and *, /, −, sqrt are correctly-rounded IEEE ops in both engines —
+    verified against the HOF path in tests."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dist(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        dots = np.add.accumulate(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])
+        return pd.Series(1.0 - dots / (na * nb))
+
+    return _dist(a, b)
+
+
 def l2_distance_arrow(a: Column, b: Column) -> Column:
     """Arrow-vectorized L2 — same bitwise contract as cosine_distance_arrow
     (sequential left-fold of (x-y)^2, then sqrt)."""
@@ -103,12 +127,36 @@ def l2_distance_arrow(a: Column, b: Column) -> Column:
     return _dist(a, b)
 
 
-def _metric_distance(metric: str, a: Column, b: Column) -> Column:
+def _metric_distance(
+    metric: str, a: Column, b: Column, arrow: bool = False
+) -> Column:
     if metric == "cosine":
-        return cosine_distance(a, b)
+        return cosine_distance_full_arrow(a, b) if arrow else cosine_distance(a, b)
     if metric in ("euclidean", "l2"):
-        return l2_distance(a, b)
+        return l2_distance_arrow(a, b) if arrow else l2_distance(a, b)
     raise ValueError(f"unknown distance metric: {metric}")
+
+
+#: dimension at or above which the BOUNDED rerank stage's distance math
+#: auto-routes to the Arrow (vectorized numpy) path when the caller
+#: leaves ``arrow=None``. The expression path interprets the
+#: zip_with/aggregate fold PER ELEMENT; the Arrow twins are
+#: bitwise-identical (strict left folds — tested), so routing never
+#: changes results, only the engine executing the arithmetic. Applied
+#: ONLY where candidate volume is bounded (refine_factor·k rows per
+#: query — ``_exact_rerank``): r12 measured the dim-768 jl rerank at
+#: 7.3 s expression vs 5.0 s Arrow, while the UNBOUNDED pre-top-k rank
+#: stage at the same dim LOST with Arrow (7.6 → 8.8 s — vector bytes
+#: across the Python boundary dominate) and dim-64 stages lose the
+#: batch-transfer trade everywhere (NOTES_r4 §6, re-confirmed r12).
+#: 256 splits the measured regimes.
+ARROW_AUTO_DIM = 256
+
+
+def _arrow_auto(arrow: bool | None, dim: int) -> bool:
+    """Resolve an ``arrow=None`` (auto) flag by dimension — see
+    ``ARROW_AUTO_DIM``. Explicit True/False always wins."""
+    return (dim >= ARROW_AUTO_DIM) if arrow is None else bool(arrow)
 
 
 def _pair_distance(
@@ -754,7 +802,7 @@ def lsh_ann_join(
     query_vec: str = "q_vec",
     corpus_key: str = "key",
     corpus_vec: str = "embedding",
-    arrow: bool = False,
+    arrow: bool | None = None,
     probe_radius: int = 0,
     n_tables: int | None = None,
     n_corpus: int | None = None,
@@ -862,7 +910,7 @@ def _lsh_rank_against_postings(
     query_vec: str = "q_vec",
     corpus_key: str = "key",
     corpus_vec: str = "embedding",
-    arrow: bool = False,
+    arrow: bool | None = None,
     probe_radius: int = 0,
     n_tables: int = 1,
     corpus_vectors: DataFrame | None = None,
@@ -872,7 +920,15 @@ def _lsh_rank_against_postings(
     signature, dedupe candidate identities, exact-rank. A KEYS-ONLY
     posting table (``lsh_corpus_postings(store_vectors=False)``) needs
     ``corpus_vectors`` — a (corpus_key, corpus_vec) table joined once
-    per DEDUPED candidate, after the bucket join shrank the row set."""
+    per DEDUPED candidate, after the bucket join shrank the row set.
+    ``arrow=None`` resolves to False here: this is the PRE-top-k stage,
+    whose candidate volume is unbounded, so routing it through Arrow
+    ships every candidate's vectors across the Python boundary — r12
+    measured the dim-768 keys-only rank stage at 8.8 s Arrow vs 7.6 s
+    expression (transfer dominates), while the BOUNDED rerank stage
+    (refine_factor·k rows, ``_exact_rerank``) wins 7.3 → 5.0 s with
+    Arrow. Explicit ``arrow=True`` still opts in."""
+    arrow = bool(arrow)
     probes = max(1, n_tables)
     q = queries.withColumn("_qn", norm(F.col(query_vec)))
     q_sigs = []
@@ -1197,12 +1253,16 @@ def _exact_rerank(
     query_vec: str,
     corpus_key: str,
     corpus_vec: str,
+    arrow: bool = False,
 ) -> DataFrame:
     """The shared refine stage of every two-stage search (PQ / SQ /
     IVFPQ / IVFSQ): fetch ONLY the candidate rows' full-precision
     vectors (equi-join on the candidate ids), broadcast the query
     vectors back in, exact-rank to the final k. Returns
-    ``(q_key, key, distance, rank)`` with full-precision distances."""
+    ``(q_key, key, distance, rank)`` with full-precision distances.
+    ``arrow=True`` routes the distance arithmetic through the
+    bitwise-identical vectorized twins (fat-dim reranks — the caller
+    resolves the flag from the FULL vector dimension)."""
     enriched = cands.join(
         corpus.select(
             F.col(corpus_key), F.col(corpus_vec).alias("_cv")
@@ -1214,7 +1274,7 @@ def _exact_rerank(
         ),
         query_key,
     )
-    dist = _metric_distance(metric, F.col("_cv"), F.col("_qv"))
+    dist = _metric_distance(metric, F.col("_cv"), F.col("_qv"), arrow=arrow)
     w = Window.partitionBy(query_key).orderBy(
         F.col("distance").asc(), F.col(corpus_key).asc()
     )

@@ -135,6 +135,44 @@ def langid_features(
     return feats
 
 
+def langid_feature_count(
+    text: Column, n: int = 3, word_ns: tuple[int, ...] = ()
+) -> Column:
+    """``F.size(langid_features(text, n, word_ns))`` computed
+    ANALYTICALLY, without building the gram arrays — the r12 scoring
+    optimization: the per-doc total pass pays only normalization +
+    length/size, not the zip_with shifted-array chain (guide §1.2 —
+    don't compute what you throw away; the totals pass discards every
+    gram string).
+
+    Equal by construction (pinned in tests on unicode + edge fixtures):
+
+    - char n-grams count = max(len(padded) − (n−1), 0), and the padded
+      char-array length IS ``F.length`` of the padded string — Spark's
+      ``length`` counts code points, exactly what ``split(s, '')``
+      splits into (Java regex zero-width matches advance by code
+      point, so surrogate pairs never split);
+    - each word-n level adds max(n_tokens − (wn−1), 0) tagged grams,
+      with n_tokens the same filtered-split token count the gram
+      builder uses.
+
+    NULL text: arithmetic over NULL lengths falls through
+    ``greatest(…, 0)`` to 0, which downstream ``> 0`` filters treat
+    exactly like the built array's empty/NULL size."""
+    s = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "),
+        F.lit(" "),
+    )
+    cnt = F.greatest(F.length(s) - F.lit(n - 1), F.lit(0))
+    if word_ns:
+        s2 = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+        toks_cnt = F.size(F.filter(F.split(s2, " "), lambda t: t != F.lit("")))
+        for wn in word_ns:
+            cnt = cnt + F.greatest(toks_cnt - F.lit(wn - 1), F.lit(0))
+    return cnt
+
+
 def langid_fit_stats(
     labeled: DataFrame,
     lang_col: str = "lang",
@@ -251,7 +289,7 @@ def langid_score(
     )
     nd = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(langid_features(F.col(text_col), n, word_ns)).cast("bigint")
+        langid_feature_count(F.col(text_col), n, word_ns).cast("bigint")
         .alias("n_grams"),
     ).filter(F.col("n_grams") > 0)
     matched = (

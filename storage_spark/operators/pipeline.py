@@ -29,6 +29,22 @@ from storage_spark.functions.text import (
 from storage_spark.operators.dedup import ngram_jaccard_pairs
 
 
+def _pin_model(df: DataFrame) -> DataFrame:
+    """Materialize a BOUNDED model/type table that the surrounding plan
+    references more than once (the langid_score pattern). Catalyst plans
+    every reference to an unpersisted frame separately — no
+    cross-reference reuse for broadcast builds — so a fitted-model
+    subplan re-runs its full corpus aggregation once PER reference:
+    ``bigram_logprob``'s inline fit planned 10 corpus scans / 10
+    explodes, ``kn_trigram_score`` 18, ``lm_bigram_skew`` 18 (r12
+    formatted-plan counts, plans/r12/*_before.txt). One eager
+    ``localCheckpoint`` of each model table collapses that to one fit
+    pass per model. Tables pinned here are vocabulary/type-table sized
+    (model-bounded, never corpus-sized), so the checkpoint itself is
+    small; skipped when the caller already persisted the frame."""
+    return df if df.is_cached else df.localCheckpoint(eager=True)
+
+
 def corpus_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -795,7 +811,11 @@ def unigram_logprob(
             f"model_join must be 'broadcast' or 'skew_split' (got {model_join!r})"
         )
     if model is None:
-        model = unigram_model(docs, text_col)
+        # inline fit: the model table is referenced three times below
+        # (totals + the join, and skew_split's head/tail derivation) —
+        # pin it so the corpus-wide fit aggregation runs once, not once
+        # per reference (guide §2.4/§5; see _pin_model)
+        model = _pin_model(unigram_model(docs, text_col))
     totals = model.agg(
         F.sum("cnt").alias("_n"), F.count(F.lit(1)).alias("_v")
     )
@@ -847,16 +867,21 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from storage_spark.functions.text import normalized_text
 
     tk = F.split(normalized_text(F.col(text_col)), " ")
-    pairs = F.filter(
-        F.transform(
-            tk,
-            lambda t, i: F.struct(
-                F.when(i > 0, F.element_at(tk, i)).alias("prev"),
-                t.alias("tok"),
-            ),
+    # zip_with over shifted slices, NOT transform with an element_at(tk,
+    # i) lambda: a lambda body referencing the tokenization
+    # subexpression re-evaluates it PER ELEMENT (the r10 lambda-capture
+    # hazard char_ngrams documents — normalized_text's regex ran once
+    # per token per row here). zip_with's array arguments evaluate once
+    # per row; lambda bodies touch only their own variables. Pair values
+    # and order are identical (kn_bigram_score's proven shape).
+    pairs = F.when(
+        F.size(tk) >= 2,
+        F.zip_with(
+            F.slice(tk, 1, F.size(tk) - 1),
+            F.slice(tk, 2, F.size(tk) - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("tok")),
         ),
-        lambda s: s["prev"].isNotNull(),
-    )
+    ).otherwise(F.array().cast("array<struct<prev:string,tok:string>>"))
     return (
         docs.select(F.explode(pairs).alias("p"))
         .select(F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
@@ -880,9 +905,14 @@ def _skew_split_left_join(
     sides). Result rows are identical to ``left.join(model, keys,
     "left")``; only the physical plan differs. Shared by
     ``unigram_logprob`` and ``bigram_logprob``'s pair join."""
-    head = model.orderBy(
-        F.col(cnt_col).desc(), *[F.col(k).asc() for k in keys]
-    ).limit(head_size)
+    # head is bounded (<= head_size rows) and referenced three times
+    # (hot join + two anti-join key probes) — pin it so the TakeOrdered
+    # over the model runs once (see _pin_model)
+    head = _pin_model(
+        model.orderBy(
+            F.col(cnt_col).desc(), *[F.col(k).asc() for k in keys]
+        ).limit(head_size)
+    )
     tail = model.join(F.broadcast(head.select(*keys)), keys, "left_anti")
     hot = left.join(F.broadcast(head), keys)
     cold = left.join(
@@ -948,9 +978,13 @@ def bigram_logprob(
             f"model_join must be 'broadcast' or 'skew_split' (got {model_join!r})"
         )
     if unigrams is None:
-        unigrams = unigram_model(docs, text_col)
+        # referenced 3x below (totals, ctx, uni) — pin the inline fit
+        # so the corpus aggregation runs once (see _pin_model)
+        unigrams = _pin_model(unigram_model(docs, text_col))
     if bigrams is None:
-        bigrams = bigram_model(docs, text_col)
+        # referenced once on the broadcast path but 3x via skew_split's
+        # head/tail derivation — same pin
+        bigrams = _pin_model(bigram_model(docs, text_col))
     totals = unigrams.agg(
         F.sum("cnt").alias("_n"), F.count(F.lit(1)).alias("_v")
     )
@@ -959,8 +993,12 @@ def bigram_logprob(
     # two selects: posexplode's `pos` only exists after the first, and
     # `prev` needs it (element_at is 1-indexed, so for 0-based pos the
     # previous token is element_at(tk, pos); pos 0 has none)
-    toks = docs.select(
-        F.col(id_col), tk.alias("_tk"), F.posexplode(tk).alias("pos", "tok")
+    # materialize the token array into a column FIRST, then explode the
+    # column: a single select evaluating both `tk.alias("_tk")` and
+    # `posexplode(tk)` plans the Generate over the raw expression, so
+    # normalized_text's regex + split ran twice per row (r12 plan read)
+    toks = docs.select(F.col(id_col), tk.alias("_tk")).select(
+        F.col(id_col), "_tk", F.posexplode(F.col("_tk")).alias("pos", "tok")
     ).select(
         id_col, "pos", "tok",
         F.when(F.col("pos") > 0, F.element_at(F.col("_tk"), F.col("pos")))
@@ -1705,10 +1743,16 @@ def nb_quality_model(
 
     cp = _counts(pos, "_cp")
     cn = _counts(neg, "_cn")
-    joint = cp.join(cn, "tok", "full_outer").select(
-        "tok",
-        F.coalesce(F.col("_cp"), F.lit(0)).alias("_cp"),
-        F.coalesce(F.col("_cn"), F.lit(0)).alias("_cn"),
+    # joint vocabulary table, referenced twice (totals + the weight
+    # select) and re-planned again by every consumer that broadcasts
+    # the returned model — pinned so each class's corpus explode+count
+    # runs exactly once (see _pin_model)
+    joint = _pin_model(
+        cp.join(cn, "tok", "full_outer").select(
+            "tok",
+            F.coalesce(F.col("_cp"), F.lit(0)).alias("_cp"),
+            F.coalesce(F.col("_cn"), F.lit(0)).alias("_cn"),
+        )
     )
     totals = joint.agg(
         F.sum("_cp").alias("_np"),
@@ -1782,7 +1826,10 @@ def classifier_score(
         # DATA here, not the model); hot keys join broadcast — LEFT,
         # since a hot token may be unseen by the model — and the tail
         # shuffles on rare keys only
-        head_keys = (
+        # bounded (<= head_size rows) and referenced four times below —
+        # pinned so the corpus-wide frequency TakeOrdered runs once
+        # (see _pin_model)
+        head_keys = _pin_model(
             toks.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("_f"))
             .orderBy(F.col("_f").desc(), F.col("tok").asc())
@@ -1844,15 +1891,19 @@ def hashed_ngram_buckets(
     uni = F.transform(tk, _bucket)
     if not use_bigrams:
         return uni
-    pairs = F.filter(
-        F.transform(
-            tk,
-            lambda t, i: F.when(
-                i > 0, F.concat(F.element_at(tk, i), F.lit(" "), t)
-            ),
+    # zip_with over shifted slices, not transform + element_at(tk, i):
+    # the captured-subexpression lambda re-evaluated normalized_text's
+    # regex once PER TOKEN per row (the r10 lambda-capture hazard —
+    # see bigram_model). Same "prev tok" strings in the same token
+    # order, so the downstream ordered fold is untouched.
+    pairs = F.when(
+        F.size(tk) >= 2,
+        F.zip_with(
+            F.slice(tk, 1, F.size(tk) - 1),
+            F.slice(tk, 2, F.size(tk) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
-        lambda s: s.isNotNull(),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return F.concat(uni, F.transform(pairs, _bucket))
 
 
@@ -1884,10 +1935,15 @@ def dsir_model(
 
     mt = _fit(target, "_ct")
     mr = _fit(raw, "_cr")
-    merged = mt.join(mr, "b", "full_outer").select(
-        "b",
-        F.coalesce(F.col("_ct"), F.lit(0)).alias("_ct"),
-        F.coalesce(F.col("_cr"), F.lit(0)).alias("_cr"),
+    # merged is <= num_buckets rows and referenced twice (totals + the
+    # final select) — pinned, so each corpus fit explode runs once
+    # instead of once per reference (see _pin_model)
+    merged = _pin_model(
+        mt.join(mr, "b", "full_outer").select(
+            "b",
+            F.coalesce(F.col("_ct"), F.lit(0)).alias("_ct"),
+            F.coalesce(F.col("_cr"), F.lit(0)).alias("_cr"),
+        )
     )
     totals = merged.agg(
         F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr")
@@ -2178,7 +2234,12 @@ def kn_bigram_score(
         )
         .select("doc_id", "pos", "pr.prev", "pr.tok")
     )
-    big = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # the bigram TYPE table feeds four consumers (ctx, cont, totals and
+    # the scored join) — pin it so the corpus pair aggregation runs
+    # once, not four times (see _pin_model)
+    big = _pin_model(
+        pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
     ctx = big.groupBy("prev").agg(
         F.sum("c").alias("cprev"),
         F.count(F.lit(1)).alias("n1_prev"),  # distinct followers
@@ -2302,8 +2363,12 @@ def kn_trigram_score(
         )
         .select("doc_id", "pos", "tr.u", "tr.v", "tr.w")
     )
-    # trigram counts + the type table every continuation stat reads
-    tri3 = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+    # trigram counts + the type table every continuation stat reads —
+    # pinned: four consumers (ctx3, cont2, mid, scored) would otherwise
+    # each replay the corpus trigram explode+count (see _pin_model)
+    tri3 = _pin_model(
+        tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+    )
     ctx3 = tri3.groupBy("u", "v").agg(
         F.sum("c3").alias("c3ctx"),
         F.count(F.lit(1)).alias("n1a"),      # distinct w after (u,v)
@@ -2334,7 +2399,11 @@ def kn_trigram_score(
         )
         .select("pr.prev", "pr.tok")
     )
-    big = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+    # bigram TYPE table, three consumers (nfv, cont1, totals) — pinned
+    # so the corpus pair explode+count runs once (see _pin_model)
+    big = _pin_model(
+        pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+    )
     nfv = big.groupBy("prev").agg(F.count(F.lit(1)).alias("nfv")) \
         .withColumnRenamed("prev", "v")
     cont1 = big.groupBy("tok").agg(F.count(F.lit(1)).alias("n1c")) \
@@ -2467,7 +2536,11 @@ def kn_quadgram_score(
         .select("doc_id", "pos", "q.s", "q.u", "q.v", "q.w")
     )
     # 4-gram counts + the type-derived continuation stats
-    q4 = quad.groupBy("s", "u", "v", "w").agg(F.count(F.lit(1)).alias("c4"))
+    # 4-gram TYPE table, four consumers (ctx4, cont3, mid3, scored) —
+    # pinned so the corpus 4-gram explode+count runs once (_pin_model)
+    q4 = _pin_model(
+        quad.groupBy("s", "u", "v", "w").agg(F.count(F.lit(1)).alias("c4"))
+    )
     ctx4 = q4.groupBy("s", "u", "v").agg(
         F.sum("c4").alias("c4ctx"),
         F.count(F.lit(1)).alias("n4a"),      # distinct w after (s,u,v)
@@ -2506,7 +2579,11 @@ def kn_quadgram_score(
         )
         .select("tr.u", "tr.v", "tr.w")
     )
-    tri3 = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+    # trigram TYPE table, three consumers (folw3, cont2, mid) — pinned
+    # (see _pin_model)
+    tri3 = _pin_model(
+        tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("c3"))
+    )
     folw3 = tri3.groupBy("u", "v").agg(
         F.count(F.lit(1)).alias("n1a")       # distinct trigram followers
     )
@@ -2536,7 +2613,11 @@ def kn_quadgram_score(
         )
         .select("pr.prev", "pr.tok")
     )
-    big = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+    # bigram TYPE table, three consumers (nfv, cont1, totals) — pinned
+    # so the corpus pair explode+count runs once (see _pin_model)
+    big = _pin_model(
+        pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cb"))
+    )
     nfv = big.groupBy("prev").agg(F.count(F.lit(1)).alias("nfv")) \
         .withColumnRenamed("prev", "v")
     cont1 = big.groupBy("tok").agg(F.count(F.lit(1)).alias("n1c")) \

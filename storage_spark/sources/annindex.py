@@ -534,7 +534,7 @@ def ann_index_search(
     probe_radius: int = 0,
     n_probe: int | None = None,
     refine_factor: int | None = None,
-    arrow: bool = False,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Top-k against a persisted index — the query-only cost: no corpus
     encode, just the probe join + exact ranking. Returns the same
@@ -613,9 +613,13 @@ def ann_index_search(
             arrow=arrow, probe_radius=probe_radius,
             n_tables=cfg["n_tables"],
         ).select(query_key, "key")
+        # rerank distances run at the FULL stored dimension — resolve
+        # the arrow auto-flag from cfg["dim"], not the projected out_dim
+        # the candidate-rank stage used (bitwise-identical either way)
         return V._exact_rerank(
             cands, queries, vectors, k, cfg["metric"],
             query_key, query_vec, "key", "embedding",
+            arrow=V._arrow_auto(arrow, cfg["dim"]),
         )
     if kind == "ivf":
         assigned = spark.read.parquet(os.path.join(path, "assigned"))

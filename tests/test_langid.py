@@ -335,3 +335,42 @@ def test_langid_prune_validity_and_exactness_bounds(spark):
 
     with _pytest.raises(ValueError):
         langid_prune(m, keep_top=0)
+
+
+def test_feature_count_matches_built_array_size(spark):
+    """langid_feature_count must equal F.size(langid_features(...)) for
+    every (n, word_ns) config on unicode + edge fixtures — the r12
+    scoring pass relies on the analytic count being exact."""
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.langid import (
+        langid_feature_count,
+        langid_features,
+    )
+
+    rows = [
+        ("plain ascii text here",),
+        ("  Weird   WHITESPACE\tand\ncase  ",),
+        ("héllo wörld çedilla",),
+        ("日本語のテキストです",),
+        ("emoji 😀😀 pair and astral 𐍈 char",),
+        ("combining é = é mark",),
+        ("one",),
+        ("ab",),
+        ("a",),
+        ("",),
+        ("   ",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    for n in (2, 3, 4):
+        for word_ns in ((), (1,), (1, 2)):
+            got = df.select(
+                F.coalesce(
+                    F.size(langid_features(F.col("text"), n, word_ns)),
+                    F.lit(0),
+                ).alias("built"),
+                langid_feature_count(F.col("text"), n, word_ns).alias("calc"),
+            ).collect()
+            for r in got:
+                assert max(r.built, 0) == r.calc, (n, word_ns, r)

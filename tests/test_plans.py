@@ -429,3 +429,96 @@ def test_olap_queries_broadcast_dimensions(spark, sf_dir):
     # (lineitem ⋈ orders); all four dims must come in as broadcasts
     plan = plan_of(entry_mod.queries()["region_revenue"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3, plan.count("BroadcastHashJoin")
+
+
+def test_lm_fit_model_tables_are_pinned(spark, sf_dir):
+    """The r12 optimization: inline-fit model/type tables are
+    localCheckpoint-ed (pipeline._pin_model), so a scorer's final plan
+    re-reads the small pinned table instead of replaying the corpus fit
+    aggregation once per reference. The pin shows up as parquet-scan /
+    Generate counts: before it, bigram_logprob's inline-fit plan carried
+    10 corpus scans + 10 explodes (plans/r12/lm_bigram_before.txt),
+    kn_trigram_score 18 + 18."""
+    from storage_spark.operators.pipeline import (
+        bigram_logprob,
+        dsir_sample,
+        kn_bigram_score,
+        kn_trigram_score,
+        unigram_logprob,
+    )
+
+    docs = load_all(spark, sf_dir)["documents"]
+    # scorer plan = ONE corpus scan (the scoring explode); fit tables
+    # come back as checkpoint RDD scans, not parquet re-scans
+    for name, df, max_scans in [
+        ("unigram", unigram_logprob(docs), 1),
+        ("bigram", bigram_logprob(docs), 1),
+        # kn: scoring explode + pair fit + vocab pass (type tables pinned)
+        ("kn2", kn_bigram_score(docs), 3),
+        # kn3: trigram explode x2 (tri3 fit ran at pin time; the scored
+        # side re-explodes) + pairs + vocab
+        ("kn3", kn_trigram_score(docs), 4),
+        (
+            "dsir",
+            dsir_sample(
+                docs.filter(F.col("doc_id") % 5 != 0),
+                docs.filter(F.col("doc_id") % 5 == 0),
+                k=10,
+            ),
+            1,
+        ),
+    ]:
+        import re
+
+        plan = plan_of(df)
+        # count the detail-section headers — formatted mode prints each
+        # node twice (tree line + "(n) Scan parquet" detail header)
+        n = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n <= max_scans, (name, n, max_scans)
+
+
+def test_fat_dim_distance_math_routes_to_arrow(spark, sf_dir, tmp_path_factory):
+    """ARROW_AUTO_DIM routing: a dim-768 jl_lsh search's BOUNDED exact
+    rerank runs vectorized (ArrowEvalPython in the plan); the dim-64
+    index — and the unbounded pre-top-k rank stage at ANY dim — keep
+    the JVM expression path. Same results either way (bitwise-identical
+    folds, tested in test_vectors)."""
+    from storage_spark.sources.annindex import ann_index_search, build_ann_index
+
+    d64 = str(tmp_path_factory.mktemp("annauto") / "idx64")
+    vectors = load_all(spark, sf_dir)["embeddings"].select(
+        F.col("vec_id").cast("string").alias("key"), "embedding"
+    )
+    build_ann_index(vectors, d64, kind="lsh", dim=64, n_planes=4, n_tables=2)
+    queries = vectors.limit(5).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    plan64 = plan_of(ann_index_search(spark, d64, queries, k=3, probe_radius=1))
+    assert "ArrowEvalPython" not in plan64 and "BatchEvalPython" not in plan64
+
+    # dim-768 keys-only lsh: the rank stage is PRE-top-k (unbounded
+    # candidate volume) — stays on the expression path even at fat dim
+    fat = vectors.limit(64).select(
+        "key",
+        F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding"),
+    )
+    dko = str(tmp_path_factory.mktemp("annauto") / "idxko768")
+    build_ann_index(
+        fat, dko, kind="lsh", dim=768, n_planes=3, store_vectors=False,
+        n_vectors=64,
+    )
+    fq = fat.limit(3).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    planko = plan_of(ann_index_search(spark, dko, fq, k=3))
+    assert "ArrowEvalPython" not in planko and "BatchEvalPython" not in planko
+
+    # dim-768 jl_lsh: candidate rank runs in the 64-dim projection
+    # (expression) but the FULL-dim exact rerank auto-routes to Arrow
+    djl = str(tmp_path_factory.mktemp("annauto") / "idxjl768")
+    build_ann_index(
+        fat, djl, kind="jl_lsh", dim=768, out_dim=32, n_planes=3,
+        n_vectors=64, encode_arrow=True,
+    )
+    planjl = plan_of(ann_index_search(spark, djl, fq, k=3))
+    assert "ArrowEvalPython" in planjl, planjl

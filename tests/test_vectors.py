@@ -1050,3 +1050,68 @@ def test_jl_lsh_encode_arrow_builds_identical_index(spark, sf_dir, tmp_path):
         for r in ann_index_search(spark, p2, q, k=5, probe_radius=1).collect()
     )
     assert a == b
+
+
+def test_cosine_full_arrow_bitwise_matches_expression(spark, sf_dir):
+    """cosine_distance_full_arrow (norms computed inline — the rerank
+    stage's shape) must reproduce cosine_distance's doubles BIT FOR BIT,
+    like the norm-factored twin above, so ARROW_AUTO_DIM routing in
+    _exact_rerank never perturbs oracle parity."""
+    from storage_spark.functions.vectors import (
+        cosine_distance,
+        cosine_distance_full_arrow,
+        l2_distance,
+        l2_distance_arrow,
+    )
+
+    v = _vectors(spark, sf_dir).select("key", "embedding").limit(40)
+    a = v.select(F.col("key").alias("ka"), F.col("embedding").alias("va"))
+    b = v.select(F.col("key").alias("kb"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("ka") < F.col("kb"))
+    for expr_fn, arrow_fn in [
+        (cosine_distance, cosine_distance_full_arrow),
+        (l2_distance, l2_distance_arrow),
+    ]:
+        expr_rows = sorted(
+            (r.ka, r.kb, repr(r.d))
+            for r in pairs.select(
+                "ka", "kb", expr_fn(F.col("va"), F.col("vb")).alias("d")
+            ).collect()
+        )
+        arrow_rows = sorted(
+            (r.ka, r.kb, repr(r.d))
+            for r in pairs.select(
+                "ka", "kb", arrow_fn(F.col("va"), F.col("vb")).alias("d")
+            ).collect()
+        )
+        assert expr_rows and expr_rows == arrow_rows
+
+
+def test_ann_index_search_arrow_auto_matches_expression(spark, sf_dir, tmp_path):
+    """ann_index_search with arrow left at auto (None) returns exactly the
+    rows an arrow=False call returns — routing changes the engine doing
+    the arithmetic, never the arithmetic. jl_lsh at dim 768 exercises the
+    rerank stage's auto-Arrow path (the one ARROW_AUTO_DIM turns on)."""
+    from storage_spark.sources.annindex import ann_index_search, build_ann_index
+
+    v = _vectors(spark, sf_dir).select("key", "embedding").limit(80)
+    fat = v.select(
+        "key", F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding")
+    )
+    path = str(tmp_path / "fatidx")
+    build_ann_index(
+        fat, path, kind="jl_lsh", dim=768, out_dim=32, n_planes=3,
+        n_vectors=80, encode_arrow=True,
+    )
+    q = fat.limit(4).select(
+        F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+    )
+    base = sorted(
+        (r.q_key, r.key, repr(r.distance), r.rank)
+        for r in ann_index_search(spark, path, q, k=3, arrow=False).collect()
+    )
+    auto = sorted(
+        (r.q_key, r.key, repr(r.distance), r.rank)
+        for r in ann_index_search(spark, path, q, k=3).collect()
+    )
+    assert base and base == auto
