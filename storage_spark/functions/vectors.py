@@ -27,6 +27,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _lit_array(values) -> Column:
+    """A double-array literal Column built as ONE parsed SQL expression
+    instead of per-element ``F.lit`` calls. ``F.array(*[F.lit(x) …])``
+    pays one py4j round trip per element — at dim 768 a single plane
+    costs ~0.5 s of DRIVER time just to construct, and a fat-dim LSH
+    query plan (planes × probes) measured 4-5 s of pure DataFrame
+    BUILD before any job ran (r12). The expr form is one call (~360×
+    faster measured) and bit-exact: ``repr(float)`` is the shortest
+    round-trip decimal, which Java's Double.parseDouble maps back to
+    the identical double. Non-finite values fall back to the per-element
+    path (SQL literals can't spell NaN/Inf)."""
+    import math
+
+    vals = [float(v) for v in values]
+    if all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-fold dot product in double precision (order-deterministic)."""
     return F.aggregate(
@@ -197,7 +216,7 @@ def query_vectors(
         df = df.filter(
             compile_filter(filter_ast, metadata_col or "metadata", non_filterable)
         )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_array(query_vec)
     df = df.withColumn("distance", _metric_distance(metric, F.col(vector_col), q))
     df = df.orderBy(F.col("distance").asc(), F.col(key_col).asc()).limit(top_k)
     if not return_distance:
@@ -394,7 +413,7 @@ def project_embeddings(
         return df.withColumn(out_col, _proj(F.col(vector_col)))
     vec = F.col(vector_col)
     coords = [
-        dot(vec, F.array(*[F.lit(x) for x in p])) * F.lit(scale)
+        dot(vec, _lit_array(p)) * F.lit(scale)
         for p in planes
     ]
     proj = F.array(*coords)
@@ -451,7 +470,7 @@ def mean_pool_embeddings(
     posexplode row blow-up, no per-dimension shuffle. Returns
     ``(group_col, n_chunks, pooled)``.
     """
-    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+    zero = _lit_array([0.0] * dim)
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     item = F.struct(
         F.col(order_col).alias("o"),
@@ -553,12 +572,47 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Bit-sign signature: one bit per hyperplane (dot-product sign),
     packed into a string bucket id."""
     bits = [
-        F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(
+        F.when(dot(vec, _lit_array(p)) >= 0, F.lit("1")).otherwise(
             F.lit("0")
         )
         for p in planes
     ]
     return F.concat(*bits)
+
+
+def lsh_signature_arrow(vec: Column, planes: list[list[float]]) -> Column:
+    """Arrow twin of ``lsh_signature`` — identical signature STRINGS:
+    the per-plane dot is ``np.add.accumulate``'s strict left fold (the
+    expression fold's order) and the bit is the same ``>= 0`` sign test
+    on the identical double, so every bucket id matches bit-for-bit
+    (pinned in tests). The point at fat dimensions is the PLAN, not the
+    arithmetic: the expression form embeds n_planes × dim literal
+    doubles in the tree, and r12 measured a dim-768 query plan spending
+    4-5 s of driver time just being constructed and analyzed; this form
+    carries the planes as a closure and the tree is one Python node."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(planes, dtype=np.float64)  # (n_planes, dim)
+
+    @pandas_udf("string")
+    def _sig(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        V = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        prods = V[:, None, :] * P[None, :, :]
+        dots = np.add.accumulate(prods, axis=2)[:, :, -1]
+        bits = np.where(dots >= 0, "1", "0")
+        return pd.Series(["".join(row) for row in bits])
+
+    return _sig(vec)
+
+
+def _sig_fn(dim: int):
+    """Signature builder for this dimension: the Arrow twin at/above
+    ``ARROW_AUTO_DIM`` (plan-size relief — see lsh_signature_arrow),
+    the pure expression below it. Same strings either way."""
+    return lsh_signature_arrow if dim >= ARROW_AUTO_DIM else lsh_signature
 
 
 def _first_n_by_key(
@@ -891,7 +945,7 @@ def lsh_corpus_postings(
     c_sigs = []
     for tbl in range(max(1, n_tables)):
         planes = hyperplanes(dim, n_planes, seed=42 + 1_000_003 * tbl)
-        sig_c = lsh_signature(F.col(corpus_vec), planes)
+        sig_c = _sig_fn(dim)(F.col(corpus_vec), planes)
         c_sigs.append(F.concat(F.lit(f"{tbl}:"), sig_c))
     c = c.withColumn("_sig", F.explode(F.array(*c_sigs)))
     if not store_vectors:
@@ -934,7 +988,7 @@ def _lsh_rank_against_postings(
     q_sigs = []
     for tbl in range(probes):
         planes = hyperplanes(dim, n_planes, seed=42 + 1_000_003 * tbl)
-        sig_q = lsh_signature(F.col(query_vec), planes)
+        sig_q = _sig_fn(dim)(F.col(query_vec), planes)
         if probe_radius > 0:
             q_sigs.append(
                 F.transform(
@@ -1037,7 +1091,7 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 
 def _lit_vec(row: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in row])
+    return _lit_array(row)
 
 
 def pq_encode(

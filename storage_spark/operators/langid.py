@@ -336,13 +336,19 @@ def langid_predict(
     ``dsir_sample_per_group``, CCNet buckets): join this frame on the
     doc id."""
     s = langid_score(docs, model, id_col, text_col, n, materialize, word_ns)
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score_milli").desc(), F.col("lang").asc()
-    )
-    preds = (
-        s.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "lang")
+    # argmax as ONE aggregation, not a per-doc window: min_by over the
+    # struct (−score, lang) is exactly rank-1 of (score desc, lang asc)
+    # — identical rows, deterministic ties — and the aggregation
+    # partial-combines map-side where the window had to shuffle + sort
+    # every (doc, lang) row first (r12, guide §2.3 "aggregate before
+    # you shuffle")
+    preds = s.groupBy("doc_id").agg(
+        F.min_by(
+            "lang",
+            F.struct(
+                (-F.col("score_milli")).alias("ns"), F.col("lang").alias("l")
+            ),
+        ).alias("lang")
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))

@@ -496,8 +496,10 @@ def test_fat_dim_distance_math_routes_to_arrow(spark, sf_dir, tmp_path_factory):
     plan64 = plan_of(ann_index_search(spark, d64, queries, k=3, probe_radius=1))
     assert "ArrowEvalPython" not in plan64 and "BatchEvalPython" not in plan64
 
-    # dim-768 keys-only lsh: the rank stage is PRE-top-k (unbounded
-    # candidate volume) — stays on the expression path even at fat dim
+    # dim-768 keys-only lsh: the SIGNATURE computation routes to Arrow
+    # (plan-size relief — lsh_signature_arrow), but the pre-top-k
+    # distance math stays on the expression path (unbounded candidate
+    # volume loses the Python-transfer trade): exactly ONE Arrow node
     fat = vectors.limit(64).select(
         "key",
         F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding"),
@@ -510,8 +512,11 @@ def test_fat_dim_distance_math_routes_to_arrow(spark, sf_dir, tmp_path_factory):
     fq = fat.limit(3).select(
         F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
     )
+    import re
+
     planko = plan_of(ann_index_search(spark, dko, fq, k=3))
-    assert "ArrowEvalPython" not in planko and "BatchEvalPython" not in planko
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", planko)) == 1, planko
+    assert "BatchEvalPython" not in planko
 
     # dim-768 jl_lsh: candidate rank runs in the 64-dim projection
     # (expression) but the FULL-dim exact rerank auto-routes to Arrow

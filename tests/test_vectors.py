@@ -1115,3 +1115,29 @@ def test_ann_index_search_arrow_auto_matches_expression(spark, sf_dir, tmp_path)
         for r in ann_index_search(spark, path, q, k=3).collect()
     )
     assert base and base == auto
+
+
+def test_lsh_signature_arrow_bitwise_matches_expression(spark, sf_dir):
+    """lsh_signature_arrow must produce the IDENTICAL signature strings
+    as the expression form at any dimension — the fat-dim plan-size
+    relief never moves a vector to a different bucket."""
+    from storage_spark.functions.vectors import (
+        hyperplanes,
+        lsh_signature,
+        lsh_signature_arrow,
+    )
+
+    v = _vectors(spark, sf_dir).select("key", "embedding").limit(60)
+    fat = v.select(
+        "key", F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("e")
+    )
+    for df, dim in ((v.withColumnRenamed("embedding", "e"), 64), (fat, 768)):
+        planes = hyperplanes(dim, 6, seed=42)
+        rows = df.select(
+            "key",
+            lsh_signature(F.col("e"), planes).alias("s_expr"),
+            lsh_signature_arrow(F.col("e"), planes).alias("s_arrow"),
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r.s_expr == r.s_arrow, (dim, r.key)
