@@ -2893,7 +2893,15 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storage_spark.operators.pipeline import curate_corpus
 
     t = _t(spark, sf_dir)
-    return curate_corpus(t["documents"], min_quality=0.5, min_jaccard=0.01)
+    # materialize="disk": the shared scored/exact-kept/shingle-index
+    # stages persist lazily instead of re-planning per consumer — the
+    # documented at-scale setting (NOTES_r6 A/B: disk 38.7 s < off
+    # 60.0 s at 50k docs; r12 re-measured 3.5 vs 4.4 s at sf0.1).
+    # Results identical — the knob only changes plan sharing.
+    return curate_corpus(
+        t["documents"], min_quality=0.5, min_jaccard=0.01,
+        materialize="disk",
+    )
 
 
 def q_curate_corpus_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2910,9 +2918,11 @@ def q_curate_corpus_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+    # materialize="disk": see q_curate_corpus — identical results,
+    # shared stages persisted instead of re-planned per consumer
     return curate_corpus(
         docs, min_quality=0.5, min_jaccard=0.01,
-        classifier=model, min_logit_1e4=0,
+        classifier=model, min_logit_1e4=0, materialize="disk",
     )
 
 
@@ -5090,7 +5100,10 @@ def q_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = kmv_resemblance(sa, sb, k=256)
     ea = kmv_estimate(sa, k=256).select(F.col("est").alias("est_a"))
     eb = kmv_estimate(sb, k=256).select(F.col("est").alias("est_b"))
-    da, db = toks_a.distinct(), toks_b.distinct()
+    # pinned: each exact distinct-token table feeds both the intersect
+    # and the union — unpinned, each corpus explode+distinct ran twice
+    da = toks_a.distinct().localCheckpoint(eager=True)
+    db = toks_b.distinct().localCheckpoint(eager=True)
     inter = da.intersect(db).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_inter")
     )

