@@ -985,20 +985,38 @@ def _lsh_rank_against_postings(
     arrow = bool(arrow)
     probes = max(1, n_tables)
     q = queries.withColumn("_qn", norm(F.col(query_vec)))
-    q_sigs = []
+    # materialize each table's BASE signature as its own column and build
+    # the probe set by flipping bits of the column REFERENCE (r13, guide
+    # §7.3): probe_signatures duplicates its input expression ~3-4× per
+    # flipped bit, so inlining the signature expression (n_planes × dim
+    # literal dots) exploded the tree to n_planes × dim × probes × ~4
+    # nodes — fat_jl_index_query measured ~5 s of pure driver plan
+    # build/analysis on a 64×6-literal signature duplicated 28×.
+    # CollapseProject keeps the alias boundary (the reference is neither
+    # cheap nor single-use), so the signature is computed once per row
+    # and the flips are string surgery over it — plan AND runtime win.
+    base_cols = []
     for tbl in range(probes):
         planes = hyperplanes(dim, n_planes, seed=42 + 1_000_003 * tbl)
-        sig_q = _sig_fn(dim)(F.col(query_vec), planes)
+        q = q.withColumn(
+            f"_sb{tbl}", _sig_fn(dim)(F.col(query_vec), planes)
+        )
+        base_cols.append(f"_sb{tbl}")
+    q_sigs = []
+    for tbl in range(probes):
+        base = F.col(f"_sb{tbl}")
         if probe_radius > 0:
             q_sigs.append(
                 F.transform(
-                    probe_signatures(sig_q, n_planes, probe_radius),
+                    probe_signatures(base, n_planes, probe_radius),
                     lambda s: F.concat(F.lit(f"{tbl}:"), s),
                 )
             )
         else:
-            q_sigs.append(F.array(F.concat(F.lit(f"{tbl}:"), sig_q)))
-    q = q.withColumn("_sig", F.explode(F.flatten(F.array(*q_sigs))))
+            q_sigs.append(F.array(F.concat(F.lit(f"{tbl}:"), base)))
+    q = q.withColumn("_sig", F.explode(F.flatten(F.array(*q_sigs)))).drop(
+        *base_cols
+    )
     have_vec = corpus_vec in c.columns
     if not have_vec and corpus_vectors is None:
         raise ValueError(

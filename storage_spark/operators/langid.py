@@ -214,25 +214,47 @@ def merge_langid_stats(*stats: DataFrame) -> DataFrame:
 
 def langid_weights_from_stats(stats: DataFrame) -> DataFrame:
     """(lang, gram, c) counts → the ``(lang, gram, w_milli)`` model
-    table (Laplace weights + per-lang OOV row at ``gram = ''``)."""
-    tot = stats.groupBy("lang").agg(F.sum("c").alias("tot"))
-    n_grams = stats.select("gram").distinct().agg(
-        F.count(F.lit(1)).alias("g_sz")
+    table (Laplace weights + per-lang OOV row at ``gram = ''``).
+
+    Derivation is ONE window chain over the (model-bounded) stats table
+    instead of the former two aggregations + two joins + two broadcast
+    crosses (r13, guide §1.2): per-lang totals and the global
+    distinct-gram count are windows — ``sum(c) over (lang)`` and
+    ``max(dense_rank over (order by gram)) over ()`` — and the per-lang
+    OOV row rides out of the same pass via a 2-element explode on each
+    lang's first row. The single-partition windows are safe BECAUSE the
+    stats table is model-bounded (|langs| × |gram space|), never
+    corpus-sized; values are bit-identical (same integer qlog2 inputs,
+    pinned by the incremental-merge test). A 32-row fit dropped from
+    ~1.7 s to ~1.0 s of pure stage overhead on local[32] (r13 probe)."""
+    wl = Window.partitionBy("lang")
+    wg_ord = Window.orderBy("gram")
+    wg_all = wg_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    denom = _qlog2_milli(F.col("tot") + F.col("g_sz"))
-    weights = (
-        stats.join(tot, "lang")
-        .crossJoin(F.broadcast(n_grams))
-        .select(
-            "lang", "gram",
-            (_qlog2_milli(F.col("c") + F.lit(1)) - denom).alias("w_milli"),
+    st = (
+        stats.withColumn("tot", F.sum("c").over(wl))
+        .withColumn("_dr", F.dense_rank().over(wg_ord))
+        .withColumn("g_sz", F.max("_dr").over(wg_all))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("lang").orderBy("gram")),
         )
     )
-    oov = (
-        tot.crossJoin(F.broadcast(n_grams))
-        .select("lang", F.lit("").alias("gram"), (-denom).alias("w_milli"))
+    denom = _qlog2_milli(F.col("tot") + F.col("g_sz"))
+    pair = F.struct(
+        F.col("gram").alias("gram"),
+        (_qlog2_milli(F.col("c") + F.lit(1)) - denom).alias("w_milli"),
     )
-    return weights.unionByName(oov)
+    oov_pair = F.struct(
+        F.lit("").alias("gram"), (-denom).alias("w_milli")
+    )
+    rows = F.when(
+        F.col("_rn") == 1, F.array(pair, oov_pair)
+    ).otherwise(F.array(pair))
+    return st.select(
+        "lang", F.explode(rows).alias("_e")
+    ).select("lang", F.col("_e.gram").alias("gram"), F.col("_e.w_milli").alias("w_milli"))
 
 
 def langid_fit(
@@ -253,6 +275,120 @@ def langid_fit(
     )
 
 
+def _langid_doc_table(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    materialize: bool,
+    word_ns: tuple[int, ...],
+    keep_empty: bool,
+) -> DataFrame:
+    """Shared score machinery (r13, guide §1.2/§2.4): ONE corpus pass,
+    one linear plan chain — ``(doc_id, n_grams, _ml, _la)`` with
+    ``_ml`` the doc's matched-language sums ``array<struct<lang, mw,
+    mk>>`` and ``_la`` the (broadcast, 1-row cross) model language
+    array ``array<struct<lang, oov>>``. Score and argmax then both
+    derive as ARRAY expressions over this frame, so neither needs a
+    second corpus scan, a per-(doc, lang) grid join, nor another
+    shuffle — the former shape scanned the corpus twice, shuffled the
+    gram explosion by gram through an un-hinted SortMergeJoin, and
+    joined the corpus back once more for predict's default labels.
+
+    Mechanics: posexplode the grams (``keep_empty=True`` uses the
+    outer form so gram-less docs keep one null-gram row — the predict
+    path's default-label anchor), LEFT-join the explicitly broadcast
+    weight rows (the model is geometry-bounded by contract), aggregate
+    (doc, lang), then fold the langs into one row per doc. The per-doc
+    total rides as max(pos)+1 of the SAME posexplode (== the gram
+    array's size by construction), NOT as a per-row expression next to
+    the generator: Catalyst hoists scalar projections above Generate,
+    so an expression column would re-run the normalization regex once
+    per OCCURRENCE (measured 17 s vs 2 s at sf0.1 — the r10
+    lambda-capture hazard in project-over-generate form)."""
+    # the model is geometry-bounded and referenced twice below (weight
+    # rows and the OOV/langs rows) — materialize once so an unpersisted
+    # fit plan isn't re-run per reference (the histogram_quantiles
+    # pattern). Skipped when the caller already persisted the model
+    # (is_cached) or opted out (materialize=False) — composing a query
+    # should not re-trigger a Spark job per score/predict call.
+    if materialize and not model.is_cached:
+        model = model.localCheckpoint(eager=True)
+    feats = langid_features(F.col(text_col), n, word_ns)
+    exploder = F.posexplode_outer if keep_empty else F.posexplode
+    # per-OCCURRENCE join, not a (doc, gram) pre-aggregation: summing
+    # w over matched occurrences equals Σ k·w over distinct grams, and
+    # skipping the pre-agg removes a corpus-sized (doc, gram) shuffle —
+    # the only corpus shuffle is groupBy(doc, lang), which the map-side
+    # combiner collapses to ≤ |langs|+1 rows per doc per task (measured
+    # ~200 s → ~20 s at sf1, tools/probe_r10_sf1.py)
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        exploder(feats).alias("pos", "gram"),
+    )
+    weights = model.filter(F.col("gram") != "")
+    occ = ex.join(F.broadcast(weights), "gram", "left")
+    g1 = occ.groupBy("doc_id", "lang").agg(
+        F.sum("w_milli").alias("mw"),
+        # matched-occurrence count: w_milli is non-null exactly on the
+        # rows the former inner join kept, so count(w) == count(*) of
+        # that join per (doc, lang); the null-lang group counts 0
+        F.count("w_milli").alias("mk"),
+        F.max("pos").alias("_p"),
+    )
+    # one row per doc: total grams + the matched-language sums folded
+    # into a bounded array (≤ |langs| entries — collect_list skips the
+    # null-lang group's null entry); order-insensitive consumers only
+    g2 = g1.groupBy("doc_id").agg(
+        F.coalesce(F.max("_p") + 1, F.lit(0)).cast("bigint")
+        .alias("n_grams"),
+        F.collect_list(
+            F.when(
+                F.col("lang").isNotNull(),
+                F.struct(
+                    F.col("lang").alias("lang"),
+                    F.col("mw").alias("mw"),
+                    F.col("mk").alias("mk"),
+                ),
+            )
+        ).alias("_ml"),
+    )
+    langs_arr = model.filter(F.col("gram") == "").agg(
+        F.collect_list(
+            F.struct(F.col("lang").alias("lang"), F.col("w_milli").alias("oov"))
+        ).alias("_la")
+    )
+    return g2.join(F.broadcast(langs_arr), how="cross")
+
+
+def _langid_scored_arr() -> Column:
+    """``array<struct<lang, score_milli>>`` over a ``_langid_doc_table``
+    row: per model language, Σ matched w + (N − matched k) · oov — the
+    same long arithmetic as the former per-(doc, lang) grid, as one
+    array transform (the lookup into ``_ml`` is ≤ |langs| entries).
+    Long sums are order-independent, so the collect_list orders never
+    reach the result."""
+    z = F.lit(0).cast("long")
+
+    def per_lang(entry: Column) -> Column:
+        m = F.get(
+            F.filter(
+                F.col("_ml"), lambda ml: ml["lang"] == entry["lang"]
+            ),
+            0,
+        )
+        score = (
+            F.coalesce(m["mw"], z)
+            + (F.col("n_grams") - F.coalesce(m["mk"], z)) * entry["oov"]
+        ).cast("long")
+        return F.struct(
+            entry["lang"].alias("lang"), score.alias("score_milli")
+        )
+
+    return F.transform(F.col("_la"), per_lang)
+
+
 def langid_score(
     docs: DataFrame,
     model: DataFrame,
@@ -267,55 +403,19 @@ def langid_score(
     rows (see ``langid_predict`` for the default label). ``word_ns``
     must match the fit's setting — the scored feature space has to be
     the trained one."""
-    # the model is geometry-bounded and referenced twice below (weight
-    # rows and the OOV/langs rows) — materialize once so an unpersisted
-    # fit plan isn't re-run per reference (the histogram_quantiles
-    # pattern). Skipped when the caller already persisted the model
-    # (is_cached) or opted out (materialize=False) — composing a query
-    # should not re-trigger a Spark job per score/predict call.
-    if materialize and not model.is_cached:
-        model = model.localCheckpoint(eager=True)
-    # per-OCCURRENCE join, not a (doc, gram) pre-aggregation: summing
-    # w over matched occurrences equals Σ k·w over distinct grams, and
-    # skipping the pre-agg removes a corpus-sized (doc, gram) shuffle —
-    # the only shuffle left is groupBy(doc, lang), which the map-side
-    # combiner collapses to ≤ |langs| rows per doc per task (measured
-    # ~200 s → ~20 s at sf1, tools/probe_r10_sf1.py)
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            langid_features(F.col(text_col), n, word_ns)
-        ).alias("gram"),
+    # keep_empty=False: a doc appears iff its gram array is non-empty,
+    # i.e. exactly the former ``n_grams > 0`` filter
+    t = _langid_doc_table(
+        docs, model, id_col, text_col, n, materialize, word_ns,
+        keep_empty=False,
     )
-    nd = docs.select(
-        F.col(id_col).alias("doc_id"),
-        langid_feature_count(F.col(text_col), n, word_ns).cast("bigint")
-        .alias("n_grams"),
-    ).filter(F.col("n_grams") > 0)
-    matched = (
-        grams.join(model.filter(F.col("gram") != ""), "gram")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("w_milli").alias("mw"),
-            F.count(F.lit(1)).alias("mk"),
-        )
-    )
-    langs = model.filter(F.col("gram") == "").select(
-        "lang", F.col("w_milli").alias("oov")
-    )
-    z = F.lit(0)
-    return (
-        nd.crossJoin(F.broadcast(langs))
-        .join(matched, ["doc_id", "lang"], "left")
-        .select(
-            "doc_id", "lang",
-            (
-                F.coalesce(F.col("mw"), z)
-                + (F.col("n_grams") - F.coalesce(F.col("mk"), z))
-                * F.col("oov")
-            ).cast("long").alias("score_milli"),
-            F.col("n_grams").cast("long").alias("n_grams"),
-        )
+    return t.select(
+        "doc_id", "n_grams", F.explode(_langid_scored_arr()).alias("_s")
+    ).select(
+        "doc_id",
+        F.col("_s.lang").alias("lang"),
+        F.col("_s.score_milli").alias("score_milli"),
+        F.col("n_grams").cast("long").alias("n_grams"),
     )
 
 
@@ -331,31 +431,39 @@ def langid_predict(
 ) -> DataFrame:
     """Argmax language per doc — ``(doc_id, lang)`` with the
     deterministic (score desc, lang asc) tie-break; docs with no
-    n-grams get ``default``. The drop-in producer for any per-language
-    operator's lang/group column (line_dedup's ``group_col``,
-    ``dsir_sample_per_group``, CCNet buckets): join this frame on the
-    doc id."""
-    s = langid_score(docs, model, id_col, text_col, n, materialize, word_ns)
-    # argmax as ONE aggregation, not a per-doc window: min_by over the
-    # struct (−score, lang) is exactly rank-1 of (score desc, lang asc)
-    # — identical rows, deterministic ties — and the aggregation
-    # partial-combines map-side where the window had to shuffle + sort
-    # every (doc, lang) row first (r12, guide §2.3 "aggregate before
-    # you shuffle")
-    preds = s.groupBy("doc_id").agg(
-        F.min_by(
-            "lang",
-            F.struct(
-                (-F.col("score_milli")).alias("ns"), F.col("lang").alias("l")
-            ),
-        ).alias("lang")
+    n-grams get ``default`` (one row per distinct doc id). The drop-in
+    producer for any per-language operator's lang/group column
+    (line_dedup's ``group_col``, ``dsir_sample_per_group``, CCNet
+    buckets): join this frame on the doc id."""
+    t = _langid_doc_table(
+        docs, model, id_col, text_col, n, materialize, word_ns,
+        keep_empty=True,
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(preds, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce(F.col("lang"), F.lit(default)).alias("lang")
-        )
+    # argmax as an ARRAY sort over the per-doc language scores — no
+    # per-doc window, no grid explode + re-aggregation: the comparator
+    # is exactly rank-1 of (score desc, lang asc), a total order, so
+    # the result is deterministic whatever order collect_list produced.
+    # Gram-less docs (n_grams = 0) and the empty-model edge (no langs →
+    # empty array → F.get returns null) both fall through to the
+    # default label, exactly as the former docs-join shape did.
+    best = F.get(
+        F.array_sort(
+            _langid_scored_arr(),
+            lambda l, r: F.when(
+                l["score_milli"] > r["score_milli"], F.lit(-1)
+            )
+            .when(l["score_milli"] < r["score_milli"], F.lit(1))
+            .when(l["lang"] < r["lang"], F.lit(-1))
+            .when(l["lang"] > r["lang"], F.lit(1))
+            .otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+    )
+    return t.select(
+        "doc_id",
+        F.coalesce(
+            F.when(F.col("n_grams") > 0, best["lang"]), F.lit(default)
+        ).alias("lang"),
     )
 
 
