@@ -5101,9 +5101,15 @@ def q_kmv_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = kmv_estimate(sa, k=256).select(F.col("est").alias("est_a"))
     eb = kmv_estimate(sb, k=256).select(F.col("est").alias("est_b"))
     # pinned: each exact distinct-token table feeds both the intersect
-    # and the union — unpinned, each corpus explode+distinct ran twice
-    da = toks_a.distinct().localCheckpoint(eager=True)
-    db = toks_b.distinct().localCheckpoint(eager=True)
+    # and the union — unpinned, each corpus explode+distinct ran twice.
+    # Lazy DISK_ONLY persist, not localCheckpoint (r13, ADVICE r12):
+    # these are VOCABULARY-sized (unbounded by k), so keep lineage
+    # (recomputable on executor loss) and keep them out of executor
+    # memory; the first consumer's job fills the blocks.
+    from storage_spark.operators.dedup import _materialize
+
+    da = _materialize(toks_a.distinct(), "disk")
+    db = _materialize(toks_b.distinct(), "disk")
     inter = da.intersect(db).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_inter")
     )

@@ -1115,6 +1115,22 @@ def _run(
     _REPS_OVERRIDE = {"fat_jl_index_query": 3, "fat_lsh_keysonly_query": 3}
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    # Release scope per rep (r13, VERDICT r12 #4): every pin an operator
+    # makes inside the timed fn (model tables, batch bands, sketches,
+    # DISK_ONLY assignment persists) is registered with the scope and
+    # freed AFTER the rep's wall is captured — the pin's creation cost
+    # stays inside the timed region (nothing is shaved), but entry N no
+    # longer runs against N-1 entries' leaked executor-storage blocks.
+    # tools/probe_r13_storage.py demonstrates flat storage across a
+    # suite slice with this in place.
+    from storage_spark.operators.dedup import materialize_scope
+
+    def _timed(f) -> float:
+        t0 = time.time()
+        with materialize_scope():
+            f()
+            return time.time() - t0
+
     for name, fn in queries.items():
         n_reps = _REPS_OVERRIDE.get(
             name, min(repeats, heavy_reps) if name in _HEAVY else repeats
@@ -1122,9 +1138,7 @@ def _run(
         n_reps = min(n_reps, repeats)
         runs: list[float] = []
         for _ in range(max(1, n_reps)):
-            t0 = time.time()
-            fn()
-            runs.append(time.time() - t0)
+            runs.append(_timed(fn))
             settle()
         # Stall guard (VERDICT r10 #1b): this VM's shuffle-cleanup stalls
         # are additive and transient (NOTES_r1 §2 — identical plans swing
@@ -1140,9 +1154,7 @@ def _run(
         ):
             settle()
             time.sleep(1.0)
-            t0 = time.time()
-            fn()
-            fresh = time.time() - t0
+            fresh = _timed(fn)
             runs.append(fresh)
             settle()
             runs.sort()

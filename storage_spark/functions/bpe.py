@@ -424,8 +424,11 @@ def unigram_vocab(
     # pieces is bounded (<= max_size + charset rows) and referenced
     # twice (total + the final select); unpinned, each reference
     # replays BOTH corpus explodes (grams and chars) — the r12
-    # _pin_model pattern halves the fit (one localCheckpoint job)
-    pieces = pieces if pieces.is_cached else pieces.localCheckpoint(eager=True)
+    # _pin_model pattern halves the fit (one localCheckpoint job);
+    # scope-releasable via pin_bounded (r13)
+    from storage_spark.operators.dedup import pin_bounded
+
+    pieces = pin_bounded(pieces)
     total = pieces.agg(F.sum("cnt").alias("_t"))
     return (
         pieces.crossJoin(F.broadcast(total))

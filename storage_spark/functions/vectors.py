@@ -600,19 +600,36 @@ def lsh_signature_arrow(vec: Column, planes: list[list[float]]) -> Column:
         import numpy as np
 
         V = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
-        prods = V[:, None, :] * P[None, :, :]
-        dots = np.add.accumulate(prods, axis=2)[:, :, -1]
-        bits = np.where(dots >= 0, "1", "0")
+        # one plane at a time (ADVICE r12): the vectorized-over-planes
+        # form materialized TWO (batch, n_planes, dim) float64 arrays —
+        # ~1.5 GB each at Arrow's 10k-row default batch, dim 768,
+        # 24 planes, an executor OOM risk. Per plane only (batch, dim)
+        # intermediates exist (~60 MB); the accumulate stays the same
+        # strict left fold over dim, so every double (and every bucket
+        # bit) is unchanged — pinned by the Arrow parity tests.
+        cols = []
+        for p in range(P.shape[0]):
+            dots = np.add.accumulate(V * P[p][None, :], axis=1)[:, -1]
+            cols.append(np.where(dots >= 0, "1", "0"))
+        bits = np.stack(cols, axis=1)
         return pd.Series(["".join(row) for row in bits])
 
     return _sig(vec)
 
 
-def _sig_fn(dim: int):
+def _sig_fn(dim: int, arrow: bool | None = None):
     """Signature builder for this dimension: the Arrow twin at/above
     ``ARROW_AUTO_DIM`` (plan-size relief — see lsh_signature_arrow),
-    the pure expression below it. Same strings either way."""
-    return lsh_signature_arrow if dim >= ARROW_AUTO_DIM else lsh_signature
+    the pure expression below it. Same strings either way.
+
+    ``arrow`` overrides the dim-auto routing (ADVICE r12): ``False``
+    forces the pure-JVM expression — the escape hatch for environments
+    without pandas/pyarrow executor deps, at the cost of the fat-dim
+    plan-size pathology the Arrow twin exists to avoid; ``True`` forces
+    Arrow; ``None`` (default) keeps the dim rule."""
+    return (
+        lsh_signature_arrow if _arrow_auto(arrow, dim) else lsh_signature
+    )
 
 
 def _first_n_by_key(
@@ -928,6 +945,7 @@ def lsh_corpus_postings(
     corpus_vec: str = "embedding",
     store_vectors: bool = True,
     corpus_key: str = "key",
+    sig_arrow: bool | None = None,
 ) -> DataFrame:
     """The persistable LSH posting table: corpus rows exploded to one row
     per (table, row) with the table-prefixed bucket signature ``_sig``
@@ -940,12 +958,17 @@ def lsh_corpus_postings(
     recomputes it): ×n_tables duplication of an 8-byte key instead of
     the embedding, for fat embeddings where posting-row storage
     dominates; ranking then pays one extra equi-join against the
-    vectors table (``_lsh_rank_against_postings(corpus_vectors=...)``)."""
+    vectors table (``_lsh_rank_against_postings(corpus_vectors=...)``).
+
+    ``sig_arrow`` (ADVICE r12): signature encoding at dim ≥
+    ARROW_AUTO_DIM defaults to the Arrow twin (a pandas/pyarrow
+    executor dependency); pass ``sig_arrow=False`` to force the
+    pure-JVM expression path, ``True`` to force Arrow at any dim."""
     c = corpus.withColumn("_cn", norm(F.col(corpus_vec)))
     c_sigs = []
     for tbl in range(max(1, n_tables)):
         planes = hyperplanes(dim, n_planes, seed=42 + 1_000_003 * tbl)
-        sig_c = _sig_fn(dim)(F.col(corpus_vec), planes)
+        sig_c = _sig_fn(dim, sig_arrow)(F.col(corpus_vec), planes)
         c_sigs.append(F.concat(F.lit(f"{tbl}:"), sig_c))
     c = c.withColumn("_sig", F.explode(F.array(*c_sigs)))
     if not store_vectors:
@@ -968,6 +991,7 @@ def _lsh_rank_against_postings(
     probe_radius: int = 0,
     n_tables: int = 1,
     corpus_vectors: DataFrame | None = None,
+    sig_arrow: bool | None = None,
 ) -> DataFrame:
     """Query side of the LSH join, against an (inline or persisted)
     posting table: expand each query to its probed buckets, equi-join on
@@ -999,7 +1023,7 @@ def _lsh_rank_against_postings(
     for tbl in range(probes):
         planes = hyperplanes(dim, n_planes, seed=42 + 1_000_003 * tbl)
         q = q.withColumn(
-            f"_sb{tbl}", _sig_fn(dim)(F.col(query_vec), planes)
+            f"_sb{tbl}", _sig_fn(dim, sig_arrow)(F.col(query_vec), planes)
         )
         base_cols.append(f"_sb{tbl}")
     q_sigs = []

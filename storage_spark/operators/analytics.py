@@ -385,13 +385,16 @@ def kmv_sketch(
     # (estimate + merge + resemblance each reference it), and every
     # unpinned reference replayed the corpus-wide distinct+TakeOrdered —
     # q_kmv_resemblance's plan carried 12 corpus scans before this
-    # (r12 sweep; the _pin_model rationale)
-    return (
+    # (r12 sweep; the _pin_model rationale). NOTE the eager-evaluation
+    # contract: constructing a sketch runs the bottom-k job NOW (ADVICE
+    # r12); wrap in materialize_scope to release the pinned rows.
+    from storage_spark.operators.dedup import pin_bounded
+
+    return pin_bounded(
         terms.select(F.md5(F.col(term_col)).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(int(k))
-        .localCheckpoint(eager=True)
     )
 
 
@@ -535,8 +538,10 @@ def histogram_quantiles(
     # once: the walk reads it three times (cumulative window, totals,
     # the range join), and without this each read re-runs the BASE
     # SCAN behind the histogram — measured 17 s → ~1 s at sf1 on a
-    # doc-length sketch (tools/probe_r10_sf1.py)
-    hist = hist.localCheckpoint(eager=True)
+    # doc-length sketch (tools/probe_r10_sf1.py); scope-releasable (r13)
+    from storage_spark.operators.dedup import pin_bounded
+
+    hist = pin_bounded(hist)
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(

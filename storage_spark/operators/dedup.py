@@ -94,7 +94,7 @@ def _materialize(df: DataFrame, flag) -> DataFrame:
     ``"checkpoint"`` for unbounded loops (blocks are owned by the
     lineage and GC'd with the DataFrame)."""
     if flag is True or flag == "checkpoint":
-        return df.localCheckpoint(eager=True)
+        return pin_bounded(df)
     if flag in ("cache", "disk"):
         from pyspark import StorageLevel
 
@@ -117,6 +117,52 @@ def _materialize(df: DataFrame, flag) -> DataFrame:
 
 
 _SCOPE_STACK = threading.local()
+
+
+class _CheckpointPin:
+    """Release handle for an eager ``localCheckpoint`` pin registered in
+    a ``materialize_scope``. A checkpointed frame's blocks live in the
+    block manager as the truncated RDD's cached partitions —
+    ``DataFrame.unpersist()`` (the cache-manager route the persist
+    strategies use) never touches them, so without this handle a long
+    session accumulates every pin ever made (VERDICT r12 #4). Releasing
+    reaches the RDD through the frame's ``LogicalRDD`` plan node.
+
+    Contract difference vs a persist pin: a released CHECKPOINT frame is
+    gone (lineage was truncated — consumers error), where a released
+    persist frame recomputes. Both are covered by materialize_scope's
+    existing rule: consume results INSIDE the block."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def unpersist(self) -> None:
+        try:
+            plan = self.df._jdf.queryExecution().analyzed()
+            plan.rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 — release is best-effort
+            pass
+
+
+def pin_bounded(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` of a BOUNDED (model / batch / sketch
+    sized — never corpus-sized) table that the surrounding plan
+    references more than once, registered for release with the active
+    ``materialize_scope`` if one is open (VERDICT r12 #4: the r12 sweep
+    pins had no unpersist path). Catalyst plans every reference to an
+    unpersisted frame separately — no cross-reference reuse for
+    broadcast builds — so an inline-fit subplan re-runs its corpus
+    aggregation once PER reference; one eager checkpoint collapses that
+    to one pass. Outside a scope the blocks live until the frame is
+    garbage-collected (ContextCleaner) or the session ends — fine for
+    one-shot queries, use a scope in composing loops."""
+    if df.is_cached:
+        return df
+    out = df.localCheckpoint(eager=True)
+    stack = getattr(_SCOPE_STACK, "frames", None)
+    if stack:
+        stack[-1].append(_CheckpointPin(out))
+    return out
 
 
 @contextlib.contextmanager
@@ -363,10 +409,11 @@ def incremental_minhash_pairs(
     # probe, both self-join sides, and the returned append rows) — each
     # unpinned reference replayed the md5 x n_hashes shingle pipeline
     # over the batch (8 Generates in q_dedup_incremental's plan, r12
-    # sweep). Bounded by the ingest batch, never the corpus.
-    batch_bands = minhash_band_index(
-        batch, text_col, id_col, n, n_hashes, band_size
-    ).localCheckpoint(eager=True)
+    # sweep). Bounded by the ingest batch, never the corpus;
+    # scope-releasable via pin_bounded (r13).
+    batch_bands = pin_bounded(
+        minhash_band_index(batch, text_col, id_col, n, n_hashes, band_size)
+    )
     probe = _cap_band_buckets(batch_bands, ["band", "sig"], max_band_df)
     cross = (
         index.select(F.col("doc").alias("_ix"), "band", "sig")
@@ -1281,8 +1328,10 @@ def semantic_cluster_pairs(
     )
     # pin the assignment before the self-join: both join sides (and the
     # cap's hot-cell aggregation) re-ran the n x cells assignment scan
-    # per reference (the semantic_dedup finding, r12)
-    a = a.localCheckpoint(eager=True)
+    # per reference (the semantic_dedup finding, r12). DISK_ONLY persist
+    # with lineage kept, not localCheckpoint — corpus-sized frame; see
+    # semantic_dedup's ranked pin for the scale rationale (r13)
+    a = _materialize(a, "disk")
     # the hot-cell guard scopes the PAIR join only — a capped cluster's
     # docs simply form no pairs (they stay in semantic_dedup's output as
     # kept=true, the documented recall trade; silently dropping the DOCS
@@ -1365,13 +1414,19 @@ def semantic_dedup(
     # pin the ranked assignment: it feeds BOTH self-join sides and the
     # final keep-join (3 references), and Catalyst plans each reference
     # separately — the n x cells assignment scan (the expensive half of
-    # this operator) re-ran per reference. One checkpoint costs a single
-    # corpus write (the window shuffle already moved the corpus once);
-    # replaying the assignment costs O(n·cells·dim) twice more —
-    # strictly worse at every scale. Measured r12: 4.1 → 3.4 s steady
-    # at sf0.1, identical rows.
-    ranked = a.withColumn("cent_rank", F.row_number().over(w)).localCheckpoint(
-        eager=True
+    # this operator) re-ran per reference; replaying it costs
+    # O(n·cells·dim) twice more — strictly worse at every scale
+    # (measured r12: 4.1 → 3.4 s steady at sf0.1, identical rows).
+    # DISK_ONLY persist, not localCheckpoint (r13, guide §5): this is a
+    # CORPUS-sized frame — a checkpoint truncates lineage, so at scale
+    # an executor loss makes the job unrecoverable, and the pinned
+    # blocks compete with shuffle for executor memory. The lazy persist
+    # keeps lineage (recomputable), fills during the first consumer's
+    # own job (no serial materialization job — BlockManager's
+    # per-partition block lock dedupes concurrent fills), and registers
+    # with materialize_scope for release.
+    ranked = _materialize(
+        a.withColumn("cent_rank", F.row_number().over(w)), "disk"
     )
     # hot-cell guard: capped clusters form no pairs, so their members all
     # come back kept=true (recall trade, never a dropped doc)

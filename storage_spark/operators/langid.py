@@ -312,9 +312,13 @@ def _langid_doc_table(
     # fit plan isn't re-run per reference (the histogram_quantiles
     # pattern). Skipped when the caller already persisted the model
     # (is_cached) or opted out (materialize=False) — composing a query
-    # should not re-trigger a Spark job per score/predict call.
+    # should not re-trigger a Spark job per score/predict call. Routed
+    # through pin_bounded so an active materialize_scope can release the
+    # blocks (r13).
     if materialize and not model.is_cached:
-        model = model.localCheckpoint(eager=True)
+        from storage_spark.operators.dedup import pin_bounded
+
+        model = pin_bounded(model)
     feats = langid_features(F.col(text_col), n, word_ns)
     exploder = F.posexplode_outer if keep_empty else F.posexplode
     # per-OCCURRENCE join, not a (doc, gram) pre-aggregation: summing

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from storage_spark.functions.paths import common_prefix, prefix_range_filter
+from storage_spark.operators.dedup import pin_bounded
 
 
 class EntityTooLargeError(Exception):
@@ -140,12 +141,14 @@ def upload_parts(
     # unpinned reference replayed the whole upstream request chain plus
     # this window — q_multipart_part_copy's plan carried 80 scans / 30
     # windows before the pin (r12 sweep). Bounded by the REQUEST batch,
-    # never a corpus.
-    batch = first_per_group(
-        new_parts,
-        ["upload_id", "part_number"],
-        [F.col("created_at_ms").desc(), F.col("size").desc()],
-    ).localCheckpoint(eager=True)
+    # never a corpus; scope-releasable via pin_bounded (r13).
+    batch = pin_bounded(
+        first_per_group(
+            new_parts,
+            ["upload_id", "part_number"],
+            [F.col("created_at_ms").desc(), F.col("size").desc()],
+        )
+    )
     # bytes freed by parts this batch replaces
     replaced = (
         parts.join(
@@ -171,10 +174,8 @@ def upload_parts(
     )
     # pinned: id-width, read by accepted/rejected/surviving — unpinned
     # it replayed the uploads-gate join per reference (see batch above)
-    ok_ids = (
-        gated.filter(F.col("_new_size") <= max_file_size)
-        .select("id")
-        .localCheckpoint(eager=True)
+    ok_ids = pin_bounded(
+        gated.filter(F.col("_new_size") <= max_file_size).select("id")
     )
     updated = (
         gated.withColumn(
@@ -264,13 +265,18 @@ def upload_part_copy(
     # pinned: failed_early and the ok branch both read this — unpinned,
     # each replayed the copies x catalog resolution join (request-batch
     # sized; part of the 80-scan plan the r12 sweep flagged)
-    classified = joined.withColumn(
-        "reason",
-        F.when(F.col("_up_ok").isNull(), F.lit("NO_SUCH_UPLOAD"))
-        .when(F.col("_src_id").isNull(), F.lit("NO_SUCH_KEY"))
-        .when(has_range & ~F.coalesce(range_valid, F.lit(False)), F.lit("INVALID_RANGE"))
-        .otherwise(F.lit(None)),
-    ).localCheckpoint(eager=True)
+    classified = pin_bounded(
+        joined.withColumn(
+            "reason",
+            F.when(F.col("_up_ok").isNull(), F.lit("NO_SUCH_UPLOAD"))
+            .when(F.col("_src_id").isNull(), F.lit("NO_SUCH_KEY"))
+            .when(
+                has_range & ~F.coalesce(range_valid, F.lit(False)),
+                F.lit("INVALID_RANGE"),
+            )
+            .otherwise(F.lit(None)),
+        )
+    )
     copy_cols = copies.columns
     failed_early = classified.filter(F.col("reason").isNotNull()).select(
         *copy_cols, "reason"

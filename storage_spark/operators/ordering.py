@@ -49,9 +49,19 @@ def assign_global_ids(
         group_col = order_by[0]
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     tagged = df.withColumn("__grp", g)
-    # offset(group) = sum of counts of all groups strictly before it in
-    # group order. Two shuffles over #groups rows — negligible.
+    # Two passes BY DESIGN (examined r13, guide §2.4, kept): the counts
+    # pass map-side partial-aggregates, so its exchange moves #groups ×
+    # #tasks rows, and column pruning reduces its input scan to the
+    # group column alone (columnar sources read one column). The
+    # single-shuffle alternative — an explicit repartition by __grp
+    # feeding both the count and the rank window — measured 2.8 → 5.3 s
+    # at 10M rows/32 cores: column pruning specializes the counts
+    # branch's exchange payload to __grp only, so the two exchanges
+    # never canonicalize equal and ReusedExchange cannot fire, leaving
+    # TWO full-row corpus shuffles and no partial aggregation.
     counts = tagged.groupBy("__grp").agg(F.count(F.lit(1)).alias("__n"))
+    # offset(group) = sum of counts of all groups strictly before it in
+    # group order — #groups rows, negligible.
     offsets = counts.select(
         "__grp",
         (

@@ -41,8 +41,14 @@ def _pin_model(df: DataFrame) -> DataFrame:
     ``localCheckpoint`` of each model table collapses that to one fit
     pass per model. Tables pinned here are vocabulary/type-table sized
     (model-bounded, never corpus-sized), so the checkpoint itself is
-    small; skipped when the caller already persisted the frame."""
-    return df if df.is_cached else df.localCheckpoint(eager=True)
+    small; skipped when the caller already persisted the frame.
+
+    Release (r13): delegates to ``dedup.pin_bounded``, which registers
+    the pinned blocks with the active ``materialize_scope`` so a session
+    composing many fits can free them (VERDICT r12 #4)."""
+    from storage_spark.operators.dedup import pin_bounded
+
+    return pin_bounded(df)
 
 
 def corpus_stats(
@@ -167,15 +173,17 @@ def curate_corpus(
         # "decide with small rows") read by every downstream consumer of
         # the gated corpus; unpinned, the classifier's corpus explode +
         # model join replayed once per consumer (the r12 sweep counted
-        # 20 corpus scans in q_curate_corpus_gated's plan)
-        ok = (
+        # 20 corpus scans in q_curate_corpus_gated's plan);
+        # scope-releasable via pin_bounded (r13)
+        from storage_spark.operators.dedup import pin_bounded
+
+        ok = pin_bounded(
             classifier_score(docs, classifier, id_col=id_col, text_col=text_col)
             .filter(
                 F.round(F.col("logit") * 10000).cast("bigint")
                 >= int(min_logit_1e4)
             )
             .select(id_col)
-            .localCheckpoint(eager=True)
         )
         docs = docs.join(ok, id_col, "left_semi")
     scored = docs.select(

@@ -440,6 +440,7 @@ def test_materialize_scope_releases_pinned_blocks(spark, sf_dir):
     returns to its baseline afterwards (per-batch loops stop
     accumulating pinned storage)."""
     from pyspark import StorageLevel
+    from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
 
     from storage_spark.operators.dedup import materialize_scope
@@ -464,14 +465,54 @@ def test_materialize_scope_releases_pinned_blocks(spark, sf_dir):
         )
         assert got == want
         assert len(pinned) > 0  # the operator's persists were captured
+        # the registry holds persist-strategy DataFrames AND (r13)
+        # _CheckpointPin handles for eager localCheckpoint pins; only
+        # the former expose storageLevel
+        dfs = [p for p in pinned if isinstance(p, DataFrame)]
         assert all(
-            df.storageLevel != StorageLevel.NONE for df in pinned
+            df.storageLevel != StorageLevel.NONE for df in dfs
         )
-    assert all(df.storageLevel == StorageLevel.NONE for df in pinned)
+    assert all(df.storageLevel == StorageLevel.NONE for df in dfs)
     # outside any scope, persists are NOT captured (old behavior intact)
     with materialize_scope() as outer:
         pass
     assert outer == []
+
+
+def test_pin_bounded_releases_checkpoint_blocks_on_scope_exit(spark):
+    """VERDICT r12 #4: eager localCheckpoint pins (model tables, batch
+    bands, sketches) had no unpersist path — a long session accumulated
+    every pin's blocks in executor storage. pin_bounded registers a
+    release handle with the active materialize_scope; on exit the
+    checkpointed RDD's blocks leave the block-manager registry. Outside
+    a scope, behavior is unchanged (pin survives, GC-owned)."""
+    from pyspark.sql import functions as F
+
+    from storage_spark.operators.dedup import materialize_scope, pin_bounded
+
+    sc = spark.sparkContext
+
+    def n_pinned_rdds() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_pinned_rdds()
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    with materialize_scope() as pinned:
+        ck = pin_bounded(df)
+        assert ck.count() == 1000  # consumable inside the scope
+        assert len(pinned) == 1
+        assert n_pinned_rdds() > base  # blocks ARE in the registry
+    assert n_pinned_rdds() == base  # released on exit
+    # outside a scope: pin works, nothing registered, blocks survive
+    ck2 = pin_bounded(df)
+    assert ck2.count() == 1000
+    assert n_pinned_rdds() > base
+    # an already-cached frame is returned as-is (no double pin)
+    cached = df.persist()
+    try:
+        assert pin_bounded(cached) is cached
+    finally:
+        cached.unpersist()
 
 
 def test_split_overlap_report_empty_on_leakage_free_split(spark, sf_dir):

@@ -1141,3 +1141,28 @@ def test_lsh_signature_arrow_bitwise_matches_expression(spark, sf_dir):
         assert rows
         for r in rows:
             assert r.s_expr == r.s_arrow, (dim, r.key)
+
+
+def test_lsh_postings_sig_arrow_escape_hatch(spark, sf_dir):
+    """ADVICE r12: dim >= ARROW_AUTO_DIM routes signature encoding
+    through a pandas UDF by default (plan-size relief), which adds a
+    pandas/pyarrow executor dependency to index BUILD paths.
+    sig_arrow=False must force the pure-JVM expression (no
+    ArrowEvalPython / BatchEvalPython anywhere in the plan) and emit
+    identical posting rows."""
+    from storage_spark.functions.vectors import lsh_corpus_postings
+
+    v = _vectors(spark, sf_dir).select("key", "embedding").limit(40)
+    fat = v.select(
+        "key",
+        F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding"),
+    )
+    auto = lsh_corpus_postings(fat, dim=768, n_planes=6)
+    jvm = lsh_corpus_postings(fat, dim=768, n_planes=6, sig_arrow=False)
+    plan_auto = auto._jdf.queryExecution().executedPlan().toString()
+    plan_jvm = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan_auto  # the dim-auto default IS Arrow
+    assert "EvalPython" not in plan_jvm  # the hatch is pure JVM
+    a = {(r.key, r._sig) for r in auto.select("key", "_sig").collect()}
+    b = {(r.key, r._sig) for r in jvm.select("key", "_sig").collect()}
+    assert a == b
