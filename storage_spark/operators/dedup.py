@@ -838,6 +838,11 @@ def dedup_components(
             .limit(1)
             .count()
         )
+        # round N-1's checkpoint blocks are dead once new_labels is
+        # materialized and the changed probe consumed both sides —
+        # release them so the loop holds ONE round of labels in executor
+        # storage instead of all of them (r13, guide §5)
+        _CheckpointPin(labels).unpersist()
         labels = new_labels
         if changed == 0:
             return labels
@@ -899,6 +904,10 @@ def _components_star(
             small.exceptAll(cur).limit(1).count()
             + cur.exceptAll(small).limit(1).count()
         )
+        # release the superseded round's edge checkpoint (see the label
+        # loop); `small` is already materialized and the convergence
+        # probe consumed both sides
+        _CheckpointPin(cur).unpersist()
         cur = small
         if changed == 0:
             # Stars: every edge is (child, root). Labels = children ∪ roots
