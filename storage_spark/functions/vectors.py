@@ -1359,6 +1359,23 @@ def _exact_rerank(
     ``arrow=True`` routes the distance arithmetic through the
     bitwise-identical vectorized twins (fat-dim reranks — the caller
     resolves the flag from the FULL vector dimension)."""
+    # The candidate table is NARROW (two id columns) but every row fans
+    # out to two full-dimension vectors plus the distance eval after the
+    # joins — AQE's byte-based coalescing sees ~40 B/row and collapses
+    # the upstream rank shuffle to one partition, serializing the whole
+    # rerank in a single task (measured 2.4-3.4 s of fat_jl_index_query's
+    # 4.5 s wall). At fat dim (arrow=True, the per-row-expensive case)
+    # spread the candidates with an EXPLICIT partition count
+    # (user-specified counts are exempt from AQE coalescing), derived
+    # from the cluster, hashed on both ids for an even spread; the final
+    # top-k exchange only carries (q_key, key, distance) so the extra
+    # narrow shuffle is noise. Thin-dim reranks keep the coalesced shape
+    # (per-row math is cheap; the extra exchange measured as a net loss).
+    if arrow:
+        sc = cands.sparkSession.sparkContext
+        cands = cands.repartition(
+            max(sc.defaultParallelism, 1), F.col(query_key), F.col(corpus_key)
+        )
     enriched = cands.join(
         corpus.select(
             F.col(corpus_key), F.col(corpus_vec).alias("_cv")

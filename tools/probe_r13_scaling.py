@@ -76,6 +76,44 @@ def build_entry(spark, name):
             return simhash_near_pairs(sim, max_hamming=3, materialize=True).count()
 
         return fn
+    if name == "fat_jl_index_query":
+        from storage_spark.sources.annindex import ann_index_search, build_ann_index
+
+        vecs = (
+            spark.range(4096)
+            .select(
+                F.col("id").cast("string").alias("key"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(767)),
+                    lambda i: (
+                        F.pmod(
+                            F.xxhash64(
+                                F.concat_ws(
+                                    ":", F.col("id").cast("string"), i.cast("string")
+                                )
+                            ),
+                            F.lit(1000),
+                        ).cast("double")
+                        / 500.0
+                        - 1.0
+                    ),
+                ).alias("embedding"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        qs = vecs.filter(F.col("key").cast("bigint") < 50).select(
+            F.col("key").alias("q_key"), F.col("embedding").alias("q_vec")
+        )
+        d = tempfile.mkdtemp(prefix="probe_jlidx_") + "/idx"
+        build_ann_index(
+            vecs, d, kind="jl_lsh", dim=768, out_dim=64, n_vectors=4096,
+            encode_arrow=True,
+        )
+
+        def fn():
+            return ann_index_search(spark, d, qs, k=10, probe_radius=1).count()
+
+        return fn
     raise ValueError(name)
 
 
