@@ -53,7 +53,9 @@ def build_subword_vocab(
     character seen (so tokenization never stalls on in-corpus text)."""
     if max_len < 2:
         raise ValueError(f"max_len must be >= 2 (got {max_len})")
-    words = docs.select(
+    from storage_spark.functions.partitioning import spread_small_input
+
+    words = spread_small_input(docs).select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).filter(F.length("w") > 0)
     grams = F.flatten(
@@ -161,8 +163,11 @@ def bpe_learn_merges(
     """
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1 (got {num_merges})")
+    from storage_spark.functions.partitioning import spread_small_input
+
     words = (
-        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        spread_small_input(docs)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter((F.length("w") > 0) & ~F.contains(F.col("w"), F.lit(BPE_SEP)))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wcnt"))
@@ -201,7 +206,7 @@ def bpe_learn_merges(
                 pair_count=cnt,
             )
         )
-        state = state.withColumn(
+        new_state = state.withColumn(
             "sym",
             F.replace(
                 F.col("sym"),
@@ -209,6 +214,14 @@ def bpe_learn_merges(
                 F.lit(BPE_SEP + lhs + rhs + BPE_SEP),
             ),
         ).localCheckpoint()
+        # round r-1's checkpoint blocks are dead once the merged state is
+        # materialized — release them so training holds ONE round of
+        # state in executor storage instead of O(rounds) (r13, guide §5;
+        # the dedup_components pattern)
+        from storage_spark.operators.dedup import _CheckpointPin
+
+        _CheckpointPin(state).unpersist()
+        state = new_state
     return docs.sparkSession.createDataFrame(
         merges,
         schema="merge_rank int, lhs string, rhs string, merged string,"
@@ -384,7 +397,9 @@ def unigram_vocab(
     scope, same discipline as the closed-form NB fit."""
     if max_len < 2:
         raise ValueError(f"max_len must be >= 2 (got {max_len})")
-    words = docs.select(
+    from storage_spark.functions.partitioning import spread_small_input
+
+    words = spread_small_input(docs).select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).filter(F.length("w") > 0)
     grams = F.flatten(
@@ -511,6 +526,8 @@ def unigram_tokenize(
         return pd.DataFrame(rows, columns=["n_words", "n_pieces",
                                            "score_milli"])
 
-    return docs.select(
+    from storage_spark.functions.partitioning import spread_small_input
+
+    return spread_small_input(docs).select(
         F.col(id_col).alias("doc_id"), _seg(F.col(text_col)).alias("_s")
     ).select("doc_id", "_s.n_words", "_s.n_pieces", "_s.score_milli")

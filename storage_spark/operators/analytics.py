@@ -257,7 +257,9 @@ def heavy_hitters_cms(
     head, where CMS is at its best."""
     from pyspark.sql.window import Window
 
-    toks = docs.select(
+    from storage_spark.functions.partitioning import spread_small_input
+
+    toks = spread_small_input(docs).select(
         F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
@@ -316,8 +318,10 @@ def hll_sketch(
     rho = F.when(v == 0, F.lit(49)).otherwise(
         F.lit(48) - F.length(F.bin(v)) + 1
     ).cast("int")
+    from storage_spark.functions.partitioning import spread_small_input
+
     return (
-        terms.select(bucket.alias("bucket"), rho.alias("rho"))
+        spread_small_input(terms).select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
     )

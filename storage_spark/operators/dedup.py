@@ -1032,7 +1032,9 @@ def embedding_near_dup_pairs(
     # work drops to a single dot product. The pairwise expression
     # dot/(na*nb) is bit-identical to cosine_distance's dot/(norm*norm) —
     # same left-folded doubles, same operation order.
-    v = vectors.select(
+    from storage_spark.functions.partitioning import spread_small_input
+
+    v = spread_small_input(vectors).select(
         F.col(key_col).alias("key"),
         F.col(vector_col).alias("vec"),
         norm(F.col(vector_col)).alias("nrm"),
@@ -1265,7 +1267,11 @@ def _semantic_assigned(
                 "dedup.semantic_cells_for",
                 stacklevel=3,
             )
-    base = vectors.select(key_col, vector_col)
+    from storage_spark.functions.partitioning import spread_small_input
+
+    # the per-vector cell argmin (n_clusters x dim dots per row) fuses
+    # into the scan stage; a one-file input would serialize it (r13)
+    base = spread_small_input(vectors.select(key_col, vector_col))
     if kmeans_iterations > 0:
         cents = ivf_centroids_kmeans(
             base, n_clusters, iterations=kmeans_iterations,
@@ -1662,7 +1668,9 @@ def _positioned_shingles(
     word_shingles lambda-capture hazard (re-evaluating the split per
     element) does not apply.
     """
-    base = df.select(
+    from storage_spark.functions.partitioning import spread_small_input
+
+    base = spread_small_input(df).select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_toks")
     ).withColumn("_n", F.size("_toks") - F.lit(k) + 1)
     hashes = F.when(
@@ -1934,6 +1942,9 @@ def line_dedup(
 
     if mode not in ("keep_first", "drop_all"):
         raise ValueError("mode must be 'keep_first' or 'drop_all'")
+    from storage_spark.functions.partitioning import spread_small_input
+
+    df = spread_small_input(df)
     toks = F.split(F.col(text_col), _re.escape(sep), -1)
     lines = df.select(
         F.col(id_col).alias("doc_id"),
@@ -2001,6 +2012,9 @@ def _doc_lines(df: DataFrame, text_col: str, id_col: str, sep: str,
     index — one tokenization, shared by both paths."""
     import re as _re
 
+    from storage_spark.functions.partitioning import spread_small_input
+
+    df = spread_small_input(df)
     toks = F.split(F.col(text_col), _re.escape(sep), -1)
     lines = df.select(
         F.col(id_col).alias("doc_id"),

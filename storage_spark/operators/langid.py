@@ -319,6 +319,11 @@ def _langid_doc_table(
         from storage_spark.operators.dedup import pin_bounded
 
         model = pin_bounded(model)
+    # the normalization+gram work below fuses into the doc scan stage;
+    # a one-file input would serialize it on one core (r13, guide §2/§6)
+    from storage_spark.functions.partitioning import spread_small_input
+
+    docs = spread_small_input(docs)
     feats = langid_features(F.col(text_col), n, word_ns)
     exploder = F.posexplode_outer if keep_empty else F.posexplode
     # per-OCCURRENCE join, not a (doc, gram) pre-aggregation: summing

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from storage_spark.functions.partitioning import spread_small_input
 from storage_spark.functions.text import (
     fingerprint,
     lang_id,
@@ -756,7 +757,8 @@ def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from storage_spark.functions.text import normalized_text
 
     return (
-        docs.select(
+        spread_small_input(docs)
+        .select(
             F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok")
         )
         .groupBy("tok")
@@ -834,7 +836,7 @@ def unigram_logprob(
         F.sum("cnt").alias("_n"), F.count(F.lit(1)).alias("_v")
     )
     a = F.lit(float(smoothing))
-    toks = docs.select(
+    toks = spread_small_input(docs).select(
         F.col(id_col),
         F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
             "pos", "tok"
@@ -897,7 +899,8 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,tok:string>>"))
     return (
-        docs.select(F.explode(pairs).alias("p"))
+        spread_small_input(docs)
+        .select(F.explode(pairs).alias("p"))
         .select(F.col("p.prev").alias("prev"), F.col("p.tok").alias("tok"))
         .groupBy("prev", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1011,7 +1014,7 @@ def bigram_logprob(
     # column: a single select evaluating both `tk.alias("_tk")` and
     # `posexplode(tk)` plans the Generate over the raw expression, so
     # normalized_text's regex + split ran twice per row (r12 plan read)
-    toks = docs.select(F.col(id_col), tk.alias("_tk")).select(
+    toks = spread_small_input(docs).select(F.col(id_col), tk.alias("_tk")).select(
         F.col(id_col), "_tk", F.posexplode(F.col("_tk")).alias("pos", "tok")
     ).select(
         id_col, "pos", "tok",
@@ -1746,7 +1749,8 @@ def nb_quality_model(
 
     def _counts(df: DataFrame, out: str) -> DataFrame:
         return (
-            df.select(
+            spread_small_input(df)
+            .select(
                 F.explode(
                     F.split(normalized_text(F.col(text_col)), " ")
                 ).alias("tok")
@@ -1826,7 +1830,7 @@ def classifier_score(
         raise ValueError(
             f"model_join must be 'broadcast' or 'skew_split' (got {model_join!r})"
         )
-    toks = docs.select(
+    toks = spread_small_input(docs).select(
         F.col(id_col),
         F.posexplode(F.split(normalized_text(F.col(text_col)), " ")).alias(
             "pos", "tok"
@@ -1942,7 +1946,8 @@ def dsir_model(
 
     def _fit(df: DataFrame, out: str) -> DataFrame:
         return (
-            df.select(F.explode(buckets).alias("b"))
+            spread_small_input(df)
+            .select(F.explode(buckets).alias("b"))
             .groupBy("b")
             .agg(F.count(F.lit(1)).alias(out))
         )
@@ -2019,7 +2024,7 @@ def dsir_weights(
             raw, target, text_col, num_buckets, use_bigrams, smoothing
         )
     weighted = model.select("b", F.col("lw").alias("_lw"))
-    feats = raw.select(
+    feats = spread_small_input(raw).select(
         F.col(id_col), F.posexplode(buckets).alias("pos", "b")
     )
     scored = feats.join(F.broadcast(weighted), "b", "left").select(
@@ -2227,6 +2232,9 @@ def kn_bigram_score(
 
     if not (1 <= discount_x4 <= 3):
         raise ValueError("discount_x4 must be in [1, 3] (D = x/4 ∈ (0,1))")
+    # the tokenize+pair work fuses into the doc scan stage; a one-file
+    # input would serialize it on one core (r13, guide §2/§6)
+    docs = spread_small_input(docs)
     toks = F.split(F.col(text_col), " ")
     pairs = (
         docs.select(
@@ -2349,6 +2357,7 @@ def kn_trigram_score(
 
     if not (1 <= discount_x4 <= 3):
         raise ValueError("discount_x4 must be in [1, 3] (D = x/4 ∈ (0,1))")
+    docs = spread_small_input(docs)  # see kn_bigram_score (r13)
     toks = F.split(F.col(text_col), " ")
     tri = (
         docs.select(
@@ -2514,6 +2523,7 @@ def kn_quadgram_score(
 
     if not (1 <= discount_x4 <= 3):
         raise ValueError("discount_x4 must be in [1, 3] (D = x/4 ∈ (0,1))")
+    docs = spread_small_input(docs)  # see kn_bigram_score (r13)
     toks = F.split(F.col(text_col), " ")
     quad = (
         docs.select(

@@ -121,6 +121,117 @@ def _lmu():
     )
 
 
+@reg("langid_predict_docs")
+def _langid():
+    from storage_spark.operators.langid import langid_fit, langid_predict
+
+    lex = {
+        "en": ["the", "and", "house", "water", "light", "with",
+               "from", "night"],
+        "de": ["der", "und", "haus", "wasser", "licht", "mit",
+               "von", "nacht"],
+        "fr": ["le", "et", "maison", "eau", "lumiere", "avec",
+               "de", "nuit"],
+        "es": ["el", "y", "casa", "agua", "luz", "con", "de",
+               "noche"],
+    }
+    train = spark.createDataFrame(
+        [(lang, " ".join(ws[(s * 3 + j) % 8] for j in range(6)))
+         for lang, ws in lex.items() for s in range(8)],
+        "lang string, text string",
+    )
+    m = langid_fit(train)
+    return langid_predict(t["documents"], m).groupBy("lang").count()
+
+
+@reg("lm_kn3")
+def _lmkn3():
+    from storage_spark.operators.pipeline import kn_trigram_score
+
+    return kn_trigram_score(t["documents"]).agg(F.sum("score_milli"))
+
+
+@reg("dsir_select")
+def _dsir_sel():
+    from storage_spark.operators.pipeline import dsir_sample
+
+    docs = t["documents"]
+    return dsir_sample(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        k=100,
+        num_buckets=10_000,
+    )
+
+
+@reg("dsir_score")
+def _dsir_score():
+    import tempfile
+
+    from storage_spark.operators.pipeline import dsir_model, dsir_sample
+    from storage_spark.sources.textmodels import (
+        load_text_model,
+        save_text_model,
+    )
+
+    docs = t["documents"]
+    d = tempfile.mkdtemp(prefix="plandump_dsir_")
+    save_text_model(
+        dsir_model(
+            docs.filter(F.col("doc_id") % 5 != 0),
+            docs.filter(F.col("doc_id") % 5 == 0),
+            num_buckets=10_000,
+        ),
+        f"{d}/dsir", "dsir", {"num_buckets": 10_000},
+    )
+    m = load_text_model(spark, f"{d}/dsir")[0]
+    return dsir_sample(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        None, k=100, num_buckets=10_000, model=m,
+    )
+
+
+@reg("substring_spans")
+def _spans():
+    from storage_spark.operators.dedup import exact_substring_spans
+
+    return exact_substring_spans(t["documents"], k=10)
+
+
+@reg("line_dedup")
+def _ld():
+    from storage_spark.operators.dedup import line_dedup
+
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(5)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
+    )
+    docs = t["documents"].select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return line_dedup(docs).agg(F.sum("n_lines_removed"))
+
+
+@reg("embedding_neardup")
+def _emb_nd():
+    from storage_spark.operators.dedup import embedding_near_dup_pairs
+
+    vectors = t["embeddings"].select(
+        F.col("vec_id").cast("string").alias("key"), "embedding"
+    )
+    return embedding_near_dup_pairs(vectors, max_distance=0.2)
+
+
+@reg("unigram_tok")
+def _utok():
+    from storage_spark.functions.bpe import unigram_tokenize, unigram_vocab
+
+    v = unigram_vocab(t["documents"], max_size=400, max_len=4)
+    return unigram_tokenize(t["documents"], v).agg(F.sum("n_pieces"))
+
+
 os.makedirs("plans/r13", exist_ok=True)
 for name, fn in builders.items():
     if only and name not in only:
