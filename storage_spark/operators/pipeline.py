@@ -1734,8 +1734,8 @@ def nb_quality_model(
     against a high-quality reference corpus" recipe; the NB log-count
     ratio form is Wang & Manning 2012's NBSVM feature). Unlike
     iterative logistic regression, the NB fit is a closed form over
-    token counts, so training is two map-side-combined groupBys + one
-    full outer join — and the ENTIRE fit replays in SQL, keeping the
+    token counts, so training is ONE map-side-combined groupBy over the
+    class-tagged union — and the ENTIRE fit replays in SQL, keeping the
     classifier under the same oracle bar as every other operator.
 
     Returns one ``(tok, w)`` row per token in the JOINT vocabulary:
@@ -1747,29 +1747,32 @@ def nb_quality_model(
     smoothed floor on that side (never -inf)."""
     from storage_spark.functions.text import normalized_text
 
-    def _counts(df: DataFrame, out: str) -> DataFrame:
-        return (
-            spread_small_input(df)
-            .select(
-                F.explode(
-                    F.split(normalized_text(F.col(text_col)), " ")
-                ).alias("tok")
-            )
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).alias(out))
+    def _toks(df: DataFrame, cls: int) -> DataFrame:
+        return spread_small_input(df).select(
+            F.explode(
+                F.split(normalized_text(F.col(text_col)), " ")
+            ).alias("tok"),
+            F.lit(cls).alias("_cls"),
         )
 
-    cp = _counts(pos, "_cp")
-    cn = _counts(neg, "_cn")
-    # joint vocabulary table, referenced twice (totals + the weight
-    # select) and re-planned again by every consumer that broadcasts
-    # the returned model — pinned so each class's corpus explode+count
-    # runs exactly once (see _pin_model)
+    # joint vocabulary in ONE aggregation over the class-tagged union
+    # (r13, guide §2.4): the old shape ran one groupBy PER class and a
+    # full-outer join of the two vocab tables — two token-keyed
+    # exchanges plus a sort-merge join; the union form pays one
+    # map-side-combined exchange and no join. Counts are identical:
+    # conditional count over the tagged stream = per-class count, and a
+    # token missing from one class counts 0 on that side (the
+    # full-outer's coalesce). The table is referenced twice (totals +
+    # the weight select) and re-planned by every consumer that
+    # broadcasts the model — pinned so the corpus pass runs exactly
+    # once (see _pin_model).
     joint = _pin_model(
-        cp.join(cn, "tok", "full_outer").select(
-            "tok",
-            F.coalesce(F.col("_cp"), F.lit(0)).alias("_cp"),
-            F.coalesce(F.col("_cn"), F.lit(0)).alias("_cn"),
+        _toks(pos, 1)
+        .unionByName(_toks(neg, 0))
+        .groupBy("tok")
+        .agg(
+            F.count(F.when(F.col("_cls") == 1, F.lit(1))).alias("_cp"),
+            F.count(F.when(F.col("_cls") == 0, F.lit(1))).alias("_cn"),
         )
     )
     totals = joint.agg(
@@ -1944,24 +1947,25 @@ def dsir_model(
         F.col(text_col), num_buckets=num_buckets, use_bigrams=use_bigrams
     )
 
-    def _fit(df: DataFrame, out: str) -> DataFrame:
-        return (
-            spread_small_input(df)
-            .select(F.explode(buckets).alias("b"))
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).alias(out))
+    def _feats(df: DataFrame, cls: int) -> DataFrame:
+        return spread_small_input(df).select(
+            F.explode(buckets).alias("b"), F.lit(cls).alias("_cls")
         )
 
-    mt = _fit(target, "_ct")
-    mr = _fit(raw, "_cr")
-    # merged is <= num_buckets rows and referenced twice (totals + the
-    # final select) — pinned, so each corpus fit explode runs once
-    # instead of once per reference (see _pin_model)
+    # both distributions fit in ONE aggregation over the class-tagged
+    # union (r13, guide §2.4) — one bucket-keyed exchange instead of
+    # two groupBys + a full-outer join; conditional counts reproduce
+    # the per-side counts and the missing-side zeros exactly (see the
+    # same restructure in nb_quality_model). merged is <= num_buckets
+    # rows and referenced twice (totals + the final select) — pinned,
+    # so the corpus fit explode runs once per side (see _pin_model).
     merged = _pin_model(
-        mt.join(mr, "b", "full_outer").select(
-            "b",
-            F.coalesce(F.col("_ct"), F.lit(0)).alias("_ct"),
-            F.coalesce(F.col("_cr"), F.lit(0)).alias("_cr"),
+        _feats(target, 1)
+        .unionByName(_feats(raw, 0))
+        .groupBy("b")
+        .agg(
+            F.count(F.when(F.col("_cls") == 1, F.lit(1))).alias("_ct"),
+            F.count(F.when(F.col("_cls") == 0, F.lit(1))).alias("_cr"),
         )
     )
     totals = merged.agg(
