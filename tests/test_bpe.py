@@ -406,3 +406,31 @@ def test_unigram_empty_and_blank_docs(spark):
     out = {r.doc_id: r for r in unigram_tokenize(docs, v).collect()}
     assert out[2].n_words == 0 and out[2].n_pieces == 0
     assert out[3].n_words == 2  # empty tokens skipped, not counted
+
+
+def test_learn_merges_releases_all_round_state(spark, merge_docs):
+    """r13: per-round training checkpoints are LAZY (the pair-count job
+    fills round r's blocks; no separate materialization job) and every
+    round's blocks — including the final state's — are released before
+    the function returns, so training leaks nothing into executor
+    storage. The merge table must still match the Sennrich reference."""
+    from storage_spark.functions.bpe import bpe_learn_merges
+
+    sc = spark.sparkContext
+
+    def pinned_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    merge_docs.count()  # materialize the fixture's cache first
+    base = pinned_ids()
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_learn_merges(merge_docs, num_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    want, _ = sennrich_merges([t for _, t in MERGE_DOCS], 6)
+    assert got == want
+    # no NEW blocks left behind (subset, not equality: the context
+    # cleaner may concurrently evict OTHER tests' dereferenced caches)
+    assert pinned_ids() <= base
